@@ -1,0 +1,19 @@
+"""Scalar-function library (SURVEY §2.11-§2.14) — all JVM-side built-ins.
+
+Everything here returns ``pyspark.sql.Column`` expressions composed from
+built-in functions so they stay inside whole-stage codegen; no Python UDFs.
+"""
+
+from evidence_datasource_parsers_spark.functions.hashing import (  # noqa: F401
+    minhash_base,
+    portable_hash,
+)
+from evidence_datasource_parsers_spark.functions.pvalues import (  # noqa: F401
+    pvalue_mantissa_exponent,
+)
+from evidence_datasource_parsers_spark.functions.textstats import (  # noqa: F401
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+)

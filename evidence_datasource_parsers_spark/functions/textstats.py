@@ -1,0 +1,75 @@
+"""Text analysis primitives for a training-data pipeline, all JVM-side.
+
+Language-ID (stopword heuristic), quality scoring (length / punctuation /
+stopword ratios), token counting, and document fingerprinting — every one a
+composition of built-in functions (no Python UDFs), so they run inside
+whole-stage codegen and scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword inventories for the n-gram/stopword heuristic.
+# Deliberately small: the point is the *operator shape* (score → argmax), the
+# inventory is swappable.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"] + ["in", "is", "it", "for", "on"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization: trim then split on runs of whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] (lowercased input)."""
+    c = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(c)
+    stripped = F.regexp_replace(lowered, "[a-z0-9 ]", "")
+    return F.length(stripped) / F.length(lowered)
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords (exact-match, lowercased)."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_stop / F.size(toks)
+
+
+def stopword_hits(text: Column | str, stopwords: list[str]) -> Column:
+    """Count of tokens belonging to *stopwords* — the lang-ID score kernel."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def lang_guess(text: Column | str) -> Column:
+    """Argmax-of-stopword-hits language guess over LANG_STOPWORDS.
+
+    Ties break by language code *descending* (struct comparison: highest hits,
+    then highest code) — deterministic and mirrored exactly in the oracle SQL.
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_hits(text, sw).alias("hits"),
+                F.lit(code).alias("code"),
+            )
+            for code, sw in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    return F.array_max(scored)["code"]

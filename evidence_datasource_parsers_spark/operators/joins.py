@@ -1,0 +1,80 @@
+"""Join-tier operators J1-J9, U1-U3 and the external-enrichment pattern D9/D10
+(SURVEY §2.5, §2.9, §2.15).
+
+Scale notes baked into each helper:
+  * dimension sides are ``broadcast()``-hinted when small (J9) — a LUT join
+    must never shuffle the fact table;
+  * the enrichment pattern runs the expensive external function over
+    *distinct keys only*, then joins back null-safely — at 100 TB the distinct
+    keyset is orders of magnitude smaller than the fact table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def union_by_name(dfs: list[DataFrame], allow_missing: bool = True) -> DataFrame:
+    """Schema-reconciling union (U1), parity ``modules/GeneBurden.py:55-56``.
+
+    ``unionByName(allowMissingColumns=True)`` fills absent columns with nulls.
+    Heterogeneous *types* for a same-named column still raise — define explicit
+    target schemas per union (SURVEY §7.4 risk 2).
+    """
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=allow_missing), dfs
+    )
+
+
+def broadcast_lut_join(
+    fact: DataFrame,
+    lut: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Dimension-table join with an explicit broadcast hint (J2+J9).
+
+    The reference relies on Catalyst auto-broadcast; at 100 TB an explicit
+    hint removes the risk of a sort-merge shuffle when stats are missing.
+    """
+    return fact.join(F.broadcast(lut), on=on, how=how)
+
+
+def anti_join(
+    df: DataFrame, exclude: DataFrame, on: list[str] | str
+) -> DataFrame:
+    """Negative-control exclusion (J4), parity AzGeneBurden.py:138-153."""
+    return df.join(exclude, on=on, how="left_anti")
+
+
+def enrich_join_back(
+    df: DataFrame,
+    key_cols: list[str],
+    enrich_fn: Callable[[DataFrame], DataFrame],
+    how: str = "left",
+) -> DataFrame:
+    """The distinct→enrich→join-back pattern (D9/D10), Spark-first.
+
+    Reference shape (``common/ontology.py:43-94``): pull ``distinct`` key
+    pairs to the driver, enrich via an external service (OnToma/GPT), re-enter
+    Spark with ``createDataFrame``, then *null-safe* left join back on every
+    key column, fanning evidence out when the enrichment is 1:N.
+
+    ``enrich_fn`` receives the distinct-keys DataFrame and must return it with
+    extra columns (it may go through pandas internally — that boundary is the
+    caller's choice and is bounded by |distinct keys|, not |rows|).
+    """
+    keys = df.select(*key_cols).distinct()
+    enriched = enrich_fn(keys)
+    cond = reduce(
+        lambda a, b: a & b,
+        [df[k].eqNullSafe(enriched[k]) for k in key_cols],
+    )
+    joined = df.join(F.broadcast(enriched), on=cond, how=how)
+    for k in key_cols:
+        joined = joined.drop(enriched[k])
+    return joined

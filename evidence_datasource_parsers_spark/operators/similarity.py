@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
+(random-hyperplane) approximate variant as the scale path.  The dot product is
+a higher-order ``aggregate`` over ``zip_with`` — JVM-side, no Python — and the
+per-query top-k is a struct-max / window over the similarity.
+
+Scale design: brute force is O(|Q|·|C|); keep |Q| bounded (a probe set) or use
+``ann_lsh_topk`` which shuffles on hyperplane-sign buckets so each query only
+scores its bucket-mates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.functions.hashing import portable_hash
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the corpus.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank).  Ties break by
+    neighbor id ascending for determinism.
+    """
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id), F.col(vec_col).cast("array<double>").alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col(query_id) != F.col(corpus_id))
+        .select(
+            query_id,
+            corpus_id,
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of <v, p_i> packed to int."""
+    out = F.lit(0)
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        s = dot(vec.cast("array<double>"), plane)
+        out = out + F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def deterministic_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Pseudo-random hyperplanes from the portable-hash family (no RNG state,
+    reproducible across rounds/engines)."""
+    planes = []
+    for j in range(n_planes):
+        # simple LCG seeded by plane index; values in [-1, 1)
+        x = (j * 2654435761 + 1013904223) % (2**32)
+        row = []
+        for d in range(dim):
+            x = (1664525 * x + 1013904223) % (2**32)
+            row.append((x / 2**31) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only pairs sharing a hyperplane-sign bucket.
+
+    One shuffle on the bucket id (2^n_planes buckets); recall tunable via
+    n_planes (fewer planes → bigger buckets → higher recall, more compute).
+    """
+    planes = deterministic_planes(dim, n_planes)
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn("__bucket", hyperplane_bucket(F.col("__qv"), planes))
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__bucket", hyperplane_bucket(F.col("__cv"), planes))
+    scored = (
+        c.join(q, on="__bucket")
+        .where(F.col(query_id) != F.col(corpus_id))
+        .select(
+            query_id,
+            corpus_id,
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,874 @@
+"""Query catalog — the engine's operator coverage, one entry per SURVEY §2 row.
+
+Every entry pairs a Spark DataFrame builder with an ANSI-SQL oracle that DuckDB
+runs over the same parquet tables.  The driver hashes both results
+order-insensitively, so each query follows strict determinism rules:
+
+  * money/measure sums go through exact integer cents
+    (``round(x*100)::BIGINT``) before aggregation — float sums are
+    order-dependent and would hash-differently between engines;
+  * ratios/averages are derived from exact integers with ONE final IEEE
+    division (deterministic given identical operands);
+  * collected sets are sorted and joined to strings;
+  * every window/top-k has a total order (unique-key tie-break);
+  * hash-based operators use the md5-derived portable hash
+    (functions/hashing.py) that both engines compute identically.
+
+Scale notes are attached per query: the catalog runs at sf0.01 for the
+correctness gate and sf0.1+ for BENCH, but each plan is written for the
+1000-executor case (broadcast dims, shuffle only on agg/join keys, pushdown-
+friendly scans).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+# Columns stored as TIMESTAMP(NANOS) in the driver-generated parquet; Spark
+# reads them as long (nanosAsLong) and we convert to timestamp at the scan.
+_NANO_TS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    for col in _NANO_TS_COLS.get(table, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(
+                col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+            )
+    return df
+
+
+def cents(c: Column) -> Column:
+    """Exact integer cents from a 2-decimal double — engine-portable."""
+    return F.round(c * 100).cast("long")
+
+
+def _c(expr: str) -> str:
+    """Oracle-side twin of :func:`cents`."""
+    return f"CAST(round(({expr}) * 100) AS BIGINT)"
+
+
+@dataclass(frozen=True)
+class CatalogQuery:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+    bench: bool = False  # include in bench.py headline set
+
+
+CATALOG: dict[str, CatalogQuery] = {}
+
+
+def register(
+    name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False
+):
+    def deco(fn):
+        CATALOG[name] = CatalogQuery(name, fn, oracle, tags, bench)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.3-§2.9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({_c('l_quantity')}) AS BIGINT) AS sum_qty_c,
+           CAST(SUM({_c('l_extendedprice')}) AS BIGINT) AS sum_base_price_c,
+           CAST(SUM({_c('l_extendedprice')} * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+               AS sum_disc_price_c4,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A4", "A8", "F1", "P5", "agg"),
+    bench=True,
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary; exact integer arithmetic throughout.
+
+    Scale: single shuffle on a 2-value grouping key; partial aggregation is
+    map-side, scan prunes to 6 columns with the shipdate filter pushed down.
+    """
+    l = load(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
+    )
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        l.select(
+            "l_returnflag",
+            "l_linestatus",
+            cents(F.col("l_quantity")).alias("__qty_c"),
+            cents(F.col("l_extendedprice")).alias("__price_c"),
+            (cents(F.col("l_extendedprice")) * (F.lit(100) - disc_pct)).alias(
+                "__disc_c4"
+            ),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("__qty_c").alias("sum_qty_c"),
+            F.sum("__price_c").alias("sum_base_price_c"),
+            F.sum("__disc_c4").alias("sum_disc_price_c4"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_filter_project",
+    """
+    SELECT o_orderkey,
+           upper(o_orderstatus) AS status_uc,
+           CASE WHEN o_orderpriority LIKE '1%' THEN 'urgent'
+                WHEN contains(o_orderpriority, '2') THEN 'high'
+                ELSE 'normal' END AS priority_class,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_c,
+           o_orderstatus = 'O' AS is_open
+    FROM orders
+    WHERE o_totalprice > 1000.0 AND NOT o_orderpriority LIKE '5%'
+    """,
+    tags=("P1", "P5", "P6", "F2", "F5"),
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    """Projection/cast/conditional/string-predicate coverage (P1/P5/P6/F2/F5)."""
+    o = load(spark, sf, "orders")
+    return o.where(
+        (F.col("o_totalprice") > 1000.0)
+        & (~F.col("o_orderpriority").startswith("5"))
+    ).select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_uc"),
+        F.when(F.col("o_orderpriority").startswith("1"), "urgent")
+        .when(F.col("o_orderpriority").contains("2"), "high")
+        .otherwise("normal")
+        .alias("priority_class"),
+        cents(F.col("o_totalprice")).alias("total_c"),
+        (F.col("o_orderstatus") == "O").alias("is_open"),
+    )
+
+
+@register(
+    "q03_top_customer_per_nation",
+    """
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal
+    FROM customer
+    QUALIFY row_number() OVER (
+        PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) = 1
+    """,
+    tags=("W1", "O2", "window"),
+    bench=True,
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-1-per-group dedup (W1), the reference's one mandatory window
+    (IMPC.py:456-462), with a total order for determinism."""
+    from evidence_datasource_parsers_spark.operators.windows import top_n_per_group
+
+    c = load(spark, sf, "customer")
+    return top_n_per_group(
+        c,
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        n=1,
+    ).select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "q04_region_rollup",
+    f"""
+    SELECT r_name,
+           count(*) AS n_customers,
+           CAST(SUM({_c('c_acctbal')}) AS BIGINT) AS sum_acctbal_c
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("J1", "J9", "A4", "join"),
+    bench=True,
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    """Snowflake rollup: fact → broadcast dim chain, then one small agg."""
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents(F.col("c_acctbal"))).alias("sum_acctbal_c"),
+        )
+    )
+
+
+@register(
+    "q05_customer_order_stats",
+    f"""
+    SELECT c_custkey,
+           count(o_orderkey) AS n_orders,
+           CAST(coalesce(SUM({_c('o_totalprice')}), 0) AS BIGINT) AS total_spent_c
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("J2", "P10", "A4"),
+    bench=True,
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    """Left join + per-key agg; zero-order customers kept with coalesce(0)."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(cents(F.col("o_totalprice"))), F.lit(0))
+            .cast("long")
+            .alias("total_spent_c"),
+        )
+    )
+
+
+@register(
+    "q06_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("J4",),
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    """left_anti negative-control exclusion (J4), AzGeneBurden.py:138-153."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q07_customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("J1", "semi"),
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    """left_semi: existence filter without fan-out."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q08_union_by_name",
+    """
+    SELECT * FROM (
+        SELECT c_custkey AS entity_key, c_name AS entity_name,
+               c_acctbal AS acctbal, c_mktsegment AS mktsegment,
+               'customer' AS kind
+        FROM customer
+    ) UNION ALL BY NAME (
+        SELECT s_suppkey AS entity_key, s_name AS entity_name,
+               s_acctbal AS acctbal, 'supplier' AS kind
+        FROM supplier
+    )
+    """,
+    tags=("U1", "U3"),
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True) schema reconciliation (U1),
+    parity GeneBurden.py:55-56 — supplier side lacks mktsegment → null."""
+    from evidence_datasource_parsers_spark.operators.joins import union_by_name
+
+    c = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("customer").alias("kind"),
+    )
+    s = load(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return union_by_name([c, s])
+
+
+@register(
+    "q09_distinct_pairs",
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    tags=("A6",),
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-row distinct (A6)."""
+    return load(spark, sf, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@register(
+    "q10_collect_set",
+    """
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           count(DISTINCT c_mktsegment) AS n_segments
+    FROM customer GROUP BY c_nationkey
+    """,
+    tags=("A1", "A7"),
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    """groupBy + collect_set (A1) — sorted and stringified for stable hashing;
+    collect_set ordering is undefined (SURVEY §7.4 risk 4)."""
+    return (
+        load(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias(
+                "segments"
+            ),
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+@register(
+    "q11_explode_tokens",
+    """
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+    GROUP BY token
+    """,
+    tags=("R1", "split"),
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    """split + explode (R1) then count — the word-frequency shape."""
+    p = load(spark, sf, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q12_explode_outer",
+    """
+    SELECT o.o_orderkey, u.pri_part
+    FROM orders o
+    LEFT JOIN LATERAL (
+        SELECT unnest(CASE WHEN o.o_orderstatus = 'O'
+                           THEN string_split(o.o_orderpriority, '-')
+                           ELSE [] END) AS pri_part
+    ) u ON true
+    """,
+    tags=("R2",),
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    """explode_outer (R2): empty arrays keep their row with a null element,
+    parity TargetSafety.py:143 / ot_crispr.py:122-124."""
+    o = load(spark, sf, "orders")
+    arr = F.when(
+        F.col("o_orderstatus") == "O", F.split("o_orderpriority", "-")
+    ).otherwise(F.array().cast("array<string>"))
+    return o.select(
+        "o_orderkey", F.explode_outer(arr).alias("pri_part")
+    )
+
+
+@register(
+    "q13_melt",
+    """
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+    """,
+    tags=("R3",),
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    """Native wide→long unpivot (R3) replacing the reference's f-string
+    ``stack()`` SQL (Essentiality.py:232-247)."""
+    from evidence_datasource_parsers_spark.operators.reshape import melt
+
+    p = load(spark, sf, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return melt(p, ["p_partkey"], ["p_size", "p_retailprice"], "attr", "val")
+
+
+@register(
+    "q14_string_funcs",
+    """
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS name_id,
+           lower(c_mktsegment) AS seg_lc,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+           concat_ws('|', c_name, c_mktsegment) AS joined,
+           substr(c_name, 1, 8) AS name_prefix,
+           trim(' ' || c_name || ' ') AS name_trimmed,
+           length(c_name) AS name_len,
+           replace(c_name, 'Customer', 'Cust') AS name_replaced
+    FROM customer
+    """,
+    tags=("§2.11",),
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    """String-function inventory §2.11: regexp_extract/translate/trim/case/
+    concat_ws/substring/replace."""
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("long").alias("name_id"),
+        F.lower("c_mktsegment").alias("seg_lc"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_tr"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias(
+            "name_trimmed"
+        ),
+        F.length("c_name").alias("name_len"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_replaced"),
+    )
+
+
+@register(
+    "q15_map_recode",
+    """
+    SELECT r_regionkey, r_name,
+           CASE r_name WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM'
+                       WHEN 'ASIA' THEN 'AS' WHEN 'EUROPE' THEN 'EU'
+                       ELSE 'XX' END AS region_code
+    FROM region
+    """,
+    tags=("P7", "P8", "D4"),
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-literal lookup with passthrough default (P8/D4): create_map +
+    getItem + coalesce, parity Orphanet.py:135-147 / IntOGen.py:36-44."""
+    codes = {"AFRICA": "AF", "AMERICA": "AM", "ASIA": "AS", "EUROPE": "EU"}
+    m = F.create_map(*[F.lit(x) for kv in codes.items() for x in kv])
+    r = load(spark, sf, "region")
+    return r.select(
+        "r_regionkey",
+        "r_name",
+        F.coalesce(m.getItem(F.col("r_name")), F.lit("XX")).alias("region_code"),
+    )
+
+
+@register(
+    "q16_json_extract_normalize",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k_raw,
+           CASE WHEN CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) = 0
+                THEN NULL
+                ELSE CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)
+           END AS k_nonzero,
+           CASE WHEN event_type = '' THEN NULL ELSE event_type END AS etype
+    FROM events
+    """,
+    tags=("P9", "F5"),
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    """Null normalization (P9: 0→null, ''→null) over regex-extracted JSON."""
+    e = load(spark, sf, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k_raw"),
+        F.when(k == 0, F.lit(None)).otherwise(k).alias("k_nonzero"),
+        F.when(F.col("event_type") == "", F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+    )
+
+
+@register(
+    "q17_date_funcs",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS last_day,
+           count(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+    tags=("§2.13",),
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time inventory §2.13: year/quarter extraction + date_format,
+    parity ClinGen.py:93-95."""
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q18_array_funcs",
+    """
+    SELECT p_partkey,
+           list_sort(list_distinct(string_split(p_name, ' '))) AS words_sorted,
+           len(string_split(p_name, ' ')) AS n_words,
+           string_split(p_name, ' ')[1] AS first_word,
+           string_split(p_name, ' ')[-1] AS last_word,
+           list_contains(string_split(p_name, ' '), 'widget') AS has_widget,
+           array_to_string(
+               list_sort(list_filter(list_distinct(string_split(p_name, ' ')),
+                                     w -> NOT list_contains(['small','large'], w))),
+               ',') AS non_size_words
+    FROM part
+    """,
+    tags=("§2.14", "R4"),
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-function inventory §2.14: distinct/sort/size/indexing/contains/
+    except — set results sorted for stable hashing."""
+    p = load(spark, sf, "part")
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.sort_array(F.array_distinct(words)).alias("words_sorted"),
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_contains(words, "widget").alias("has_widget"),
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.array_except(
+                    F.array_distinct(words), F.array(F.lit("small"), F.lit("large"))
+                )
+            ),
+        ).alias("non_size_words"),
+    )
+
+
+@register(
+    "q19_higher_order",
+    """
+    SELECT p_partkey,
+           list_transform(string_split(p_name, ' '), w -> upper(w)) AS words_uc,
+           len(list_filter(string_split(p_name, ' '), w -> length(w) > 4))
+               AS n_long_words,
+           CAST(coalesce(list_sum(list_transform(string_split(p_name, ' '),
+                                                 w -> length(w))), 0) AS BIGINT)
+               AS total_chars
+    FROM part
+    """,
+    tags=("§2.14", "HOF"),
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order functions: transform / filter / aggregate (ChEMBL.py:111,
+    TargetSafety.py:84-99) — all codegen'd, no UDFs."""
+    p = load(spark, sf, "part")
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.transform(words, lambda w: F.upper(w)).alias("words_uc"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long_words"),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("total_chars"),
+    )
+
+
+@register(
+    "q20_nullsafe_join",
+    """
+    WITH evts AS (
+        SELECT event_id,
+               CASE WHEN value < 1.0 THEN NULL ELSE event_type END AS etype
+        FROM events
+    ), dim AS (
+        SELECT * FROM (VALUES ('click', 'interaction'), ('view', 'interaction'),
+                              ('purchase', 'conversion'), ('signup', 'conversion'),
+                              ('error', 'fault'), (NULL, 'unattributed'))
+               v(etype, category)
+    )
+    SELECT e.event_id, e.etype, d.category
+    FROM evts e LEFT JOIN dim d ON e.etype IS NOT DISTINCT FROM d.etype
+    """,
+    tags=("J6", "S14", "D9"),
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe enrichment join-back (J6/D9): eqNullSafe left join against an
+    in-memory LUT, parity common/ontology.py:87-94 — null keys match the
+    LUT's null row instead of dropping out."""
+    e = load(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("value") < 1.0, F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+    )
+    dim = spark.createDataFrame(
+        [
+            ("click", "interaction"),
+            ("view", "interaction"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "fault"),
+            (None, "unattributed"),
+        ],
+        "etype string, category string",
+    )
+    joined = e.join(
+        F.broadcast(dim), e["etype"].eqNullSafe(dim["etype"]), "left"
+    ).select(e["event_id"], e["etype"], dim["category"])
+    return joined
+
+
+@register(
+    "q21_right_join",
+    f"""
+    SELECT c_custkey, c_mktsegment,
+           count(o_orderkey) AS n_urgent_orders
+    FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+    RIGHT JOIN customer ON o.o_custkey = customer.c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    tags=("J3",),
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    """Right join (J3), parity ProjectScore.py:73 / Pharmacogenetics.py:128."""
+    o = load(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    c = load(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_urgent_orders"))
+    )
+
+
+@register(
+    "q22_multikey_join",
+    f"""
+    WITH flag_stats AS (
+        SELECT l_orderkey, l_returnflag,
+               CAST(SUM({_c('l_quantity')}) AS BIGINT) AS flag_qty_c
+        FROM lineitem GROUP BY l_orderkey, l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, fs.flag_qty_c
+    FROM lineitem l
+    JOIN flag_stats fs
+      ON l.l_orderkey = fs.l_orderkey AND l.l_returnflag = fs.l_returnflag
+    """,
+    tags=("J5",),
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-key equi-join (J5), parity IMPC.py:342,402 — agg then join back
+    on the same two keys (co-partitioned: one shuffle reused by AQE)."""
+    l = load(spark, sf, "lineitem")
+    stats = l.groupBy("l_orderkey", "l_returnflag").agg(
+        F.sum(cents(F.col("l_quantity"))).alias("flag_qty_c")
+    )
+    return l.join(stats, ["l_orderkey", "l_returnflag"]).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "flag_qty_c"
+    )
+
+
+@register(
+    "q23_derived_threshold",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice >= 57000.0 * 5 / (SELECT count(DISTINCT o_orderpriority)
+                                         FROM orders)
+    """,
+    tags=("F7",),
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-derived (Bonferroni-style) threshold (F7): scalar aggregate joined
+    into the predicate — stays one lazy plan, no driver collect
+    (cf. common/evidence.py:349-358)."""
+    o = load(spark, sf, "orders")
+    thresh = o.agg(
+        (F.lit(57000.0) * 5 / F.count_distinct("o_orderpriority")).alias("__t")
+    )
+    return (
+        o.crossJoin(F.broadcast(thresh))
+        .where(F.col("o_totalprice") >= F.col("__t"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q24_min_impute",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0
+                THEN (SELECT min(l_discount) FROM lineitem WHERE l_discount > 0)
+                ELSE l_discount END AS discount_imputed
+    FROM lineitem
+    """,
+    tags=("F8",),
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    """Global-min zero imputation (F8), parity AzGeneBurden.py:105-115 — the
+    scalar stays in-plan (broadcast 1-row agg), not a driver collect."""
+    from evidence_datasource_parsers_spark.functions.pvalues import (
+        impute_zero_with_min,
+    )
+
+    l = load(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_discount")
+    return impute_zero_with_min(l, "l_discount", "discount_imputed").select(
+        "l_orderkey", "l_linenumber", "discount_imputed"
+    )
+
+
+@register(
+    "q25_window_analytics",
+    """
+    SELECT event_id, user_id, value,
+           row_number() OVER w AS seq,
+           rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS val_rank,
+           lag(value) OVER w AS prev_value,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("W1", "analytics"),
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic windows beyond the reference's W1: row_number/rank/lag/lead
+    under total orders."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("seq"),
+        F.rank().over(wr).alias("val_rank"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "q26_topk_global",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    tags=("O1", "topk"),
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition heap +
+    driver merge — no full sort shuffle)."""
+    o = load(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q27_events_hourly",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+           count(*) AS n,
+           CAST(SUM({_c('value')}) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming-batch", "A4"),
+    bench=True,
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window aggregation (batch analog of the Structured-Streaming
+    path in streaming/events.py) — exact cents sum."""
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_value_c"),
+        )
+    )
+
+
+@register(
+    "q28_sessionize",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM seq
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+    tags=("sessionization", "W1"),
+    bench=True,
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag → cumulative flag-sum →
+    per-session agg.  One shuffle on user_id, reused by both windows and the
+    final agg (same partitioning key)."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = seq.withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000
+        ).alias("duration_s"),
+    )

@@ -1,0 +1,5 @@
+from evidence_datasource_parsers_spark.sources.readers import read_path  # noqa: F401
+from evidence_datasource_parsers_spark.sources.sinks import (  # noqa: F401
+    write_evidence_strings,
+    write_output,
+)

@@ -1,0 +1,47 @@
+"""Sink operators K1-K2 (SURVEY §2.2).
+
+The reference's output contract is ONE gzipped JSON-lines file per pipeline
+(``common/evidence.py:66-80``): coalesce(1) → write → assert single part →
+rename.  That deliberate anti-parallelism is kept *opt-in here*: at 100 TB the
+default sink writes partitioned output and the single-file contract is only
+applied to the (small) final evidence sets that need it.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def write_evidence_strings(
+    df: DataFrame, out_path: str, single_file: bool = True
+) -> None:
+    """Gzipped JSON-lines evidence sink (K1).
+
+    single_file=True reproduces the reference contract exactly: one part file,
+    renamed to *out_path*.  single_file=False keeps the write parallel and
+    *out_path* becomes a directory of gzipped parts (the scale path).
+    """
+    tmp = out_path + ".spark-tmp" if single_file else out_path
+    writer = df.coalesce(1) if single_file else df
+    (
+        writer.write.format("json")
+        .mode("overwrite")
+        .option("compression", "org.apache.hadoop.io.compress.GzipCodec")
+        .save(tmp)
+    )
+    if single_file:
+        parts = glob.glob(os.path.join(tmp, "part-*.json.gz"))
+        assert len(parts) == 1, f"expected exactly 1 part file, got {parts}"
+        shutil.move(parts[0], out_path)
+        shutil.rmtree(tmp)
+
+
+def write_output(df: DataFrame, out_path: str, fmt: str | None = None) -> None:
+    """Generic extension-dispatched writer (K2), parity with
+    ``modules/BrainCRISPR.py:310-317``."""
+    fmt = fmt or ("parquet" if out_path.endswith(".parquet") else "json")
+    df.write.mode("overwrite").format(fmt).save(out_path)
