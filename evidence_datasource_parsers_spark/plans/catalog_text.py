@@ -1,0 +1,450 @@
+"""Training-data-pipeline query catalog: text analysis, dedup, similarity.
+
+These queries exercise the LLM-data operators (operators/dedupe.py,
+operators/similarity.py, functions/textstats.py) on the ``documents`` and
+``embeddings`` tables.  The DuckDB oracles are *generated* from the same
+constants (permutation coefficients, shingle width, stopword lists) so both
+engines compute bit-identical results via the portable md5 hash family.
+
+Registered into the shared CATALOG on import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.functions.hashing import (
+    P_BASE,
+    P_PERM,
+    perm_coefficients,
+    portable_hash_sql,
+)
+from evidence_datasource_parsers_spark.functions.textstats import (
+    LANG_STOPWORDS,
+    STOPWORDS_EN,
+    lang_guess,
+    stopword_hits,
+    token_count,
+)
+from evidence_datasource_parsers_spark.operators.dedupe import (
+    char_shingles,
+    content_hash,
+    exact_dedupe,
+    lsh_candidate_pairs,
+    minhash_signature,
+    normalized_text,
+    simhash,
+)
+from evidence_datasource_parsers_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    cosine,
+)
+from evidence_datasource_parsers_spark.plans.catalog import load, register
+
+# --- shared oracle fragments (DuckDB dialect) ------------------------------
+
+NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+SHINGLE_K = 5
+
+
+def _shingles_sql(t: str = "t") -> str:
+    """Distinct 5-char shingle list of a normalized text expr (oracle side)."""
+    return (
+        f"list_distinct(list_transform("
+        f"range(greatest(length({t}) - {SHINGLE_K - 1}, 1)), "
+        f"i -> substr({t}, i + 1, {SHINGLE_K})))"
+    )
+
+
+def _bases_sql() -> str:
+    return (
+        f"list_transform({_shingles_sql()}, "
+        f"s -> ({portable_hash_sql('s')} % {P_BASE}))"
+    )
+
+
+def _minhash_sql(i: int) -> str:
+    a, b = perm_coefficients(i)
+    return f"list_min(list_transform(bases, b -> ({a} * b + {b}) % {P_PERM}))"
+
+
+def _sw(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q29_doc_stats",
+    f"""
+    WITH n AS (SELECT doc_id, {NORM} AS t FROM documents),
+    tk AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM n)
+    SELECT doc_id,
+           length(t) AS n_chars_norm,
+           len(toks) AS n_tokens,
+           CAST(ceil(length(t) / 4.0) AS BIGINT) AS est_bpe_tokens,
+           len(list_filter(toks, x -> x IN ({_sw(STOPWORDS_EN)}))) * 1.0
+               / len(toks) AS stopword_ratio,
+           CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT)
+               * 1.0 / len(toks) AS mean_token_len
+    FROM tk
+    """,
+    tags=("text", "quality", "token-count"),
+    bench=True,
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring + token counting over documents — all built-ins, one
+    narrow pass, no shuffle."""
+    d = load(spark, sf, "documents")
+    t = normalized_text(F.col("text"))
+    toks = F.split(t, " ")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars_norm"),
+        F.size(toks).alias("n_tokens"),
+        F.ceil(F.length(t) / 4.0).alias("est_bpe_tokens"),
+        (stopword_hits(F.col("text"), STOPWORDS_EN) * 1.0 / F.size(toks)).alias(
+            "stopword_ratio"
+        ),
+        (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            * 1.0
+            / F.size(toks)
+        ).alias("mean_token_len"),
+    )
+
+
+def _lang_hits_sql() -> str:
+    cols = []
+    for code, sw in sorted(LANG_STOPWORDS.items()):
+        cols.append(
+            f"len(list_filter(toks, x -> x IN ({_sw(sw)}))) AS h_{code}"
+        )
+    return ", ".join(cols)
+
+
+@register(
+    "q30_lang_guess",
+    f"""
+    WITH n AS (SELECT doc_id, lang, {NORM} AS t FROM documents),
+    tk AS (SELECT doc_id, lang, string_split(t, ' ') AS toks FROM n),
+    h AS (SELECT doc_id, lang, {_lang_hits_sql()} FROM tk)
+    SELECT doc_id, lang AS lang_label,
+           h_de AS hits_de, h_en AS hits_en, h_es AS hits_es, h_fr AS hits_fr,
+           CASE WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                WHEN h_en >= h_de THEN 'en'
+                ELSE 'de' END AS lang_guess
+    FROM h
+    """,
+    tags=("text", "lang-id"),
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-heuristic language ID: per-language hit counts → argmax
+    (ties → greatest language code, mirrored in the oracle CASE chain)."""
+    d = load(spark, sf, "documents")
+    hit_cols = [
+        stopword_hits(F.col("text"), sw).alias(f"hits_{code}")
+        for code, sw in sorted(LANG_STOPWORDS.items())
+    ]
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        *hit_cols,
+        lang_guess(F.col("text")).alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q31_fingerprint",
+    f"""
+    SELECT doc_id, {portable_hash_sql(NORM)} AS content_hash FROM documents
+    """,
+    tags=("dedup", "fingerprint"),
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable 60-bit content fingerprint per document."""
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", content_hash(F.col("text")).alias("content_hash"))
+
+
+@register(
+    "q32_exact_dedupe",
+    f"""
+    SELECT {portable_hash_sql(NORM)} AS content_hash,
+           min(doc_id) AS doc_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+    tags=("dedup", "exact"),
+    bench=True,
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: hash-groupBy keeping the lowest doc_id (uniform 60-bit
+    shuffle key — no skew at any scale)."""
+    return exact_dedupe(load(spark, sf, "documents"), "text", "doc_id")
+
+
+MINHASH_PERMS = 8
+LSH_BANDS = 4
+
+
+def _sig_list_sql() -> str:
+    mins = ", ".join(_minhash_sql(i) for i in range(MINHASH_PERMS))
+    return f"""
+    WITH n AS (SELECT doc_id, {NORM} AS t FROM documents),
+    sh AS (SELECT doc_id, {_bases_sql()} AS bases FROM n),
+    sig AS (SELECT doc_id, [{mins}] AS s FROM sh)
+    """
+
+
+@register(
+    "q33_minhash_signature",
+    _sig_list_sql()
+    + """
+    SELECT doc_id, array_to_string(s, '_') AS minhash_sig FROM sig
+    """,
+    tags=("dedup", "minhash"),
+    bench=True,
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures (8 permutations over 5-char shingles), stringified
+    for stable hashing.  Narrow map-only plan — no shuffle."""
+    d = load(spark, sf, "documents")
+    sig = minhash_signature(F.col("text"), MINHASH_PERMS, SHINGLE_K)
+    return d.select(
+        "doc_id", F.concat_ws("_", sig).alias("minhash_sig")
+    )
+
+
+def _bucket_union_sql() -> str:
+    rpb = MINHASH_PERMS // LSH_BANDS
+    selects = []
+    for b in range(LSH_BANDS):
+        key = " || '_' || ".join(
+            f"CAST(s[{b * rpb + r + 1}] AS VARCHAR)" for r in range(rpb)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS key FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "q34_lsh_candidates",
+    _sig_list_sql()
+    + f""",
+    buckets AS ({_bucket_union_sql()})
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM buckets l JOIN buckets r
+      ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (4 bands × 2 rows): the shuffle
+    key is the band bucket, never the text — scale path for 100 TB dedup."""
+    return lsh_candidate_pairs(
+        load(spark, sf, "documents"),
+        "text",
+        "doc_id",
+        num_perm=MINHASH_PERMS,
+        bands=LSH_BANDS,
+        k=SHINGLE_K,
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def _simhash_bits_sql() -> str:
+    terms = []
+    for j in range(SIMHASH_BITS):
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter(hs, x -> (x >> {j}) & 1 = 1)) > n "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "q35_simhash",
+    f"""
+    WITH n AS (SELECT doc_id, {NORM} AS t FROM documents),
+    tk AS (SELECT doc_id, list_distinct(string_split(t, ' ')) AS toks FROM n),
+    h AS (SELECT doc_id,
+                 list_transform(toks, s -> {portable_hash_sql('s')}) AS hs,
+                 len(toks) AS n
+          FROM tk)
+    SELECT doc_id, CAST({_simhash_bits_sql()} AS BIGINT) AS simhash FROM h
+    """,
+    tags=("dedup", "simhash"),
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens (bit j set iff the majority of
+    token hashes have bit j set)."""
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", simhash(F.col("text"), SIMHASH_BITS).alias("simhash"))
+
+
+@register(
+    "q36_ngram_jaccard",
+    f"""
+    WITH n AS (SELECT doc_id, source, {NORM} AS t FROM documents),
+    sh AS (SELECT doc_id, source, {_shingles_sql()} AS s FROM n)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_filter(a.s, x -> list_contains(b.s, x))) AS n_inter,
+           len(a.s) + len(b.s)
+               - len(list_filter(a.s, x -> list_contains(b.s, x))) AS n_union,
+           len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0
+               / (len(a.s) + len(b.s)
+                  - len(list_filter(a.s, x -> list_contains(b.s, x)))) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+         AND b.doc_id - a.doc_id <= 20
+    """,
+    tags=("dedup", "jaccard"),
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard similarity over bounded candidate pairs (same source,
+    nearby ids) — candidate bounding is what makes pairwise similarity viable
+    at scale; swap the bound for LSH buckets (q34) in production."""
+    d = load(spark, sf, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        char_shingles(F.col("text"), SHINGLE_K).alias("s"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                (F.col("b.doc_id") - F.col("a.doc_id")) <= 20,
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            inter.alias("n_inter"),
+            union.alias("n_union"),
+            (inter * 1.0 / union).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+DOT_SQL = (
+    "list_reduce(list_transform(range(len(qa)), i -> qa[i+1] * ca[i+1]), "
+    "(x, y) -> x + y)"
+)
+NORM_Q = "sqrt(list_reduce(list_transform(qa, v -> v * v), (x, y) -> x + y))"
+NORM_C = "sqrt(list_reduce(list_transform(ca, v -> v * v), (x, y) -> x + y))"
+
+
+@register(
+    "q37_knn_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qa
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ca
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {DOT_SQL} / ({NORM_Q} * {NORM_C}) AS cosine_sim
+        FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+    tags=("similarity", "knn"),
+    bench=True,
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for a probe set (vec_id < 5): broadcast
+    probes × corpus, sequential-fold dot product (bit-identical to oracle)."""
+    e = load(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return brute_force_topk(q, c, k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@register(
+    "q38_embedding_dupes",
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS qa FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+           {DOT_SQL.replace('ca', 'cb')}
+               / ({NORM_Q} * {NORM_C.replace('ca', 'cb')}) AS cosine_sim
+    FROM v a JOIN (SELECT vec_id, label, qa AS cb FROM v) b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {DOT_SQL.replace('ca', 'cb')}
+               / ({NORM_Q} * {NORM_C.replace('ca', 'cb')}) > 0.3
+    """,
+    tags=("dedup", "embedding"),
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a label partition (cos > 0.3):
+    the partition key bounds the pair space, one shuffle on label."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.label") == F.col("b.label"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") > 0.3)
+    )
+
+
+@register(
+    "q39_ann_lsh",
+    None,  # approximate: engine-defined bucketing, rows-only check
+    tags=("similarity", "ann", "lsh"),
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets — the 100 TB scale
+    path where brute force is infeasible.  No oracle (approximate by design);
+    recall vs q37 is asserted in tests/test_similarity.py."""
+    e = load(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return ann_lsh_topk(q, c, dim=64, k=5, n_planes=4)
