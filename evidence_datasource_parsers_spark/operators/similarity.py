@@ -102,32 +102,60 @@ def ann_lsh_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 4,
     query_id: str = "query_id",
     corpus_id: str = "neighbor_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only pairs sharing a hyperplane-sign bucket.
+    """Approximate top-k: score only pairs sharing a hyperplane-sign bucket in
+    at least one of ``n_tables`` independent hash tables (OR-amplification).
 
-    One shuffle on the bucket id (2^n_planes buckets); recall tunable via
-    n_planes (fewer planes → bigger buckets → higher recall, more compute).
+    Recall ≈ 1-(1-p^n_planes)^n_tables where p = 1-θ/π per plane; tune
+    n_planes down / n_tables up for higher recall at more compute.  One
+    shuffle on (table, bucket) — corpus rows replicate ×n_tables, candidates
+    dedupe before scoring so each pair is scored once.
     """
-    planes = deterministic_planes(dim, n_planes)
-    q = queries.select(
-        F.col(query_id),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).withColumn("__bucket", hyperplane_bucket(F.col("__qv"), planes))
-    c = corpus.select(
-        F.col(corpus_id),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("__bucket", hyperplane_bucket(F.col("__cv"), planes))
-    scored = (
-        c.join(q, on="__bucket")
-        .where(F.col(query_id) != F.col(corpus_id))
-        .select(
-            query_id,
-            corpus_id,
-            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+
+    def bucketed(df: DataFrame, id_col: str, vec_alias: str) -> DataFrame:
+        src = df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_alias)
         )
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    hyperplane_bucket(
+                        F.col(vec_alias),
+                        deterministic_planes(dim, n_planes * (t + 1))[
+                            t * n_planes : (t + 1) * n_planes
+                        ],
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return src.withColumn("__b", F.explode(buckets)).select(
+            id_col, vec_alias, F.col("__b.table").alias("__t"),
+            F.col("__b.bucket").alias("__bucket"),
+        )
+
+    q = bucketed(queries, query_id, "__qv")
+    c = bucketed(corpus, corpus_id, "__cv")
+    candidates = (
+        c.join(q.select(query_id, "__t", "__bucket"), on=["__t", "__bucket"])
+        .where(F.col(query_id) != F.col(corpus_id))
+        .select(query_id, corpus_id, "__cv")
+        .distinct()
+    )
+    scored = candidates.join(
+        F.broadcast(queries.select(
+            F.col(query_id), F.col(vec_col).cast("array<double>").alias("__qv")
+        )),
+        on=query_id,
+    ).select(
+        query_id,
+        corpus_id,
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col(corpus_id).asc()

@@ -43,8 +43,25 @@ def read_csv(
 
     ``skip_rows`` replaces the reference's fragile
     ``monotonically_increasing_id``-based preamble skipping
-    (``modules/ClinGen.py:66-70``) with the native, partition-safe CSV option.
+    (``modules/ClinGen.py:66-70``).  OSS Spark CSV has no skip option, so the
+    preamble is stripped deterministically on the driver into a temp file —
+    valid because preamble-bearing inputs are, by nature, small curated files
+    that are already staged locally (see ``stage_remote``); large fact data
+    never carries a preamble.
     """
+    if skip_rows:
+        if not isinstance(paths, str) or not os.path.isfile(paths):
+            raise ValueError("skip_rows requires a single local file")
+        import tempfile
+
+        stripped = tempfile.NamedTemporaryFile(
+            mode="w", suffix=".csv", delete=False
+        )
+        with open(paths) as src, stripped:
+            for i, line in enumerate(src):
+                if i >= skip_rows:
+                    stripped.write(line)
+        paths = stripped.name
     reader = (
         spark.read.option("header", header)
         .option("sep", sep)
@@ -54,8 +71,6 @@ def read_csv(
     )
     if null_value is not None:
         reader = reader.option("nullValue", null_value)
-    if skip_rows:
-        reader = reader.option("skipRows", skip_rows)
     if schema is not None:
         reader = reader.schema(schema)
     elif infer_schema:

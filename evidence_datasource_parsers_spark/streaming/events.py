@@ -1,0 +1,79 @@
+"""Structured Streaming surface.
+
+The reference is pure batch (SURVEY §2.16) — streaming here is a beyond-parity
+capability for the training-data-pipeline use case: continuously landing event
+data with event-time windows, watermarked late-data handling, and gap-based
+sessionization as a custom stateful operator.
+
+Batch/stream symmetry: ``windowed_event_counts`` accepts either a static or a
+streaming DataFrame (same code path), mirroring catalog q27.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, fmt: str = "json", schema: str = EVENT_SCHEMA
+) -> DataFrame:
+    """File-source stream: each new file in *path* becomes a micro-batch.
+
+    At production scale the source would be Kafka/Kinesis; the file source has
+    identical downstream semantics (event-time, watermarks) so every operator
+    below is transport-agnostic.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .format(fmt)
+        .load(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window counts + exact cents sums.
+
+    With a streaming input, the watermark bounds state: windows older than the
+    watermark are finalized and evicted — constant memory per key at any
+    scale.  With a batch input it degenerates to a plain groupBy.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value_c",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, table: str) -> None:
+    """Drain all available input into an in-memory sink (test harness)."""
+    (
+        stream_df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

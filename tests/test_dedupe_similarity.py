@@ -1,0 +1,134 @@
+"""Property tests for dedup + similarity operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.operators.dedupe import (
+    exact_dedupe,
+    hamming_distance,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard,
+    simhash,
+)
+from evidence_datasource_parsers_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    cosine,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),  # near dup of 1
+    (4, "completely different content about spark engines and parquet"),
+    (5, "THE  QUICK   brown fox jumps over the lazy dog"),  # normalizes to 1
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedupe_normalization(spark):
+    out = exact_dedupe(_docs(spark), "text", "doc_id").collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in out}
+    # 1, 2, 5 collapse (case/whitespace normalization); 3 and 4 stay
+    assert by_id == {1: 3, 3: 1, 4: 1}
+
+
+def test_minhash_identical_and_near(spark):
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in _docs(spark)
+        .select("doc_id", minhash_signature("text", 16).alias("sig"))
+        .collect()
+    }
+    assert sigs[1] == sigs[2] == sigs[5]
+    overlap_near = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 16
+    overlap_far = sum(a == b for a, b in zip(sigs[1], sigs[4])) / 16
+    assert overlap_near > overlap_far
+    assert overlap_near >= 0.5  # one-word edit keeps most minima
+
+
+def test_lsh_candidates_find_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(_docs(spark), "text", "doc_id").collect()
+    }
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+    assert (1, 3) in pairs  # near-dup shares >= 1 band at 16/4 perms
+    assert not any(4 in p for p in pairs)  # unrelated doc never a candidate
+
+
+def test_simhash_hamming(spark):
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in _docs(spark)
+        .select("doc_id", simhash("text", 16).alias("sh"))
+        .collect()
+    }
+    df = _docs(spark).sparkSession.createDataFrame(
+        [(out[1], out[3]), (out[1], out[4])], "a long, b long"
+    )
+    d_near, d_far = [
+        r[0]
+        for r in df.select(
+            hamming_distance(F.col("a"), F.col("b"), 16)
+        ).collect()
+    ]
+    assert out[1] == out[2] == out[5]
+    assert d_near < d_far
+
+
+def test_ngram_jaccard_bounds(spark):
+    df = _docs(spark)
+    a = df.where(F.col("doc_id") == 1).select(F.col("text").alias("ta"))
+    pairs = a.crossJoin(df.select(F.col("text").alias("tb"), "doc_id"))
+    out = {
+        r["doc_id"]: r["j"]
+        for r in pairs.select(
+            "doc_id", ngram_jaccard(F.col("ta"), F.col("tb")).alias("j")
+        ).collect()
+    }
+    assert out[1] == 1.0 and out[2] == 1.0 and out[5] == 1.0
+    assert 0.0 < out[3] < 1.0
+    assert out[4] < out[3]
+
+
+def test_brute_force_topk_selfsim(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = vecs.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = vecs.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    out = brute_force_topk(q, c, k=2).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3]
+    assert out[0]["cosine_sim"] > 0.99
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, c, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_topk(q, c, dim=64, k=5, n_planes=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"ANN recall too low: {recall}"

@@ -1,0 +1,82 @@
+"""I/O tier tests: autodetect reader dispatch, forced schemas, skipRows,
+single-file gzip JSON sink contract."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+
+from evidence_datasource_parsers_spark.sources.readers import (
+    from_rows,
+    read_csv,
+    read_path,
+)
+from evidence_datasource_parsers_spark.sources.sinks import (
+    write_evidence_strings,
+    write_output,
+)
+
+
+def test_read_csv_forced_schema_and_skiprows(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("junk meta line\nanother junk\ngene,score\ng1,0.5\ng2,1.5\n")
+    df = read_csv(
+        spark,
+        str(p),
+        schema="gene string, score double",
+        header=True,
+        skip_rows=2,
+    )
+    rows = {r["gene"]: r["score"] for r in df.collect()}
+    assert rows == {"g1": 0.5, "g2": 1.5}
+
+
+def test_read_csv_multiline_quoted(spark, tmp_path):
+    p = tmp_path / "m.csv"
+    p.write_text('id,desc\n1,"line one\nline two"\n')
+    df = read_csv(spark, str(p), multiline=True)
+    assert df.collect()[0]["desc"] == "line one\nline two"
+
+
+def test_read_path_dispatch(spark, tmp_path):
+    (tmp_path / "a.tsv").write_text("x\ty\n1\t2\n")
+    (tmp_path / "b.json").write_text('{"k": 1}\n{"k": 2}\n')
+    tsv = read_path(spark, str(tmp_path / "a.tsv"), infer_schema=True)
+    assert tsv.columns == ["x", "y"] and tsv.count() == 1
+    js = read_path(spark, str(tmp_path / "b.json"))
+    assert js.count() == 2
+
+
+def test_read_path_mixed_dir_rejected(spark, tmp_path):
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "a.csv").write_text("x\n1\n")
+    (d / "b.json").write_text("{}\n")
+    with pytest.raises(ValueError, match="mixed-format"):
+        read_path(spark, str(d))
+
+
+def test_write_evidence_strings_single_file(spark, tmp_path):
+    df = from_rows(
+        spark,
+        [("ENSG1", "EFO:1", 0.9), ("ENSG2", "EFO:2", 0.2)],
+        "targetFromSourceId string, diseaseFromSourceMappedId string, resourceScore double",
+    )
+    out = str(tmp_path / "evidence.json.gz")
+    write_evidence_strings(df, out)
+    assert os.path.isfile(out)
+    with gzip.open(out, "rt") as fh:
+        lines = [json.loads(line) for line in fh]
+    assert len(lines) == 2
+    assert {l["targetFromSourceId"] for l in lines} == {"ENSG1", "ENSG2"}
+
+
+def test_write_output_parquet_roundtrip(spark, tmp_path):
+    df = from_rows(spark, [(1, "a")], "id long, s string")
+    out = str(tmp_path / "out.parquet")
+    write_output(df, out)
+    back = spark.read.parquet(out)
+    assert back.collect() == df.collect()
