@@ -1,0 +1,246 @@
+"""Golden-fixture tests for the parser-pattern pipelines (FIXTURES.md shapes)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.operators.expectations import (
+    ExpectationError,
+)
+from evidence_datasource_parsers_spark.pipelines.encore_like import (
+    encore_evidence,
+    explode_gene_pairs,
+    stouffer_combine,
+)
+from evidence_datasource_parsers_spark.pipelines.essentiality_like import (
+    essentiality_evidence,
+    melt_gene_matrix,
+)
+from evidence_datasource_parsers_spark.pipelines.gene_burden import (
+    gene_burden_evidence,
+    shape_binary_source,
+    shape_quant_source,
+)
+from evidence_datasource_parsers_spark.pipelines.impc_like import (
+    impc_evidence,
+    mouse_phenotypes_dataset,
+)
+from evidence_datasource_parsers_spark.pipelines.slapenrich import (
+    slapenrich_evidence,
+)
+
+
+def test_slapenrich_minimum_slice(spark):
+    pathways = spark.createDataFrame(
+        [
+            ("BRCA", "TP53", "R-HSA-1: Apoptosis", 1e-6),
+            ("BRCA", "EGFR", "R-HSA-2: Signaling", 0.5),  # filtered out
+            ("LUAD", "KRAS", "R-HSA-3: RAS cycle", 1e-9),
+            ("UNKN", "MYC", "R-HSA-4: Myc targets", 1e-9),  # no LUT match
+        ],
+        "ctype string, gene string, pathway string, SLAPEnrichPval double",
+    )
+    lut = spark.createDataFrame(
+        [("BRCA", "EFO:0000305", "breast carcinoma"),
+         ("LUAD", "EFO:0000571", "lung adenocarcinoma")],
+        "Cancer_type_acronym string, EFO_id string, EFO_name string",
+    )
+    out = slapenrich_evidence(pathways, lut).collect()
+    by_gene = {r["targetFromSourceId"]: r for r in out}
+    assert set(by_gene) == {"TP53", "KRAS"}
+    assert by_gene["TP53"]["diseaseFromSourceMappedId"] == "EFO:0000305"
+    assert by_gene["TP53"]["pathways"][0]["id"] == "R-HSA-1"
+    assert by_gene["TP53"]["pathways"][0]["name"] == "Apoptosis"
+    assert by_gene["KRAS"]["datasourceId"] == "slapenrich"
+
+
+def _burden_sources(spark):
+    binary = spark.createDataFrame(
+        [
+            ("G1", "asthma", 1e-9, 2.5, "ptv"),
+            ("G2", "asthma", 0.0, 3.0, "ptv"),     # zero p → imputed
+            ("G3", "gout", 1e-3, 1.1, "ptv"),      # not significant
+            ("G4", "gout", 1e-8, 1.9, "syn"),      # control model → dropped
+        ],
+        "Gene string, Phenotype string, pValue double, binOddsRatio double, CollapsingModel string",
+    )
+    quant = spark.createDataFrame(
+        [("G5", "height", 1e-12, 0.4, "ptv")],
+        "Gene string, Phenotype string, pValue double, beta double, CollapsingModel string",
+    )
+    controls = spark.createDataFrame(
+        [("G4", "syn")], "targetFromSourceId string, statisticalMethod string"
+    )
+    return binary, quant, controls
+
+
+def test_gene_burden_federation(spark):
+    binary, quant, controls = _burden_sources(spark)
+    out = gene_burden_evidence(
+        [shape_binary_source(binary), shape_quant_source(quant)],
+        control_models=controls,
+        expected_rows=(1, 10),
+    )
+    rows = {r["targetFromSourceId"]: r for r in out.collect()}
+    assert set(rows) == {"G1", "G2", "G5"}
+    # union-by-name reconciliation: beta null on binary side, OR null on quant
+    assert rows["G1"]["beta"] is None and rows["G5"]["oddsRatio"] is None
+    # zero p imputed with global min positive (1e-12 from G5)
+    assert rows["G2"]["pValue"] == 1e-12
+    # mantissa/exponent decomposition
+    assert rows["G1"]["pValueExponent"] == -9
+    assert abs(rows["G1"]["pValueMantissa"] - 1.0) < 1e-9
+
+
+def test_gene_burden_expectation_failure(spark):
+    binary, quant, controls = _burden_sources(spark)
+    with pytest.raises(ExpectationError, match="row_range"):
+        gene_burden_evidence(
+            [shape_binary_source(binary)], expected_rows=(100, 200)
+        )
+
+
+def _impc_fixture(spark):
+    disease_model = spark.createDataFrame(
+        [
+            ("MGI:1#hom#early", "MGI:1", "OMIM:1", "marfan", 0.9, "model A"),
+            ("MGI:1#het#late", "MGI:1", "OMIM:1", "marfan", 0.7, "model B"),
+            ("MGI:2#hom#early", "MGI:2", "OMIM:2", "gout", 0.5, "model C"),
+        ],
+        "model_id string, marker_id string, disease_id string, disease_term string,"
+        " disease_model_avg_norm double, model_description string",
+    )
+    mouse_genes = spark.createDataFrame(
+        [("MGI:1", "Fbn1"), ("MGI:2", "Ucp1")],
+        "targetInModelMgiId string, targetInModel string",
+    )
+    gene_map = spark.createDataFrame(
+        [("MGI:1", "HGNC:1"), ("MGI:2", "HGNC:2")],
+        "gene_id string, hgnc_gene_id string",
+    )
+    human_genes = spark.createDataFrame(
+        [("HGNC:1", "ENSG1"), ("HGNC:2", "ENSG2")],
+        "hgnc_gene_id string, targetFromSourceId string",
+    )
+    model_phenotypes = spark.createDataFrame(
+        [
+            ("MGI:1#hom#early", "MGI:1", "MP:1 long bones,MP:2 aorta dilation"),
+            ("MGI:2#hom#early", "MGI:2", "MP:3 cold intolerance"),
+        ],
+        "model_id string, marker_id string, model_phenotypes string",
+    )
+    disease_phenotypes = spark.createDataFrame(
+        [("OMIM:1", "HP:1 tall stature,HP:2 lens dislocation")],
+        "disease_id string, disease_phenotypes string",
+    )
+    return (
+        disease_model, mouse_genes, gene_map, human_genes,
+        model_phenotypes, disease_phenotypes,
+    )
+
+
+def test_impc_multijoin_window(spark):
+    dm, mg, gm, hg, mp, dp = _impc_fixture(spark)
+    out = impc_evidence(dm, mg, gm, hg, mp, dp).collect()
+    # two marfan models share identity fields? No: allelicComposition differs
+    # (hom vs het) → both kept; per-identity top-1 keeps each
+    rows = {(r["targetFromSourceId"], r["biologicalModelAllelicComposition"]): r
+            for r in out}
+    assert len(out) == 3
+    marfan_hom = rows[("ENSG1", "hom")]
+    assert marfan_hom["resourceScore"] == 0.9
+    assert [p["phenotype_id"] for p in
+            marfan_hom["diseaseModelAssociatedModelPhenotypes"]] == ["MP:1", "MP:2"]
+    assert [p["phenotype_term"] for p in
+            marfan_hom["diseaseModelAssociatedHumanPhenotypes"]] == [
+        "tall stature", "lens dislocation"]
+    # gout model has no human phenotype row → left-join null
+    assert rows[("ENSG2", "hom")]["diseaseModelAssociatedHumanPhenotypes"] is None
+
+
+def test_impc_window_dedup_same_identity(spark):
+    dm, mg, gm, hg, mp, dp = _impc_fixture(spark)
+    # duplicate identity with lower score must be dropped by the window
+    extra = spark.createDataFrame(
+        [("MGI:1#hom#late", "MGI:1", "OMIM:1", "marfan", 0.4, "model A2")],
+        dm.schema,
+    )
+    out = impc_evidence(dm.union(extra), mg, gm, hg, mp, dp)
+    hom_rows = out.where(
+        (F.col("targetFromSourceId") == "ENSG1")
+        & (F.col("biologicalModelAllelicComposition") == "hom")
+    ).collect()
+    assert len(hom_rows) == 1 and hom_rows[0]["resourceScore"] == 0.9
+
+
+def test_mouse_phenotypes_second_output(spark):
+    dm, mg, gm, hg, mp, dp = _impc_fixture(spark)
+    out = {r["targetFromSourceId"]: r for r in
+           mouse_phenotypes_dataset(mg, gm, hg, mp).collect()}
+    assert out["ENSG1"]["nModels"] == 1
+    assert [p["phenotype_id"] for p in out["ENSG1"]["modelPhenotypes"]] == [
+        "MP:1", "MP:2"]
+
+
+def _encore_wide(spark):
+    return spark.createDataFrame(
+        [
+            ("BRCA1~TP53", 2.0, 2.2, -0.1),
+            ("KRAS~EGFR", 0.1, -0.2, 0.05),
+        ],
+        "id string, SIDM1_CS1_zscore double, SIDM1_CS2_zscore double, "
+        "SIDM2_CS1_zscore double",
+    )
+
+
+def test_encore_stouffer_and_pvalue(spark):
+    long = stouffer_combine(
+        # melt two replicates of SIDM1 + one of SIDM2
+        __import__(
+            "evidence_datasource_parsers_spark.pipelines.encore_like",
+            fromlist=["melt_replicates"],
+        ).melt_replicates(_encore_wide(spark))
+    )
+    rows = {(r["id"], r["cell_line"]): r for r in long.collect()}
+    z = rows[("BRCA1~TP53", "SIDM1")]["zscore_combined"]
+    assert abs(z - (2.0 + 2.2) / math.sqrt(2)) < 1e-12
+    p = rows[("BRCA1~TP53", "SIDM1")]["pValue"]
+    assert abs(p - math.erfc(abs(z) / math.sqrt(2))) < 1e-15
+
+
+def test_encore_gene_pair_explode(spark):
+    out = encore_evidence(_encore_wide(spark), p_threshold=0.05).collect()
+    pairs = {(r["targetFromSourceId"], r["interactingTargetFromSourceId"])
+             for r in out}
+    # significant combo BRCA1~TP53/SIDM1 appears in both orientations
+    assert ("BRCA1", "TP53") in pairs and ("TP53", "BRCA1") in pairs
+    assert all("KRAS" not in p for p in pairs)
+
+
+def test_essentiality_two_level_nesting(spark):
+    wide = spark.createDataFrame(
+        [
+            ("ACH-1", -0.9, 0.1),
+            ("ACH-2", -0.6, None),
+        ],
+        "depmapId string, `BRCA1 (672)` double, `TP53 (7157)` double",
+    )
+    meta = spark.createDataFrame(
+        [("ACH-1", "cellA", "Lung", "UBERON:1"),
+         ("ACH-2", "cellB", "Breast", "UBERON:2")],
+        "depmapId string, cellLineName string, tissueFromSource string, tissueId string",
+    )
+    long = melt_gene_matrix(wide)
+    assert {r["targetSymbol"] for r in long.collect()} == {"BRCA1", "TP53"}
+    out = {r["targetSymbol"]: r for r in
+           essentiality_evidence(wide, meta).collect()}
+    brca = out["BRCA1"]["depMapEssentiality"]
+    assert len(brca) == 2  # two tissues
+    screens = {t["tissueFromSource"]: t["screens"] for t in brca}
+    assert screens["Lung"][0]["isEssential"] is True
+    assert screens["Breast"][0]["geneEffect"] == -0.6
+    # TP53: null effect row dropped → only ACH-1
+    assert len(out["TP53"]["depMapEssentiality"]) == 1
