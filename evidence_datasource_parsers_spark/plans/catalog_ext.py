@@ -1,0 +1,299 @@
+"""Extended analytics catalog: operators beyond the reference's own surface.
+
+The reference never uses rollup/cube/pivot/percentiles/intersect/as-of
+(SURVEY §2.6 'Not present', §2.5 'No theta/range/as-of'), but an analytics
+engine replacing it should offer them — and a training-data pipeline needs
+the as-of join (point-in-time attribution) and ordered explodes.  Each query
+keeps the same determinism contract as the core catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.plans.catalog import _c, cents, load, register
+
+
+@register(
+    "q40_rollup",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           o_orderpriority,
+           CAST(grouping(year(o_orderdate)) AS INT) AS g_yr,
+           CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+           count(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_c
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+    """,
+    tags=("rollup", "grouping-sets"),
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP hierarchy (year → priority → grand total) with GROUPING()
+    disambiguation of the null super-aggregate rows."""
+    o = load(spark, sf, "orders").withColumn("yr", F.year("o_orderdate"))
+    return (
+        o.rollup("yr", "o_orderpriority")
+        .agg(
+            F.grouping("yr").cast("int").alias("g_yr"),
+            F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("o_totalprice"))).alias("total_c"),
+        )
+        .select("yr", "o_orderpriority", "g_yr", "g_pri", "n", "total_c")
+    )
+
+
+@register(
+    "q41_pivot",
+    f"""
+    SELECT c_nationkey,
+           count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS n_automobile,
+           count(*) FILTER (c_mktsegment = 'BUILDING') AS n_building,
+           count(*) FILTER (c_mktsegment = 'MACHINERY') AS n_machinery,
+           CAST(coalesce(SUM({_c('c_acctbal')})
+                FILTER (c_mktsegment = 'AUTOMOBILE'), 0) AS BIGINT)
+               AS bal_automobile_c
+    FROM customer GROUP BY c_nationkey
+    """,
+    tags=("pivot",),
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot as conditional aggregation — the shuffle-optimal form (a true
+    ``pivot()`` adds a values-discovery job; with known categories the
+    FILTER/when form is one pass)."""
+    c = load(spark, sf, "customer")
+
+    def n_seg(seg: str):
+        return F.count(F.when(F.col("c_mktsegment") == seg, 1))
+
+    return c.groupBy("c_nationkey").agg(
+        n_seg("AUTOMOBILE").alias("n_automobile"),
+        n_seg("BUILDING").alias("n_building"),
+        n_seg("MACHINERY").alias("n_machinery"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("c_mktsegment") == "AUTOMOBILE",
+                    cents(F.col("c_acctbal")),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("bal_automobile_c"),
+    )
+
+
+@register(
+    "q42_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(CAST(round(l_quantity * 100) AS BIGINT), 0.5)
+               AS median_qty_c,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                         [0.25, 0.75])[1] AS p25_price_c,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                         [0.25, 0.75])[2] AS p75_price_c
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("percentile",),
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles over integer cents (interpolation
+    arithmetic on exact ints is engine-portable; float inputs would not be)."""
+    l = load(spark, sf, "lineitem")
+    qty_c = cents(F.col("l_quantity"))
+    price_c = cents(F.col("l_extendedprice"))
+    return l.groupBy("l_returnflag").agg(
+        F.percentile(qty_c, F.lit(0.5)).alias("median_qty_c"),
+        F.percentile(price_c, F.lit(0.25)).alias("p25_price_c"),
+        F.percentile(price_c, F.lit(0.75)).alias("p75_price_c"),
+    )
+
+
+@register(
+    "q43_set_ops",
+    """
+    SELECT 'both' AS tag, n_nationkey AS nationkey FROM (
+        SELECT n_nationkey FROM nation
+        INTERSECT SELECT c_nationkey FROM customer)
+    UNION ALL
+    SELECT 'nation_only' AS tag, n_nationkey AS nationkey FROM (
+        SELECT n_nationkey FROM nation
+        EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+    tags=("intersect", "except"),
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    """Relational INTERSECT / EXCEPT (absent from the reference, which uses
+    anti-joins for 'except' — SURVEY §2.9)."""
+    n = load(spark, sf, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = n.intersect(c).select(F.lit("both").alias("tag"), "nationkey")
+    only = n.exceptAll(s).distinct().select(
+        F.lit("nation_only").alias("tag"), "nationkey"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "q44_from_csv",
+    """
+    SELECT event_id,
+           string_split(event_type || ',' || CAST(user_id AS VARCHAR), ',')[1]
+               AS parsed_type,
+           CAST(string_split(event_type || ',' || CAST(user_id AS VARCHAR),
+                ',')[2] AS BIGINT) AS parsed_user
+    FROM events
+    """,
+    tags=("from_csv", "P-parse"),
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    """String→struct CSV parsing (from_csv, parity Pharmacogenetics.py:122):
+    round-trips a packed 'type,user' string through the typed parser."""
+    e = load(spark, sf, "events")
+    packed = F.concat_ws(",", "event_type", "user_id")
+    parsed = F.from_csv(packed, "parsed_type string, parsed_user bigint")
+    return e.select(
+        "event_id",
+        parsed["parsed_type"].alias("parsed_type"),
+        parsed["parsed_user"].alias("parsed_user"),
+    )
+
+
+@register(
+    "q45_posexplode_zip",
+    """
+    SELECT p_partkey, u.pos, u.word, u.word_len
+    FROM (
+        SELECT p_partkey,
+               unnest(list_transform(range(len(string_split(p_name, ' '))),
+                      i -> {'pos': i,
+                            'word': string_split(p_name, ' ')[i+1],
+                            'word_len': length(string_split(p_name, ' ')[i+1])}))
+                   AS u
+        FROM part
+    )
+    """,
+    tags=("R1", "posexplode", "arrays_zip"),
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered explode with position (posexplode) of a zipped array —
+    covers D2's arrays_zip semantics (cancerBiomarkers.py:318-331) natively."""
+    p = load(spark, sf, "part")
+    words = F.split("p_name", " ")
+    zipped = F.arrays_zip(
+        words.alias("word"),
+        F.transform(words, lambda w: F.length(w)).alias("word_len"),
+    )
+    return p.select(
+        "p_partkey", F.posexplode(zipped).alias("pos", "u")
+    ).select(
+        "p_partkey",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("u.word").alias("word"),
+        F.col("u.word_len").alias("word_len"),
+    )
+
+
+@register(
+    "q46_asof_join",
+    """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           p.purchase_id AS last_purchase_id,
+           CAST((epoch_us(c.ts) - epoch_us(p.purchase_ts)) // 1000000
+                AS BIGINT) AS secs_since_purchase
+    FROM clicks c
+    LEFT JOIN LATERAL (
+        SELECT purchase_id, purchase_ts FROM purchases p
+        WHERE p.user_id = c.user_id AND p.purchase_ts <= c.ts
+        ORDER BY p.purchase_ts DESC, purchase_id DESC LIMIT 1
+    ) p ON true
+    """,
+    tags=("asof-join", "custom-operator"),
+    bench=True,
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (most recent purchase at or before each click), an operator
+    Spark lacks natively.  Implemented as union-tag + window last_value —
+    ONE shuffle on user_id, no per-row subquery, no range explosion; this is
+    the scale path (a lateral per-row lookup would be O(n·m))."""
+    from evidence_datasource_parsers_spark.operators.asof import asof_join
+
+    e = load(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        right_cols=["purchase_id"],
+        tie_break="purchase_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("purchase_id").alias("last_purchase_id"),
+        F.floor(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("purchase_ts")))
+            / 1_000_000
+        ).alias("secs_since_purchase"),
+    )
+
+
+@register(
+    "q47_regex_normalize",
+    r"""
+    SELECT p_partkey,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(upper(p_name), '\s+', '_', 'g'),
+                   '[^A-Z0-9_]', '', 'g'),
+               '_+', '_', 'g') AS normalized_id,
+           regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+           CASE WHEN regexp_matches(p_type, '^(ECONOMY|PROMO)')
+                THEN 'budget' ELSE 'premium' END AS tier
+    FROM part
+    """,
+    tags=("D1", "regex"),
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex normalization chain — D1's gDNA→variantId state machine
+    (cancerBiomarkers.py:301-316) expressed as a native regexp_replace chain
+    instead of a Python UDF (stays in codegen)."""
+    p = load(spark, sf, "part")
+    norm = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.upper(F.col("p_name")), r"\s+", "_"),
+            "[^A-Z0-9_]",
+            "",
+        ),
+        "_+",
+        "_",
+    )
+    return p.select(
+        "p_partkey",
+        norm.alias("normalized_id"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.when(F.col("p_type").rlike("^(ECONOMY|PROMO)"), "budget")
+        .otherwise("premium")
+        .alias("tier"),
+    )
