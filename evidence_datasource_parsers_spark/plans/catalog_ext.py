@@ -297,3 +297,50 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("premium")
         .alias("tier"),
     )
+
+
+@register(
+    "q48_distribution_metrics",
+    """
+    WITH g AS (
+        SELECT c_nationkey,
+               list_sort(list(c_acctbal)) AS arr
+        FROM customer WHERE c_acctbal > 0 GROUP BY c_nationkey
+    ), m AS (
+        SELECT c_nationkey, arr,
+               len(arr) AS n,
+               list_reduce(list_transform(range(len(arr)),
+                           i -> (i + 1) * arr[i + 1]), (x, y) -> x + y)
+                   AS weighted,
+               list_reduce(arr, (x, y) -> x + y) AS total
+        FROM g
+    )
+    SELECT c_nationkey, n,
+           2.0 * weighted / (n * total) - (n + 1.0) / n AS gini,
+           CASE WHEN list_max(arr) < 1.0 THEN 'not_detected'
+                WHEN list_max(arr) >= 4.0 * (total / n) THEN 'enriched'
+                ELSE 'low_specificity' END AS specificity
+    FROM m
+    """,
+    tags=("D12", "gini", "metrics"),
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group distribution metrics (D12): gini + specificity class over the
+    per-nation positive-balance vector, computed with sorted-order folds so
+    both engines sum in the identical sequence."""
+    from evidence_datasource_parsers_spark.functions.metrics import (
+        array_sum_sorted,
+        gini,
+        specificity_class,
+    )
+
+    c = load(spark, sf, "customer").where(F.col("c_acctbal") > 0)
+    grouped = c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_list("c_acctbal")).alias("arr")
+    )
+    return grouped.select(
+        "c_nationkey",
+        F.size("arr").alias("n"),
+        gini(F.col("arr")).alias("gini"),
+        specificity_class(F.col("arr")).alias("specificity"),
+    )

@@ -1,0 +1,99 @@
+"""Pipeline orchestration (SURVEY §2.17 M1-M3): the Snakemake DAG replaced by
+a plain-Python stage registry over ONE SparkSession.
+
+Each registered pipeline is a named ``(spark, config) -> DataFrame`` function
+with an optional declared output schema (M2 — the reference validates emitted
+JSON against a versioned JSON Schema per Snakefile rule; here the contract is
+enforced as a Spark ``StructType`` check before the sink) and a sink path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from evidence_datasource_parsers_spark.sources.sinks import write_evidence_strings
+
+
+class SchemaContractError(AssertionError):
+    pass
+
+
+@dataclass
+class PipelineSpec:
+    name: str
+    build: Callable[[SparkSession, dict], DataFrame]
+    output_schema: StructType | str | None = None
+    depends_on: tuple[str, ...] = ()
+
+
+@dataclass
+class Runner:
+    """Registry + topological executor with per-output schema contracts."""
+
+    pipelines: dict[str, PipelineSpec] = field(default_factory=dict)
+
+    def register(
+        self,
+        name: str,
+        build: Callable[[SparkSession, dict], DataFrame],
+        output_schema: StructType | str | None = None,
+        depends_on: tuple[str, ...] = (),
+    ) -> None:
+        self.pipelines[name] = PipelineSpec(name, build, output_schema, depends_on)
+
+    def _order(self) -> list[str]:
+        seen: dict[str, int] = {}
+        out: list[str] = []
+
+        def visit(n: str) -> None:
+            state = seen.get(n, 0)
+            if state == 1:
+                raise ValueError(f"dependency cycle at {n}")
+            if state == 2:
+                return
+            seen[n] = 1
+            for d in self.pipelines[n].depends_on:
+                visit(d)
+            seen[n] = 2
+            out.append(n)
+
+        for n in self.pipelines:
+            visit(n)
+        return out
+
+    @staticmethod
+    def check_schema(df: DataFrame, expected: StructType | str) -> None:
+        """Enforce the output contract (M2): names and types must match the
+        declaration exactly (nullable is advisory, as in Spark itself)."""
+        if isinstance(expected, str):
+            expected = StructType.fromDDL(expected)
+        got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        want = [(f.name, f.dataType.simpleString()) for f in expected.fields]
+        if got != want:
+            raise SchemaContractError(
+                f"output schema mismatch:\n  got  {got}\n  want {want}"
+            )
+
+    def run(
+        self,
+        spark: SparkSession,
+        config: dict,
+        out_dir: str | None = None,
+        only: list[str] | None = None,
+    ) -> dict[str, DataFrame]:
+        results: dict[str, DataFrame] = {}
+        for name in self._order():
+            if only and name not in only:
+                continue
+            spec = self.pipelines[name]
+            df = spec.build(spark, config)
+            if spec.output_schema is not None:
+                self.check_schema(df, spec.output_schema)
+            results[name] = df
+            if out_dir:
+                write_evidence_strings(df, f"{out_dir}/{name}.json.gz")
+        return results

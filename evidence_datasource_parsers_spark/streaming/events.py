@@ -67,6 +67,23 @@ def windowed_event_counts(
     )
 
 
+def dedupe_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup: drop duplicate events within the watermark
+    horizon.  State is bounded — ids older than the watermark are evicted,
+    which is the only way dedup state stays finite on an unbounded stream.
+    Works identically on batch frames (plain dropDuplicates)."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
 def run_to_memory(stream_df: DataFrame, table: str) -> None:
     """Drain all available input into an in-memory sink (test harness)."""
     (

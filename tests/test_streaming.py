@@ -50,3 +50,34 @@ def test_windowed_stream_matches_batch(spark, tmp_path):
         for r in windowed_event_counts(static).collect()
     }
     assert batch_rows == rows
+
+
+def test_streaming_dedupe(spark, tmp_path):
+    import json as _json
+
+    from evidence_datasource_parsers_spark.streaming.events import dedupe_stream
+
+    ev = {"event_id": 1, "ts": "2024-01-01T00:10:00Z", "user_id": 1,
+          "event_type": "click", "value": 1.0, "props": "{}"}
+    ev2 = dict(ev, event_id=2, ts="2024-01-01T00:20:00Z")
+    src = tmp_path / "dstream"
+    src.mkdir()
+    # duplicate event_id=1 across two files → must deduplicate
+    (src / "f1.json").write_text(_json.dumps(ev) + "\n" + _json.dumps(ev2))
+    (src / "f2.json").write_text(_json.dumps(ev))
+
+    from evidence_datasource_parsers_spark.streaming.events import (
+        read_event_stream,
+    )
+
+    deduped = dedupe_stream(read_event_stream(spark, str(src)))
+    (
+        deduped.writeStream.format("memory")
+        .queryName("deduped_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = spark.sql("SELECT event_id FROM deduped_events").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2]
