@@ -3,9 +3,10 @@
 line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Each query is executed to completion (count + a lightweight collect of the
-first rows is avoided — count() forces the full plan).  Timings are wall-clock
-per query after a shared warm-up of the session JVM.
+Each query is fully materialized via the ``noop`` DataSource-V2 sink —
+``count()`` would let Catalyst prune projection work entirely (a map-only
+query "benchmarked" with count() measures an empty scan).  Timings are
+wall-clock per query after a shared warm-up of the session JVM.
 """
 
 from __future__ import annotations
@@ -27,14 +28,17 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     names = [n for n, q in CATALOG.items() if q.bench]
     # JVM/codegen warm-up on the smallest scale (not timed)
-    CATALOG[names[0]].builder(spark, "/root/testdata/sf0.001").count()
+    materialize(CATALOG[names[0]].builder(spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        CATALOG[name].builder(spark, sf_dir).count()
+        materialize(CATALOG[name].builder(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     print(

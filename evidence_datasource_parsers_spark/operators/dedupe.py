@@ -65,21 +65,71 @@ def char_shingles(col: Column | str, k: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(k))))
 
 
-def minhash_signature(col: Column | str, num_perm: int = 16, k: int = 5) -> Column:
-    """MinHash signature: array<long> of length num_perm.
-
-    min over shingles of (A_i * base(shingle) + B_i) % P — computed entirely
-    with higher-order functions, one pass over the shingle array per row.
-    """
-    bases = F.transform(
-        char_shingles(col, k), lambda s: portable_hash(s) % F.lit(P_BASE)
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """n-word shingle set — ~6× fewer shingles than char-5 on prose, the
+    standard choice for near-dup at corpus scale (fewer hashes per doc)."""
+    toks = F.split(normalized_text(col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
+
+
+def shingle_bases(
+    col: Column | str, k: int = 5, mode: str = "char"
+) -> Column:
+    """Per-shingle hash bases (array<long>): the expensive md5 leg, computed
+    ONCE and materialized before the permutation family touches it."""
+    sh = char_shingles(col, k) if mode == "char" else word_shingles(col, k)
+    return F.transform(sh, lambda s: portable_hash(s) % F.lit(P_BASE))
+
+
+def minhash_signature(col: Column | str, num_perm: int = 16, k: int = 5) -> Column:
+    """MinHash signature: array<long> of length num_perm (single-Column form).
+
+    WARNING — scale hazard: as one Column expression, each of the num_perm
+    array_min legs INLINES the full shingle+md5 pipeline (no CSE in
+    interpreted HOF evaluation), multiplying the hash work ×num_perm.  Use
+    :func:`with_minhash_signature` in real plans; this form is for small
+    fixtures/tests.
+    """
+    bases = shingle_bases(col, k)
     return F.array(
         *[
             F.array_min(F.transform(bases, lambda b: minhash_perm(b, i)))
             for i in range(num_perm)
         ]
     )
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "minhash_sig",
+    num_perm: int = 16,
+    k: int = 5,
+    mode: str = "char",
+) -> DataFrame:
+    """Two-stage MinHash: materialize shingle hash bases behind a projection
+    boundary, then take the num_perm minima over the (cheap) linear perms.
+
+    CollapseProject keeps the boundary because ``__bases`` is expensive and
+    multiply-referenced — verified via .explain: md5 runs once per shingle,
+    not once per permutation.
+    """
+    based = df.withColumn("__bases", shingle_bases(F.col(text_col), k, mode))
+    sig = based.withColumn(
+        out_col,
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("__bases"), lambda b: minhash_perm(b, i))
+                )
+                for i in range(num_perm)
+            ]
+        ),
+    )
+    return sig.drop("__bases")
 
 
 def minhash_bands(sig_col: Column, num_perm: int, bands: int) -> Column:
@@ -109,6 +159,7 @@ def lsh_candidate_pairs(
     num_perm: int = 16,
     bands: int = 4,
     k: int = 5,
+    mode: str = "char",
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: (id_a, id_b) sharing >= 1 band bucket.
 
@@ -116,57 +167,97 @@ def lsh_candidate_pairs(
     pairs within bucket → distinct.  The shuffle key is (band, key) — small and
     uniform; no O(n²) comparisons outside buckets.
     """
-    sig = df.select(
-        F.col(id_col),
-        minhash_bands(
-            minhash_signature(text_col, num_perm, k), num_perm, bands
-        ).alias("__bands"),
+    # Materialize the signature behind projection boundaries BEFORE building
+    # band keys: each band key references the signature array 'rows_per_band'
+    # times, and inlining would re-evaluate the md5-per-shingle pipeline per
+    # reference (CollapseProject keeps the boundary: expensive + multi-ref).
+    # PERSIST the signature: the band-key projection references __sig
+    # rows_per_band times per band and CollapseProject can inline the whole
+    # md5 pipeline per reference; caching pins the boundary.  The self-join
+    # also consumes the lineage twice.  At scale the signature frame is
+    # id + num_perm longs per doc — tiny relative to the corpus.
+    sig = with_minhash_signature(
+        df.select(id_col, text_col), text_col, "__sig", num_perm, k, mode
+    ).select(id_col, "__sig").persist()
+    banded = sig.select(
+        id_col,
+        minhash_bands(F.col("__sig"), num_perm, bands).alias("__bands"),
     )
-    buckets = sig.select(
+    buckets = banded.select(
         id_col, F.explode("__bands").alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    left = buckets.alias("l")
-    right = buckets.alias("r")
+    # Self-join with RENAMED right side: alias-based self-joins over computed
+    # columns can mis-resolve both condition sides to the same attributes
+    # (degenerating into a cartesian product); distinct names are unambiguous.
+    left = buckets.withColumnRenamed(id_col, "id_a")
+    right = buckets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("band").alias("band_r"),
+        F.col("key").alias("key_r"),
+    )
     pairs = (
         left.join(
             right,
             on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.key") == F.col("r.key"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+                F.col("band") == F.col("band_r"),
+                F.col("key") == F.col("key_r"),
+                F.col("id_a") < F.col("id_b"),
             ],
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
+        .select("id_a", "id_b")
         .distinct()
     )
     return pairs
 
 
-def simhash(col: Column | str, nbits: int = 16) -> Column:
-    """SimHash over whitespace tokens: nbits-wide integer fingerprint.
+def _simhash_bits(hashes: Column, nbits: int) -> Column:
+    """Pack majority-vote bits of a materialized token-hash array.
 
-    bit_j(doc) = 1 iff sum over tokens of (+1 if hash(token) has bit j else -1)
-    is positive.  Expressed as aggregate-HOFs; deterministic, engine-portable.
+    bit_j = 1 iff 2 * |{h : bit j of h set}| > n  (equivalent to the ±1-sum
+    formulation, but pure integer counting — engine-portable)."""
+    n = F.size(hashes)
+    out = F.lit(0).cast("long")
+    for j in range(nbits):
+        ones = F.size(
+            F.filter(
+                hashes,
+                lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == F.lit(1),
+            )
+        )
+        out = out + F.when(2 * ones > n, F.lit(1 << j)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    return out
+
+
+def simhash(col: Column | str, nbits: int = 16) -> Column:
+    """SimHash over distinct whitespace tokens (single-Column form).
+
+    Scale hazard as with :func:`minhash_signature`: each bit leg inlines the
+    token-hash pipeline.  Use :func:`with_simhash` in real plans.
     """
     c = normalized_text(col)
-    toks = F.array_distinct(F.split(c, " "))
-    hashes = F.transform(toks, lambda t: portable_hash(t))
-    bit_sums = [
-        F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        for j in range(nbits)
-    ]
-    out = F.lit(0).cast("long")
-    for j, s in enumerate(bit_sums):
-        out = out + F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-    return out
+    hashes = F.transform(
+        F.array_distinct(F.split(c, " ")), lambda t: portable_hash(t)
+    )
+    return _simhash_bits(hashes, nbits)
+
+
+def with_simhash(
+    df: DataFrame, text_col: str, out_col: str = "simhash", nbits: int = 16
+) -> DataFrame:
+    """Two-stage SimHash: materialize token hashes once, then nbits cheap
+    bit-count filters over the materialized array."""
+    hashed = df.withColumn(
+        "__th",
+        F.transform(
+            F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")),
+            lambda t: portable_hash(t),
+        ),
+    )
+    return hashed.withColumn(out_col, _simhash_bits(F.col("__th"), nbits)).drop(
+        "__th"
+    )
 
 
 def hamming_distance(a: Column, b: Column, nbits: int = 16) -> Column:

@@ -18,7 +18,28 @@ from pyspark.sql import functions as F
 from evidence_datasource_parsers_spark.functions.hashing import portable_hash
 
 
-def dot(a: Column, b: Column) -> Column:
+def balanced_sum(terms: list):
+    """Pairwise (balanced-tree) summation: depth log2(n) instead of n.
+
+    Deep left-nested chains make Janino reject the generated method (codegen
+    falls back to interpreted); a balanced tree compiles.  The ORACLE SQL is
+    generated with the identical tree (catalog_text._dot_sql) so results stay
+    bit-identical."""
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product.  With ``dim`` known, unrolls to a balanced multiply-add
+    tree — whole-stage-codegen-able and mirrored exactly by the oracle."""
+    if dim is not None:
+        return balanced_sum(
+            [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)]
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -26,12 +47,21 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        return F.sqrt(
+            balanced_sum(
+                [
+                    F.element_at(a, i + 1) * F.element_at(a, i + 1)
+                    for i in range(dim)
+                ]
+            )
+        )
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def brute_force_topk(
@@ -41,6 +71,7 @@ def brute_force_topk(
     query_id: str = "query_id",
     corpus_id: str = "neighbor_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the corpus.
 
@@ -59,7 +90,7 @@ def brute_force_topk(
         .select(
             query_id,
             corpus_id,
-            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+            cosine(F.col("__qv"), F.col("__cv"), dim).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -72,11 +103,15 @@ def brute_force_topk(
 
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: sign bits of <v, p_i> packed to int."""
+    """Random-hyperplane LSH bucket id: sign bits of <v, p_i> packed to int.
+
+    The plane is a literal, so the dot product unrolls to a codegen'd
+    balanced multiply-add tree — no array literal materialization per row."""
     out = F.lit(0)
     for j, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        s = dot(vec.cast("array<double>"), plane)
+        s = balanced_sum(
+            [F.element_at(vec, i + 1) * F.lit(float(v)) for i, v in enumerate(p)]
+        )
         out = out + F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out
 
@@ -155,7 +190,7 @@ def ann_lsh_topk(
     ).select(
         query_id,
         corpus_id,
-        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        cosine(F.col("__qv"), F.col("__cv"), dim).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col(corpus_id).asc()

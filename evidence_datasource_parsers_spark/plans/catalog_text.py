@@ -32,9 +32,9 @@ from evidence_datasource_parsers_spark.operators.dedupe import (
     content_hash,
     exact_dedupe,
     lsh_candidate_pairs,
-    minhash_signature,
     normalized_text,
-    simhash,
+    with_minhash_signature,
+    with_simhash,
 )
 from evidence_datasource_parsers_spark.operators.similarity import (
     ann_lsh_topk,
@@ -47,6 +47,7 @@ from evidence_datasource_parsers_spark.plans.catalog import load, register
 
 NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 SHINGLE_K = 5
+WORD_SHINGLE_N = 3
 
 
 def _shingles_sql(t: str = "t") -> str:
@@ -58,9 +59,19 @@ def _shingles_sql(t: str = "t") -> str:
     )
 
 
+def _word_shingles_sql(t: str = "t") -> str:
+    """Distinct 3-word shingle list (oracle twin of dedupe.word_shingles)."""
+    n = WORD_SHINGLE_N
+    return (
+        f"list_distinct(list_transform("
+        f"range(greatest(len(string_split({t}, ' ')) - {n - 1}, 1)), "
+        f"i -> array_to_string(string_split({t}, ' ')[i + 1 : i + {n}], ' ')))"
+    )
+
+
 def _bases_sql() -> str:
     return (
-        f"list_transform({_shingles_sql()}, "
+        f"list_transform({_word_shingles_sql()}, "
         f"s -> ({portable_hash_sql('s')} % {P_BASE}))"
     )
 
@@ -195,7 +206,7 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
     return exact_dedupe(load(spark, sf, "documents"), "text", "doc_id")
 
 
-MINHASH_PERMS = 8
+MINHASH_PERMS = 16
 LSH_BANDS = 4
 
 
@@ -218,13 +229,14 @@ def _sig_list_sql() -> str:
     bench=True,
 )
 def q33(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash signatures (8 permutations over 5-char shingles), stringified
+    """MinHash signatures (16 permutations over 5-char shingles), stringified
     for stable hashing.  Narrow map-only plan — no shuffle."""
     d = load(spark, sf, "documents")
-    sig = minhash_signature(F.col("text"), MINHASH_PERMS, SHINGLE_K)
-    return d.select(
-        "doc_id", F.concat_ws("_", sig).alias("minhash_sig")
+    sig = with_minhash_signature(
+        d.select("doc_id", "text"), "text", "__sig",
+        MINHASH_PERMS, WORD_SHINGLE_N, mode="word",
     )
+    return sig.select("doc_id", F.concat_ws("_", "__sig").alias("minhash_sig"))
 
 
 def _bucket_union_sql() -> str:
@@ -252,7 +264,8 @@ def _bucket_union_sql() -> str:
     tags=("dedup", "minhash", "lsh"),
 )
 def q34(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (4 bands × 2 rows): the shuffle
+    """MinHash-LSH near-dup candidate pairs (4 bands × 4 rows, similarity
+    threshold ≈ (1/b)^(1/r) ≈ 0.7): the shuffle
     key is the band bucket, never the text — scale path for 100 TB dedup."""
     return lsh_candidate_pairs(
         load(spark, sf, "documents"),
@@ -260,7 +273,8 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         num_perm=MINHASH_PERMS,
         bands=LSH_BANDS,
-        k=SHINGLE_K,
+        k=WORD_SHINGLE_N,
+        mode="word",
     )
 
 
@@ -294,7 +308,9 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash over distinct tokens (bit j set iff the majority of
     token hashes have bit j set)."""
     d = load(spark, sf, "documents")
-    return d.select("doc_id", simhash(F.col("text"), SIMHASH_BITS).alias("simhash"))
+    return with_simhash(
+        d.select("doc_id", "text"), "text", "simhash", SIMHASH_BITS
+    ).select("doc_id", "simhash")
 
 
 @register(
@@ -351,12 +367,30 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
 # Embedding similarity
 # ---------------------------------------------------------------------------
 
-DOT_SQL = (
-    "list_reduce(list_transform(range(len(qa)), i -> qa[i+1] * ca[i+1]), "
-    "(x, y) -> x + y)"
-)
-NORM_Q = "sqrt(list_reduce(list_transform(qa, v -> v * v), (x, y) -> x + y))"
-NORM_C = "sqrt(list_reduce(list_transform(ca, v -> v * v), (x, y) -> x + y))"
+EMB_DIM = 64
+
+
+def _balanced_sum_sql(terms: list[str]) -> str:
+    """Pairwise summation tree, mirroring similarity.balanced_sum exactly."""
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return _balanced_sum_sql([f"{a}[{i + 1}] * {b}[{i + 1}]" for i in range(dim)])
+
+
+def _norm_sql(a: str, dim: int = EMB_DIM) -> str:
+    return f"sqrt({_balanced_sum_sql([f'{a}[{i + 1}] * {a}[{i + 1}]' for i in range(dim)])})"
+
+
+DOT_SQL = _dot_sql("qa", "ca")
+NORM_Q = _norm_sql("qa")
+NORM_C = _norm_sql("ca")
 
 
 @register(
@@ -388,7 +422,7 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    return brute_force_topk(q, c, k=5).withColumn(
+    return brute_force_topk(q, c, k=5, dim=64).withColumn(
         "rank", F.col("rank").cast("int")
     )
 
@@ -414,7 +448,7 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     a, b = e.alias("a"), e.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+    cos = cosine(F.col("a.v"), F.col("b.v"), dim=64)
     return (
         a.join(
             b,
