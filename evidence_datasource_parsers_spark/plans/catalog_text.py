@@ -112,16 +112,23 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     """Quality scoring + token counting over documents — all built-ins, one
     narrow pass, no shuffle."""
     d = load(spark, sf, "documents")
-    t = normalized_text(F.col("text"))
-    toks = F.split(t, " ")
-    return d.select(
+    # materialize normalization + tokenization once; every stat references
+    # the columns instead of inlining the regexp pipeline per expression
+    staged = d.withColumn("__t", normalized_text(F.col("text"))).withColumn(
+        "__toks", F.split(F.col("__t"), " ")
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    toks, t = F.col("__toks"), F.col("__t")
+    return staged.select(
         "doc_id",
         F.length(t).alias("n_chars_norm"),
         F.size(toks).alias("n_tokens"),
         F.ceil(F.length(t) / 4.0).alias("est_bpe_tokens"),
-        (stopword_hits(F.col("text"), STOPWORDS_EN) * 1.0 / F.size(toks)).alias(
-            "stopword_ratio"
-        ),
+        (
+            F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+            * 1.0
+            / F.size(toks)
+        ).alias("stopword_ratio"),
         (
             F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
             * 1.0

@@ -45,3 +45,35 @@ def write_output(df: DataFrame, out_path: str, fmt: str | None = None) -> None:
     ``modules/BrainCRISPR.py:310-317``."""
     fmt = fmt or ("parquet" if out_path.endswith(".parquet") else "json")
     df.write.mode("overwrite").format(fmt).save(out_path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    out_path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+    buckets: tuple[int, list[str], str] | None = None,
+) -> None:
+    """The 100 TB sink: hive-partitioned (and optionally bucketed) output.
+
+    ``partition_by`` columns become directory partitions (partition pruning
+    on read); ``buckets=(n, cols, table_name)`` additionally bucket-sorts so
+    downstream joins/aggs on those columns are shuffle-free.  Bucketing
+    requires a table (saveAsTable) — Spark's bucket metadata lives in the
+    catalog, not the files.
+    """
+    if buckets is None:
+        df.write.mode("overwrite").format(fmt).partitionBy(*partition_by).save(
+            out_path
+        )
+    else:
+        n, cols, table = buckets
+        (
+            df.write.mode("overwrite")
+            .format(fmt)
+            .partitionBy(*partition_by)
+            .bucketBy(n, *cols)
+            .sortBy(*cols)
+            .option("path", out_path)
+            .saveAsTable(table)
+        )

