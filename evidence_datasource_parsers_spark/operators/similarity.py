@@ -75,22 +75,30 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the corpus.
 
+    Row norms are precomputed on each side BEFORE the join: the per-pair
+    expression is then just dot/(nq*nc) — one tree instead of three, which
+    (a) does 3× less arithmetic per pair and (b) keeps the generated join
+    method under Janino's 64 KB limit when a filter duplicates it.
+
     Output: (query_id, neighbor_id, cosine_sim, rank).  Ties break by
     neighbor id ascending for determinism.
     """
     q = queries.select(
         F.col(query_id), F.col(vec_col).cast("array<double>").alias("__qv")
-    )
+    ).withColumn("__qn", norm(F.col("__qv"), dim))
     c = corpus.select(
         F.col(corpus_id), F.col(vec_col).cast("array<double>").alias("__cv")
-    )
+    ).withColumn("__cn", norm(F.col("__cv"), dim))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col(query_id) != F.col(corpus_id))
         .select(
             query_id,
             corpus_id,
-            cosine(F.col("__qv"), F.col("__cv"), dim).alias("cosine_sim"),
+            (
+                dot(F.col("__qv"), F.col("__cv"), dim)
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -155,16 +163,20 @@ def ann_lsh_topk(
         src = df.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_alias)
         )
+        # one column per table: separate output columns let codegen split the
+        # generated code into methods (all tables inside one array-of-structs
+        # expression blows Janino's 64 KB per-method limit)
+        for t in range(n_tables):
+            planes_t = deterministic_planes(dim, n_planes * (t + 1))[
+                t * n_planes : (t + 1) * n_planes
+            ]
+            src = src.withColumn(
+                f"__bk{t}", hyperplane_bucket(F.col(vec_alias), planes_t)
+            )
         buckets = F.array(
             *[
                 F.struct(
-                    F.lit(t).alias("table"),
-                    hyperplane_bucket(
-                        F.col(vec_alias),
-                        deterministic_planes(dim, n_planes * (t + 1))[
-                            t * n_planes : (t + 1) * n_planes
-                        ],
-                    ).alias("bucket"),
+                    F.lit(t).alias("table"), F.col(f"__bk{t}").alias("bucket")
                 )
                 for t in range(n_tables)
             ]
@@ -190,7 +202,10 @@ def ann_lsh_topk(
     ).select(
         query_id,
         corpus_id,
-        cosine(F.col("__qv"), F.col("__cv"), dim).alias("cosine_sim"),
+        (
+            dot(F.col("__qv"), F.col("__cv"), dim)
+            / (norm(F.col("__qv"), dim) * norm(F.col("__cv"), dim))
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col(corpus_id).asc()

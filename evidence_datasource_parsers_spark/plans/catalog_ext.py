@@ -344,3 +344,110 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
         gini(F.col("arr")).alias("gini"),
         specificity_class(F.col("arr")).alias("specificity"),
     )
+
+
+@register(
+    "q49_approx_distinct",
+    None,  # HLL sketches are engine-specific; exactness asserted in tests
+    tags=("approx", "sketch"),
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog approximate distinct counts — the sketch path for
+    cardinality at 100 TB (exact distinct shuffles every value; HLL is a
+    fixed-size mergeable sketch).  No oracle: Spark and DuckDB use different
+    sketch constants; tests assert <5% error vs exact."""
+    l = load(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "q50_hash_split",
+    f"""
+    SELECT split, count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT n_chars,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                          1, 15))::BIGINT % 100 < 90 THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                          1, 15))::BIGINT % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+    GROUP BY split
+    """,
+    tags=("train-split", "dedup"),
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by portable hash of the doc
+    id — stable across runs, machines, and engine versions (never use
+    rand(): resplitting must not leak val docs into train)."""
+    from evidence_datasource_parsers_spark.functions.hashing import portable_hash
+
+    d = load(spark, sf, "documents")
+    bucket = portable_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":split"))
+    ) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q51_sequence_packing",
+    """
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(ceil(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                    / 4.0) AS BIGINT) AS est_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, est_tokens,
+               SUM(est_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id, source, est_tokens,
+           CAST((cum - est_tokens) // 2048 AS BIGINT) AS pack_id
+    FROM c
+    """,
+    tags=("sequence-packing", "training-data"),
+    bench=True,
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for LLM training: assign docs to ~2048-token context
+    bins by cumulative token count within each source shard.  Deterministic
+    (ordered by doc_id), one shuffle on the shard key; bins straddle at most
+    one document boundary — the streaming-friendly approximation of greedy
+    bin packing."""
+    d = load(spark, sf, "documents")
+    from evidence_datasource_parsers_spark.operators.dedupe import normalized_text
+
+    t = d.select(
+        "doc_id",
+        "source",
+        F.ceil(F.length(normalized_text(F.col("text"))) / 4.0).alias(
+            "est_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return t.withColumn("cum", F.sum("est_tokens").over(w)).select(
+        "doc_id",
+        "source",
+        "est_tokens",
+        F.floor((F.col("cum") - F.col("est_tokens")) / 2048).alias("pack_id"),
+    )

@@ -451,25 +451,28 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
 def q38(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within a label partition (cos > 0.3):
     the partition key bounds the pair space, one shuffle on label."""
+    from evidence_datasource_parsers_spark.operators.similarity import dot, norm
+
+    # precompute per-row norms so the join-stage expression is one dot tree
+    # (compiles under Janino's 64 KB method limit even when the threshold
+    # filter duplicates it); values are identical — norm is the same tree,
+    # just evaluated earlier.
     e = load(spark, sf, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("__n", norm(F.col("v"), 64))
+    a = e.select(
+        F.col("vec_id").alias("id_a"), "label",
+        F.col("v").alias("va"), F.col("__n").alias("na"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"), dim=64)
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
+        F.col("v").alias("vb"), F.col("__n").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb"), 64) / (F.col("na") * F.col("nb"))
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.label") == F.col("b.label"),
-                F.col("a.vec_id") < F.col("b.vec_id"),
-            ],
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("a.label").alias("label"),
-            cos.alias("cosine_sim"),
-        )
+        a.join(b, on=[F.col("label") == F.col("label_b"),
+                      F.col("id_a") < F.col("id_b")])
+        .select("id_a", "id_b", "label", cos.alias("cosine_sim"))
         .where(F.col("cosine_sim") > 0.3)
     )
 

@@ -159,3 +159,13 @@ def test_expectations_batch(spark):
     assert all(res.values()) and len(res) == 4
     with pytest.raises(ExpectationError, match="rows"):
         Expectations().count_between("rows", 10, 20).run(df)
+
+
+def test_approx_distinct_tolerance(spark, sf_dir):
+    from evidence_datasource_parsers_spark.plans import CATALOG
+
+    rows = CATALOG["q49_approx_distinct"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        err = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
+        assert err < 0.05, f"HLL error {err} too high for {r['l_returnflag']}"
