@@ -244,3 +244,71 @@ def test_essentiality_two_level_nesting(spark):
     assert screens["Breast"][0]["geneEffect"] == -0.6
     # TP53: null effect row dropped → only ACH-1
     assert len(out["TP53"]["depMapEssentiality"]) == 1
+
+
+def test_biomarkers_explode_heavy(spark):
+    from evidence_datasource_parsers_spark.pipelines.biomarkers_like import (
+        biomarkers_evidence,
+    )
+
+    raw = spark.createDataFrame(
+        [
+            ("BRAF V600E", "BRAF;KRAS", "MUT", "[Vemurafenib]",
+             "Responsive", "Melanoma;Thyroid carcinoma",
+             "PMID:12345;NCT004", "A"),
+            ("EGFR amp", "EGFR", "AMP", "Gefitinib ",
+             "Resistant", "Lung adenocarcinoma", "CancerCommons", "B"),
+        ],
+        "Biomarker string, Gene string, Alteration string, Drug string,"
+        " Association string, PrimaryTumorTypeFullName string,"
+        " Source string, EvidenceLevel string",
+    )
+    out = biomarkers_evidence(
+        raw, {"Responsive": "responsive", "Resistant": "resistant"}
+    ).collect()
+    by_key = {
+        (r["targetFromSourceId"], r["diseaseFromSource"]): r for r in out
+    }
+    # 2 genes × 2 tumors for row 1 → 4 rows, + 1 for row 2
+    assert len(out) == 5
+    braf_mel = by_key[("BRAF", "Melanoma")]
+    assert braf_mel["drugName"] == "Vemurafenib"
+    assert braf_mel["Association"] == "responsive"
+    assert braf_mel["literature"] == ["12345"]
+    assert braf_mel["biomarkers"][0]["name"] == "BRAF V600E"
+    egfr = by_key[("EGFR", "Lung adenocarcinoma")]
+    assert egfr["literature"] is None  # no PMID → empty set → null
+
+
+def test_probes_one_hot_and_scores(spark):
+    from evidence_datasource_parsers_spark.pipelines.probes_like import (
+        probes_evidence,
+    )
+
+    probes = spark.createDataFrame(
+        [
+            ("p1", "SGC-GAK-1", 1, 0, "['inhibitor','binder']", "8", "-"),
+            ("p2", "BI-9321", 0, 1, "[]", "0", "5"),
+        ],
+        "pdid string, compound_name string, set_a int, set_b int,"
+        " action string, score1 string, score2 string",
+    )
+    targets = spark.createDataFrame(
+        [("p1", "GAK", "Q14397"), ("p2", "NSD3", "Q9BZ95")],
+        "pdid string, target string, uniprot string",
+    )
+    out = {
+        r["target"]: r
+        for r in probes_evidence(
+            probes,
+            {"set_a": "SetA", "set_b": "SetB"},
+            targets,
+            ["score1", "score2"],
+        ).collect()
+    }
+    gak = out["GAK"]["probes"][0]
+    assert gak["probesets"] == ["SetA"]
+    assert gak["score1"] == 8 and gak["score2"] is None   # '-' sentinel
+    nsd3 = out["NSD3"]["probes"][0]
+    assert nsd3["probesets"] == ["SetB"]
+    assert nsd3["score1"] is None                          # 0 sentinel

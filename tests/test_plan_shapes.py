@@ -1,0 +1,98 @@
+"""Plan-shape regression tests: the scale properties the engine promises
+(pushdown, pruning, broadcast, partial aggregation, no cartesian blowups)
+asserted against the actual physical plans — not just timings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.plans import CATALOG
+
+
+def _plan(spark, name, sf_dir):
+    df = CATALOG[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _nodes(plan: str) -> list[str]:
+    """Node names from the formatted plan's detail headers '(N) NodeName'."""
+    import re
+
+    return [
+        m.group(1)
+        for m in re.finditer(r"^\(\d+\) (\w+)", plan, flags=re.MULTILINE)
+    ]
+
+
+def test_q01_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, "q01_pricing_summary", sf_dir)
+    assert "LessThanOrEqual(l_shipdate" in plan          # filter at the scan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert _nodes(plan).count("Exchange") == 1           # one shuffle (agg)
+
+
+def test_q04_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, "q04_region_rollup", sf_dir)
+    assert _nodes(plan).count("BroadcastHashJoin") == 2  # nation + region
+    assert "SortMergeJoin" not in plan                   # no fact shuffle join
+
+
+def test_q05_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, "q05_customer_order_stats", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # exactly one data shuffle (the final groupBy)
+    assert _nodes(plan).count("Exchange") == 1
+
+
+def test_q26_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, "q26_topk_global", sf_dir)
+    assert "TakeOrderedAndProject" in plan               # heap, not full sort
+
+
+def test_q34_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "q34_lsh_candidates", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q46_asof_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, "q46_asof_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    # union + window: shuffles on user_id only (+AQE coalesce reads)
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_salted_join_spreads_keys(spark):
+    from evidence_datasource_parsers_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(1000)],
+        "row_id long, k string",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C")], "k string, label string"
+    )
+    out = salted_join(fact, dim, on="k", n_salts=8, salt_source="row_id")
+    rows = out.groupBy("label").count().collect()
+    got = {r["label"]: r["count"] for r in rows}
+    assert got == {"H": 900, "C": 100}
+    # salt actually spreads the hot key across multiple values
+    spread = (
+        fact.withColumn(
+            "__salt",
+            __import__(
+                "evidence_datasource_parsers_spark.functions.hashing",
+                fromlist=["portable_hash"],
+            ).portable_hash(F.col("row_id").cast("string")) % 8,
+        )
+        .where(F.col("k") == "hot")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert spread == 8
