@@ -451,3 +451,46 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
         "est_tokens",
         F.floor((F.col("cum") - F.col("est_tokens")) / 2048).alias("pack_id"),
     )
+
+
+@register(
+    "q52_priority_ranking",
+    """
+    WITH packed AS (
+        SELECT o_custkey,
+               string_agg(DISTINCT o_orderpriority, ';') AS priorities
+        FROM orders GROUP BY o_custkey
+    ), scored AS (
+        SELECT o_custkey,
+               list_transform(string_split(priorities, ';'),
+                   x -> {'rank': CASE trim(x)
+                                 WHEN '1-URGENT' THEN 5 WHEN '2-HIGH' THEN 4
+                                 WHEN '3-MEDIUM' THEN 3 WHEN '5-LOW' THEN 1
+                                 ELSE -1 END,
+                         'value': trim(x)}) AS s
+        FROM packed
+    )
+    SELECT o_custkey, list_max(s)['value'] AS top_priority FROM scored
+    """,
+    tags=("D3", "priority"),
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    """Priority-ranked pick from a delimited list (D3,
+    Gene2Phenotype.py:153-191) — rank map + array_max structs, no UDF.
+    '4-NOT SPECIFIED' is deliberately unranked (default_rank) to exercise
+    the unknown-item path."""
+    from evidence_datasource_parsers_spark.functions.priority import (
+        highest_priority,
+    )
+
+    o = load(spark, sf, "orders")
+    packed = o.groupBy("o_custkey").agg(
+        F.concat_ws(";", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+            "priorities"
+        )
+    )
+    ranking = {"1-URGENT": 5, "2-HIGH": 4, "3-MEDIUM": 3, "5-LOW": 1}
+    return packed.select(
+        "o_custkey",
+        highest_priority("priorities", ranking).alias("top_priority"),
+    )

@@ -60,3 +60,28 @@ def test_portable_hash_edge_strings(spark, s):
         f"SELECT {portable_hash_sql('$tx')}", {"tx": s}
     ).fetchone()
     assert got == want
+
+
+from hypothesis import example
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.floats(min_value=1e-30, max_value=0.99, allow_nan=False,
+              allow_infinity=False)
+)
+@example(3.2e-7)
+@example(0.05)
+def test_pvalue_decomposition_roundtrip(spark, p):
+    """mantissa * 10^exponent must reconstruct p to float precision, with
+    1 <= |mantissa| < 10 (away from power-of-ten boundary noise)."""
+    from evidence_datasource_parsers_spark.functions.pvalues import (
+        pvalue_mantissa_exponent,
+    )
+
+    df = spark.createDataFrame([(p,)], "p double")
+    m, e = pvalue_mantissa_exponent("p", precision=6)
+    row = df.select(m.alias("m"), e.alias("e")).first()
+    recon = row["m"] * 10 ** row["e"]
+    assert abs(recon - p) / p < 1e-5
+    assert 0.95 <= row["m"] < 10.05  # rounding can nudge past the boundary

@@ -312,3 +312,62 @@ def test_probes_one_hot_and_scores(spark):
     nsd3 = out["NSD3"]["probes"][0]
     assert nsd3["probesets"] == ["SetB"]
     assert nsd3["score1"] is None                          # 0 sentinel
+
+
+def test_chembl_stop_reason_enrichment(spark):
+    from evidence_datasource_parsers_spark.pipelines.chembl_like import (
+        chembl_evidence,
+        rewrite_url_names,
+    )
+
+    evidence = spark.createDataFrame(
+        [
+            ("ENSG1", "EFO:1", "CHEMBL25", 3, "Slow accrual",
+             [{"niceName": "ClinicalTrials", "url": "https://ct.gov/NCT001"}]),
+            ("ENSG2", "EFO:2", "CHEMBL26", 4, None,
+             [{"niceName": "ClinicalTrials", "url": "https://ct.gov/NCT002"}]),
+            ("ENSG3", "EFO:3", "CHEMBL27", 2, None,
+             [{"niceName": "Other", "url": "https://example.org/x"}]),
+        ],
+        "targetFromSourceId string, diseaseFromSourceMappedId string,"
+        " drugId string, clinicalPhase int, studyStopReason string,"
+        " urls array<struct<niceName:string, url:string>>",
+    )
+    predictions = spark.createDataFrame(
+        [("NCT001", ["Business_Administrative", "Insufficient_Enrollment"])],
+        "nct_id string, subclasses array<string>",
+    )
+    out = chembl_evidence(evidence, predictions)
+    rows = {r["targetFromSourceId"]: r for r in out.collect()}
+    assert len(rows) == 3  # union preserves every input row
+    assert rows["ENSG1"]["studyStopReasonCategories"] == [
+        "Business_Administrative", "Insufficient_Enrollment"]
+    assert rows["ENSG2"]["studyStopReasonCategories"] is None
+    assert "nctId" not in out.columns
+
+    renamed = rewrite_url_names(out, {"ClinicalTrials": "Clinical Trials"})
+    urls = {r["targetFromSourceId"]: r["urls"][0]["niceName"]
+            for r in renamed.collect()}
+    assert urls["ENSG1"] == "Clinical Trials" and urls["ENSG3"] == "Other"
+
+
+def test_chembl_fraction_expectation_violated(spark):
+    from evidence_datasource_parsers_spark.operators.expectations import (
+        ExpectationError,
+    )
+    from evidence_datasource_parsers_spark.pipelines.chembl_like import (
+        chembl_evidence,
+    )
+
+    evidence = spark.createDataFrame(
+        [("ENSG1", "EFO:1", "CHEMBL25", 3, None,
+          [{"niceName": "Other", "url": "https://example.org"}])],
+        "targetFromSourceId string, diseaseFromSourceMappedId string,"
+        " drugId string, clinicalPhase int, studyStopReason string,"
+        " urls array<struct<niceName:string, url:string>>",
+    )
+    predictions = spark.createDataFrame(
+        [], "nct_id string, subclasses array<string>"
+    )
+    with pytest.raises(ExpectationError, match="stop_reason_fraction"):
+        chembl_evidence(evidence, predictions)
