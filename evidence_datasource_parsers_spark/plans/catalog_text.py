@@ -269,6 +269,7 @@ def _bucket_union_sql() -> str:
       ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
     """,
     tags=("dedup", "minhash", "lsh"),
+    bench=True,
 )
 def q34(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (4 bands × 4 rows, similarity

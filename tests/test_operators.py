@@ -169,3 +169,45 @@ def test_approx_distinct_tolerance(spark, sf_dir):
     for r in rows:
         err = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
         assert err < 0.05, f"HLL error {err} too high for {r['l_returnflag']}"
+
+
+def test_text_struct_native_and_udf_agree(spark):
+    from evidence_datasource_parsers_spark.functions.text_struct import (
+        parse_description_native,
+        parse_description_udf,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("CRISPRi screen. Experiment: survival. Analysis: MAGeCK",),
+            ("No structure here",),
+            (None,),
+        ],
+        "desc string",
+    )
+    native = df.select(parse_description_native("desc").alias("s")).collect()
+    udf = df.select(parse_description_udf()(F.col("desc")).alias("s")).collect()
+    assert native[0]["s"].asDict() == udf[0]["s"].asDict() == {
+        "title": "CRISPRi screen",
+        "experiment": "survival",
+        "analysis": "MAGeCK",
+    }
+    assert native[1]["s"]["experiment"] is None
+    assert udf[2]["s"]["title"] is None
+
+
+def test_multifile_scan_and_selectexpr(spark, tmp_path):
+    """S3 multi-file CSV in one read + P2 selectExpr + K4 toPandas."""
+    from evidence_datasource_parsers_spark.sources.readers import read_csv
+
+    (tmp_path / "p1.csv").write_text("gene,score\ng1,1.5\n")
+    (tmp_path / "p2.csv").write_text("gene,score\ng2,2.5\n")
+    df = read_csv(
+        spark,
+        [str(tmp_path / "p1.csv"), str(tmp_path / "p2.csv")],
+        schema="gene string, score double",
+    )
+    assert df.count() == 2
+    out = df.selectExpr("gene as targetFromSourceId", "score * 2 as doubled")
+    pdf = out.toPandas().set_index("targetFromSourceId")
+    assert pdf.loc["g2", "doubled"] == 5.0
