@@ -32,8 +32,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     names = [n for n, q in CATALOG.items() if q.bench]
-    # JVM/codegen warm-up on the smallest scale (not timed)
-    materialize(CATALOG[names[0]].builder(spark, "/root/testdata/sf0.001"))
+    # Per-query warm-up at the smallest scale (not timed): whole-stage codegen
+    # compilation + JIT are one-time costs that amortize to zero at real data
+    # sizes; timing them against sf0.1 would measure the compiler, not the
+    # engine.
+    for name in names:
+        materialize(CATALOG[name].builder(spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in names:

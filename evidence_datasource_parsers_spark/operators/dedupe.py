@@ -132,6 +132,64 @@ def with_minhash_signature(
     return sig.drop("__bases")
 
 
+def minhash_signatures_exploded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "minhash_sig",
+    num_perm: int = 16,
+    k: int = 5,
+    mode: str = "char",
+) -> DataFrame:
+    """MinHash via explode + aggregate — the fully-codegen'd scale path.
+
+    Higher-order lambdas (transform/aggregate) are CodegenFallback in Spark —
+    always interpreted, boxing every element.  Reformulated relationally:
+
+        explode shingles → md5 base (scalar, codegen'd) →
+        groupBy(id).agg(min(perm_i(base)) × num_perm)
+
+    md5 runs in generated code, the 16 permutation minima are ordinary
+    aggregates with MAP-SIDE PARTIAL COMBINE, and the shuffle carries only
+    16 longs per (doc × partition).  ``array_distinct`` is dropped entirely:
+    min over a multiset equals min over its set.
+
+    Returns (id_col, out_col) — signature only (group-by loses payload cols).
+    """
+    t = normalized_text(F.col(text_col))
+    if mode == "char":
+        staged = df.select(F.col(id_col), t.alias("__t"))
+        n_sh = F.greatest(F.length("__t") - F.lit(k - 1), F.lit(1))
+        exploded = staged.select(
+            id_col,
+            "__t",
+            F.explode(F.sequence(F.lit(1), n_sh)).alias("__i"),
+        )
+        shingle = F.col("__t").substr(F.col("__i"), F.lit(k))
+    else:
+        staged = df.select(F.col(id_col), F.split(t, " ").alias("__tk"))
+        n_sh = F.greatest(F.size("__tk") - F.lit(k - 1), F.lit(1))
+        exploded = staged.select(
+            id_col,
+            "__tk",
+            F.explode(F.sequence(F.lit(1), n_sh)).alias("__i"),
+        )
+        shingle = F.array_join(F.slice(F.col("__tk"), F.col("__i"), k), " ")
+    based = exploded.select(
+        id_col, (portable_hash(shingle) % F.lit(P_BASE)).alias("__b")
+    )
+    agg = based.groupBy(id_col).agg(
+        *[
+            F.min(minhash_perm(F.col("__b"), i)).alias(f"__m{i}")
+            for i in range(num_perm)
+        ]
+    )
+    return agg.select(
+        id_col,
+        F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias(out_col),
+    )
+
+
 def minhash_bands(sig_col: Column, num_perm: int, bands: int) -> Column:
     """Split a signature into LSH bands: array<struct<band:int, key:string>>."""
     rows_per_band = num_perm // bands
@@ -176,9 +234,9 @@ def lsh_candidate_pairs(
     # md5 pipeline per reference; caching pins the boundary.  The self-join
     # also consumes the lineage twice.  At scale the signature frame is
     # id + num_perm longs per doc — tiny relative to the corpus.
-    sig = with_minhash_signature(
-        df.select(id_col, text_col), text_col, "__sig", num_perm, k, mode
-    ).select(id_col, "__sig").persist()
+    sig = minhash_signatures_exploded(
+        df, id_col, text_col, "__sig", num_perm, k, mode
+    ).persist()
     banded = sig.select(
         id_col,
         minhash_bands(F.col("__sig"), num_perm, bands).alias("__bands"),

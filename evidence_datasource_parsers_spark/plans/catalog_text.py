@@ -32,8 +32,8 @@ from evidence_datasource_parsers_spark.operators.dedupe import (
     content_hash,
     exact_dedupe,
     lsh_candidate_pairs,
+    minhash_signatures_exploded,
     normalized_text,
-    with_minhash_signature,
     with_simhash,
 )
 from evidence_datasource_parsers_spark.operators.similarity import (
@@ -239,9 +239,8 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash signatures (16 permutations over 5-char shingles), stringified
     for stable hashing.  Narrow map-only plan — no shuffle."""
     d = load(spark, sf, "documents")
-    sig = with_minhash_signature(
-        d.select("doc_id", "text"), "text", "__sig",
-        MINHASH_PERMS, WORD_SHINGLE_N, mode="word",
+    sig = minhash_signatures_exploded(
+        d, "doc_id", "text", "__sig", MINHASH_PERMS, WORD_SHINGLE_N, mode="word"
     )
     return sig.select("doc_id", F.concat_ws("_", "__sig").alias("minhash_sig"))
 
