@@ -28,7 +28,6 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from evidence_datasource_parsers_spark.operators.joins import enrich_join_back
 

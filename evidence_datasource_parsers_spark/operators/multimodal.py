@@ -19,7 +19,6 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 MAGIC = b"MM01"
 MEDIA_TYPES = {0: "image", 1: "audio", 2: "video"}

@@ -15,8 +15,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from evidence_datasource_parsers_spark.functions.hashing import portable_hash
-
 
 def balanced_sum(terms: list):
     """Pairwise (balanced-tree) summation: depth log2(n) instead of n.

@@ -16,7 +16,6 @@ explode is a pure ``explode(array(struct...))`` — no UDF at all.
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame

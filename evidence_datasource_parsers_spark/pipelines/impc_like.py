@@ -13,7 +13,7 @@ allows, else the window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from evidence_datasource_parsers_spark.operators.windows import top_n_per_group

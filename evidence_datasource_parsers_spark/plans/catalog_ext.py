@@ -329,7 +329,6 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     per-nation positive-balance vector, computed with sorted-order folds so
     both engines sum in the identical sequence."""
     from evidence_datasource_parsers_spark.functions.metrics import (
-        array_sum_sorted,
         gini,
         specificity_class,
     )

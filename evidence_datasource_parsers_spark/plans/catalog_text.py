@@ -11,7 +11,7 @@ Registered into the shared CATALOG on import.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from evidence_datasource_parsers_spark.functions.hashing import (
@@ -25,7 +25,6 @@ from evidence_datasource_parsers_spark.functions.textstats import (
     STOPWORDS_EN,
     lang_guess,
     stopword_hits,
-    token_count,
 )
 from evidence_datasource_parsers_spark.operators.dedupe import (
     char_shingles,
@@ -39,7 +38,6 @@ from evidence_datasource_parsers_spark.operators.dedupe import (
 from evidence_datasource_parsers_spark.operators.similarity import (
     ann_lsh_topk,
     brute_force_topk,
-    cosine,
 )
 from evidence_datasource_parsers_spark.plans.catalog import load, register
 

@@ -15,7 +15,6 @@ from evidence_datasource_parsers_spark.operators.dedupe import (
 from evidence_datasource_parsers_spark.operators.similarity import (
     ann_lsh_topk,
     brute_force_topk,
-    cosine,
 )
 
 DOCS = [

@@ -6,7 +6,6 @@ import gzip
 import json
 
 import pytest
-from pyspark.sql import functions as F
 
 from evidence_datasource_parsers_spark.enrich import CachedEnricher
 from evidence_datasource_parsers_spark.runner import (

@@ -8,7 +8,6 @@ import duckdb
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F
 
 from evidence_datasource_parsers_spark.functions.hashing import (
     P_BASE,

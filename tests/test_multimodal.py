@@ -7,7 +7,6 @@ fan-out semantics."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from evidence_datasource_parsers_spark.operators.multimodal import (
     extract_media_meta,

@@ -12,7 +12,6 @@ from evidence_datasource_parsers_spark.operators.expectations import (
 )
 from evidence_datasource_parsers_spark.pipelines.encore_like import (
     encore_evidence,
-    explode_gene_pairs,
     stouffer_combine,
 )
 from evidence_datasource_parsers_spark.pipelines.essentiality_like import (

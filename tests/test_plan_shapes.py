@@ -4,7 +4,6 @@ asserted against the actual physical plans — not just timings."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from evidence_datasource_parsers_spark.plans import CATALOG
