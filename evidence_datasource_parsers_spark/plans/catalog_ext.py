@@ -493,3 +493,53 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
         "o_custkey",
         highest_priority("priorities", ranking).alias("top_priority"),
     )
+
+
+@register(
+    "q53_minmax_normalize",
+    """
+    SELECT event_id, event_type, value,
+           CASE WHEN max(value) OVER w = min(value) OVER w THEN 0.5
+                ELSE (value - min(value) OVER w)
+                     / (max(value) OVER w - min(value) OVER w)
+           END AS value_norm
+    FROM events WINDOW w AS (PARTITION BY event_type)
+    """,
+    tags=("§2.12", "normalization"),
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group min-max renormalization (SystemsBiology.py:9-57, done there
+    driver-side in Python) as a window expression — min/max are exact over
+    stored doubles, the division is one deterministic IEEE op."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf, "events")
+    w = W.partitionBy("event_type")
+    mn, mx = F.min("value").over(w), F.max("value").over(w)
+    norm = F.when(mx == mn, 0.5).otherwise((F.col("value") - mn) / (mx - mn))
+    return e.select("event_id", "event_type", "value", norm.alias("value_norm"))
+
+
+@register(
+    "q54_stouffer",
+    """
+    SELECT user_id, event_type,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+           count(*) AS n,
+           (CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0)
+               / sqrt(count(*)) AS stouffer_z
+    FROM events GROUP BY user_id, event_type
+    """,
+    tags=("A4", "stouffer", "encore"),
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    """Stouffer combination sum(z)/sqrt(n) (encore_parser.py:246-255) with
+    exact-cents summation so the combined statistic hash-matches the oracle."""
+    e = load(spark, sf, "events")
+    sum_c = F.sum(cents(F.col("value")))
+    n = F.count(F.lit(1))
+    return e.groupBy("user_id", "event_type").agg(
+        sum_c.alias("sum_value_c"),
+        n.alias("n"),
+        ((sum_c / 100.0) / F.sqrt(n)).alias("stouffer_z"),
+    )

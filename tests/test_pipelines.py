@@ -370,3 +370,64 @@ def test_chembl_fraction_expectation_violated(spark):
     )
     with pytest.raises(ExpectationError, match="stop_reason_fraction"):
         chembl_evidence(evidence, predictions)
+
+
+def test_clingen_preamble_and_shaping(spark, tmp_path):
+    from evidence_datasource_parsers_spark.pipelines.clingen_like import (
+        clingen_evidence,
+        read_clingen_csv,
+    )
+
+    p = tmp_path / "clingen.csv"
+    p.write_text(
+        "CLINGEN GENE VALIDITY CURATIONS\n"
+        "FILE CREATED: 2024-01-01\n"
+        "WEBPAGE: https://search.clinicalgenome.org\n"
+        "+++++++++++\n"
+        "GENE SYMBOL,GENE ID,DISEASE LABEL,DISEASE ID,MOI,SOP,CLASSIFICATION,"
+        "ONLINE REPORT,CLASSIFICATION DATE,GCEP\n"
+        "++++++++++++\n"
+        " FBN1 ,HGNC:3603,Marfan syndrome,MONDO:0007947,AD,SOP7,Definitive,"
+        "https://x/1,2023-05-12T16:00:00.000Z,cardio\n"
+    )
+    raw = read_clingen_csv(spark, str(p), preamble_rows=6)
+    out = clingen_evidence(raw).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["targetFromSourceId"] == "FBN1"           # trimmed
+    assert r["confidence"]["date"] == "2023-05-12"     # date_format
+    assert r["allelicRequirements"] == ["AD"]
+    assert r["urls"][0]["url"] == "https://x/1"
+
+
+def test_g2p_multifile_and_priority(spark, tmp_path):
+    from evidence_datasource_parsers_spark.pipelines.g2p_like import (
+        g2p_evidence,
+        read_panels,
+    )
+
+    header = (
+        '"g2p id","gene symbol","gene mim","hgnc id","disease name",'
+        '"disease mim","disease MONDO",confidence,"variant consequence",'
+        "publications,panel\n"
+    )
+    (tmp_path / "dd.csv").write_text(
+        header
+        + 'G1,FBN1,134797,3603,Marfan,154700,MONDO:0007947,definitive,'
+        '"absent gene product;uncertain",123;456,DD\n'
+    )
+    (tmp_path / "eye.csv").write_text(
+        header
+        + 'G2,ABCA4,601691,34,Stargardt,248200,,limited,'
+        'uncertain,,Eye\n'
+    )
+    panels = read_panels(
+        spark, [str(tmp_path / "dd.csv"), str(tmp_path / "eye.csv")]
+    )
+    out = {r["targetFromSourceId"]: r for r in g2p_evidence(panels).collect()}
+    assert len(out) == 2
+    assert out["FBN1"]["variantFunctionalConsequence"] == "absent gene product"
+    assert out["FBN1"]["literature"] == ["123", "456"]
+    # missing MONDO falls back to OMIM prefix
+    assert out["ABCA4"]["diseaseFromSourceId"] == "OMIM:248200"
+    assert out["ABCA4"]["studyId"] == "Eye"
