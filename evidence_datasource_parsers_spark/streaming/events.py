@@ -94,3 +94,34 @@ def run_to_memory(stream_df: DataFrame, table: str) -> None:
         .start()
         .awaitTermination()
     )
+
+
+def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (broadcast)
+    static dimension — the streaming twin of broadcast_lut_join.  The static
+    side is re-resolved per batch, so slowly-changing dims refresh on re-read
+    sources (e.g. Delta); no state is kept for it."""
+    return stream.join(F.broadcast(dim), on=on, how="left")
+
+
+def stream_to_evidence_sink(
+    stream: DataFrame, out_dir: str, checkpoint: str
+):
+    """Micro-batch evidence sink via foreachBatch: every batch appends
+    partitioned gzip JSON-lines (the streaming analog of the K1 contract —
+    single-file coalescing is meaningless on an unbounded stream)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .format("json")
+            .option("compression", "org.apache.hadoop.io.compress.GzipCodec")
+            .save(out_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

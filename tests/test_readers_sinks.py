@@ -99,3 +99,42 @@ def test_write_partitioned_pruning(spark, tmp_path):
     assert only_a.count() == 2
     plan = only_a._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or only_a.count() == 2
+
+
+def test_read_xml_elements(spark, tmp_path):
+    """S11: ElementTree walk -> DataFrame (Orphanet.py:52-126 shape)."""
+    from evidence_datasource_parsers_spark.sources.readers import (
+        read_xml_elements,
+    )
+
+    xml = tmp_path / "disorders.xml"
+    xml.write_text(
+        """<?xml version="1.0"?>
+        <DisorderList>
+          <Disorder id="1">
+            <OrphaCode>558</OrphaCode>
+            <Name>Marfan syndrome</Name>
+            <Gene symbol="FBN1"/>
+          </Disorder>
+          <Disorder id="2">
+            <OrphaCode>773</OrphaCode>
+            <Name>Neurofibromatosis</Name>
+            <Gene symbol="NF1"/>
+          </Disorder>
+        </DisorderList>"""
+    )
+
+    def extract(elem):
+        return {
+            "orpha_code": elem.findtext("OrphaCode"),
+            "name": elem.findtext("Name"),
+            "gene": elem.find("Gene").get("symbol"),
+        }
+
+    df = read_xml_elements(
+        spark, str(xml), "Disorder", extract,
+        schema="orpha_code string, name string, gene string",
+    )
+    rows = {r["orpha_code"]: r for r in df.collect()}
+    assert rows["558"]["gene"] == "FBN1"
+    assert rows["773"]["name"] == "Neurofibromatosis"

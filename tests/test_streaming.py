@@ -81,3 +81,39 @@ def test_streaming_dedupe(spark, tmp_path):
     )
     rows = spark.sql("SELECT event_id FROM deduped_events").collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2]
+
+
+def test_stream_static_join_and_foreachbatch_sink(spark, tmp_path):
+    import glob as _glob
+    import gzip as _gzip
+    import json as _json
+
+    from evidence_datasource_parsers_spark.streaming.events import (
+        enrich_stream_with_dim,
+        stream_to_evidence_sink,
+    )
+
+    src = tmp_path / "enrich_stream"
+    src.mkdir()
+    (src / "f1.json").write_text(
+        _json.dumps({"event_id": 1, "ts": "2024-01-01T00:00:00Z",
+                     "user_id": 1, "event_type": "click", "value": 1.0,
+                     "props": "{}"})
+    )
+    dim = spark.createDataFrame(
+        [("click", "interaction")], "event_type string, category string"
+    )
+    enriched = enrich_stream_with_dim(
+        read_event_stream(spark, str(src)), dim, on="event_type"
+    )
+    q = stream_to_evidence_sink(
+        enriched, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    parts = _glob.glob(str(tmp_path / "out" / "*.json.gz"))
+    assert parts
+    recs = []
+    for p in parts:
+        with _gzip.open(p, "rt") as fh:
+            recs += [_json.loads(line) for line in fh]
+    assert recs[0]["category"] == "interaction"
