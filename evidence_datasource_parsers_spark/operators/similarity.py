@@ -161,16 +161,30 @@ def ann_lsh_topk(
         src = df.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_alias)
         )
-        # one column per table: separate output columns let codegen split the
-        # generated code into methods (all tables inside one array-of-structs
-        # expression blows Janino's 64 KB per-method limit)
+        # one column per PLANE: codegen splits generated code at column
+        # granularity, and even a single table's planes in one expression
+        # (n_planes × dim multiply-adds with element_at bounds checks) can
+        # blow Janino's 64 KB per-method limit; per-plane sign columns keep
+        # each method ~dim terms, and the bucket packing is bit arithmetic.
         for t in range(n_tables):
             planes_t = deterministic_planes(dim, n_planes * (t + 1))[
                 t * n_planes : (t + 1) * n_planes
             ]
-            src = src.withColumn(
-                f"__bk{t}", hyperplane_bucket(F.col(vec_alias), planes_t)
-            )
+            for j, plane in enumerate(planes_t):
+                s = balanced_sum(
+                    [
+                        F.element_at(F.col(vec_alias), i + 1) * F.lit(float(v))
+                        for i, v in enumerate(plane)
+                    ]
+                )
+                src = src.withColumn(
+                    f"__s{t}_{j}", F.when(s > 0, F.lit(1 << j)).otherwise(0)
+                )
+        for t in range(n_tables):
+            bucket = F.lit(0)
+            for j in range(n_planes):
+                bucket = bucket + F.col(f"__s{t}_{j}")
+            src = src.withColumn(f"__bk{t}", bucket)
         buckets = F.array(
             *[
                 F.struct(
