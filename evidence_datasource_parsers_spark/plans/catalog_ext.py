@@ -543,3 +543,25 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
         n.alias("n"),
         ((sum_c / 100.0) / F.sqrt(n)).alias("stouffer_z"),
     )
+
+
+@register(
+    "q55_regexp_extract_all",
+    """
+    SELECT doc_id,
+           list_sort(regexp_extract_all(text, '(s[a-z]{3,})', 1)) AS s_words,
+           len(regexp_extract_all(text, '(s[a-z]{3,})', 1)) AS n_s_words
+    FROM documents
+    """,
+    tags=("§2.11", "regexp_extract_all"),
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    """regexp_extract_all + array ops (IMPC.py:260,267 packed-list idiom) —
+    every 's…' word of each document, sorted for stable hashing."""
+    d = load(spark, sf, "documents")
+    matches = F.regexp_extract_all("text", F.lit(r"(s[a-z]{3,})"), 1)
+    return d.select(
+        "doc_id",
+        F.sort_array(matches).alias("s_words"),
+        F.size(matches).alias("n_s_words"),
+    )

@@ -431,3 +431,44 @@ def test_g2p_multifile_and_priority(spark, tmp_path):
     # missing MONDO falls back to OMIM prefix
     assert out["ABCA4"]["diseaseFromSourceId"] == "OMIM:248200"
     assert out["ABCA4"]["studyId"] == "Eye"
+
+
+def test_otar_crispr_study_fanout(spark):
+    from evidence_datasource_parsers_spark.pipelines.otar_crispr_like import (
+        otar_crispr_evidence,
+    )
+
+    screen1 = spark.createDataFrame(
+        [
+            ("BRCA1_g1", 0.001, 0.9), ("BRCA1_g2", 0.002, 0.9),  # 2 replicates
+            ("TP53_g1", 0.0005, 0.9),                            # only 1 → drop
+            ("EGFR_g1", 0.5, 0.9), ("EGFR_g2", 0.6, 0.9),        # not sig
+            ("CTRLHIT_g1", 0.001, 0.9), ("CTRLHIT_g2", 0.002, 0.9),
+        ],
+        "id string, `pos|fdr` double, `pos|score` double",
+    )
+    control = spark.createDataFrame(
+        [("CTRLHIT_c1", 0.0001, 0.1)],
+        "id string, `pos|fdr` double, `pos|score` double",
+    )
+    # second study uses the '.'-separator column variant
+    screen2 = spark.createDataFrame(
+        [("KRAS_g1", 0.004, 0.5)],
+        "id string, `pos.fdr` double, `pos.score` double",
+    )
+    studies = [
+        {"studyId": "S1", "projectId": "OTAR001", "diseases": "EFO:1|EFO:2",
+         "filterColumn": "pos_fdr", "threshold": 0.01, "replicateNumber": 2,
+         "ControlDataset": "ctrl1"},
+        {"studyId": "S2", "projectId": "OTAR002", "diseases": "EFO:3",
+         "filterColumn": "pos_fdr", "threshold": 0.01, "replicateNumber": 1},
+    ]
+    out = otar_crispr_evidence(
+        studies, {"S1": screen1, "S2": screen2}, {"ctrl1": control}
+    ).collect()
+    by_gene = {r["targetFromSourceId"]: r for r in out}
+    assert set(by_gene) == {"BRCA1", "KRAS"}   # TP53 incomplete, EGFR not sig,
+                                               # CTRLHIT anti-joined away
+    assert by_gene["BRCA1"]["replicateStats"] == [0.001, 0.002]
+    assert by_gene["BRCA1"]["diseases"] == ["EFO:1", "EFO:2"]
+    assert by_gene["KRAS"]["studyId"] == "S2"  # '.'-variant normalized
