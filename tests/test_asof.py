@@ -42,3 +42,43 @@ def test_asof_backward_semantics(spark):
     assert out[3] == (None, None)
     assert out[4] == (None, None)
     assert out[5] == (103, 150)  # inclusive at equal timestamps
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),  # (key, ts)
+        min_size=1, max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=0, max_size=12,
+    ),
+)
+def test_asof_matches_naive_oracle(spark, lefts, rights):
+    """asof_join must agree with the obvious per-row scan on arbitrary data,
+    including duplicate timestamps and keys with no right rows."""
+    left_rows = [(i, k, t) for i, (k, t) in enumerate(lefts)]
+    right_rows = [(1000 + i, k, t) for i, (k, t) in enumerate(rights)]
+    left = spark.createDataFrame(left_rows, "lid long, k long, ts long")
+    right = spark.createDataFrame(
+        right_rows, "rid long, k long, rts long"
+    ) if right_rows else spark.createDataFrame(
+        [], "rid long, k long, rts long"
+    )
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["rid"], tie_break="rid",
+        ).collect()
+    }
+    for lid, k, t in left_rows:
+        cands = [(rts, rid) for rid, rk, rts in right_rows
+                 if rk == k and rts <= t]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, k, t, cands, got[lid])

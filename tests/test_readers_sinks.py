@@ -138,3 +138,43 @@ def test_read_xml_elements(spark, tmp_path):
     rows = {r["orpha_code"]: r for r in df.collect()}
     assert rows["558"]["gene"] == "FBN1"
     assert rows["773"]["name"] == "Neurofibromatosis"
+
+
+def test_stage_remote_file_url(spark, tmp_path):
+    """S9: addFile/SparkFiles staging round-trip (file:// URL)."""
+    from evidence_datasource_parsers_spark.sources.readers import stage_remote
+
+    src = tmp_path / "remote.tsv"
+    src.write_text("gene\tscore\ng1\t0.5\n")
+    local = stage_remote(spark, f"file://{src}")
+    df = read_path(spark, local, infer_schema=True)
+    assert df.collect()[0]["gene"] == "g1"
+
+
+def test_from_pandas_arrow_boundary(spark):
+    import pandas as pd
+
+    from evidence_datasource_parsers_spark.sources.readers import from_pandas
+
+    pdf = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    df = from_pandas(spark, pdf)
+    assert df.orderBy("a").collect()[1]["b"] == "y"
+
+
+def test_write_evidence_strings_parallel_mode(spark, tmp_path):
+    """K1 scale path: single_file=False keeps the write parallel (a
+    directory of gzip parts)."""
+    import glob
+    import gzip
+    import json
+
+    df = from_rows(spark, [(i,) for i in range(100)], "id long").repartition(4)
+    out = str(tmp_path / "parallel_out")
+    write_evidence_strings(df, out, single_file=False)
+    parts = glob.glob(f"{out}/part-*.json.gz")
+    assert len(parts) > 1
+    ids = []
+    for p in parts:
+        with gzip.open(p, "rt") as fh:
+            ids += [json.loads(line)["id"] for line in fh]
+    assert sorted(ids) == list(range(100))
