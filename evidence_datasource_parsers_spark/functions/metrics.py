@@ -62,3 +62,29 @@ def specificity_class(
         .when(mx >= enrichment_factor * mean, "enriched")
         .otherwise("low_specificity")
     )
+
+
+def gini_grouped_pandas(df, group_col: str, value_col: str):
+    """Pandas-tier alternative (D12's original habitat): per-group gini via
+    ``applyInPandas`` — for when the kernel needs numpy/scipy machinery the
+    HOF form can't express.  Output contract matches :func:`gini` applied to
+    the collected per-group array; equality is asserted in tests.
+
+    Scale: one shuffle on the group key; each group materializes as one
+    Arrow batch in a Python worker — fine for distribution metrics whose
+    groups fit memory (gene × tissues), wrong for billion-row groups.
+    """
+
+    def kernel(pdf):
+        import pandas as pd
+
+        x = pdf[value_col].sort_values().to_numpy()
+        n = len(x)
+        total = x.sum()
+        weighted = (x * range(1, n + 1)).sum()
+        g = 2.0 * weighted / (n * total) - (n + 1.0) / n
+        return pd.DataFrame({group_col: [pdf[group_col].iloc[0]], "gini": [g]})
+
+    return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
+        kernel, f"{group_col} int, gini double"
+    )

@@ -211,3 +211,46 @@ def test_multifile_scan_and_selectexpr(spark, tmp_path):
     out = df.selectExpr("gene as targetFromSourceId", "score * 2 as doubled")
     pdf = out.toPandas().set_index("targetFromSourceId")
     assert pdf.loc["g2", "doubled"] == 5.0
+
+
+def test_gini_pandas_tier_matches_native(spark, sf_dir):
+    """D12 both tiers: applyInPandas kernel vs native HOF gini agree."""
+    from evidence_datasource_parsers_spark.functions.metrics import (
+        gini,
+        gini_grouped_pandas,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_acctbal") > 0
+    )
+    native = {
+        r["c_nationkey"]: r["g"]
+        for r in c.groupBy("c_nationkey")
+        .agg(F.sort_array(F.collect_list("c_acctbal")).alias("arr"))
+        .select("c_nationkey", gini(F.col("arr")).alias("g"))
+        .collect()
+    }
+    pandas_tier = {
+        r["c_nationkey"]: r["gini"]
+        for r in gini_grouped_pandas(c, "c_nationkey", "c_acctbal").collect()
+    }
+    assert set(native) == set(pandas_tier)
+    for k in native:
+        assert abs(native[k] - pandas_tier[k]) < 1e-9
+
+
+def test_input_file_name_tagging(spark, tmp_path):
+    """Multi-file read tagged by source file — the single-plan alternative to
+    driver-side per-study loops (SURVEY §7.4 risk 6)."""
+    (tmp_path / "study_a.csv").write_text("gene,score\ng1,1.0\n")
+    (tmp_path / "study_b.csv").write_text("gene,score\ng2,2.0\n")
+    df = (
+        spark.read.option("header", True)
+        .csv(str(tmp_path))
+        .withColumn(
+            "studyId",
+            F.regexp_extract(F.input_file_name(), r"(study_\w+)\.csv", 1),
+        )
+    )
+    rows = {r["gene"]: r["studyId"] for r in df.collect()}
+    assert rows == {"g1": "study_a", "g2": "study_b"}
