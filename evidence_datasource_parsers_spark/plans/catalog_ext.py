@@ -565,3 +565,72 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
         F.sort_array(matches).alias("s_words"),
         F.size(matches).alias("n_s_words"),
     )
+
+
+@register(
+    "q56_map_from_entries",
+    """
+    SELECT c_nationkey,
+           coalesce(count(*) FILTER (c_mktsegment = 'AUTOMOBILE'), 0)
+               AS automobile_customers,
+           count(DISTINCT c_mktsegment) AS n_segments
+    FROM customer GROUP BY c_nationkey
+    """,
+    tags=("§2.14", "map_from_entries"),
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime map construction + keyed lookup (map_from_entries +
+    element_at, ChEMBL.py:105-112 idiom): per-nation segment→count map,
+    then one key extracted.  The oracle computes the same scalar directly —
+    the map is the *mechanism* under test, the value is engine-portable."""
+    c = load(spark, sf, "customer")
+    seg_counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mapped = seg_counts.groupBy("c_nationkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("c_mktsegment", "cnt")))
+        ).alias("seg_map"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    return mapped.select(
+        "c_nationkey",
+        F.coalesce(
+            F.element_at(F.col("seg_map"), F.lit("AUTOMOBILE")), F.lit(0)
+        ).alias("automobile_customers"),
+        "n_segments",
+    )
+
+
+@register(
+    "q57_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since_epoch,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy
+    FROM orders
+    """,
+    tags=("§2.13", "date-arithmetic"),
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    """Date arithmetic beyond the reference's surface: datediff, interval
+    add, last_day, day-of-week/year.  DuckDB's dow is 0=Sunday vs Spark's
+    dayofweek 1=Sunday — the oracle adds 1 to align."""
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+    )

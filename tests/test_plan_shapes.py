@@ -95,3 +95,39 @@ def test_salted_join_spreads_keys(spark):
         .count()
     )
     assert spread == 8
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """The 100TB co-location claim, concretely: two tables bucketed on the
+    join key join with ZERO Exchange operators (only scans + sort + SMJ)."""
+    import uuid
+
+    from evidence_datasource_parsers_spark.sources.sinks import write_partitioned
+
+    suffix = uuid.uuid4().hex[:8]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    try:
+        write_partitioned(
+            orders.select("o_orderkey", "o_totalprice"), str(tmp_path / "o"),
+            [], buckets=(8, ["o_orderkey"], f"bk_orders_{suffix}"),
+        )
+        write_partitioned(
+            lineitem, str(tmp_path / "l"),
+            [], buckets=(8, ["l_orderkey"], f"bk_lineitem_{suffix}"),
+        )
+        o = spark.table(f"bk_orders_{suffix}")
+        l = spark.table(f"bk_lineitem_{suffix}")
+        joined = o.join(l, o.o_orderkey == l.l_orderkey)
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert _nodes(plan).count("Exchange") == 0, plan
+        assert joined.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS bk_orders_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS bk_lineitem_{suffix}")
