@@ -6,8 +6,10 @@ the *portable* md5-derived hash family (functions/hashing.py) so results are
 reproducible across engines (and verifiable against the DuckDB oracle).
 
 Scale design:
-  * signatures are computed with higher-order array functions per row — no
-    shuffle, no Python;
+  * the scale-path signature (:func:`minhash_signatures_exploded`) is
+    explode + codegen'd scalar hashing + map-side-combined min aggregates —
+    no interpreted HOF lambdas in the hot path (Column-expression variants
+    are kept for small fixtures and as pattern documentation);
   * candidate generation shuffles on (band, band-hash) buckets, never on raw
     text; pair verification only touches bucket-mates;
   * everything is deterministic (fixed permutation family, fixed shingle
@@ -221,9 +223,10 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: (id_a, id_b) sharing >= 1 band bucket.
 
-    Plan shape: signature (narrow) → explode bands (×bands) → groupBy bucket →
-    pairs within bucket → distinct.  The shuffle key is (band, key) — small and
-    uniform; no O(n²) comparisons outside buckets.
+    Plan shape: exploded-aggregate signature (cached) → band keys → equi-join
+    of bucket rows on (band, key) → distinct pairs.  The shuffle key is the
+    band bucket — small and bounded by the banding threshold; no O(n²)
+    comparisons outside buckets.
     """
     # Materialize the signature behind projection boundaries BEFORE building
     # band keys: each band key references the signature array 'rows_per_band'

@@ -234,8 +234,9 @@ def _sig_list_sql() -> str:
     bench=True,
 )
 def q33(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash signatures (16 permutations over 5-char shingles), stringified
-    for stable hashing.  Narrow map-only plan — no shuffle."""
+    """MinHash signatures (16 permutations over 3-word shingles), stringified
+    for stable hashing.  Explode + aggregate formulation: fully codegen'd,
+    map-side partial combine, shuffle carries 16 longs per doc partition."""
     d = load(spark, sf, "documents")
     sig = minhash_signatures_exploded(
         d, "doc_id", "text", "__sig", MINHASH_PERMS, WORD_SHINGLE_N, mode="word"
