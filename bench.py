@@ -42,8 +42,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        materialize(CATALOG[name].builder(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            materialize(CATALOG[name].builder(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one broken query must not kill the line
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
 
     print(
         json.dumps(

@@ -634,3 +634,39 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
         F.dayofweek("o_orderdate").alias("dow"),
         F.dayofyear("o_orderdate").alias("doy"),
     )
+
+
+@register(
+    "q58_range_frame_window",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_90d_spend_c
+    FROM orders
+    """,
+    tags=("window-frame", "rangeBetween"),
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame analytic window (absent from the reference — SURVEY §2.7
+    'no analytic frames'): per-customer trailing-90-day spend.  Exact-cents
+    sum; peers at equal timestamps are included by RANGE semantics in both
+    engines."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        # cast: parquet ms-timestamps surface as TIMESTAMP_NTZ, which
+        # unix_micros rejects; session TZ is UTC so the cast is identity
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-90 * 86400 * 1_000_000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(cents(F.col("o_totalprice"))).over(w).alias(
+            "trailing_90d_spend_c"
+        ),
+    )

@@ -254,3 +254,23 @@ def test_input_file_name_tagging(spark, tmp_path):
     )
     rows = {r["gene"]: r["studyId"] for r in df.collect()}
     assert rows == {"g1": "study_a", "g2": "study_b"}
+
+
+def test_regex_cleanup_chain(spark):
+    from evidence_datasource_parsers_spark.operators.reshape import (
+        regex_cleanup_chain,
+    )
+
+    rules = [
+        (r"\{.*?\}", ""),          # strip curly annotations
+        (r"\s*,\s*", ";"),         # normalize separators
+        (r"\s+", " "),             # collapse whitespace
+        (r"^ | $", ""),            # trim
+    ]
+    df = spark.createDataFrame(
+        [("Epilepsy {MIM:1234} , seizures   , GDD ",)], "phenotype string"
+    )
+    out = df.select(
+        regex_cleanup_chain("phenotype", rules).alias("clean")
+    ).first()
+    assert out["clean"] == "Epilepsy;seizures;GDD"
