@@ -670,3 +670,129 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
             "trailing_90d_spend_c"
         ),
     )
+
+
+@register(
+    "q59_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c4,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS orderdate,
+           min(o_orderpriority) AS priority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey
+    ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10
+    """,
+    tags=("tpch-q3", "join", "topk"),
+    bench=True,
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment/date filters pushed to the
+    scans, two joins, exact-cents revenue, total-order top-10."""
+    c = load(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    rev = cents(F.col("l_extendedprice")) * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(rev).alias("revenue_c4"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
+            F.min("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.col("revenue_c4").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q60_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c4
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    tags=("tpch-q5", "multi-join"),
+    bench=True,
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 6-table join graph with a
+    two-key supplier condition; dims broadcast, one shuffle per fact join."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    l = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    rev = cents(F.col("l_extendedprice")) * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_c4"))
+    )
+
+
+@register(
+    "q61_small_quantity_orders",
+    """
+    SELECT l.l_partkey,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS small_qty_revenue_c
+    FROM lineitem l
+    WHERE l.l_quantity < 0.5 * (
+        SELECT avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY l.l_partkey
+    """,
+    tags=("tpch-q17", "correlated-subquery"),
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery): rows below half their
+    part's average quantity.  Spark-side: decorrelated by hand into an agg +
+    equi-join — the plan Catalyst itself produces for the subquery form.
+    avg(qty) = exact-cents sum / count, one deterministic division."""
+    l = load(spark, sf, "lineitem")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        ((F.sum(cents(F.col("l_quantity"))) / 100.0) / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        l.join(part_avg, l.l_partkey == part_avg.pk)
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("small_qty_revenue_c"))
+    )
