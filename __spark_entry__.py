@@ -8,12 +8,22 @@ lives in ``evidence_datasource_parsers_spark/plans/``.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+# Executor Python workers inherit PYTHONPATH from the JVM's environment —
+# sys.path edits on the driver do NOT propagate.  Any query using
+# mapInPandas/pandas UDFs that reference this package (e.g. the multimodal
+# kernels) needs this set BEFORE the SparkSession's JVM starts.
+if REPO_ROOT not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
 
 from evidence_datasource_parsers_spark.plans import CATALOG  # noqa: E402
 

@@ -491,3 +491,70 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
     )
     c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     return ann_lsh_topk(q, c, dim=64, k=5, n_planes=4)
+
+
+@register(
+    "q62_multimodal_meta",
+    None,  # binary-blob plumbing is not SQL-expressible → rows-only check
+    tags=("multimodal", "mapInPandas"),
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal column plumbing end-to-end inside one plan: synthesize
+    image blobs (synthetic MM01 container) from document bytes via
+    mapInPandas, then decode typed metadata — the schema/batch contract the
+    real codec kernels plug into (operators/multimodal.py).
+
+    The kernels here are deliberately SELF-CONTAINED closures (no references
+    to this package): cloudpickle ships them by value, so the query runs even
+    under a driver whose JVM started without this repo on PYTHONPATH
+    (executor Python workers cannot see driver-side sys.path edits).
+    """
+    d = load(spark, sf, "documents").select("doc_id", "text")
+
+    def to_blobs(batches):
+        import struct as _struct
+
+        import pandas as _pd
+
+        for pdf in batches:
+            blobs = [
+                b"MM01"
+                + _struct.pack(">BiiB", 0, 64, 48, 3)
+                + t.encode("utf-8")[:256]
+                for t in pdf["text"]
+            ]
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"].values, "blob": blobs}
+            )
+
+    def decode(batches):
+        import struct as _struct
+
+        import pandas as _pd
+
+        types = {0: "image", 1: "audio", 2: "video"}
+        for pdf in batches:
+            meta = []
+            for b in pdf["blob"]:
+                if b is None or len(b) < 14 or b[:4] != b"MM01":
+                    meta.append(("unknown", -1, -1, -1, -1))
+                    continue
+                mt, w, h, dep = _struct.unpack(">BiiB", b[4:14])
+                meta.append((types.get(mt, "unknown"), w, h, dep, len(b) - 14))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media_type": [m[0] for m in meta],
+                    "width": _pd.array([m[1] for m in meta], dtype="int32"),
+                    "height": _pd.array([m[2] for m in meta], dtype="int32"),
+                    "depth": _pd.array([m[3] for m in meta], dtype="int32"),
+                    "payload_bytes": [m[4] for m in meta],
+                }
+            )
+
+    media = d.mapInPandas(to_blobs, "media_id long, blob binary")
+    return media.mapInPandas(
+        decode,
+        "media_id long, media_type string, width int, height int,"
+        " depth int, payload_bytes long",
+    )

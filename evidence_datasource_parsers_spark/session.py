@@ -31,6 +31,14 @@ def get_spark(
       * ANSI off: the engine follows the reference's permissive cast semantics
         (invalid cast → null), which the parsers rely on (SURVEY §2.3 P5).
     """
+    # Make this package importable in executor Python workers regardless of
+    # the launch cwd: workers read PYTHONPATH from the JVM's env, captured at
+    # JVM start — sys.path on the driver does not propagate.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if pkg_root not in os.environ.get("PYTHONPATH", ""):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
