@@ -55,24 +55,22 @@ class Expectations:
         return self.expect(name, metric, lambda s: s["d"] == s["t"])
 
     def run(self, df: DataFrame) -> dict[str, bool]:
-        """ONE collect over all metrics; raises listing every failed check."""
+        """ONE collect over all metrics + verdicts; raises listing every
+        failed check with its metric value."""
         if not self.checks:
             return {}
-        row = df.agg(*[a for _, a, _ in self.checks]).collect()[0]
-        import pyspark.sql.functions as _f  # noqa: F401
-
-        results: dict[str, bool] = {}
-        # re-evaluate predicates on the collected scalars driver-side
-        spark_df = df.sparkSession.createDataFrame([row])
-        verdicts = spark_df.select(
+        agg_df = df.agg(*[a for _, a, _ in self.checks])
+        row = agg_df.select(
+            "*",
             *[
                 pred(F.col(f"__m_{i}")).alias(f"__v_{i}")
                 for i, (_, _, pred) in enumerate(self.checks)
-            ]
+            ],
         ).collect()[0]
+        results: dict[str, bool] = {}
         failures = []
         for i, (name, _, _) in enumerate(self.checks):
-            ok = bool(verdicts[f"__v_{i}"])
+            ok = bool(row[f"__v_{i}"])
             results[name] = ok
             if not ok:
                 failures.append(f"{name} (metric={row[f'__m_{i}']})")
