@@ -54,3 +54,12 @@ def test_catalog_size_monotonic_floor():
     """Coverage must not silently shrink between rounds."""
     assert len(CATALOG) >= 62
     assert sum(1 for q in CATALOG.values() if q.oracle) >= 59
+
+
+def test_rerun_determinism(spark, sf_dir):
+    """Two independent builds of hash/window queries must produce identical
+    results — the foundation of consistent incremental dedup re-runs."""
+    for name in ["q33_minhash_signature", "q28_sessionize", "q03_top_customer_per_nation"]:
+        a = sorted(map(str, CATALOG[name].builder(spark, sf_dir).collect()))
+        b = sorted(map(str, CATALOG[name].builder(spark, sf_dir).collect()))
+        assert a == b, f"{name} not rerun-stable"
