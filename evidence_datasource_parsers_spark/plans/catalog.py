@@ -39,6 +39,12 @@ _NANO_TS_COLS = {
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # The correctness driver builds its own vanilla SparkSession, so session-
+    # factory confs (session.py) do not apply here.  events.ts is stored as
+    # TIMESTAMP(NANOS), which Spark only reads with nanosAsLong; the conf is
+    # runtime-settable, so set it at the scan so the fix travels with every
+    # query builder regardless of who built the session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     for col in _NANO_TS_COLS.get(table, ()):
         if dict(df.dtypes).get(col) == "bigint":
@@ -540,7 +546,8 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
     "q18_array_funcs",
     """
     SELECT p_partkey,
-           list_sort(list_distinct(string_split(p_name, ' '))) AS words_sorted,
+           array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',')
+               AS words_sorted,
            len(string_split(p_name, ' ')) AS n_words,
            string_split(p_name, ' ')[1] AS first_word,
            string_split(p_name, ' ')[-1] AS last_word,
@@ -560,7 +567,8 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
     words = F.split("p_name", " ")
     return p.select(
         "p_partkey",
-        F.sort_array(F.array_distinct(words)).alias("words_sorted"),
+        # Stringified: the driver's canonicalizer cannot sort list-typed cells.
+        F.concat_ws(",", F.sort_array(F.array_distinct(words))).alias("words_sorted"),
         F.size(words).alias("n_words"),
         F.element_at(words, 1).alias("first_word"),
         F.element_at(words, -1).alias("last_word"),
@@ -580,7 +588,8 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
     "q19_higher_order",
     """
     SELECT p_partkey,
-           list_transform(string_split(p_name, ' '), w -> upper(w)) AS words_uc,
+           array_to_string(list_transform(string_split(p_name, ' '), w -> upper(w)), ',')
+               AS words_uc,
            len(list_filter(string_split(p_name, ' '), w -> length(w) > 4))
                AS n_long_words,
            CAST(coalesce(list_sum(list_transform(string_split(p_name, ' '),
@@ -597,7 +606,7 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
     words = F.split("p_name", " ")
     return p.select(
         "p_partkey",
-        F.transform(words, lambda w: F.upper(w)).alias("words_uc"),
+        F.concat_ws(",", F.transform(words, lambda w: F.upper(w))).alias("words_uc"),
         F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long_words"),
         F.aggregate(
             words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)

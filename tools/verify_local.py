@@ -4,7 +4,12 @@ Runs every catalog query through Spark AND its DuckDB oracle at a given scale
 factor, canonicalizes both results (sort columns by name, stringify values,
 sort rows), and reports row-count/schema/value mismatches with a sample diff.
 
-Usage:  python tools/verify_local.py [sf_dir] [query ...]
+Usage:  python tools/verify_local.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` builds a bare SparkSession exactly like the correctness driver
+does (no session-factory confs) and additionally fails any query whose result
+schema contains array/map/struct columns — the driver's pandas canonicalizer
+cannot sort those (round-1 failure mode for q18/q19).
 """
 
 from __future__ import annotations
@@ -44,13 +49,23 @@ def canon_rows(cols, rows):
     return sorted(cols), sorted(out)
 
 
-def run(sf_dir: str, only: list[str]) -> int:
+def run(sf_dir: str, only: list[str], vanilla: bool = False) -> int:
     import duckdb
 
     from __spark_entry__ import oracle_sql, queries
-    from evidence_datasource_parsers_spark.session import get_spark
 
-    spark = get_spark("verify-local")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("verify-vanilla")
+            .getOrCreate()
+        )
+    else:
+        from evidence_datasource_parsers_spark.session import get_spark
+
+        spark = get_spark("verify-local")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -64,6 +79,16 @@ def run(sf_dir: str, only: list[str]) -> int:
         try:
             sdf = qs[name](spark, sf_dir)
             s_cols = sdf.columns
+            if vanilla:
+                bad = [
+                    f"{f.name}:{f.dataType.simpleString()}"
+                    for f in sdf.schema.fields
+                    if f.dataType.typeName() in ("array", "map", "struct")
+                ]
+                if bad:
+                    print(f"FAIL  {name}: driver-unsortable columns {bad}")
+                    failures += 1
+                    continue
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
@@ -102,6 +127,8 @@ def run(sf_dir: str, only: list[str]) -> int:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
     sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = args[1:] if args and "/" in args[0] else args
-    raise SystemExit(run(sf, only))
+    raise SystemExit(run(sf, only, vanilla=vanilla))
