@@ -257,35 +257,27 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q06_customers_without_orders",
     """
-    SELECT c_custkey, c_name FROM customer c
+    SELECT 'without' AS tag, c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-    tags=("J4",),
-)
-def q06(spark: SparkSession, sf: str) -> DataFrame:
-    """left_anti negative-control exclusion (J4), AzGeneBurden.py:138-153."""
-    c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders")
-    return c.join(
-        o, c.c_custkey == o.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
-
-
-@register(
-    "q07_customers_with_orders",
-    """
-    SELECT c_custkey, c_name FROM customer c
+    UNION ALL
+    SELECT 'with' AS tag, c_custkey, c_name FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
-    tags=("J1", "semi"),
+    tags=("J4", "semi"),
 )
-def q07(spark: SparkSession, sf: str) -> DataFrame:
-    """left_semi: existence filter without fan-out."""
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    """left_anti negative-control exclusion (J4, AzGeneBurden.py:138-153) and
+    left_semi existence filter, tagged and unioned — both existence-join
+    flavors against the same key, no fan-out on either side."""
     c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders")
-    return c.join(
-        o, c.c_custkey == o.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
+    o = load(spark, sf, "orders").select("o_custkey")
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("without").alias("tag"), "c_custkey", "c_name"
+    )
+    with_ = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("with").alias("tag"), "c_custkey", "c_name"
+    )
+    return without.unionByName(with_)
 
 
 @register(
@@ -494,15 +486,26 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
                 THEN NULL
                 ELSE CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT)
            END AS k_nonzero,
-           CASE WHEN event_type = '' THEN NULL ELSE event_type END AS etype
+           CASE WHEN event_type = '' THEN NULL ELSE event_type END AS etype,
+           string_split(event_type || ',' || CAST(user_id AS VARCHAR), ',')[1]
+               AS parsed_type,
+           CAST(string_split(event_type || ',' || CAST(user_id AS VARCHAR),
+                ',')[2] AS BIGINT) AS parsed_user
     FROM events
     """,
-    tags=("P9", "F5"),
+    tags=("P9", "F5", "from_csv"),
 )
 def q16(spark: SparkSession, sf: str) -> DataFrame:
-    """Null normalization (P9: 0→null, ''→null) over regex-extracted JSON."""
+    """Null normalization (P9: 0→null, ''→null) over regex-extracted JSON,
+    plus string→struct CSV parsing (from_csv, parity
+    Pharmacogenetics.py:122): round-trips a packed 'type,user' string
+    through the typed parser in the same per-event pass."""
     e = load(spark, sf, "events")
     k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    parsed = F.from_csv(
+        F.concat_ws(",", "event_type", "user_id"),
+        "parsed_type string, parsed_user bigint",
+    )
     return e.select(
         "event_id",
         k.alias("k_raw"),
@@ -510,6 +513,8 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("event_type") == "", F.lit(None))
         .otherwise(F.col("event_type"))
         .alias("etype"),
+        parsed["parsed_type"].alias("parsed_type"),
+        parsed["parsed_user"].alias("parsed_user"),
     )
 
 
@@ -555,19 +560,28 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
            array_to_string(
                list_sort(list_filter(list_distinct(string_split(p_name, ' ')),
                                      w -> NOT list_contains(['small','large'], w))),
-               ',') AS non_size_words
+               ',') AS non_size_words,
+           array_to_string(list_transform(string_split(p_name, ' '), w -> upper(w)), ',')
+               AS words_uc,
+           len(list_filter(string_split(p_name, ' '), w -> length(w) > 4))
+               AS n_long_words,
+           CAST(coalesce(list_sum(list_transform(string_split(p_name, ' '),
+                                                 w -> length(w))), 0) AS BIGINT)
+               AS total_chars
     FROM part
     """,
-    tags=("§2.14", "R4"),
+    tags=("§2.14", "R4", "HOF"),
 )
 def q18(spark: SparkSession, sf: str) -> DataFrame:
-    """Array-function inventory §2.14: distinct/sort/size/indexing/contains/
-    except — set results sorted for stable hashing."""
+    """Array-function inventory §2.14 (distinct/sort/size/indexing/contains/
+    except) plus the higher-order trio transform/filter/aggregate
+    (ChEMBL.py:111, TargetSafety.py:84-99) over the same tokenization — all
+    codegen'd, no UDFs; set results sorted + stringified for stable hashing
+    (harness canonicalizers cannot sort list-typed cells)."""
     p = load(spark, sf, "part")
     words = F.split("p_name", " ")
     return p.select(
         "p_partkey",
-        # Stringified: the driver's canonicalizer cannot sort list-typed cells.
         F.concat_ws(",", F.sort_array(F.array_distinct(words))).alias("words_sorted"),
         F.size(words).alias("n_words"),
         F.element_at(words, 1).alias("first_word"),
@@ -581,31 +595,6 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
                 )
             ),
         ).alias("non_size_words"),
-    )
-
-
-@register(
-    "q19_higher_order",
-    """
-    SELECT p_partkey,
-           array_to_string(list_transform(string_split(p_name, ' '), w -> upper(w)), ',')
-               AS words_uc,
-           len(list_filter(string_split(p_name, ' '), w -> length(w) > 4))
-               AS n_long_words,
-           CAST(coalesce(list_sum(list_transform(string_split(p_name, ' '),
-                                                 w -> length(w))), 0) AS BIGINT)
-               AS total_chars
-    FROM part
-    """,
-    tags=("§2.14", "HOF"),
-)
-def q19(spark: SparkSession, sf: str) -> DataFrame:
-    """Higher-order functions: transform / filter / aggregate (ChEMBL.py:111,
-    TargetSafety.py:84-99) — all codegen'd, no UDFs."""
-    p = load(spark, sf, "part")
-    words = F.split("p_name", " ")
-    return p.select(
-        "p_partkey",
         F.concat_ws(",", F.transform(words, lambda w: F.upper(w))).alias("words_uc"),
         F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long_words"),
         F.aggregate(
@@ -764,18 +753,28 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
            row_number() OVER w AS seq,
            rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS val_rank,
            lag(value) OVER w AS prev_value,
-           lead(event_type) OVER w AS next_type
+           lead(event_type) OVER w AS next_type,
+           CASE WHEN max(value) OVER wt = min(value) OVER wt THEN 0.5
+                ELSE (value - min(value) OVER wt)
+                     / (max(value) OVER wt - min(value) OVER wt)
+           END AS value_norm
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           wt AS (PARTITION BY event_type)
     """,
-    tags=("W1", "analytics"),
+    tags=("W1", "analytics", "§2.12", "normalization"),
 )
 def q25(spark: SparkSession, sf: str) -> DataFrame:
     """Analytic windows beyond the reference's W1: row_number/rank/lag/lead
-    under total orders."""
+    under total orders, plus per-group min-max renormalization
+    (SystemsBiology.py:9-57, done there driver-side in Python) as an
+    unordered whole-partition window — min/max are exact over stored
+    doubles, the division is one deterministic IEEE op."""
     e = load(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wr = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    wt = Window.partitionBy("event_type")
+    mn, mx = F.min("value").over(wt), F.max("value").over(wt)
     return e.select(
         "event_id",
         "user_id",
@@ -784,25 +783,9 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
         F.rank().over(wr).alias("val_rank"),
         F.lag("value").over(w).alias("prev_value"),
         F.lead("event_type").over(w).alias("next_type"),
-    )
-
-
-@register(
-    "q26_topk_global",
-    """
-    SELECT o_orderkey, o_totalprice
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
-    """,
-    tags=("O1", "topk"),
-)
-def q26(spark: SparkSession, sf: str) -> DataFrame:
-    """Global top-k: Spark plans TakeOrderedAndProject (per-partition heap +
-    driver merge — no full sort shuffle)."""
-    o = load(spark, sf, "orders")
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-        .select("o_orderkey", "o_totalprice")
+        F.when(mx == mn, 0.5)
+        .otherwise((F.col("value") - mn) / (mx - mn))
+        .alias("value_norm"),
     )
 
 

@@ -55,35 +55,52 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
            count(*) FILTER (c_mktsegment = 'MACHINERY') AS n_machinery,
            CAST(coalesce(SUM({_c('c_acctbal')})
                 FILTER (c_mktsegment = 'AUTOMOBILE'), 0) AS BIGINT)
-               AS bal_automobile_c
+               AS bal_automobile_c,
+           count(DISTINCT c_mktsegment) AS n_segments
     FROM customer GROUP BY c_nationkey
     """,
-    tags=("pivot",),
+    tags=("pivot", "§2.14", "map_from_entries"),
 )
 def q41(spark: SparkSession, sf: str) -> DataFrame:
-    """Pivot as conditional aggregation — the shuffle-optimal form (a true
-    ``pivot()`` adds a values-discovery job; with known categories the
-    FILTER/when form is one pass)."""
+    """Pivot via runtime map construction (map_from_entries + element_at,
+    ChEMBL.py:105-112 idiom): per-(nation, segment) counts roll up into a
+    segment→count map, and the pivot columns are keyed lookups.  The oracle
+    computes the same scalars with FILTER aggregation — the map is the
+    *mechanism* under test, the values are engine-portable.  Two-level agg
+    on a prefix key: the second shuffle moves one row per (nation, segment)
+    pair, not raw customers."""
     c = load(spark, sf, "customer")
-
-    def n_seg(seg: str):
-        return F.count(F.when(F.col("c_mktsegment") == seg, 1))
-
-    return c.groupBy("c_nationkey").agg(
-        n_seg("AUTOMOBILE").alias("n_automobile"),
-        n_seg("BUILDING").alias("n_building"),
-        n_seg("MACHINERY").alias("n_machinery"),
+    seg_counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(cents(F.col("c_acctbal"))).alias("bal_c"),
+    )
+    mapped = seg_counts.groupBy("c_nationkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("c_mktsegment", "cnt")))
+        ).alias("seg_map"),
         F.coalesce(
             F.sum(
-                F.when(
-                    F.col("c_mktsegment") == "AUTOMOBILE",
-                    cents(F.col("c_acctbal")),
-                )
+                F.when(F.col("c_mktsegment") == "AUTOMOBILE", F.col("bal_c"))
             ),
             F.lit(0),
         )
         .cast("long")
         .alias("bal_automobile_c"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+
+    def seg(name: str):
+        return F.coalesce(
+            F.element_at(F.col("seg_map"), F.lit(name)), F.lit(0).cast("long")
+        )
+
+    return mapped.select(
+        "c_nationkey",
+        seg("AUTOMOBILE").alias("n_automobile"),
+        seg("BUILDING").alias("n_building"),
+        seg("MACHINERY").alias("n_machinery"),
+        "bal_automobile_c",
+        "n_segments",
     )
 
 
@@ -96,14 +113,21 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
            quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
                          [0.25, 0.75])[1] AS p25_price_c,
            quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
-                         [0.25, 0.75])[2] AS p75_price_c
+                         [0.25, 0.75])[2] AS p75_price_c,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS hll_within_5pct
     FROM lineitem GROUP BY l_returnflag
     """,
-    tags=("percentile",),
+    tags=("percentile", "approx", "sketch"),
 )
 def q42(spark: SparkSession, sf: str) -> DataFrame:
     """Exact interpolated percentiles over integer cents (interpolation
-    arithmetic on exact ints is engine-portable; float inputs would not be)."""
+    arithmetic on exact ints is engine-portable; float inputs would not be),
+    plus the HyperLogLog sketch path for 100 TB cardinality encoded as an
+    invariant: Spark emits approx_count_distinct's relative error vs the
+    exact count as a <5% boolean, which the oracle states as TRUE (sketch
+    constants are engine-specific, the error bound is not — rsd=0.02 gives
+    huge headroom)."""
     l = load(spark, sf, "lineitem")
     qty_c = cents(F.col("l_quantity"))
     price_c = cents(F.col("l_extendedprice"))
@@ -111,6 +135,15 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         F.percentile(qty_c, F.lit(0.5)).alias("median_qty_c"),
         F.percentile(price_c, F.lit(0.25)).alias("p25_price_c"),
         F.percentile(price_c, F.lit(0.75)).alias("p75_price_c"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02)
+                - F.count_distinct("l_partkey")
+            )
+            / F.count_distinct("l_partkey")
+            < 0.05
+        ).alias("hll_within_5pct"),
     )
 
 
@@ -138,31 +171,6 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("nation_only").alias("tag"), "nationkey"
     )
     return both.unionByName(only)
-
-
-@register(
-    "q44_from_csv",
-    """
-    SELECT event_id,
-           string_split(event_type || ',' || CAST(user_id AS VARCHAR), ',')[1]
-               AS parsed_type,
-           CAST(string_split(event_type || ',' || CAST(user_id AS VARCHAR),
-                ',')[2] AS BIGINT) AS parsed_user
-    FROM events
-    """,
-    tags=("from_csv", "P-parse"),
-)
-def q44(spark: SparkSession, sf: str) -> DataFrame:
-    """String→struct CSV parsing (from_csv, parity Pharmacogenetics.py:122):
-    round-trips a packed 'type,user' string through the typed parser."""
-    e = load(spark, sf, "events")
-    packed = F.concat_ws(",", "event_type", "user_id")
-    parsed = F.from_csv(packed, "parsed_type string, parsed_user bigint")
-    return e.select(
-        "event_id",
-        parsed["parsed_type"].alias("parsed_type"),
-        parsed["parsed_user"].alias("parsed_user"),
-    )
 
 
 @register(
@@ -346,23 +354,6 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "q49_approx_distinct",
-    None,  # HLL sketches are engine-specific; exactness asserted in tests
-    tags=("approx", "sketch"),
-)
-def q49(spark: SparkSession, sf: str) -> DataFrame:
-    """HyperLogLog approximate distinct counts — the sketch path for
-    cardinality at 100 TB (exact distinct shuffles every value; HLL is a
-    fixed-size mergeable sketch).  No oracle: Spark and DuckDB use different
-    sketch constants; tests assert <5% error vs exact."""
-    l = load(spark, sf, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
-    )
-
-
-@register(
     "q50_hash_split",
     f"""
     SELECT split, count(*) AS n_docs,
@@ -496,31 +487,6 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "q53_minmax_normalize",
-    """
-    SELECT event_id, event_type, value,
-           CASE WHEN max(value) OVER w = min(value) OVER w THEN 0.5
-                ELSE (value - min(value) OVER w)
-                     / (max(value) OVER w - min(value) OVER w)
-           END AS value_norm
-    FROM events WINDOW w AS (PARTITION BY event_type)
-    """,
-    tags=("§2.12", "normalization"),
-)
-def q53(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-group min-max renormalization (SystemsBiology.py:9-57, done there
-    driver-side in Python) as a window expression — min/max are exact over
-    stored doubles, the division is one deterministic IEEE op."""
-    from pyspark.sql import Window as W
-
-    e = load(spark, sf, "events")
-    w = W.partitionBy("event_type")
-    mn, mx = F.min("value").over(w), F.max("value").over(w)
-    norm = F.when(mx == mn, 0.5).otherwise((F.col("value") - mn) / (mx - mn))
-    return e.select("event_id", "event_type", "value", norm.alias("value_norm"))
-
-
-@register(
     "q54_stouffer",
     """
     SELECT user_id, event_type,
@@ -546,63 +512,6 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "q55_regexp_extract_all",
-    """
-    SELECT doc_id,
-           list_sort(regexp_extract_all(text, '(s[a-z]{3,})', 1)) AS s_words,
-           len(regexp_extract_all(text, '(s[a-z]{3,})', 1)) AS n_s_words
-    FROM documents
-    """,
-    tags=("§2.11", "regexp_extract_all"),
-)
-def q55(spark: SparkSession, sf: str) -> DataFrame:
-    """regexp_extract_all + array ops (IMPC.py:260,267 packed-list idiom) —
-    every 's…' word of each document, sorted for stable hashing."""
-    d = load(spark, sf, "documents")
-    matches = F.regexp_extract_all("text", F.lit(r"(s[a-z]{3,})"), 1)
-    return d.select(
-        "doc_id",
-        F.sort_array(matches).alias("s_words"),
-        F.size(matches).alias("n_s_words"),
-    )
-
-
-@register(
-    "q56_map_from_entries",
-    """
-    SELECT c_nationkey,
-           coalesce(count(*) FILTER (c_mktsegment = 'AUTOMOBILE'), 0)
-               AS automobile_customers,
-           count(DISTINCT c_mktsegment) AS n_segments
-    FROM customer GROUP BY c_nationkey
-    """,
-    tags=("§2.14", "map_from_entries"),
-)
-def q56(spark: SparkSession, sf: str) -> DataFrame:
-    """Runtime map construction + keyed lookup (map_from_entries +
-    element_at, ChEMBL.py:105-112 idiom): per-nation segment→count map,
-    then one key extracted.  The oracle computes the same scalar directly —
-    the map is the *mechanism* under test, the value is engine-portable."""
-    c = load(spark, sf, "customer")
-    seg_counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    mapped = seg_counts.groupBy("c_nationkey").agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("c_mktsegment", "cnt")))
-        ).alias("seg_map"),
-        F.count(F.lit(1)).alias("n_segments"),
-    )
-    return mapped.select(
-        "c_nationkey",
-        F.coalesce(
-            F.element_at(F.col("seg_map"), F.lit("AUTOMOBILE")), F.lit(0)
-        ).alias("automobile_customers"),
-        "n_segments",
-    )
-
-
-@register(
     "q57_date_arithmetic",
     """
     SELECT o_orderkey,
@@ -610,16 +519,32 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
            strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
            strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
            CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
-           CAST(dayofyear(o_orderdate) AS INT) AS doy
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_90d_spend_c
     FROM orders
     """,
-    tags=("§2.13", "date-arithmetic"),
+    tags=("§2.13", "date-arithmetic", "window-frame", "rangeBetween"),
 )
 def q57(spark: SparkSession, sf: str) -> DataFrame:
-    """Date arithmetic beyond the reference's surface: datediff, interval
-    add, last_day, day-of-week/year.  DuckDB's dow is 0=Sunday vs Spark's
-    dayofweek 1=Sunday — the oracle adds 1 to align."""
+    """Date arithmetic beyond the reference's surface (datediff, interval
+    add, last_day, day-of-week/year; DuckDB's dow is 0=Sunday vs Spark's
+    dayofweek 1=Sunday — the oracle adds 1 to align) plus a RANGE-frame
+    analytic window (SURVEY §2.7 'no analytic frames'): per-customer
+    trailing-90-day spend in exact cents; peers at equal timestamps are
+    included by RANGE semantics in both engines."""
+    from pyspark.sql import Window as W
+
     o = load(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        # cast: parquet ms-timestamps surface as TIMESTAMP_NTZ, which
+        # unix_micros rejects; session TZ is UTC so the cast is identity
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-90 * 86400 * 1_000_000, 0)
+    )
     return o.select(
         "o_orderkey",
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
@@ -633,39 +558,6 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.dayofweek("o_orderdate").alias("dow"),
         F.dayofyear("o_orderdate").alias("doy"),
-    )
-
-
-@register(
-    "q58_range_frame_window",
-    """
-    SELECT o_orderkey, o_custkey,
-           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
-                PARTITION BY o_custkey ORDER BY o_orderdate
-                RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS trailing_90d_spend_c
-    FROM orders
-    """,
-    tags=("window-frame", "rangeBetween"),
-)
-def q58(spark: SparkSession, sf: str) -> DataFrame:
-    """RANGE-frame analytic window (absent from the reference — SURVEY §2.7
-    'no analytic frames'): per-customer trailing-90-day spend.  Exact-cents
-    sum; peers at equal timestamps are included by RANGE semantics in both
-    engines."""
-    from pyspark.sql import Window as W
-
-    o = load(spark, sf, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        # cast: parquet ms-timestamps surface as TIMESTAMP_NTZ, which
-        # unix_micros rejects; session TZ is UTC so the cast is identity
-        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
-        .rangeBetween(-90 * 86400 * 1_000_000, 0)
-    )
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
         F.sum(cents(F.col("o_totalprice"))).over(w).alias(
             "trailing_90d_spend_c"
         ),
