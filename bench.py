@@ -49,13 +49,17 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
 
+    # failed queries (-1.0 sentinel) must not subtract from the headline
+    # total — the metric stays monotone in real work done
+    failed = sorted(n for n, t in timings.items() if t < 0)
     print(
         json.dumps(
             {
                 "metric": "catalog_headline_total",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(t for t in timings.values() if t >= 0), 3),
                 "unit": "sec",
                 "queries": timings,
+                "failed": failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

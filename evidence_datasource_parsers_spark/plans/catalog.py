@@ -519,35 +519,6 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "q17_date_funcs",
-    """
-    SELECT CAST(year(o_orderdate) AS INT) AS yr,
-           CAST(quarter(o_orderdate) AS INT) AS qtr,
-           strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
-           strftime(max(o_orderdate), '%Y-%m-%d') AS last_day,
-           count(*) AS n
-    FROM orders GROUP BY 1, 2
-    """,
-    tags=("§2.13",),
-)
-def q17(spark: SparkSession, sf: str) -> DataFrame:
-    """Date/time inventory §2.13: year/quarter extraction + date_format,
-    parity ClinGen.py:93-95."""
-    o = load(spark, sf, "orders")
-    return (
-        o.groupBy(
-            F.year("o_orderdate").alias("yr"),
-            F.quarter("o_orderdate").alias("qtr"),
-        )
-        .agg(
-            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
-            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-
-
-@register(
     "q18_array_funcs",
     """
     SELECT p_partkey,

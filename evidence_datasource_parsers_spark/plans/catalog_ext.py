@@ -515,6 +515,8 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
     "q57_date_arithmetic",
     """
     SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
            date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS days_since_epoch,
            strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
            strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
@@ -529,8 +531,9 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
     tags=("§2.13", "date-arithmetic", "window-frame", "rangeBetween"),
 )
 def q57(spark: SparkSession, sf: str) -> DataFrame:
-    """Date arithmetic beyond the reference's surface (datediff, interval
-    add, last_day, day-of-week/year; DuckDB's dow is 0=Sunday vs Spark's
+    """Date/time inventory §2.13 (year/quarter extraction, parity
+    ClinGen.py:93-95) plus arithmetic beyond the reference's surface (datediff,
+    interval add, last_day, day-of-week/year; DuckDB's dow is 0=Sunday vs Spark's
     dayofweek 1=Sunday — the oracle adds 1 to align) plus a RANGE-frame
     analytic window (SURVEY §2.7 'no analytic frames'): per-customer
     trailing-90-day spend in exact cents; peers at equal timestamps are
@@ -547,6 +550,8 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
     )
     return o.select(
         "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
         .cast("long")
         .alias("days_since_epoch"),

@@ -38,6 +38,7 @@ from evidence_datasource_parsers_spark.operators.dedupe import (
 from evidence_datasource_parsers_spark.operators.similarity import (
     ann_lsh_topk,
     brute_force_topk,
+    deterministic_planes,
 )
 from evidence_datasource_parsers_spark.plans.catalog import load, register
 
@@ -88,11 +89,21 @@ def _sw(words: list[str]) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _lang_hits_sql() -> str:
+    cols = []
+    for code, sw in sorted(LANG_STOPWORDS.items()):
+        cols.append(
+            f"len(list_filter(toks, x -> x IN ({_sw(sw)}))) AS h_{code}"
+        )
+    return ", ".join(cols)
+
+
 @register(
     "q29_doc_stats",
     f"""
-    WITH n AS (SELECT doc_id, {NORM} AS t FROM documents),
-    tk AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM n)
+    WITH n AS (SELECT doc_id, lang, {NORM} AS t FROM documents),
+    tk AS (SELECT doc_id, lang, t, string_split(t, ' ') AS toks FROM n),
+    h AS (SELECT doc_id, lang, t, toks, {_lang_hits_sql()} FROM tk)
     SELECT doc_id,
            length(t) AS n_chars_norm,
            len(toks) AS n_tokens,
@@ -100,15 +111,23 @@ def _sw(words: list[str]) -> str:
            len(list_filter(toks, x -> x IN ({_sw(STOPWORDS_EN)}))) * 1.0
                / len(toks) AS stopword_ratio,
            CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT)
-               * 1.0 / len(toks) AS mean_token_len
-    FROM tk
+               * 1.0 / len(toks) AS mean_token_len,
+           lang AS lang_label,
+           h_de AS hits_de, h_en AS hits_en, h_es AS hits_es, h_fr AS hits_fr,
+           CASE WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                WHEN h_en >= h_de THEN 'en'
+                ELSE 'de' END AS lang_guess
+    FROM h
     """,
-    tags=("text", "quality", "token-count"),
+    tags=("text", "quality", "token-count", "lang-id"),
     bench=True,
 )
 def q29(spark: SparkSession, sf: str) -> DataFrame:
-    """Quality scoring + token counting over documents — all built-ins, one
-    narrow pass, no shuffle."""
+    """Quality scoring + token counting + stopword-heuristic language ID over
+    documents — all built-ins, one narrow pass, no shuffle.  Language guess
+    is per-language stopword hit counts → argmax (ties → greatest language
+    code, mirrored in the oracle CASE chain)."""
     d = load(spark, sf, "documents")
     # materialize normalization + tokenization once; every stat references
     # the columns instead of inlining the regexp pipeline per expression
@@ -117,6 +136,10 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     )
     sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
     toks, t = F.col("__toks"), F.col("__t")
+    hit_cols = [
+        stopword_hits(F.col("text"), sw_l).alias(f"hits_{code}")
+        for code, sw_l in sorted(LANG_STOPWORDS.items())
+    ]
     return staged.select(
         "doc_id",
         F.length(t).alias("n_chars_norm"),
@@ -132,44 +155,6 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
             * 1.0
             / F.size(toks)
         ).alias("mean_token_len"),
-    )
-
-
-def _lang_hits_sql() -> str:
-    cols = []
-    for code, sw in sorted(LANG_STOPWORDS.items()):
-        cols.append(
-            f"len(list_filter(toks, x -> x IN ({_sw(sw)}))) AS h_{code}"
-        )
-    return ", ".join(cols)
-
-
-@register(
-    "q30_lang_guess",
-    f"""
-    WITH n AS (SELECT doc_id, lang, {NORM} AS t FROM documents),
-    tk AS (SELECT doc_id, lang, string_split(t, ' ') AS toks FROM n),
-    h AS (SELECT doc_id, lang, {_lang_hits_sql()} FROM tk)
-    SELECT doc_id, lang AS lang_label,
-           h_de AS hits_de, h_en AS hits_en, h_es AS hits_es, h_fr AS hits_fr,
-           CASE WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
-                WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
-                WHEN h_en >= h_de THEN 'en'
-                ELSE 'de' END AS lang_guess
-    FROM h
-    """,
-    tags=("text", "lang-id"),
-)
-def q30(spark: SparkSession, sf: str) -> DataFrame:
-    """Stopword-heuristic language ID: per-language hit counts → argmax
-    (ties → greatest language code, mirrored in the oracle CASE chain)."""
-    d = load(spark, sf, "documents")
-    hit_cols = [
-        stopword_hits(F.col("text"), sw).alias(f"hits_{code}")
-        for code, sw in sorted(LANG_STOPWORDS.items())
-    ]
-    return d.select(
-        "doc_id",
         F.col("lang").alias("lang_label"),
         *hit_cols,
         lang_guess(F.col("text")).alias("lang_guess"),
@@ -179,19 +164,6 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "q31_fingerprint",
-    f"""
-    SELECT doc_id, {portable_hash_sql(NORM)} AS content_hash FROM documents
-    """,
-    tags=("dedup", "fingerprint"),
-)
-def q31(spark: SparkSession, sf: str) -> DataFrame:
-    """Portable 60-bit content fingerprint per document."""
-    d = load(spark, sf, "documents")
-    return d.select("doc_id", content_hash(F.col("text")).alias("content_hash"))
 
 
 @register(
@@ -301,22 +273,30 @@ def _simhash_bits_sql() -> str:
     "q35_simhash",
     f"""
     WITH n AS (SELECT doc_id, {NORM} AS t FROM documents),
-    tk AS (SELECT doc_id, list_distinct(string_split(t, ' ')) AS toks FROM n),
-    h AS (SELECT doc_id,
+    tk AS (SELECT doc_id, t, list_distinct(string_split(t, ' ')) AS toks FROM n),
+    h AS (SELECT doc_id, t,
                  list_transform(toks, s -> {portable_hash_sql('s')}) AS hs,
                  len(toks) AS n
           FROM tk)
-    SELECT doc_id, CAST({_simhash_bits_sql()} AS BIGINT) AS simhash FROM h
+    SELECT doc_id,
+           {portable_hash_sql('t')} AS content_hash,
+           CAST({_simhash_bits_sql()} AS BIGINT) AS simhash
+    FROM h
     """,
-    tags=("dedup", "simhash"),
+    tags=("dedup", "simhash", "fingerprint"),
 )
 def q35(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash over distinct tokens (bit j set iff the majority of
-    token hashes have bit j set)."""
+    token hashes have bit j set), plus the portable 60-bit content
+    fingerprint per document — both hash families in one narrow pass."""
     d = load(spark, sf, "documents")
     return with_simhash(
         d.select("doc_id", "text"), "text", "simhash", SIMHASH_BITS
-    ).select("doc_id", "simhash")
+    ).select(
+        "doc_id",
+        content_hash(F.col("text")).alias("content_hash"),
+        "simhash",
+    )
 
 
 @register(
@@ -476,26 +456,98 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+ANN_PLANES = 4
+ANN_TABLES = 4
+
+
+def _ann_bucket_sql(planes: list[list[float]], t: int) -> str:
+    """Bucket id of hash table ``t``: sign bits of the 4 plane dot products
+    packed to an int — the identical balanced multiply-add tree and plane
+    constants as similarity.hyperplane bucketing (planes are a deterministic
+    LCG, so both engines see the same literals)."""
+    terms = []
+    for j in range(ANN_PLANES):
+        plane = planes[t * ANN_PLANES + j]
+        s = _balanced_sum_sql(
+            [f"ea[{i + 1}] * {v!r}" for i, v in enumerate(plane)]
+        )
+        terms.append(f"(CASE WHEN {s} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _ann_oracle_sql() -> str:
+    # table t uses global planes [4t, 4t+4) — plane j depends only on j, so
+    # one 16-plane sequence reproduces every per-table slice exactly
+    planes = deterministic_planes(EMB_DIM, ANN_PLANES * ANN_TABLES)
+    bks = ",\n           ".join(
+        f"({_ann_bucket_sql(planes, t)}) AS bk{t}" for t in range(ANN_TABLES)
+    )
+    buckets = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, bk{t} AS bucket FROM sb"
+        for t in range(ANN_TABLES)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ea FROM embeddings),
+    sb AS (SELECT vec_id,
+           {bks}
+           FROM v),
+    b AS ({buckets}),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM b q JOIN b c ON q.t = c.t AND q.bucket = c.bucket
+        WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {DOT_SQL} / ({NORM_Q} * {NORM_C}) AS cosine_sim
+        FROM cand
+        JOIN (SELECT vec_id, ea AS qa FROM v) qq ON qq.vec_id = query_id
+        JOIN (SELECT vec_id, ea AS ca FROM v) cc ON cc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """
+
+
 @register(
     "q39_ann_lsh",
-    None,  # approximate: engine-defined bucketing, rows-only check
+    _ann_oracle_sql(),
     tags=("similarity", "ann", "lsh"),
+    bench=True,
 )
 def q39(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets — the 100 TB scale
-    path where brute force is infeasible.  No oracle (approximate by design);
-    recall vs q37 is asserted in tests/test_similarity.py."""
+    path where brute force is infeasible.  The hyperplanes come from a
+    deterministic LCG (similarity.deterministic_planes), so the bucketing —
+    and therefore the whole approximate result — is engine-portable: the
+    oracle replays the identical plane constants and sum trees in DuckDB and
+    the results hash-match exactly.  Recall vs q37 is additionally asserted
+    in tests/test_dedupe_similarity.py."""
     e = load(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    return ann_lsh_topk(q, c, dim=64, k=5, n_planes=4)
+    return ann_lsh_topk(
+        q, c, dim=64, k=5, n_planes=ANN_PLANES, n_tables=ANN_TABLES
+    ).withColumn("rank", F.col("rank").cast("int"))
 
 
 @register(
     "q62_multimodal_meta",
-    None,  # binary-blob plumbing is not SQL-expressible → rows-only check
+    """
+    SELECT doc_id AS media_id,
+           'image' AS media_type,
+           CAST(64 AS INT) AS width,
+           CAST(48 AS INT) AS height,
+           CAST(3 AS INT) AS depth,
+           CAST(least(octet_length(encode(text)), 256) AS BIGINT)
+               AS payload_bytes
+    FROM documents
+    """,
     tags=("multimodal", "mapInPandas"),
 )
 def q62(spark: SparkSession, sf: str) -> DataFrame:
@@ -503,6 +555,13 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
     image blobs (synthetic MM01 container) from document bytes via
     mapInPandas, then decode typed metadata — the schema/batch contract the
     real codec kernels plug into (operators/multimodal.py).
+
+    The blob construction is deterministic (fixed header + first 256 UTF-8
+    bytes of the text), so the decoded metadata has an exact oracle: DuckDB
+    recomputes width/height/depth from the header constants and
+    payload_bytes as least(octet_length(encode(text)), 256) — the binary
+    round-trip through two Arrow-batched Python stages must reproduce it
+    byte-for-byte.
 
     The kernels here are deliberately SELF-CONTAINED closures (no references
     to this package): cloudpickle ships them by value, so the query runs even
