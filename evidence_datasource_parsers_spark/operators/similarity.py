@@ -157,43 +157,74 @@ def ann_lsh_topk(
     dedupe before scoring so each pair is scored once.
     """
 
+    # Table t uses global planes [t*n_planes, (t+1)*n_planes): plane j of the
+    # deterministic LCG sequence depends only on j, so one generation covers
+    # every table's slice.
+    all_planes = deterministic_planes(dim, n_planes * n_tables)
+
+    # The bucketing is an Arrow-batched pandas UDF, not an unrolled SQL
+    # expression: n_tables*n_planes dim-term trees in one Project exceed
+    # whole-stage codegen's size limit (Spark logs "codegen disabled" and
+    # falls back to per-row interpreted evaluation — the wrong trade at any
+    # scale), and building them through the Column API costs a py4j round
+    # trip per node.  The numpy kernel replays the IDENTICAL IEEE arithmetic
+    # as the DuckDB oracle: element*coefficient products, then a vectorized
+    # pairwise fold that performs the same balanced-tree additions in the
+    # same order — double ops are deterministic, so the signs (and therefore
+    # buckets, candidates and final top-k) match the oracle bit-for-bit.
+    planes_const = [[float(v) for v in p] for p in all_planes]
+    n_t, n_p = n_tables, n_planes
+    schema = ", ".join(f"bk{t} int" for t in range(n_tables))
+
+    def bucket_kernel(s):
+        import numpy as np
+        import pandas as pd
+
+        P = np.asarray(planes_const, dtype=np.float64)  # (T*J, dim)
+        if len(s) == 0:
+            return pd.DataFrame(
+                {f"bk{t}": pd.array([], dtype="int32") for t in range(n_t)}
+            )
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in s])
+        x = V[:, None, :] * P[None, :, :]  # (n, T*J, dim) products
+        # balanced-tree fold: add adjacent pairs, odd tail carried last —
+        # the exact association order of similarity.balanced_sum / the
+        # oracle's pairwise-parenthesized sum
+        while x.shape[2] > 1:
+            m = x.shape[2] // 2
+            even = x[:, :, 0 : 2 * m : 2] + x[:, :, 1 : 2 * m : 2]
+            x = (
+                even
+                if x.shape[2] % 2 == 0
+                else np.concatenate([even, x[:, :, -1:]], axis=2)
+            )
+        signs = x[:, :, 0] > 0  # (n, T*J)
+        out = {}
+        for t in range(n_t):
+            bk = np.zeros(len(V), dtype=np.int32)
+            for j in range(n_p):
+                bk |= signs[:, t * n_p + j].astype(np.int32) << j
+            out[f"bk{t}"] = bk
+        return pd.DataFrame(out)
+
+    bucket_udf = F.pandas_udf(bucket_kernel, schema)
+
     def bucketed(df: DataFrame, id_col: str, vec_alias: str) -> DataFrame:
         src = df.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_alias)
-        )
-        # one column per PLANE: codegen splits generated code at column
-        # granularity, and even a single table's planes in one expression
-        # (n_planes × dim multiply-adds with element_at bounds checks) can
-        # blow Janino's 64 KB per-method limit; per-plane sign columns keep
-        # each method ~dim terms, and the bucket packing is bit arithmetic.
-        for t in range(n_tables):
-            planes_t = deterministic_planes(dim, n_planes * (t + 1))[
-                t * n_planes : (t + 1) * n_planes
-            ]
-            for j, plane in enumerate(planes_t):
-                s = balanced_sum(
-                    [
-                        F.element_at(F.col(vec_alias), i + 1) * F.lit(float(v))
-                        for i, v in enumerate(plane)
-                    ]
-                )
-                src = src.withColumn(
-                    f"__s{t}_{j}", F.when(s > 0, F.lit(1 << j)).otherwise(0)
-                )
-        for t in range(n_tables):
-            bucket = F.lit(0)
-            for j in range(n_planes):
-                bucket = bucket + F.col(f"__s{t}_{j}")
-            src = src.withColumn(f"__bk{t}", bucket)
+        ).withColumn("__bks", bucket_udf(F.col(vec_alias)))
         buckets = F.array(
             *[
                 F.struct(
-                    F.lit(t).alias("table"), F.col(f"__bk{t}").alias("bucket")
+                    F.lit(t).alias("table"),
+                    F.col(f"__bks.bk{t}").alias("bucket"),
                 )
                 for t in range(n_tables)
             ]
         )
-        return src.withColumn("__b", F.explode(buckets)).select(
+        return src.select(
+            id_col, vec_alias, F.explode(buckets).alias("__b")
+        ).select(
             id_col, vec_alias, F.col("__b.table").alias("__t"),
             F.col("__b.bucket").alias("__bucket"),
         )
@@ -206,18 +237,29 @@ def ann_lsh_topk(
         .select(query_id, corpus_id, "__cv")
         .distinct()
     )
+    # cosine as one SQL string (same py4j-round-trip economics as
+    # bucket_expr); 0-based __qv[i] is the oracle's 1-based qa[i+1], and the
+    # pairwise sum trees mirror catalog_text._dot_sql term for term
+    def tree(terms: list[str]) -> str:
+        while len(terms) > 1:
+            terms = [
+                f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+                for i in range(0, len(terms), 2)
+            ]
+        return terms[0]
+
+    dot_s = tree([f"__qv[{i}] * __cv[{i}]" for i in range(dim)])
+    nq_s = f"sqrt({tree([f'__qv[{i}] * __qv[{i}]' for i in range(dim)])})"
+    nc_s = f"sqrt({tree([f'__cv[{i}] * __cv[{i}]' for i in range(dim)])})"
     scored = candidates.join(
         F.broadcast(queries.select(
             F.col(query_id), F.col(vec_col).cast("array<double>").alias("__qv")
         )),
         on=query_id,
-    ).select(
+    ).selectExpr(
         query_id,
         corpus_id,
-        (
-            dot(F.col("__qv"), F.col("__cv"), dim)
-            / (norm(F.col("__qv"), dim) * norm(F.col("__cv"), dim))
-        ).alias("cosine_sim"),
+        f"({dot_s}) / (({nq_s}) * ({nc_s})) AS cosine_sim",
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col(corpus_id).asc()

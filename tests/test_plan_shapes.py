@@ -48,9 +48,21 @@ def test_q05_single_shuffle(spark, sf_dir):
     assert _nodes(plan).count("Exchange") == 1
 
 
-def test_q26_topk_avoids_global_sort(spark, sf_dir):
-    plan = _plan(spark, "q26_topk_global", sf_dir)
+def test_q59_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, "q59_shipping_priority", sf_dir)
     assert "TakeOrderedAndProject" in plan               # heap, not full sort
+
+
+def test_q39_ann_plan_shape(spark, sf_dir):
+    """ANN bucketing must stay off the interpreted slow paths: the plane
+    signs run in ONE Arrow-batched Python stage per side (not a giant
+    codegen-breaking SQL projection), and candidate generation is a bucket
+    equi-join, never a cross product."""
+    plan = _plan(spark, "q39_ann_lsh", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    nodes = _nodes(plan)
+    assert nodes.count("ArrowEvalPython") == 2           # q side + c side
 
 
 def test_q34_no_cartesian(spark, sf_dir):
