@@ -161,6 +161,96 @@ def from_pandas(spark: SparkSession, pdf) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def _xlsx_cell_col(ref: str) -> int:
+    """'BC23' → 0-based column index 54."""
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return n - 1
+
+
+def _xlsx_grid(path: str, sheet_name) -> list[list]:
+    """Raw cell grid of one worksheet from a .xlsx, stdlib only.
+
+    xlsx is a zip of XML parts: workbook.xml names the sheets, the .rels
+    part maps them to worksheet files, sharedStrings.xml interns string
+    cells.  Cell types handled: shared string (t=s), inline/literal string
+    (t=str/inlineStr), boolean (t=b), number (default).  Date styling is not
+    resolved — date cells surface as Excel serial numbers.
+    """
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    RNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+    PNS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+    with zipfile.ZipFile(path) as zf:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        rid_to_target = {
+            r.get("Id"): r.get("Target") for r in rels.iter(f"{PNS}Relationship")
+        }
+        sheets = [
+            (s.get("name"), rid_to_target[s.get(f"{RNS}id")])
+            for s in wb.iter(f"{NS}sheet")
+        ]
+        if isinstance(sheet_name, int):
+            target = sheets[sheet_name][1]
+        else:
+            matches = [t for n, t in sheets if n == sheet_name]
+            if not matches:
+                raise KeyError(
+                    f"sheet {sheet_name!r} not in {[n for n, _ in sheets]}"
+                )
+            target = matches[0]
+        if not target.startswith("xl/"):
+            target = "xl/" + target.lstrip("/")
+
+        strings: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            ss = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in ss.iter(f"{NS}si"):
+                # rich-text runs split one logical string across <t> elements
+                strings.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
+
+        ws = ET.fromstring(zf.read(target))
+        rows: list[list] = []
+        for row in ws.iter(f"{NS}row"):
+            cells: list = []
+            for c in row.iter(f"{NS}c"):
+                col = _xlsx_cell_col(c.get("r", ""))
+                while len(cells) <= col:
+                    cells.append(None)
+                ctype = c.get("t", "n")
+                v = c.find(f"{NS}v")
+                if ctype == "inlineStr":
+                    is_el = c.find(f"{NS}is")
+                    val = (
+                        "".join(t.text or "" for t in is_el.iter(f"{NS}t"))
+                        if is_el is not None
+                        else None
+                    )
+                elif v is None or v.text is None:
+                    val = None
+                elif ctype == "s":
+                    val = strings[int(v.text)]
+                elif ctype == "b":
+                    val = v.text == "1"
+                elif ctype == "str":
+                    val = v.text
+                else:
+                    num = float(v.text)
+                    val = int(num) if num.is_integer() else num
+                cells[col] = val
+            rows.append(cells)
+        width = max((len(r) for r in rows), default=0)
+        return [r + [None] * (width - len(r)) for r in rows]
+
+
 def read_excel(
     spark: SparkSession,
     path: str,
@@ -169,26 +259,67 @@ def read_excel(
     skipfooter: int = 0,
     header=0,
 ) -> DataFrame:
-    """Excel scan (S10): pandas ``read_excel`` → Arrow → DataFrame.
+    """Excel scan (S10/R6): stdlib zipfile + ElementTree xlsx parser →
+    DataFrame — no openpyxl dependency, so the path actually executes in
+    this image.
 
-    Mirrors ``modules/CvdiGeneBurden.py:100-106`` / ``chemicalProbes.py:123-129``.
-    Gated: openpyxl is not guaranteed in the runtime image.
+    Mirrors ``modules/CvdiGeneBurden.py:100-106`` (multi-row ``header``
+    list with horizontal forward-fill of merged header cells, ``skiprows``,
+    ``skipfooter``) and ``chemicalProbes.py:123-129`` (sheet selection by
+    name).  Multi-row headers flatten to '_'-joined names (deduplicated
+    consecutive levels), matching how the reference immediately collapses
+    its MultiIndex via ``get_level_values``.  Driver-side by design: the
+    reference's Excel inputs are small curated supplements; bulk data must
+    arrive via parquet/CSV/JSON.
     """
-    import pandas as pd
+    grid = _xlsx_grid(path, sheet_name)[skiprows:]
+    if skipfooter:
+        grid = grid[:-skipfooter]
 
-    try:
-        pdf = pd.read_excel(
-            path,
-            sheet_name=sheet_name,
-            skiprows=skiprows,
-            skipfooter=skipfooter,
-            header=header,
-        )
-    except ImportError as exc:  # pragma: no cover - engine missing
-        raise NotImplementedError(
-            "Excel support requires openpyxl/xlrd, not present in this image"
-        ) from exc
-    return from_pandas(spark, pdf)
+    header_rows = [header] if isinstance(header, int) else list(header)
+    raw_headers = [grid[i] for i in header_rows]
+    body = grid[max(header_rows) + 1 :]
+
+    # merged header cells store their value only in the top-left cell:
+    # forward-fill each header row horizontally (pandas does the same for
+    # MultiIndex headers)
+    filled: list[list] = []
+    for hr in raw_headers:
+        cur, out = None, []
+        for v in hr:
+            if v is not None and v != "":
+                cur = v
+            out.append(cur)
+        filled.append(out)
+
+    names: list[str] = []
+    width = len(grid[0]) if grid else 0
+    for i in range(width):
+        levels: list[str] = []
+        for hr in filled:
+            lv = hr[i]
+            if lv is None or lv == "":
+                continue
+            lv = str(lv)
+            if not levels or levels[-1] != lv:
+                levels.append(lv)
+        names.append("_".join(levels) if levels else f"col{i}")
+
+    # column-major type resolution: all-numeric columns become doubles,
+    # anything mixed degrades to string (Spark rows must be homogeneous)
+    cols = list(zip(*body)) if body else [[] for _ in range(width)]
+
+    def resolve(col):
+        vals = [v for v in col if v is not None]
+        if vals and all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals):
+            return [float(v) if v is not None else None for v in col]
+        if vals and all(isinstance(v, bool) for v in vals):
+            return list(col)
+        return [str(v) if v is not None else None for v in col]
+
+    resolved = [resolve(c) for c in cols]
+    data = [tuple(resolved[i][r] for i in range(width)) for r in range(len(body))]
+    return spark.createDataFrame(data, schema=names)
 
 
 def read_xml_elements(

@@ -10,6 +10,7 @@ import os
 import pytest
 
 from evidence_datasource_parsers_spark.sources.readers import (
+    read_excel,
     from_rows,
     read_csv,
     read_path,
@@ -104,6 +105,7 @@ def test_write_partitioned_pruning(spark, tmp_path):
 def test_read_xml_elements(spark, tmp_path):
     """S11: ElementTree walk -> DataFrame (Orphanet.py:52-126 shape)."""
     from evidence_datasource_parsers_spark.sources.readers import (
+    read_excel,
         read_xml_elements,
     )
 
@@ -178,3 +180,141 @@ def test_write_evidence_strings_parallel_mode(spark, tmp_path):
         with gzip.open(p, "rt") as fh:
             ids += [json.loads(line)["id"] for line in fh]
     assert sorted(ids) == list(range(100))
+
+
+def _write_xlsx(path, sheets):
+    """Minimal hand-rolled .xlsx (zip of XML parts) — lets the stdlib
+    reader be tested against a real file without openpyxl.  ``sheets`` is
+    [(name, rows)]; str cells go through sharedStrings (rich-text split for
+    one of them), bools/numbers inline, None cells omitted (sparse rows)."""
+    import zipfile
+
+    strings: list[str] = []
+
+    def cell_xml(ref, v):
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        strings.append(str(v))
+        return f'<c r="{ref}" t="s"><v>{len(strings) - 1}</v></c>'
+
+    def col_ref(i):
+        name = ""
+        i += 1
+        while i:
+            i, rem = divmod(i - 1, 26)
+            name = chr(65 + rem) + name
+        return name
+
+    ws_xmls = []
+    for _, rows in sheets:
+        body = []
+        for r, row in enumerate(rows, start=1):
+            cells = "".join(
+                cell_xml(f"{col_ref(c)}{r}", v) for c, v in enumerate(row)
+            )
+            body.append(f'<row r="{r}">{cells}</row>')
+        ws_xmls.append(
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>'
+            + "".join(body)
+            + "</sheetData></worksheet>"
+        )
+
+    # one rich-text entry exercises multi-<t> concatenation
+    sis = []
+    for s in strings:
+        if s == "Gene ID Ensembl":
+            sis.append("<si><r><t>Gene ID </t></r><r><t>Ensembl</t></r></si>")
+        else:
+            sis.append(f"<si><t xml:space=\"preserve\">{s}</t></si>")
+    ss_xml = (
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        + "".join(sis)
+        + "</sst>"
+    )
+    sheet_tags = "".join(
+        f'<sheet name="{n}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, (n, _) in enumerate(sheets)
+    )
+    wb_xml = (
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+        f'relationships"><sheets>{sheet_tags}</sheets></workbook>'
+    )
+    rels = "".join(
+        f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        f'Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(len(sheets))
+    )
+    rels_xml = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+        f'relationships">{rels}</Relationships>'
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb_xml)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels_xml)
+        zf.writestr("xl/sharedStrings.xml", ss_xml)
+        for i, x in enumerate(ws_xmls):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", x)
+
+
+def test_read_excel_multiheader_skiprows_skipfooter(spark, tmp_path):
+    """CvdiGeneBurden.py:100-106 shape: title row skipped, two header rows
+    with a merged (forward-filled) top level, footer note dropped."""
+    path = str(tmp_path / "t.xlsx")
+    _write_xlsx(
+        path,
+        [
+            (
+                "ST6",
+                [
+                    ["supplementary table 6"],                      # skiprows=1
+                    ["phenotype", "Gene ID Ensembl", "ALL ancestry", None],
+                    [None, None, "beta", "pval"],                   # merged top
+                    ["height", "ENSG1", 0.5, 1e-8],
+                    ["bmi", "ENSG2", -0.25, 0.003],
+                    ["source: cohort X"],                           # skipfooter=1
+                ],
+            ),
+            ("ST3", [["method", "cutoff"], ["skat", 2.5e-6]]),
+        ],
+    )
+    df = read_excel(
+        spark, path, sheet_name="ST6", skiprows=1, header=[0, 1], skipfooter=1
+    )
+    assert df.columns == [
+        "phenotype",
+        "Gene ID Ensembl",
+        "ALL ancestry_beta",
+        "ALL ancestry_pval",
+    ]
+    rows = {r["phenotype"]: r for r in df.collect()}
+    assert rows["height"]["Gene ID Ensembl"] == "ENSG1"
+    assert rows["bmi"]["ALL ancestry_beta"] == -0.25
+    assert rows["height"]["ALL ancestry_pval"] == 1e-8
+
+
+def test_read_excel_sheet_by_name_and_index(spark, tmp_path):
+    path = str(tmp_path / "t2.xlsx")
+    _write_xlsx(
+        path,
+        [
+            ("PROBES", [["probe", "score", "ok"], ["abc-1", 7, True]]),
+            ("other", [["x"], ["y"]]),
+        ],
+    )
+    by_name = read_excel(spark, path, sheet_name="PROBES")
+    by_idx = read_excel(spark, path, sheet_name=0)
+    assert by_name.columns == ["probe", "score", "ok"]
+    r = by_name.collect()[0]
+    assert (r["probe"], r["score"], r["ok"]) == ("abc-1", 7.0, True)
+    assert [row.asDict() for row in by_idx.collect()] == [
+        row.asDict() for row in by_name.collect()
+    ]
+    with pytest.raises(KeyError):
+        read_excel(spark, path, sheet_name="missing")
