@@ -218,25 +218,42 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
         FROM events WHERE event_type = 'purchase'
     )
     SELECT c.event_id, c.user_id,
-           p.purchase_id AS last_purchase_id,
-           CAST((epoch_us(c.ts) - epoch_us(p.purchase_ts)) // 1000000
-                AS BIGINT) AS secs_since_purchase
+           b.purchase_id AS last_purchase_id,
+           CAST((epoch_us(c.ts) - epoch_us(b.purchase_ts)) // 1000000
+                AS BIGINT) AS secs_since_purchase,
+           f.purchase_id AS next_purchase_id,
+           CAST((epoch_us(f.purchase_ts) - epoch_us(c.ts)) // 1000000
+                AS BIGINT) AS secs_until_purchase,
+           CASE WHEN f.purchase_id IS NULL THEN b.purchase_id
+                WHEN b.purchase_id IS NULL THEN f.purchase_id
+                WHEN epoch_us(c.ts) - epoch_us(b.purchase_ts)
+                     <= epoch_us(f.purchase_ts) - epoch_us(c.ts)
+                THEN b.purchase_id ELSE f.purchase_id END
+               AS nearest_purchase_id
     FROM clicks c
     LEFT JOIN LATERAL (
         SELECT purchase_id, purchase_ts FROM purchases p
         WHERE p.user_id = c.user_id AND p.purchase_ts <= c.ts
         ORDER BY p.purchase_ts DESC, purchase_id DESC LIMIT 1
-    ) p ON true
+    ) b ON true
+    LEFT JOIN LATERAL (
+        SELECT purchase_id, purchase_ts FROM purchases p
+        WHERE p.user_id = c.user_id AND p.purchase_ts >= c.ts
+        ORDER BY p.purchase_ts ASC, purchase_id ASC LIMIT 1
+    ) f ON true
     """,
     tags=("asof-join", "custom-operator"),
     bench=True,
 )
 def q46(spark: SparkSession, sf: str) -> DataFrame:
-    """As-of join (most recent purchase at or before each click), an operator
-    Spark lacks natively.  Implemented as union-tag + window last_value —
-    ONE shuffle on user_id, no per-row subquery, no range explosion; this is
-    the scale path (a lateral per-row lookup would be O(n·m))."""
-    from evidence_datasource_parsers_spark.operators.asof import asof_join
+    """As-of join in all three directions (backward: most recent purchase at
+    or before each click; forward: next purchase at or after; nearest: the
+    closer of the two, backward winning exact ties) — an operator Spark
+    lacks natively.  Implemented as union-tag + two windows over the SAME
+    key partitioning: ONE shuffle on user_id total, no per-row subquery, no
+    range explosion; the oracle's per-row laterals are exactly the O(n*m)
+    plan this operator replaces."""
+    from evidence_datasource_parsers_spark.operators.asof import asof_join_multi
 
     e = load(spark, sf, "events")
     clicks = e.where(F.col("event_type") == "click").select(
@@ -247,7 +264,7 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("purchase_ts"),
     )
-    joined = asof_join(
+    joined = asof_join_multi(
         clicks,
         purchases,
         on="user_id",
@@ -256,14 +273,27 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
         right_cols=["purchase_id"],
         tie_break="purchase_id",
     )
+    b_id, f_id = F.col("purchase_id_backward"), F.col("purchase_id_forward")
+    b_ts, f_ts = F.col("purchase_ts_backward"), F.col("purchase_ts_forward")
+    us = F.unix_micros
+    take_backward = f_id.isNull() | (
+        b_id.isNotNull()
+        & ((us(F.col("ts")) - us(b_ts)) <= (us(f_ts) - us(F.col("ts"))))
+    )
     return joined.select(
         "event_id",
         "user_id",
-        F.col("purchase_id").alias("last_purchase_id"),
-        F.floor(
-            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("purchase_ts")))
-            / 1_000_000
-        ).alias("secs_since_purchase"),
+        b_id.alias("last_purchase_id"),
+        F.floor((us(F.col("ts")) - us(b_ts)) / 1_000_000).alias(
+            "secs_since_purchase"
+        ),
+        f_id.alias("next_purchase_id"),
+        F.floor((us(f_ts) - us(F.col("ts"))) / 1_000_000).alias(
+            "secs_until_purchase"
+        ),
+        F.when(take_backward, b_id).otherwise(f_id).alias(
+            "nearest_purchase_id"
+        ),
     )
 
 

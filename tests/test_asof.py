@@ -82,3 +82,128 @@ def test_asof_matches_naive_oracle(spark, lefts, rights):
                  if rk == k and rts <= t]
         want = max(cands)[1] if cands else None
         assert got[lid] == want, (lid, k, t, cands, got[lid])
+
+
+def _data(spark):
+    clicks = spark.createDataFrame(
+        [
+            (1, "u1", 100),
+            (2, "u1", 200),   # after all purchases → forward null
+            (3, "u1", 50),    # before any purchase → backward null
+            (4, "u2", 100),   # u2 has no purchases → null both ways
+            (5, "u1", 150),   # exactly at purchase ts 150
+            (6, "u1", 119),   # backward 90 (d=29) vs forward 150 (d=31)
+            (7, "u1", 120),   # equidistant 90/150 → backward wins tie
+        ],
+        "event_id long, user_id string, ts long",
+    )
+    purchases = spark.createDataFrame(
+        [
+            (101, "u1", 90),
+            (102, "u1", 150),
+            (103, "u1", 150),
+            (104, "u3", 10),
+        ],
+        "purchase_id long, user_id string, purchase_ts long",
+    )
+    return clicks, purchases
+
+
+def _run(spark, direction):
+    clicks, purchases = _data(spark)
+    return {
+        r["event_id"]: (r["purchase_id"], r["purchase_ts"])
+        for r in asof_join(
+            clicks, purchases, on="user_id", left_ts="ts",
+            right_ts="purchase_ts", right_cols=["purchase_id"],
+            tie_break="purchase_id", direction=direction,
+        ).collect()
+    }
+
+
+def test_asof_forward_semantics(spark):
+    out = _run(spark, "forward")
+    assert out[1] == (102, 150)   # simultaneous tie → LOWEST id (earliest)
+    assert out[2] == (None, None)
+    assert out[3] == (101, 90)
+    assert out[4] == (None, None)
+    assert out[5] == (102, 150)   # inclusive at equal timestamps
+    assert out[6] == (102, 150)
+
+
+def test_asof_nearest_semantics(spark):
+    out = _run(spark, "nearest")
+    assert out[1] == (101, 90)    # 10 back vs 50 fwd
+    assert out[2] == (103, 150)   # only backward exists
+    assert out[3] == (101, 90)    # only forward exists
+    assert out[4] == (None, None)
+    assert out[5] == (103, 150)   # distance 0 → backward pick rules apply
+    assert out[6] == (101, 90)    # 29 back < 31 fwd
+    assert out[7] == (101, 90)    # equidistant → backward wins
+
+
+def test_asof_multi_one_shuffle(spark):
+    """Both directions must share a single Exchange — the whole point of the
+    union-tag plan over per-direction joins."""
+    from evidence_datasource_parsers_spark.operators.asof import asof_join_multi
+
+    clicks, purchases = _data(spark)
+    df = asof_join_multi(
+        clicks, purchases, on="user_id", left_ts="ts",
+        right_ts="purchase_ts", right_cols=["purchase_id"],
+        tie_break="purchase_id",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    row = {r["event_id"]: r for r in df.collect()}[6]
+    assert row["purchase_id_backward"] == 101
+    assert row["purchase_id_forward"] == 102
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1, max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=0, max_size=12,
+    ),
+)
+def test_asof_forward_nearest_match_naive_oracle(spark, lefts, rights):
+    left_rows = [(i, k, t) for i, (k, t) in enumerate(lefts)]
+    right_rows = [(1000 + i, k, t) for i, (k, t) in enumerate(rights)]
+    left = spark.createDataFrame(left_rows, "lid long, k long, ts long")
+    right = spark.createDataFrame(
+        right_rows, "rid long, k long, rts long"
+    ) if right_rows else spark.createDataFrame([], "rid long, k long, rts long")
+
+    def run(direction):
+        return {
+            r["lid"]: r["rid"]
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="rts",
+                right_cols=["rid"], tie_break="rid", direction=direction,
+            ).collect()
+        }
+
+    got_f, got_n = run("forward"), run("nearest")
+    for lid, k, t in left_rows:
+        fw = [(rts, rid) for rid, rk, rts in right_rows if rk == k and rts >= t]
+        bw = [(rts, rid) for rid, rk, rts in right_rows if rk == k and rts <= t]
+        want_f = (min(fw)[0], min(fw)[1]) if fw else None
+        # forward tie on ts → smallest rid: min over (rts, rid) pairs
+        want_f = min(fw)[1] if fw else None
+        assert got_f[lid] == want_f, ("fwd", lid, k, t, fw, got_f[lid])
+        want_b = max(bw)[1] if bw else None
+        if want_b is None and want_f is None:
+            want_n = None
+        elif want_f is None:
+            want_n = want_b
+        elif want_b is None:
+            want_n = want_f
+        else:
+            db, df_ = t - max(bw)[0], min(fw)[0] - t
+            want_n = want_b if db <= df_ else want_f
+        assert got_n[lid] == want_n, ("near", lid, k, t, bw, fw, got_n[lid])
