@@ -352,35 +352,107 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
                    AS weighted,
                list_reduce(arr, (x, y) -> x + y) AS total
         FROM g
+    ), base AS (
+        SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer WHERE c_acctbal > 0
+    ), med AS (
+        SELECT c_nationkey, quantile_cont(bal_c, 0.5) AS mu_c
+        FROM base GROUP BY c_nationkey
+    ), madt AS (
+        SELECT b.c_nationkey, quantile_cont(abs(b.bal_c - md.mu_c), 0.5) AS mad_c
+        FROM base b JOIN med md ON b.c_nationkey = md.c_nationkey
+        GROUP BY b.c_nationkey
+    ), rob AS (
+        SELECT md.c_nationkey,
+               md.mu_c / 100.0 AS ada_mu,
+               greatest(1.4826e0 * (d.mad_c / 100.0), 0.01e0) AS ada_sd
+        FROM med md JOIN madt d ON md.c_nationkey = d.c_nationkey
+    ), outl AS (
+        SELECT b.c_nationkey,
+               SUM(CASE WHEN abs((b.bal_c / 100.0 - r.ada_mu) / r.ada_sd) > 2
+                        THEN 1 ELSE 0 END) AS n_ada_outliers
+        FROM base b JOIN rob r ON b.c_nationkey = r.c_nationkey
+        GROUP BY b.c_nationkey
     )
-    SELECT c_nationkey, n,
+    SELECT m.c_nationkey, n,
            2.0 * weighted / (n * total) - (n + 1.0) / n AS gini,
            CASE WHEN list_max(arr) < 1.0 THEN 'not_detected'
                 WHEN list_max(arr) >= 4.0 * (total / n) THEN 'enriched'
-                ELSE 'low_specificity' END AS specificity
+                ELSE 'low_specificity' END AS specificity,
+           r.ada_mu, r.ada_sd,
+           CAST(o.n_ada_outliers AS BIGINT) AS n_ada_outliers
     FROM m
+    JOIN rob r ON m.c_nationkey = r.c_nationkey
+    JOIN outl o ON m.c_nationkey = o.c_nationkey
     """,
-    tags=("D12", "gini", "metrics"),
+    tags=("D12", "gini", "metrics", "adatiss", "applyInPandas"),
 )
 def q48(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group distribution metrics (D12): gini + specificity class over the
     per-nation positive-balance vector, computed with sorted-order folds so
-    both engines sum in the identical sequence."""
+    both engines sum in the identical sequence, PLUS the AdaTiSS-style
+    robust location/scale leg (functions/adatiss.py) as an applyInPandas
+    kernel with an exactly-checkable reformulation: median and MAD are
+    interpolated over exact integer cents — every intermediate is exactly
+    representable, so the kernel and the oracle agree bit-for-bit — then
+    scaled by the R mad() constant 1.4826 with the sd floored at 0.01, and
+    outliers counted at |z| > 2.  (The adaptive gamma-EM tier of the same
+    module is exercised by tests/test_adatiss.py; its iterative fit is not
+    SQL-expressible.)  Both legs shuffle once on the same key; the 25-row
+    results join broadcast."""
     from evidence_datasource_parsers_spark.functions.metrics import (
         gini,
         specificity_class,
     )
+    from evidence_datasource_parsers_spark.plans.catalog import cents
 
     c = load(spark, sf, "customer").where(F.col("c_acctbal") > 0)
     grouped = c.groupBy("c_nationkey").agg(
         F.sort_array(F.collect_list("c_acctbal")).alias("arr")
-    )
-    return grouped.select(
+    ).select(
         "c_nationkey",
         F.size("arr").alias("n"),
         gini(F.col("arr")).alias("gini"),
         specificity_class(F.col("arr")).alias("specificity"),
     )
+
+    def robust_kernel(pdf):
+        # self-contained (cloudpickled by value): runs under driver-built
+        # sessions whose executors lack this repo on PYTHONPATH
+        import numpy as _np
+        import pandas as _pd
+
+        def qmid(a):
+            # interpolated median over exact ints: all arithmetic exact
+            a = _np.sort(a)
+            n = len(a)
+            lo, hi = a[(n - 1) // 2], a[n // 2]
+            return float(lo) + (float(hi) - float(lo)) * 0.5
+
+        bal_c = pdf["bal_c"].to_numpy(dtype=_np.int64)
+        mu_c = qmid(bal_c)
+        mad_c = qmid(_np.abs(bal_c - mu_c))
+        ada_mu = mu_c / 100.0
+        ada_sd = max(1.4826 * (mad_c / 100.0), 0.01)
+        n_out = int((_np.abs((bal_c / 100.0 - ada_mu) / ada_sd) > 2).sum())
+        return _pd.DataFrame(
+            {
+                "c_nationkey": [int(pdf["c_nationkey"].iloc[0])],
+                "ada_mu": [ada_mu],
+                "ada_sd": [ada_sd],
+                "n_ada_outliers": [n_out],
+            }
+        )
+
+    robust = (
+        c.select("c_nationkey", cents(F.col("c_acctbal")).alias("bal_c"))
+        .groupBy("c_nationkey")
+        .applyInPandas(
+            robust_kernel,
+            "c_nationkey int, ada_mu double, ada_sd double, n_ada_outliers long",
+        )
+    )
+    return grouped.join(F.broadcast(robust), "c_nationkey")
 
 
 @register(
