@@ -512,28 +512,113 @@ def _ann_oracle_sql() -> str:
     """
 
 
+IVF_CELLS = 8
+IVF_PROBE = 2
+
+
+def _ivf_oracle_sql() -> str:
+    """IVF-Flat replay: the centroids are deterministic unit-norm LCG vectors
+    (ivf.deterministic_centroids), so cell assignment, probing, and the final
+    cosine top-k are all recomputable by a second engine.  Every negdist is
+    the identical balanced multiply-add tree the Spark side projects
+    (ivf.with_cell_distances), and the struct sort that picks cells has the
+    same ascending-lexicographic semantics in both engines — ties break
+    toward the larger cell id at the max end."""
+    from evidence_datasource_parsers_spark.operators.ivf import (
+        deterministic_centroids,
+    )
+
+    cents = deterministic_centroids(EMB_DIM, IVF_CELLS)
+    nds = ",\n           ".join(
+        "(-("
+        + _balanced_sum_sql(
+            [f"(ea[{i + 1}] - {v!r}) * (ea[{i + 1}] - {v!r})"
+             for i, v in enumerate(c)]
+        )
+        + f")) AS nd{j}"
+        for j, c in enumerate(cents)
+    )
+    structs = ", ".join(
+        f"struct_pack(negdist := nd{j}, cell := {j})" for j in range(IVF_CELLS)
+    )
+    probe_cells = ", ".join(
+        f"s[{IVF_CELLS - i}].cell" for i in range(IVF_PROBE)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ea FROM embeddings),
+    d AS (SELECT vec_id,
+           {nds}
+           FROM v),
+    srt AS (SELECT vec_id, list_sort([{structs}]) AS s FROM d),
+    assigned AS (SELECT vec_id, s[{IVF_CELLS}].cell AS cell FROM srt),
+    probes AS (SELECT vec_id, unnest([{probe_cells}]) AS cell
+               FROM srt WHERE vec_id < 5),
+    cand AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a ON p.cell = a.cell
+        WHERE p.vec_id <> a.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {DOT_SQL} / ({NORM_Q} * {NORM_C}) AS cosine_sim
+        FROM cand
+        JOIN (SELECT vec_id, ea AS qa FROM v) qq ON qq.vec_id = query_id
+        JOIN (SELECT vec_id, ea AS ca FROM v) cc ON cc.vec_id = neighbor_id
+    )
+    SELECT 'ivf' AS method, query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """
+
+
 @register(
-    "q39_ann_lsh",
-    _ann_oracle_sql(),
-    tags=("similarity", "ann", "lsh"),
+    "q39_ann_topk",
+    f"""
+    SELECT 'lsh' AS method, * FROM ({_ann_oracle_sql()})
+    UNION ALL
+    SELECT * FROM ({_ivf_oracle_sql()})
+    """,
+    tags=("similarity", "ann", "lsh", "ivf"),
     bench=True,
 )
 def q39(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets — the 100 TB scale
-    path where brute force is infeasible.  The hyperplanes come from a
-    deterministic LCG (similarity.deterministic_planes), so the bucketing —
+    """Approximate top-k by BOTH scale paths, tagged by method — where brute
+    force (q37) is infeasible.  'lsh': random-hyperplane sign buckets;
+    'ivf': Voronoi cells around deterministic unit-norm centroids
+    (operators/ivf.py), probing the 2 nearest of 8 cells.  Hyperplanes and
+    centroids come from a deterministic LCG, so the bucketing/assignment —
     and therefore the whole approximate result — is engine-portable: the
-    oracle replays the identical plane constants and sum trees in DuckDB and
-    the results hash-match exactly.  Recall vs q37 is additionally asserted
-    in tests/test_dedupe_similarity.py."""
+    oracle replays the identical constants and sum trees in DuckDB and the
+    results hash-match exactly.  Recall vs q37 is additionally asserted in
+    tests/test_dedupe_similarity.py; KMeans-fitted centroids (the production
+    fit path) are exercised there too."""
+    from evidence_datasource_parsers_spark.operators.ivf import (
+        deterministic_centroids,
+        ivf_topk,
+    )
+
     e = load(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    return ann_lsh_topk(
+    lsh = ann_lsh_topk(
         q, c, dim=64, k=5, n_planes=ANN_PLANES, n_tables=ANN_TABLES
-    ).withColumn("rank", F.col("rank").cast("int"))
+    )
+    ivf = ivf_topk(
+        q, c, deterministic_centroids(EMB_DIM, IVF_CELLS),
+        k=5, n_probe=IVF_PROBE,
+    )
+    return (
+        lsh.withColumn("method", F.lit("lsh"))
+        .unionByName(ivf.withColumn("method", F.lit("ivf")))
+        .select(
+            "method", "query_id", "neighbor_id", "cosine_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
 
 
 @register(

@@ -19,7 +19,7 @@ SMOKE = [
     "q01_pricing_summary",      # exact-cents aggregation
     "q20_nullsafe_join",        # eqNullSafe LUT join
     "q35_simhash",              # portable hash + simhash
-    "q39_ann_lsh",              # deterministic-plane ANN (new exact oracle)
+    "q39_ann_topk",              # deterministic-plane ANN (new exact oracle)
     "q62_multimodal_meta",      # binary round-trip vs header-constant oracle
     "q42_percentiles",          # interpolated percentiles
     "q46_asof_join",            # custom operator vs lateral oracle

@@ -58,7 +58,7 @@ def test_q39_ann_plan_shape(spark, sf_dir):
     signs run in ONE Arrow-batched Python stage per side (not a giant
     codegen-breaking SQL projection), and candidate generation is a bucket
     equi-join, never a cross product."""
-    plan = _plan(spark, "q39_ann_lsh", sf_dir)
+    plan = _plan(spark, "q39_ann_topk", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     nodes = _nodes(plan)
