@@ -7,20 +7,23 @@ nearest cells.  This is the classic IVF-Flat index expressed relationally:
 
     fit      : MLlib KMeans over (a sample of) the corpus     [train-once]
     assign   : one narrow pass adding cell_id to the corpus   [no shuffle]
-    probe    : query × centroids (broadcast, tiny) → top-n_probe cells
+    probe    : query × centroids (tiny, broadcast) → top-n_probe cells
     search   : join on cell_id → cosine → window top-k        [one shuffle]
 
 Compute ratio vs brute force ≈ n_probe / n_cells; recall grows with n_probe.
 At 100 TB the assigned corpus would be written bucketed by cell_id so the
 search join is shuffle-free on the corpus side.
 
-Codegen note: the per-cell distances are projected as SEPARATE columns
-before any array/sort expression consumes them.  One nested expression
-holding n_cells balanced trees of dim terms exceeds whole-stage codegen's
-method-size budget and silently falls back to interpreted evaluation (the
-exact failure mode the ANN-LSH bucketing had before its vectorized rewrite);
-one plain column per cell keeps every generated method small enough for
-Janino to compile.
+The cell assignment is an Arrow-batched pandas UDF, not an unrolled SQL
+expression, for the same two reasons the ANN-LSH bucketing is
+(similarity.ann_lsh_topk): n_cells literal-laden dim-term trees (a) compile
+to generated methods past HotSpot's 8 KB JIT ceiling, so they execute in the
+JVM's bytecode interpreter, and (b) serialize thousands of literal nodes
+into every task binary (multi-MB per stage).  In the kernel the centroid
+matrix is a 4 KB numpy closure constant, and the squared-distance fold
+replays the IDENTICAL IEEE arithmetic the DuckDB oracle computes — products,
+then pairwise balanced-tree additions in the same order — so assignments,
+probes, and the final top-k match the oracle bit-for-bit.
 """
 
 from __future__ import annotations
@@ -29,9 +32,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from evidence_datasource_parsers_spark.operators.similarity import (
-    balanced_sum,
-    cosine,
     deterministic_planes,
+    dot_sql,
+    norm_sql,
 )
 
 
@@ -73,43 +76,47 @@ def deterministic_centroids(dim: int, n_cells: int) -> list[list[float]]:
     return cells
 
 
-def with_cell_distances(
-    df: DataFrame, vec_col: str, centroids: list[list[float]], prefix: str = "__nd"
-) -> DataFrame:
-    """Project the NEGATED squared L2 distance to each centroid as one plain
-    column per cell (``__nd0`` … ``__nd{n-1}``) — a single narrow Project,
-    one balanced multiply-add tree per column, each codegen-compilable on
-    its own."""
-    v = F.col(vec_col)
-    cols = [
-        (
-            -balanced_sum(
-                [
-                    (F.element_at(v, i + 1) - F.lit(c[i]))
-                    * (F.element_at(v, i + 1) - F.lit(c[i]))
-                    for i in range(len(c))
-                ]
-            )
-        ).alias(f"{prefix}{j}")
-        for j, c in enumerate(centroids)
-    ]
-    return df.select("*", *cols)
+def _cells_udf(centroids: list[list[float]], n_probe: int):
+    """Arrow pandas UDF: embedding array → the ``n_probe`` nearest cell ids,
+    nearest first.  Tie-break toward the LARGER cell id, matching the
+    oracle's ascending struct sort read from the top."""
+    cents = [[float(v) for v in c] for c in centroids]
+    n_out = n_probe
 
+    def kernel(s):
+        import numpy as np
+        import pandas as pd
 
-def nearest_cells(n_cells: int, n_probe: int, prefix: str = "__nd"):
-    """Expression over the pre-projected distance columns: array of the
-    ``n_probe`` nearest cell ids.  Ties break toward the larger cell id
-    (struct max), mirrored exactly by the oracle's struct sort."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.col(f"{prefix}{j}").alias("negdist"), F.lit(j).alias("cell")
+        C = np.asarray(cents, dtype=np.float64)  # (n_cells, dim)
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in s])
+        d = V[:, None, :] - C[None, :, :]
+        x = d * d  # (n, n_cells, dim) squared-diff products
+        # pairwise balanced-tree fold — the association order of the
+        # oracle's parenthesized sum (catalog_text._balanced_sum_sql)
+        while x.shape[2] > 1:
+            m = x.shape[2] // 2
+            even = x[:, :, 0 : 2 * m : 2] + x[:, :, 1 : 2 * m : 2]
+            x = (
+                even
+                if x.shape[2] % 2 == 0
+                else np.concatenate([even, x[:, :, -1:]], axis=2)
             )
-            for j in range(n_cells)
-        ]
-    )
-    top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
-    return F.transform(top, lambda s: s["cell"])
+        negdist = -x[:, :, 0]  # (n, n_cells)
+        # ascending stable sort on negdist keeps equal entries in cell order,
+        # so reading from the top yields max-negdist, ties → larger cell —
+        # identical to sorting (negdist, cell) structs and reversing
+        order = np.argsort(negdist, axis=1, kind="stable")
+        top = order[:, : -n_out - 1 : -1].astype(np.int32)  # (n, n_probe)
+        return pd.Series(list(top))
+
+    # The kernel is pure, but without the flag Catalyst clones it into the
+    # join's pushed-down isnotnull(key) filter and the corpus assignment runs
+    # TWICE (two ArrowEvalPython stages — 2× the dominant narrow pass at
+    # scale).  asNondeterministic forbids duplicating/reordering the call, so
+    # the plan evaluates each side's assignment exactly once.
+    return F.pandas_udf(kernel, "array<int>").asNondeterministic()
 
 
 def ivf_topk(
@@ -127,35 +134,23 @@ def ivf_topk(
     One shuffle (the cell_id join); the probe side is broadcast — it carries
     |queries| × n_probe rows regardless of corpus size."""
     dim = len(centroids[0])
-    n_cells = len(centroids)
-    c = with_cell_distances(
-        corpus.select(
-            F.col(corpus_id), F.col(vec_col).cast("array<double>").alias("__cv")
-        ),
-        "__cv",
-        centroids,
-    ).select(
-        corpus_id,
-        "__cv",
-        F.element_at(nearest_cells(n_cells, 1), 1).alias("__cell"),
-    )
-    q = with_cell_distances(
-        queries.select(
-            F.col(query_id), F.col(vec_col).cast("array<double>").alias("__qv")
-        ),
-        "__qv",
-        centroids,
-    ).select(
-        query_id,
-        "__qv",
-        F.explode(nearest_cells(n_cells, n_probe)).alias("__cell"),
-    )
+    assign = _cells_udf(centroids, 1)
+    probe = _cells_udf(centroids, n_probe)
+    c = corpus.select(
+        F.col(corpus_id), F.col(vec_col).cast("array<double>").alias("__cv")
+    ).withColumn("__cell", F.element_at(assign(F.col("__cv")), 1))
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).cast("array<double>").alias("__qv")
+    ).withColumn("__cell", F.explode(probe(F.col("__qv"))))
     scored = c.join(F.broadcast(q), on="__cell").where(
         F.col(query_id) != F.col(corpus_id)
     ).select(
         query_id,
         corpus_id,
-        cosine(F.col("__qv"), F.col("__cv"), dim).alias("cosine_sim"),
+        F.expr(
+            f"({dot_sql('__qv', '__cv', dim)})"
+            f" / (({norm_sql('__qv', dim)}) * ({norm_sql('__cv', dim)}))"
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col(corpus_id).asc()

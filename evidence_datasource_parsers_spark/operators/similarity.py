@@ -31,6 +31,31 @@ def balanced_sum(terms: list):
     return terms[0]
 
 
+def sql_tree(terms: list[str]) -> str:
+    """``balanced_sum`` over SQL fragments: the identical pairwise
+    association order, emitted as ONE string.  Building a 64-term tree
+    through the Column API costs a py4j round trip per node (~hundreds per
+    expression — driver-side seconds before the job even starts); one
+    ``F.expr`` call parses the whole tree JVM-side."""
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def dot_sql(a: str, b: str, dim: int) -> str:
+    """Dot-product SQL fragment over two array column NAMES (0-based Spark
+    subscripts; the oracle's 1-based ``qa[i+1]`` twin lives in
+    plans/catalog_text._dot_sql)."""
+    return sql_tree([f"{a}[{i}] * {b}[{i}]" for i in range(dim)])
+
+
+def norm_sql(a: str, dim: int) -> str:
+    return f"sqrt({sql_tree([f'{a}[{i}] * {a}[{i}]' for i in range(dim)])})"
+
+
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product.  With ``dim`` known, unrolls to a balanced multiply-add
     tree — whole-stage-codegen-able and mirrored exactly by the oracle."""
@@ -81,22 +106,25 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cosine_sim, rank).  Ties break by
     neighbor id ascending for determinism.
     """
+    qn = F.expr(norm_sql("__qv", dim)) if dim else norm(F.col("__qv"))
+    cn = F.expr(norm_sql("__cv", dim)) if dim else norm(F.col("__cv"))
+    pair = (
+        F.expr(dot_sql("__qv", "__cv", dim)) if dim
+        else dot(F.col("__qv"), F.col("__cv"))
+    )
     q = queries.select(
         F.col(query_id), F.col(vec_col).cast("array<double>").alias("__qv")
-    ).withColumn("__qn", norm(F.col("__qv"), dim))
+    ).withColumn("__qn", qn)
     c = corpus.select(
         F.col(corpus_id), F.col(vec_col).cast("array<double>").alias("__cv")
-    ).withColumn("__cn", norm(F.col("__cv"), dim))
+    ).withColumn("__cn", cn)
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col(query_id) != F.col(corpus_id))
         .select(
             query_id,
             corpus_id,
-            (
-                dot(F.col("__qv"), F.col("__cv"), dim)
-                / (F.col("__qn") * F.col("__cn"))
-            ).alias("cosine_sim"),
+            (pair / (F.col("__qn") * F.col("__cn"))).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(

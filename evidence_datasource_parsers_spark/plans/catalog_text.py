@@ -430,29 +430,50 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
 def q38(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within a label partition (cos > 0.3):
     the partition key bounds the pair space, one shuffle on label."""
-    from evidence_datasource_parsers_spark.operators.similarity import dot, norm
-
-    # precompute per-row norms so the join-stage expression is one dot tree
-    # (compiles under Janino's 64 KB method limit even when the threshold
-    # filter duplicates it); values are identical — norm is the same tree,
-    # just evaluated earlier.
+    # One shuffle on label, then the whole pairwise block is scored inside an
+    # Arrow-batched applyInPandas kernel: a self-join would materialize
+    # |block|² rows each carrying BOTH 64-double arrays (the array copying,
+    # not the arithmetic, dominates), and the unrolled dot tree compiles past
+    # HotSpot's JIT method ceiling so it evaluates interpreted.  The kernel
+    # transfers each row ONCE and replays the oracle's exact IEEE arithmetic:
+    # elementwise products, pairwise balanced-tree fold, division — so the
+    # cosines hash-match bit-for-bit.  Memory is O(|block|²·dim) per group —
+    # the label blocking bounds it; at scale, cap block size upstream (salt
+    # oversized labels) exactly as for any blocked near-dup pass.
     e = load(spark, sf, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("__n", norm(F.col("v"), 64))
-    a = e.select(
-        F.col("vec_id").alias("id_a"), "label",
-        F.col("v").alias("va"), F.col("__n").alias("na"),
     )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
-        F.col("v").alias("vb"), F.col("__n").alias("nb"),
-    )
-    cos = dot(F.col("va"), F.col("vb"), 64) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, on=[F.col("label") == F.col("label_b"),
-                      F.col("id_a") < F.col("id_b")])
-        .select("id_a", "id_b", "label", cos.alias("cosine_sim"))
-        .where(F.col("cosine_sim") > 0.3)
+
+    def pair_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        x = V[:, None, :] * V[None, :, :]  # (n, n, dim) products
+        while x.shape[2] > 1:  # balanced-tree fold (oracle's sum order)
+            m = x.shape[2] // 2
+            even = x[:, :, 0 : 2 * m : 2] + x[:, :, 1 : 2 * m : 2]
+            x = (
+                even
+                if x.shape[2] % 2 == 0
+                else np.concatenate([even, x[:, :, -1:]], axis=2)
+            )
+        dots = x[:, :, 0]
+        norms = np.sqrt(np.diagonal(dots))
+        cos = dots / (norms[:, None] * norms[None, :])
+        i, j = np.nonzero((ids[:, None] < ids[None, :]) & (cos > 0.3))
+        return pd.DataFrame(
+            {
+                "id_a": ids[i],
+                "id_b": ids[j],
+                "label": np.full(len(i), pdf["label"].iloc[0], dtype=np.int32),
+                "cosine_sim": cos[i, j],
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(
+        pair_kernel, "id_a long, id_b long, label int, cosine_sim double"
     )
 
 
@@ -520,10 +541,10 @@ def _ivf_oracle_sql() -> str:
     """IVF-Flat replay: the centroids are deterministic unit-norm LCG vectors
     (ivf.deterministic_centroids), so cell assignment, probing, and the final
     cosine top-k are all recomputable by a second engine.  Every negdist is
-    the identical balanced multiply-add tree the Spark side projects
-    (ivf.with_cell_distances), and the struct sort that picks cells has the
-    same ascending-lexicographic semantics in both engines — ties break
-    toward the larger cell id at the max end."""
+    the identical squared-diff products + pairwise balanced-tree fold the
+    Spark-side kernel computes (ivf._cells_udf), and the struct sort that
+    picks cells has the same ascending-lexicographic semantics in both
+    engines — ties break toward the larger cell id at the max end."""
     from evidence_datasource_parsers_spark.operators.ivf import (
         deterministic_centroids,
     )

@@ -62,7 +62,9 @@ def test_q39_ann_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     nodes = _nodes(plan)
-    assert nodes.count("ArrowEvalPython") == 2           # q side + c side
+    # q side + c side, for each of the LSH leg (plane signs) and the IVF leg
+    # (cell assignment/probe)
+    assert nodes.count("ArrowEvalPython") == 4
 
 
 def test_q34_no_cartesian(spark, sf_dir):
