@@ -32,9 +32,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from evidence_datasource_parsers_spark.operators.similarity import (
+    cosine_pairs_udf,
     deterministic_planes,
-    dot_sql,
-    norm_sql,
 )
 
 
@@ -133,7 +132,6 @@ def ivf_topk(
 
     One shuffle (the cell_id join); the probe side is broadcast — it carries
     |queries| × n_probe rows regardless of corpus size."""
-    dim = len(centroids[0])
     assign = _cells_udf(centroids, 1)
     probe = _cells_udf(centroids, n_probe)
     c = corpus.select(
@@ -147,10 +145,7 @@ def ivf_topk(
     ).select(
         query_id,
         corpus_id,
-        F.expr(
-            f"({dot_sql('__qv', '__cv', dim)})"
-            f" / (({norm_sql('__qv', dim)}) * ({norm_sql('__cv', dim)}))"
-        ).alias("cosine_sim"),
+        cosine_pairs_udf()(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col(corpus_id).asc()

@@ -87,6 +87,48 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
+def pairwise_fold(x):
+    """Pairwise balanced-tree fold over the LAST axis of a numpy array — the
+    association order of ``balanced_sum`` / the oracle's parenthesized sum,
+    vectorized.  IEEE double ops are deterministic, so results are
+    bit-identical to the unrolled expression tree."""
+    import numpy as np
+
+    while x.shape[-1] > 1:
+        m = x.shape[-1] // 2
+        even = x[..., 0 : 2 * m : 2] + x[..., 1 : 2 * m : 2]
+        x = (
+            even
+            if x.shape[-1] % 2 == 0
+            else np.concatenate([even, x[..., -1:]], axis=-1)
+        )
+    return x[..., 0]
+
+
+def cosine_pairs_udf():
+    """Arrow scalar UDF: cosine of two array<double> columns, one batch at a
+    time.  This is the scoring hot path for every pair the candidate joins
+    emit; as an expression tree the 64-dim dot compiles past HotSpot's 8 KB
+    JIT ceiling and evaluates interpreted (~50× — SCALE.md hazard 7), while
+    the numpy kernel replays the identical products + balanced-tree fold, so
+    the scores still hash-match the oracle bit-for-bit."""
+
+    def kernel(qs, cs):
+        import numpy as np
+        import pandas as pd
+
+        if len(qs) == 0:
+            return pd.Series([], dtype="float64")
+        Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qs])
+        C = np.asarray([np.asarray(v, dtype=np.float64) for v in cs])
+        d = pairwise_fold(Q * C)
+        nq = np.sqrt(pairwise_fold(Q * Q))
+        nc = np.sqrt(pairwise_fold(C * C))
+        return pd.Series(d / (nq * nc))
+
+    return F.pandas_udf(kernel, "double")
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -98,33 +140,29 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the corpus.
 
-    Row norms are precomputed on each side BEFORE the join: the per-pair
-    expression is then just dot/(nq*nc) — one tree instead of three, which
-    (a) does 3× less arithmetic per pair and (b) keeps the generated join
-    method under Janino's 64 KB limit when a filter duplicates it.
+    O(|Q|·|C|) by definition — keep |Q| a bounded probe set; the scale paths
+    are ann_lsh_topk and operators/ivf.  Scoring runs in the shared Arrow
+    cosine kernel (cosine_pairs_udf) — bit-identical to the oracle's
+    expression tree, but JIT-friendly and free of multi-MB plan literals.
 
     Output: (query_id, neighbor_id, cosine_sim, rank).  Ties break by
     neighbor id ascending for determinism.
     """
-    qn = F.expr(norm_sql("__qv", dim)) if dim else norm(F.col("__qv"))
-    cn = F.expr(norm_sql("__cv", dim)) if dim else norm(F.col("__cv"))
-    pair = (
-        F.expr(dot_sql("__qv", "__cv", dim)) if dim
-        else dot(F.col("__qv"), F.col("__cv"))
-    )
     q = queries.select(
         F.col(query_id), F.col(vec_col).cast("array<double>").alias("__qv")
-    ).withColumn("__qn", qn)
+    )
     c = corpus.select(
         F.col(corpus_id), F.col(vec_col).cast("array<double>").alias("__cv")
-    ).withColumn("__cn", cn)
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col(query_id) != F.col(corpus_id))
         .select(
             query_id,
             corpus_id,
-            (pair / (F.col("__qn") * F.col("__cn"))).alias("cosine_sim"),
+            cosine_pairs_udf()(F.col("__qv"), F.col("__cv")).alias(
+                "cosine_sim"
+            ),
         )
     )
     w = Window.partitionBy(query_id).orderBy(
@@ -265,29 +303,17 @@ def ann_lsh_topk(
         .select(query_id, corpus_id, "__cv")
         .distinct()
     )
-    # cosine as one SQL string (same py4j-round-trip economics as
-    # bucket_expr); 0-based __qv[i] is the oracle's 1-based qa[i+1], and the
-    # pairwise sum trees mirror catalog_text._dot_sql term for term
-    def tree(terms: list[str]) -> str:
-        while len(terms) > 1:
-            terms = [
-                f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
-                for i in range(0, len(terms), 2)
-            ]
-        return terms[0]
-
-    dot_s = tree([f"__qv[{i}] * __cv[{i}]" for i in range(dim)])
-    nq_s = f"sqrt({tree([f'__qv[{i}] * __qv[{i}]' for i in range(dim)])})"
-    nc_s = f"sqrt({tree([f'__cv[{i}] * __cv[{i}]' for i in range(dim)])})"
+    # scoring runs in the shared Arrow cosine kernel — same balanced-tree
+    # IEEE arithmetic as the oracle, JIT-friendly (SCALE.md hazard 7)
     scored = candidates.join(
         F.broadcast(queries.select(
             F.col(query_id), F.col(vec_col).cast("array<double>").alias("__qv")
         )),
         on=query_id,
-    ).selectExpr(
+    ).select(
         query_id,
         corpus_id,
-        f"({dot_s}) / (({nq_s}) * ({nc_s})) AS cosine_sim",
+        cosine_pairs_udf()(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine_sim").desc(), F.col(corpus_id).asc()

@@ -54,17 +54,19 @@ def test_q59_topk_avoids_global_sort(spark, sf_dir):
 
 
 def test_q39_ann_plan_shape(spark, sf_dir):
-    """ANN bucketing must stay off the interpreted slow paths: the plane
-    signs run in ONE Arrow-batched Python stage per side (not a giant
-    codegen-breaking SQL projection), and candidate generation is a bucket
-    equi-join, never a cross product."""
+    """ANN vector math must stay off the interpreted slow paths: bucketing,
+    assignment, and pair scoring each run in ONE Arrow-batched Python stage
+    (not giant JIT-breaking SQL projections — SCALE.md hazards 7–9), and
+    candidate generation is a bucket equi-join, never a cross product."""
     plan = _plan(spark, "q39_ann_topk", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     nodes = _nodes(plan)
-    # q side + c side, for each of the LSH leg (plane signs) and the IVF leg
-    # (cell assignment/probe)
-    assert nodes.count("ArrowEvalPython") == 4
+    # per leg (LSH, IVF): q-side bucketing, c-side bucketing, pair scoring —
+    # exactly one Arrow stage each; a 7th would mean Catalyst cloned a
+    # kernel (e.g. into a pushed join-key filter, the bug asNondeterministic
+    # guards against)
+    assert nodes.count("ArrowEvalPython") == 6
 
 
 def test_q34_no_cartesian(spark, sf_dir):
