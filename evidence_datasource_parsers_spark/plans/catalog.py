@@ -54,6 +54,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def rebalance(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin rebalance ahead of CPU-heavy per-row stages.
+
+    Single-row-group files (the local test parquet — and any undersized
+    production input) plan as ONE scan partition, serializing regex/hash
+    pipelines on one core.  The rebalance shuffle carries |rows| narrow rows
+    — negligible next to the per-row compute it fans out across the cluster.
+    Apply ONLY where that compute dominates: for cheap scan→agg pipelines
+    the extra full-row shuffle is a measured net loss (q01: 0.45s→0.96s),
+    while doc-text stat/shingle pipelines gain 1.5–2.3× (q29, q34)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def cents(c: Column) -> Column:
     """Exact integer cents from a 2-decimal double — engine-portable."""
     return F.round(c * 100).cast("long")

@@ -40,7 +40,11 @@ from evidence_datasource_parsers_spark.operators.similarity import (
     brute_force_topk,
     deterministic_planes,
 )
-from evidence_datasource_parsers_spark.plans.catalog import load, register
+from evidence_datasource_parsers_spark.plans.catalog import (
+    load,
+    rebalance,
+    register,
+)
 
 # --- shared oracle fragments (DuckDB dialect) ------------------------------
 
@@ -128,7 +132,7 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     documents — all built-ins, one narrow pass, no shuffle.  Language guess
     is per-language stopword hit counts → argmax (ties → greatest language
     code, mirrored in the oracle CASE chain)."""
-    d = load(spark, sf, "documents")
+    d = rebalance(spark, load(spark, sf, "documents"))
     # materialize normalization + tokenization once; every stat references
     # the columns instead of inlining the regexp pipeline per expression
     staged = d.withColumn("__t", normalized_text(F.col("text"))).withColumn(
@@ -246,7 +250,7 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     threshold ≈ (1/b)^(1/r) ≈ 0.7): the shuffle
     key is the band bucket, never the text — scale path for 100 TB dedup."""
     return lsh_candidate_pairs(
-        load(spark, sf, "documents"),
+        rebalance(spark, load(spark, sf, "documents")),
         "text",
         "doc_id",
         num_perm=MINHASH_PERMS,
