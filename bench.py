@@ -39,12 +39,23 @@ def main() -> None:
     for name in names:
         materialize(CATALOG[name].builder(spark, "/root/testdata/sf0.001"))
 
+    # min of 2 timed runs per query: the host is shared, and a single sample
+    # can absorb seconds of neighbor load; the minimum measures the engine.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
+        best = -1.0
         try:
-            materialize(CATALOG[name].builder(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(2):
+                # drop persisted blocks so every run is cold — CacheManager
+                # matches identical plans, and a query that persists inside
+                # (e.g. the LSH signature pin) would otherwise time its own
+                # first run's cache on the second pass
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                materialize(CATALOG[name].builder(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as exc:  # one broken query must not kill the line
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
