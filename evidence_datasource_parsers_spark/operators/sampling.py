@@ -1,0 +1,97 @@
+"""Deterministic sampling for training-data pipelines.
+
+Every sampler here derives its decision from the portable 60-bit hash of a
+key (functions/hashing.py), never from ``rand()``:
+
+  * re-runs, retries, and speculative task re-execution pick the SAME rows —
+    a sample that changes under retry silently corrupts incremental dedup
+    and split hygiene (the q50 train/val/test rule);
+  * a second engine (the DuckDB oracle, a backfill job, a Python notebook)
+    can reproduce the exact sample from the same formula;
+  * the decision is a narrow per-row expression — no shuffle, no state, and
+    the filter pushes all the way to the scan when the key is a stored
+    column.
+
+Salting: every sampler takes a ``salt`` so two samples over the same keys
+are independent (hash(key:saltA) and hash(key:saltB) are uncorrelated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.functions.hashing import portable_hash
+
+# 60-bit hash space; fractions map to a prefix of it.
+_SPACE = 1 << 60
+
+
+def _key_hash(key: Column, salt: str) -> Column:
+    return portable_hash(F.concat(key.cast("string"), F.lit(f":{salt}")))
+
+
+def hash_sample(
+    df: DataFrame,
+    key: str | Column,
+    fraction: float,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key hashes into the
+    first ``fraction`` of the 60-bit space.  Rows with equal keys are kept
+    or dropped TOGETHER — sampling by document id keeps every chunk of a
+    sampled document, which is usually what a corpus sample means."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    return df.where(_key_hash(key_col, salt) < int(fraction * _SPACE))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata: str,
+    key: str | Column,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling rates (e.g. downsample boilerplate
+    web text to 10% while keeping 100% of books).  The rate lookup is a
+    broadcast-free CASE chain over literal fractions; the decision stays a
+    narrow per-row expression, so this scales exactly like a filter."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0, 1]")
+    key_col = F.col(key) if isinstance(key, str) else key
+    threshold = F.lit(int(default_fraction * _SPACE))
+    for value, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(strata) == F.lit(value), F.lit(int(frac * _SPACE))
+        ).otherwise(threshold)
+    return df.where(_key_hash(key_col, salt) < threshold)
+
+
+def reservoir_per_key(
+    df: DataFrame,
+    key: str,
+    k: int,
+    id_col: str,
+    salt: str = "reservoir",
+) -> DataFrame:
+    """At most ``k`` rows per key, chosen uniformly and deterministically:
+    rank rows within each key by the portable hash of their id and keep the
+    first ``k``.  Equivalent in distribution to reservoir sampling, but
+    deterministic and expressible as ONE shuffle (the window partition) —
+    no sequential state, so it parallelizes like any windowed aggregation.
+
+    Ties cannot occur (the hash includes the row id), so the result is a
+    total function of the input set — re-runs and engine replays agree."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = _key_hash(F.col(id_col), salt)
+    w = Window.partitionBy(key).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rs_rank", F.row_number().over(w))
+        .where(F.col("__rs_rank") <= k)
+        .drop("__rs_rank")
+    )

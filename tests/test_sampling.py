@@ -1,0 +1,84 @@
+"""Deterministic sampling operators: exact reproducibility, rate accuracy,
+stratification, and the per-key reservoir bound."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.operators.sampling import (
+    hash_sample,
+    reservoir_per_key,
+    stratified_hash_sample,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hash_sample_deterministic_and_calibrated(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    total = d.count()
+    s1 = hash_sample(d, "doc_id", 0.2).select("doc_id").collect()
+    s2 = hash_sample(d, "doc_id", 0.2).select("doc_id").collect()
+    assert sorted(s1) == sorted(s2)  # rerun-stable, not rand()
+    # Bernoulli(0.2) over ≥500 keys: observed rate within ±7 pp
+    assert abs(len(s1) / total - 0.2) < 0.07
+
+
+def test_hash_sample_nested_fractions(spark, sf_dir):
+    """A smaller fraction with the same salt selects a SUBSET of a larger
+    one (prefix property) — lets a pipeline grow a sample without
+    reshuffling which documents are in it."""
+    d = _docs(spark, sf_dir)
+    small = {r.doc_id for r in hash_sample(d, "doc_id", 0.1).collect()}
+    big = {r.doc_id for r in hash_sample(d, "doc_id", 0.3).collect()}
+    assert small <= big
+
+
+def test_hash_sample_salt_independence(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = {r.doc_id for r in hash_sample(d, "doc_id", 0.5, salt="a").collect()}
+    b = {r.doc_id for r in hash_sample(d, "doc_id", 0.5, salt="b").collect()}
+    n = d.count()
+    # independent halves overlap in ~25% of the corpus, not ~50%
+    assert abs(len(a & b) / n - 0.25) < 0.08
+
+
+def test_stratified_rates(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    keep_all, keep_tenth = langs[0], langs[1]
+    out = stratified_hash_sample(
+        d, "lang", "doc_id", {keep_all: 1.0, keep_tenth: 0.1}
+    )
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts[keep_all] == base[keep_all]  # fraction 1.0 keeps everything
+    assert counts.get(keep_tenth, 0) < base[keep_tenth] * 0.35
+    for other in langs[2:]:  # default fraction 0.0 drops the rest
+        assert other not in counts
+
+
+def test_reservoir_per_key_bound_and_determinism(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = reservoir_per_key(d, "lang", k=7, id_col="doc_id")
+    per_key = out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    assert per_key and all(r.n <= 7 for r in per_key)
+    # keys with ≥7 docs fill the reservoir exactly
+    big = {r.lang for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect() if r.n >= 7}
+    got = {r.lang: r.n for r in per_key}
+    assert all(got[lang] == 7 for lang in big)
+    a = sorted(map(str, out.collect()))
+    b = sorted(map(str, reservoir_per_key(d, "lang", k=7, id_col="doc_id").collect()))
+    assert a == b
+
+
+def test_fraction_validation():
+    with pytest.raises(ValueError):
+        hash_sample(None, "x", 1.5)
+    with pytest.raises(ValueError):
+        stratified_hash_sample(None, "s", "x", {"a": -0.1})
+    with pytest.raises(ValueError):
+        reservoir_per_key(None, "s", 0, "x")
