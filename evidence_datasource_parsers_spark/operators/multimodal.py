@@ -104,6 +104,51 @@ def resize_images(
     return df.select(id_col, binary_col).mapInPandas(kernel, out_schema)
 
 
+def extract_features(
+    df: DataFrame,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    n_bins: int = 16,
+) -> DataFrame:
+    """Per-blob feature vector via Arrow-batched mapInPandas: a normalized
+    ``n_bins``-bucket byte histogram of the payload plus mean/std — a
+    deterministic, codec-free stand-in with the SAME signature and output
+    shape (``array<float>``) as a real CNN/audio embedding kernel.  The
+    output feeds the similarity stack directly (brute_force_topk /
+    ann_lsh_topk / ivf_topk on the ``features`` column), so the whole
+    blob → embed → index → search pipeline is exercisable end-to-end.
+
+    One narrow pass, no shuffle; at scale one Python worker per core, Arrow
+    both ways."""
+    out_schema = f"{id_col} long, features array<float>"
+    shift = 8 - (n_bins - 1).bit_length()  # byte >> shift buckets into n_bins
+    if n_bins & (n_bins - 1):
+        raise ValueError(f"n_bins must be a power of two, got {n_bins}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for blob in pdf[binary_col]:
+                mt_name, _, _, _, n_payload = _parse_header(blob)
+                if mt_name == "unknown" or n_payload <= 0:
+                    feats.append(None)
+                    continue
+                payload = np.frombuffer(bytes(blob[14:]), dtype=np.uint8)
+                hist = np.bincount(payload >> shift, minlength=n_bins)
+                vec = np.concatenate(
+                    [
+                        hist / len(payload),
+                        [payload.mean() / 255.0, payload.std() / 255.0],
+                    ]
+                ).astype(np.float32)
+                feats.append(vec)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "features": feats})
+
+    return df.select(id_col, binary_col).mapInPandas(kernel, out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     every_n: int,

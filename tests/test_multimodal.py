@@ -63,3 +63,38 @@ def test_sample_frames_fanout(spark):
     assert {r["media_id"] for r in out} == {3}
     assert [r["frame_idx"] for r in sorted(out, key=lambda r: r["frame_idx"])] == [0, 2, 4, 6]
     assert all(len(r["frame"]) == 8 for r in out)
+
+
+def test_extract_features_shape_and_chain_to_ann(spark):
+    """blob → feature vector → similarity search, end-to-end: the feature
+    kernel emits array<float> of n_bins+2, deterministic across runs, and the
+    output plugs straight into brute_force_topk."""
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        extract_features,
+    )
+    from evidence_datasource_parsers_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rows = [
+        (i, pack_blob(0, 8, 8, 3, bytes([(i * 7 + j) % 256 for j in range(64)])))
+        for i in range(10)
+    ] + [(99, b"not-a-blob")]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    feats = extract_features(df)
+    got = {r.media_id: r.features for r in feats.collect()}
+    assert got[99] is None  # unparseable blob → null features, not a crash
+    assert len(got[0]) == 18  # 16 histogram bins + mean + std
+    assert abs(sum(got[0][:16]) - 1.0) < 1e-6  # histogram normalized
+    rerun = {r.media_id: r.features for r in extract_features(df).collect()}
+    assert rerun == got  # deterministic
+
+    valid = feats.where(feats.features.isNotNull())
+    q = valid.limit(2).select(
+        valid.media_id.alias("query_id"), valid.features.alias("embedding")
+    )
+    c = valid.select(
+        valid.media_id.alias("neighbor_id"), valid.features.alias("embedding")
+    )
+    topk = brute_force_topk(q, c, k=3, dim=18).collect()
+    assert topk and all(r.rank <= 3 for r in topk)
