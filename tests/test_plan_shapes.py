@@ -53,6 +53,20 @@ def test_q59_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan               # heap, not full sort
 
 
+def test_q60_six_table_join_all_broadcast(spark, sf_dir):
+    """TPC-H Q5 shape: every join side except the lineitem fact fits the
+    broadcast threshold, so the fact table must never shuffle for a join —
+    the plan is 5 BroadcastHashJoins and the only data Exchange is the final
+    aggregation."""
+    plan = _plan(spark, "q60_local_supplier_volume", sf_dir)
+    nodes = _nodes(plan)
+    assert nodes.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    # _nodes names are exact, so "Exchange" counts only shuffle exchanges
+    # (BroadcastExchange is its own node name)
+    assert nodes.count("Exchange") == 1
+
+
 def test_q39_ann_plan_shape(spark, sf_dir):
     """ANN vector math must stay off the interpreted slow paths: bucketing,
     assignment, and pair scoring each run in ONE Arrow-batched Python stage
