@@ -174,20 +174,6 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: sign bits of <v, p_i> packed to int.
-
-    The plane is a literal, so the dot product unrolls to a codegen'd
-    balanced multiply-add tree — no array literal materialization per row."""
-    out = F.lit(0)
-    for j, p in enumerate(planes):
-        s = balanced_sum(
-            [F.element_at(vec, i + 1) * F.lit(float(v)) for i, v in enumerate(p)]
-        )
-        out = out + F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return out
-
-
 def deterministic_planes(dim: int, n_planes: int) -> list[list[float]]:
     """Pseudo-random hyperplanes from the portable-hash family (no RNG state,
     reproducible across rounds/engines)."""

@@ -156,3 +156,23 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_cosine_kernel_bitwise_matches_expression_tree(spark):
+    """The Arrow cosine kernel's numpy pairwise fold must replay the unrolled
+    balanced-tree expression EXACTLY — this equality is what lets every
+    kernel-scored query keep an exact value-hash oracle."""
+    from pyspark.sql import functions as F
+
+    from evidence_datasource_parsers_spark.operators.similarity import (
+        cosine,
+        cosine_pairs_udf,
+        deterministic_planes,
+    )
+
+    vecs = deterministic_planes(7, 40)  # odd dim exercises the fold tail
+    rows = [(vecs[i], vecs[i + 20]) for i in range(20)]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    tree = [r.c for r in df.select(cosine(F.col("a"), F.col("b"), 7).alias("c")).collect()]
+    kern = [r.c for r in df.select(cosine_pairs_udf()(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert tree == kern  # bit-identical doubles, not approx
