@@ -34,6 +34,23 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-style pre-tokenization class: letter runs merge (BPE merges almost all
+# common words), digits stay separate (GPT-family tokenizers split number
+# strings), everything else (punctuation, symbols, non-Latin letters) is one
+# token per character.  Counts the MATCHES, so whitespace itself is free.
+# Kept to a dialect-neutral subset (no \s, no lookaround) so the Java regex
+# and the oracle's RE2 agree codepoint-for-codepoint.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def bpe_like_token_count(text: Column | str) -> Column:
+    """Regex estimate of a BPE tokenizer's token count — the standard corpus
+    budgeting statistic.  Unlike chars/4 it responds to punctuation and
+    digit density the way real tokenizers do."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN))
+
+
 def punct_ratio(text: Column | str) -> Column:
     """Fraction of characters that are not [a-z0-9 ] (lowercased input)."""
     c = F.col(text) if isinstance(text, str) else text

@@ -23,6 +23,7 @@ from evidence_datasource_parsers_spark.functions.hashing import (
 from evidence_datasource_parsers_spark.functions.textstats import (
     LANG_STOPWORDS,
     STOPWORDS_EN,
+    bpe_like_token_count,
     lang_guess,
     stopword_hits,
 )
@@ -112,6 +113,8 @@ def _lang_hits_sql() -> str:
            length(t) AS n_chars_norm,
            len(toks) AS n_tokens,
            CAST(ceil(length(t) / 4.0) AS BIGINT) AS est_bpe_tokens,
+           CAST(len(regexp_extract_all(t, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\r]'))
+                AS INT) AS bpe_tokens,
            len(list_filter(toks, x -> x IN ({_sw(STOPWORDS_EN)}))) * 1.0
                / len(toks) AS stopword_ratio,
            CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT)
@@ -149,6 +152,7 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
         F.length(t).alias("n_chars_norm"),
         F.size(toks).alias("n_tokens"),
         F.ceil(F.length(t) / 4.0).alias("est_bpe_tokens"),
+        bpe_like_token_count(t).alias("bpe_tokens"),
         (
             F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
             * 1.0
