@@ -115,7 +115,8 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
            quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
                          [0.25, 0.75])[2] AS p75_price_c,
            count(DISTINCT l_partkey) AS exact_parts,
-           TRUE AS hll_within_5pct
+           TRUE AS hll_within_5pct,
+           TRUE AS approx_p50_within_tol
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("percentile", "approx", "sketch"),
@@ -144,6 +145,15 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
             / F.count_distinct("l_partkey")
             < 0.05
         ).alias("hll_within_5pct"),
+        # the quantile-sketch scale path, same invariant encoding: GK-sketch
+        # median (rank error 1e-4) within 0.5% of the exact value
+        (
+            F.abs(
+                F.percentile_approx(price_c, F.lit(0.5), F.lit(10000))
+                - F.percentile(price_c, F.lit(0.5))
+            )
+            <= 0.005 * F.percentile(price_c, F.lit(0.5))
+        ).alias("approx_p50_within_tol"),
     )
 
 
