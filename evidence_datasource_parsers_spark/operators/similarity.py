@@ -1,13 +1,15 @@
 """Similarity search over embedding columns (array<float>).
 
 Brute-force cosine top-k as the exact baseline, plus an LSH-bucketed
-(random-hyperplane) approximate variant as the scale path.  The dot product is
-a higher-order ``aggregate`` over ``zip_with`` — JVM-side, no Python — and the
-per-query top-k is a struct-max / window over the similarity.
+(random-hyperplane) approximate variant as the scale path.  Bucketing and
+pair scoring run in Arrow-batched numpy kernels whose pairwise folds replay
+the oracle's balanced-tree IEEE arithmetic bit-for-bit (unrolled expression
+trees compile past HotSpot's JIT method ceiling and evaluate interpreted —
+SCALE.md hazards 7–9); the per-query top-k is a window over the similarity.
 
-Scale design: brute force is O(|Q|·|C|); keep |Q| bounded (a probe set) or use
-``ann_lsh_topk`` which shuffles on hyperplane-sign buckets so each query only
-scores its bucket-mates.
+Scale design: brute force is O(|Q|·|C|); keep |Q| bounded (a probe set) or
+use ``ann_lsh_topk`` which shuffles on hyperplane-sign buckets so each query
+only scores its bucket-mates (or IVF cells — operators/ivf.py).
 """
 
 from __future__ import annotations
