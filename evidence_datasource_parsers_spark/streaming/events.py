@@ -84,6 +84,43 @@ def dedupe_stream(
     return events.dropDuplicates(keys)
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    within: str = "15 minutes",
+    watermark: str = "1 hour",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner join on a key within an event-time interval:
+    pair each left event with right events for the same key whose timestamp
+    falls in ``[l.ts - within, l.ts + within]`` — e.g. impressions joined to
+    clicks, requests to responses, sensor A to sensor B.
+
+    Both sides are watermarked, and the interval condition is what BOUNDS
+    the join state: once the watermark passes ``ts + within``, buffered rows
+    can never match a future row and are evicted.  A stream-stream join
+    without a time-range predicate would buffer both streams forever.
+
+    Columns are prefixed per side (except the join key) because both inputs
+    share the event schema."""
+    lw = left.withWatermark("ts", watermark)
+    rw = right.withWatermark("ts", watermark)
+    lcols = [F.col(c).alias(f"{left_prefix}{c}") for c in left.columns if c != on]
+    rcols = [F.col(c).alias(f"{right_prefix}{c}") for c in right.columns if c != on]
+    lp = lw.select(on, *lcols)
+    rp = rw.select(on, *rcols)
+    lts, rts = f"{left_prefix}ts", f"{right_prefix}ts"
+    cond = (
+        f"{rts} >= {lts} - INTERVAL {within} AND "
+        f"{rts} <= {lts} + INTERVAL {within}"
+    )
+    return lp.join(rp, on=[lp[on] == rp[on], F.expr(cond)], how="inner").drop(
+        rp[on]
+    )
+
+
 def run_to_memory(stream_df: DataFrame, table: str) -> None:
     """Drain all available input into an in-memory sink (test harness)."""
     (

@@ -117,3 +117,60 @@ def test_stream_static_join_and_foreachbatch_sink(spark, tmp_path):
         with _gzip.open(p, "rt") as fh:
             recs += [_json.loads(line) for line in fh]
     assert recs[0]["category"] == "interaction"
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Impression/click streams joined on user within ±15 minutes; the
+    watermark + interval predicate bound the join state.  Append-mode drain
+    must produce exactly the batch-join pairs."""
+    from evidence_datasource_parsers_spark.streaming.events import (
+        interval_join_streams,
+    )
+
+    def ev(eid, ts, uid, etype):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": etype, "value": 1.0, "props": "{}"}
+
+    imps = [
+        ev(1, "2024-01-01T00:10:00Z", 1, "impression"),
+        ev(2, "2024-01-01T00:50:00Z", 1, "impression"),
+        ev(3, "2024-01-01T00:10:00Z", 2, "impression"),
+    ]
+    clicks = [
+        ev(10, "2024-01-01T00:20:00Z", 1, "click"),   # within 15m of imp 1
+        ev(11, "2024-01-01T01:30:00Z", 1, "click"),   # within 15m of nothing
+        ev(12, "2024-01-01T00:12:00Z", 2, "click"),   # within 15m of imp 3
+    ]
+    lsrc, rsrc = tmp_path / "imps", tmp_path / "clicks"
+    lsrc.mkdir(); rsrc.mkdir()
+    (lsrc / "f1.json").write_text("\n".join(json.dumps(e) for e in imps))
+    (rsrc / "f1.json").write_text("\n".join(json.dumps(e) for e in clicks))
+
+    joined = interval_join_streams(
+        read_event_stream(spark, str(lsrc)),
+        read_event_stream(spark, str(rsrc)),
+        on="user_id",
+        within="15 minutes",
+    )
+    assert joined.isStreaming
+    (
+        joined.writeStream.format("memory").queryName("ssj")
+        .outputMode("append").trigger(availableNow=True)
+        .start().awaitTermination()
+    )
+    got = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    assert got == {(1, 1, 10), (2, 3, 12)}
+
+    # batch twin: identical pairs from a static interval join
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    lb = spark.read.schema(schema).json(str(lsrc))
+    rb = spark.read.schema(schema).json(str(rsrc))
+    batch = interval_join_streams(lb, rb, on="user_id", within="15 minutes")
+    batch_got = {
+        (r.user_id, r.l_event_id, r.r_event_id) for r in batch.collect()
+    }
+    assert batch_got == got
