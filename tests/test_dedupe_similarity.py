@@ -176,3 +176,43 @@ def test_cosine_kernel_bitwise_matches_expression_tree(spark):
     tree = [r.c for r in df.select(cosine(F.col("a"), F.col("b"), 7).alias("c")).collect()]
     kern = [r.c for r in df.select(cosine_pairs_udf()(F.col("a"), F.col("b")).alias("c")).collect()]
     assert tree == kern  # bit-identical doubles, not approx
+
+
+def test_pairwise_fold_matches_python_tree_fuzz():
+    """pairwise_fold (the numpy kernel fold) must equal the scalar
+    balanced-tree sum for ANY dim — driver-side property, no Spark.  This is
+    the exact equality every kernel-scored oracle rests on, fuzzed across
+    dims (odd tails, dim 1) and magnitudes where float addition order
+    visibly matters."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from evidence_datasource_parsers_spark.operators.similarity import (
+        pairwise_fold,
+    )
+
+    def tree_sum(terms):
+        while len(terms) > 1:
+            terms = [
+                terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+                for i in range(0, len(terms), 2)
+            ]
+        return terms[0]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e12, max_value=1e12,
+                allow_nan=False, allow_infinity=False, width=64,
+            ),
+            min_size=1, max_size=97,
+        )
+    )
+    def check(xs):
+        got = float(pairwise_fold(np.asarray([xs], dtype=np.float64))[0])
+        want = tree_sum(list(xs))
+        assert got == want or (np.isnan(got) and np.isnan(want))
+
+    check()
