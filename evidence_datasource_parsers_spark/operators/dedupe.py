@@ -332,3 +332,82 @@ def ngram_jaccard(a: Column, b: Column, k: int = 5) -> Column:
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
     return inter / union
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs: the stage AFTER
+    LSH in a dedup pipeline — pairs (a~b, b~c) become one cluster {a,b,c}
+    keeping min(id) as the canonical representative.
+
+    Algorithm: iterative minimum-label propagation.  Each node starts
+    labeled with itself; every round each node adopts the smallest label in
+    its neighborhood (its own + its neighbors'); converged when no label
+    changes.  Rounds needed = graph diameter — near-dup graphs are
+    clique-ish (diameter 2-3), and the hard cap bounds the pathological
+    chain case.  Each round is ONE join on the edge list + a min-aggregate:
+    both shuffle on node id, so a 1000-executor run reuses the same
+    hash partitioning round to round.  The edge list is persisted once;
+    convergence is checked with a cheap count of changed labels (the only
+    driver-side action per round).
+
+    Each round's labels are localCheckpoint'ed, not merely persisted:
+    iterative plans nest one round deeper every pass, and analysis cost
+    (even rendering the plan string) grows without bound unless lineage is
+    CUT per iteration.  On a real cluster prefer reliable checkpointing so
+    a long chain survives executor loss.
+
+    Input: one undirected edge per row (id_a, id_b).  Output:
+    (doc_id, cluster_id) for every node that appears in any pair —
+    singletons never enter the edge list and keep their own id implicitly.
+    """
+    # symmetrize once; self-loops are harmless but dropped for less shuffle
+    e = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                e.join(labels, e.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+    finally:
+        e.unpersist()

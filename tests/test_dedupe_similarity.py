@@ -216,3 +216,50 @@ def test_pairwise_fold_matches_python_tree_fuzz():
         assert got == want or (np.isnan(got) and np.isnan(want))
 
     check()
+
+
+def test_duplicate_clusters_label_propagation(spark):
+    """Chains, cliques, and disjoint pairs all collapse to min-id clusters;
+    rerun-stable; singleton docs never appear."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),      # chain → cluster 1
+            (10, 11), (11, 10),          # duplicate+reversed edge → cluster 10
+            (20, 21), (21, 22), (20, 22) # triangle → cluster 20
+        ],
+        "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+    again = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert again == got
+
+
+def test_duplicate_clusters_from_lsh_pairs(spark, sf_dir):
+    """End-to-end dedup pipeline: LSH candidates → clusters.  Every clustered
+    doc appears exactly once, and every cluster id is the min doc_id of its
+    members."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = lsh_candidate_pairs(docs, "text", "doc_id", num_perm=16, bands=4)
+    clusters = duplicate_clusters(pairs)  # pair columns are id_a/id_b
+    rows = clusters.collect()
+    assert len(rows) == len({r.doc_id for r in rows})  # one row per doc
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert by_cluster, "LSH should find duplicate groups in the corpus"
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
