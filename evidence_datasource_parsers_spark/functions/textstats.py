@@ -90,3 +90,39 @@ def lang_guess(text: Column | str) -> Column:
         ]
     )
     return F.array_max(scored)["code"]
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+# Conservative ASCII patterns: corpus cleaning wants high precision (a false
+# positive deletes training signal); recall beyond these shapes belongs to a
+# dedicated NER pass.  Insertion order IS scrub order — most specific first:
+# the loose phone digit-run would otherwise swallow IPs and SSNs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+}
+
+
+def scrub_pii(text: Column | str, kinds: list[str] | None = None) -> Column:
+    """Replace each PII match with ``<KIND>`` — a chained native
+    regexp_replace, one JVM pass per kind, no UDF, in PII_PATTERNS order
+    (most specific first)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in kinds or list(PII_PATTERNS):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
+def pii_counts(text: Column | str) -> Column:
+    """Map kind → match count (audit column for scrub monitoring)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.create_map(
+        *[
+            x
+            for kind, pat in PII_PATTERNS.items()
+            for x in (F.lit(kind), F.regexp_count(c, F.lit(pat)))
+        ]
+    )
