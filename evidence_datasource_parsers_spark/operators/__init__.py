@@ -10,3 +10,25 @@ from evidence_datasource_parsers_spark.operators.reshape import (  # noqa: F401
 from evidence_datasource_parsers_spark.operators.windows import (  # noqa: F401
     top_n_per_group,
 )
+from evidence_datasource_parsers_spark.operators.chunking import (  # noqa: F401
+    chunk_documents,
+)
+from evidence_datasource_parsers_spark.operators.dedupe import (  # noqa: F401
+    duplicate_clusters,
+    exact_dedupe,
+    lsh_candidate_pairs,
+)
+from evidence_datasource_parsers_spark.operators.quantize import (  # noqa: F401
+    dequantize_embeddings,
+    quantize_embeddings,
+    quantized_topk,
+)
+from evidence_datasource_parsers_spark.operators.sampling import (  # noqa: F401
+    hash_sample,
+    reservoir_per_key,
+    stratified_hash_sample,
+)
+from evidence_datasource_parsers_spark.operators.similarity import (  # noqa: F401
+    ann_lsh_topk,
+    brute_force_topk,
+)
