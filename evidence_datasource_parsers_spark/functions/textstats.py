@@ -97,12 +97,18 @@ def lang_guess(text: Column | str) -> Column:
 # Conservative ASCII patterns: corpus cleaning wants high precision (a false
 # positive deletes training signal); recall beyond these shapes belongs to a
 # dedicated NER pass.  Insertion order IS scrub order — most specific first:
-# the loose phone digit-run would otherwise swallow IPs and SSNs.
+# a loose phone digit-run would otherwise swallow IPs and SSNs.
+#
+# The phone shape is deliberately strict: 10-15 total digits (ITU E.164
+# bounds), at most 3 separator chars between digits, never starting with a
+# 4-digit run followed by a date separator, and never a sub-run of a longer
+# digit sequence — so '2024-01-01 16:30' and ISO timestamps survive
+# scrubbing intact (dates are training signal, not PII).
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-    "phone": r"\+?\d[\d\s().-]{7,}\d",
+    "phone": r"(?<!\d)\+?(?!\d{4}[-/. ])\d(?:[\s().-]{0,3}\d){9,14}(?!\d)",
 }
 
 

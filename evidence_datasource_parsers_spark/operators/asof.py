@@ -30,8 +30,11 @@ from pyspark.sql import functions as F
 
 def _num(c: Column, dtype: str) -> Column:
     """Time axis as an exactly-comparable number (epoch micros for
-    timestamps, plain double otherwise) for nearest-distance arithmetic."""
-    if dtype.startswith("timestamp"):
+    timestamps AND dates, plain double otherwise) for nearest-distance
+    arithmetic.  Dates go through an explicit date→timestamp cast (midnight
+    UTC): Spark cannot cast date→double directly, and routing both temporal
+    types to epoch micros keeps mixed date/timestamp axes commensurable."""
+    if dtype.startswith("timestamp") or dtype == "date":
         return F.unix_micros(c.cast("timestamp"))
     return c.cast("double")
 

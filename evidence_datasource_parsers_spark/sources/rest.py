@@ -95,10 +95,15 @@ class RestScanner:
         rows_key: str = "rows",
     ) -> Iterator:
         """IMPC shape: retried total-count probe, then retried batch fetches
-        from offset 0 stepping ``batch_size`` until every record arrived.
+        from offset 0 stepping by the number of rows ACTUALLY returned until
+        every record arrived.
 
-        An empty batch before the total is reached raises — silently
-        stopping short is how partial scrapes masquerade as complete ones.
+        The offset advances by ``len(rows)``, not ``batch_size``: SOLR
+        deployments commonly cap page size below the requested ``rows``
+        value, and stepping by the request size would silently skip the
+        records between the cap and the request.  An empty batch before the
+        total is reached still raises — silently stopping short is how
+        partial scrapes masquerade as complete ones.
         """
         probe = dict(params, **{start_key: 0, rows_key: 0})
         total = get_total(self.get(probe))
@@ -115,7 +120,7 @@ class RestScanner:
                     f"short read: {fetched}/{total} records then empty batch"
                 )
             fetched += len(rows)
-            start += batch_size
+            start += len(rows)
             yield from rows
 
     def scan_entities(
@@ -144,3 +149,34 @@ def scan_to_df(
     """Driver-collected scan rows → distributed DataFrame (via ``from_rows``,
     the S14 boundary) — the hand-off point from scrape to cluster."""
     return from_rows(spark, list(rows), schema=schema)
+
+
+def urllib_transport(
+    base_url: str,
+    headers: dict[str, str] | None = None,
+    timeout: float = 30.0,
+) -> Transport:
+    """Concrete stdlib transport satisfying the :data:`Transport` protocol.
+
+    GETs ``base_url`` with the scan params url-encoded into the query
+    string and decodes the JSON body.  Non-2xx responses raise
+    ``urllib.error.HTTPError``, which the scanner's retry loop catches —
+    exactly the behavior the reference gets from ``requests`` +
+    ``@retry`` (``modules/IMPC.py:64-77``).  Kept dependency-free so the
+    module imports in any environment; network access only happens when
+    the returned callable is invoked.
+    """
+    import json
+    import urllib.parse
+    import urllib.request
+
+    def call(params: dict) -> dict:
+        url = base_url
+        if params:
+            sep = "&" if "?" in base_url else "?"
+            url = f"{base_url}{sep}{urllib.parse.urlencode(params)}"
+        req = urllib.request.Request(url, headers=headers or {})
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    return call

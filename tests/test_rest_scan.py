@@ -119,6 +119,27 @@ def test_scan_offset_retries_mid_pagination():
     assert sleeps == [0.1]
 
 
+def test_scan_offset_survives_server_capped_page_size():
+    # SOLR deployments commonly cap the page size below the requested
+    # ``rows``; the offset must advance by what actually arrived or the
+    # records between the cap and the request are silently skipped.
+    records = [{"id": i} for i in range(10)]
+
+    def capped(params):  # honors at most 3 rows per page regardless of ask
+        start, rows = params["start"], min(params["rows"], 3)
+        return {"response": {"numFound": len(records),
+                             "docs": records[start : start + rows]}}
+
+    s = RestScanner(capped, RetryPolicy(tries=1))
+    got = list(
+        s.scan_offset(
+            {}, lambda p: p["response"]["numFound"],
+            lambda p: p["response"]["docs"], batch_size=10,
+        )
+    )
+    assert got == records  # every record, exactly once, in order
+
+
 def test_scan_offset_rejects_empty_endpoint_and_short_reads():
     s = RestScanner(_solr([]), RetryPolicy(tries=1))
     with pytest.raises(ValueError, match="no data"):
