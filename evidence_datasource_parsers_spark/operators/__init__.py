@@ -1,4 +1,5 @@
 from evidence_datasource_parsers_spark.operators.joins import (  # noqa: F401
+    broadcast_if_small,
     enrich_join_back,
     union_by_name,
 )

@@ -321,7 +321,7 @@ def with_simhash(
     )
 
 
-def hamming_distance(a: Column, b: Column, nbits: int = 16) -> Column:
+def hamming_distance(a: Column, b: Column) -> Column:
     """Popcount of XOR via bit_count (Spark >= 3.3)."""
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -344,14 +344,25 @@ def duplicate_clusters(
     LSH in a dedup pipeline — pairs (a~b, b~c) become one cluster {a,b,c}
     keeping min(id) as the canonical representative.
 
-    Algorithm: iterative minimum-label propagation.  Each node starts
-    labeled with itself; every round each node adopts the smallest label in
-    its neighborhood (its own + its neighbors'); converged when no label
-    changes.  Rounds needed = graph diameter — near-dup graphs are
-    clique-ish (diameter 2-3), and the hard cap bounds the pathological
-    chain case.  Each round is ONE join on the edge list + a min-aggregate:
-    both shuffle on node id, so a 1000-executor run reuses the same
-    hash partitioning round to round.  The edge list is persisted once;
+    Algorithm: minimum-label propagation with POINTER DOUBLING.  Each node
+    starts labeled with itself; every round each node adopts the smallest
+    of (its label, its neighbors' labels, its label's label).  The last
+    term — following the label pointer one extra hop, the shortcutting
+    step of classic PRAM connectivity — halves pointer-chain lengths each
+    round, so convergence is O(log diameter) rounds, not O(diameter):
+    a 2^20-node chain fits the default 20-round cap, where plain
+    hook-only propagation would need a round per hop (templated near-dup
+    pages DO form long chains).  Labels only ever decrease and only to ids
+    inside the same component, so the fixed point is exactly min(id) per
+    component.
+
+    If the cap is exhausted before the fixed point the function RAISES —
+    silently returning partial labels would hand downstream
+    canonical-representative selection wrong cluster ids.
+
+    Each round is two joins that both shuffle on node id (edge hook +
+    pointer jump), so a 1000-executor run reuses the same hash
+    partitioning round to round; the edge list is persisted once;
     convergence is checked with a cheap count of changed labels (the only
     driver-side action per round).
 
@@ -380,19 +391,28 @@ def duplicate_clusters(
         .localCheckpoint(eager=True)
     )
     try:
+        converged = False
         for _ in range(max_iterations):
             neighbor_min = (
                 e.join(labels, e.dst == labels.id)
                 .groupBy("src")
                 .agg(F.min("label").alias("nbr_label"))
             )
+            # shortcut: my label's own label (one pointer jump) — labels
+            # only shrink, so label(label(id)) is always a valid (smaller
+            # or equal) label for id's component
+            jump = labels.select(
+                F.col("id").alias("jid"), F.col("label").alias("jump_label")
+            )
             new_labels = (
                 labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .join(jump, labels.label == jump.jid, "left")
                 .select(
                     "id",
                     F.least(
                         F.col("label"),
                         F.coalesce(F.col("nbr_label"), F.col("label")),
+                        F.coalesce(F.col("jump_label"), F.col("label")),
                     ).alias("label"),
                 )
                 .localCheckpoint(eager=True)
@@ -405,7 +425,14 @@ def duplicate_clusters(
             )
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            raise RuntimeError(
+                f"duplicate_clusters did not converge in {max_iterations} "
+                "rounds — raise max_iterations (O(log diameter) rounds "
+                "are needed; 20 covers a ~10^6-hop chain)"
+            )
         return labels.select(
             F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
         )

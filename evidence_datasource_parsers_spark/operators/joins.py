@@ -30,6 +30,63 @@ def union_by_name(dfs: list[DataFrame], allow_missing: bool = True) -> DataFrame
     )
 
 
+_SIZE_SUFFIXES = {
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+}
+
+
+def _parse_size(text: str) -> int:
+    """Spark size-conf string ('10MB', '10485760b', '-1') → bytes."""
+    t = str(text).strip().lower()
+    for suffix in sorted(_SIZE_SUFFIXES, key=len, reverse=True):
+        if t.endswith(suffix):
+            return int(t[: -len(suffix)]) * _SIZE_SUFFIXES[suffix]
+    return int(t)
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate for ``df`` in bytes — the
+    same statistic the auto-broadcast rule consults.  Computed from plan
+    metadata (file sizes × filter selectivity); runs no job."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def broadcast_if_small(
+    df: DataFrame, threshold_bytes: int | None = None
+) -> DataFrame:
+    """Size-gated broadcast hint (J9, the scale-safe form).
+
+    A pinned ``F.broadcast()`` bypasses ``autoBroadcastJoinThreshold``
+    entirely: right for spec-bounded dims (nation=25, region=5 rows) but an
+    executor OOM for any table that grows with the dataset (supplier is
+    SF-proportional — ~1k rows at sf0.1, ~10⁹ at 100 TB).  This helper
+    applies the hint only while Catalyst's own size estimate is under the
+    threshold (defaulting to the session's ``autoBroadcastJoinThreshold``),
+    so small inputs keep the single-shuffle broadcast-hash plan and
+    oversized ones fall back to the optimizer's choice (sort-merge, or an
+    AQE runtime broadcast if post-shuffle stats allow).
+
+    A negative/disabled threshold never hints — it respects an operator who
+    set ``autoBroadcastJoinThreshold=-1`` to forbid broadcasts.
+    """
+    if threshold_bytes is None:
+        conf = df.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10MB"
+        )
+        threshold_bytes = _parse_size(conf)
+    if threshold_bytes >= 0 and plan_size_bytes(df) <= threshold_bytes:
+        return F.broadcast(df)
+    return df
+
+
 def broadcast_lut_join(
     fact: DataFrame,
     lut: DataFrame,

@@ -29,9 +29,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-# Columns stored as TIMESTAMP(NANOS) in the driver-generated parquet; Spark
-# reads them as long (nanosAsLong) and we convert to timestamp at the scan.
-_NANO_TS_COLS = {
+# Timestamp columns in the driver-generated parquet.  Their physical type has
+# varied across driver versions — TIMESTAMP(NANOS) (Spark reads as long under
+# nanosAsLong) and timestamp[us] without tz (Spark reads as TIMESTAMP_NTZ) —
+# so the scan normalizes every variant to a session-TZ TIMESTAMP, which the
+# rest of the catalog (unix_micros, date_format, windows) assumes.
+_TS_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
     "events": ("ts",),
@@ -40,17 +43,22 @@ _NANO_TS_COLS = {
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # The correctness driver builds its own vanilla SparkSession, so session-
-    # factory confs (session.py) do not apply here.  events.ts is stored as
-    # TIMESTAMP(NANOS), which Spark only reads with nanosAsLong; the conf is
-    # runtime-settable, so set it at the scan so the fix travels with every
-    # query builder regardless of who built the session.
+    # factory confs (session.py) do not apply here; both confs are runtime-
+    # settable, so set them at the scan so the fix travels with every query
+    # builder regardless of who built the session.  UTC pins the NTZ→LTZ
+    # cast to identity wall-clock and keeps date_format/hour output equal to
+    # the DuckDB oracle's naive-timestamp reading.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    for col in _NANO_TS_COLS.get(table, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+    for col in _TS_COLS.get(table, ()):
+        dt = dict(df.dtypes).get(col)
+        if dt == "bigint":  # TIMESTAMP(NANOS) surfaced as nanos-long
             df = df.withColumn(
                 col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
             )
+        elif dt == "timestamp_ntz":  # timestamp[us], no tz annotation
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from evidence_datasource_parsers_spark.operators.joins import broadcast_if_small
 from evidence_datasource_parsers_spark.plans.catalog import _c, cents, load, register
 
 
@@ -750,7 +751,11 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q60(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape (local supplier volume): 6-table join graph with a
-    two-key supplier condition; dims broadcast, one shuffle per fact join."""
+    two-key supplier condition.  nation/region are spec-bounded (25/5 rows)
+    and pinned-broadcast; supplier GROWS with the dataset, so its hint is
+    size-gated (``broadcast_if_small``) — broadcast-hash under the
+    threshold, optimizer's choice (SMJ / AQE runtime broadcast) above it.
+    A pinned supplier broadcast would OOM executors at ~100× sf."""
     c = load(spark, sf, "customer")
     o = load(spark, sf, "orders")
     l = load(spark, sf, "lineitem")
@@ -764,7 +769,7 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            broadcast_if_small(s),
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)

@@ -74,7 +74,7 @@ def test_simhash_hamming(spark):
     d_near, d_far = [
         r[0]
         for r in df.select(
-            hamming_distance(F.col("a"), F.col("b"), 16)
+            hamming_distance(F.col("a"), F.col("b"))
         ).collect()
     ]
     assert out[1] == out[2] == out[5]
@@ -241,6 +241,74 @@ def test_duplicate_clusters_label_propagation(spark):
     }
     again = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
     assert again == got
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 200-hop chain (templated-page worst case) converges inside the
+    default 20-round cap — pointer doubling makes rounds O(log diameter),
+    where hook-only propagation would need ~200 rounds and previously
+    returned WRONG partial labels silently."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        duplicate_clusters,
+    )
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_duplicate_clusters_raises_when_not_converged(spark):
+    import pytest as _pytest
+
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iterations=2)
+
+
+def test_duplicate_clusters_random_graph_matches_naive(spark):
+    """Property check vs a driver-side union-find on a deterministic
+    pseudo-random graph: identical components and min-id labels."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        duplicate_clusters,
+    )
+
+    # deterministic LCG edges over 120 nodes
+    state, edges = 12345, []
+    for _ in range(90):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = state % 120
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        b = state % 120
+        if a != b:
+            edges.append((a, b))
+
+    parent = list(range(120))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {v for e in edges for v in e}
+    want = {v: find(v) for v in nodes}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == want
 
 
 def test_duplicate_clusters_from_lsh_pairs(spark, sf_dir):

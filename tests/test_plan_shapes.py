@@ -57,7 +57,9 @@ def test_q60_six_table_join_all_broadcast(spark, sf_dir):
     """TPC-H Q5 shape: every join side except the lineitem fact fits the
     broadcast threshold, so the fact table must never shuffle for a join —
     the plan is 5 BroadcastHashJoins and the only data Exchange is the final
-    aggregation."""
+    aggregation.  supplier's hint is size-gated (broadcast_if_small), so
+    this asserts the small-SF leg; the oversized fallback is covered by
+    test_broadcast_gate_falls_back_when_oversized."""
     plan = _plan(spark, "q60_local_supplier_volume", sf_dir)
     nodes = _nodes(plan)
     assert nodes.count("BroadcastHashJoin") == 5
@@ -65,6 +67,57 @@ def test_q60_six_table_join_all_broadcast(spark, sf_dir):
     # _nodes names are exact, so "Exchange" counts only shuffle exchanges
     # (BroadcastExchange is its own node name)
     assert nodes.count("Exchange") == 1
+
+
+def test_broadcast_gate_applies_hint_under_threshold(spark, sf_dir):
+    """broadcast_if_small keeps the BHJ plan while the dim is small..."""
+    from evidence_datasource_parsers_spark.operators.joins import (
+        broadcast_if_small,
+        plan_size_bytes,
+    )
+
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert plan_size_bytes(s) > 0
+    gated = broadcast_if_small(s, threshold_bytes=1 << 30)
+    plan = l.join(gated, l["l_suppkey"] == gated["s_suppkey"])._jdf \
+        .queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_broadcast_gate_falls_back_when_oversized(spark, sf_dir):
+    """...and above the threshold it yields to the optimizer — the scale
+    guard that keeps a supplier-shaped (SF-proportional) dim from being
+    force-broadcast into an executor OOM at 100×.  Auto-broadcast is
+    disabled for the assertion so the fallback is visible as an SMJ."""
+    from evidence_datasource_parsers_spark.operators.joins import (
+        broadcast_if_small,
+    )
+
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # explicit tiny threshold: the gate must refuse the hint
+        gated = broadcast_if_small(s, threshold_bytes=1)
+        plan = l.join(gated, l["l_suppkey"] == gated["s_suppkey"])._jdf \
+            .queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("formatted")
+            )
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan
+        # default threshold comes from the session conf: -1 disables the
+        # hint even for a tiny table
+        ungated = broadcast_if_small(s)
+        assert ungated is s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_q39_ann_plan_shape(spark, sf_dir):
