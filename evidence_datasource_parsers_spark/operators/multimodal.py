@@ -1,15 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The container has no image/audio codecs, so the *decode kernels* are stubs —
-either a deterministic fake (for the synthetic header format below) or a
-clearly-marked ``NotImplementedError``.  Everything Spark-side is real and
-tested: schemas, Arrow batch shapes, ``mapInPandas`` plumbing, partitioning.
+The container has no compressed-format codecs (no PIL/ffmpeg), so decode is
+REAL for the uncompressed formats a pure-Python parser can handle — PPM (P6),
+BMP (24-bit BI_RGB), WAV (PCM16) — plus the synthetic MM01 container below;
+compressed formats (JPEG/PNG/MP3) still raise a clearly-marked
+``NotImplementedError`` where a PIL/ffmpeg-backed kernel with the same
+signature plugs in.  Everything Spark-side is real and tested: schemas,
+Arrow batch shapes, ``mapInPandas`` plumbing, partitioning.
 
 Synthetic container format (used by tests): a binary blob whose first 14 bytes
 are a header ``MM01`` + media-type byte + int32 width/height (big-endian) +
-byte depth, followed by the payload.  Real deployments swap ``decode_blob``
-for a PIL/ffmpeg-backed kernel with the same signature — the Spark plumbing
-does not change.
+byte depth, followed by the payload.
 """
 
 from __future__ import annotations
@@ -38,6 +39,153 @@ def _parse_header(blob: bytes) -> tuple[str, int, int, int, int]:
         return ("unknown", -1, -1, -1, -1 if blob is None else len(blob))
     mt, w, h, d = struct.unpack(">BiiB", blob[4:14])
     return (MEDIA_TYPES.get(mt, "unknown"), w, h, d, len(blob) - 14)
+
+
+def encode_ppm(pixels) -> bytes:
+    """(h, w, 3) uint8 array → binary PPM (P6, maxval 255)."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(blob: bytes):
+    """Binary PPM (P6) → (h, w, 3) uint8 numpy array.  Pure Python + numpy:
+    handles '#' comments and arbitrary whitespace in the header, as the
+    netpbm spec allows."""
+    import numpy as np
+
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic + 3 ints (w, h, maxval), tokens separated by whitespace,
+    # '#' comments run to end-of-line; ONE whitespace byte then raster data
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        c = blob[pos : pos + 1]
+        if c == b"#":
+            pos = blob.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while not blob[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(blob[pos:end]))
+            pos = end
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM (maxval > 255) not supported")
+    raster = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def decode_bmp(blob: bytes):
+    """Uncompressed 24-bit BMP (BI_RGB) → (h, w, 3) uint8 RGB array.
+    Bottom-up row order and 4-byte row padding per the BMP spec."""
+    import numpy as np
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack("<I", blob[10:14])[0]
+    w, h = struct.unpack("<ii", blob[18:26])
+    bpp = struct.unpack("<H", blob[28:30])[0]
+    compression = struct.unpack("<I", blob[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP supported (got {bpp}bpp, "
+            f"compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if bottom_up else img
+
+
+def decode_wav(blob: bytes):
+    """RIFF/WAVE with PCM16 data → (sample_rate, channels, samples) where
+    samples is an int16 array of shape (n_frames, channels)."""
+    import numpy as np
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 WAV supported (format={audio_format}, bits={bits})"
+        )
+    samples = np.frombuffer(
+        data, dtype="<i2", count=len(data) // 2
+    ).reshape(-1, channels)
+    return sample_rate, channels, samples
+
+
+def decode_blob(blob: bytes) -> dict:
+    """Sniff + decode a media blob.  Returns a dict with ``media_type`` and
+    type-specific fields:
+
+      image → format, width, height, channels, pixels ((h, w, c) uint8)
+      audio → format, sample_rate, channels, samples ((n, c) int16)
+      unknown → just {'media_type': 'unknown'}
+
+    Real for PPM/BMP/WAV/MM01; compressed formats raise NotImplementedError
+    (the PIL/ffmpeg plug-in point)."""
+    import numpy as np
+
+    if blob is None:
+        return {"media_type": "unknown"}
+    if blob[:2] == b"P6":
+        px = decode_ppm(blob)
+        return {
+            "media_type": "image", "format": "ppm",
+            "width": px.shape[1], "height": px.shape[0],
+            "channels": 3, "pixels": px,
+        }
+    if blob[:2] == b"BM":
+        px = decode_bmp(blob)
+        return {
+            "media_type": "image", "format": "bmp",
+            "width": px.shape[1], "height": px.shape[0],
+            "channels": 3, "pixels": px,
+        }
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        rate, ch, samples = decode_wav(blob)
+        return {
+            "media_type": "audio", "format": "wav",
+            "sample_rate": rate, "channels": ch, "samples": samples,
+        }
+    if blob[:4] == MAGIC:
+        mt, w, h, d = struct.unpack(">BiiB", blob[4:14])
+        payload = np.frombuffer(blob, dtype=np.uint8, offset=14)
+        out = {
+            "media_type": MEDIA_TYPES.get(mt, "unknown"), "format": "mm01",
+            "width": w, "height": h, "channels": 1,
+        }
+        if out["media_type"] == "image":
+            n = w * h
+            grid = np.zeros(n, dtype=np.uint8)
+            grid[: min(n, len(payload))] = payload[:n]
+            out["pixels"] = grid.reshape(h, w, 1)
+        return out
+    if blob[:3] == b"\xff\xd8\xff" or blob[:8] == b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "compressed image decode (JPEG/PNG) requires PIL (absent here)"
+        )
+    return {"media_type": "unknown"}
 
 
 def extract_media_meta(
@@ -77,29 +225,99 @@ def resize_images(
 ) -> DataFrame:
     """Resize kernel over mapInPandas.
 
-    fake=True emits a deterministic resized blob (header rewritten, payload
-    truncated/padded to target_w*target_h) so pipelines are testable without
-    codecs.  fake=False marks where a real decoder plugs in.
+    fake=True keeps the legacy deterministic stand-in for MM01 blobs (header
+    rewritten, payload truncated/padded to target_w*target_h) so pipelines
+    are testable with zero decode cost.  fake=False REALLY decodes
+    (PPM/BMP/MM01 via :func:`decode_blob`), nearest-neighbor-resamples in
+    numpy, and re-encodes — PPM for RGB sources, MM01 for grayscale;
+    compressed inputs raise at the decode step (the PIL plug-in point).
+    Non-image blobs map to null either way.
     """
     out_schema = f"{id_col} long, {binary_col} binary"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             out = []
             for blob in pdf[binary_col]:
-                mt_name, w, h, d, _ = _parse_header(blob)
-                if mt_name != "image":
+                if fake:
+                    mt_name, w, h, d, _ = _parse_header(blob)
+                    if mt_name != "image":
+                        out.append(None)
+                        continue
+                    payload = bytes(blob[14:])[: target_w * target_h].ljust(
+                        target_w * target_h, b"\0"
+                    )
+                    out.append(pack_blob(0, target_w, target_h, d, payload))
+                    continue
+                decoded = decode_blob(bytes(blob) if blob is not None else None)
+                if decoded["media_type"] != "image":
                     out.append(None)
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "real image decode requires PIL/opencv (absent here)"
+                px = decoded["pixels"]
+                h, w = px.shape[0], px.shape[1]
+                # nearest-neighbor: index-sample rows/cols (pixel-center rule)
+                ri = np.minimum((np.arange(target_h) + 0.5) * h // target_h, h - 1).astype(int)
+                ci = np.minimum((np.arange(target_w) + 0.5) * w // target_w, w - 1).astype(int)
+                resized = px[ri][:, ci]
+                if resized.shape[2] == 3:
+                    out.append(encode_ppm(resized))
+                else:
+                    out.append(
+                        pack_blob(0, target_w, target_h, 1, resized.tobytes())
                     )
-                payload = bytes(blob[14:])[: target_w * target_h].ljust(
-                    target_w * target_h, b"\0"
-                )
-                out.append(pack_blob(0, target_w, target_h, d, payload))
             yield pd.DataFrame({id_col: pdf[id_col].values, binary_col: out})
+
+    return df.select(id_col, binary_col).mapInPandas(kernel, out_schema)
+
+
+def decoded_image_stats(
+    df: DataFrame, binary_col: str = "blob", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL-decode statistics per image blob: pixel count/sum/mean/min/max
+    over the decoded raster (PPM/BMP/MM01 via :func:`decode_blob`).  One
+    narrow Arrow pass, no shuffle; non-images and undecodable blobs emit
+    nulls.  The stats are exact functions of the decoded bytes, so a
+    deterministic synthesis upstream gives them an exact SQL oracle — the
+    honesty check that the decoder really ran."""
+    out_schema = (
+        f"{id_col} long, img_format string, width int, height int, "
+        "channels int, pixel_count long, pixel_sum long, pixel_mean double, "
+        "pixel_min int, pixel_max int"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    d = decode_blob(bytes(blob) if blob is not None else None)
+                except (ValueError, NotImplementedError):
+                    d = {"media_type": "unknown"}
+                if d["media_type"] != "image":
+                    rows.append((mid, None, None, None, None, None, None,
+                                 None, None, None))
+                    continue
+                px = d["pixels"].astype(np.int64)
+                rows.append(
+                    (
+                        mid, d["format"], d["width"], d["height"],
+                        d["channels"], int(px.size), int(px.sum()),
+                        float(px.sum()) / float(px.size),
+                        int(px.min()), int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "img_format", "width", "height", "channels",
+                    "pixel_count", "pixel_sum", "pixel_mean", "pixel_min",
+                    "pixel_max",
+                ],
+            )
 
     return df.select(id_col, binary_col).mapInPandas(kernel, out_schema)
 

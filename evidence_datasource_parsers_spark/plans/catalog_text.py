@@ -627,14 +627,22 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q62_multimodal_meta",
     """
-    SELECT doc_id AS media_id,
+    WITH ppm AS (
+        SELECT d.doc_id,
+               CAST(sum((d.doc_id * 31 + r.k * 7) % 256) AS BIGINT) AS s
+        FROM documents d, range(384) r(k)
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id AS media_id,
            'image' AS media_type,
            CAST(64 AS INT) AS width,
            CAST(48 AS INT) AS height,
            CAST(3 AS INT) AS depth,
-           CAST(least(octet_length(encode(text)), 256) AS BIGINT)
-               AS payload_bytes
-    FROM documents
+           CAST(least(octet_length(encode(d.text)), 256) AS BIGINT)
+               AS payload_bytes,
+           p.s AS ppm_pixel_sum,
+           p.s / 384.0 AS ppm_pixel_mean
+    FROM documents d JOIN ppm p ON d.doc_id = p.doc_id
     """,
     tags=("multimodal", "mapInPandas"),
 )
@@ -642,20 +650,23 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal column plumbing end-to-end inside one plan: synthesize
     image blobs (synthetic MM01 container) from document bytes via
     mapInPandas, then decode typed metadata — the schema/batch contract the
-    real codec kernels plug into (operators/multimodal.py).
+    real codec kernels plug into (operators/multimodal.py) — PLUS a REAL
+    decoder leg: a deterministic 16×8 binary PPM (P6) is synthesized per
+    document (payload byte k = (doc_id·31 + k·7) mod 256), parsed by the
+    actual pure-Python PPM decoder (multimodal.decode_ppm — header
+    tokenizer, raster extraction), and its pixel sum/mean emitted.  DuckDB
+    recomputes those stats arithmetically from the formula, so a decoder
+    bug (off-by-one in the header scan, wrong raster offset) breaks the
+    value hash — the honesty check that real decoding, not a stub, ran.
 
-    The blob construction is deterministic (fixed header + first 256 UTF-8
-    bytes of the text), so the decoded metadata has an exact oracle: DuckDB
-    recomputes width/height/depth from the header constants and
-    payload_bytes as least(octet_length(encode(text)), 256) — the binary
-    round-trip through two Arrow-batched Python stages must reproduce it
-    byte-for-byte.
-
-    The kernels here are deliberately SELF-CONTAINED closures (no references
-    to this package): cloudpickle ships them by value, so the query runs even
-    under a driver whose JVM started without this repo on PYTHONPATH
-    (executor Python workers cannot see driver-side sys.path edits).
+    The MM01 kernels are SELF-CONTAINED closures (cloudpickle by value);
+    the PPM leg references the package decoder on purpose — q37/q39 proved
+    package-referencing kernels resolve under the correctness driver.
     """
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
     d = load(spark, sf, "documents").select("doc_id", "text")
 
     def to_blobs(batches):
@@ -699,9 +710,34 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
+    def ppm_stats(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        k = _np.arange(16 * 8 * 3, dtype=_np.int64)
+        for pdf in batches:
+            sums, means = [], []
+            for mid in pdf["media_id"]:
+                payload = ((int(mid) * 31 + k * 7) % 256).astype(_np.uint8)
+                blob = b"P6\n16 8\n255\n" + payload.tobytes()
+                px = decode_ppm(blob).astype(_np.int64)  # the REAL parser
+                s = int(px.sum())
+                sums.append(s)
+                means.append(float(s) / float(px.size))
+            out = pdf.copy()
+            out["ppm_pixel_sum"] = sums
+            out["ppm_pixel_mean"] = means
+            yield out
+
     media = d.mapInPandas(to_blobs, "media_id long, blob binary")
-    return media.mapInPandas(
+    meta = media.mapInPandas(
         decode,
         "media_id long, media_type string, width int, height int,"
         " depth int, payload_bytes long",
+    )
+    return meta.mapInPandas(
+        ppm_stats,
+        "media_id long, media_type string, width int, height int,"
+        " depth int, payload_bytes long, ppm_pixel_sum long,"
+        " ppm_pixel_mean double",
     )

@@ -1,14 +1,23 @@
 """Multimodal plumbing: binary columns + typed metadata through mapInPandas.
 
-The decode kernels are deterministic fakes (no codecs in the image); what's
-under test is the real Spark-side contract — schemas, Arrow batch shapes,
-fan-out semantics."""
+Decode is REAL for uncompressed formats (PPM P6 / 24-bit BMP / PCM16 WAV /
+the synthetic MM01 container) via pure-Python parsers; compressed formats
+raise a marked NotImplementedError.  Also under test: the Spark-side
+contract — schemas, Arrow batch shapes, fan-out semantics."""
 
 from __future__ import annotations
+
+import struct
 
 import pytest
 
 from evidence_datasource_parsers_spark.operators.multimodal import (
+    decode_blob,
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    decoded_image_stats,
+    encode_ppm,
     extract_media_meta,
     pack_blob,
     resize_images,
@@ -51,9 +60,106 @@ def test_resize_images_fake_kernel(spark):
     assert rows[2] is None  # non-images pass through as null
 
 
-def test_resize_images_real_kernel_is_marked_stub(spark):
-    with pytest.raises(Exception, match="NotImplementedError|PIL|decode"):
-        resize_images(_media(spark), 4, 4, fake=False).collect()
+def _checker_ppm(w=4, h=2):
+    import numpy as np
+
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[::2, ::2] = [255, 0, 0]
+    px[1::2, 1::2] = [0, 0, 255]
+    return px, encode_ppm(px)
+
+
+def test_decode_ppm_roundtrip_with_comments():
+    import numpy as np
+
+    px, blob = _checker_ppm()
+    assert (decode_ppm(blob) == px).all()
+    # netpbm allows comments and arbitrary whitespace inside the header
+    commented = b"P6 # a comment\n# another\n 4\t2 #w h\n255\n" + px.tobytes()
+    assert (decode_ppm(commented) == px).all()
+
+
+def test_decode_bmp_bottom_up_with_padding():
+    import numpy as np
+
+    # 3x2 24-bit BMP: stride pads 9-byte rows to 12; bottom-up row order
+    px = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    stride = 12
+    raster = b""
+    for row in px[::-1]:  # file stores bottom row first
+        raster += row[:, ::-1].tobytes().ljust(stride, b"\0")  # RGB→BGR
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(raster),
+                      2835, 2835, 0, 0)
+    )
+    assert (decode_bmp(header + raster) == px).all()
+
+
+def test_decode_wav_pcm16():
+    import numpy as np
+
+    samples = np.array([[0, 1], [-2, 3], [100, -100]], dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, ch, got = decode_wav(blob)
+    assert (rate, ch) == (8000, 2)
+    assert (got == samples).all()
+    d = decode_blob(blob)
+    assert d["media_type"] == "audio" and d["sample_rate"] == 8000
+
+
+def test_decode_blob_compressed_raises():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_blob(b"\x89PNG\r\n\x1a\n....")
+    assert decode_blob(b"garbage")["media_type"] == "unknown"
+    assert decode_blob(None)["media_type"] == "unknown"
+
+
+def test_resize_images_real_kernel_decodes_ppm_and_mm01(spark):
+    import numpy as np
+
+    px, ppm = _checker_ppm(4, 2)
+    rows = [
+        (1, ppm),                                 # RGB ppm → resized ppm
+        (2, pack_blob(0, 4, 2, 1, bytes(range(8)))),  # grayscale MM01
+        (3, pack_blob(1, 0, 0, 1, b"\x02" * 50)),     # audio → null
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    out = {
+        r["media_id"]: r["blob"]
+        for r in resize_images(df, 2, 2, fake=False).collect()
+    }
+    r1 = decode_blob(bytes(out[1]))
+    assert (r1["width"], r1["height"], r1["format"]) == (2, 2, "ppm")
+    # nearest-neighbor with pixel-center rule: cols 1,3 rows 0,1 of source
+    assert (r1["pixels"] == px[[0, 1]][:, [1, 3]]).all()
+    r2 = decode_blob(bytes(out[2]))
+    assert (r2["width"], r2["height"], r2["format"]) == (2, 2, "mm01")
+    assert out[3] is None
+
+
+def test_decoded_image_stats_matches_numpy(spark):
+    import numpy as np
+
+    px, ppm = _checker_ppm(4, 2)
+    df = spark.createDataFrame(
+        [(1, ppm), (2, b"\x89PNG\r\n\x1a\nxx"), (3, None)],
+        "media_id long, blob binary",
+    )
+    out = {r["media_id"]: r.asDict() for r in decoded_image_stats(df).collect()}
+    want = px.astype(np.int64)
+    assert out[1]["pixel_sum"] == int(want.sum())
+    assert out[1]["pixel_count"] == 24
+    assert out[1]["pixel_mean"] == pytest.approx(want.mean())
+    assert (out[1]["pixel_min"], out[1]["pixel_max"]) == (0, 255)
+    assert out[2]["img_format"] is None  # undecodable → nulls, no crash
+    assert out[3]["img_format"] is None
 
 
 def test_sample_frames_fanout(spark):
