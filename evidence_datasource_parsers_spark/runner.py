@@ -2,9 +2,11 @@
 a plain-Python stage registry over ONE SparkSession.
 
 Each registered pipeline is a named ``(spark, config) -> DataFrame`` function
-with an optional declared output schema (M2 — the reference validates emitted
-JSON against a versioned JSON Schema per Snakefile rule; here the contract is
-enforced as a Spark ``StructType`` check before the sink) and a sink path.
+with two optional output contracts (M2 — the reference validates emitted
+JSON against a versioned JSON Schema per Snakefile rule): a Spark
+``StructType`` check before the sink (structural), and a JSON-Schema check
+after it (value-level: required/enum/pattern/bounds/nesting, validated
+distributed via ``validation.assert_json_schema``).
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ class PipelineSpec:
     build: Callable[[SparkSession, dict], DataFrame]
     output_schema: StructType | str | None = None
     depends_on: tuple[str, ...] = ()
+    json_schema: dict | None = None
 
 
 @dataclass
@@ -42,8 +45,11 @@ class Runner:
         build: Callable[[SparkSession, dict], DataFrame],
         output_schema: StructType | str | None = None,
         depends_on: tuple[str, ...] = (),
+        json_schema: dict | None = None,
     ) -> None:
-        self.pipelines[name] = PipelineSpec(name, build, output_schema, depends_on)
+        self.pipelines[name] = PipelineSpec(
+            name, build, output_schema, depends_on, json_schema
+        )
 
     def _order(self) -> list[str]:
         seen: dict[str, int] = {}
@@ -96,4 +102,13 @@ class Runner:
             results[name] = df
             if out_dir:
                 write_evidence_strings(df, f"{out_dir}/{name}.json.gz")
+            if spec.json_schema is not None:
+                # JSON-Schema contract (M2), validated AFTER the sink like
+                # the reference's per-rule opentargets_validator step
+                # (Snakefile:110) — but distributed, not a driver re-read
+                from evidence_datasource_parsers_spark.validation import (
+                    assert_json_schema,
+                )
+
+                assert_json_schema(df, spec.json_schema)
         return results

@@ -84,3 +84,108 @@ def test_runner_cycle_detection(spark):
     r.register("b", lambda s, c: None, depends_on=("a",))
     with pytest.raises(ValueError, match="cycle"):
         r.run(spark, {})
+
+
+def test_json_schema_validator_unit():
+    """Dependency-free validator: the subset the reference's evidence
+    schemas use — types, required, enum, pattern, bounds, nested arrays
+    and objects, anyOf — each keyword must both accept and reject."""
+    from evidence_datasource_parsers_spark.validation import compile_validator
+
+    v = compile_validator(
+        {
+            "type": "object",
+            "required": ["targetId", "score"],
+            "additionalProperties": False,
+            "properties": {
+                "targetId": {"type": "string", "pattern": "^ENSG\\d{11}$"},
+                "score": {"type": "number", "minimum": 0, "maximum": 1},
+                "datasourceId": {"enum": ["impc", "encore", "ot_crispr"]},
+                "tags": {
+                    "type": "array",
+                    "items": {"type": "string", "minLength": 1},
+                    "uniqueItems": True,
+                },
+                "meta": {
+                    "type": "object",
+                    "properties": {
+                        "n": {"type": ["integer", "null"]},
+                        "flag": {"anyOf": [{"type": "boolean"}, {"const": "na"}]},
+                    },
+                },
+            },
+        }
+    )
+    ok = {
+        "targetId": "ENSG00000139618", "score": 0.5, "datasourceId": "impc",
+        "tags": ["a", "b"], "meta": {"n": 3, "flag": True},
+    }
+    assert v(ok) == []
+    assert v({"score": 0.5}) == ["$: missing required property 'targetId'"]
+    errs = v(
+        {
+            "targetId": "BRCA2", "score": 1.5, "datasourceId": "nope",
+            "tags": ["a", "a", ""], "meta": {"n": 1.5, "flag": "yes"},
+            "extra": 1,
+        }
+    )
+    joined = "\n".join(errs)
+    for frag in (
+        "!~", "> maximum", "not in enum", "duplicate", "minLength",
+        "$.meta.n: expected type", "no anyOf branch", "unexpected properties",
+    ):
+        assert frag in joined, (frag, errs)
+
+
+def test_runner_json_schema_gate(spark, tmp_path):
+    """M2 parity end-to-end: a pipeline with a JSON-Schema contract fails
+    loudly on a deliberately broken record and passes on golden output —
+    the distributed twin of the reference's opentargets_validator step."""
+    from evidence_datasource_parsers_spark.runner import Runner
+
+    schema = {
+        "type": "object",
+        "required": ["targetId", "score"],
+        "properties": {
+            "targetId": {"type": "string", "pattern": "^ENSG\\d{11}$"},
+            "score": {"type": "number", "minimum": 0, "maximum": 1},
+        },
+    }
+
+    def golden(s, cfg):
+        return s.createDataFrame(
+            [("ENSG00000139618", 0.7)], "targetId string, score double"
+        )
+
+    def broken(s, cfg):
+        return s.createDataFrame(
+            [("ENSG00000139618", 0.7), ("BRCA2", 7.0)],
+            "targetId string, score double",
+        )
+
+    r = Runner()
+    r.register("good", golden, json_schema=schema)
+    out = r.run(spark, {}, out_dir=str(tmp_path))
+    assert out["good"].count() == 1
+
+    r2 = Runner()
+    r2.register("bad", broken, json_schema=schema)
+    with pytest.raises(SchemaContractError, match="BRCA2"):
+        r2.run(spark, {})
+
+
+def test_json_schema_catches_dropped_nulls(spark):
+    """to_json drops null fields, so a null in a required column is a
+    missing-property violation — the exact bug class (null evidence ids)
+    the reference's validator exists to catch."""
+    from evidence_datasource_parsers_spark.validation import (
+        validate_json_schema,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), (None,)], "targetId string"
+    )
+    errs = validate_json_schema(
+        df, {"type": "object", "required": ["targetId"]}
+    ).collect()
+    assert len(errs) == 1 and "missing required" in errs[0]["error"]
