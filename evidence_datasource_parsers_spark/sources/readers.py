@@ -221,8 +221,13 @@ def _xlsx_grid(path: str, sheet_name) -> list[list]:
         rows: list[list] = []
         for row in ws.iter(f"{NS}row"):
             cells: list = []
+            next_col = 0  # running index: cells may legally omit r=
             for c in row.iter(f"{NS}c"):
-                col = _xlsx_cell_col(c.get("r", ""))
+                ref = c.get("r")
+                # OOXML makes the cell reference optional; an unreferenced
+                # cell occupies the column after the previous cell
+                col = _xlsx_cell_col(ref) if ref else next_col
+                next_col = col + 1
                 while len(cells) <= col:
                     cells.append(None)
                 ctype = c.get("t", "n")
@@ -306,20 +311,37 @@ def read_excel(
         names.append("_".join(levels) if levels else f"col{i}")
 
     # column-major type resolution: all-numeric columns become doubles,
-    # anything mixed degrades to string (Spark rows must be homogeneous)
+    # anything mixed degrades to string (Spark rows must be homogeneous).
+    # The schema is built EXPLICITLY (not inferred from names alone): an
+    # all-None column gives Spark's inferencer nothing to work with and
+    # would fail the createDataFrame — it types as string here.
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     cols = list(zip(*body)) if body else [[] for _ in range(width)]
 
     def resolve(col):
         vals = [v for v in col if v is not None]
         if vals and all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals):
-            return [float(v) if v is not None else None for v in col]
+            return [float(v) if v is not None else None for v in col], DoubleType()
         if vals and all(isinstance(v, bool) for v in vals):
-            return list(col)
-        return [str(v) if v is not None else None for v in col]
+            return list(col), BooleanType()
+        return [str(v) if v is not None else None for v in col], StringType()
 
     resolved = [resolve(c) for c in cols]
-    data = [tuple(resolved[i][r] for i in range(width)) for r in range(len(body))]
-    return spark.createDataFrame(data, schema=names)
+    schema = StructType(
+        [StructField(n, r[1]) for n, r in zip(names, resolved)]
+    )
+    data = [
+        tuple(resolved[i][0][r] for i in range(width))
+        for r in range(len(body))
+    ]
+    return spark.createDataFrame(data, schema=schema)
 
 
 def read_xml_elements(

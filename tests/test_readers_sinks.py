@@ -318,3 +318,55 @@ def test_read_excel_sheet_by_name_and_index(spark, tmp_path):
     ]
     with pytest.raises(KeyError):
         read_excel(spark, path, sheet_name="missing")
+
+
+def test_read_excel_unreferenced_cells_and_all_none_column(spark, tmp_path):
+    """Two legal-but-awkward xlsx shapes some writers emit: cells without
+    the optional r= reference (must advance a running column index, not
+    clobber the previous cell), and a column that is entirely empty (must
+    type as string explicitly — Spark cannot infer from all-None)."""
+    import zipfile
+
+    path = str(tmp_path / "noref.xlsx")
+    # sheet1: header row references columns A,B,C; data row has NO r=
+    # attributes at all — cells fall into columns 0,1,2 in document order
+    ws = (
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="str"><v>a</v></c>'
+        '<c r="B1" t="str"><v>empty</v></c>'
+        '<c r="C1" t="str"><v>b</v></c>'
+        "</row>"
+        "<row>"
+        '<c><v>1</v></c><c t="str"></c><c t="str"><v>x</v></c>'
+        "</row>"
+        "<row>"
+        '<c><v>2</v></c><c t="str"></c><c t="str"><v>y</v></c>'
+        "</row>"
+        "</sheetData></worksheet>"
+    )
+    wb = (
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/'
+        '2006/main" xmlns:r="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships">'
+        '<sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships"><Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", ws)
+
+    df = read_excel(spark, path)
+    assert df.columns == ["a", "empty", "b"]
+    assert dict(df.dtypes)["empty"] == "string"  # all-None column survives
+    rows = sorted((r["a"], r["empty"], r["b"]) for r in df.collect())
+    assert rows == [(1.0, None, "x"), (2.0, None, "y")]
