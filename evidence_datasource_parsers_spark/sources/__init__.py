@@ -1,3 +1,7 @@
+from evidence_datasource_parsers_spark.sources.obo import (  # noqa: F401
+    OboOntology,
+    phenotype_class_map,
+)
 from evidence_datasource_parsers_spark.sources.readers import read_path  # noqa: F401
 from evidence_datasource_parsers_spark.sources.sinks import (  # noqa: F401
     write_evidence_strings,

@@ -472,3 +472,117 @@ def test_otar_crispr_study_fanout(spark):
     assert by_gene["BRCA1"]["replicateStats"] == [0.001, 0.002]
     assert by_gene["BRCA1"]["diseases"] == ["EFO:1", "EFO:2"]
     assert by_gene["KRAS"]["studyId"] == "S2"  # '.'-variant normalized
+
+
+FIXTURE_OBO = """\
+format-version: 1.2
+ontology: mp
+
+[Term]
+id: MP:0000001
+name: mammalian phenotype
+
+[Term]
+id: MP:0005385
+name: cardiovascular system phenotype
+is_a: MP:0000001 ! mammalian phenotype
+
+[Term]
+id: MP:0005378
+name: growth/size phenotype
+is_a: MP:0000001 ! mammalian phenotype
+
+[Term]
+id: MP:0000275
+name: heart hypertrophy
+is_a: MP:0005385 ! cardiovascular system phenotype
+
+[Term]
+id: MP:0001265
+name: decreased body size
+is_a: MP:0005378 ! growth/size phenotype
+
+[Term]
+id: MP:0009999
+name: cardiac dwarfism
+is_a: MP:0000275 ! heart hypertrophy
+is_a: MP:0001265 ! decreased body size
+
+[Term]
+id: MP:0666666
+name: retired term
+is_a: MP:0005385
+is_obsolete: true
+
+[Typedef]
+id: part_of
+name: part of
+"""
+
+
+def test_obo_parser_and_class_map(spark):
+    """Stdlib OBO ingestion, parity IMPC.py:307-317: direct children of the
+    root are high-level classes; every term maps to the class(es) it
+    descends from; multi-parent terms map to both."""
+    from evidence_datasource_parsers_spark.sources.obo import (
+        OboOntology,
+        phenotype_class_map,
+    )
+
+    onto = OboOntology.from_text(FIXTURE_OBO)
+    assert onto.terms["MP:0666666"].obsolete
+    assert "part_of" not in onto.terms  # [Typedef] stanzas skipped
+    assert onto.high_level_classes("MP:0000001") == {
+        "MP:0005385", "MP:0005378",
+    }
+    # subclasses includes self (pronto parity) and follows multi-parent
+    assert onto.subclasses("MP:0000275") == {"MP:0000275", "MP:0009999"}
+
+    lut = phenotype_class_map(spark, onto, "MP:0000001")
+    got = {
+        (r.modelPhenotypeId, r.modelPhenotypeClassId): r.modelPhenotypeClassLabel
+        for r in lut.collect()
+    }
+    # the dual-parent term appears under BOTH high-level classes
+    assert got[("MP:0009999", "MP:0005385")] == "cardiovascular system phenotype"
+    assert got[("MP:0009999", "MP:0005378")] == "growth/size phenotype"
+    assert got[("MP:0000275", "MP:0005385")] == "cardiovascular system phenotype"
+    # obsolete terms still map (the reference does not filter them either)
+    assert ("MP:0666666", "MP:0005385") in got
+
+
+def test_obo_class_map_joins_into_impc_phenotypes(spark):
+    """The ontology LUT consumed the way IMPC uses it: broadcast-joined
+    onto exploded model phenotypes to annotate each with its high-level
+    class."""
+    from pyspark.sql import functions as F
+
+    from evidence_datasource_parsers_spark.pipelines.impc_like import (
+        explode_phenotypes,
+    )
+    from evidence_datasource_parsers_spark.sources.obo import (
+        OboOntology,
+        phenotype_class_map,
+    )
+
+    models = spark.createDataFrame(
+        [("m1", "MP:0000275 heart hypertrophy,MP:0001265 decreased body size")],
+        "model_id string, model_phenotypes string",
+    )
+    lut = phenotype_class_map(
+        spark, OboOntology.from_text(FIXTURE_OBO), "MP:0000001"
+    )
+    out = (
+        explode_phenotypes(models)
+        .join(
+            F.broadcast(lut),
+            F.col("phenotype_id") == F.col("modelPhenotypeId"),
+        )
+        .select("model_id", "phenotype_id", "modelPhenotypeClassId")
+        .collect()
+    )
+    got = {(r.phenotype_id, r.modelPhenotypeClassId) for r in out}
+    assert got == {
+        ("MP:0000275", "MP:0005385"),
+        ("MP:0001265", "MP:0005378"),
+    }
