@@ -39,13 +39,14 @@ def main() -> None:
     for name in names:
         materialize(CATALOG[name].builder(spark, "/root/testdata/sf0.001"))
 
-    # min of 2 timed runs per query: the host is shared, and a single sample
-    # can absorb seconds of neighbor load; the minimum measures the engine.
+    # min of 3 timed runs per query: the host is shared, and a single sample
+    # can absorb seconds of neighbor load (observed ~2× per-query swing
+    # between back-to-back runs); the minimum measures the engine.
     timings: dict[str, float] = {}
     for name in names:
         best = -1.0
         try:
-            for _ in range(2):
+            for _ in range(3):
                 # drop persisted blocks so every run is cold — CacheManager
                 # matches identical plans, and a query that persists inside
                 # (e.g. the LSH signature pin) would otherwise time its own

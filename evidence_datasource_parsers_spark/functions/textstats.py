@@ -132,3 +132,89 @@ def pii_counts(text: Column | str) -> Column:
             for x in (F.lit(kind), F.regexp_count(c, F.lit(pat)))
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters (Gopher-style corpus quality signals).
+#
+# All native higher-order functions — no UDF, no shuffle: each signal is a
+# per-document expression over the split lines/tokens.  The inner
+# occurrence counts are O(k²) in the number of lines / distinct n-grams of
+# ONE document, which for real corpora (tens of lines, hundreds of grams)
+# is far cheaper than an explode→groupBy→join-back shuffle carrying the
+# whole corpus; pathological single-document blowups are bounded by
+# truncating to the first `cap` elements.
+# ---------------------------------------------------------------------------
+
+
+def duplicate_line_fraction(
+    text: Column | str, sep: str = "\n", cap: int = 512
+) -> Column:
+    """Fraction of line characters that belong to DUPLICATED lines — the
+    boilerplate signal (nav bars, cookie banners repeat verbatim).
+    Empty lines are ignored; 0.0 for documents with no lines."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.slice(
+        F.filter(F.split(c, sep), lambda x: F.length(F.trim(x)) > 0),
+        1,
+        cap,
+    )
+    dup_chars = F.aggregate(
+        lines,
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(F.lit(0)),
+    )
+    total = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(total > 0, dup_chars / total).otherwise(F.lit(0.0))
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Word n-grams of the whitespace tokenization, as ' '-joined strings."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(c), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_char_fraction(
+    text: Column | str, n: int = 2, cap: int = 512
+) -> Column:
+    """Fraction of text characters covered by the single most frequent word
+    n-gram (count × gram length / total chars) — the 'same phrase repeated
+    forever' template signal.  0.0 when there are fewer than n tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    grams = F.slice(word_ngrams(c, n), 1, cap)
+    top_chars = F.aggregate(
+        grams,
+        F.lit(0),
+        lambda acc, x: F.greatest(
+            acc, F.size(F.filter(grams, lambda y: y == x)) * F.length(x)
+        ),
+    )
+    total = F.length(c)
+    return F.when(
+        (total > 0) & (F.size(grams) > 0), top_chars / total
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(
+    df, text_col: str = "text", ngram_n: int = 2
+):
+    """Attach the Gopher-style repetition columns in one narrow pass:
+    ``dup_line_frac`` and ``top_{n}gram_frac``.  Filter downstream with
+    plain predicates (e.g. dup_line_frac > 0.3 → drop)."""
+    return df.withColumn(
+        "dup_line_frac", duplicate_line_fraction(F.col(text_col))
+    ).withColumn(
+        f"top_{ngram_n}gram_frac",
+        top_ngram_char_fraction(F.col(text_col), ngram_n),
+    )

@@ -134,7 +134,11 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     """Quality scoring + token counting + stopword-heuristic language ID over
     documents — all built-ins, one narrow pass, no shuffle.  Language guess
     is per-language stopword hit counts → argmax (ties → greatest language
-    code, mirrored in the oracle CASE chain)."""
+    code, mirrored in the oracle CASE chain).
+
+    rebalance() re-audited after the regex-BPE leg made the per-row stage
+    heavier: sf0.1 min-of-3 cold-cache 0.74s with vs 0.99s without — the
+    fan-out shuffle still pays for itself, kept."""
     d = rebalance(spark, load(spark, sf, "documents"))
     # materialize normalization + tokenization once; every stat references
     # the columns instead of inlining the regexp pipeline per expression

@@ -40,9 +40,18 @@ def get_spark(
             pkg_root + os.pathsep + os.environ.get("PYTHONPATH", "")
         )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Local mode runs EVERYTHING (driver + all executor threads + every
+    # broadcast) in one JVM whose default heap is 1 GiB — 32 concurrent
+    # tasks thrash the GCLocker long before the machine's RAM is touched
+    # (observed: flaky BroadcastExchange failures at 10× sf0.1).  Size the
+    # heap like an executor would be sized on a cluster.  Only effective
+    # when this process launches the JVM; on a real cluster driver/executor
+    # memory comes from submit conf and this setting is inert.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -94,3 +94,61 @@ def test_scrub_pii_and_counts(spark):
     assert "<IPV4>" in out[2].clean and "<SSN>" in out[2].clean
     assert out[3].clean == "nothing sensitive here, just 7 words"
     assert all(v == 0 for v in out[3].counts.values())
+
+
+def test_duplicate_line_fraction(spark):
+    from evidence_datasource_parsers_spark.functions.textstats import (
+        duplicate_line_fraction,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "cookie banner\nreal content here\ncookie banner"),
+            (2, "a\nb\nc"),
+            (3, ""),
+            (4, "same\nsame\nsame"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", duplicate_line_fraction(F.col("text")).alias("f")
+        ).collect()
+    }
+    # doc 1: 'cookie banner' ×2 = 26 dup chars of 43 line chars
+    assert got[1] == pytest.approx(26 / 43)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert got[4] == 1.0
+
+
+def test_top_ngram_char_fraction_and_signals(spark):
+    from evidence_datasource_parsers_spark.functions.textstats import (
+        repetition_signals,
+        top_ngram_char_fraction,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now"),       # 'buy now' ×3 → 21/23
+            (2, "all words here are distinct"),
+            (3, "one"),                            # fewer than n tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", top_ngram_char_fraction(F.col("text"), 2).alias("f")
+        ).collect()
+    }
+    assert got[1] == pytest.approx(21 / 23)
+    assert got[2] < 0.5
+    assert got[3] == 0.0
+
+    out = repetition_signals(df).collect()
+    cols = set(out[0].asDict())
+    assert {"dup_line_frac", "top_2gram_frac"} <= cols

@@ -1,0 +1,158 @@
+"""Scale-stress bench: the headline queries at ~10× the largest test SF.
+
+The sandbox ships sf0.1 as its largest dataset; this tool synthesizes a
+10×-replicated copy (key-shifted so join cardinalities scale LINEARLY, not
+quadratically) and times every ``bench=True`` catalog query at both scales,
+reporting the per-query scaling factor.  A factor ≲ 10 means the plan
+scales with the data (shuffle/partitioning holds up); ≫ 10 flags a
+super-linear stage (pair blowup, skew collapse, broadcast miss) the sf0.1
+numbers can't surface.
+
+Replication design — each replica r ∈ [0, N):
+  * every entity key (orderkey/custkey/suppkey/partkey/doc_id/vec_id/
+    event_id/user_id) shifts by ``r * 10**9`` so cross-replica joins never
+    match and fan-out stays linear;
+  * nation/region are spec-bounded dims and are NOT replicated;
+  * document text gets every token suffixed ``_r`` — within-replica
+    near-dup structure is preserved exactly (both pair members transform
+    identically) while cross-replica shingle overlap vanishes, so
+    MinHash/LSH candidate pairs scale ×N, not ×N²;
+  * embeddings rotate by ``6r`` positions — rotation preserves norms and
+    within-replica cosines EXACTLY (dot(Rv, Rw) = dot(v, w)) while
+    decorrelating cross-replica vectors, so q37/q38/q39 workloads scale
+    linearly too.
+
+Usage:  python tools/bench_scale.py [replicas] [base_sf_dir]
+Writes one JSON line to stdout and BENCH_SCALE.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+}
+COPY_ONLY = ["nation", "region"]
+OFFSET = 10**9
+
+
+def build_scaled(spark, base: str, out: str, replicas: int) -> None:
+    from evidence_datasource_parsers_spark.plans.catalog import load
+
+    os.makedirs(out, exist_ok=True)
+    for table in COPY_ONLY:
+        shutil.copy(f"{base}/{table}.parquet", f"{out}/{table}.parquet")
+    for table, keys in KEY_COLS.items():
+        src = load(spark, base, table)
+        parts = []
+        for r in range(replicas):
+            rep = src
+            for k in keys:
+                rep = rep.withColumn(k, F.col(k) + F.lit(r * OFFSET))
+            if table == "documents":
+                rep = rep.withColumn(
+                    "text",
+                    F.regexp_replace(F.col("text"), r"(\S+)", rf"$1_{r}"),
+                )
+            if table == "embeddings" and r:
+                shift = (6 * r) % 64
+                rep = rep.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice(F.col("embedding"), shift + 1, 64 - shift),
+                        F.slice(F.col("embedding"), 1, shift),
+                    ),
+                )
+            parts.append(rep)
+        scaled = parts[0]
+        for p in parts[1:]:
+            scaled = scaled.unionByName(p)
+        # one file per table keeps the dir layout identical to testdata;
+        # the queries' own rebalance/AQE handles re-fanning the scan out
+        scaled.coalesce(4).write.mode("overwrite").parquet(
+            f"{out}/{table}.parquet"
+        )
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR", f"/tmp/spark_graft_scale{replicas}"
+    )
+
+    from evidence_datasource_parsers_spark.plans import CATALOG
+    from evidence_datasource_parsers_spark.session import get_spark
+
+    spark = get_spark("bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+        t0 = time.perf_counter()
+        build_scaled(spark, base, out_dir, replicas)
+        print(
+            f"built {out_dir} in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    names = [n for n, q in CATALOG.items() if q.bench]
+    for name in names:  # codegen/JIT warm-up, untimed
+        materialize(CATALOG[name].builder(spark, "/root/testdata/sf0.001"))
+
+    results: dict[str, dict] = {}
+    for name in names:
+        row = {}
+        for label, sf_dir in (("base", base), ("scaled", out_dir)):
+            best = -1.0
+            try:
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    materialize(CATALOG[name].builder(spark, sf_dir))
+                    dt = time.perf_counter() - t0
+                    best = dt if best < 0 else min(best, dt)
+            except Exception as exc:
+                print(f"{name}@{label} failed: {exc}", file=sys.stderr)
+            row[label] = round(best, 3)
+        if row["base"] > 0 and row["scaled"] > 0:
+            row["factor"] = round(row["scaled"] / row["base"], 2)
+        results[name] = row
+
+    line = json.dumps(
+        {
+            "metric": "scale_stress",
+            "replicas": replicas,
+            "base": base,
+            "queries": results,
+        }
+    )
+    print(line)
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "BENCH_SCALE.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
