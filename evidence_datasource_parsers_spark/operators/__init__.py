@@ -25,7 +25,9 @@ from evidence_datasource_parsers_spark.operators.quantize import (  # noqa: F401
     quantized_topk,
 )
 from evidence_datasource_parsers_spark.operators.sampling import (  # noqa: F401
+    domain_mixture_sample,
     hash_sample,
+    mixture_fractions,
     reservoir_per_key,
     stratified_hash_sample,
 )

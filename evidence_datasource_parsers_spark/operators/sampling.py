@@ -95,3 +95,60 @@ def reservoir_per_key(
         .where(F.col("__rs_rank") <= k)
         .drop("__rs_rank")
     )
+
+
+def mixture_fractions(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict,
+    size_col: str | None = None,
+) -> dict:
+    """Per-domain sampling fractions that realize a target corpus mixture
+    (the data-mixing step of a training pipeline: e.g. 60% web / 30% code /
+    10% books by tokens).
+
+    One aggregation computes each domain's available mass (row count, or
+    ``sum(size_col)`` for token-weighted mixing); the limiting domain — the
+    one whose availability/target ratio is smallest — is taken whole
+    (fraction 1.0) and every other domain is downsampled to match, so the
+    output is the LARGEST corpus achieving the exact target proportions
+    without upsampling.  Domains absent from ``weights`` get fraction 0.
+
+    Returns {domain: fraction} for :func:`stratified_hash_sample`; the
+    aggregate is the only action and touches |domains| rows of state.
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    mass = F.count(F.lit(1)) if size_col is None else F.sum(size_col)
+    avail = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).agg(mass.alias("m")).collect()
+    }
+    missing = [d for d in weights if d not in avail or not avail[d]]
+    if missing:
+        raise ValueError(f"no rows available for domain(s) {missing}")
+    # scale chosen so the scarcest domain (relative to its target) is kept
+    # whole: output_mass(d) = scale * weight(d) <= avail(d) for all d
+    scale = min(avail[d] / w for d, w in weights.items() if w > 0)
+    return {
+        d: min(1.0, (scale * w) / avail[d]) for d, w in weights.items()
+    }
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key: str | Column,
+    weights: dict,
+    size_col: str | None = None,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministic mixture sampling in one pass + one filter: compute the
+    per-domain fractions for the target mix, then stratified-hash-sample.
+    Decisions are per-key portable-hash prefixes — retries, backfills, and
+    other engines reproduce the identical corpus (never ``rand()``)."""
+    fractions = mixture_fractions(df, domain_col, weights, size_col)
+    return stratified_hash_sample(
+        df, domain_col, key, fractions, default_fraction=0.0, salt=salt
+    )

@@ -82,3 +82,55 @@ def test_fraction_validation():
         stratified_hash_sample(None, "s", "x", {"a": -0.1})
     with pytest.raises(ValueError):
         reservoir_per_key(None, "s", 0, "x")
+
+
+def test_mixture_fractions_limiting_domain(spark):
+    """The scarcest domain (relative to target) is kept whole; others
+    downsample so the OUTPUT proportions hit the target exactly."""
+    from evidence_datasource_parsers_spark.operators.sampling import (
+        mixture_fractions,
+    )
+
+    rows = (
+        [(f"w{i}", "web") for i in range(900)]
+        + [(f"c{i}", "code") for i in range(50)]
+        + [(f"b{i}", "books") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, domain string")
+    # target 60/30/10: code is scarcest (50 avail vs 30% target)
+    fr = mixture_fractions(df, "domain", {"web": 0.6, "code": 0.3, "books": 0.1})
+    assert fr["code"] == 1.0
+    # scale = 50/0.3 → web target 100 of 900, books ~16.7 of 50
+    assert fr["web"] == pytest.approx(100 / 900)
+    assert fr["books"] == pytest.approx(50 / 3 / 50)
+
+    with pytest.raises(ValueError, match="no rows available"):
+        mixture_fractions(df, "domain", {"web": 1.0, "video": 1.0})
+
+
+def test_domain_mixture_sample_hits_target_and_is_deterministic(spark):
+    from evidence_datasource_parsers_spark.operators.sampling import (
+        domain_mixture_sample,
+    )
+
+    rows = (
+        [(f"w{i}", "web") for i in range(2000)]
+        + [(f"c{i}", "code") for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, domain string")
+    out = domain_mixture_sample(df, "domain", "doc_id", {"web": 0.5, "code": 0.5})
+    counts = {r["domain"]: r["n"] for r in out.groupBy("domain").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts["code"] == 200            # limiting domain kept whole
+    # web downsampled to ≈200 (hash Bernoulli: ±5σ tolerance)
+    assert abs(counts["web"] - 200) < 5 * (200 ** 0.5)
+    # deterministic: a second run picks the identical rows
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in domain_mixture_sample(
+            df, "domain", "doc_id", {"web": 0.5, "code": 0.5}
+        ).collect()
+    }
+    assert a == b
