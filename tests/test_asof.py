@@ -207,3 +207,40 @@ def test_asof_forward_nearest_match_naive_oracle(spark, lefts, rights):
             db, df_ = t - max(bw)[0], min(fw)[0] - t
             want_n = want_b if db <= df_ else want_f
         assert got_n[lid] == want_n, ("near", lid, k, t, bw, fw, got_n[lid])
+
+
+def test_asof_nearest_on_date_typed_axis(spark):
+    """direction='nearest' on DATE columns: Spark cannot cast date→double,
+    so the numeric axis must route dates through an explicit
+    date→timestamp cast — backward/forward worked on the same input while
+    nearest raised AnalysisException before the fix."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    lefts = spark.createDataFrame(
+        [(1, "u", dt.date(2024, 1, 10)), (2, "u", dt.date(2024, 1, 20))],
+        "event_id long, user_id string, ts date",
+    )
+    rights = spark.createDataFrame(
+        [
+            (101, "u", dt.date(2024, 1, 8)),
+            (102, "u", dt.date(2024, 1, 19)),
+        ],
+        "purchase_id long, user_id string, purchase_ts date",
+    )
+    out = {
+        r["event_id"]: r["purchase_id"]
+        for r in asof_join(
+            lefts,
+            rights,
+            on="user_id",
+            left_ts="ts",
+            right_ts="purchase_ts",
+            right_cols=["purchase_id"],
+            tie_break="purchase_id",
+            direction="nearest",
+        ).collect()
+    }
+    # 01-10 is 2 days from 01-08 and 9 from 01-19 → 101; 01-20 → 102
+    assert out == {1: 101, 2: 102}

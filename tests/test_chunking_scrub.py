@@ -152,3 +152,31 @@ def test_top_ngram_char_fraction_and_signals(spark):
     out = repetition_signals(df).collect()
     cols = set(out[0].asDict())
     assert {"dup_line_frac", "top_2gram_frac"} <= cols
+
+
+def test_scrub_pii_preserves_dates_and_timestamps(spark):
+    """The phone pattern must not swallow date/timestamp shapes — dates are
+    training signal, not PII (the loose digit-run pattern matched
+    '2024-01-01 16:30' before the tightened E.164-bounded regex)."""
+    from evidence_datasource_parsers_spark.functions.textstats import scrub_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "meeting on 2024-01-01 16:30 in room 4"),
+            (2, "logged at 2023-12-31T23:59:59 by job 17"),
+            (3, "call me at +1 (415) 555-2671 tomorrow"),
+            (4, "phone 4155552671 or 041 555 26 71"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.clean
+        for r in df.select(
+            "doc_id", scrub_pii("text").alias("clean")
+        ).collect()
+    }
+    assert got[1] == "meeting on 2024-01-01 16:30 in room 4"
+    assert got[2] == "logged at 2023-12-31T23:59:59 by job 17"
+    assert "<PHONE>" in got[3] and "555" not in got[3]
+    assert "<PHONE>" in got[4]
