@@ -12,8 +12,11 @@ from evidence_datasource_parsers_spark.functions.pvalues import (  # noqa: F401
     pvalue_mantissa_exponent,
 )
 from evidence_datasource_parsers_spark.functions.textstats import (  # noqa: F401
+    duplicate_line_fraction,
     punct_ratio,
+    repetition_signals,
     stopword_ratio,
     token_count,
     tokens,
+    top_ngram_char_fraction,
 )

@@ -19,6 +19,10 @@ from evidence_datasource_parsers_spark.operators.dedupe import (  # noqa: F401
     exact_dedupe,
     lsh_candidate_pairs,
 )
+from evidence_datasource_parsers_spark.operators.passage_dedup import (  # noqa: F401
+    remove_repeated_passages,
+    repeated_passages,
+)
 from evidence_datasource_parsers_spark.operators.quantize import (  # noqa: F401
     dequantize_embeddings,
     quantize_embeddings,

@@ -214,3 +214,13 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS bk_orders_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS bk_lineitem_{suffix}")
+
+
+def test_q38_blocked_pairs_plan_shape(spark, sf_dir):
+    """The capped blocked near-dup pass must stay a bucketed shuffle: no
+    cartesian/nested-loop joins anywhere (the count agg + salt explode +
+    one applyInPandas group stage is the whole plan)."""
+    plan = _plan(spark, "q38_embedding_dupes", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the pair kernel actually runs
