@@ -19,6 +19,10 @@ from evidence_datasource_parsers_spark.operators.dedupe import (  # noqa: F401
     exact_dedupe,
     lsh_candidate_pairs,
 )
+from evidence_datasource_parsers_spark.operators.decontaminate import (  # noqa: F401
+    decontaminate,
+    find_contaminated,
+)
 from evidence_datasource_parsers_spark.operators.passage_dedup import (  # noqa: F401
     remove_repeated_passages,
     repeated_passages,

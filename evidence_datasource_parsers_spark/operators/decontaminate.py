@@ -1,0 +1,97 @@
+"""Benchmark decontamination: find (and drop) training documents that
+overlap an evaluation set.
+
+The standard formulation: a training document is contaminated if it shares
+any length-``n`` token n-gram with any evaluation document (GPT-3 used
+13-grams; smaller n is stricter).  The eval side is benchmarks — thousands
+of documents, not terabytes — so the scale shape is asymmetric by design:
+
+  * eval n-grams hash to the portable 60-bit space and form a DISTINCT
+    set that is broadcast (bounded by the benchmark suite, not the corpus);
+  * corpus documents explode to their n-gram hashes (narrow: doc id +
+    8-byte hash), and a broadcast left-semi join marks hits — the corpus
+    is never shuffled, only scanned;
+  * matched doc ids distinct-aggregate to the contamination list.
+
+Normalization is STRICTER than the dedup family's (lowercase + collapse
+whitespace): punctuation is stripped entirely, because contamination
+typically survives reformatting ("France??" must still match "france") —
+a missed dup costs storage, a missed contamination corrupts an eval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.functions.hashing import portable_hash
+
+
+def _decon_norm(c: Column) -> Column:
+    """lowercase, strip everything but [a-z0-9], collapse whitespace."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^a-z0-9\s]+", " "), r"\s+", " "
+        )
+    )
+
+
+def ngram_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, ngram_hash) — one row per token n-gram of the normalized text.
+    Documents shorter than ``n`` tokens contribute nothing."""
+    toks = F.split(_decon_norm(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    ).select(id_col, portable_hash(F.col("__g")).alias("ngram_hash"))
+
+
+def find_contaminated(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Doc ids of corpus documents sharing ≥1 token ``n``-gram with the
+    eval set.  One distinct over the (small) eval grams, one broadcast
+    semi-join against the corpus grams, one distinct over matched ids —
+    the corpus side never shuffles its text."""
+    eval_grams = (
+        ngram_hashes(
+            eval_set, eval_text_col or text_col, eval_set.columns[0], n
+        )
+        .select("ngram_hash")
+        .distinct()
+    )
+    corpus_grams = ngram_hashes(corpus, text_col, id_col, n)
+    return (
+        corpus_grams.join(
+            F.broadcast(eval_grams), on="ngram_hash", how="left_semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Corpus minus contaminated documents (left_anti on the hit list) —
+    the drop-side twin of :func:`find_contaminated`."""
+    hits = find_contaminated(
+        corpus, eval_set, text_col, id_col, eval_text_col, n
+    )
+    return corpus.join(hits, on=id_col, how="left_anti")

@@ -374,3 +374,52 @@ def test_blocked_cosine_pairs_salting_is_exact(spark):
         .count()
     )
     assert n_groups == 2  # both labels still produce output
+
+
+def test_decontamination_ngram_overlap(spark):
+    """A corpus doc embedding an eval question verbatim (or cosmetically
+    reformatted) is flagged; clean docs and sub-n overlaps are not."""
+    from evidence_datasource_parsers_spark.operators.decontaminate import (
+        decontaminate,
+        find_contaminated,
+    )
+
+    eval_q = "what is the capital city of the republic of france"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"quiz dump: {eval_q} answer paris"),          # verbatim
+            (2, "WHAT   is the Capital city of the Republic,"
+                " of France?? asked nobody"),                   # reformatted
+            (3, "the capital of germany is berlin obviously"),  # clean
+            (4, "capital city of the"),                         # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, eval_q)], "eval_id long, text string"
+    )
+    hits = {
+        r.doc_id for r in find_contaminated(corpus, evals, n=8).collect()
+    }
+    assert hits == {1, 2}
+    kept = {r.doc_id for r in decontaminate(corpus, evals, n=8).collect()}
+    assert kept == {3, 4}
+
+
+def test_decontamination_plan_broadcasts_eval_side(spark):
+    """Scale shape: the eval gram set must broadcast — the corpus side is
+    never shuffled for the semi-join."""
+    from evidence_datasource_parsers_spark.operators.decontaminate import (
+        find_contaminated,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i} with some words " * 3) for i in range(50)],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(1, "eval text here")], "eval_id long, text string")
+    plan = find_contaminated(corpus, evals, n=4)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
