@@ -209,3 +209,62 @@ def test_scan_to_df_boundary(spark):
     )
     assert df.count() == 5
     assert df.columns == ["id", "name"]
+
+
+def test_urllib_transport_against_local_http_server():
+    """The concrete stdlib transport driven end-to-end against an
+    in-process HTTP server: query-string encoding, JSON decode, and the
+    scanner's pagination riding on it."""
+    import http.server
+    import json
+    import threading
+
+    records = [{"id": i} for i in range(7)]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query)
+            start = int(q.get("start", ["0"])[0])
+            rows = int(q.get("rows", ["0"])[0])
+            body = json.dumps(
+                {
+                    "response": {
+                        "numFound": len(records),
+                        "docs": records[start : start + rows],
+                    }
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        from evidence_datasource_parsers_spark.sources.rest import (
+            urllib_transport,
+        )
+
+        transport = urllib_transport(f"http://127.0.0.1:{port}/select")
+        s = RestScanner(transport, RetryPolicy(tries=2, delay=0.01))
+        got = list(
+            s.scan_offset(
+                {},
+                lambda p: p["response"]["numFound"],
+                lambda p: p["response"]["docs"],
+                batch_size=3,
+            )
+        )
+        assert got == records
+    finally:
+        server.shutdown()
+        server.server_close()
