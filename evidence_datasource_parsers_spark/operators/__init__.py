@@ -27,6 +27,10 @@ from evidence_datasource_parsers_spark.operators.passage_dedup import (  # noqa:
     remove_repeated_passages,
     repeated_passages,
 )
+from evidence_datasource_parsers_spark.operators.profiling import (  # noqa: F401
+    corpus_profile,
+    key_skew_report,
+)
 from evidence_datasource_parsers_spark.operators.quantize import (  # noqa: F401
     dequantize_embeddings,
     quantize_embeddings,

@@ -134,3 +134,34 @@ def test_domain_mixture_sample_hits_target_and_is_deterministic(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_corpus_profile_global_and_grouped(spark, sf_dir):
+    from evidence_datasource_parsers_spark.operators.profiling import (
+        corpus_profile,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = corpus_profile(docs).collect()[0]
+    assert g["n_docs"] == docs.count()
+    assert g["total_tokens"] > 0 and g["total_chars"] >= g["total_tokens"]
+    assert len(g["chars_p50_p90_p99"]) == 3
+    assert 0 < g["approx_distinct_docs"] <= g["n_docs"] * 1.1
+
+    by_lang = {r["lang"]: r for r in corpus_profile(docs, group_col="lang").collect()}
+    assert sum(r["n_docs"] for r in by_lang.values()) == g["n_docs"]
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    from evidence_datasource_parsers_spark.operators.profiling import (
+        key_skew_report,
+    )
+
+    rows = [(i, "hot" if i % 10 else f"cold{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    rep = key_skew_report(df, "k", top_n=5).collect()
+    assert rep[0]["k"] == "hot" and rep[0]["rows"] == 900
+    assert rep[0]["share"] == pytest.approx(0.9)
+    # 101 keys, mean ≈ 9.9 rows/key, max 900 → ratio ≈ 90.9
+    assert rep[0]["skew_ratio"] == pytest.approx(900 * 101 / 1000)
+    assert all(r["skew_ratio"] == rep[0]["skew_ratio"] for r in rep)
