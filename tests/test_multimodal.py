@@ -204,3 +204,47 @@ def test_extract_features_shape_and_chain_to_ann(spark):
     )
     topk = brute_force_topk(q, c, k=3, dim=18).collect()
     assert topk and all(r.rank <= 3 for r in topk)
+
+
+def _wav_blob(samples, rate=8000, channels=1):
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_audio_features_sine_wave(spark):
+    """A pure 1 kHz tone must come back with dominant_hz ≈ 1000, the RMS of
+    a sine (A/√2), and a zero-crossing rate of 2 crossings per period."""
+    import math
+
+    import pytest as _pytest
+
+    rate, freq, n = 8000, 1000, 8000  # one second
+    tone = [
+        int(20000 * math.sin(2 * math.pi * freq * t / rate))
+        for t in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(1, _wav_blob(tone, rate)), (2, b"not audio"), (3, None)],
+        "media_id long, blob binary",
+    )
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    out = {r["media_id"]: r.asDict() for r in audio_features(df).collect()}
+    a = out[1]
+    assert a["sample_rate"] == 8000 and a["n_frames"] == 8000
+    assert a["duration_s"] == _pytest.approx(1.0)
+    assert a["dominant_hz"] == _pytest.approx(1000.0, abs=2.0)
+    assert a["rms"] == _pytest.approx(20000 / 32768 / math.sqrt(2), rel=1e-3)
+    # 1000 periods × 2 crossings / 8000 samples = 0.25
+    assert a["zero_crossing_rate"] == _pytest.approx(0.25, abs=0.01)
+    assert out[2]["sample_rate"] is None and out[3]["rms"] is None
