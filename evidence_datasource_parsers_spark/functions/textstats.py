@@ -138,17 +138,18 @@ def pii_counts(text: Column | str) -> Column:
 # Repetition filters (Gopher-style corpus quality signals).
 #
 # All native higher-order functions — no UDF, no shuffle: each signal is a
-# per-document expression over the split lines/tokens.  The inner
-# occurrence counts are O(k²) in the number of lines / distinct n-grams of
-# ONE document, which for real corpora (tens of lines, hundreds of grams)
-# is far cheaper than an explode→groupBy→join-back shuffle carrying the
-# whole corpus; pathological single-document blowups are bounded by
-# truncating to the first `cap` elements.
+# per-document expression over the split lines/tokens.  Occurrence counting
+# is SORT + LINEAR RUN-SCAN (array_sort, then one aggregate pass tracking
+# the current equal-run), so the cost is O(k log k) in the number of lines /
+# n-grams of ONE document — the naive all-pairs filter-inside-aggregate
+# form is O(k²) and measurably melts on kilotoken documents (the whole
+# lineage re-evaluates it at every downstream action).  `cap` bounds
+# pathological single documents.
 # ---------------------------------------------------------------------------
 
 
 def duplicate_line_fraction(
-    text: Column | str, sep: str = "\n", cap: int = 512
+    text: Column | str, sep: str = "\n", cap: int = 2048
 ) -> Column:
     """Fraction of line characters that belong to DUPLICATED lines — the
     boilerplate signal (nav bars, cookie banners repeat verbatim).
@@ -159,12 +160,35 @@ def duplicate_line_fraction(
         1,
         cap,
     )
+    # sort, then scan runs of equal lines: a run of r > 1 identical lines
+    # contributes r*len chars to the duplicated mass.  The accumulator
+    # carries (prev value, current run length, dup chars so far); the
+    # finish lambda flushes the final run.
+    s = F.array_sort(lines)
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("dup"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        flushed = acc["dup"] + F.when(
+            ~same & (acc["run"] > 1), acc["run"] * F.length(acc["prev"])
+        ).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            flushed.alias("dup"),
+        )
+
     dup_chars = F.aggregate(
-        lines,
-        F.lit(0),
-        lambda acc, x: acc
+        s,
+        acc0,
+        step,
+        lambda acc: acc["dup"]
         + F.when(
-            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
+            acc["run"] > 1, acc["run"] * F.length(acc["prev"])
         ).otherwise(F.lit(0)),
     )
     total = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
@@ -186,20 +210,33 @@ def word_ngrams(text: Column | str, n: int) -> Column:
 
 
 def top_ngram_char_fraction(
-    text: Column | str, n: int = 2, cap: int = 512
+    text: Column | str, n: int = 2, cap: int = 2048
 ) -> Column:
     """Fraction of text characters covered by the single most frequent word
     n-gram (count × gram length / total chars) — the 'same phrase repeated
     forever' template signal.  0.0 when there are fewer than n tokens."""
     c = F.col(text) if isinstance(text, str) else text
     grams = F.slice(word_ngrams(c, n), 1, cap)
-    top_chars = F.aggregate(
-        grams,
-        F.lit(0),
-        lambda acc, x: F.greatest(
-            acc, F.size(F.filter(grams, lambda y: y == x)) * F.length(x)
-        ),
+    # sort + run-scan: the most frequent gram is the longest equal-run of
+    # the sorted gram array; maximize run*len(gram) over runs as we scan
+    s = F.array_sort(grams)
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
     )
+
+    def step(acc, x):
+        run = F.when(
+            acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
+        ).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * F.length(x)).alias("best"),
+        )
+
+    top_chars = F.aggregate(s, acc0, step, lambda acc: acc["best"])
     total = F.length(c)
     return F.when(
         (total > 0) & (F.size(grams) > 0), top_chars / total
