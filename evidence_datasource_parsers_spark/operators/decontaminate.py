@@ -59,11 +59,24 @@ def find_contaminated(
     id_col: str = "doc_id",
     eval_text_col: str | None = None,
     n: int = 8,
+    fan_out: bool = False,
 ) -> DataFrame:
     """Doc ids of corpus documents sharing ≥1 token ``n``-gram with the
     eval set.  One distinct over the (small) eval grams, one broadcast
     semi-join against the corpus grams, one distinct over matched ids —
-    the corpus side never shuffles its text."""
+    with ``fan_out=False`` (default) the corpus side never shuffles.
+
+    ``fan_out`` optionally round-robins the corpus before the n-gram
+    explode for few-partition sources.  Measured at sf0.1 local[32]: it
+    speeds an ISOLATED gram materialization 2.6× (32s → 12s on a
+    single-row-group file) but the full semi-join query ran FASTER
+    without it (10–16s vs 19–22s, warm, interleaved) — the exchange and
+    lost scan fusion outweigh the parallelism here.  Default off; flip it
+    only after measuring on your actual layout."""
+    if fan_out:
+        corpus = corpus.repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism
+        )
     eval_grams = (
         ngram_hashes(
             eval_set, eval_text_col or text_col, eval_set.columns[0], n
