@@ -1,0 +1,142 @@
+"""Driver-side property tests (no Spark) for round-3 primitives: the size
+parser behind the broadcast gate, the JSON-Schema validator, and the OBO
+traversal — each fuzzed against an independent reference implementation."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=1 << 40),
+    st.sampled_from(["", "b", "k", "kb", "m", "mb", "g", "gb", "t", "tb"]),
+)
+def test_parse_size_roundtrip(n, suffix):
+    from evidence_datasource_parsers_spark.operators.joins import (
+        _SIZE_SUFFIXES,
+        _parse_size,
+    )
+
+    mult = _SIZE_SUFFIXES.get(suffix, 1)
+    assert _parse_size(f"{n}{suffix}") == n * mult
+    assert _parse_size(f"  {n}{suffix.upper()} ") == n * mult
+
+
+def test_parse_size_negative_and_plain():
+    from evidence_datasource_parsers_spark.operators.joins import _parse_size
+
+    assert _parse_size("-1") == -1
+    assert _parse_size("10485760b") == 10485760
+
+
+# random JSON documents + a schema generator that is correct by construction
+_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=20),
+)
+_json = st.recursive(
+    _scalars,
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=4),
+        st.dictionaries(st.text(max_size=8), kids, max_size=4),
+    ),
+    max_leaves=20,
+)
+
+
+def _schema_for(value) -> dict:
+    """A schema the value conforms to BY CONSTRUCTION."""
+    if value is None:
+        return {"type": "null"}
+    if isinstance(value, bool):
+        return {"type": "boolean", "const": value}
+    if isinstance(value, int):
+        return {"type": "integer", "minimum": value - 1, "maximum": value + 1}
+    if isinstance(value, float):
+        return {"type": "number"}
+    if isinstance(value, str):
+        return {"type": "string", "maxLength": len(value)}
+    if isinstance(value, list):
+        return {
+            "type": "array",
+            "minItems": len(value),
+            "maxItems": len(value),
+        }
+    return {
+        "type": "object",
+        "required": sorted(value),
+        "properties": {k: _schema_for(v) for k, v in value.items()},
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(_json)
+def test_validator_accepts_conforming_value(value):
+    from evidence_datasource_parsers_spark.validation import compile_validator
+
+    assert compile_validator(_schema_for(value))(value) == []
+
+
+@settings(max_examples=200, deadline=None)
+@given(_json)
+def test_validator_rejects_wrong_type(value):
+    from evidence_datasource_parsers_spark.validation import compile_validator
+
+    # every value fails a schema demanding the one JSON type it is not
+    wrong = (
+        {"type": "integer"}
+        if not isinstance(value, int) or isinstance(value, bool)
+        else {"type": "string"}
+    )
+    assert compile_validator(wrong)(value) != []
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),
+            st.integers(min_value=0, max_value=39),
+        ),
+        max_size=60,
+    )
+)
+def test_obo_subclasses_match_naive_closure(edges):
+    """OboOntology.subclasses == transitive closure computed naively over
+    the same child→parent edges (self-loops dropped, ids stringified)."""
+    from evidence_datasource_parsers_spark.sources.obo import (
+        OboOntology,
+        OboTerm,
+    )
+
+    edges = [(c, p) for c, p in edges if c != p]
+    node_ids = {v for e in edges for v in e} | {0}
+    terms = {
+        str(i): OboTerm(
+            id=str(i), parents=[str(p) for c, p in edges if c == i]
+        )
+        for i in node_ids
+    }
+    onto = OboOntology(terms)
+
+    children: dict[int, set[int]] = {}
+    for c, p in edges:
+        children.setdefault(p, set()).add(c)
+
+    def closure(root: int) -> set[str]:
+        out, stack = {root}, [root]
+        while stack:
+            n = stack.pop()
+            for c in children.get(n, ()):
+                if c not in out:
+                    out.add(c)
+                    stack.append(c)
+        return {str(x) for x in out}
+
+    for root in list(node_ids)[:10]:
+        assert onto.subclasses(str(root)) == closure(root)
