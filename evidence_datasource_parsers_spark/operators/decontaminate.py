@@ -39,14 +39,15 @@ def _decon_norm(c: Column) -> Column:
 def ngram_hashes(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """(id, ngram_hash) — one row per token n-gram of the normalized text.
-    Documents shorter than ``n`` tokens contribute nothing."""
-    toks = F.split(_decon_norm(F.col(text_col)), " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    """(id, ngram_hash) — one row per token n-gram of the normalized text
+    (gram construction shared with ``textstats.word_ngrams`` so the two
+    never drift).  Documents shorter than ``n`` tokens contribute
+    nothing."""
+    from evidence_datasource_parsers_spark.functions.textstats import (
+        word_ngrams,
+    )
+
+    grams = word_ngrams(_decon_norm(F.col(text_col)), n)
     return df.select(
         F.col(id_col), F.explode(grams).alias("__g")
     ).select(id_col, portable_hash(F.col("__g")).alias("ngram_hash"))

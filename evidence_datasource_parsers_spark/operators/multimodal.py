@@ -56,22 +56,34 @@ def decode_ppm(blob: bytes):
     if blob[:2] != b"P6":
         raise ValueError("not a P6 PPM")
     # header = magic + 3 ints (w, h, maxval), tokens separated by whitespace,
-    # '#' comments run to end-of-line; ONE whitespace byte then raster data
+    # '#' comments run to end-of-line; ONE whitespace byte then raster data.
+    # Every scan is bounded by len(blob): b''.isspace() is False, so an
+    # unbounded loop would spin forever on a truncated header.
+    size = len(blob)
     pos, tokens = 2, []
     while len(tokens) < 3:
+        if pos >= size:
+            raise ValueError("truncated PPM header")
         c = blob[pos : pos + 1]
         if c == b"#":
-            pos = blob.index(b"\n", pos) + 1
+            nl = blob.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PPM header")
+            pos = nl + 1
         elif c.isspace():
             pos += 1
         else:
             end = pos
-            while not blob[end : end + 1].isspace():
+            while end < size and not blob[end : end + 1].isspace():
                 end += 1
+            if end == size:
+                raise ValueError("truncated PPM header")
             tokens.append(int(blob[pos:end]))
             pos = end
     pos += 1  # the single whitespace after maxval
     w, h, maxval = tokens
+    if w < 0 or h < 0 or size - pos < w * h * 3:
+        raise ValueError("truncated PPM raster")
     if maxval > 255:
         raise NotImplementedError("16-bit PPM (maxval > 255) not supported")
     raster = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos)
@@ -85,6 +97,8 @@ def decode_bmp(blob: bytes):
 
     if blob[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(blob) < 54:  # file header (14) + BITMAPINFOHEADER (40)
+        raise ValueError("truncated BMP header")
     data_offset = struct.unpack("<I", blob[10:14])[0]
     w, h = struct.unpack("<ii", blob[18:26])
     bpp = struct.unpack("<H", blob[28:30])[0]
@@ -97,6 +111,8 @@ def decode_bmp(blob: bytes):
     bottom_up = h > 0
     h = abs(h)
     stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    if w < 0 or len(blob) - data_offset < stride * h:
+        raise ValueError("truncated BMP raster")
     rows = np.frombuffer(
         blob, dtype=np.uint8, count=stride * h, offset=data_offset
     ).reshape(h, stride)[:, : w * 3]
@@ -117,6 +133,8 @@ def decode_wav(blob: bytes):
         size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
         body = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -128,8 +146,12 @@ def decode_wav(blob: bytes):
         raise NotImplementedError(
             f"only PCM16 WAV supported (format={audio_format}, bits={bits})"
         )
+    if channels < 1 or sample_rate < 1:
+        raise ValueError(
+            f"invalid WAV fmt (channels={channels}, rate={sample_rate})"
+        )
     samples = np.frombuffer(
-        data, dtype="<i2", count=len(data) // 2
+        data, dtype="<i2", count=len(data) // 2 // channels * channels
     ).reshape(-1, channels)
     return sample_rate, channels, samples
 
@@ -169,6 +191,8 @@ def decode_blob(blob: bytes) -> dict:
             "sample_rate": rate, "channels": ch, "samples": samples,
         }
     if blob[:4] == MAGIC:
+        if len(blob) < 14:
+            return {"media_type": "unknown"}
         mt, w, h, d = struct.unpack(">BiiB", blob[4:14])
         payload = np.frombuffer(blob, dtype=np.uint8, offset=14)
         out = {
@@ -176,6 +200,8 @@ def decode_blob(blob: bytes) -> dict:
             "width": w, "height": h, "channels": 1,
         }
         if out["media_type"] == "image":
+            if w < 0 or h < 0:
+                raise ValueError("negative MM01 dimensions")
             n = w * h
             grid = np.zeros(n, dtype=np.uint8)
             grid[: min(n, len(payload))] = payload[:n]
@@ -251,12 +277,21 @@ def resize_images(
                     )
                     out.append(pack_blob(0, target_w, target_h, d, payload))
                     continue
-                decoded = decode_blob(bytes(blob) if blob is not None else None)
+                try:
+                    decoded = decode_blob(
+                        bytes(blob) if blob is not None else None
+                    )
+                except (ValueError, NotImplementedError, struct.error):
+                    out.append(None)
+                    continue
                 if decoded["media_type"] != "image":
                     out.append(None)
                     continue
                 px = decoded["pixels"]
                 h, w = px.shape[0], px.shape[1]
+                if h == 0 or w == 0:  # degenerate raster → null, not crash
+                    out.append(None)
+                    continue
                 # nearest-neighbor: index-sample rows/cols (pixel-center rule)
                 ri = np.minimum((np.arange(target_h) + 0.5) * h // target_h, h - 1).astype(int)
                 ci = np.minimum((np.arange(target_w) + 0.5) * w // target_w, w - 1).astype(int)
@@ -295,9 +330,9 @@ def decoded_image_stats(
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
                 try:
                     d = decode_blob(bytes(blob) if blob is not None else None)
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, struct.error):
                     d = {"media_type": "unknown"}
-                if d["media_type"] != "image":
+                if d["media_type"] != "image" or d["pixels"].size == 0:
                     rows.append((mid, None, None, None, None, None, None,
                                  None, None, None))
                     continue
@@ -392,7 +427,7 @@ def audio_features(
                     rate, ch, samples = decode_wav(
                         bytes(blob) if blob is not None else b""
                     )
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, struct.error):
                     rows.append((mid, None, None, None, None, None, None, None))
                     continue
                 x = samples[:, 0].astype(np.float64) / 32768.0

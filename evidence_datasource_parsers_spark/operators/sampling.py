@@ -125,14 +125,19 @@ def mixture_fractions(
         r[0]: r[1]
         for r in df.groupBy(domain_col).agg(mass.alias("m")).collect()
     }
-    missing = [d for d in weights if d not in avail or not avail[d]]
+    # weight-0 domains require nothing — only positively-weighted domains
+    # must exist in the corpus
+    missing = [
+        d for d, w in weights.items() if w > 0 and not avail.get(d)
+    ]
     if missing:
         raise ValueError(f"no rows available for domain(s) {missing}")
     # scale chosen so the scarcest domain (relative to its target) is kept
     # whole: output_mass(d) = scale * weight(d) <= avail(d) for all d
     scale = min(avail[d] / w for d, w in weights.items() if w > 0)
     return {
-        d: min(1.0, (scale * w) / avail[d]) for d, w in weights.items()
+        d: min(1.0, (scale * w) / avail[d]) if w > 0 else 0.0
+        for d, w in weights.items()
     }
 
 

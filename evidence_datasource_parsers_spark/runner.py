@@ -100,15 +100,27 @@ class Runner:
             if spec.output_schema is not None:
                 self.check_schema(df, spec.output_schema)
             results[name] = df
-            if out_dir:
-                write_evidence_strings(df, f"{out_dir}/{name}.json.gz")
-            if spec.json_schema is not None:
-                # JSON-Schema contract (M2), validated AFTER the sink like
-                # the reference's per-rule opentargets_validator step
-                # (Snakefile:110) — but distributed, not a driver re-read
-                from evidence_datasource_parsers_spark.validation import (
-                    assert_json_schema,
-                )
+            # sink + JSON-Schema validation are two actions over the same
+            # frame: persist around them so the pipeline's DAG runs once,
+            # and the rows validated ARE the rows that were sunk (matters
+            # if any upstream stage is nondeterministic)
+            both_actions = out_dir and spec.json_schema is not None
+            if both_actions:
+                df.persist()
+            try:
+                if out_dir:
+                    write_evidence_strings(df, f"{out_dir}/{name}.json.gz")
+                if spec.json_schema is not None:
+                    # JSON-Schema contract (M2), validated AFTER the sink
+                    # like the reference's per-rule opentargets_validator
+                    # step (Snakefile:110) — but distributed, not a driver
+                    # re-read
+                    from evidence_datasource_parsers_spark.validation import (
+                        assert_json_schema,
+                    )
 
-                assert_json_schema(df, spec.json_schema)
+                    assert_json_schema(df, spec.json_schema)
+            finally:
+                if both_actions:
+                    df.unpersist()
         return results

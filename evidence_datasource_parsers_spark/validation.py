@@ -28,13 +28,39 @@ from pyspark.sql import functions as F
 
 _TYPE_CHECKS = {
     "string": lambda v: isinstance(v, str),
-    "integer": lambda v: isinstance(v, int) and not isinstance(v, bool),
+    # JSON Schema: 1.0 IS an integer (zero fractional part) — Spark double
+    # columns holding integral values must pass an {"type": "integer"} gate
+    "integer": lambda v: (isinstance(v, int) and not isinstance(v, bool))
+    or (isinstance(v, float) and v.is_integer()),
     "number": lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
     "boolean": lambda v: isinstance(v, bool),
     "object": lambda v: isinstance(v, dict),
     "array": lambda v: isinstance(v, list),
     "null": lambda v: v is None,
 }
+
+
+def _assert_known_types(schema, path: str = "$") -> None:
+    """Reject unsupported ``type`` names at COMPILE time, on the driver —
+    a typo like {"type": "date"} must fail with a clear message before any
+    job starts, not as a KeyError inside an executor kernel."""
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        for name in t if isinstance(t, list) else ([t] if t else []):
+            if name not in _TYPE_CHECKS:
+                raise ValueError(
+                    f"unsupported JSON-Schema type {name!r} at {path} "
+                    f"(supported: {sorted(_TYPE_CHECKS)})"
+                )
+        for key in ("properties",):
+            for k, sub in schema.get(key, {}).items():
+                _assert_known_types(sub, f"{path}.{k}")
+        for key in ("items",):
+            if isinstance(schema.get(key), dict):
+                _assert_known_types(schema[key], f"{path}[]")
+        for key in ("anyOf", "allOf", "oneOf"):
+            for i, sub in enumerate(schema.get(key, ())):
+                _assert_known_types(sub, f"{path}<{key}[{i}]>")
 
 
 def _check(value, schema: dict, path: str, errors: list[str]) -> None:
@@ -105,7 +131,9 @@ def _check(value, schema: dict, path: str, errors: list[str]) -> None:
 
 
 def compile_validator(schema: dict) -> Callable[[object], list[str]]:
-    """Schema dict → ``value -> [errors]`` function (empty list = valid)."""
+    """Schema dict → ``value -> [errors]`` function (empty list = valid).
+    Unsupported ``type`` names raise here, driver-side."""
+    _assert_known_types(schema)
 
     def validate(value) -> list[str]:
         errors: list[str] = []
@@ -125,6 +153,7 @@ def validate_json_schema(df: DataFrame, schema: dict) -> DataFrame:
     it with normal Spark actions."""
     import json
 
+    compile_validator(schema)  # driver-side schema sanity before any job
     jdf = df.select(F.to_json(F.struct(*df.columns)).alias("__json"))
 
     def kernel(batches):

@@ -189,3 +189,19 @@ def test_json_schema_catches_dropped_nulls(spark):
         df, {"type": "object", "required": ["targetId"]}
     ).collect()
     assert len(errs) == 1 and "missing required" in errs[0]["error"]
+
+
+def test_json_schema_integer_accepts_whole_floats_and_rejects_bad_type():
+    """JSON-Schema semantics: 3.0 IS an integer (Spark double columns
+    holding counts must pass); unsupported type names fail at compile
+    time with a clear message, not as executor KeyErrors."""
+    from evidence_datasource_parsers_spark.validation import compile_validator
+
+    v = compile_validator({"type": "integer"})
+    assert v(3) == [] and v(3.0) == []
+    assert v(3.5) != [] and v(True) != []
+
+    with pytest.raises(ValueError, match="unsupported JSON-Schema type 'date'"):
+        compile_validator(
+            {"type": "object", "properties": {"ts": {"type": "date"}}}
+        )

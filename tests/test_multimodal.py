@@ -248,3 +248,45 @@ def test_audio_features_sine_wave(spark):
     # 1000 periods × 2 crossings / 8000 samples = 0.25
     assert a["zero_crossing_rate"] == _pytest.approx(0.25, abs=0.01)
     assert out[2]["sample_rate"] is None and out[3]["rms"] is None
+
+
+def test_decoders_reject_truncated_blobs_without_hanging():
+    """Truncated headers must raise ValueError promptly — decode_ppm
+    previously infinite-looped on b'P6', and short BMP/WAV/MM01 buffers
+    raised struct.error through the kernels."""
+    for blob in (b"P6", b"P6 4", b"P6\n4 2\n255\n\x00\x00"):
+        with pytest.raises(ValueError):
+            decode_ppm(blob)
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")
+    # sample_rate=0 WAV: rejected at decode, not a ZeroDivisionError later
+    bad_fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt) + 8)
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="invalid WAV fmt"):
+        decode_wav(blob)
+    assert decode_blob(b"MM01\x00")["media_type"] == "unknown"
+
+
+def test_stats_and_resize_survive_corrupt_and_degenerate_blobs(spark):
+    """One malformed or zero-pixel blob must emit a null row, never fail
+    the Spark task."""
+    rows = [
+        (1, b"P6"),                           # truncated ppm header
+        (2, b"BM"),                           # truncated bmp
+        (3, pack_blob(0, 0, 0, 1, b"")),      # zero-pixel image
+        (4, _wav_blob([100, -100])),          # fine audio (non-image)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    stats = {r["media_id"]: r for r in decoded_image_stats(df).collect()}
+    assert all(stats[i]["img_format"] is None for i in (1, 2, 3, 4))
+    resized = {
+        r["media_id"]: r["blob"]
+        for r in resize_images(df, 2, 2, fake=False).collect()
+    }
+    assert all(resized[i] is None for i in (1, 2, 3, 4))

@@ -87,12 +87,11 @@ def test_validator_accepts_conforming_value(value):
 def test_validator_rejects_wrong_type(value):
     from evidence_datasource_parsers_spark.validation import compile_validator
 
-    # every value fails a schema demanding the one JSON type it is not
-    wrong = (
-        {"type": "integer"}
-        if not isinstance(value, int) or isinstance(value, bool)
-        else {"type": "string"}
-    )
+    # every value fails a schema demanding a JSON type it cannot be:
+    # strings are never integers; non-strings are never strings (note a
+    # whole-number float IS a JSON-Schema integer, so "integer" is only
+    # safely wrong for strings)
+    wrong = {"type": "integer"} if isinstance(value, str) else {"type": "string"}
     assert compile_validator(wrong)(value) != []
 
 
