@@ -138,7 +138,6 @@ def brute_force_topk(
     query_id: str = "query_id",
     corpus_id: str = "neighbor_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the corpus.
 

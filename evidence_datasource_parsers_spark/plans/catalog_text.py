@@ -420,7 +420,7 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    return brute_force_topk(q, c, k=5, dim=64).withColumn(
+    return brute_force_topk(q, c, k=5).withColumn(
         "rank", F.col("rank").cast("int")
     )
 

@@ -148,7 +148,7 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert len(centroids) == 8 and len(centroids[0]) == 64
     exact = {
         (r["query_id"], r["neighbor_id"])
-        for r in brute_force_topk(q, c, k=5, dim=64).collect()
+        for r in brute_force_topk(q, c, k=5).collect()
     }
     approx = {
         (r["query_id"], r["neighbor_id"])

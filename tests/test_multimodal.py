@@ -202,7 +202,7 @@ def test_extract_features_shape_and_chain_to_ann(spark):
     c = valid.select(
         valid.media_id.alias("neighbor_id"), valid.features.alias("embedding")
     )
-    topk = brute_force_topk(q, c, k=3, dim=18).collect()
+    topk = brute_force_topk(q, c, k=3).collect()
     assert topk and all(r.rank <= 3 for r in topk)
 
 

@@ -66,7 +66,7 @@ def test_topk_recall_survives_quantization(spark, sf_dir):
         )
         return {
             (r.query_id, r.neighbor_id)
-            for r in brute_force_topk(q, c, k=5, dim=64).collect()
+            for r in brute_force_topk(q, c, k=5).collect()
         }
     exact, quant = topk("embedding"), topk("embedding_q")
     recall = len(exact & quant) / len(exact)
@@ -92,7 +92,7 @@ def test_quantized_topk_recall_vs_float(spark, sf_dir):
     )
     exact = {
         (r.query_id, r.neighbor_id)
-        for r in brute_force_topk(q, c, k=5, dim=64).collect()
+        for r in brute_force_topk(q, c, k=5).collect()
     }
     quant = {
         (r.query_id, r.neighbor_id)
