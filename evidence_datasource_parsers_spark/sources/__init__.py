@@ -4,6 +4,8 @@ from evidence_datasource_parsers_spark.sources.obo import (  # noqa: F401
 )
 from evidence_datasource_parsers_spark.sources.readers import read_path  # noqa: F401
 from evidence_datasource_parsers_spark.sources.sinks import (  # noqa: F401
+    corpus_checksum,
     write_evidence_strings,
     write_output,
+    write_with_manifest,
 )

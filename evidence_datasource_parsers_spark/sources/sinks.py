@@ -77,3 +77,53 @@ def write_partitioned(
             .option("path", out_path)
             .saveAsTable(table)
         )
+
+
+def corpus_checksum(df: DataFrame) -> dict:
+    """Order- and partitioning-insensitive content fingerprint of a frame:
+    ``{rows, checksum}`` where checksum is the bitwise XOR of the portable
+    60-bit hash of every row's JSON form, folded in ONE aggregation.
+
+    XOR is commutative/associative, so the value is identical however the
+    rows are partitioned, ordered, or recomputed — two corpora (or two
+    runs) match iff their row multisets match (XOR cancels PAIRS of equal
+    rows; for dedup-ed corpora rows are unique and this is exact multiset
+    equality up to 60-bit collisions).  One narrow shuffle-free pass +
+    a single-row reduce."""
+    from pyspark.sql import functions as F
+
+    from evidence_datasource_parsers_spark.functions.hashing import (
+        portable_hash,
+    )
+
+    row = portable_hash(F.to_json(F.struct(*sorted(df.columns))))
+    out = df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.bit_xor(row).alias("checksum"),  # bit_xor aggregate: Spark >= 3.2
+    ).collect()[0]
+    return {"rows": out["rows"], "checksum": int(out["checksum"] or 0)}
+
+
+def write_with_manifest(
+    df: DataFrame,
+    out_path: str,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """Partitioned write + a ``_MANIFEST.json`` beside it recording row
+    count, schema DDL, and the order-insensitive corpus checksum — the
+    reproducibility contract of a training-data release: a re-run (or a
+    migration to another cluster) produced the same dataset iff the
+    manifests match."""
+    import json
+
+    write_partitioned(df, out_path, partition_by or [], fmt=fmt)
+    manifest = {
+        "format": fmt,
+        "partition_by": partition_by or [],
+        "schema": df.schema.simpleString(),
+        **corpus_checksum(df),
+    }
+    with open(os.path.join(out_path, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest

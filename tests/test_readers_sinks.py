@@ -370,3 +370,44 @@ def test_read_excel_unreferenced_cells_and_all_none_column(spark, tmp_path):
     assert dict(df.dtypes)["empty"] == "string"  # all-None column survives
     rows = sorted((r["a"], r["empty"], r["b"]) for r in df.collect())
     assert rows == [(1.0, None, "x"), (2.0, None, "y")]
+
+
+def test_corpus_checksum_order_and_partition_insensitive(spark):
+    from evidence_datasource_parsers_spark.sources.sinks import corpus_checksum
+
+    rows = [(i, f"text {i}") for i in range(100)]
+    a = spark.createDataFrame(rows, "id long, text string")
+    b = spark.createDataFrame(list(reversed(rows)), "id long, text string").repartition(7)
+    ca, cb = corpus_checksum(a), corpus_checksum(b)
+    assert ca == cb and ca["rows"] == 100 and ca["checksum"] != 0
+    # any single-row change flips the checksum
+    c = spark.createDataFrame(
+        rows[:-1] + [(99, "text 99 CHANGED")], "id long, text string"
+    )
+    assert corpus_checksum(c) != ca
+    # column order must not matter (struct fields are sorted)
+    d = spark.createDataFrame(
+        [(t, i) for i, t in rows], "text string, id long"
+    ).select("text", "id")
+    assert corpus_checksum(d) == ca
+
+
+def test_write_with_manifest_roundtrip(spark, tmp_path):
+    import json
+
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        corpus_checksum,
+        write_with_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "de")], "id long, text string, lang string"
+    )
+    out = str(tmp_path / "corpus")
+    manifest = write_with_manifest(df, out, partition_by=["lang"])
+    on_disk = json.load(open(f"{out}/_MANIFEST.json"))
+    assert on_disk == manifest
+    assert manifest["rows"] == 2 and manifest["partition_by"] == ["lang"]
+    # the written data reproduces the manifest checksum exactly
+    back = spark.read.parquet(out).select("id", "text", "lang")
+    assert corpus_checksum(back)["checksum"] == manifest["checksum"]
