@@ -153,10 +153,16 @@ def duplicate_line_fraction(
 ) -> Column:
     """Fraction of line characters that belong to DUPLICATED lines — the
     boilerplate signal (nav bars, cookie banners repeat verbatim).
-    Empty lines are ignored; 0.0 for documents with no lines."""
+    Empty lines are ignored; 0.0 for documents with no lines.  ``sep`` is
+    a literal separator string (escaped before the regex split — '|' or
+    '.' as a record separator must not split on every character)."""
+    import re as _re
+
     c = F.col(text) if isinstance(text, str) else text
     lines = F.slice(
-        F.filter(F.split(c, sep), lambda x: F.length(F.trim(x)) > 0),
+        F.filter(
+            F.split(c, _re.escape(sep)), lambda x: F.length(F.trim(x)) > 0
+        ),
         1,
         cap,
     )

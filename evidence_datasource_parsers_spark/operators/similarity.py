@@ -351,9 +351,14 @@ def blocked_cosine_pairs(
         f"{block_col} {dts[block_col]}, cosine_sim double"
     )
 
+    # null-safe count join: a NULL block key is a legitimate block (an
+    # upstream join or bucketing step that missed), and a plain equi-join
+    # would silently drop every such row before the kernel
     counts = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    counts = counts.withColumnRenamed(block_col, "__blk")
     salted = (
-        df.join(counts, on=block_col)
+        df.join(counts, df[block_col].eqNullSafe(counts["__blk"]))
+        .drop("__blk")
         .withColumn(
             "__nsalt",
             F.ceil(F.col("__cnt") / F.lit(max_block_rows)).cast("int"),

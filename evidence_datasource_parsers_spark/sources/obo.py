@@ -19,6 +19,18 @@ from collections import defaultdict, deque
 from dataclasses import dataclass, field
 
 
+def _strip_comment(value: str) -> str:
+    """Drop a trailing ``! comment`` (first unescaped ``!``), per OBO 1.2."""
+    out = []
+    prev = ""
+    for ch in value:
+        if ch == "!" and prev != "\\":
+            break
+        out.append(ch)
+        prev = ch
+    return "".join(out).strip().replace("\\!", "!")
+
+
 @dataclass
 class OboTerm:
     id: str
@@ -54,16 +66,20 @@ class OboOntology:
             if not in_term or cur is None or not line or ":" not in line:
                 continue
             tag, _, value = line.partition(":")
-            value = value.strip()
+            # OBO allows a trailing '! comment' on ANY tag-value line —
+            # strip it uniformly (first unescaped '!'), else a commented
+            # id:/name: line corrupts the term id/label and the LUT join
+            # silently misses
+            value = _strip_comment(value.strip())
             if tag == "id":
                 cur.id = value
             elif tag == "name":
                 cur.name = value
             elif tag == "is_a":
                 # 'MP:0000275 ! cardiac hypertrophy' → target id only
-                cur.parents.append(value.split("!")[0].strip())
+                cur.parents.append(value)
             elif tag == "alt_id":
-                cur.alt_ids.append(value.split("!")[0].strip())
+                cur.alt_ids.append(value)
             elif tag == "is_obsolete":
                 cur.obsolete = value.lower().startswith("true")
         if cur is not None and cur.id:

@@ -117,13 +117,21 @@ def write_with_manifest(
     manifests match."""
     import json
 
-    write_partitioned(df, out_path, partition_by or [], fmt=fmt)
-    manifest = {
-        "format": fmt,
-        "partition_by": partition_by or [],
-        "schema": df.schema.simpleString(),
-        **corpus_checksum(df),
-    }
+    # write + checksum are two actions over the same frame: persist around
+    # them so the manifest describes the rows that were ACTUALLY written
+    # even when the lineage is nondeterministic (same hazard the runner
+    # guards for sink+validate)
+    df.persist()
+    try:
+        write_partitioned(df, out_path, partition_by or [], fmt=fmt)
+        manifest = {
+            "format": fmt,
+            "partition_by": partition_by or [],
+            "schema": df.schema.simpleString(),
+            **corpus_checksum(df),
+        }
+    finally:
+        df.unpersist()
     with open(os.path.join(out_path, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest

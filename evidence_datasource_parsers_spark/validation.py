@@ -84,6 +84,21 @@ def _check(value, schema: dict, path: str, errors: list[str]) -> None:
             branches.append(sub_errors[0])
         else:
             errors.append(f"{path}: no anyOf branch matched ({'; '.join(branches)})")
+    if "allOf" in schema:
+        for i, sub in enumerate(schema["allOf"]):
+            _check(value, sub, f"{path}<allOf[{i}]>", errors)
+    if "oneOf" in schema:
+        matched = []
+        for i, sub in enumerate(schema["oneOf"]):
+            sub_errors = []
+            _check(value, sub, path, sub_errors)
+            if not sub_errors:
+                matched.append(i)
+        if len(matched) != 1:
+            errors.append(
+                f"{path}: oneOf matched {len(matched)} branches "
+                f"({matched}), need exactly 1"
+            )
     if isinstance(value, str):
         if "pattern" in schema and not re.search(schema["pattern"], value):
             errors.append(f"{path}: {value!r} !~ /{schema['pattern']}/")

@@ -229,3 +229,25 @@ def test_remove_repeated_passages(spark):
     assert got[3] == ""                     # survives as empty, not dropped
     assert got[4] == selfrep                # single-doc repetition protected
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_duplicate_line_fraction_literal_separator(spark):
+    """sep is a literal string, not a regex: '|' must not split on every
+    character."""
+    from evidence_datasource_parsers_spark.functions.textstats import (
+        duplicate_line_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha|beta|alpha"), (2, "no separators here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id",
+            duplicate_line_fraction(F.col("text"), sep="|").alias("f"),
+        ).collect()
+    }
+    assert got[1] == pytest.approx(10 / 14)  # 'alpha' x2 of 14 chars
+    assert got[2] == 0.0

@@ -423,3 +423,24 @@ def test_decontamination_plan_broadcasts_eval_side(spark):
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_blocked_cosine_pairs_keeps_null_blocks(spark):
+    """A NULL block key is a real block (upstream join misses produce
+    them): its pairs must be scored, not silently dropped by a
+    null-unsafe count join."""
+    from evidence_datasource_parsers_spark.operators.similarity import (
+        blocked_cosine_pairs,
+    )
+
+    rows = [
+        (1, None, [1.0, 0.0]),
+        (2, None, [1.0, 0.01]),
+        (3, 7, [0.0, 1.0]),
+        (4, 7, [0.01, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, v array<double>")
+    out = blocked_cosine_pairs(df, "label", "vec_id", "v", threshold=0.9)
+    got = {(r.id_a, r.id_b): r.label for r in out.collect()}
+    assert (1, 2) in got and got[(1, 2)] is None
+    assert (3, 4) in got and got[(3, 4)] == 7

@@ -205,3 +205,26 @@ def test_json_schema_integer_accepts_whole_floats_and_rejects_bad_type():
         compile_validator(
             {"type": "object", "properties": {"ts": {"type": "date"}}}
         )
+
+
+def test_json_schema_allof_oneof_enforced():
+    """allOf requires every branch; oneOf exactly one — previously both
+    were accepted by the compiler but silently ignored at validation."""
+    from evidence_datasource_parsers_spark.validation import compile_validator
+
+    v_all = compile_validator(
+        {"allOf": [{"type": "object", "required": ["a"]},
+                   {"type": "object", "required": ["b"]}]}
+    )
+    assert v_all({"a": 1, "b": 2}) == []
+    assert v_all({"a": 1}) != []
+
+    v_one = compile_validator(
+        {"oneOf": [{"type": "integer"}, {"type": "string"}]}
+    )
+    assert v_one(3) == [] and v_one("x") == []
+    assert v_one([1]) != []          # matches neither
+    v_overlap = compile_validator(
+        {"oneOf": [{"type": "number"}, {"type": "integer"}]}
+    )
+    assert v_overlap(3) != []        # matches both → not exactly one

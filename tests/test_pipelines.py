@@ -586,3 +586,23 @@ def test_obo_class_map_joins_into_impc_phenotypes(spark):
         ("MP:0000275", "MP:0005385"),
         ("MP:0001265", "MP:0005378"),
     }
+
+
+def test_obo_strips_comments_on_any_tag():
+    from evidence_datasource_parsers_spark.sources.obo import OboOntology
+
+    onto = OboOntology.from_text(
+        """[Term]
+id: MP:0000001 ! the root
+name: mammalian phenotype ! a comment
+
+[Term]
+id: MP:0000002
+name: escaped bang \\! kept
+is_a: MP:0000001 ! mammalian phenotype
+"""
+    )
+    assert "MP:0000001" in onto.terms
+    assert onto.terms["MP:0000001"].name == "mammalian phenotype"
+    assert onto.terms["MP:0000002"].name == "escaped bang ! kept"
+    assert onto.terms["MP:0000002"].parents == ["MP:0000001"]
