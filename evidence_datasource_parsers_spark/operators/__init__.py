@@ -39,8 +39,10 @@ from evidence_datasource_parsers_spark.operators.quantize import (  # noqa: F401
 from evidence_datasource_parsers_spark.operators.sampling import (  # noqa: F401
     domain_mixture_sample,
     hash_sample,
+    leakage_safe_split,
     mixture_fractions,
     reservoir_per_key,
+    split_assign,
     stratified_hash_sample,
 )
 from evidence_datasource_parsers_spark.operators.similarity import (  # noqa: F401

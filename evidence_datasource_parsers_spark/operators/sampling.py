@@ -157,3 +157,63 @@ def domain_mixture_sample(
     return stratified_hash_sample(
         df, domain_col, key, fractions, default_fraction=0.0, salt=salt
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key: str | Column,
+    splits: dict,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic named-split assignment (train/val/test): the key's
+    60-bit hash falls into cumulative fraction bands.  Same contract as
+    every sampler here — never ``rand()``, so retries/backfills/other
+    engines assign identically, and equal keys land in the same split."""
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    h = _key_hash(key_col, salt)
+    expr = None
+    acc = 0.0
+    for name, frac in sorted(splits.items()):
+        acc += frac
+        cond = h < int(acc * _SPACE)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    # float-rounding tail: the last band absorbs the boundary
+    last = sorted(splits)[-1]
+    return df.withColumn(out_col, expr.otherwise(F.lit(last)))
+
+
+def leakage_safe_split(
+    corpus: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: the split decision hashes the CLUSTER representative, not the
+    document id, so every member of a near-dup cluster (from
+    ``duplicate_clusters``) lands in the same split — the leakage that
+    id-hash splits (q50 shape) silently permit.
+
+    ``clusters`` is (doc_id, cluster_id); unclustered documents (absent
+    from it) are their own singleton cluster.  One equi-join on the id
+    (AQE broadcasts the cluster map when it is small — only CLUSTERED
+    docs appear in it, typically a small fraction of the corpus) plus the
+    narrow hash expression."""
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    cmap = clusters.select(
+        F.col(id_col).alias("__cid"), F.col("cluster_id").alias("__cluster")
+    )
+    joined = corpus.join(
+        cmap, corpus[id_col] == cmap["__cid"], "left"
+    ).drop("__cid")
+    effective = F.coalesce(F.col("__cluster"), F.col(id_col))
+    return split_assign(joined, effective, splits, salt=salt).drop("__cluster")

@@ -165,3 +165,38 @@ def test_key_skew_report_flags_hot_key(spark):
     # 101 keys, mean ≈ 9.9 rows/key, max 900 → ratio ≈ 90.9
     assert rep[0]["skew_ratio"] == pytest.approx(900 * 101 / 1000)
     assert all(r["skew_ratio"] == rep[0]["skew_ratio"] for r in rep)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        duplicate_clusters,
+    )
+    from evidence_datasource_parsers_spark.operators.sampling import (
+        leakage_safe_split,
+        split_assign,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], "doc_id long, text string"
+    )
+    # 50 near-dup pairs (0,1), (6,7), ... → 50 clusters of 2
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 300, 6)], "id_a long, id_b long"
+    )
+    clusters = duplicate_clusters(pairs)
+    out = leakage_safe_split(corpus, clusters, splits={"train": 0.7, "val": 0.3})
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert len(rows) == 300
+    # every pair member shares its split — zero leakage
+    for a in range(0, 300, 6):
+        assert rows[a] == rows[a + 1], (a, rows[a], rows[a + 1])
+    # proportions roughly honored (300 docs, binomial tolerance)
+    n_train = sum(1 for s in rows.values() if s == "train")
+    assert 0.6 < n_train / 300 < 0.8
+    # determinism + fraction validation
+    again = {r.doc_id: r.split for r in leakage_safe_split(
+        corpus, clusters, splits={"train": 0.7, "val": 0.3}).collect()}
+    assert again == rows
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="must sum to 1"):
+        split_assign(corpus, "doc_id", {"a": 0.5, "b": 0.2})
