@@ -173,6 +173,11 @@ def split_assign(
     total = sum(splits.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split fractions must sum to 1, got {total}")
+    for name, frac in splits.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(
+                f"fraction for split {name!r} must be in [0, 1], got {frac}"
+            )
     key_col = F.col(key) if isinstance(key, str) else key
     h = _key_hash(key_col, salt)
     expr = None
@@ -209,8 +214,12 @@ def leakage_safe_split(
     docs appear in it, typically a small fraction of the corpus) plus the
     narrow hash expression."""
     splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    # duplicate_clusters' contract is (doc_id, cluster_id) regardless of
+    # the corpus's id column name; fall back to id_col for hand-built maps
+    cluster_id_src = "doc_id" if "doc_id" in clusters.columns else id_col
     cmap = clusters.select(
-        F.col(id_col).alias("__cid"), F.col("cluster_id").alias("__cluster")
+        F.col(cluster_id_src).alias("__cid"),
+        F.col("cluster_id").alias("__cluster"),
     )
     joined = corpus.join(
         cmap, corpus[id_col] == cmap["__cid"], "left"

@@ -455,8 +455,17 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
         blocked_cosine_pairs,
     )
 
-    e = load(spark, sf, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    e = (
+        load(spark, sf, "embeddings")
+        # the SQL oracle's equi-join drops NULL labels; the operator
+        # (correctly) scores NULL blocks, so align the QUERY to the
+        # oracle's semantics explicitly rather than relying on the
+        # fixture having no nulls
+        .where(F.col("label").isNotNull())
+        .select(
+            "vec_id", "label",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
     )
     return blocked_cosine_pairs(
         e, block_col="label", id_col="vec_id", vec_col="v", threshold=0.3

@@ -20,14 +20,22 @@ from dataclasses import dataclass, field
 
 
 def _strip_comment(value: str) -> str:
-    """Drop a trailing ``! comment`` (first unescaped ``!``), per OBO 1.2."""
+    """Drop a trailing ``! comment`` (first unescaped ``!``), per OBO 1.2.
+    Escape PAIRS are consumed atomically, so a value ending in an escaped
+    backslash (``foo\\\\``) does not accidentally escape a following real
+    comment; only ``\\!`` is unescaped (other OBO escapes pass through)."""
     out = []
-    prev = ""
-    for ch in value:
-        if ch == "!" and prev != "\\":
+    i = 0
+    while i < len(value):
+        ch = value[i]
+        if ch == "\\" and i + 1 < len(value):
+            out.append(value[i : i + 2])
+            i += 2
+            continue
+        if ch == "!":
             break
         out.append(ch)
-        prev = ch
+        i += 1
     return "".join(out).strip().replace("\\!", "!")
 
 

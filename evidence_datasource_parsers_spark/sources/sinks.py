@@ -81,27 +81,51 @@ def write_partitioned(
 
 def corpus_checksum(df: DataFrame) -> dict:
     """Order- and partitioning-insensitive content fingerprint of a frame:
-    ``{rows, checksum}`` where checksum is the bitwise XOR of the portable
-    60-bit hash of every row's JSON form, folded in ONE aggregation.
+    ``{rows, checksum, checksum_sum}`` — the bitwise XOR and the
+    decimal-exact SUM (mod 2^60) of the portable 60-bit hash of every
+    row's canonical form, folded in ONE aggregation.
 
-    XOR is commutative/associative, so the value is identical however the
-    rows are partitioned, ordered, or recomputed — two corpora (or two
-    runs) match iff their row multisets match (XOR cancels PAIRS of equal
-    rows; for dedup-ed corpora rows are unique and this is exact multiset
-    equality up to 60-bit collisions).  One narrow shuffle-free pass +
-    a single-row reduce."""
+    Both folds are commutative/associative, so the values are identical
+    however the rows are partitioned, ordered, or recomputed.  The PAIR is
+    the equality check: XOR alone cancels duplicate-row pairs ({A,B,B}
+    ≡ {A,C,C}), but their hash SUMS differ — comparing both makes the
+    fingerprint exact multiset equality up to 60-bit collisions, with no
+    row-uniqueness precondition.
+
+    Timestamp columns are canonicalized session-timezone-independently
+    (absolute instants → epoch micros; NTZ/date wall-clocks → their
+    string form), so the same data checksums identically across clusters
+    with different ``spark.sql.session.timeZone`` — the cross-cluster
+    comparison is the point of the manifest."""
     from pyspark.sql import functions as F
 
     from evidence_datasource_parsers_spark.functions.hashing import (
         portable_hash,
     )
 
-    row = portable_hash(F.to_json(F.struct(*sorted(df.columns))))
+    dts = dict(df.dtypes)
+
+    def canon(name: str):
+        dt = dts[name]
+        if dt == "timestamp":  # absolute instant: TZ-free epoch micros
+            return F.unix_micros(F.col(name)).alias(name)
+        if dt in ("timestamp_ntz", "date"):  # wall-clock: TZ-free string
+            return F.col(name).cast("string").alias(name)
+        return F.col(name)
+
+    row = portable_hash(
+        F.to_json(F.struct(*[canon(c) for c in sorted(df.columns)]))
+    )
     out = df.agg(
         F.count(F.lit(1)).alias("rows"),
-        F.bit_xor(row).alias("checksum"),  # bit_xor aggregate: Spark >= 3.2
+        F.bit_xor(row).alias("cx"),  # bit_xor aggregate: Spark >= 3.2
+        F.sum(row.cast("decimal(38,0)")).alias("cs"),  # exact to 38 digits
     ).collect()[0]
-    return {"rows": out["rows"], "checksum": int(out["checksum"] or 0)}
+    return {
+        "rows": out["rows"],
+        "checksum": int(out["cx"] or 0),
+        "checksum_sum": int(out["cs"] or 0) % (1 << 60),
+    }
 
 
 def write_with_manifest(
@@ -132,6 +156,26 @@ def write_with_manifest(
         }
     finally:
         df.unpersist()
-    with open(os.path.join(out_path, "_MANIFEST.json"), "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
+    # write through the Hadoop FileSystem API so out_path may be any
+    # supported URI (s3a://, gs://, hdfs://) — a local open() would crash
+    # AFTER the expensive data write on every non-local release path
+    _write_text(
+        df.sparkSession,
+        out_path.rstrip("/") + "/_MANIFEST.json",
+        json.dumps(manifest, indent=2, sort_keys=True),
+    )
     return manifest
+
+
+def _write_text(spark, path: str, content: str) -> None:
+    """Small-text write via Hadoop FS (works for local paths AND object
+    stores; driver-side, for manifest-sized payloads only)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()

@@ -14,8 +14,9 @@ Supported subset (the constructs the reference's schemas actually use):
 ``additionalProperties`` (boolean form), ``enum``, ``const``, ``pattern``,
 ``minLength``/``maxLength``, ``minimum``/``maximum`` (+ exclusive forms),
 ``items`` (single-schema form), ``minItems``/``maxItems``, ``uniqueItems``,
-``anyOf``, and arbitrary nesting.  Unknown keywords are ignored, as the
-spec requires.
+``anyOf``/``allOf``/``oneOf``, and arbitrary nesting.  Unknown keywords are
+ignored, as the spec requires; unknown ``type`` NAMES are rejected at
+compile time.
 """
 
 from __future__ import annotations

@@ -411,3 +411,31 @@ def test_write_with_manifest_roundtrip(spark, tmp_path):
     # the written data reproduces the manifest checksum exactly
     back = spark.read.parquet(out).select("id", "text", "lang")
     assert corpus_checksum(back)["checksum"] == manifest["checksum"]
+
+
+def test_corpus_checksum_duplicates_and_timezones(spark):
+    """XOR alone cancels duplicate-row PAIRS; the (xor, sum) pair must
+    tell {A,B,B} from {A,C,C}.  Timestamp columns must checksum
+    identically under different session time zones."""
+    from evidence_datasource_parsers_spark.sources.sinks import corpus_checksum
+
+    abb = spark.createDataFrame([("A",), ("B",), ("B",)], "t string")
+    acc = spark.createDataFrame([("A",), ("C",), ("C",)], "t string")
+    ca, cb = corpus_checksum(abb), corpus_checksum(acc)
+    assert ca["checksum"] == cb["checksum"]       # XOR is blind to this
+    assert ca["checksum_sum"] != cb["checksum_sum"]  # the sum is not
+
+    ts = spark.createDataFrame(
+        [(1, "2024-06-01 12:00:00")], "id long, s string"
+    ).selectExpr("id", "CAST(s AS TIMESTAMP) AS ts")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ts.persist().count()  # pin the data so both runs hash the same rows
+        utc = corpus_checksum(ts)
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = corpus_checksum(ts)
+    finally:
+        ts.unpersist()
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert utc == ny
