@@ -17,6 +17,7 @@ from evidence_datasource_parsers_spark.operators.chunking import (  # noqa: F401
 from evidence_datasource_parsers_spark.operators.dedupe import (  # noqa: F401
     duplicate_clusters,
     exact_dedupe,
+    incremental_exact_dedupe,
     lsh_candidate_pairs,
 )
 from evidence_datasource_parsers_spark.operators.decontaminate import (  # noqa: F401

@@ -18,7 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from evidence_datasource_parsers_spark.functions.hashing import (
@@ -438,3 +438,44 @@ def duplicate_clusters(
         )
     finally:
         e.unpersist()
+
+
+def incremental_exact_dedupe(
+    new_batch: DataFrame,
+    seen_hashes: DataFrame | None,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Batch-over-batch dedup: drop documents already ingested in ANY prior
+    run, using a persisted fingerprint store instead of re-reading the
+    historical corpus.
+
+    ``seen_hashes`` is the store from previous runs — one ``content_hash``
+    column (8 bytes/doc, the only state the pipeline carries forward;
+    pass None on the first run).  Returns ``(fresh, updated_store)``:
+
+      * ``fresh`` — the new batch minus exact dups WITHIN the batch (min
+        id kept, same rule as :func:`exact_dedupe`) and minus anything in
+        the store (left_anti on the hash: one co-partitioned shuffle, or a
+        broadcast when the store is small — AQE's call);
+      * ``updated_store`` — store ∪ new hashes, ready to persist for the
+        next increment.  At 100 TB the store is ~0.1% the corpus size and
+        should be written bucketed by hash so the next run's anti-join is
+        co-located (sinks.write_partitioned).
+    """
+    hashed = new_batch.withColumn("__ch", content_hash(F.col(text_col)))
+    w_min = Window.partitionBy("__ch").orderBy(F.col(id_col).asc())
+    in_batch = (
+        hashed.withColumn("__rn", F.row_number().over(w_min))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if seen_hashes is not None:
+        store = seen_hashes.select(F.col("content_hash").alias("__ch"))
+        fresh = in_batch.join(store, on="__ch", how="left_anti")
+    else:
+        fresh = in_batch
+    new_store = fresh.select(F.col("__ch").alias("content_hash"))
+    if seen_hashes is not None:
+        new_store = seen_hashes.select("content_hash").unionByName(new_store)
+    return fresh.drop("__ch"), new_store

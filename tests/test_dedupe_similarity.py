@@ -444,3 +444,32 @@ def test_blocked_cosine_pairs_keeps_null_blocks(spark):
     got = {(r.id_a, r.id_b): r.label for r in out.collect()}
     assert (1, 2) in got and got[(1, 2)] is None
     assert (3, 4) in got and got[(3, 4)] == 7
+
+
+def test_incremental_exact_dedupe_across_batches(spark):
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        incremental_exact_dedupe,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "ALPHA   text"), (3, "beta text")],
+        "doc_id long, text string",
+    )
+    fresh1, store1 = incremental_exact_dedupe(b1, None, "text", "doc_id")
+    got1 = {r.doc_id for r in fresh1.collect()}
+    assert got1 == {1, 3}  # 2 is an in-batch dup of 1 (normalization)
+    assert store1.count() == 2
+
+    b2 = spark.createDataFrame(
+        [(10, "beta text"), (11, "gamma text"), (12, "gamma text")],
+        "doc_id long, text string",
+    )
+    fresh2, store2 = incremental_exact_dedupe(b2, store1, "text", "doc_id")
+    got2 = {r.doc_id for r in fresh2.collect()}
+    assert got2 == {11}  # 10 seen in batch 1; 12 in-batch dup of 11
+    assert store2.count() == 3
+    # replay of batch 2 against the updated store yields nothing new
+    fresh3, _ = incremental_exact_dedupe(b2, store2, "text", "doc_id")
+    assert fresh3.count() == 0
+    # payload columns survive on fresh rows
+    assert set(fresh2.columns) == {"doc_id", "text"}
