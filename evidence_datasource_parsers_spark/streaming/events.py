@@ -162,3 +162,22 @@ def stream_to_evidence_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedupe_stream_by_content(
+    events: DataFrame,
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming EXACT-CONTENT dedup: drop events whose normalized text
+    already arrived within the watermark horizon — the streaming twin of
+    ``operators.dedupe.exact_dedupe``, with the same normalization and
+    portable hash, so batch backfills and the live stream agree on what
+    counts as a duplicate.  State carries one 8-byte hash per kept event
+    and is watermark-evicted (bounded, like every stateful op here)."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        content_hash,
+    )
+
+    hashed = events.withColumn("__content", content_hash(F.col(text_col)))
+    return dedupe_stream(hashed, ["__content"], watermark).drop("__content")

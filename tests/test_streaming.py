@@ -174,3 +174,46 @@ def test_stream_stream_interval_join(spark, tmp_path):
         (r.user_id, r.l_event_id, r.r_event_id) for r in batch.collect()
     }
     assert batch_got == got
+
+
+def test_streaming_content_dedupe(spark, tmp_path):
+    """Content dedup on a stream: same normalized text (case/whitespace
+    variants) across micro-batches collapses to one event; state is the
+    8-byte content hash."""
+    import json as _json
+
+    from evidence_datasource_parsers_spark.streaming.events import (
+        dedupe_stream_by_content,
+        read_event_stream,
+    )
+
+    base = {"user_id": 1, "event_type": "post", "value": 0.0}
+    evs = [
+        dict(base, event_id=1, ts="2024-01-01T00:10:00Z",
+             props="the quick brown fox"),
+        dict(base, event_id=2, ts="2024-01-01T00:11:00Z",
+             props="THE  QUICK   brown fox"),   # dup after normalization
+        dict(base, event_id=3, ts="2024-01-01T00:12:00Z",
+             props="something else entirely"),
+    ]
+    src = tmp_path / "cstream"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join(_json.dumps(e) for e in evs[:2]))
+    (src / "f2.json").write_text(_json.dumps(evs[2]))
+
+    deduped = dedupe_stream_by_content(
+        read_event_stream(spark, str(src)), text_col="props"
+    )
+    (
+        deduped.writeStream.format("memory")
+        .queryName("content_deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    ids = sorted(
+        r["event_id"]
+        for r in spark.sql("SELECT event_id FROM content_deduped").collect()
+    )
+    assert len(ids) == 2 and 3 in ids  # one of {1,2} survived, plus 3
