@@ -463,18 +463,31 @@ def incremental_exact_dedupe(
         should be written bucketed by hash so the next run's anti-join is
         co-located (sinks.write_partitioned).
     """
-    hashed = new_batch.withColumn("__ch", content_hash(F.col(text_col)))
-    w_min = Window.partitionBy("__ch").orderBy(F.col(id_col).asc())
+    # NULL text hashes to a sentinel, not NULL: a NULL join key never
+    # matches in the anti-join, which would leak one "fresh" NULL-text doc
+    # per batch and grow the store with NULL rows forever
+    hashed = new_batch.withColumn(
+        "__ch", F.coalesce(content_hash(F.col(text_col)), F.lit(-1))
+    )
+    # min-id representative via min_by aggregation — map-side combined, so
+    # a virally-duplicated doc does NOT funnel every copy into one window
+    # task (the skew exact_dedupe's design note promises to avoid)
+    row_struct = F.struct(*[F.col(c) for c in hashed.columns])
     in_batch = (
-        hashed.withColumn("__rn", F.row_number().over(w_min))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+        hashed.groupBy("__ch")
+        .agg(F.min_by(row_struct, F.col(id_col)).alias("__row"))
+        .select("__row.*")
     )
     if seen_hashes is not None:
         store = seen_hashes.select(F.col("content_hash").alias("__ch"))
         fresh = in_batch.join(store, on="__ch", how="left_anti")
     else:
         fresh = in_batch
+    # both return values consume this lineage; persist so materializing
+    # (fresh → sink, store → next increment) runs the hash+agg+anti-join
+    # ONCE, and the store records exactly the docs that were emitted.
+    # Callers should unpersist after both actions complete.
+    fresh = fresh.persist()
     new_store = fresh.select(F.col("__ch").alias("content_hash"))
     if seen_hashes is not None:
         new_store = seen_hashes.select("content_hash").unionByName(new_store)

@@ -166,7 +166,7 @@ def stream_to_evidence_sink(
 
 def dedupe_stream_by_content(
     events: DataFrame,
-    text_col: str = "text",
+    text_col: str = "props",  # EVENT_SCHEMA's text payload column
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming EXACT-CONTENT dedup: drop events whose normalized text

@@ -473,3 +473,21 @@ def test_incremental_exact_dedupe_across_batches(spark):
     assert fresh3.count() == 0
     # payload columns survive on fresh rows
     assert set(fresh2.columns) == {"doc_id", "text"}
+
+
+def test_incremental_exact_dedupe_null_text(spark):
+    """NULL-text docs are one group (batch-parity) and do NOT leak as
+    fresh in every subsequent batch."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        incremental_exact_dedupe,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text")], "doc_id long, text string"
+    )
+    fresh1, store1 = incremental_exact_dedupe(b1, None, "text", "doc_id")
+    assert {r.doc_id for r in fresh1.collect()} == {1, 3}
+    b2 = spark.createDataFrame([(10, None)], "doc_id long, text string")
+    fresh2, store2 = incremental_exact_dedupe(b2, store1, "text", "doc_id")
+    assert fresh2.count() == 0          # NULL text already seen
+    assert store2.count() == 2          # no NULL-row accumulation
