@@ -171,20 +171,26 @@ def duplicate_line_fraction(
     # carries (prev value, current run length, dup chars so far); the
     # finish lambda flushes the final run.
     s = F.array_sort(lines)
+    # accumulators are LONG: run * line-length and the char totals overflow
+    # int32 on pathological documents (a ~1 MB minified-JS line repeated a
+    # few thousand times exceeds 2^31), and with ANSI off the wrap is silent
     acc0 = F.struct(
         F.lit(None).cast("string").alias("prev"),
-        F.lit(0).alias("run"),
-        F.lit(0).alias("dup"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
     )
 
     def step(acc, x):
         same = acc["prev"].isNotNull() & (x == acc["prev"])
         flushed = acc["dup"] + F.when(
-            ~same & (acc["run"] > 1), acc["run"] * F.length(acc["prev"])
-        ).otherwise(F.lit(0))
+            ~same & (acc["run"] > 1),
+            acc["run"] * F.length(acc["prev"]).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
         return F.struct(
             x.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
             flushed.alias("dup"),
         )
 
@@ -194,10 +200,14 @@ def duplicate_line_fraction(
         step,
         lambda acc: acc["dup"]
         + F.when(
-            acc["run"] > 1, acc["run"] * F.length(acc["prev"])
-        ).otherwise(F.lit(0)),
+            acc["run"] > 1, acc["run"] * F.length(acc["prev"]).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
     )
-    total = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    total = F.aggregate(
+        lines,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x).cast("long"),
+    )
     return F.when(total > 0, dup_chars / total).otherwise(F.lit(0.0))
 
 
@@ -226,20 +236,24 @@ def top_ngram_char_fraction(
     # sort + run-scan: the most frequent gram is the longest equal-run of
     # the sorted gram array; maximize run*len(gram) over runs as we scan
     s = F.array_sort(grams)
+    # long accumulators for the same int32-overflow reason as
+    # duplicate_line_fraction: run * gram-length must not wrap silently
     acc0 = F.struct(
         F.lit(None).cast("string").alias("prev"),
-        F.lit(0).alias("run"),
-        F.lit(0).alias("best"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
     )
 
     def step(acc, x):
         run = F.when(
             acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
-        ).otherwise(F.lit(1))
+        ).otherwise(F.lit(1).cast("long"))
         return F.struct(
             x.alias("prev"),
             run.alias("run"),
-            F.greatest(acc["best"], run * F.length(x)).alias("best"),
+            F.greatest(acc["best"], run * F.length(x).cast("long")).alias(
+                "best"
+            ),
         )
 
     top_chars = F.aggregate(s, acc0, step, lambda acc: acc["best"])

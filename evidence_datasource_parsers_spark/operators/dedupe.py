@@ -461,7 +461,11 @@ def incremental_exact_dedupe(
       * ``updated_store`` — store ∪ new hashes, ready to persist for the
         next increment.  At 100 TB the store is ~0.1% the corpus size and
         should be written bucketed by hash so the next run's anti-join is
-        co-located (sinks.write_partitioned).
+        co-located (:func:`write_bucketed_store` + :func:`read_bucketed_store`
+        in sources/sinks.py — plan-proven shuffle-free on the store side).
+
+    The returned ``fresh`` frame is persisted (both outputs share its
+    lineage); call ``fresh.unpersist()`` after materializing both.
     """
     # NULL text hashes to a sentinel, not NULL: a NULL join key never
     # matches in the anti-join, which would leak one "fresh" NULL-text doc
@@ -483,12 +487,21 @@ def incremental_exact_dedupe(
         fresh = in_batch.join(store, on="__ch", how="left_anti")
     else:
         fresh = in_batch
-    # both return values consume this lineage; persist so materializing
+    # Both return values consume this lineage; persist so materializing
     # (fresh → sink, store → next increment) runs the hash+agg+anti-join
-    # ONCE, and the store records exactly the docs that were emitted.
-    # Callers should unpersist after both actions complete.
-    fresh = fresh.persist()
-    new_store = fresh.select(F.col("__ch").alias("content_hash"))
+    # ONCE.  The RETURNED frame is the persisted one — fresh.unpersist()
+    # in caller code releases the actual cached blocks (persisting an
+    # internal frame and returning a derived plan would leak one cache
+    # entry per batch in a long-running pipeline).  The store recomputes
+    # the content hash from the persisted rows: deterministic (md5 of
+    # normalized text) and cheap relative to the batch scan, so the store
+    # still records exactly the docs that were emitted.
+    fresh = fresh.drop("__ch").persist()
+    new_store = fresh.select(
+        F.coalesce(content_hash(F.col(text_col)), F.lit(-1)).alias(
+            "content_hash"
+        )
+    )
     if seen_hashes is not None:
         new_store = seen_hashes.select("content_hash").unionByName(new_store)
-    return fresh.drop("__ch"), new_store
+    return fresh, new_store

@@ -37,8 +37,8 @@ def corpus_profile(
         F.sum(bpe_like_token_count(F.col(text_col))).alias("total_bpe_tokens"),
         F.sum(chars).alias("total_chars"),
         (F.sum(chars) / F.count(F.lit(1))).alias("mean_chars"),
-        F.expr(
-            f"percentile_approx(length({text_col}), array(0.5, 0.9, 0.99))"
+        F.percentile_approx(
+            chars, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
         ).alias("chars_p50_p90_p99"),
         F.approx_count_distinct(F.md5(F.col(text_col))).alias(
             "approx_distinct_docs"

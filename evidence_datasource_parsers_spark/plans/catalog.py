@@ -42,6 +42,15 @@ _TS_COLS = {
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one test table, normalizing timestamp physical-type variants.
+
+    SIDE EFFECT: sets ``spark.sql.session.timeZone=UTC`` (and the nanos
+    legacy flag) on the session — every timestamp render/cast after the
+    first load() is UTC.  ``session.get_spark`` sets the same confs at
+    session start, so sessions built by the factory see no behavior change;
+    only foreign sessions (like the correctness driver's vanilla one, the
+    reason the confs are set here at all) are switched.
+    """
     # The correctness driver builds its own vanilla SparkSession, so session-
     # factory confs (session.py) do not apply here; both confs are runtime-
     # settable, so set them at the scan so the fix travels with every query

@@ -160,9 +160,22 @@ def compile_validator(schema: dict) -> Callable[[object], list[str]]:
 
 
 def validate_json_schema(df: DataFrame, schema: dict) -> DataFrame:
-    """Distributed validation: every row (as a JSON object, nulls dropped —
-    matching the emitted ``to_json`` representation the reference
-    validates) checked against ``schema`` inside one Arrow-batched pass.
+    """Distributed validation: every row (as a JSON object) checked against
+    ``schema`` inside one Arrow-batched pass.
+
+    NULL SEMANTICS — rows are serialized with ``to_json``, which DROPS
+    null fields (Spark has no ``ignoreNullFields=false`` for struct
+    serialization pre-4.0 semantics here, and the emitted-file
+    representation the reference validates also omits nulls).  Two
+    consequences schema authors must know:
+
+      * a present-but-NULL column counts as ABSENT → it fails ``required``;
+      * a ``{"type": ["string", "null"]}`` branch can never observe a JSON
+        null — express nullability by omitting the field from ``required``
+        instead.
+
+    This matches validating the written JSONL output byte-for-byte, which
+    is the contract that matters for downstream consumers.
 
     Returns a DataFrame of violations ``(error string)`` — empty when the
     output conforms.  No driver-side row loop: callers aggregate or sample
