@@ -18,7 +18,9 @@ from evidence_datasource_parsers_spark.operators.dedupe import (  # noqa: F401
     duplicate_clusters,
     exact_dedupe,
     incremental_exact_dedupe,
+    incremental_lsh_dedupe,
     lsh_candidate_pairs,
+    lsh_fingerprints,
 )
 from evidence_datasource_parsers_spark.operators.decontaminate import (  # noqa: F401
     decontaminate,

@@ -18,6 +18,8 @@ Scale design:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -142,6 +144,7 @@ def minhash_signatures_exploded(
     num_perm: int = 16,
     k: int = 5,
     mode: str = "char",
+    content_hash_col: str | None = None,
 ) -> DataFrame:
     """MinHash via explode + aggregate — the fully-codegen'd scale path.
 
@@ -156,38 +159,54 @@ def minhash_signatures_exploded(
     16 longs per (doc × partition).  ``array_distinct`` is dropped entirely:
     min over a multiset equals min over its set.
 
-    Returns (id_col, out_col) — signature only (group-by loses payload cols).
+    Returns (id_col, out_col) — signature only (group-by loses payload
+    cols).  ``content_hash_col`` optionally threads the exact 60-bit
+    content hash (NULL text → -1 sentinel) through the same explode+agg
+    pass (carried as one long per shingle row, min-combined — constant per
+    doc, so min is the value), saving incremental pipelines a second scan
+    of the text.
     """
     t = normalized_text(F.col(text_col))
+    ch = (
+        [F.coalesce(content_hash(F.col(text_col)), F.lit(-1)).alias("__ch")]
+        if content_hash_col
+        else []
+    )
     if mode == "char":
-        staged = df.select(F.col(id_col), t.alias("__t"))
+        staged = df.select(F.col(id_col), t.alias("__t"), *ch)
         n_sh = F.greatest(F.length("__t") - F.lit(k - 1), F.lit(1))
         exploded = staged.select(
             id_col,
             "__t",
+            *(["__ch"] if content_hash_col else []),
             F.explode(F.sequence(F.lit(1), n_sh)).alias("__i"),
         )
         shingle = F.col("__t").substr(F.col("__i"), F.lit(k))
     else:
-        staged = df.select(F.col(id_col), F.split(t, " ").alias("__tk"))
+        staged = df.select(F.col(id_col), F.split(t, " ").alias("__tk"), *ch)
         n_sh = F.greatest(F.size("__tk") - F.lit(k - 1), F.lit(1))
         exploded = staged.select(
             id_col,
             "__tk",
+            *(["__ch"] if content_hash_col else []),
             F.explode(F.sequence(F.lit(1), n_sh)).alias("__i"),
         )
         shingle = F.array_join(F.slice(F.col("__tk"), F.col("__i"), k), " ")
     based = exploded.select(
-        id_col, (portable_hash(shingle) % F.lit(P_BASE)).alias("__b")
+        id_col,
+        (portable_hash(shingle) % F.lit(P_BASE)).alias("__b"),
+        *(["__ch"] if content_hash_col else []),
     )
     agg = based.groupBy(id_col).agg(
         *[
             F.min(minhash_perm(F.col("__b"), i)).alias(f"__m{i}")
             for i in range(num_perm)
-        ]
+        ],
+        *([F.min("__ch").alias("__ch")] if content_hash_col else []),
     )
     return agg.select(
         id_col,
+        *([F.col("__ch").alias(content_hash_col)] if content_hash_col else []),
         F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias(out_col),
     )
 
@@ -505,3 +524,171 @@ def incremental_exact_dedupe(
     if seen_hashes is not None:
         new_store = seen_hashes.select("content_hash").unionByName(new_store)
     return fresh, new_store
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup dedup — the fingerprint-store pattern extended from
+# exact hashes to MinHash-LSH, so a re-crawled page with one changed byte is
+# still dropped on re-ingest without re-reading the historical corpus.
+# ---------------------------------------------------------------------------
+
+
+class IncrementalLshResult(NamedTuple):
+    """Result of :func:`incremental_lsh_dedupe`.
+
+    ``pinned`` is the persisted fingerprint frame both outputs derive from;
+    call ``pinned.unpersist()`` after materializing ``fresh`` and ``store``
+    (returning the handle instead of hiding the persist is what keeps a
+    long-running incremental pipeline from leaking cache blocks)."""
+
+    fresh: DataFrame
+    store: DataFrame
+    pinned: DataFrame
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
+    """Jaccard similarity estimated from two MinHash signatures: the
+    fraction of matching components (the standard unbiased estimator —
+    P[min-hash collision] = J).  NULL components (NULL/empty text) never
+    match, so degenerate signatures estimate 0, not 1."""
+    matches = F.aggregate(
+        F.zip_with(
+            sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return matches / F.lit(num_perm)
+
+
+def lsh_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    mode: str = "char",
+) -> DataFrame:
+    """Per-document LSH fingerprint rows — the state an incremental near-dup
+    pipeline carries between runs: ``(id, content_hash, band, key, sig)``,
+    ``bands`` rows per document.
+
+    One explode+agg pass computes signature AND exact content hash (shared
+    scan); the band explosion is post-aggregate, so the md5-per-shingle work
+    is never duplicated.  The signature array is denormalized onto every
+    band row (num_perm longs × bands per doc) so candidate verification is
+    ONE equi-join on (band, key) with no second lookup join — at 16 perms /
+    4 bands that is ~600 bytes per document, ~0.1% of a multi-KB web page,
+    the same store-to-corpus ratio as the exact-hash store.
+    """
+    sig = minhash_signatures_exploded(
+        df, id_col, text_col, "__sig", num_perm, k, mode,
+        content_hash_col="content_hash",
+    )
+    banded = sig.select(
+        id_col,
+        "content_hash",
+        "__sig",
+        F.explode(minhash_bands(F.col("__sig"), num_perm, bands)).alias("__b"),
+    )
+    return banded.select(
+        id_col,
+        "content_hash",
+        F.col("__b.band").alias("band"),
+        F.col("__b.key").alias("key"),
+        F.col("__sig").alias("sig"),
+    )
+
+
+def incremental_lsh_dedupe(
+    new_batch: DataFrame,
+    fingerprint_store: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    mode: str = "char",
+    threshold: float = 0.5,
+) -> IncrementalLshResult:
+    """Batch-over-batch NEAR-dup dedup against a persisted LSH fingerprint
+    store (:func:`lsh_fingerprints` rows from every prior run; None on the
+    first).  A new document is dropped when it
+
+      * exactly matches a stored content hash (semi-join on the 8-byte
+        hash — catches NULL/degenerate text the signature path can't), or
+      * shares ≥1 LSH band bucket with a stored document AND the
+        signature-estimated Jaccard (:func:`estimated_jaccard`) is ≥
+        ``threshold`` — the verification step that kills band-collision
+        false positives without storing (or re-reading) any historical
+        text.
+
+    Within the batch itself, exact dups collapse to the min-id
+    representative first (same rule as :func:`exact_dedupe`); within-batch
+    NEAR-dups are out of scope by design — run :func:`lsh_candidate_pairs`
+    at rest for that (an incremental refresh batch is small next to the
+    corpus, so the at-rest pass over it is cheap).
+
+    Returns :class:`IncrementalLshResult` ``(fresh, store, pinned)``:
+    ``fresh`` = surviving new documents (full payload), ``store`` = input
+    store ∪ fingerprints of the survivors (carry to the next run; write it
+    with ``sinks.write_bucketed_store`` so the next run's joins are
+    co-located), ``pinned`` = the persisted fingerprint frame to unpersist
+    after both are materialized.
+
+    Scale shape: the batch text is scanned ONCE (signature + content hash
+    in one explode+agg); the store is never scanned more than once per leg;
+    all joins key on band buckets or 8-byte hashes, never text.  With the
+    store bucketed by its join key, the per-batch cost is O(|batch|) work
+    plus co-located joins against ~0.1% of corpus mass.
+    """
+    # 1. within-batch exact dedup, min-id representative (NULL text → -1
+    # sentinel so NULL join keys can't leak through the anti-joins below)
+    hashed = new_batch.withColumn(
+        "__ch", F.coalesce(content_hash(F.col(text_col)), F.lit(-1))
+    )
+    row_struct = F.struct(*[F.col(c) for c in hashed.columns])
+    survivors = (
+        hashed.groupBy("__ch")
+        .agg(F.min_by(row_struct, F.col(id_col)).alias("__row"))
+        .select("__row.*")
+        .drop("__ch")
+    )
+    # 2. fingerprints of the in-batch survivors — persisted: consumed by the
+    # exact leg, the near leg, and the store update (the md5-per-shingle
+    # signature pass must run once, not three times)
+    fp = lsh_fingerprints(
+        survivors, text_col, id_col, num_perm, bands, k, mode
+    ).persist()
+    if fingerprint_store is None:
+        return IncrementalLshResult(fresh=survivors, store=fp, pinned=fp)
+    # 3a. exact cross-batch dups: content hash already in the store.  fp has
+    # `bands` rows per doc but a semi-join never multiplies, and the final
+    # distinct collapses the per-band repeats.
+    exact_ids = fp.select(id_col, "content_hash").join(
+        fingerprint_store.select("content_hash"),
+        on="content_hash",
+        how="left_semi",
+    )
+    # 3b. near dups: band-bucket candidates verified by estimated Jaccard.
+    # The shuffle key is (band, key) — bounded buckets, never text.
+    cand = fp.select(
+        id_col, "band", "key", F.col("sig").alias("__nsig")
+    ).join(
+        fingerprint_store.select(
+            "band", "key", F.col("sig").alias("__ssig")
+        ),
+        on=["band", "key"],
+    )
+    near_ids = cand.filter(
+        estimated_jaccard(F.col("__nsig"), F.col("__ssig"), num_perm)
+        >= F.lit(threshold)
+    ).select(id_col)
+    dropped = exact_ids.select(id_col).unionByName(near_ids).distinct()
+    fresh = survivors.join(dropped, on=id_col, how="left_anti")
+    new_store = fingerprint_store.unionByName(
+        fp.join(dropped, on=id_col, how="left_anti")
+    )
+    return IncrementalLshResult(fresh=fresh, store=new_store, pinned=fp)

@@ -31,7 +31,9 @@ from evidence_datasource_parsers_spark.operators.dedupe import (
     char_shingles,
     content_hash,
     exact_dedupe,
+    incremental_lsh_dedupe,
     lsh_candidate_pairs,
+    lsh_fingerprints,
     minhash_signatures_exploded,
     normalized_text,
     with_simhash,
@@ -241,24 +243,78 @@ def _bucket_union_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
+INCR_EST_THRESHOLD = 0.5
+
+
 @register(
     "q34_lsh_candidates",
     _sig_list_sql()
     + f""",
-    buckets AS ({_bucket_union_sql()})
-    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-    FROM buckets l JOIN buckets r
-      ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    buckets AS ({_bucket_union_sql()}),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, 'pair' AS src
+      FROM buckets l JOIN buckets r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    ch AS (SELECT doc_id, coalesce({portable_hash_sql(NORM)}, -1) AS ch
+           FROM documents),
+    surv AS (SELECT min(doc_id) AS doc_id
+             FROM ch WHERE doc_id % 2 = 1 GROUP BY ch),
+    exact_drop AS (
+      SELECT c.doc_id FROM ch c JOIN surv s ON c.doc_id = s.doc_id
+      WHERE c.ch IN (SELECT ch FROM ch WHERE doc_id % 2 = 0)
+    ),
+    near_drop AS (
+      SELECT DISTINCT nb.doc_id
+      FROM buckets nb
+      JOIN surv s ON nb.doc_id = s.doc_id
+      JOIN buckets sb ON nb.band = sb.band AND nb.key = sb.key
+                     AND sb.doc_id % 2 = 0
+      JOIN sig sn ON sn.doc_id = nb.doc_id
+      JOIN sig ss ON ss.doc_id = sb.doc_id
+      WHERE len(list_filter(range({MINHASH_PERMS}),
+                            i -> sn.s[i+1] = ss.s[i+1]))
+            * 1.0 / {MINHASH_PERMS} >= {INCR_EST_THRESHOLD}
+    ),
+    incr AS (
+      SELECT s.doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+             'incr_fresh' AS src
+      FROM surv s
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM exact_drop)
+        AND s.doc_id NOT IN (SELECT doc_id FROM near_drop)
+    )
+    SELECT * FROM pairs UNION ALL SELECT * FROM incr
     """,
-    tags=("dedup", "minhash", "lsh"),
+    tags=("dedup", "minhash", "lsh", "incremental"),
     bench=True,
 )
 def q34(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs (4 bands × 4 rows, similarity
-    threshold ≈ (1/b)^(1/r) ≈ 0.7): the shuffle
-    key is the band bucket, never the text — scale path for 100 TB dedup."""
-    return lsh_candidate_pairs(
-        rebalance(spark, load(spark, sf, "documents")),
+    """MinHash-LSH near-dup dedup, at-rest AND incremental.
+
+    Leg 1 (src='pair'): candidate pairs over the whole corpus (4 bands ×
+    4 rows, similarity threshold ≈ (1/b)^(1/r) ≈ 0.7) — the shuffle key is
+    the band bucket, never the text.
+
+    Leg 2 (src='incr_fresh'): the batch-refresh story — even doc_ids play
+    the historical corpus (their persisted :func:`lsh_fingerprints` rows
+    are the ONLY state carried), odd doc_ids play a new crawl batch;
+    :func:`incremental_lsh_dedupe` drops re-crawls that exact-match OR
+    near-match (estimated Jaccard ≥ 0.5) the store, and the surviving
+    fresh doc ids are emitted with a NULL id_b.  The oracle recomputes
+    both legs from the same hash constants, so a drift in the store
+    schema, the estimator, or the threshold breaks the value hash."""
+    d = rebalance(spark, load(spark, sf, "documents"))
+    pairs = lsh_candidate_pairs(
+        d,
+        "text",
+        "doc_id",
+        num_perm=MINHASH_PERMS,
+        bands=LSH_BANDS,
+        k=WORD_SHINGLE_N,
+        mode="word",
+    ).select("id_a", "id_b", F.lit("pair").alias("src"))
+    store = lsh_fingerprints(
+        d.filter(F.col("doc_id") % 2 == 0),
         "text",
         "doc_id",
         num_perm=MINHASH_PERMS,
@@ -266,6 +322,23 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
         k=WORD_SHINGLE_N,
         mode="word",
     )
+    res = incremental_lsh_dedupe(
+        d.filter(F.col("doc_id") % 2 == 1),
+        store,
+        "text",
+        "doc_id",
+        num_perm=MINHASH_PERMS,
+        bands=LSH_BANDS,
+        k=WORD_SHINGLE_N,
+        mode="word",
+        threshold=INCR_EST_THRESHOLD,
+    )
+    incr = res.fresh.select(
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit("incr_fresh").alias("src"),
+    )
+    return pairs.unionByName(incr)
 
 
 SIMHASH_BITS = 16

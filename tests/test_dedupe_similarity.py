@@ -491,3 +491,96 @@ def test_incremental_exact_dedupe_null_text(spark):
     fresh2, store2 = incremental_exact_dedupe(b2, store1, "text", "doc_id")
     assert fresh2.count() == 0          # NULL text already seen
     assert store2.count() == 2          # no NULL-row accumulation
+
+
+def test_incremental_lsh_dedupe_recrawl(spark):
+    """A one-word-changed re-crawl of a prior-batch doc is dropped; a
+    genuinely new doc survives; an exact cross-batch copy is dropped."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        incremental_lsh_dedupe,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    recrawl = base.replace("afternoon", "evening")  # one word changed
+    novel = (
+        "completely unrelated content about distributed query engines "
+        "partitioning shuffle exchanges and adaptive execution plans"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "some other original document body entirely")],
+        "doc_id long, text string",
+    )
+    r1 = incremental_lsh_dedupe(
+        b1, None, "text", "doc_id", mode="word", k=3
+    )
+    assert {r.doc_id for r in r1.fresh.collect()} == {1, 2}
+    assert r1.store.count() == 2 * 4  # bands rows per doc
+    r1.pinned.unpersist()
+
+    b2 = spark.createDataFrame(
+        [(10, recrawl), (11, novel), (12, base)],
+        "doc_id long, text string",
+    )
+    r2 = incremental_lsh_dedupe(
+        b2, r1.store, "text", "doc_id", mode="word", k=3
+    )
+    got = {r.doc_id for r in r2.fresh.collect()}
+    assert got == {11}  # 10 = near-dup re-crawl, 12 = exact copy
+    # store grew by exactly the survivor's fingerprint rows
+    assert r2.store.count() == (2 + 1) * 4
+    # replay idempotence: same batch against the updated store → nothing new
+    r3 = incremental_lsh_dedupe(
+        b2, r2.store, "text", "doc_id", mode="word", k=3
+    )
+    assert r3.fresh.count() == 0
+    r2.pinned.unpersist()
+    r3.pinned.unpersist()
+
+
+def test_incremental_lsh_dedupe_null_and_within_batch(spark):
+    """NULL-text docs collapse via the exact-hash sentinel (signatures of
+    NULL text estimate Jaccard 0, so the hash leg must catch them), and
+    in-batch exact dups collapse to the min id."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        incremental_lsh_dedupe,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, None), (2, "real text here with several words")],
+        "doc_id long, text string",
+    )
+    r1 = incremental_lsh_dedupe(b1, None, "text", "doc_id", mode="word", k=3)
+    assert {r.doc_id for r in r1.fresh.collect()} == {1, 2}
+    b2 = spark.createDataFrame(
+        [(10, None), (11, None), (12, "brand new words never seen before")],
+        "doc_id long, text string",
+    )
+    r2 = incremental_lsh_dedupe(
+        b2, r1.store, "text", "doc_id", mode="word", k=3
+    )
+    assert {r.doc_id for r in r2.fresh.collect()} == {12}
+    # no NULL-fingerprint accumulation: store holds rows for docs 1, 2, 12
+    assert r2.store.select("doc_id").distinct().count() == 3
+    r1.pinned.unpersist()
+    r2.pinned.unpersist()
+
+
+def test_estimated_jaccard_bounds(spark):
+    """Identical signatures estimate 1.0; disjoint estimate 0.0."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        estimated_jaccard,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [([1, 2, 3, 4], [1, 2, 3, 4], [5, 6, 7, 8])],
+        "a array<long>, b array<long>, c array<long>",
+    )
+    row = df.select(
+        estimated_jaccard(F.col("a"), F.col("b"), 4).alias("same"),
+        estimated_jaccard(F.col("a"), F.col("c"), 4).alias("diff"),
+    ).first()
+    assert row.same == 1.0 and row.diff == 0.0
