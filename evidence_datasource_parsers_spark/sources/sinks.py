@@ -179,3 +179,42 @@ def _write_text(spark, path: str, content: str) -> None:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
+
+
+def write_bucketed_store(
+    df: DataFrame,
+    out_path: str,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+) -> None:
+    """Persist an incremental-dedup state store (exact-hash store or LSH
+    fingerprint store) bucketed AND sorted on its join key.
+
+    The point is the next run's plan: a bucketed scan reports
+    ``HashPartitioning(bucket_cols)``, so the per-batch anti/semi-join
+    against the store shuffles ONLY the (small) new batch into the store's
+    bucket layout — the corpus-scale store is read in place, never
+    exchanged (plan-asserted in tests/test_plan_shapes.py).  Bucket
+    metadata lives in the session catalog, hence saveAsTable; the files
+    themselves sit at ``out_path`` and survive the session.
+
+    Pick ``n_buckets`` for the store's TARGET size (store rows ≈ corpus
+    docs × bands), not the first batch's: buckets are fixed at write time
+    and each bucket must stay executor-memory-sized at full scale.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", out_path)
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed_store(spark, table: str) -> DataFrame:
+    """Read a store written by :func:`write_bucketed_store` WITH its bucket
+    metadata (``spark.read.parquet`` on the path would discard the
+    partitioning info and re-shuffle the store on the next join)."""
+    return spark.table(table)

@@ -224,3 +224,105 @@ def test_q38_blocked_pairs_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan  # the pair kernel actually runs
+
+
+def test_bucketed_exact_store_never_shuffles(spark, sf_dir, tmp_path):
+    """Incremental exact dedup against a bucketed fingerprint store: the
+    anti-join shuffles ONLY the new batch into the store's bucket layout —
+    the store side has no Exchange.  Auto-broadcast is disabled so the
+    co-location is visible as an SMJ instead of being masked by a
+    broadcast of the small test store."""
+    import uuid
+
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        content_hash,
+    )
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucketed_store,
+        write_bucketed_store,
+    )
+
+    table = f"bk_store_{uuid.uuid4().hex[:8]}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.coalesce(content_hash(F.col("text")), F.lit(-1)).alias(
+            "content_hash"
+        )
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed_store(
+            store, str(tmp_path / "store"), table, ["content_hash"], 8
+        )
+        st = read_bucketed_store(spark, table)
+        batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+            F.coalesce(content_hash(F.col("text")), F.lit(-1)).alias(
+                "content_hash"
+            )
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fresh = batch.join(st, on="content_hash", how="left_anti")
+        plan = fresh._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # exactly ONE shuffle: the batch side re-clustering into the
+        # store's 8 buckets; a second Exchange would mean the store moved
+        assert _nodes(plan).count("Exchange") == 1, plan
+        assert "SortMergeJoin" in plan
+        assert fresh.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucketed_lsh_store_never_shuffles(spark, sf_dir, tmp_path):
+    """The LSH fingerprint store bucketed on (band, key): the candidate
+    join of a new batch's fingerprints against the store leaves the store
+    in place.  The batch side owns both Exchanges (its signature agg on
+    doc_id, then re-clustering to (band, key)); the store side has none."""
+    import uuid
+
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        lsh_fingerprints,
+    )
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucketed_store,
+        write_bucketed_store,
+    )
+
+    table = f"bk_lsh_{uuid.uuid4().hex[:8]}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed_store(
+            lsh_fingerprints(
+                docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id",
+                mode="word", k=3,
+            ),
+            str(tmp_path / "lsh"), table, ["band", "key"], 8,
+        )
+        st = read_bucketed_store(spark, table)
+        batch_fp = lsh_fingerprints(
+            docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id",
+            mode="word", k=3,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cand = batch_fp.select(
+            "doc_id", "band", "key", F.col("sig").alias("__nsig")
+        ).join(
+            st.select("band", "key", F.col("sig").alias("__ssig")),
+            on=["band", "key"],
+        )
+        plan = cand._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert _nodes(plan).count("Exchange") == 2, plan
+        assert "SortMergeJoin" in plan
+        assert cand.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
