@@ -19,6 +19,13 @@ At 100 TB the distinct keyset of a categorical enrichment column is typically
 thousands of rows — driver-side enrichment is the *right* topology; what must
 never happen is per-row RPC from executors, which this pattern structurally
 prevents.
+
+For the cases where the keyset itself is large (entity linking over millions
+of distinct surface forms), the driver collect becomes the funnel: the
+EXECUTOR tier runs the same lookup inside ``mapInPandas`` over the distinct
+key frame — still bounded by |keyset|, never |rows| — with a per-worker
+in-process cache, and the join-back drops the pinned broadcast for a
+size-gated one.  ``executor_threshold`` switches tiers automatically.
 """
 
 from __future__ import annotations
@@ -33,12 +40,35 @@ from evidence_datasource_parsers_spark.operators.joins import enrich_join_back
 
 LookupFn = Callable[[tuple], list[dict]]
 
+# Per-PROCESS lookup cache for the executor tier, namespaced per enricher.
+# Spark reuses Python worker processes across tasks (spark.python.worker.
+# reuse, default true), so entries survive task boundaries and repeated
+# enrichment runs in the same session hit warm caches — the executor-side
+# analogue of the driver tier's JSON file.
+_WORKER_CACHE: dict[str, dict[str, list[dict]]] = {}
+
 
 class CachedEnricher:
     """Wraps a key→[enrichment dict] function with a JSON file cache.
 
     ``lookup_fn`` receives one key tuple and returns a list of enrichment
     dicts (empty list → no mapping; >1 → fan-out, reference J7 semantics).
+
+    Two execution tiers (``tier`` arg of :meth:`__call__`):
+
+    * ``driver`` — distinct keys collected to the driver, looked up with
+      the file-backed cache, re-entered via ``createDataFrame`` and
+      broadcast-joined back.  The reference's OnToma topology; right while
+      the keyset is LUT-sized.
+    * ``executor`` — the lookup runs inside ``mapInPandas`` over the
+      distinct-key frame: no driver collect, per-worker in-process caching
+      (``_WORKER_CACHE``), size-gated join-back.  Right when the keyset is
+      itself big data.  The file cache and the ``calls`` counter are
+      driver-side only and stay untouched on this tier; for cross-run
+      reuse persist the enriched key frame itself.
+    * ``auto`` (default) — executor iff ``executor_threshold`` is set and
+      the distinct keyset exceeds it (probed with a limit-bounded count,
+      so the probe never aggregates more than threshold+1 rows).
     """
 
     def __init__(
@@ -46,10 +76,16 @@ class CachedEnricher:
         lookup_fn: LookupFn,
         value_fields: list[str],
         cache_path: str | None = None,
+        executor_threshold: int | None = None,
+        cache_namespace: str | None = None,
     ):
         self.lookup_fn = lookup_fn
         self.value_fields = value_fields
         self.cache_path = cache_path
+        self.executor_threshold = executor_threshold
+        self.cache_namespace = cache_namespace or getattr(
+            lookup_fn, "__qualname__", "enrich"
+        )
         self._cache: dict[str, list[dict]] = {}
         if cache_path and os.path.exists(cache_path):
             with open(cache_path) as fh:
@@ -72,22 +108,90 @@ class CachedEnricher:
             with open(self.cache_path, "w") as fh:
                 json.dump(self._cache, fh)
 
-    def __call__(self, df: DataFrame, key_cols: list[str]) -> DataFrame:
+    def _enrich_driver(
+        self, keys_df: DataFrame, key_cols: list[str], fields_schema: str
+    ) -> DataFrame:
+        spark = keys_df.sparkSession
+        rows = []
+        for r in keys_df.collect():
+            parts = tuple(r[c] for c in key_cols)
+            for hit in self._lookup(parts) or [{}]:
+                rows.append(
+                    tuple(parts) + tuple(hit.get(f) for f in self.value_fields)
+                )
+        self._flush()
+        return spark.createDataFrame(rows, fields_schema)
+
+    def _enrich_executor(
+        self, keys_df: DataFrame, key_cols: list[str], fields_schema: str
+    ) -> DataFrame:
+        # Close over plain values only — the enricher object itself (file
+        # cache, counters) stays on the driver.
+        lookup_fn = self.lookup_fn
+        value_fields = list(self.value_fields)
+        namespace = self.cache_namespace
+        key_fn = CachedEnricher._key
+        cols = list(key_cols)
+
+        def kernel(batches):
+            import pandas as pd
+
+            cache = _WORKER_CACHE.setdefault(namespace, {})
+            for pdf in batches:
+                out = []
+                for row in pdf[cols].itertuples(index=False):
+                    parts = tuple(
+                        None if pd.isna(v) else v for v in row
+                    )
+                    k = key_fn(parts)
+                    if k not in cache:
+                        cache[k] = lookup_fn(parts)
+                    for hit in cache[k] or [{}]:
+                        out.append(
+                            parts + tuple(hit.get(f) for f in value_fields)
+                        )
+                yield pd.DataFrame(
+                    out, columns=[*cols, *value_fields], dtype=object
+                )
+
+        return keys_df.mapInPandas(kernel, fields_schema)
+
+    def __call__(
+        self, df: DataFrame, key_cols: list[str], tier: str = "auto"
+    ) -> DataFrame:
+        if tier not in ("auto", "driver", "executor"):
+            raise ValueError(f"unknown enrichment tier {tier!r}")
         fields_schema = ", ".join(
             f"`{c}` string" for c in (*key_cols, *self.value_fields)
         )
-
-        def enrich(keys_df: DataFrame) -> DataFrame:
-            spark = keys_df.sparkSession
-            rows = []
-            for r in keys_df.collect():
-                parts = tuple(r[c] for c in key_cols)
-                for hit in self._lookup(parts) or [{}]:
-                    rows.append(
-                        tuple(parts)
-                        + tuple(hit.get(f) for f in self.value_fields)
-                    )
-            self._flush()
-            return spark.createDataFrame(rows, fields_schema)
-
-        return enrich_join_back(df, key_cols, enrich)
+        if tier == "auto":
+            if self.executor_threshold is None:
+                tier = "driver"
+            else:
+                # limit-bounded probe: never aggregates more than
+                # threshold+1 distinct keys, however big the keyset is
+                probe = (
+                    df.select(*key_cols)
+                    .distinct()
+                    .limit(self.executor_threshold + 1)
+                    .count()
+                )
+                tier = (
+                    "executor"
+                    if probe > self.executor_threshold
+                    else "driver"
+                )
+        if tier == "executor":
+            return enrich_join_back(
+                df,
+                key_cols,
+                lambda keys: self._enrich_executor(
+                    keys, key_cols, fields_schema
+                ),
+                broadcast=False,
+            )
+        return enrich_join_back(
+            df,
+            key_cols,
+            lambda keys: self._enrich_driver(keys, key_cols, fields_schema),
+        )

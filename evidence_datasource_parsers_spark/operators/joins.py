@@ -113,6 +113,7 @@ def enrich_join_back(
     key_cols: list[str],
     enrich_fn: Callable[[DataFrame], DataFrame],
     how: str = "left",
+    broadcast: bool = True,
 ) -> DataFrame:
     """The distinct→enrich→join-back pattern (D9/D10), Spark-first.
 
@@ -124,6 +125,12 @@ def enrich_join_back(
     ``enrich_fn`` receives the distinct-keys DataFrame and must return it with
     extra columns (it may go through pandas internally — that boundary is the
     caller's choice and is bounded by |distinct keys|, not |rows|).
+
+    ``broadcast=True`` pins the broadcast hint — correct for LUT-sized
+    keysets (the reference design point).  Pass ``broadcast=False`` for
+    high-cardinality enrichment: the join falls back to
+    :func:`broadcast_if_small`, so a keyset that outgrows the threshold
+    degrades to a shuffle join instead of an executor OOM.
     """
     keys = df.select(*key_cols).distinct()
     enriched = enrich_fn(keys)
@@ -131,7 +138,8 @@ def enrich_join_back(
         lambda a, b: a & b,
         [df[k].eqNullSafe(enriched[k]) for k in key_cols],
     )
-    joined = df.join(F.broadcast(enriched), on=cond, how=how)
+    hinted = F.broadcast(enriched) if broadcast else broadcast_if_small(enriched)
+    joined = df.join(hinted, on=cond, how=how)
     for k in key_cols:
         joined = joined.drop(enriched[k])
     return joined

@@ -228,3 +228,81 @@ def test_json_schema_allof_oneof_enforced():
         {"oneOf": [{"type": "number"}, {"type": "integer"}]}
     )
     assert v_overlap(3) != []        # matches both → not exactly one
+
+
+def test_enricher_executor_tier_equivalence(spark):
+    """The mapInPandas tier produces exactly the driver tier's rows on a
+    fan-out fixture (1:N, 1:0 with null backfill, null keys)."""
+    ev = spark.createDataFrame(
+        [("marfan", "OMIM:1"), ("gout", "OMIM:2"), (None, None),
+         ("marfan", "OMIM:1")],
+        "disease string, disease_id string",
+    )
+    def canon(df):
+        return sorted(
+            (tuple("\0" if v is None else v for v in r) for r in df.collect())
+        )
+
+    def local_lookup(parts):
+        return _lookup(parts) if False else (
+            [{"mapped": "EFO:1"}, {"mapped": "EFO:2"}]
+            if parts[0] == "marfan"
+            else ([] if parts[0] is None else [{"mapped": f"EFO:{parts[0]}"}])
+        )
+
+    driver_rows = canon(
+        CachedEnricher(local_lookup, ["mapped"])(
+            ev, ["disease", "disease_id"], tier="driver"
+        )
+    )
+    exec_rows = canon(
+        CachedEnricher(local_lookup, ["mapped"])(
+            ev, ["disease", "disease_id"], tier="executor"
+        )
+    )
+    assert exec_rows == driver_rows
+    assert len(exec_rows) == 6
+
+
+def test_enricher_auto_threshold_switch(spark):
+    """auto picks the executor tier above the keyset threshold (no driver
+    lookup calls, no file cache writes) and the driver tier below it."""
+    ev = spark.createDataFrame(
+        [(f"d{i}", f"OMIM:{i}") for i in range(10)],
+        "disease string, disease_id string",
+    )
+    def local_lookup(parts):
+        return [{"mapped": f"EFO:{parts[0]}"}]
+
+    # 10 distinct keys > threshold 3 → executor tier: driver counter stays 0
+    big = CachedEnricher(local_lookup, ["mapped"], executor_threshold=3)
+    out = big(ev, ["disease", "disease_id"]).collect()
+    assert len(out) == 10 and big.calls == 0
+    assert {r["mapped"] for r in out} == {f"EFO:d{i}" for i in range(10)}
+    # threshold above the keyset → driver tier: counter counts distinct keys
+    small = CachedEnricher(local_lookup, ["mapped"], executor_threshold=100)
+    small(ev, ["disease", "disease_id"]).collect()
+    assert small.calls == 10
+
+
+def test_enricher_executor_per_worker_cache(spark):
+    """Within one worker process, repeated keys hit the in-process cache:
+    the external lookup runs once per distinct key per worker.  Counted
+    with an accumulator; a single partition pins the work to one worker."""
+    from evidence_datasource_parsers_spark.enrich import CachedEnricher
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_lookup(parts):
+        acc.add(1)
+        return [{"mapped": f"X:{parts[0]}"}]
+
+    enricher = CachedEnricher(
+        counting_lookup, ["mapped"], cache_namespace="test-worker-cache"
+    )
+    keys = spark.createDataFrame(
+        [("a",), ("b",), ("a",), ("b",), ("a",)], "k string"
+    ).repartition(1)
+    out = enricher._enrich_executor(keys, ["k"], "`k` string, `mapped` string")
+    assert out.count() == 5
+    assert acc.value == 2  # 2 distinct keys, dup rows served from cache
