@@ -25,6 +25,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from evidence_datasource_parsers_spark.functions.hashing import portable_hash
+from evidence_datasource_parsers_spark.operators.joins import (
+    broadcast_if_small,
+)
 
 
 def _decon_norm(c: Column) -> Column:
@@ -61,11 +64,30 @@ def find_contaminated(
     eval_text_col: str | None = None,
     n: int = 8,
     fan_out: bool = False,
+    min_eval_overlap: float | None = None,
 ) -> DataFrame:
-    """Doc ids of corpus documents sharing ≥1 token ``n``-gram with the
-    eval set.  One distinct over the (small) eval grams, one broadcast
-    semi-join against the corpus grams, one distinct over matched ids —
-    with ``fan_out=False`` (default) the corpus side never shuffles.
+    """Doc ids of contaminated corpus documents.
+
+    Default rule (``min_eval_overlap=None``): contaminated = shares ≥1
+    token ``n``-gram with any eval document.  One distinct over the
+    (small) eval grams, one semi-join against the corpus grams, one
+    distinct over matched ids — with ``fan_out=False`` (default) the
+    corpus side never shuffles.
+
+    ``min_eval_overlap=X`` (0 < X ≤ 1) switches to the overlap-fraction
+    rule: contaminated = for SOME eval document, ≥ X of that eval doc's
+    distinct grams appear in the corpus doc.  The ≥1-gram rule is
+    aggressive for short n over boilerplate ("click here to subscribe"
+    8-grams); the fraction rule only fires when a substantial part of an
+    actual eval item is reproduced.  Scale shape: corpus grams are
+    FIRST semi-join-filtered to eval matches (tiny), and only the
+    matched slice is deduped, attributed to eval ids, and ratio-checked
+    — the corpus-scale gram stream still never shuffles.
+
+    The eval side is routed through :func:`broadcast_if_small` rather
+    than a pinned broadcast: a benchmark suite broadcasts as always,
+    while a pathological corpus-sized "eval set" degrades to a shuffle
+    join instead of an executor OOM.
 
     ``fan_out`` optionally round-robins the corpus before the n-gram
     explode for few-partition sources.  Measured at sf0.1 local[32]: it
@@ -78,18 +100,51 @@ def find_contaminated(
         corpus = corpus.repartition(
             corpus.sparkSession.sparkContext.defaultParallelism
         )
-    eval_grams = (
-        ngram_hashes(
-            eval_set, eval_text_col or text_col, eval_set.columns[0], n
-        )
-        .select("ngram_hash")
-        .distinct()
+    eval_id = eval_set.columns[0]
+    eval_grams = ngram_hashes(
+        eval_set, eval_text_col or text_col, eval_id, n
     )
     corpus_grams = ngram_hashes(corpus, text_col, id_col, n)
-    return (
-        corpus_grams.join(
-            F.broadcast(eval_grams), on="ngram_hash", how="left_semi"
+    # gate every eval-side hint on the EVAL SET's own stats (the gram
+    # stream has none — explode defeats Catalyst's estimator — but at
+    # ~8 B/hash per text token it weighs the same order as the eval text)
+    def gated(frame):
+        return broadcast_if_small(frame, proxy=eval_set)
+
+    if min_eval_overlap is None:
+        gram_set = eval_grams.select("ngram_hash").distinct()
+        return (
+            corpus_grams.join(
+                gated(gram_set), on="ngram_hash", how="left_semi"
+            )
+            .select(id_col)
+            .distinct()
         )
+    if not 0 < min_eval_overlap <= 1:
+        raise ValueError(
+            f"min_eval_overlap must be in (0, 1], got {min_eval_overlap}"
+        )
+    # per-eval-doc distinct grams + totals: eval-sized, both gated hints
+    eg = eval_grams.select(
+        F.col(eval_id).alias("__eid"), "ngram_hash"
+    ).distinct()
+    totals = eg.groupBy("__eid").agg(F.count(F.lit(1)).alias("__total"))
+    matched = corpus_grams.join(
+        gated(eg.select("ngram_hash").distinct()),
+        on="ngram_hash",
+        how="left_semi",
+    )
+    # only the matched slice (bounded by |eval grams| × dup rate) is
+    # deduped and attributed — never the full corpus gram stream
+    shared = (
+        matched.distinct()
+        .join(gated(eg), on="ngram_hash")
+        .groupBy(id_col, "__eid")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    return (
+        shared.join(gated(totals), on="__eid")
+        .filter(F.col("__shared") / F.col("__total") >= F.lit(min_eval_overlap))
         .select(id_col)
         .distinct()
     )
@@ -102,10 +157,17 @@ def decontaminate(
     id_col: str = "doc_id",
     eval_text_col: str | None = None,
     n: int = 8,
+    min_eval_overlap: float | None = None,
 ) -> DataFrame:
     """Corpus minus contaminated documents (left_anti on the hit list) —
     the drop-side twin of :func:`find_contaminated`."""
     hits = find_contaminated(
-        corpus, eval_set, text_col, id_col, eval_text_col, n
+        corpus,
+        eval_set,
+        text_col,
+        id_col,
+        eval_text_col,
+        n,
+        min_eval_overlap=min_eval_overlap,
     )
     return corpus.join(hits, on=id_col, how="left_anti")

@@ -60,7 +60,9 @@ def plan_size_bytes(df: DataFrame) -> int:
 
 
 def broadcast_if_small(
-    df: DataFrame, threshold_bytes: int | None = None
+    df: DataFrame,
+    threshold_bytes: int | None = None,
+    proxy: DataFrame | None = None,
 ) -> DataFrame:
     """Size-gated broadcast hint (J9, the scale-safe form).
 
@@ -76,13 +78,22 @@ def broadcast_if_small(
 
     A negative/disabled threshold never hints — it respects an operator who
     set ``autoBroadcastJoinThreshold=-1`` to forbid broadcasts.
+
+    ``proxy`` gates on ANOTHER frame's size estimate.  Catalyst reports
+    ``defaultSizeInBytes`` (effectively infinite) for plans it can't
+    estimate — anything above a Generate/explode — so a derived frame like
+    an exploded n-gram stream would never pass its own stats check even
+    when it is KB-sized.  When the derived frame's true size is the same
+    order as a stats-bearing ancestor (gram hashes ≈ 8 B per source-text
+    token ≈ the text bytes themselves), pass that ancestor as the proxy.
     """
     if threshold_bytes is None:
         conf = df.sparkSession.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", "10MB"
         )
         threshold_bytes = _parse_size(conf)
-    if threshold_bytes >= 0 and plan_size_bytes(df) <= threshold_bytes:
+    measured = proxy if proxy is not None else df
+    if threshold_bytes >= 0 and plan_size_bytes(measured) <= threshold_bytes:
         return F.broadcast(df)
     return df
 

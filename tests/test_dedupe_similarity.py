@@ -406,9 +406,12 @@ def test_decontamination_ngram_overlap(spark):
     assert kept == {3, 4}
 
 
-def test_decontamination_plan_broadcasts_eval_side(spark):
-    """Scale shape: the eval gram set must broadcast — the corpus side is
-    never shuffled for the semi-join."""
+def test_decontamination_plan_broadcasts_eval_side(spark, tmp_path):
+    """Scale shape: a file-backed (stats-bearing) eval set under the
+    threshold broadcasts its gram set — the corpus side is never shuffled
+    for the semi-join.  The gate reads the EVAL SET's scan stats as a
+    proxy because the exploded gram stream has none; an in-memory eval
+    frame (no stats) falls back to AQE's runtime broadcast conversion."""
     from evidence_datasource_parsers_spark.operators.decontaminate import (
         find_contaminated,
     )
@@ -417,7 +420,10 @@ def test_decontamination_plan_broadcasts_eval_side(spark):
         [(i, f"doc number {i} with some words " * 3) for i in range(50)],
         "doc_id long, text string",
     )
-    evals = spark.createDataFrame([(1, "eval text here")], "eval_id long, text string")
+    spark.createDataFrame(
+        [(1, "eval text here")], "eval_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "evals"))
+    evals = spark.read.parquet(str(tmp_path / "evals"))
     plan = find_contaminated(corpus, evals, n=4)._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -584,3 +590,83 @@ def test_estimated_jaccard_bounds(spark):
         estimated_jaccard(F.col("a"), F.col("c"), 4).alias("diff"),
     ).first()
     assert row.same == 1.0 and row.diff == 0.0
+
+
+def test_decontamination_broadcast_gate_falls_back(spark):
+    """An oversized 'eval set' must not be force-broadcast: with the
+    session threshold disabled the gate refuses the hint and the
+    semi-join degrades to a shuffle join instead of an executor OOM."""
+    from evidence_datasource_parsers_spark.operators.decontaminate import (
+        find_contaminated,
+    )
+
+    eval_q = "what is the capital city of the republic of france"
+    corpus = spark.createDataFrame(
+        [(1, f"quiz dump: {eval_q} answer paris"), (2, "clean doc " * 5)],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(100, eval_q)], "eval_id long, text string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = find_contaminated(corpus, evals, n=8)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BroadcastHashJoin" not in plan
+        # results identical under the fallback plan
+        assert {r.doc_id for r in df.collect()} == {1}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_decontamination_overlap_fraction_mode(spark):
+    """The fraction rule only fires when >= X of an eval doc's distinct
+    grams are reproduced — a single shared boilerplate gram no longer
+    kills the training doc."""
+    from evidence_datasource_parsers_spark.operators.decontaminate import (
+        decontaminate,
+        find_contaminated,
+    )
+
+    # eval doc has 3 distinct 2-grams: "a b", "b c", "c d"
+    evals = spark.createDataFrame([(100, "a b c d")], "eval_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, "x y a b z"),        # shares 1/3 of eval grams
+            (2, "q a b c d r"),      # contains all 3/3
+            (3, "totally clean words here"),
+        ],
+        "doc_id long, text string",
+    )
+    # >=1-gram rule: both 1 and 2 are hits
+    assert {
+        r.doc_id for r in find_contaminated(corpus, evals, n=2).collect()
+    } == {1, 2}
+    # fraction 0.5: only the full reproduction fires
+    assert {
+        r.doc_id
+        for r in find_contaminated(
+            corpus, evals, n=2, min_eval_overlap=0.5
+        ).collect()
+    } == {2}
+    kept = {
+        r.doc_id
+        for r in decontaminate(
+            corpus, evals, n=2, min_eval_overlap=0.5
+        ).collect()
+    }
+    assert kept == {1, 3}
+    # fraction at the boundary: 1/3 >= 1/3 fires doc 1 too
+    assert {
+        r.doc_id
+        for r in find_contaminated(
+            corpus, evals, n=2, min_eval_overlap=1 / 3
+        ).collect()
+    } == {1, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_eval_overlap"):
+        find_contaminated(corpus, evals, n=2, min_eval_overlap=1.5).count()
