@@ -2,9 +2,16 @@ from evidence_datasource_parsers_spark.sources.obo import (  # noqa: F401
     OboOntology,
     phenotype_class_map,
 )
+from evidence_datasource_parsers_spark.sources.owl import (  # noqa: F401
+    load_ontology,
+    parse_owl_file,
+    parse_owl_text,
+)
 from evidence_datasource_parsers_spark.sources.readers import read_path  # noqa: F401
 from evidence_datasource_parsers_spark.sources.sinks import (  # noqa: F401
     corpus_checksum,
+    read_bucketed_store,
+    write_bucketed_store,
     write_evidence_strings,
     write_output,
     write_with_manifest,

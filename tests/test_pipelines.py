@@ -606,3 +606,98 @@ is_a: MP:0000001 ! mammalian phenotype
     assert onto.terms["MP:0000001"].name == "mammalian phenotype"
     assert onto.terms["MP:0000002"].name == "escaped bang ! kept"
     assert onto.terms["MP:0000002"].parents == ["MP:0000001"]
+
+
+FIXTURE_OWL = """\
+<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:oboInOwl="http://www.geneontology.org/formats/oboInOwl#">
+  <owl:Ontology rdf:about="http://purl.obolibrary.org/obo/mp.owl"/>
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/MP_0000001">
+    <rdfs:label>mammalian phenotype</rdfs:label>
+  </owl:Class>
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/MP_0005385">
+    <rdfs:label>cardiovascular system phenotype</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/MP_0000001"/>
+  </owl:Class>
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/MP_0005378">
+    <rdfs:label>growth/size phenotype</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/MP_0000001"/>
+  </owl:Class>
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/MP_0000275">
+    <rdfs:label>heart hypertrophy</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/MP_0005385"/>
+    <rdfs:subClassOf>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="http://purl.obolibrary.org/obo/BFO_0000050"/>
+        <owl:someValuesFrom rdf:resource="http://purl.obolibrary.org/obo/MP_0005378"/>
+      </owl:Restriction>
+    </rdfs:subClassOf>
+  </owl:Class>
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/MP_0001265">
+    <rdfs:label>decreased body size</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/MP_0005378"/>
+  </owl:Class>
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/MP_0009999">
+    <rdfs:label>cardiac dwarfism</rdfs:label>
+    <oboInOwl:hasAlternativeId>MP:0009998</oboInOwl:hasAlternativeId>
+    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/MP_0000275"/>
+    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/MP_0001265"/>
+  </owl:Class>
+  <owl:Class rdf:about="http://purl.obolibrary.org/obo/MP_0666666">
+    <rdfs:label>retired term</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/MP_0005385"/>
+    <owl:deprecated rdf:datatype="http://www.w3.org/2001/XMLSchema#boolean">true</owl:deprecated>
+  </owl:Class>
+</rdf:RDF>
+"""
+
+
+def test_owl_parser_parity_with_obo():
+    """The SAME ontology rendered as OBO text and as RDF/XML OWL yields
+    IDENTICAL class maps — the parity the reference gets for free by
+    feeding pronto either format (IMPC.py:307-317 over mp.owl)."""
+    from evidence_datasource_parsers_spark.sources.obo import OboOntology
+    from evidence_datasource_parsers_spark.sources.owl import parse_owl_text
+
+    obo = OboOntology.from_text(FIXTURE_OBO)
+    owl = parse_owl_text(FIXTURE_OWL)
+    assert set(owl.terms) == set(obo.terms)
+    assert owl.class_map_rows("MP:0000001") == obo.class_map_rows("MP:0000001")
+    assert owl.high_level_classes("MP:0000001") == {"MP:0005385", "MP:0005378"}
+    # owl:Restriction superclass is NOT an is_a edge: heart hypertrophy
+    # must not descend from growth/size phenotype
+    assert "MP:0000275" not in owl.subclasses("MP:0005378")
+    # deprecated and alt-id survive the format change
+    assert owl.terms["MP:0666666"].obsolete
+    assert owl.terms["MP:0009999"].alt_ids == ["MP:0009998"]
+
+
+def test_owl_load_ontology_dispatch(tmp_path):
+    """Extension- and content-based dispatch: .owl and extensionless XML go
+    to the OWL parser, .obo to the OBO parser — same class maps out."""
+    from evidence_datasource_parsers_spark.sources.owl import load_ontology
+
+    owl_path = tmp_path / "mp.owl"
+    owl_path.write_text(FIXTURE_OWL)
+    obo_path = tmp_path / "mp.obo"
+    obo_path.write_text(FIXTURE_OBO)
+    sniffed = tmp_path / "mystery"
+    sniffed.write_text(FIXTURE_OWL)
+    a = load_ontology(str(owl_path)).class_map_rows("MP:0000001")
+    b = load_ontology(str(obo_path)).class_map_rows("MP:0000001")
+    c = load_ontology(str(sniffed)).class_map_rows("MP:0000001")
+    assert a == b == c and len(a) > 0
+
+
+def test_owl_iri_to_curie():
+    from evidence_datasource_parsers_spark.sources.owl import iri_to_curie
+
+    assert iri_to_curie("http://purl.obolibrary.org/obo/MP_0000001") == "MP:0000001"
+    assert iri_to_curie("http://www.ebi.ac.uk/efo/EFO_0000408") == "EFO:0000408"
+    assert iri_to_curie("http://example.org/onto#GO_0008150") == "GO:0008150"
+    # underscore in the local part: only the FIRST splits
+    assert iri_to_curie("http://x.org/obo/ABC_1_2") == "ABC:1_2"
+    assert iri_to_curie("already:curie") == "already:curie"
