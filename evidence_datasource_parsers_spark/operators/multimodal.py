@@ -90,6 +90,128 @@ def decode_ppm(blob: bytes):
     return raster.reshape(h, w, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def encode_png(pixels) -> bytes:
+    """(h, w, c) uint8 array (c ∈ {1, 2, 3, 4}) → PNG bytes: 8-bit,
+    non-interlaced, filter 0 on every scanline, one zlib IDAT.  Stdlib
+    only — the writer half of the roundtrip proof for :func:`decode_png`."""
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes):
+    """PNG → (h, w, c) uint8 array, stdlib ``zlib`` + numpy only: IDAT
+    chunks concatenated and inflated, all five scanline filters (None /
+    Sub / Up / Average / Paeth) unapplied per the PNG spec.
+
+    Covered: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA), non-interlaced.  Palette (type 3), 16-bit, and Adam7
+    interlacing raise ``NotImplementedError`` — honest unsupported-variant
+    guards inside a real decoder, same policy as 16-bit PPM.  Unfiltering
+    is sequential by construction (each row depends on the previous), so
+    the Python loop is per-ROW with numpy inside; Sub/Average/Paeth are
+    per-byte only within a row.
+    """
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, size = 8, len(blob)
+    ihdr, idat = None, []
+    while pos + 8 <= size:
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + CRC (CRC not verified)
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise NotImplementedError(f"palette/unknown PNG color type {color}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    c = _PNG_CHANNELS[color]
+    stride = w * c
+    if w == 0 or h == 0:
+        return np.zeros((h, w, c), dtype=np.uint8)
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rp = 0
+    for y in range(h):
+        f = raw[rp]
+        rp += 1
+        row = np.frombuffer(raw, np.uint8, stride, rp).copy()
+        rp += stride
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub (uint8 addition wraps mod 256, as specified)
+            for i in range(c, stride):
+                row[i] += row[i - c]
+        elif f == 2:  # Up
+            row += prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - c]) if i >= c else 0
+                row[i] = (int(row[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - c]) if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = row
+        prev = row
+    return out.reshape(h, w, c)
+
+
 def decode_bmp(blob: bytes):
     """Uncompressed 24-bit BMP (BI_RGB) → (h, w, 3) uint8 RGB array.
     Bottom-up row order and 4-byte row padding per the BMP spec."""
@@ -207,9 +329,16 @@ def decode_blob(blob: bytes) -> dict:
             grid[: min(n, len(payload))] = payload[:n]
             out["pixels"] = grid.reshape(h, w, 1)
         return out
-    if blob[:3] == b"\xff\xd8\xff" or blob[:8] == b"\x89PNG\r\n\x1a\n":
+    if blob[:8] == _PNG_SIG:
+        px = decode_png(blob)
+        return {
+            "media_type": "image", "format": "png",
+            "width": px.shape[1], "height": px.shape[0],
+            "channels": px.shape[2], "pixels": px,
+        }
+    if blob[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "compressed image decode (JPEG/PNG) requires PIL (absent here)"
+            "JPEG decode requires PIL (absent here); PNG/PPM/BMP are native"
         )
     return {"media_type": "unknown"}
 
@@ -298,6 +427,8 @@ def resize_images(
                 resized = px[ri][:, ci]
                 if resized.shape[2] == 3:
                     out.append(encode_ppm(resized))
+                elif resized.shape[2] in (2, 4):  # alpha → PNG keeps it
+                    out.append(encode_png(resized))
                 else:
                     out.append(
                         pack_blob(0, target_w, target_h, 1, resized.tobytes())

@@ -115,7 +115,11 @@ def test_decode_wav_pcm16():
 
 
 def test_decode_blob_compressed_raises():
+    # JPEG still needs PIL; PNG is decoded natively now (a signature with
+    # no chunks is a MALFORMED png, not an unsupported codec)
     with pytest.raises(NotImplementedError, match="PIL"):
+        decode_blob(b"\xff\xd8\xff\xe0....")
+    with pytest.raises(ValueError, match="missing IHDR"):
         decode_blob(b"\x89PNG\r\n\x1a\n....")
     assert decode_blob(b"garbage")["media_type"] == "unknown"
     assert decode_blob(None)["media_type"] == "unknown"
@@ -290,3 +294,172 @@ def test_stats_and_resize_survive_corrupt_and_degenerate_blobs(spark):
         for r in resize_images(df, 2, 2, fake=False).collect()
     }
     assert all(resized[i] is None for i in (1, 2, 3, 4))
+
+
+# ---------------------------------------------------------------------------
+# PNG decoder
+# ---------------------------------------------------------------------------
+
+
+def _png_with_filters(px, filters):
+    """Test-side PNG writer applying a CHOSEN filter type per scanline —
+    the independent filterer that proves decode_png inverts all five
+    transforms (the library encoder only emits filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for i in range(len(row)):
+            a = int(row[i - c]) if i >= c else 0
+            b = int(prev[i])
+            cc = int(prev[i - c]) if i >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            raw.append((int(row[i]) - pred) & 0xFF)
+        prev = row
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_all_channel_counts():
+    import numpy as np
+
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for c in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(5, 4, c), dtype=np.uint8)
+        got = decode_png(encode_png(px))
+        assert got.shape == (5, 4, c)
+        assert (got == px).all()
+
+
+def test_png_unfilters_all_five_filter_types():
+    import numpy as np
+
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    # each scanline gets a different filter, cycling through all five
+    blob = _png_with_filters(px, [0, 1, 2, 3, 4])
+    assert (decode_png(blob) == px).all()
+    # single-filter renderings too (filter interactions with prev rows)
+    for f in (1, 2, 3, 4):
+        assert (decode_png(_png_with_filters(px, [f])) == px).all()
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a")
+    # 16-bit depth
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png(sig + chunk(b"IHDR", ihdr16) + chunk(b"IDAT", b"x"))
+    # palette color type
+    ihdr_pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="palette"):
+        decode_png(sig + chunk(b"IHDR", ihdr_pal) + chunk(b"IDAT", b"x"))
+    # interlaced
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(sig + chunk(b"IHDR", ihdr_i) + chunk(b"IDAT", b"x"))
+    # truncated raster: half the scanlines missing
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    ok = encode_png(px)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    short = zlib.compress(b"\x00" + b"\x00" * 12)  # 1 row of 4
+    with pytest.raises(ValueError, match="truncated PNG raster"):
+        decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", short))
+    # corrupt deflate stream
+    with pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\x00bad"))
+    assert decode_png(ok).shape == (4, 4, 3)
+
+
+def test_png_flows_through_stats_and_resize(spark):
+    """decode_blob dispatches PNG, so the decoded-stats and real-resize
+    kernels handle PNG blobs with exact pixel arithmetic."""
+    import numpy as np
+
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        decode_blob,
+        decoded_image_stats,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    blob = encode_png(px)
+    d = decode_blob(blob)
+    assert d["format"] == "png" and d["channels"] == 3
+    df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, blob binary")
+    row = decoded_image_stats(df).first()
+    assert row.img_format == "png"
+    assert row.pixel_sum == int(px.astype(np.int64).sum())
+    assert row.pixel_count == px.size
+    # real-resize path decodes the PNG and emits a PPM (3-channel)
+    out = resize_images(df, 3, 3, fake=False).first()
+    assert bytes(out.blob)[:2] == b"P6"
+    # RGBA stays PNG through the resize re-encode
+    rgba = rng.randint(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    df4 = spark.createDataFrame(
+        [(2, bytearray(encode_png(rgba)))], "media_id long, blob binary"
+    )
+    out4 = resize_images(df4, 2, 2, fake=False).first()
+    assert bytes(out4.blob)[:8] == b"\x89PNG\r\n\x1a\n"
