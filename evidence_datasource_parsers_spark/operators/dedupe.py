@@ -643,6 +643,15 @@ def incremental_lsh_dedupe(
     all joins key on band buckets or 8-byte hashes, never text.  With the
     store bucketed by its join key, the per-batch cost is O(|batch|) work
     plus co-located joins against ~0.1% of corpus mass.
+
+    Determinism contract (two-action audit): ``fresh`` recomputes the
+    batch scan while ``store`` reads the pinned fingerprints, so
+    ``new_batch`` must be deterministic under re-execution (a file scan,
+    or persisted by the caller) and ``id_col`` must be unique per row —
+    a nondeterministic source (e.g. a fresh uuid column) or duplicate
+    ids with differing payloads could emit fresh rows whose fingerprints
+    disagree with the store.  Every lineage INSIDE the operator is
+    deterministic (portable md5 hashes, min_by on the unique id).
     """
     # 1. within-batch exact dedup, min-id representative (NULL text → -1
     # sentinel so NULL join keys can't leak through the anti-joins below)

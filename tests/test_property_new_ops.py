@@ -139,3 +139,109 @@ def test_obo_subclasses_match_naive_closure(edges):
 
     for root in list(node_ids)[:10]:
         assert onto.subclasses(str(root)) == closure(root)
+
+
+# ---------------------------------------------------------------------------
+# Two-action lineage audit (r4): re-execution of any returned frame must be
+# bit-stable, and sibling outputs that share a lineage must agree with each
+# other — the recurring bug class this repo guards with persist/checkpoint.
+# ---------------------------------------------------------------------------
+
+
+def _rows(df):
+    return sorted(tuple("\0" if v is None else v for v in r) for r in df.collect())
+
+
+def test_duplicate_clusters_reexecution_stable(spark):
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (5, 6), (30, 33)],
+        "id_a long, id_b long",
+    )
+    out = duplicate_clusters(pairs)
+    first, second = _rows(out), _rows(out)  # same frame, two actions
+    assert first == second
+    # a fresh invocation over the same input converges identically
+    assert _rows(duplicate_clusters(pairs)) == first
+
+
+def test_leakage_safe_split_reexecution_stable(spark):
+    from evidence_datasource_parsers_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(i, i - i % 4) for i in range(0, 100)], "doc_id long, cluster_id long"
+    )
+    out = leakage_safe_split(corpus, clusters)
+    assert _rows(out) == _rows(out)
+
+
+def test_incremental_lsh_outputs_agree(spark):
+    """The two returned frames share the pinned fingerprint lineage: every
+    fresh doc's fingerprints must be IN the store, and no dropped doc's
+    may be — materialized in either order, twice."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        incremental_lsh_dedupe,
+        lsh_fingerprints,
+    )
+
+    b1 = spark.createDataFrame(
+        [(i, f"document number {i} about topic {i % 7} with more words")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    r1 = incremental_lsh_dedupe(b1, None, "text", "doc_id", mode="word", k=3)
+    b2 = spark.createDataFrame(
+        [(100 + i, f"document number {i} about topic {i % 7} with more words")
+         for i in range(10)]                      # re-crawls of batch 1
+        + [(500, "entirely novel content on query planners and exchanges")],
+        "doc_id long, text string",
+    )
+    r2 = incremental_lsh_dedupe(
+        b2, r1.store, "text", "doc_id", mode="word", k=3
+    )
+    # store first, then fresh, then both again — order must not matter
+    store_rows_1 = _rows(r2.store.select("doc_id"))
+    fresh_ids = {r.doc_id for r in r2.fresh.collect()}
+    store_rows_2 = _rows(r2.store.select("doc_id"))
+    assert store_rows_1 == store_rows_2
+    assert fresh_ids == {r.doc_id for r in r2.fresh.collect()}
+    store_ids = {r[0] for r in store_rows_1}
+    assert fresh_ids <= store_ids                  # every survivor recorded
+    assert not ({100 + i for i in range(10)} & store_ids)  # dropped absent
+    r1.pinned.unpersist()
+    r2.pinned.unpersist()
+
+
+def test_incremental_exact_outputs_agree(spark):
+    """store == prior store ∪ content hashes of the persisted fresh rows,
+    under repeated materialization in interleaved order."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        content_hash,
+        incremental_exact_dedupe,
+    )
+    from pyspark.sql import functions as F
+
+    b1 = spark.createDataFrame(
+        [(i, f"text body {i // 2}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    fresh1, store1 = incremental_exact_dedupe(b1, None, "text", "doc_id")
+    s1a = _rows(store1)
+    f1 = _rows(fresh1)
+    s1b = _rows(store1)
+    assert s1a == s1b and f1 == _rows(fresh1)
+    rederived = _rows(
+        fresh1.select(
+            F.coalesce(content_hash(F.col("text")), F.lit(-1)).alias("h")
+        )
+    )
+    assert rederived == s1a
+    fresh1.unpersist()
