@@ -19,8 +19,10 @@ from evidence_datasource_parsers_spark.operators.dedupe import (  # noqa: F401
     exact_dedupe,
     incremental_exact_dedupe,
     incremental_lsh_dedupe,
+    incremental_simhash_dedupe,
     lsh_candidate_pairs,
     lsh_fingerprints,
+    simhash_fingerprints,
 )
 from evidence_datasource_parsers_spark.operators.decontaminate import (  # noqa: F401
     decontaminate,

@@ -701,3 +701,199 @@ def incremental_lsh_dedupe(
         fp.join(dropped, on=id_col, how="left_anti")
     )
     return IncrementalLshResult(fresh=fresh, store=new_store, pinned=fp)
+
+
+# ---------------------------------------------------------------------------
+# Incremental SimHash near-dup dedup — the hamming-distance counterpart of
+# incremental_lsh_dedupe.  Where MinHash-LSH approximates Jaccard similarity
+# of shingle sets, SimHash packs the whole document into ONE fixed-width
+# fingerprint, and "near duplicate" means hamming distance <= d.  The
+# candidate machinery is the block-combination pigeonhole scheme of Manku,
+# Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling" (WWW 2007):
+# split the fingerprint into n_blocks bit blocks; if two fingerprints differ
+# in <= d bits, the differing bits fall in <= d blocks, so SOME
+# (n_blocks - d)-subset of blocks matches exactly.  Keying a lookup table on
+# every such subset turns "hamming <= d" into C(n_blocks, d) exact equi-joins
+# on ~(1 - d/n_blocks) * nbits-bit keys — wide enough keys that buckets stay
+# small at web scale (64-bit fingerprints, d=3, 6 blocks -> 20 tables keyed
+# on ~32 bits), and never a cartesian product.
+# ---------------------------------------------------------------------------
+
+
+def _simhash_blocks(nbits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(offset, width) per block, widths as equal as integer split allows."""
+    base, rem = divmod(nbits, n_blocks)
+    out, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_combo_keys(
+    sim: Column, nbits: int, max_hamming: int, n_blocks: int
+) -> Column:
+    """Array of (combo, key) structs — one per (n_blocks - max_hamming)-block
+    combination — for pigeonhole candidate generation over a simhash column.
+
+    ``key`` packs the selected blocks' bits (in block order) into one long;
+    ``combo`` identifies which subset was selected, so keys from different
+    subsets never collide in the equi-join.  Pure integer shift/mask
+    arithmetic, identical in the DuckDB oracle.
+    """
+    from itertools import combinations
+
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole guarantee"
+        )
+    blocks = _simhash_blocks(nbits, n_blocks)
+    keep = n_blocks - max_hamming
+    entries = []
+    for ci, combo in enumerate(combinations(range(n_blocks), keep)):
+        key = F.lit(0).cast("long")
+        shift = 0
+        for b in combo:
+            off, w = blocks[b]
+            block_val = F.shiftright(sim, off).bitwiseAND(F.lit((1 << w) - 1))
+            key = key + F.shiftleft(block_val.cast("long"), shift)
+            shift += w
+        entries.append(
+            F.struct(
+                F.lit(ci).cast("int").alias("combo"), key.alias("key")
+            )
+        )
+    return F.array(*entries)
+
+
+class IncrementalSimhashResult(NamedTuple):
+    """Result of :func:`incremental_simhash_dedupe` — same contract as
+    :class:`IncrementalLshResult`: ``pinned`` is the persisted fingerprint
+    frame both outputs derive from; unpersist it after materializing."""
+
+    fresh: DataFrame
+    store: DataFrame
+    pinned: DataFrame
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    nbits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash fingerprint rows ``(id, content_hash, simhash)``
+    — ONE row per document (vs ``bands`` rows for the MinHash store): the
+    combo keys are rederived from the fingerprint by shift/mask at join
+    time, so the persisted state is 16 bytes of hashes per document.
+
+    Two-stage like :func:`with_simhash`: the token-hash array materializes
+    once, then the nbits majority-vote legs read the materialized column —
+    never nbits copies of the tokenize+hash pipeline.
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.coalesce(content_hash(F.col(text_col)), F.lit(-1)).alias(
+            "content_hash"
+        ),
+        F.transform(
+            F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")),
+            lambda t: portable_hash(t),
+        ).alias("__th"),
+    )
+    return staged.select(
+        id_col,
+        "content_hash",
+        F.coalesce(_simhash_bits(F.col("__th"), nbits), F.lit(0)).alias(
+            "simhash"
+        ),
+    )
+
+
+def incremental_simhash_dedupe(
+    new_batch: DataFrame,
+    fingerprint_store: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    *,
+    nbits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 6,
+) -> IncrementalSimhashResult:
+    """Batch-over-batch near-dup dedup against a persisted SimHash store
+    (:func:`simhash_fingerprints` rows; None on the first run).  A new
+    document is dropped when it
+
+      * exactly matches a stored content hash (semi-join on the 8-byte
+        hash), or
+      * has a stored fingerprint within hamming distance ``max_hamming`` of
+        its own ``nbits``-bit SimHash — candidates generated by the
+        Manku-Jain-Das-Sarma block-combination tables (module comment
+        above), then verified with ``bit_count(xor)``.
+
+    Net semantics (what the oracle replays): dropped iff exact-hash match
+    OR min hamming to the store <= max_hamming — the pigeonhole guarantees
+    the candidate step loses nothing, and verification kills every
+    block-collision false positive.
+
+    Within-batch exact dups collapse to the min-id representative first
+    (same rule as the other incremental operators); within-batch NEAR dups
+    are left to an at-rest pass over the (small) batch.
+
+    Scale shape: the batch text is scanned once; both sides explode into
+    C(n_blocks, max_hamming) rows keyed on (combo, packed-block-bits) —
+    with 64-bit fingerprints / d=3 / 6 blocks that is 20 rows per doc
+    joined on ~32-bit keys, so bucket occupancy stays ~|corpus| / 2^32 per
+    table and the verify step touches only bucket-mates.  The store is one
+    16-byte row per document; write it with ``sinks.write_bucketed_store``
+    (bucketed by ``content_hash``) so the exact leg is co-located.
+
+    Returns ``(fresh, store, pinned)`` as :class:`IncrementalSimhashResult`.
+    """
+    hashed = new_batch.withColumn(
+        "__ch", F.coalesce(content_hash(F.col(text_col)), F.lit(-1))
+    )
+    row_struct = F.struct(*[F.col(c) for c in hashed.columns])
+    survivors = (
+        hashed.groupBy("__ch")
+        .agg(F.min_by(row_struct, F.col(id_col)).alias("__row"))
+        .select("__row.*")
+        .drop("__ch")
+    )
+    fp = simhash_fingerprints(survivors, text_col, id_col, nbits).persist()
+    if fingerprint_store is None:
+        return IncrementalSimhashResult(fresh=survivors, store=fp, pinned=fp)
+    exact_ids = fp.select(id_col, "content_hash").join(
+        fingerprint_store.select("content_hash"),
+        on="content_hash",
+        how="left_semi",
+    )
+    # Pigeonhole candidate tables: explode both sides on (combo, key).
+    combos = lambda c: F.explode(  # noqa: E731
+        simhash_combo_keys(c, nbits, max_hamming, n_blocks)
+    )
+    batch_keys = fp.select(
+        F.col(id_col),
+        F.col("simhash").alias("__nsim"),
+        combos(F.col("simhash")).alias("__k"),
+    ).select(id_col, "__nsim", "__k.combo", "__k.key")
+    store_keys = fingerprint_store.select(
+        F.col("simhash").alias("__ssim"),
+        combos(F.col("simhash")).alias("__k"),
+    ).select("__ssim", "__k.combo", "__k.key")
+    near_ids = (
+        batch_keys.join(store_keys, on=["combo", "key"])
+        .filter(
+            hamming_distance(F.col("__nsim"), F.col("__ssim"))
+            <= F.lit(max_hamming)
+        )
+        .select(id_col)
+    )
+    dropped = exact_ids.select(id_col).unionByName(near_ids).distinct()
+    fresh = survivors.join(dropped, on=id_col, how="left_anti")
+    new_store = fingerprint_store.unionByName(
+        fp.join(dropped, on=id_col, how="left_anti")
+    )
+    return IncrementalSimhashResult(fresh=fresh, store=new_store, pinned=fp)

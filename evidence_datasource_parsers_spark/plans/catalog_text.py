@@ -29,14 +29,14 @@ from evidence_datasource_parsers_spark.functions.textstats import (
 )
 from evidence_datasource_parsers_spark.operators.dedupe import (
     char_shingles,
-    content_hash,
     exact_dedupe,
     incremental_lsh_dedupe,
+    incremental_simhash_dedupe,
     lsh_candidate_pairs,
     lsh_fingerprints,
     minhash_signatures_exploded,
     normalized_text,
-    with_simhash,
+    simhash_fingerprints,
 )
 from evidence_datasource_parsers_spark.operators.similarity import (
     ann_lsh_topk,
@@ -341,7 +341,9 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.unionByName(incr)
 
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BLOCKS = 6
 
 
 def _simhash_bits_sql() -> str:
@@ -362,26 +364,68 @@ def _simhash_bits_sql() -> str:
     h AS (SELECT doc_id, t,
                  list_transform(toks, s -> {portable_hash_sql('s')}) AS hs,
                  len(toks) AS n
-          FROM tk)
-    SELECT doc_id,
-           {portable_hash_sql('t')} AS content_hash,
-           CAST({_simhash_bits_sql()} AS BIGINT) AS simhash
-    FROM h
+          FROM tk),
+    fp AS (SELECT doc_id,
+                  {portable_hash_sql('t')} AS ch,
+                  CAST({_simhash_bits_sql()} AS BIGINT) AS sim
+           FROM h),
+    evens AS (SELECT * FROM fp WHERE doc_id % 2 = 0),
+    odds AS (
+      SELECT min(doc_id) AS doc_id, ch, min(sim) AS sim
+      FROM fp WHERE doc_id % 2 = 1 GROUP BY ch
+    ),
+    surv AS (
+      SELECT o.* FROM odds o
+      WHERE NOT EXISTS (SELECT 1 FROM evens e WHERE e.ch = o.ch)
+        AND NOT EXISTS (SELECT 1 FROM evens e
+                        WHERE bit_count(xor(e.sim, o.sim))
+                              <= {SIMHASH_MAX_HAMMING})
+    )
+    SELECT doc_id, ch AS content_hash, sim AS simhash, 'sig' AS src FROM fp
+    UNION ALL
+    SELECT doc_id, ch AS content_hash, sim AS simhash, 'incr_fresh' AS src
+    FROM surv
     """,
-    tags=("dedup", "simhash", "fingerprint"),
+    tags=("dedup", "simhash", "fingerprint", "incremental"),
 )
 def q35(spark: SparkSession, sf: str) -> DataFrame:
-    """16-bit SimHash over distinct tokens (bit j set iff the majority of
-    token hashes have bit j set), plus the portable 60-bit content
-    fingerprint per document — both hash families in one narrow pass."""
-    d = load(spark, sf, "documents")
-    return with_simhash(
-        d.select("doc_id", "text"), "text", "simhash", SIMHASH_BITS
-    ).select(
-        "doc_id",
-        content_hash(F.col("text")).alias("content_hash"),
-        "simhash",
+    """32-bit SimHash fingerprinting, at-rest AND incremental.
+
+    Leg 1 (src='sig'): per-document 32-bit SimHash (bit j set iff the
+    majority of distinct-token hashes have bit j set) plus the portable
+    60-bit content hash — both families in one narrow pass.
+
+    Leg 2 (src='incr_fresh'): the hamming-distance batch-refresh story —
+    even doc_ids play the historical corpus (their persisted
+    :func:`simhash_fingerprints` rows are the ONLY state carried, ONE
+    16-byte row per doc), odd doc_ids play a new crawl batch;
+    :func:`incremental_simhash_dedupe` drops re-crawls that exact-match OR
+    land within hamming distance {SIMHASH_MAX_HAMMING} of the store, with
+    candidates generated by the Manku-Jain-Das-Sarma block-combination
+    pigeonhole tables (C(6,3)=20 exact equi-joins — never a cross join).
+    The oracle replays the net semantics (min hamming <= d) directly, so a
+    drift in the fingerprint, the block split, or the verify predicate
+    breaks the value hash."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    sig = simhash_fingerprints(d, "text", "doc_id", SIMHASH_BITS).select(
+        "doc_id", "content_hash", "simhash", F.lit("sig").alias("src")
     )
+    store = simhash_fingerprints(
+        d.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", SIMHASH_BITS
+    )
+    res = incremental_simhash_dedupe(
+        d.filter(F.col("doc_id") % 2 == 1),
+        store,
+        "text",
+        "doc_id",
+        nbits=SIMHASH_BITS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        n_blocks=SIMHASH_BLOCKS,
+    )
+    incr = res.pinned.join(
+        res.fresh.select("doc_id"), on="doc_id", how="left_semi"
+    ).select("doc_id", "content_hash", "simhash", F.lit("incr_fresh").alias("src"))
+    return sig.unionByName(incr)
 
 
 @register(

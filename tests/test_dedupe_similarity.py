@@ -670,3 +670,125 @@ def test_decontamination_overlap_fraction_mode(spark):
 
     with _pytest.raises(ValueError, match="min_eval_overlap"):
         find_contaminated(corpus, evals, n=2, min_eval_overlap=1.5).count()
+
+
+def _py_combo_keys(sim: int, nbits: int, d: int, n_blocks: int):
+    """Pure-Python twin of simhash_combo_keys for cross-checking."""
+    from itertools import combinations
+
+    base, rem = divmod(nbits, n_blocks)
+    blocks, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        blocks.append((off, w))
+        off += w
+    keep = n_blocks - d
+    out = []
+    for ci, combo in enumerate(combinations(range(n_blocks), keep)):
+        key, shift = 0, 0
+        for b in combo:
+            o, w = blocks[b]
+            key += ((sim >> o) & ((1 << w) - 1)) << shift
+            shift += w
+        out.append((ci, key))
+    return out
+
+
+def test_simhash_combo_keys_match_python_and_pigeonhole(spark):
+    """The Spark combo-key expression equals the pure-Python twin, and the
+    pigeonhole property holds: every fingerprint pair with hamming <= d
+    shares at least one (combo, key) — the candidate step loses nothing."""
+    import random
+
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        simhash_combo_keys,
+    )
+
+    rng = random.Random(42)
+    sims = [rng.getrandbits(32) for _ in range(64)]
+    df = spark.createDataFrame([(s,) for s in sims], "sim long")
+    rows = df.select(
+        "sim", simhash_combo_keys(F.col("sim"), 32, 3, 6).alias("ks")
+    ).collect()
+    for r in rows:
+        got = [(k.combo, k.key) for k in r.ks]
+        assert got == _py_combo_keys(r.sim, 32, 3, 6)
+    # pigeonhole: flip <= d random bits, some combo key must still match
+    for s in sims:
+        flipped = s
+        for b in rng.sample(range(32), rng.randint(0, 3)):
+            flipped ^= 1 << b
+        ka = set(_py_combo_keys(s, 32, 3, 6))
+        kb = set(_py_combo_keys(flipped, 32, 3, 6))
+        assert ka & kb, f"pigeonhole violated for {s:#x} vs {flipped:#x}"
+
+
+def test_incremental_simhash_dedupe_recrawl(spark):
+    """A one-word-changed re-crawl (hamming 2 at 32 bits) is dropped; a
+    genuinely new doc (hamming 8) survives; exact copies are dropped via
+    the hash leg; the store grows by exactly the survivors."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        incremental_simhash_dedupe,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun "
+        "and distant birds sing quietly across the shaded garden path"
+    )
+    recrawl = base.replace("afternoon", "evening")
+    novel = (
+        "completely unrelated content about distributed query engines "
+        "partitioning shuffle exchanges and adaptive execution plans "
+        "with columnar storage formats and vectorized readers"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "some other original document body entirely")],
+        "doc_id long, text string",
+    )
+    r1 = incremental_simhash_dedupe(b1, None, "text", "doc_id")
+    assert {r.doc_id for r in r1.fresh.collect()} == {1, 2}
+    assert r1.store.count() == 2  # ONE row per doc, not bands rows
+    r1.pinned.unpersist()
+
+    b2 = spark.createDataFrame(
+        [(10, recrawl), (11, novel), (12, base)],
+        "doc_id long, text string",
+    )
+    r2 = incremental_simhash_dedupe(b2, r1.store, "text", "doc_id")
+    assert {r.doc_id for r in r2.fresh.collect()} == {11}
+    assert r2.store.count() == 3
+    # replay idempotence: same batch against the updated store → nothing new
+    r3 = incremental_simhash_dedupe(b2, r2.store, "text", "doc_id")
+    assert r3.fresh.count() == 0
+    r2.pinned.unpersist()
+    r3.pinned.unpersist()
+
+
+def test_incremental_simhash_dedupe_null_and_within_batch(spark):
+    """NULL text collapses via the -1 exact-hash sentinel; in-batch exact
+    dups keep the min id; invalid block config raises."""
+    import pytest as _pytest
+
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        incremental_simhash_dedupe,
+        simhash_combo_keys,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, None), (2, "real text here with several words"), (3, None)],
+        "doc_id long, text string",
+    )
+    r1 = incremental_simhash_dedupe(b1, None, "text", "doc_id")
+    assert {r.doc_id for r in r1.fresh.collect()} == {1, 2}  # 3 → in-batch dup
+    b2 = spark.createDataFrame(
+        [(10, None), (11, "brand new words never seen before anywhere")],
+        "doc_id long, text string",
+    )
+    r2 = incremental_simhash_dedupe(b2, r1.store, "text", "doc_id")
+    assert {r.doc_id for r in r2.fresh.collect()} == {11}
+    assert r2.store.select("doc_id").distinct().count() == 3
+    r1.pinned.unpersist()
+    r2.pinned.unpersist()
+    with _pytest.raises(ValueError, match="n_blocks"):
+        simhash_combo_keys(F.lit(0), 32, 3, 3)

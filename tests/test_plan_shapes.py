@@ -326,3 +326,36 @@ def test_bucketed_lsh_store_never_shuffles(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_simhash_pigeonhole_join_is_equi_join(spark, sf_dir):
+    """The incremental SimHash candidate step joins on (combo, key) — a
+    plain equi-join the planner can hash/sort-merge.  No CartesianProduct
+    and no BroadcastNestedLoopJoin may appear even though the predicate
+    family ("hamming distance <= d") is not itself an equi-condition: the
+    Manku block-combination tables reduce it to one."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        incremental_simhash_dedupe,
+        simhash_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = simhash_fingerprints(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
+    )
+    res = incremental_simhash_dedupe(
+        docs.filter(F.col("doc_id") % 2 == 1), store, "text", "doc_id"
+    )
+    try:
+        plan = res.fresh._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert res.fresh.count() > 0
+    finally:
+        res.pinned.unpersist()
