@@ -466,11 +466,17 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     return grouped.join(F.broadcast(robust), "c_nationkey")
 
 
+N_SHARDS = 8
+# modulus for the order-sensitive shard checksum — keeps pos*h products far
+# inside int64 at any realistic shard size
+SHARD_CK_MOD = 1000003
+
+
 @register(
     "q50_hash_split",
     f"""
-    SELECT split, count(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    SELECT split AS bucket, count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS agg_val
     FROM (
         SELECT n_chars,
                CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
@@ -480,14 +486,40 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
                     ELSE 'test' END AS split
         FROM documents)
     GROUP BY split
+    UNION ALL
+    SELECT 'shard_' || CAST(shard AS VARCHAR) AS bucket,
+           count(*) AS n_docs,
+           CAST(SUM(pos * (ph % {SHARD_CK_MOD})) AS BIGINT) AS agg_val
+    FROM (
+        SELECT doc_id, ph,
+               CAST(ph % {N_SHARDS} AS INT) AS shard,
+               row_number() OVER (PARTITION BY ph % {N_SHARDS}
+                                  ORDER BY ph, doc_id) AS pos
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'),
+                      1, 15))::BIGINT AS ph
+              FROM documents))
+    GROUP BY shard
     """,
-    tags=("train-split", "dedup"),
+    tags=("train-split", "dedup", "sharding"),
 )
 def q50(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic 90/5/5 train/val/test split by portable hash of the doc
+    """Deterministic split AND deterministic global shuffle, both hash-driven.
+
+    Leg 1 (train/val/test buckets): 90/5/5 split by portable hash of the doc
     id — stable across runs, machines, and engine versions (never use
-    rand(): resplitting must not leak val docs into train)."""
+    rand(): resplitting must not leak val docs into train).
+
+    Leg 2 (shard_0..shard_{N_SHARDS - 1}): :func:`assign_shards` — the
+    training-output shuffle.  Each shard's ``agg_val`` is the
+    order-SENSITIVE checksum Σ shard_pos · (hash % {SHARD_CK_MOD}), so the
+    oracle verifies not just the shard assignment but the exact
+    within-shard row ORDER the trainer would read — a nondeterministic
+    shuffle (rand(), partition-dependent ids) breaks the value hash."""
     from evidence_datasource_parsers_spark.functions.hashing import portable_hash
+    from evidence_datasource_parsers_spark.operators.sharding import (
+        assign_shards,
+    )
 
     d = load(spark, sf, "documents")
     bucket = portable_hash(
@@ -496,14 +528,33 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
     split = (
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
     )
-    return (
-        d.select(split.alias("split"), "n_chars")
-        .groupBy("split")
+    splits = (
+        d.select(split.alias("bucket"), "n_chars")
+        .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_chars").alias("agg_val"),
         )
     )
+    hm = portable_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))
+    ) % SHARD_CK_MOD
+    shards = (
+        assign_shards(d.select("doc_id"), "doc_id", N_SHARDS)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("shard_pos") * hm).alias("agg_val"),
+        )
+        .select(
+            F.concat(F.lit("shard_"), F.col("shard").cast("string")).alias(
+                "bucket"
+            ),
+            "n_docs",
+            "agg_val",
+        )
+    )
+    return splits.unionByName(shards)
 
 
 @register(

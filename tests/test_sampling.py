@@ -200,3 +200,68 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="must sum to 1"):
         split_assign(corpus, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_assign_shards_deterministic_and_balanced(spark):
+    """Shard assignment + within-shard order are pure functions of the id
+    set: identical under repartitioning, roughly balanced, positions are
+    1..n_k per shard with no gaps."""
+    from evidence_datasource_parsers_spark.operators.sharding import (
+        assign_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+    )
+    a = assign_shards(df, "doc_id", 8)
+    got = {(r.doc_id): (r.shard, r.shard_pos) for r in a.collect()}
+    again = {
+        (r.doc_id): (r.shard, r.shard_pos)
+        for r in assign_shards(df.repartition(13), "doc_id", 8).collect()
+    }
+    assert got == again  # topology-free
+    by_shard = {}
+    for sh, pos in got.values():
+        by_shard.setdefault(sh, []).append(pos)
+    assert set(by_shard) == set(range(8))
+    for sh, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense 1..n
+        assert 20 <= len(poss) <= 80  # 400/8 = 50 ± binomial noise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="num_shards"):
+        assign_shards(df, "doc_id", 0)
+
+
+def test_write_shards_layout_and_order(spark, tmp_path):
+    """write_shards materializes one directory per shard with rows stored
+    in shard_pos order (byte-stable across cluster sizes)."""
+    from evidence_datasource_parsers_spark.operators.sharding import (
+        assign_shards,
+        write_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    write_shards(df, out, "doc_id", 4)
+    back = spark.read.parquet(out)
+    assert {r.shard for r in back.select("shard").distinct().collect()} == set(
+        range(4)
+    )
+    expect = {
+        r.doc_id: (r.shard, r.shard_pos)
+        for r in assign_shards(df, "doc_id", 4).collect()
+    }
+    assert {
+        r.doc_id: (r.shard, r.shard_pos) for r in back.collect()
+    } == expect
+    # within each file, rows are physically in shard_pos order
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    for part in Path(out).glob("shard=*/**/*.parquet"):
+        t = pq.read_table(part, columns=["shard_pos"])
+        poss = t.column("shard_pos").to_pylist()
+        assert poss == sorted(poss), str(part)
