@@ -1,0 +1,142 @@
+"""Hashing-trick linear quality scoring for text corpora.
+
+The standard cheap quality model over web text (fastText-style linear
+classifier, Dolma/CCNet-style quality buckets) is a dot product between a
+bag-of-tokens feature vector and a learned weight vector, with the vocabulary
+collapsed into ``n_buckets`` hash buckets (the "hashing trick") so the model
+is a fixed-size array instead of an unbounded vocabulary.
+
+Two execution tiers, same semantics:
+
+  * :func:`lexical_quality_score` — weights as a pure column EXPRESSION:
+    each token maps to ``bucket = portable_hash(token:salt) % n_buckets``
+    and an integer weight derived from the bucket.  Zero shuffle, zero
+    state, codegen-friendly; this tier is what the q29 oracle replays.
+  * :func:`score_with_weight_table` — weights as a TABLE ``(bucket,
+    weight)``: explode tokens, broadcast-join the weight table, sum per
+    document.  This is the production path for real trained weights (ship
+    the model as a tiny dimension table; one narrow explode + broadcast
+    join + re-agg, no driver collect).
+
+Determinism contract: accumulation is INTEGER until one final division
+(integer-ratio doubles are IEEE-exact and engine-portable); never sum
+floating-point weights in data-dependent order.
+
+The built-in weight family is a deterministic PLACEHOLDER (a Knuth
+multiplicative mix of the bucket id, centered on zero) standing in for
+trained weights — the pipeline shape, hashing, and aggregation are the real
+thing; swap the family for a learned table via
+:func:`placeholder_weight_table` / :func:`score_with_weight_table`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.functions.hashing import portable_hash
+
+# Knuth multiplicative constant; bucket * KNUTH stays < 2^44 for any
+# realistic n_buckets, far inside int64.
+KNUTH = 2654435761
+# weights are integers in [-WEIGHT_SCALE, WEIGHT_SCALE]
+WEIGHT_SCALE = 1000
+
+
+def token_bucket(
+    token: Column, n_buckets: int, salt: str = "quality"
+) -> Column:
+    """Hashing-trick feature bucket of a token (portable across engines)."""
+    return (
+        portable_hash(F.concat(token, F.lit(f":{salt}"))) % n_buckets
+    ).cast("long")
+
+
+def placeholder_weight(bucket: Column) -> Column:
+    """Deterministic stand-in weight for a bucket: integer in
+    [-{WEIGHT_SCALE}, {WEIGHT_SCALE}], uncorrelated with the bucket id."""
+    return (bucket * KNUTH) % (2 * WEIGHT_SCALE + 1) - WEIGHT_SCALE
+
+
+def lexical_quality_score(
+    text: Column | str,
+    n_buckets: int = 4096,
+    salt: str = "quality",
+) -> Column:
+    """Mean per-token weight in [-1, 1] — the expression-tier score.
+
+    ``Σ weight(bucket(token)) / (WEIGHT_SCALE · n_tokens)``: one pass over
+    the token array, integer accumulator, single exact division at the end.
+    NULL/empty text scores NULL (no tokens to judge).
+    """
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        normalized_text,
+    )
+
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(normalized_text(c), " ")
+    total = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + placeholder_weight(token_bucket(t, n_buckets, salt)),
+    )
+    n = F.size(toks)
+    return F.when(n > 0, total / (F.lit(WEIGHT_SCALE) * n))
+
+
+def placeholder_weight_table(
+    spark, n_buckets: int = 4096
+) -> DataFrame:
+    """The placeholder family materialized as a ``(bucket, weight)`` table —
+    shaped exactly like a trained model export, for the table tier."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        placeholder_weight(F.col("id")).alias("weight"),
+    )
+
+
+def score_with_weight_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: DataFrame,
+    n_buckets: int = 4096,
+    salt: str = "quality",
+    out_col: str = "lexical_score",
+) -> DataFrame:
+    """Table-tier scoring: explode tokens → bucket → broadcast-join the
+    weight table → integer sum per document → one exact division.
+
+    Equivalent to :func:`lexical_quality_score` when ``weights`` is
+    :func:`placeholder_weight_table` (equivalence-tested).  Scale shape:
+    the weight table is n_buckets rows (a few MB even at 1M buckets) and
+    broadcast; the only shuffle is the per-document re-aggregation, keyed
+    on the unique id — no skew.  Tokens missing from the table score 0
+    (left join + coalesce), matching a sparse model export.
+    """
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        normalized_text,
+    )
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.split(normalized_text(F.col(text_col)), " ")
+        ).alias("__tok"),
+    )
+    bucketed = toks.withColumn(
+        "bucket",
+        F.when(
+            F.col("__tok").isNotNull(),
+            token_bucket(F.col("__tok"), n_buckets, salt),
+        ),
+    )
+    joined = bucketed.join(F.broadcast(weights), on="bucket", how="left")
+    scored = joined.groupBy(id_col).agg(
+        (
+            F.sum(F.coalesce(F.col("weight"), F.lit(0)))
+            / (F.lit(WEIGHT_SCALE) * F.count(F.col("__tok")))
+        ).alias(out_col)
+    )
+    return df.join(scored, on=id_col, how="left")

@@ -20,6 +20,12 @@ from evidence_datasource_parsers_spark.functions.hashing import (
     perm_coefficients,
     portable_hash_sql,
 )
+from evidence_datasource_parsers_spark.functions.quality import (
+    KNUTH,
+    WEIGHT_SCALE,
+    placeholder_weight,
+    token_bucket,
+)
 from evidence_datasource_parsers_spark.functions.textstats import (
     LANG_STOPWORDS,
     STOPWORDS_EN,
@@ -54,6 +60,7 @@ from evidence_datasource_parsers_spark.plans.catalog import (
 NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 SHINGLE_K = 5
 WORD_SHINGLE_N = 3
+QUALITY_BUCKETS = 4096
 
 
 def _shingles_sql(t: str = "t") -> str:
@@ -121,6 +128,11 @@ def _lang_hits_sql() -> str:
                / len(toks) AS stopword_ratio,
            CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT)
                * 1.0 / len(toks) AS mean_token_len,
+           CAST(list_sum(list_transform(toks,
+                x -> ((('0x' || substr(md5(x || ':quality'), 1, 15))::BIGINT
+                       % {QUALITY_BUCKETS}) * {KNUTH}) % {2 * WEIGHT_SCALE + 1}
+                     - {WEIGHT_SCALE})) AS BIGINT)
+               / ({WEIGHT_SCALE} * len(toks)) AS lexical_score,
            lang AS lang_label,
            h_de AS hits_de, h_en AS hits_en, h_es AS hits_es, h_fr AS hits_fr,
            CASE WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
@@ -136,7 +148,10 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     """Quality scoring + token counting + stopword-heuristic language ID over
     documents — all built-ins, one narrow pass, no shuffle.  Language guess
     is per-language stopword hit counts → argmax (ties → greatest language
-    code, mirrored in the oracle CASE chain).
+    code, mirrored in the oracle CASE chain).  ``lexical_score`` is the
+    hashing-trick linear quality model (functions/quality.py): integer
+    bucket weights summed over the staged token array, one exact division —
+    the oracle replays bucket, weight family, and accumulator bit-for-bit.
 
     rebalance() re-audited after the regex-BPE leg made the per-row stage
     heavier: sf0.1 min-of-3 cold-cache 0.74s with vs 0.99s without — the
@@ -169,6 +184,15 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
             * 1.0
             / F.size(toks)
         ).alias("mean_token_len"),
+        (
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda a, x: a
+                + placeholder_weight(token_bucket(x, QUALITY_BUCKETS)),
+            )
+            / (F.lit(WEIGHT_SCALE) * F.size(toks))
+        ).alias("lexical_score"),
         F.col("lang").alias("lang_label"),
         *hit_cols,
         lang_guess(F.col("text")).alias("lang_guess"),
