@@ -266,10 +266,24 @@ def lsh_candidate_pairs(
     buckets = banded.select(
         id_col, F.explode("__bands").alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    return lsh_candidate_pairs_from_buckets(buckets, id_col)
+
+
+def lsh_candidate_pairs_from_buckets(
+    buckets: DataFrame, id_col: str
+) -> DataFrame:
+    """Candidate pairs from precomputed bucket rows ``(id, band, key)`` —
+    e.g. :func:`lsh_fingerprints` output.  Share ONE fingerprint pass
+    between at-rest pair mining and the incremental store instead of
+    hashing the corpus once per consumer (the single-scan rule that
+    matters at 100 TB, where the signature pass IS the corpus scan).
+    """
     # Self-join with RENAMED right side: alias-based self-joins over computed
     # columns can mis-resolve both condition sides to the same attributes
     # (degenerating into a cartesian product); distinct names are unambiguous.
-    left = buckets.withColumnRenamed(id_col, "id_a")
+    left = buckets.select(
+        F.col(id_col).alias("id_a"), "band", "key"
+    )
     right = buckets.select(
         F.col(id_col).alias("id_b"),
         F.col("band").alias("band_r"),
@@ -612,6 +626,7 @@ def incremental_lsh_dedupe(
     k: int = 5,
     mode: str = "char",
     threshold: float = 0.5,
+    batch_fingerprints: DataFrame | None = None,
 ) -> IncrementalLshResult:
     """Batch-over-batch NEAR-dup dedup against a persisted LSH fingerprint
     store (:func:`lsh_fingerprints` rows from every prior run; None on the
@@ -652,50 +667,78 @@ def incremental_lsh_dedupe(
     ids with differing payloads could emit fresh rows whose fingerprints
     disagree with the store.  Every lineage INSIDE the operator is
     deterministic (portable md5 hashes, min_by on the unique id).
+
+    ``batch_fingerprints``: optional precomputed :func:`lsh_fingerprints`
+    rows for ``new_batch`` (single-scan reuse when the same batch also
+    feeds at-rest pair mining).  The hash parameters MUST match the ones
+    passed here; the operator then derives the within-batch survivors
+    from the fingerprints' content hashes instead of rescanning the text.
     """
-    # 1. within-batch exact dedup, min-id representative (NULL text → -1
-    # sentinel so NULL join keys can't leak through the anti-joins below)
-    hashed = new_batch.withColumn(
-        "__ch", F.coalesce(content_hash(F.col(text_col)), F.lit(-1))
-    )
-    row_struct = F.struct(*[F.col(c) for c in hashed.columns])
-    survivors = (
-        hashed.groupBy("__ch")
-        .agg(F.min_by(row_struct, F.col(id_col)).alias("__row"))
-        .select("__row.*")
-        .drop("__ch")
-    )
-    # 2. fingerprints of the in-batch survivors — persisted: consumed by the
-    # exact leg, the near leg, and the store update (the md5-per-shingle
-    # signature pass must run once, not three times)
-    fp = lsh_fingerprints(
-        survivors, text_col, id_col, num_perm, bands, k, mode
-    ).persist()
+    if batch_fingerprints is None:
+        # 1. within-batch exact dedup, min-id representative (NULL text → -1
+        # sentinel so NULL join keys can't leak through the anti-joins below)
+        hashed = new_batch.withColumn(
+            "__ch", F.coalesce(content_hash(F.col(text_col)), F.lit(-1))
+        )
+        row_struct = F.struct(*[F.col(c) for c in hashed.columns])
+        survivors = (
+            hashed.groupBy("__ch")
+            .agg(F.min_by(row_struct, F.col(id_col)).alias("__row"))
+            .select("__row.*")
+            .drop("__ch")
+        )
+        # 2. fingerprints of the in-batch survivors — persisted: consumed by
+        # the exact leg, the near leg, and the store update (the
+        # md5-per-shingle signature pass must run once, not three times)
+        fp = lsh_fingerprints(
+            survivors, text_col, id_col, num_perm, bands, k, mode
+        ).persist()
+    else:
+        # reuse path: min id per content hash picks the same representatives
+        # as min_by over full rows (ids are unique by contract)
+        surv_ids = (
+            batch_fingerprints.select(id_col, "content_hash")
+            .distinct()
+            .groupBy("content_hash")
+            .agg(F.min(F.col(id_col)).alias(id_col))
+            .select(id_col)
+        )
+        survivors = new_batch.join(surv_ids, on=id_col, how="left_semi")
+        fp = batch_fingerprints.join(
+            surv_ids, on=id_col, how="left_semi"
+        ).persist()
     if fingerprint_store is None:
         return IncrementalLshResult(fresh=survivors, store=fp, pinned=fp)
-    # 3a. exact cross-batch dups: content hash already in the store.  fp has
-    # `bands` rows per doc but a semi-join never multiplies, and the final
-    # distinct collapses the per-band repeats.
-    exact_ids = fp.select(id_col, "content_hash").join(
-        fingerprint_store.select("content_hash"),
-        on="content_hash",
-        how="left_semi",
-    )
-    # 3b. near dups: band-bucket candidates verified by estimated Jaccard.
-    # The shuffle key is (band, key) — bounded buckets, never text.
+    # 3. exact AND near cross-batch dups in ONE band-bucket join.  Identical
+    # text produces identical signatures and therefore identical band keys
+    # (including the degenerate all-NULL-signature case, whose keys are all
+    # ''), so every exact dup is a bucket-mate of its stored copy and a
+    # separate hash semi-join would be a redundant shuffle.  The verify
+    # predicate needs BOTH terms: estimated Jaccard for near dups, content
+    # hash equality for degenerate text (NULL signature components never
+    # compare equal, so two NULL-text docs estimate 0.0).  The shuffle key
+    # is (band, key) — bounded buckets, never text.
     cand = fp.select(
-        id_col, "band", "key", F.col("sig").alias("__nsig")
+        id_col, "content_hash", "band", "key", F.col("sig").alias("__nsig")
     ).join(
         fingerprint_store.select(
-            "band", "key", F.col("sig").alias("__ssig")
+            "band",
+            "key",
+            F.col("content_hash").alias("__sch"),
+            F.col("sig").alias("__ssig"),
         ),
         on=["band", "key"],
     )
-    near_ids = cand.filter(
-        estimated_jaccard(F.col("__nsig"), F.col("__ssig"), num_perm)
-        >= F.lit(threshold)
+    # duplicate candidate ids (several bands / several store mates) are fine
+    # on the right of a left_anti — no distinct, one less shuffle; candidate
+    # multiplicity is bounded by bands × bucket occupancy.
+    dropped = cand.filter(
+        (
+            estimated_jaccard(F.col("__nsig"), F.col("__ssig"), num_perm)
+            >= F.lit(threshold)
+        )
+        | (F.col("content_hash") == F.col("__sch"))
     ).select(id_col)
-    dropped = exact_ids.select(id_col).unionByName(near_ids).distinct()
     fresh = survivors.join(dropped, on=id_col, how="left_anti")
     new_store = fingerprint_store.unionByName(
         fp.join(dropped, on=id_col, how="left_anti")
@@ -821,17 +864,18 @@ def incremental_simhash_dedupe(
     nbits: int = 32,
     max_hamming: int = 3,
     n_blocks: int = 6,
+    batch_fingerprints: DataFrame | None = None,
 ) -> IncrementalSimhashResult:
     """Batch-over-batch near-dup dedup against a persisted SimHash store
     (:func:`simhash_fingerprints` rows; None on the first run).  A new
-    document is dropped when it
-
-      * exactly matches a stored content hash (semi-join on the 8-byte
-        hash), or
-      * has a stored fingerprint within hamming distance ``max_hamming`` of
-        its own ``nbits``-bit SimHash — candidates generated by the
-        Manku-Jain-Das-Sarma block-combination tables (module comment
-        above), then verified with ``bit_count(xor)``.
+    document is dropped when a stored fingerprint lies within hamming
+    distance ``max_hamming`` of its own ``nbits``-bit SimHash — candidates
+    generated by the Manku-Jain-Das-Sarma block-combination tables (module
+    comment above), then verified with ``bit_count(xor)``.  Exact copies
+    need no separate hash leg: identical text fingerprints identically, so
+    they are combo-key mates at hamming 0.  (The ``content_hash`` column in
+    the store exists for interop with the exact-dedup store format and for
+    audit joins, not for the drop rule.)
 
     Net semantics (what the oracle replays): dropped iff exact-hash match
     OR min hamming to the store <= max_hamming — the pigeonhole guarantees
@@ -851,26 +895,40 @@ def incremental_simhash_dedupe(
     (bucketed by ``content_hash``) so the exact leg is co-located.
 
     Returns ``(fresh, store, pinned)`` as :class:`IncrementalSimhashResult`.
+
+    ``batch_fingerprints``: optional precomputed :func:`simhash_fingerprints`
+    rows for ``new_batch`` (single-scan reuse; same contract as
+    ``incremental_lsh_dedupe``'s parameter — ``nbits`` must match).
     """
-    hashed = new_batch.withColumn(
-        "__ch", F.coalesce(content_hash(F.col(text_col)), F.lit(-1))
-    )
-    row_struct = F.struct(*[F.col(c) for c in hashed.columns])
-    survivors = (
-        hashed.groupBy("__ch")
-        .agg(F.min_by(row_struct, F.col(id_col)).alias("__row"))
-        .select("__row.*")
-        .drop("__ch")
-    )
-    fp = simhash_fingerprints(survivors, text_col, id_col, nbits).persist()
+    if batch_fingerprints is None:
+        hashed = new_batch.withColumn(
+            "__ch", F.coalesce(content_hash(F.col(text_col)), F.lit(-1))
+        )
+        row_struct = F.struct(*[F.col(c) for c in hashed.columns])
+        survivors = (
+            hashed.groupBy("__ch")
+            .agg(F.min_by(row_struct, F.col(id_col)).alias("__row"))
+            .select("__row.*")
+            .drop("__ch")
+        )
+        fp = simhash_fingerprints(survivors, text_col, id_col, nbits).persist()
+    else:
+        surv_ids = (
+            batch_fingerprints.groupBy("content_hash")
+            .agg(F.min(F.col(id_col)).alias(id_col))
+            .select(id_col)
+        )
+        survivors = new_batch.join(surv_ids, on=id_col, how="left_semi")
+        fp = batch_fingerprints.join(
+            surv_ids, on=id_col, how="left_semi"
+        ).persist()
     if fingerprint_store is None:
         return IncrementalSimhashResult(fresh=survivors, store=fp, pinned=fp)
-    exact_ids = fp.select(id_col, "content_hash").join(
-        fingerprint_store.select("content_hash"),
-        on="content_hash",
-        how="left_semi",
-    )
-    # Pigeonhole candidate tables: explode both sides on (combo, key).
+    # Pigeonhole candidate tables: explode both sides on (combo, key).  NO
+    # separate exact-hash leg: identical text gives identical fingerprints,
+    # so an exact dup is a combo-key mate at hamming 0 — strictly inside
+    # the hamming <= max_hamming rule (including degenerate text, which
+    # fingerprints to simhash 0 on both sides).
     combos = lambda c: F.explode(  # noqa: E731
         simhash_combo_keys(c, nbits, max_hamming, n_blocks)
     )
@@ -883,7 +941,8 @@ def incremental_simhash_dedupe(
         F.col("simhash").alias("__ssim"),
         combos(F.col("simhash")).alias("__k"),
     ).select("__ssim", "__k.combo", "__k.key")
-    near_ids = (
+    # duplicate ids on the anti-join's right are harmless — no distinct
+    dropped = (
         batch_keys.join(store_keys, on=["combo", "key"])
         .filter(
             hamming_distance(F.col("__nsim"), F.col("__ssim"))
@@ -891,7 +950,6 @@ def incremental_simhash_dedupe(
         )
         .select(id_col)
     )
-    dropped = exact_ids.select(id_col).unionByName(near_ids).distinct()
     fresh = survivors.join(dropped, on=id_col, how="left_anti")
     new_store = fingerprint_store.unionByName(
         fp.join(dropped, on=id_col, how="left_anti")

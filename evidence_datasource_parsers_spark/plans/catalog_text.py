@@ -38,7 +38,7 @@ from evidence_datasource_parsers_spark.operators.dedupe import (
     exact_dedupe,
     incremental_lsh_dedupe,
     incremental_simhash_dedupe,
-    lsh_candidate_pairs,
+    lsh_candidate_pairs_from_buckets,
     lsh_fingerprints,
     minhash_signatures_exploded,
     normalized_text,
@@ -326,9 +326,16 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     near-match (estimated Jaccard ≥ 0.5) the store, and the surviving
     fresh doc ids are emitted with a NULL id_b.  The oracle recomputes
     both legs from the same hash constants, so a drift in the store
-    schema, the estimator, or the threshold breaks the value hash."""
+    schema, the estimator, or the threshold breaks the value hash.
+
+    Single-scan shape: the corpus fingerprints (signature + content hash +
+    band keys) are computed ONCE and persisted; the at-rest pair leg
+    self-joins their bucket rows, the store is the even slice, and the
+    incremental leg reuses the odd slice via ``batch_fingerprints`` — at
+    100 TB the signature pass IS the corpus scan, so every derived consumer
+    must share it rather than re-hash."""
     d = rebalance(spark, load(spark, sf, "documents"))
-    pairs = lsh_candidate_pairs(
+    fp = lsh_fingerprints(
         d,
         "text",
         "doc_id",
@@ -336,19 +343,13 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
         bands=LSH_BANDS,
         k=WORD_SHINGLE_N,
         mode="word",
+    ).persist()
+    pairs = lsh_candidate_pairs_from_buckets(
+        fp.select("doc_id", "band", "key"), "doc_id"
     ).select("id_a", "id_b", F.lit("pair").alias("src"))
-    store = lsh_fingerprints(
-        d.filter(F.col("doc_id") % 2 == 0),
-        "text",
-        "doc_id",
-        num_perm=MINHASH_PERMS,
-        bands=LSH_BANDS,
-        k=WORD_SHINGLE_N,
-        mode="word",
-    )
     res = incremental_lsh_dedupe(
         d.filter(F.col("doc_id") % 2 == 1),
-        store,
+        fp.filter(F.col("doc_id") % 2 == 0),
         "text",
         "doc_id",
         num_perm=MINHASH_PERMS,
@@ -356,6 +357,7 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
         k=WORD_SHINGLE_N,
         mode="word",
         threshold=INCR_EST_THRESHOLD,
+        batch_fingerprints=fp.filter(F.col("doc_id") % 2 == 1),
     )
     incr = res.fresh.select(
         F.col("doc_id").alias("id_a"),
@@ -429,22 +431,25 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
     pigeonhole tables (C(6,3)=20 exact equi-joins — never a cross join).
     The oracle replays the net semantics (min hamming <= d) directly, so a
     drift in the fingerprint, the block split, or the verify predicate
-    breaks the value hash."""
+    breaks the value hash.
+
+    Single-scan shape as in q34: fingerprints computed once, persisted;
+    leg 1 reads them directly, the store is the even slice, the batch leg
+    reuses the odd slice via ``batch_fingerprints``."""
     d = load(spark, sf, "documents").select("doc_id", "text")
-    sig = simhash_fingerprints(d, "text", "doc_id", SIMHASH_BITS).select(
+    fp = simhash_fingerprints(d, "text", "doc_id", SIMHASH_BITS).persist()
+    sig = fp.select(
         "doc_id", "content_hash", "simhash", F.lit("sig").alias("src")
-    )
-    store = simhash_fingerprints(
-        d.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", SIMHASH_BITS
     )
     res = incremental_simhash_dedupe(
         d.filter(F.col("doc_id") % 2 == 1),
-        store,
+        fp.filter(F.col("doc_id") % 2 == 0),
         "text",
         "doc_id",
         nbits=SIMHASH_BITS,
         max_hamming=SIMHASH_MAX_HAMMING,
         n_blocks=SIMHASH_BLOCKS,
+        batch_fingerprints=fp.filter(F.col("doc_id") % 2 == 1),
     )
     incr = res.pinned.join(
         res.fresh.select("doc_id"), on="doc_id", how="left_semi"

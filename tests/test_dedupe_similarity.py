@@ -792,3 +792,92 @@ def test_incremental_simhash_dedupe_null_and_within_batch(spark):
     r2.pinned.unpersist()
     with _pytest.raises(ValueError, match="n_blocks"):
         simhash_combo_keys(F.lit(0), 32, 3, 3)
+
+
+def test_incremental_dedupe_fingerprint_reuse_paths_agree(spark):
+    """batch_fingerprints reuse must be result-identical to the recompute
+    path, for both the LSH and SimHash incremental operators (same
+    survivors, same store contents)."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        incremental_lsh_dedupe,
+        incremental_simhash_dedupe,
+        lsh_fingerprints,
+        simhash_fingerprints,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun "
+        "and distant birds sing quietly across the shaded garden path"
+    )
+    docs = [
+        (1, base),
+        (2, base.replace("afternoon", "evening")),  # near-dup of 1
+        (3, "totally different content about shuffle exchanges and plans"),
+        (4, base),  # exact dup of 1
+        (5, "another unique document body mentioning adaptive execution"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    store_docs = d.filter(F.col("doc_id") <= 2)
+    batch = d.filter(F.col("doc_id") >= 3)
+
+    lsh_store = lsh_fingerprints(store_docs, "text", "doc_id", mode="word", k=3)
+    a = incremental_lsh_dedupe(batch, lsh_store, "text", "doc_id",
+                               mode="word", k=3)
+    b = incremental_lsh_dedupe(
+        batch, lsh_store, "text", "doc_id", mode="word", k=3,
+        batch_fingerprints=lsh_fingerprints(
+            batch, "text", "doc_id", mode="word", k=3
+        ),
+    )
+    assert (
+        {r.doc_id for r in a.fresh.collect()}
+        == {r.doc_id for r in b.fresh.collect()}
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r.doc_id, r.band, r.key) for r in df.select(
+            "doc_id", "band", "key").collect()
+    )
+    assert key(a.store) == key(b.store)
+    a.pinned.unpersist(); b.pinned.unpersist()
+
+    sh_store = simhash_fingerprints(store_docs, "text", "doc_id")
+    c = incremental_simhash_dedupe(batch, sh_store, "text", "doc_id")
+    e = incremental_simhash_dedupe(
+        batch, sh_store, "text", "doc_id",
+        batch_fingerprints=simhash_fingerprints(batch, "text", "doc_id"),
+    )
+    assert (
+        {r.doc_id for r in c.fresh.collect()}
+        == {r.doc_id for r in e.fresh.collect()}
+    )
+    skey = lambda df: sorted(  # noqa: E731
+        (r.doc_id, r.content_hash, r.simhash) for r in df.collect()
+    )
+    assert skey(c.store) == skey(e.store)
+    c.pinned.unpersist(); e.pinned.unpersist()
+
+
+def test_lsh_candidate_pairs_from_buckets_matches_text_path(spark):
+    """Bucket-reuse pair mining equals the from-text path."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_from_buckets,
+        lsh_fingerprints,
+    )
+
+    d = _docs(spark)
+    via_text = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            d, "text", "doc_id", mode="word", k=3
+        ).collect()
+    }
+    fp = lsh_fingerprints(d, "text", "doc_id", mode="word", k=3)
+    via_buckets = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs_from_buckets(
+            fp.select("doc_id", "band", "key"), "doc_id"
+        ).collect()
+    }
+    assert via_text == via_buckets and via_buckets
