@@ -53,4 +53,6 @@ from evidence_datasource_parsers_spark.operators.sampling import (  # noqa: F401
 from evidence_datasource_parsers_spark.operators.similarity import (  # noqa: F401
     ann_lsh_topk,
     brute_force_topk,
+    hyperplane_bucket_rows,
+    incremental_embedding_dedupe,
 )

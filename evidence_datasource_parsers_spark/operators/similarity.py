@@ -14,6 +14,8 @@ only scores its bucket-mates (or IVF cells — operators/ivf.py).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -190,41 +192,39 @@ def deterministic_planes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
-def ann_lsh_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
+def hyperplane_bucket_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
     dim: int,
-    k: int = 5,
     n_planes: int = 8,
     n_tables: int = 4,
-    query_id: str = "query_id",
-    corpus_id: str = "neighbor_id",
-    vec_col: str = "embedding",
+    vec_alias: str = "__v",
 ) -> DataFrame:
-    """Approximate top-k: score only pairs sharing a hyperplane-sign bucket in
-    at least one of ``n_tables`` independent hash tables (OR-amplification).
+    """Multi-table hyperplane-sign bucket rows: ``(id, vec_alias, __t,
+    __bucket)``, ``n_tables`` rows per vector — the shared candidate
+    machinery for ANN search and incremental embedding dedup.
 
-    Recall ≈ 1-(1-p^n_planes)^n_tables where p = 1-θ/π per plane; tune
-    n_planes down / n_tables up for higher recall at more compute.  One
-    shuffle on (table, bucket) — corpus rows replicate ×n_tables, candidates
-    dedupe before scoring so each pair is scored once.
+    Table t uses global planes [t*n_planes, (t+1)*n_planes): plane j of the
+    deterministic LCG sequence depends only on j, so one generation covers
+    every table's slice.
+
+    The bucketing is an Arrow-batched pandas UDF, not an unrolled SQL
+    expression: n_tables*n_planes dim-term trees in one Project exceed
+    whole-stage codegen's size limit (Spark logs "codegen disabled" and
+    falls back to per-row interpreted evaluation — the wrong trade at any
+    scale), and building them through the Column API costs a py4j round
+    trip per node.  The numpy kernel replays the IDENTICAL IEEE arithmetic
+    as the DuckDB oracle: element*coefficient products, then a vectorized
+    pairwise fold that performs the same balanced-tree additions in the
+    same order — double ops are deterministic, so the signs (and therefore
+    buckets, candidates and downstream results) match the oracle
+    bit-for-bit.
+
+    Rows with a NULL vector are excluded (they can be neither candidates
+    nor stored fingerprints; the numpy kernel has no NULL representation).
     """
-
-    # Table t uses global planes [t*n_planes, (t+1)*n_planes): plane j of the
-    # deterministic LCG sequence depends only on j, so one generation covers
-    # every table's slice.
     all_planes = deterministic_planes(dim, n_planes * n_tables)
-
-    # The bucketing is an Arrow-batched pandas UDF, not an unrolled SQL
-    # expression: n_tables*n_planes dim-term trees in one Project exceed
-    # whole-stage codegen's size limit (Spark logs "codegen disabled" and
-    # falls back to per-row interpreted evaluation — the wrong trade at any
-    # scale), and building them through the Column API costs a py4j round
-    # trip per node.  The numpy kernel replays the IDENTICAL IEEE arithmetic
-    # as the DuckDB oracle: element*coefficient products, then a vectorized
-    # pairwise fold that performs the same balanced-tree additions in the
-    # same order — double ops are deterministic, so the signs (and therefore
-    # buckets, candidates and final top-k) match the oracle bit-for-bit.
     planes_const = [[float(v) for v in p] for p in all_planes]
     n_t, n_p = n_tables, n_planes
     schema = ", ".join(f"bk{t} int" for t in range(n_tables))
@@ -261,29 +261,55 @@ def ann_lsh_topk(
         return pd.DataFrame(out)
 
     bucket_udf = F.pandas_udf(bucket_kernel, schema)
-
-    def bucketed(df: DataFrame, id_col: str, vec_alias: str) -> DataFrame:
-        src = df.select(
+    src = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_alias)
-        ).withColumn("__bks", bucket_udf(F.col(vec_alias)))
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    F.col(f"__bks.bk{t}").alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
         )
-        return src.select(
-            id_col, vec_alias, F.explode(buckets).alias("__b")
-        ).select(
-            id_col, vec_alias, F.col("__b.table").alias("__t"),
-            F.col("__b.bucket").alias("__bucket"),
-        )
+        .withColumn("__bks", bucket_udf(F.col(vec_alias)))
+    )
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                F.col(f"__bks.bk{t}").alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return src.select(
+        id_col, vec_alias, F.explode(buckets).alias("__b")
+    ).select(
+        id_col, vec_alias, F.col("__b.table").alias("__t"),
+        F.col("__b.bucket").alias("__bucket"),
+    )
 
-    q = bucketed(queries, query_id, "__qv")
-    c = bucketed(corpus, corpus_id, "__cv")
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only pairs sharing a hyperplane-sign bucket in
+    at least one of ``n_tables`` independent hash tables (OR-amplification).
+
+    Recall ≈ 1-(1-p^n_planes)^n_tables where p = 1-θ/π per plane; tune
+    n_planes down / n_tables up for higher recall at more compute.  One
+    shuffle on (table, bucket) — corpus rows replicate ×n_tables, candidates
+    dedupe before scoring so each pair is scored once.
+    """
+    q = hyperplane_bucket_rows(
+        queries, query_id, vec_col, dim, n_planes, n_tables, "__qv"
+    )
+    c = hyperplane_bucket_rows(
+        corpus, corpus_id, vec_col, dim, n_planes, n_tables, "__cv"
+    )
     candidates = (
         c.join(q.select(query_id, "__t", "__bucket"), on=["__t", "__bucket"])
         .where(F.col(query_id) != F.col(corpus_id))
@@ -414,4 +440,111 @@ def blocked_cosine_pairs(
 
     return salted.groupBy(block_col, "__g1", "__g2").applyInPandas(
         pair_kernel, out_schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental embedding near-dup dedup — the third modality of the
+# fingerprint-store pattern (exact hashes → incremental_exact_dedupe,
+# lexical near-dup → incremental_lsh_dedupe / incremental_simhash_dedupe,
+# semantic near-dup → here).  The state carried between runs is the retained
+# corpus's embedding column itself; candidates come from the same
+# multi-table hyperplane buckets as ann_lsh_topk, verification is exact
+# cosine.
+# ---------------------------------------------------------------------------
+
+
+class IncrementalEmbeddingResult(NamedTuple):
+    """Result of :func:`incremental_embedding_dedupe` — same contract as the
+    text-side incremental operators: ``pinned`` is the persisted batch
+    bucket-row frame; unpersist it after materializing ``fresh``/``store``."""
+
+    fresh: DataFrame
+    store: DataFrame
+    pinned: DataFrame
+
+
+def incremental_embedding_dedupe(
+    new_batch: DataFrame,
+    vector_store: DataFrame | None,
+    vec_col: str,
+    id_col: str,
+    *,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    store_bucket_rows: DataFrame | None = None,
+) -> IncrementalEmbeddingResult:
+    """Batch-over-batch semantic dedup against a persisted vector store
+    (``(id, vec)`` rows of every retained document; None on the first run).
+    A new document is dropped when a stored vector shares >= 1
+    hyperplane-sign bucket with it (``n_tables`` tables, OR-amplified) AND
+    exact cosine >= ``threshold``.
+
+    Identical vectors share every bucket, so exact re-ingests are always
+    caught (cosine 1); near-duplicates are caught with recall
+    ≈ 1-(1-p^n_planes)^n_tables, p = 1-θ/π — the standard LSH trade, tuned
+    by the table/plane counts.  NULL vectors never match (excluded from
+    bucket rows on both sides — they pass through as fresh); zero vectors
+    score NaN cosine and also never match.
+
+    Within-batch near-dups are out of scope by design (run
+    ``blocked_cosine_pairs``/``ann_lsh_topk`` at rest over the batch).
+
+    Scale shape: the batch is bucketed once (Arrow numpy kernel, persisted);
+    the store side is bucketed at join time OR supplied precomputed via
+    ``store_bucket_rows`` (persist them alongside the store —
+    ``hyperplane_bucket_rows`` output, n_tables rows/doc — so the per-batch
+    cost never re-hashes the corpus; bucket them on (__t, __bucket) with
+    ``sinks.write_bucketed_store`` for a co-located candidate join).  The
+    candidate shuffle keys on (table, bucket); verification only scores
+    bucket-mates through the shared Arrow cosine kernel.
+
+    Returns ``(fresh, store, pinned)``: ``fresh`` = surviving batch rows
+    (full payload), ``store`` = vector store ∪ survivors' ``(id, vec)``.
+    """
+    batch_bk = hyperplane_bucket_rows(
+        new_batch, id_col, vec_col, dim, n_planes, n_tables, "__nv"
+    ).persist()
+    if vector_store is None:
+        first_store = new_batch.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        )
+        return IncrementalEmbeddingResult(
+            fresh=new_batch, store=first_store, pinned=batch_bk
+        )
+    store_bk = (
+        store_bucket_rows.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__sv"),
+            "__t",
+            "__bucket",
+        )
+        if store_bucket_rows is not None
+        else hyperplane_bucket_rows(
+            vector_store, id_col, vec_col, dim, n_planes, n_tables, "__sv"
+        )
+    )
+    cand = (
+        batch_bk.select(id_col, "__nv", "__t", "__bucket")
+        .join(store_bk.select("__sv", "__t", "__bucket"), on=["__t", "__bucket"])
+        .select(id_col, "__nv", "__sv")
+        # one score per (batch doc, store doc) pair even when they collide
+        # in several tables — dedup BEFORE the kernel, same as ann_lsh_topk
+        .distinct()
+    )
+    dropped = cand.filter(
+        cosine_pairs_udf()(F.col("__nv"), F.col("__sv")) >= F.lit(threshold)
+    ).select(id_col)
+    fresh = new_batch.join(dropped, on=id_col, how="left_anti")
+    new_store = vector_store.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).unionByName(
+        fresh.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        )
+    )
+    return IncrementalEmbeddingResult(
+        fresh=fresh, store=new_store, pinned=batch_bk
     )

@@ -571,55 +571,12 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "q38_embedding_dupes",
-    f"""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS qa FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
-           {DOT_SQL.replace('ca', 'cb')}
-               / ({NORM_Q} * {NORM_C.replace('ca', 'cb')}) AS cosine_sim
-    FROM v a JOIN (SELECT vec_id, label, qa AS cb FROM v) b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {DOT_SQL.replace('ca', 'cb')}
-               / ({NORM_Q} * {NORM_C.replace('ca', 'cb')}) > 0.3
-    """,
-    tags=("dedup", "embedding"),
-)
-def q38(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs within a label partition (cos > 0.3):
-    the partition key bounds the pair space, one shuffle on label."""
-    # One shuffle on label, then pairwise blocks are scored inside an
-    # Arrow-batched applyInPandas kernel (blocked_cosine_pairs): a self-join
-    # would materialize |block|² rows each carrying BOTH 64-double arrays,
-    # and the unrolled dot tree compiles past HotSpot's JIT method ceiling.
-    # The operator ENFORCES the block cap — labels over max_block_rows are
-    # hash-salted into bounded sub-block pair groups, so one skewed label at
-    # corpus scale cannot OOM a Python worker — and replays the oracle's
-    # exact IEEE arithmetic (products, balanced-tree fold, division), so
-    # the cosines hash-match bit-for-bit either way.
-    from evidence_datasource_parsers_spark.operators.similarity import (
-        blocked_cosine_pairs,
-    )
-
-    e = (
-        load(spark, sf, "embeddings")
-        # the SQL oracle's equi-join drops NULL labels; the operator
-        # (correctly) scores NULL blocks, so align the QUERY to the
-        # oracle's semantics explicitly rather than relying on the
-        # fixture having no nulls
-        .where(F.col("label").isNotNull())
-        .select(
-            "vec_id", "label",
-            F.col("embedding").cast("array<double>").alias("v"),
-        )
-    )
-    return blocked_cosine_pairs(
-        e, block_col="label", id_col="vec_id", vec_col="v", threshold=0.3
-    )
-
-
+INCR_EMB_THRESHOLD = 0.5
+# table/plane geometry shared with q39 so both oracles replay ONE plane set
 ANN_PLANES = 4
 ANN_TABLES = 4
+_EMB_INCR_PLANES = ANN_PLANES
+_EMB_INCR_TABLES = ANN_TABLES
 
 
 def _ann_bucket_sql(planes: list[list[float]], t: int) -> str:
@@ -635,6 +592,119 @@ def _ann_bucket_sql(planes: list[list[float]], t: int) -> str:
         )
         terms.append(f"(CASE WHEN {s} > 0 THEN {1 << j} ELSE 0 END)")
     return " + ".join(terms)
+
+
+def _emb_incr_ctes_sql() -> str:
+    """CTEs for the incremental-embedding-dedup leg: odd vec_ids are the new
+    batch, even vec_ids the stored corpus; ``idropped`` holds the batch ids
+    with >= 1 shared hyperplane bucket AND exact cosine >= threshold — the
+    identical plane constants, balanced-tree folds, and table slicing as
+    the Spark-side kernel."""
+    planes = deterministic_planes(EMB_DIM, _EMB_INCR_PLANES * _EMB_INCR_TABLES)
+    bks = ",\n           ".join(
+        f"({_ann_bucket_sql(planes, t)}) AS bk{t}"
+        for t in range(_EMB_INCR_TABLES)
+    )
+    buckets = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, bk{t} AS bucket FROM isb"
+        for t in range(_EMB_INCR_TABLES)
+    )
+    return f"""
+    iv AS (SELECT vec_id, embedding::DOUBLE[] AS ea FROM embeddings),
+    isb AS (SELECT vec_id,
+           {bks}
+           FROM iv),
+    ib AS ({buckets}),
+    icand AS (
+        SELECT DISTINCT q.vec_id AS oid, c.vec_id AS eid
+        FROM ib q JOIN ib c ON q.t = c.t AND q.bucket = c.bucket
+        WHERE q.vec_id % 2 = 1 AND c.vec_id % 2 = 0
+    ),
+    idropped AS (
+        SELECT DISTINCT oid
+        FROM icand
+        JOIN (SELECT vec_id, ea AS qa FROM iv) qq ON qq.vec_id = oid
+        JOIN (SELECT vec_id, ea AS ca FROM iv) cc ON cc.vec_id = eid
+        WHERE {DOT_SQL} / ({NORM_Q} * {NORM_C}) >= {INCR_EMB_THRESHOLD}
+    )"""
+
+
+@register(
+    "q38_embedding_dupes",
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS qa FROM embeddings),
+    {_emb_incr_ctes_sql()}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+           {DOT_SQL.replace('ca', 'cb')}
+               / ({NORM_Q} * {NORM_C.replace('ca', 'cb')}) AS cosine_sim,
+           'pair' AS src
+    FROM v a JOIN (SELECT vec_id, label, qa AS cb FROM v) b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {DOT_SQL.replace('ca', 'cb')}
+               / ({NORM_Q} * {NORM_C.replace('ca', 'cb')}) > 0.3
+    UNION ALL
+    SELECT vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           CAST(NULL AS VARCHAR) AS label, CAST(NULL AS DOUBLE) AS cosine_sim,
+           'incr_fresh' AS src
+    FROM iv
+    WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT oid FROM idropped)
+    """,
+    tags=("dedup", "embedding", "incremental"),
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup, at-rest AND incremental.
+
+    Leg 1 (src='pair'): cosine near-dup pairs within a label partition
+    (cos > 0.3) — the partition key bounds the pair space, one shuffle on
+    label; pairwise blocks are scored inside an Arrow-batched applyInPandas
+    kernel (blocked_cosine_pairs) with the block cap ENFORCED (oversized
+    labels hash-salt into bounded sub-blocks), replaying the oracle's exact
+    IEEE arithmetic.
+
+    Leg 2 (src='incr_fresh'): the semantic batch-refresh story — even
+    vec_ids are the stored corpus (their vectors are the carried state),
+    odd vec_ids a new batch; :func:`incremental_embedding_dedupe` drops
+    re-ingests sharing >= 1 hyperplane bucket with a stored vector at exact
+    cosine >= {INCR_EMB_THRESHOLD}.  The oracle replays plane constants,
+    bucket packing, candidate generation, and the cosine threshold, so a
+    drift anywhere in the LSH-verify chain breaks the value hash."""
+    from evidence_datasource_parsers_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        incremental_embedding_dedupe,
+    )
+
+    full = load(spark, sf, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # the SQL oracle's equi-join drops NULL labels; the operator
+    # (correctly) scores NULL blocks, so align the QUERY to the
+    # oracle's semantics explicitly rather than relying on the
+    # fixture having no nulls
+    pairs = blocked_cosine_pairs(
+        full.where(F.col("label").isNotNull()),
+        block_col="label",
+        id_col="vec_id",
+        vec_col="v",
+        threshold=0.3,
+    ).withColumn("src", F.lit("pair"))
+    res = incremental_embedding_dedupe(
+        full.filter(F.col("vec_id") % 2 == 1).select("vec_id", "v"),
+        full.filter(F.col("vec_id") % 2 == 0).select("vec_id", "v"),
+        "v",
+        "vec_id",
+        dim=EMB_DIM,
+        threshold=INCR_EMB_THRESHOLD,
+        n_planes=_EMB_INCR_PLANES,
+        n_tables=_EMB_INCR_TABLES,
+    )
+    incr = res.fresh.select(
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("double").alias("cosine_sim"),
+        F.lit("incr_fresh").alias("src"),
+    )
+    return pairs.unionByName(incr)
 
 
 def _ann_oracle_sql() -> str:

@@ -105,6 +105,14 @@ def read_parquet(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def read_orc(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """ORC scan — Spark-native columnar alternative (predicate pushdown and
+    column pruning like parquet; common in Hive-heritage lakes)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.orc(*paths)
+
+
 def read_path(
     spark: SparkSession,
     path: str,
@@ -140,6 +148,8 @@ def read_path(
         return read_json(spark, path, schema=schema, recursive=os.path.isdir(path))
     if ext in (".parquet", ".pq"):
         return read_parquet(spark, path)
+    if ext == ".orc":
+        return read_orc(spark, path)
     raise ValueError(f"unsupported extension {ext!r} for {path}")
 
 

@@ -43,7 +43,12 @@ def write_evidence_strings(
 def write_output(df: DataFrame, out_path: str, fmt: str | None = None) -> None:
     """Generic extension-dispatched writer (K2), parity with
     ``modules/BrainCRISPR.py:310-317``."""
-    fmt = fmt or ("parquet" if out_path.endswith(".parquet") else "json")
+    if fmt is None:
+        fmt = (
+            "parquet"
+            if out_path.endswith(".parquet")
+            else "orc" if out_path.endswith(".orc") else "json"
+        )
     df.write.mode("overwrite").format(fmt).save(out_path)
 
 

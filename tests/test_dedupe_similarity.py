@@ -881,3 +881,52 @@ def test_lsh_candidate_pairs_from_buckets_matches_text_path(spark):
         ).collect()
     }
     assert via_text == via_buckets and via_buckets
+
+
+def test_incremental_embedding_dedupe_reingest(spark):
+    """A re-ingested near-identical vector (cosine ~1) is dropped; an
+    orthogonal vector survives; the store grows by the survivors; replay
+    is idempotent; a NULL vector passes through as fresh."""
+    from evidence_datasource_parsers_spark.operators.similarity import (
+        hyperplane_bucket_rows,
+        incremental_embedding_dedupe,
+    )
+
+    dim = 8
+    base = [1.0, 0.5, -0.25, 2.0, 0.0, 1.5, -1.0, 0.75]
+    near = [v * 1.001 + (0.001 if i == 0 else 0) for i, v in enumerate(base)]
+    ortho = [-0.5, 1.0, 2.0, 0.25, -1.5, 0.0, 1.0, -0.75]
+    b1 = spark.createDataFrame(
+        [(1, base), (2, ortho)], "vec_id long, v array<double>"
+    )
+    r1 = incremental_embedding_dedupe(b1, None, "v", "vec_id", dim=dim)
+    assert {r.vec_id for r in r1.fresh.collect()} == {1, 2}
+    assert r1.store.count() == 2
+    r1.pinned.unpersist()
+
+    novel = [0.1, -2.0, 0.3, 0.0, 1.1, -0.4, 0.9, 2.2]
+    b2 = spark.createDataFrame(
+        [(10, near), (11, novel), (12, base), (13, None)],
+        "vec_id long, v array<double>",
+    )
+    r2 = incremental_embedding_dedupe(b2, r1.store, "v", "vec_id", dim=dim)
+    got = {r.vec_id for r in r2.fresh.collect()}
+    assert 10 not in got  # near re-ingest dropped (cosine ~1)
+    assert 12 not in got  # exact copy dropped
+    assert 11 in got and 13 in got  # novel + NULL-vector pass through
+    r3 = incremental_embedding_dedupe(b2, r2.store, "v", "vec_id", dim=dim)
+    fresh3 = {r.vec_id for r in r3.fresh.collect()}
+    assert 11 not in fresh3  # replay: 11 is now in the store
+    assert 13 in fresh3  # NULL vector can never be stored or matched
+    r2.pinned.unpersist()
+    r3.pinned.unpersist()
+
+    # precomputed store bucket rows give identical results
+    store_bk = hyperplane_bucket_rows(
+        r1.store, "vec_id", "v", dim, 8, 4, "v"
+    )
+    r2b = incremental_embedding_dedupe(
+        b2, r1.store, "v", "vec_id", dim=dim, store_bucket_rows=store_bk
+    )
+    assert {r.vec_id for r in r2b.fresh.collect()} == got
+    r2b.pinned.unpersist()

@@ -439,3 +439,78 @@ def test_corpus_checksum_duplicates_and_timezones(spark):
         ts.unpersist()
         spark.conf.set("spark.sql.session.timeZone", old)
     assert utc == ny
+
+
+def test_orc_roundtrip_and_dispatch(spark, tmp_path):
+    """ORC write via write_output extension dispatch; read via read_path
+    autodetect and read_orc."""
+    from evidence_datasource_parsers_spark.sources.readers import (
+        read_orc,
+        read_path,
+    )
+    from evidence_datasource_parsers_spark.sources.sinks import write_output
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0)], "id long, s string, x double"
+    )
+    out = str(tmp_path / "t.orc")
+    write_output(df, out)  # extension-dispatched to orc
+    back = read_path(spark, out)
+    assert sorted((r.id, r.s, r.x) for r in back.collect()) == [
+        (1, "a", 1.5),
+        (2, "b", -2.0),
+    ]
+    assert read_orc(spark, out).schema == back.schema
+
+
+def test_compaction_flat_dir(spark, tmp_path):
+    """50 tiny files compact to the planned count with identical rows."""
+    from evidence_datasource_parsers_spark.operators.compaction import (
+        compact_files,
+        compaction_plan,
+        _data_files,
+    )
+
+    out = str(tmp_path / "frag")
+    df = spark.range(2000).selectExpr("id", "id * 2 AS v")
+    df.repartition(50).write.mode("overwrite").parquet(out)
+    before = compaction_plan(out, target_file_bytes=1 << 30)
+    assert before["n_files"] >= 50 and before["worth_it"]
+    assert before["target_files"] == 1
+    expect = sorted((r.id, r.v) for r in spark.read.parquet(out).collect())
+
+    res = compact_files(spark, out, target_file_bytes=1 << 30)
+    assert len(res["compacted"]) == 1
+    after = compaction_plan(out, target_file_bytes=1 << 30)
+    assert after["n_files"] == 1 and not after["worth_it"]
+    got = sorted((r.id, r.v) for r in spark.read.parquet(out).collect())
+    assert got == expect
+    assert all(s > 0 for _, s in _data_files(out))
+
+
+def test_compaction_partitioned_tree(spark, tmp_path):
+    """Hive-partitioned trees compact per leaf, preserving layout, the
+    partition column, and every row."""
+    from evidence_datasource_parsers_spark.operators.compaction import (
+        compact_files,
+    )
+
+    out = str(tmp_path / "part")
+    df = spark.range(1000).selectExpr("id", "CAST(id % 3 AS INT) AS part")
+    df.repartition(20).write.mode("overwrite").partitionBy(
+        "part"
+    ).parquet(out)
+    expect = sorted((r.id, r.part) for r in spark.read.parquet(out).collect())
+    res = compact_files(spark, out, target_file_bytes=1 << 30)
+    assert len(res["compacted"]) == 3  # one per leaf partition
+    back = spark.read.parquet(out)
+    assert sorted((r.id, r.part) for r in back.collect()) == expect
+    import os
+
+    for leaf in ("part=0", "part=1", "part=2"):
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, leaf))
+            if not f.startswith(("_", ".")) and not f.endswith(".crc")
+        ]
+        assert len(files) == 1, (leaf, files)

@@ -217,3 +217,58 @@ def test_streaming_content_dedupe(spark, tmp_path):
         for r in spark.sql("SELECT event_id FROM content_deduped").collect()
     )
     assert len(ids) == 2 and 3 in ids  # one of {1,2} survived, plus 3
+
+
+def test_incremental_dedupe_sink_remembers_across_runs(spark, tmp_path):
+    """The foreachBatch store sink drops re-ingests arriving in LATER runs
+    (beyond any watermark horizon): run 1 ingests docs 1-2; run 2 re-sends
+    doc 1's text under a new id plus a new doc — only the new doc lands in
+    the output, and the store accumulates all distinct content."""
+    import json as _json
+
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        incremental_dedupe_sink,
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    out = str(tmp_path / "fresh_out")
+    store = str(tmp_path / "store")
+
+    def doc(i, text):
+        return _json.dumps({"doc_id": i, "text": text})
+
+    (src / "b1.json").write_text(
+        doc(1, "the first document body") + "\n" + doc(2, "another body")
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        # fresh checkpoint per run: each run re-reads ALL files, so run 2
+        # replays docs 1-2 — exactly the re-ingest the store must absorb
+        ckpt = str(tmp_path / f"ckpt_{len(list(tmp_path.iterdir()))}")
+        q = incremental_dedupe_sink(
+            stream, out, store, ckpt, "text", "doc_id"
+        )
+        q.awaitTermination()
+
+    run()
+    first = sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    )
+    assert first == [1, 2]
+    assert spark.read.parquet(store).count() == 2
+
+    (src / "b2.json").write_text(
+        doc(10, "the first document body")  # re-crawl of doc 1's content
+        + "\n"
+        + doc(11, "a genuinely new document")
+    )
+    run()
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # doc 10 (re-ingested content) never lands; 11 does; 1-2 not duplicated
+    assert got == [1, 2, 11]
+    assert spark.read.parquet(store).count() == 3
