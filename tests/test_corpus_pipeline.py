@@ -125,3 +125,88 @@ def test_full_corpus_pipeline(spark, sf_dir):
     # the whole chain stayed lazy until here: one final materialization
     total_chunks = chunks.count()
     assert total_chunks >= mixed.count()
+
+
+def test_incremental_refresh_pipeline(spark, sf_dir):
+    """The batch-refresh twin of the at-rest pipeline: run 1 ingests half
+    the corpus and persists the lexical fingerprint store; run 2 ingests
+    the other half (which the synthetic corpus seeds with exact and near
+    duplicates of run 1's docs), and only genuinely-new content flows
+    through scoring → splitting → sharding.  Contracts checked BETWEEN
+    stages: drops actually happen, survivors are a subset of the batch,
+    the store grows by exactly the survivors, re-runs are deterministic,
+    and the final shard assignment is topology-free."""
+    from evidence_datasource_parsers_spark.functions.quality import (
+        lexical_quality_score,
+    )
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        incremental_lsh_dedupe,
+        lsh_fingerprints,
+    )
+    from evidence_datasource_parsers_spark.operators.sampling import (
+        split_assign,
+    )
+    from evidence_datasource_parsers_spark.operators.sharding import (
+        assign_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # run 1: first ingest — everything is fresh, store = its fingerprints
+    r1 = incremental_lsh_dedupe(b1, None, "text", "doc_id", mode="word", k=3)
+    n_b1_distinct = r1.fresh.count()
+    store = r1.store.localCheckpoint(eager=True)  # "persisted" between runs
+    r1.pinned.unpersist()
+    assert store.select("doc_id").distinct().count() == n_b1_distinct
+
+    # run 2: refresh batch — re-crawls must be dropped against the STORE
+    r2 = incremental_lsh_dedupe(b2, store, "text", "doc_id", mode="word", k=3)
+    fresh_ids = {r.doc_id for r in r2.fresh.select("doc_id").collect()}
+    b2_ids = {r.doc_id for r in b2.select("doc_id").collect()}
+    assert fresh_ids <= b2_ids
+    assert len(fresh_ids) < len(b2_ids), "corpus seeds cross-parity dups"
+    # store grew by exactly the surviving docs
+    assert (
+        r2.store.select("doc_id").distinct().count()
+        == n_b1_distinct + len(fresh_ids)
+    )
+    # determinism: an identical re-run computes the identical fresh set
+    r2b = incremental_lsh_dedupe(b2, store, "text", "doc_id", mode="word", k=3)
+    assert {r.doc_id for r in r2b.fresh.select("doc_id").collect()} == fresh_ids
+    r2b.pinned.unpersist()
+
+    # downstream: quality-score, split leakage-safely, shard deterministically
+    scored = r2.fresh.withColumn("q", lexical_quality_score(F.col("text")))
+    assert scored.where(F.col("q").isNull()).count() == 0  # no NULL text here
+    split = split_assign(scored, "doc_id", {"train": 0.9, "val": 0.1})
+    sharded = assign_shards(split, "doc_id", 4)
+    rows = {
+        r.doc_id: (r.split, r.shard, r.shard_pos) for r in sharded.collect()
+    }
+    assert set(rows) == fresh_ids
+    again = {
+        r.doc_id: (r.split, r.shard, r.shard_pos)
+        for r in assign_shards(
+            split_assign(
+                scored.repartition(7), "doc_id", {"train": 0.9, "val": 0.1}
+            ),
+            "doc_id",
+            4,
+        ).collect()
+    }
+    assert again == rows  # end-to-end topology-free
+    r2.pinned.unpersist()
+
+    # the incremental path and a from-scratch at-rest pass agree on content:
+    # every fresh doc's fingerprint is genuinely absent from run 1's store
+    fp2 = lsh_fingerprints(
+        r2.fresh, "text", "doc_id", mode="word", k=3
+    )
+    overlap = fp2.select("content_hash").join(
+        store.select("content_hash"), on="content_hash", how="left_semi"
+    )
+    assert overlap.count() == 0
