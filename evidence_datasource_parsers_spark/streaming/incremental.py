@@ -37,13 +37,31 @@ def incremental_dedupe_sink(
     checkpoint: str,
     text_col: str,
     id_col: str,
+    mode: str = "exact",
+    **dedupe_opts,
 ):
     """foreachBatch sink: drop every document already in the cross-run
     store, append survivors to ``out_dir`` (parquet), swap the updated
-    store into ``store_dir``.  Returns the started StreamingQuery."""
-    from evidence_datasource_parsers_spark.operators.dedupe import (
-        incremental_exact_dedupe,
-    )
+    store into ``store_dir``.  Returns the started StreamingQuery.
+
+    ``mode`` selects the store semantics — the full incremental triad is
+    available to the stream:
+
+      * ``'exact'``  — 8-byte content hashes (`incremental_exact_dedupe`);
+      * ``'lsh'``    — MinHash-LSH fingerprints: a re-crawl with a few
+        changed words is still dropped (`incremental_lsh_dedupe`);
+      * ``'simhash'`` — hamming-distance fingerprints
+        (`incremental_simhash_dedupe`).
+
+    ``dedupe_opts`` pass through to the chosen operator (num_perm/bands/k
+    for lsh; nbits/max_hamming/n_blocks for simhash; threshold).  The LSH
+    operator's shingle ``mode`` ('char'/'word') is passed as
+    ``shingle_mode`` here, since ``mode`` selects the store kind.
+    """
+    from evidence_datasource_parsers_spark.operators import dedupe as dd
+
+    if mode not in ("exact", "lsh", "simhash"):
+        raise ValueError(f"unknown dedupe mode {mode!r}")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -52,16 +70,38 @@ def incremental_dedupe_sink(
             if os.path.isdir(store_dir)
             else None
         )
-        fresh, new_store = incremental_exact_dedupe(
-            batch_df, store, text_col, id_col
-        )
+        if mode == "exact":
+            fresh, new_store = dd.incremental_exact_dedupe(
+                batch_df, store, text_col, id_col, **dedupe_opts
+            )
+        elif mode == "lsh":
+            opts = dict(dedupe_opts)
+            if "shingle_mode" in opts:
+                opts["mode"] = opts.pop("shingle_mode")
+            res = dd.incremental_lsh_dedupe(
+                batch_df, store, text_col, id_col, **opts
+            )
+            fresh, new_store = res.fresh, res.store
+            fresh = fresh.persist()  # consumed once; pinned fp covers store
+        else:
+            res = dd.incremental_simhash_dedupe(
+                batch_df, store, text_col, id_col, **dedupe_opts
+            )
+            fresh, new_store = res.fresh, res.store
+            fresh = fresh.persist()
         try:
-            # store first (see module docstring for the crash semantics);
-            # tmp + rename because new_store READS store_dir — Spark
-            # refuses an overwrite of a path in its own lineage, and a
-            # partial in-place write would corrupt the store
+            # 1. materialize the updated store into a tmp dir (it READS
+            # store_dir, so an in-place overwrite would corrupt it);
+            # 2. sever fresh's lineage from the old store files with an
+            # eager checkpoint — the swap below DELETES them, and a lazy
+            # fresh would otherwise fail mid-write on the vanished parts;
+            # 3. swap; 4. append the checkpointed fresh rows.
+            # Crash before the swap: nothing visible changed (stale tmp
+            # dirs are garbage to sweep).  Crash between swap and append:
+            # store updated, output lost — the documented at-most-once.
             tmp = f"{store_dir}__swap_{uuid.uuid4().hex[:8]}"
             new_store.write.mode("overwrite").parquet(tmp)
+            fresh_mat = fresh.localCheckpoint(eager=True)
             if os.path.isdir(store_dir):
                 old = f"{store_dir}__old_{uuid.uuid4().hex[:8]}"
                 os.rename(store_dir, old)
@@ -69,9 +109,11 @@ def incremental_dedupe_sink(
                 shutil.rmtree(old)
             else:
                 os.rename(tmp, store_dir)
-            fresh.write.mode("append").parquet(out_dir)
+            fresh_mat.write.mode("append").parquet(out_dir)
         finally:
             fresh.unpersist()
+            if mode != "exact":
+                res.pinned.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process)

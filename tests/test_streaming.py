@@ -272,3 +272,59 @@ def test_incremental_dedupe_sink_remembers_across_runs(spark, tmp_path):
     # doc 10 (re-ingested content) never lands; 11 does; 1-2 not duplicated
     assert got == [1, 2, 11]
     assert spark.read.parquet(store).count() == 3
+
+
+def test_incremental_lsh_sink_drops_streamed_recrawls(spark, tmp_path):
+    """mode='lsh': a one-word-changed re-crawl STREAMED in a later run is
+    dropped against the persisted fingerprint store — near-dup memory no
+    watermark could provide."""
+    import json as _json
+
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        incremental_dedupe_sink,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    recrawl = base.replace("afternoon", "evening")
+    novel = (
+        "completely unrelated content about distributed query engines "
+        "partitioning shuffle exchanges and adaptive execution plans"
+    )
+    src = tmp_path / "lsh_in"
+    src.mkdir()
+    out = str(tmp_path / "lsh_out")
+    store = str(tmp_path / "lsh_store")
+
+    def doc(i, text):
+        return _json.dumps({"doc_id": i, "text": text})
+
+    (src / "b1.json").write_text(doc(1, base))
+
+    runs = [0]
+
+    def run():
+        runs[0] += 1
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        q = incremental_dedupe_sink(
+            stream, out, store, str(tmp_path / f"lsh_ck{runs[0]}"),
+            "text", "doc_id", mode="lsh", shingle_mode="word", k=3,
+        )
+        q.awaitTermination()
+
+    run()
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1]
+
+    (src / "b2.json").write_text(doc(10, recrawl) + "\n" + doc(11, novel))
+    run()
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 11]  # 10 = near-dup re-crawl dropped; 1 not re-emitted
+    # store carries fingerprint rows for docs 1 and 11 only
+    assert {
+        r.doc_id for r in spark.read.parquet(store).collect()
+    } == {1, 11}
