@@ -153,3 +153,70 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Index maintenance — the operational side of IVF at 100 TB: the assigned
+# corpus (id, vec, cell) IS the index, persisted bucketed by cell so the
+# search join is co-located.  New batches append via assignment against the
+# EXISTING centroids (no refit — assignments already in the index must never
+# move, or the bucketed layout and any cached cell stats are invalidated);
+# occupancy drift tells you when a refit + rebuild is actually worth it.
+# ---------------------------------------------------------------------------
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persisted IVF index frame: ``(id, vec, cell)`` — one narrow pass,
+    no shuffle.  Write with ``sinks.write_partitioned(..., buckets=...)`` on
+    ``cell`` so ivf search joins leave the corpus side in place."""
+    assign = _cells_udf(centroids, 1)
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    ).withColumn("cell", F.element_at(assign(F.col(vec_col)), 1))
+
+
+def ivf_add_batch(
+    index: DataFrame,
+    new_batch: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append a new batch to an existing index: assign against the SAME
+    centroids and union — existing rows never move.  Quality decays only as
+    the data distribution drifts from the fitted centroids; monitor with
+    :func:`cell_occupancy` / :func:`needs_refit` and rebuild when flagged."""
+    return index.unionByName(
+        assign_cells(new_batch, centroids, id_col, vec_col)
+    )
+
+
+def cell_occupancy(index: DataFrame) -> DataFrame:
+    """Per-cell row counts — one aggregate, the index health metric."""
+    return index.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+def needs_refit(
+    occupancy: DataFrame,
+    n_cells: int,
+    max_imbalance: float = 4.0,
+) -> bool:
+    """Refit heuristic: True when the fullest cell exceeds ``max_imbalance``
+    × the ideal (total/n_cells), or any fitted cell is empty — either way
+    probes stop pruning evenly and search cost skews.  One tiny aggregate
+    (n_cells rows) — safe to run after every batch append."""
+    rows = occupancy.agg(
+        F.max("n").alias("mx"),
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("nonempty"),
+    ).first()
+    if not rows or not rows.total:
+        return False
+    ideal = rows.total / n_cells
+    return bool(rows.mx > max_imbalance * ideal or rows.nonempty < n_cells)

@@ -123,3 +123,71 @@ def dequantize_embeddings(
         F.col(q_col), lambda q: (q.cast("double") * F.col(scale_col)).cast("float")
     )
     return df.withColumn(out_col, deq)
+
+
+def quantize_vector_store(
+    store: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Vector store rows → int8 storage form ``(id, q_embedding, q_scale)``
+    — the 100 TB layout for the incremental embedding-dedup store (64-dim
+    float64 = 512 B/doc → 64 B + 4 B scale)."""
+    return quantize_embeddings(store, vec_col=vec_col).select(
+        id_col, "q_embedding", "q_scale"
+    )
+
+
+def incremental_embedding_dedupe_quantized(
+    new_batch: DataFrame,
+    q_store: DataFrame | None,
+    vec_col: str,
+    id_col: str,
+    **dedupe_kwargs,
+):
+    """:func:`similarity.incremental_embedding_dedupe` against an INT8
+    store: the persisted state is ``(id, q_embedding, q_scale)`` (8× lighter
+    than float64 vectors); the batch's float vectors are compared against
+    the dequantized store, whose per-component error is bounded by
+    max(|x|)/254 — far below any near-dup threshold's margin.
+
+    Store update discipline: existing store rows are carried UNCHANGED and
+    only the survivors' vectors are newly quantized — re-quantizing a
+    dequantized row is not bit-idempotent (the scale re-derives from the
+    clamped max), so rows must be quantized exactly once in their life.
+
+    Returns the same ``(fresh, store, pinned)`` shape with ``store`` in
+    quantized form.
+    """
+    from evidence_datasource_parsers_spark.operators.similarity import (
+        IncrementalEmbeddingResult,
+        incremental_embedding_dedupe,
+    )
+
+    if q_store is None:
+        res = incremental_embedding_dedupe(
+            new_batch, None, vec_col, id_col, **dedupe_kwargs
+        )
+        return IncrementalEmbeddingResult(
+            fresh=res.fresh,
+            store=quantize_vector_store(res.store, vec_col, id_col),
+            pinned=res.pinned,
+        )
+    store_f = dequantize_embeddings(q_store, out_col=vec_col).select(
+        id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    res = incremental_embedding_dedupe(
+        new_batch, store_f, vec_col, id_col, **dedupe_kwargs
+    )
+    new_q_store = q_store.unionByName(
+        quantize_vector_store(
+            res.fresh.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+            ),
+            vec_col,
+            id_col,
+        )
+    )
+    return IncrementalEmbeddingResult(
+        fresh=res.fresh, store=new_q_store, pinned=res.pinned
+    )

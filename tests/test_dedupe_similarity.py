@@ -930,3 +930,70 @@ def test_incremental_embedding_dedupe_reingest(spark):
     )
     assert {r.vec_id for r in r2b.fresh.collect()} == got
     r2b.pinned.unpersist()
+
+
+def test_ivf_index_maintenance(spark):
+    """Incremental IVF: batch appends assign against fixed centroids
+    (existing rows never move), search over the maintained index equals a
+    from-scratch search over the combined corpus, and the occupancy/refit
+    heuristics fire on imbalance."""
+    from evidence_datasource_parsers_spark.operators.ivf import (
+        assign_cells,
+        cell_occupancy,
+        deterministic_centroids,
+        ivf_add_batch,
+        ivf_topk,
+        needs_refit,
+    )
+
+    dim, n_cells = 8, 4
+    cents = deterministic_centroids(dim, n_cells)
+    import random
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    b1, b2 = df.filter(F.col("vec_id") < 25), df.filter(F.col("vec_id") >= 25)
+
+    idx1 = assign_cells(b1, cents).localCheckpoint(eager=True)
+    idx2 = ivf_add_batch(idx1, b2, cents)
+    # appended index ≡ from-scratch assignment of the union
+    scratch = assign_cells(df, cents)
+    assert sorted(
+        (r.vec_id, r.cell) for r in idx2.collect()
+    ) == sorted((r.vec_id, r.cell) for r in scratch.collect())
+    # existing rows did not move
+    first = {r.vec_id: r.cell for r in idx1.collect()}
+    after = {r.vec_id: r.cell for r in idx2.collect()}
+    assert all(after[k] == v for k, v in first.items())
+
+    # search over the maintained index — probe against the same centroids
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_topk(
+        queries,
+        idx2.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding")),
+        cents,
+        k=3,
+    )
+    ref = ivf_topk(
+        queries,
+        df.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        cents,
+        k=3,
+    )
+    assert sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in got.collect()
+    ) == sorted((r.query_id, r.neighbor_id, r.rank) for r in ref.collect())
+
+    occ = cell_occupancy(idx2)
+    assert occ.agg(F.sum("n")).first()[0] == 40
+    assert not needs_refit(occ, n_cells, max_imbalance=1000.0) or occ.count() < n_cells
+    # a pathologically skewed index must flag
+    skew = spark.createDataFrame(
+        [(i, 0) for i in range(100)] + [(100, 1)], "vec_id long, cell int"
+    )
+    assert needs_refit(cell_occupancy(skew), n_cells=4)

@@ -100,3 +100,45 @@ def test_quantized_topk_recall_vs_float(spark, sf_dir):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, f"int8 search recall too low: {recall}"
+
+
+def test_incremental_embedding_dedupe_quantized_store(spark):
+    """The int8 store drops the same re-ingests the float store does, old
+    store rows never drift (quantized exactly once), and the store schema
+    is the 8x-lighter int8 layout."""
+    from evidence_datasource_parsers_spark.operators.quantize import (
+        incremental_embedding_dedupe_quantized,
+    )
+
+    dim = 8
+    base = [1.0, 0.5, -0.25, 2.0, 0.0, 1.5, -1.0, 0.75]
+    near = [v * 1.001 + (0.001 if i == 0 else 0) for i, v in enumerate(base)]
+    ortho = [-0.5, 1.0, 2.0, 0.25, -1.5, 0.0, 1.0, -0.75]
+    b1 = spark.createDataFrame(
+        [(1, base), (2, ortho)], "vec_id long, v array<double>"
+    )
+    r1 = incremental_embedding_dedupe_quantized(
+        b1, None, "v", "vec_id", dim=dim
+    )
+    store1 = r1.store.localCheckpoint(eager=True)
+    r1.pinned.unpersist()
+    assert set(store1.columns) == {"vec_id", "q_embedding", "q_scale"}
+    assert store1.schema["q_embedding"].dataType.elementType.typeName() == "byte"
+
+    b2 = spark.createDataFrame(
+        [(10, near), (11, [0.1, -2.0, 0.3, 0.0, 1.1, -0.4, 0.9, 2.2])],
+        "vec_id long, v array<double>",
+    )
+    r2 = incremental_embedding_dedupe_quantized(
+        b2, store1, "v", "vec_id", dim=dim
+    )
+    assert {r.vec_id for r in r2.fresh.collect()} == {11}
+    # old rows carried bit-identically — no quantize/dequantize drift
+    old = {r.vec_id: (list(r.q_embedding), r.q_scale)
+           for r in store1.collect()}
+    new = {r.vec_id: (list(r.q_embedding), r.q_scale)
+           for r in r2.store.collect()}
+    assert set(new) == {1, 2, 11}
+    for k, v in old.items():
+        assert new[k] == v
+    r2.pinned.unpersist()
