@@ -295,6 +295,7 @@ def ann_lsh_topk(
     query_id: str = "query_id",
     corpus_id: str = "neighbor_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing a hyperplane-sign bucket in
     at least one of ``n_tables`` independent hash tables (OR-amplification).
@@ -303,9 +304,21 @@ def ann_lsh_topk(
     n_planes down / n_tables up for higher recall at more compute.  One
     shuffle on (table, bucket) — corpus rows replicate ×n_tables, candidates
     dedupe before scoring so each pair is scored once.
+
+    ``multiprobe > 0`` additionally probes, per table, the buckets reached
+    by flipping the sign of that many smallest-margin planes
+    (:func:`hyperplane_probe_rows`) — more recall at query-side cost only;
+    the corpus replication and store layout are unchanged.
     """
-    q = hyperplane_bucket_rows(
-        queries, query_id, vec_col, dim, n_planes, n_tables, "__qv"
+    q = (
+        hyperplane_probe_rows(
+            queries, query_id, vec_col, dim, n_planes, n_tables,
+            multiprobe, "__qv",
+        )
+        if multiprobe
+        else hyperplane_bucket_rows(
+            queries, query_id, vec_col, dim, n_planes, n_tables, "__qv"
+        )
     )
     c = hyperplane_bucket_rows(
         corpus, corpus_id, vec_col, dim, n_planes, n_tables, "__cv"
@@ -547,4 +560,98 @@ def incremental_embedding_dedupe(
     )
     return IncrementalEmbeddingResult(
         fresh=fresh, store=new_store, pinned=batch_bk
+    )
+
+
+def hyperplane_probe_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    multiprobe: int = 0,
+    vec_alias: str = "__v",
+) -> DataFrame:
+    """Query-side bucket rows WITH multi-probe: besides its own bucket in
+    each table, a query also probes the buckets reached by flipping the
+    ``multiprobe`` plane signs with the smallest projection margin — the
+    planes the vector sits closest to, i.e. where a true neighbor most
+    likely landed on the other side (Lu et al.'s multi-probe LSH, restricted
+    to single-bit perturbations).  Raises per-query candidate volume
+    ×(1+multiprobe) while leaving the CORPUS side and the store layout
+    untouched — the cheap recall knob when adding hash tables (which
+    re-replicates the corpus) is too expensive.
+
+    ``multiprobe=0`` emits exactly :func:`hyperplane_bucket_rows`'s rows.
+    """
+    if multiprobe < 0 or multiprobe > n_planes:
+        raise ValueError(f"multiprobe must be in [0, {n_planes}]")
+    all_planes = deterministic_planes(dim, n_planes * n_tables)
+    planes_const = [[float(v) for v in p] for p in all_planes]
+    n_t, n_p, n_probe = n_tables, n_planes, multiprobe
+
+    def kernel(s):
+        import numpy as np
+        import pandas as pd
+
+        P = np.asarray(planes_const, dtype=np.float64)
+        if len(s) == 0:
+            return pd.DataFrame(
+                {f"bk{t}": pd.Series([], dtype=object) for t in range(n_t)}
+            )
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in s])
+        x = V[:, None, :] * P[None, :, :]
+        while x.shape[2] > 1:
+            m = x.shape[2] // 2
+            even = x[:, :, 0 : 2 * m : 2] + x[:, :, 1 : 2 * m : 2]
+            x = (
+                even
+                if x.shape[2] % 2 == 0
+                else np.concatenate([even, x[:, :, -1:]], axis=2)
+            )
+        proj = x[:, :, 0]  # (n, T*J) — same fold as the base bucketing
+        signs = proj > 0
+        out = {}
+        for t in range(n_t):
+            sl = slice(t * n_p, (t + 1) * n_p)
+            base = np.zeros(len(V), dtype=np.int32)
+            for j in range(n_p):
+                base |= signs[:, t * n_p + j].astype(np.int32) << j
+            margins = np.abs(proj[:, sl])  # (n, J)
+            flip_order = np.argsort(margins, axis=1, kind="stable")
+            rows = []
+            for i in range(len(V)):
+                bks = [int(base[i])]
+                for m in range(n_probe):
+                    bks.append(int(base[i]) ^ (1 << int(flip_order[i, m])))
+                rows.append(bks)
+            out[f"bk{t}"] = pd.Series(rows)
+        return pd.DataFrame(out)
+
+    schema = ", ".join(f"bk{t} array<int>" for t in range(n_tables))
+    bucket_udf = F.pandas_udf(kernel, schema)
+    src = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_alias)
+        )
+        .withColumn("__bks", bucket_udf(F.col(vec_alias)))
+    )
+    per_table = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"), F.col(f"__bks.bk{t}").alias("bks")
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return (
+        src.select(id_col, vec_alias, F.explode(per_table).alias("__tb"))
+        .select(
+            id_col,
+            vec_alias,
+            F.col("__tb.table").alias("__t"),
+            F.explode("__tb.bks").alias("__bucket"),
+        )
     )
