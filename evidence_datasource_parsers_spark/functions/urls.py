@@ -1,0 +1,113 @@
+"""URL canonicalization for crawl dedup.
+
+Before any content-level dedup, a crawl pipeline collapses URL aliases —
+``HTTP://Example.com:80/a?utm_source=x&b=1#frag`` and
+``http://example.com/a?b=1`` are the same fetch.  Everything here is native
+Spark SQL expressions (regexp + higher-order array functions): a narrow
+per-row projection, no UDF, no shuffle, fully pushdown-compatible.
+
+Canonical form applied by :func:`canonicalize_url`:
+
+  * scheme and host lowercased; default ports (:80 http, :443 https)
+    stripped;
+  * tracking parameters dropped (utm_*, fbclid, gclid, msclkid, mc_cid,
+    mc_eid, igshid, ref_src);
+  * remaining query parameters SORTED (param order is almost never
+    semantic; sorting makes the form canonical);
+  * fragment dropped (never sent to the server);
+  * trailing slash trimmed from non-root paths, empty path → ``/``.
+
+This is deliberately the conservative subset: it never merges URLs that
+could be different resources (no case-folding of paths, no param-value
+rewriting).  Content-level dedup (operators/dedupe.py) handles what URL
+normalization can't see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid|ref_src)="
+)
+
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+
+
+def _part(url: Column, i: int) -> Column:
+    return F.regexp_extract(url, _URL_RE, i)
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of an absolute http(s)-style URL (see module doc).
+    Strings that do not parse as ``scheme://netloc...`` pass through
+    unchanged — canonicalization must never destroy a key it cannot read.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(_part(u, 1))
+    netloc = F.lower(_part(u, 2))
+    host = F.when(
+        (scheme == "http") & netloc.endswith(":80"),
+        F.substring_index(netloc, ":80", 1),
+    ).otherwise(
+        F.when(
+            (scheme == "https") & netloc.endswith(":443"),
+            F.substring_index(netloc, ":443", 1),
+        ).otherwise(netloc)
+    )
+    raw_path = _part(u, 3)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(raw_path) > 1) & raw_path.endswith("/"),
+            F.regexp_replace(raw_path, r"/+$", ""),
+        ).otherwise(raw_path)
+    )
+    raw_query = _part(u, 4)  # includes leading '?' or ''
+    params = F.filter(
+        F.split(F.regexp_replace(raw_query, r"^\?", ""), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    query = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+    ).otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), host, path, query)
+    return F.when(scheme == "", u).otherwise(canon)
+
+
+def registrable_domain(url: Column | str) -> Column:
+    """Best-effort registrable domain of a URL's host: last two labels,
+    or last three when the host ends in a common two-level public suffix
+    (co.uk, com.au, ...).  A heuristic subset of the Public Suffix List —
+    good enough for per-domain mixing/throttling stats; swap in a full PSL
+    table join where exactness matters."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.lower(_part(u, 2))
+    host = F.substring_index(host, ":", 1)  # strip port
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    two_level = host.rlike(
+        r"\.(co|com|org|net|gov|ac|edu)\.(uk|au|nz|jp|za|in|br)$"
+    )
+    take = F.when(two_level, F.lit(3)).otherwise(F.lit(2))
+    take = F.least(take, n)
+    return F.when(
+        host == "", F.lit(None).cast("string")
+    ).otherwise(F.array_join(F.slice(labels, n - take + 1, take), "."))
+
+
+def dedupe_by_url(
+    df: DataFrame, url_col: str, id_col: str
+) -> DataFrame:
+    """Keep one row (min id) per canonical URL — the cheap first pass
+    before content dedup; same min-id representative rule as
+    ``operators.dedupe.exact_dedupe``, grouped on the canonical string."""
+    canon = canonicalize_url(F.col(url_col))
+    hashed = df.withColumn("__cu", canon)
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        hashed.groupBy("__cu")
+        .agg(F.min_by(row, F.col(id_col)).alias("__row"))
+        .select("__row.*")
+    )

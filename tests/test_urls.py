@@ -1,0 +1,72 @@
+"""Tests for URL canonicalization (functions/urls.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.functions.urls import (
+    canonicalize_url,
+    dedupe_by_url,
+    registrable_domain,
+)
+
+CASES = [
+    # (input, canonical)
+    ("HTTP://Example.COM:80/a?utm_source=x&b=1#frag", "http://example.com/a?b=1"),
+    ("https://example.com:443/", "https://example.com/"),
+    ("https://example.com", "https://example.com/"),
+    ("http://example.com/a/b/", "http://example.com/a/b"),
+    ("http://example.com/a?z=2&a=1", "http://example.com/a?a=1&z=2"),
+    (
+        "http://example.com/a?fbclid=abc&gclid=x&utm_medium=m",
+        "http://example.com/a",
+    ),
+    ("http://example.com:8080/x", "http://example.com:8080/x"),  # real port kept
+    ("not a url at all", "not a url at all"),  # unparseable passes through
+    ("HTTPS://A.B.co.uk/P?q=1#f", "https://a.b.co.uk/P?q=1"),  # path case kept
+]
+
+
+def test_canonicalize_url_cases(spark):
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CASES)],
+                               "i long, url string")
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(CASES):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_registrable_domain(spark):
+    cases = [
+        ("http://www.example.com/x", "example.com"),
+        ("https://a.b.co.uk:443/", "b.co.uk"),
+        ("http://deep.sub.domain.org/", "domain.org"),
+        ("http://localhost/x", "localhost"),
+        ("nonsense", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: r.d
+        for r in df.select(
+            "i", registrable_domain("url").alias("d")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_dedupe_by_url_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            (3, "http://Example.com/a?utm_source=x", "later alias"),
+            (1, "http://example.com/a", "first"),
+            (2, "http://example.com/b", "other"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out = {r.doc_id for r in dedupe_by_url(df, "url", "doc_id").collect()}
+    assert out == {1, 2}
