@@ -20,3 +20,13 @@ from evidence_datasource_parsers_spark.functions.textstats import (  # noqa: F40
     tokens,
     top_ngram_char_fraction,
 )
+from evidence_datasource_parsers_spark.functions.quality import (  # noqa: F401
+    lexical_quality_score,
+    placeholder_weight_table,
+    score_with_weight_table,
+)
+from evidence_datasource_parsers_spark.functions.urls import (  # noqa: F401
+    canonicalize_url,
+    dedupe_by_url,
+    registrable_domain,
+)

@@ -56,3 +56,25 @@ from evidence_datasource_parsers_spark.operators.similarity import (  # noqa: F4
     hyperplane_bucket_rows,
     incremental_embedding_dedupe,
 )
+from evidence_datasource_parsers_spark.operators.sharding import (  # noqa: F401
+    assign_shards,
+    write_shards,
+)
+from evidence_datasource_parsers_spark.operators.compaction import (  # noqa: F401
+    compact_files,
+    compaction_plan,
+)
+from evidence_datasource_parsers_spark.operators.quantize import (  # noqa: F401
+    incremental_embedding_dedupe_quantized,
+    quantize_vector_store,
+)
+from evidence_datasource_parsers_spark.operators.similarity import (  # noqa: F401
+    hyperplane_probe_rows,
+)
+from evidence_datasource_parsers_spark.operators.ivf import (  # noqa: F401
+    assign_cells,
+    cell_occupancy,
+    ivf_add_batch,
+    ivf_topk,
+    needs_refit,
+)
