@@ -296,9 +296,15 @@ def ann_lsh_topk(
     corpus_id: str = "neighbor_id",
     vec_col: str = "embedding",
     multiprobe: int = 0,
+    corpus_bucket_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only pairs sharing a hyperplane-sign bucket in
     at least one of ``n_tables`` independent hash tables (OR-amplification).
+
+    ``corpus_bucket_rows``: precomputed :func:`hyperplane_bucket_rows` for
+    the corpus (vec_alias '__cv', same plane geometry) — share ONE corpus
+    bucketing pass between searches (e.g. base and multi-probe variants, or
+    repeated query batches against a persisted index).
 
     Recall ≈ 1-(1-p^n_planes)^n_tables where p = 1-θ/π per plane; tune
     n_planes down / n_tables up for higher recall at more compute.  One
@@ -320,8 +326,12 @@ def ann_lsh_topk(
             queries, query_id, vec_col, dim, n_planes, n_tables, "__qv"
         )
     )
-    c = hyperplane_bucket_rows(
-        corpus, corpus_id, vec_col, dim, n_planes, n_tables, "__cv"
+    c = (
+        corpus_bucket_rows
+        if corpus_bucket_rows is not None
+        else hyperplane_bucket_rows(
+            corpus, corpus_id, vec_col, dim, n_planes, n_tables, "__cv"
+        )
     )
     candidates = (
         c.join(q.select(query_id, "__t", "__bucket"), on=["__t", "__bucket"])

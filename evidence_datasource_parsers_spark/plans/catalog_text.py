@@ -746,6 +746,87 @@ def _ann_oracle_sql() -> str:
 
 IVF_CELLS = 8
 IVF_PROBE = 2
+ANN_MULTIPROBE = 2
+
+
+def _ann_mp_oracle_sql() -> str:
+    """Multi-probe LSH replay: per table, the query additionally probes the
+    buckets reached by flipping its {ANN_MULTIPROBE} smallest-|projection|
+    planes.  The per-plane sums are the identical balanced trees the base
+    bucketing uses; the flip order is an ascending (|s|, plane) struct sort
+    — the exact tie-break of the kernel's stable argsort."""
+    planes = deterministic_planes(EMB_DIM, ANN_PLANES * ANN_TABLES)
+    scols = []
+    for t in range(ANN_TABLES):
+        for j in range(ANN_PLANES):
+            plane = planes[t * ANN_PLANES + j]
+            s = _balanced_sum_sql(
+                [f"ea[{i + 1}] * {v!r}" for i, v in enumerate(plane)]
+            )
+            scols.append(f"({s}) AS s{t}_{j}")
+    bks = []
+    for t in range(ANN_TABLES):
+        terms = " + ".join(
+            f"(CASE WHEN s{t}_{j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(ANN_PLANES)
+        )
+        bks.append(f"({terms}) AS bk{t}")
+    flips = []
+    for t in range(ANN_TABLES):
+        structs = ", ".join(
+            f"struct_pack(m := abs(s{t}_{j}), j := {j})"
+            for j in range(ANN_PLANES)
+        )
+        flips.append(f"list_sort([{structs}]) AS o{t}")
+    probe_lists = []
+    for t in range(ANN_TABLES):
+        buckets = ", ".join(
+            [f"bk{t}"]
+            + [
+                f"xor(bk{t}, 1 << o{t}[{m + 1}].j)"
+                for m in range(ANN_MULTIPROBE)
+            ]
+        )
+        probe_lists.append(
+            f"SELECT vec_id, {t} AS t, unnest([{buckets}]) AS bucket FROM mps"
+        )
+    qb = "\n        UNION ALL ".join(probe_lists)
+    cb = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, bk{t} AS bucket FROM mps"
+        for t in range(ANN_TABLES)
+    )
+    scols_sql = ",\n           ".join(scols)
+    bks_sql = ",\n           ".join(bks)
+    flips_sql = ",\n           ".join(flips)
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ea FROM embeddings),
+    ms AS (SELECT vec_id,
+           {scols_sql}
+           FROM v),
+    mps AS (SELECT vec_id,
+           {bks_sql},
+           {flips_sql}
+           FROM ms),
+    cb AS ({cb}),
+    qb AS ({qb}),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM qb q JOIN cb c ON q.t = c.t AND q.bucket = c.bucket
+        WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               {DOT_SQL} / ({NORM_Q} * {NORM_C}) AS cosine_sim
+        FROM cand
+        JOIN (SELECT vec_id, ea AS qa FROM v) qq ON qq.vec_id = query_id
+        JOIN (SELECT vec_id, ea AS ca FROM v) cc ON cc.vec_id = neighbor_id
+    )
+    SELECT 'lsh_mp' AS method, query_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """
 
 
 def _ivf_oracle_sql() -> str:
@@ -811,15 +892,20 @@ def _ivf_oracle_sql() -> str:
     SELECT 'lsh' AS method, * FROM ({_ann_oracle_sql()})
     UNION ALL
     SELECT * FROM ({_ivf_oracle_sql()})
+    UNION ALL
+    SELECT * FROM ({_ann_mp_oracle_sql()})
     """,
     tags=("similarity", "ann", "lsh", "ivf"),
     bench=True,
 )
 def q39(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate top-k by BOTH scale paths, tagged by method — where brute
+    """Approximate top-k by the scale paths, tagged by method — where brute
     force (q37) is infeasible.  'lsh': random-hyperplane sign buckets;
     'ivf': Voronoi cells around deterministic unit-norm centroids
-    (operators/ivf.py), probing the 2 nearest of 8 cells.  Hyperplanes and
+    (operators/ivf.py), probing the 2 nearest of 8 cells; 'lsh_mp':
+    multi-probe LSH — the same tables, plus per-table probes of the
+    {ANN_MULTIPROBE} smallest-margin plane flips (the query-side recall
+    knob; its oracle replays the margin sort and xor flips).  Hyperplanes and
     centroids come from a deterministic LCG, so the bucketing/assignment —
     and therefore the whole approximate result — is engine-portable: the
     oracle replays the identical constants and sum trees in DuckDB and the
@@ -836,16 +922,31 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    from evidence_datasource_parsers_spark.operators.similarity import (
+        hyperplane_bucket_rows,
+    )
+
+    # ONE corpus bucketing pass shared by the base and multi-probe legs —
+    # the same single-scan rule as q34's shared fingerprints
+    c_bk = hyperplane_bucket_rows(
+        c, "neighbor_id", "embedding", EMB_DIM, ANN_PLANES, ANN_TABLES, "__cv"
+    ).persist()
     lsh = ann_lsh_topk(
-        q, c, dim=64, k=5, n_planes=ANN_PLANES, n_tables=ANN_TABLES
+        q, c, dim=64, k=5, n_planes=ANN_PLANES, n_tables=ANN_TABLES,
+        corpus_bucket_rows=c_bk,
     )
     ivf = ivf_topk(
         q, c, deterministic_centroids(EMB_DIM, IVF_CELLS),
         k=5, n_probe=IVF_PROBE,
     )
+    lsh_mp = ann_lsh_topk(
+        q, c, dim=64, k=5, n_planes=ANN_PLANES, n_tables=ANN_TABLES,
+        multiprobe=ANN_MULTIPROBE, corpus_bucket_rows=c_bk,
+    )
     return (
         lsh.withColumn("method", F.lit("lsh"))
         .unionByName(ivf.withColumn("method", F.lit("ivf")))
+        .unionByName(lsh_mp.withColumn("method", F.lit("lsh_mp")))
         .select(
             "method", "query_id", "neighbor_id", "cosine_sim",
             F.col("rank").cast("int").alias("rank"),
