@@ -20,6 +20,10 @@ from evidence_datasource_parsers_spark.functions.hashing import (
     perm_coefficients,
     portable_hash_sql,
 )
+from evidence_datasource_parsers_spark.functions.urls import (
+    canonicalize_url,
+    registrable_domain,
+)
 from evidence_datasource_parsers_spark.functions.quality import (
     KNUTH,
     WEIGHT_SCALE,
@@ -112,6 +116,36 @@ def _lang_hits_sql() -> str:
     return ", ".join(cols)
 
 
+def _synth_url():
+    """Deterministic messy crawl URL per document — mixed-case scheme/host,
+    a stripped default port on every 3rd doc, a trailing slash on every
+    5th, tracking params, unsorted params, a fragment.  The q29 oracle
+    derives the CANONICAL form independently (plain string construction),
+    so the canonicalizer's whole policy is value-hash checked."""
+    doc = F.col("doc_id")
+    scheme = F.when(doc % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    tld = F.when(doc % 2 == 0, F.lit("Com")).otherwise(F.lit("CO.UK"))
+    port = F.when(
+        doc % 3 == 0,
+        F.when(doc % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    trail = F.when(doc % 5 == 0, F.lit("/")).otherwise(F.lit(""))
+    return F.concat(
+        scheme,
+        F.lit("://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".Example."),
+        tld,
+        port,
+        F.lit("/p/"),
+        doc.cast("string"),
+        trail,
+        F.lit("?utm_source=x&z="),
+        F.col("lang"),
+        F.lit("&a=1#frag"),
+    )
+
+
 @register(
     "q29_doc_stats",
     f"""
@@ -138,8 +172,20 @@ def _lang_hits_sql() -> str:
            CASE WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
                 WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
                 WHEN h_en >= h_de THEN 'en'
-                ELSE 'de' END AS lang_guess
-    FROM h
+                ELSE 'de' END AS lang_guess,
+           -- canonical form of the synthesized crawl URL, derived
+           -- INDEPENDENTLY of the Spark-side canonicalizer: lowered
+           -- scheme/host, default port gone, tracking params gone,
+           -- params sorted, fragment gone, trailing slash trimmed
+           lower(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+             || '://www.' || s.source || '.example.'
+             || (CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'co.uk' END)
+             || '/p/' || CAST(doc_id AS VARCHAR)
+             || '?a=1&z=' || lang AS canon_url,
+           'example.' || (CASE WHEN doc_id % 2 = 0 THEN 'com'
+                          ELSE 'co.uk' END) AS url_domain
+    FROM h JOIN (SELECT doc_id AS sid, lower(source) AS source
+                 FROM documents) s ON s.sid = h.doc_id
     """,
     tags=("text", "quality", "token-count", "lang-id"),
     bench=True,
@@ -152,6 +198,11 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     hashing-trick linear quality model (functions/quality.py): integer
     bucket weights summed over the staged token array, one exact division —
     the oracle replays bucket, weight family, and accumulator bit-for-bit.
+    ``canon_url``/``url_domain`` run the URL canonicalizer
+    (functions/urls.py) over a synthesized messy crawl URL (mixed case,
+    default ports, tracking params, fragment, trailing slash); the oracle
+    constructs the expected canonical string INDEPENDENTLY, so the whole
+    normalization policy is value-checked rather than replayed.
 
     rebalance() re-audited after the regex-BPE leg made the per-row stage
     heavier: sf0.1 min-of-3 cold-cache 0.74s with vs 0.99s without — the
@@ -196,6 +247,8 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
         F.col("lang").alias("lang_label"),
         *hit_cols,
         lang_guess(F.col("text")).alias("lang_guess"),
+        canonicalize_url(_synth_url()).alias("canon_url"),
+        registrable_domain(_synth_url()).alias("url_domain"),
     )
 
 
