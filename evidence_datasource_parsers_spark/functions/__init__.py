@@ -30,3 +30,7 @@ from evidence_datasource_parsers_spark.functions.urls import (  # noqa: F401
     dedupe_by_url,
     registrable_domain,
 )
+from evidence_datasource_parsers_spark.functions.html import (  # noqa: F401
+    looks_like_html,
+    strip_html,
+)

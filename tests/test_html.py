@@ -1,0 +1,76 @@
+"""Tests for HTML text extraction (functions/html.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.functions.html import (
+    looks_like_html,
+    strip_html,
+)
+
+CASES = [
+    (
+        "<html><head><style>p{color:red}</style>"
+        "<script>var x = '<p>evil</p>';</script></head>"
+        "<body><h1>Title</h1><p>First para.</p><p>Second &amp; third.</p>"
+        "<!-- hidden comment --></body></html>",
+        "Title\nFirst para.\nSecond & third.",
+    ),
+    ("plain text stays intact", "plain text stays intact"),
+    ("a &lt;b&gt; c &amp;amp; d", 'a <b> c &amp; d'),
+    ("<ul><li>one</li><li>two</li></ul>", "one\ntwo"),
+    ("<span>in</span><span>line</span>", "in line"),
+    ("A&nbsp;B &quot;q&quot; &#39;s&#39;", "A B \"q\" 's'"),
+    (None, None),
+]
+
+
+def test_strip_html_cases(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(CASES)], "i long, html string"
+    )
+    got = {
+        r.i: r.t for r in df.select("i", strip_html("html").alias("t")).collect()
+    }
+    for i, (h, want) in enumerate(CASES):
+        assert got[i] == want, (h, got[i], want)
+
+
+def test_strip_html_single_pass_contract(spark):
+    """Stripping is a no-op on entity-free output (markup fully consumed in
+    one pass), and the documented double-unescape hazard is real: encoded
+    markup decodes on pass 1 and would be STRIPPED by pass 2 — which is why
+    the stage must run exactly once (looks_like_html routes it)."""
+    clean = [h for h, _ in CASES if h and "&" not in h]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(clean)], "i long, html string"
+    )
+    once = df.select("i", strip_html("html").alias("t"))
+    twice = once.select("i", strip_html("t").alias("t"))
+    assert sorted((r.i, r.t) for r in once.collect()) == sorted(
+        (r.i, r.t) for r in twice.collect()
+    )
+    # the hazard case, pinned so a future "fix" can't silently change it
+    d2 = spark.createDataFrame([("a &lt;b&gt; c",)], "t string")
+    one = d2.select(strip_html("t").alias("o")).first().o
+    two = d2.select(strip_html(strip_html("t")).alias("o")).first().o
+    assert one == "a <b> c" and two == "a c"
+
+
+def test_looks_like_html_router(spark):
+    rows = [
+        (1, "<p>hello</p> more <b>tags</b>", True),
+        (2, "just some text with 3 < 5 comparison", False),
+        (3, "<!DOCTYPE html><html></html>", True),
+        (4, "email <someone@example.com> quoted", False),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "i long, t string"
+    )
+    got = {
+        r.i: r.h
+        for r in df.select("i", looks_like_html("t").alias("h")).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)

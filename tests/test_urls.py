@@ -70,3 +70,46 @@ def test_dedupe_by_url_keeps_min_id(spark):
     )
     out = {r.doc_id for r in dedupe_by_url(df, "url", "doc_id").collect()}
     assert out == {1, 2}
+
+
+def test_canonicalize_url_idempotent_fuzz(spark):
+    """canonicalize ∘ canonicalize ≡ canonicalize over generated URLs —
+    the law that makes the stage retry-safe and lets stores keyed on
+    canonical URLs be re-canonicalized harmlessly."""
+    import random
+
+    rng = random.Random(1234)
+    schemes = ["http", "HTTP", "https", "HtTpS"]
+    hosts = ["Example.com", "WWW.Sub.Example.CO.UK", "localhost", "a.b.c"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a", "/a/b/", "/a//", "/A/B"]
+    queries = [
+        "",
+        "?a=1",
+        "?z=2&a=1",
+        "?utm_source=x",
+        "?utm_source=x&b=2&a=1",
+        "?fbclid=f&gclid=g",
+    ]
+    frags = ["", "#f", "#a=b"]
+    urls = []
+    for _ in range(300):
+        urls.append(
+            rng.choice(schemes)
+            + "://"
+            + rng.choice(hosts)
+            + rng.choice(ports)
+            + rng.choice(paths)
+            + rng.choice(queries)
+            + rng.choice(frags)
+        )
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    out = df.select(
+        "i",
+        canonicalize_url("url").alias("c1"),
+        canonicalize_url(canonicalize_url("url")).alias("c2"),
+    ).collect()
+    bad = [(urls[r.i], r.c1, r.c2) for r in out if r.c1 != r.c2]
+    assert not bad, bad[:5]
