@@ -1,0 +1,134 @@
+"""Interval (range) join: correctness vs a naive cross-join oracle, left
+semantics, temporal axes, bucket-span guard, and plan shape (no cartesian)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException  # noqa: F401  (parity import)
+
+from evidence_datasource_parsers_spark.operators.interval import (
+    count_in_interval,
+    interval_join,
+)
+
+
+def _points(spark):
+    rows = [(pid, key, float(ts)) for pid, (key, ts) in enumerate(
+        [("a", 5), ("a", 10), ("a", 99), ("b", 7), ("b", 300), ("c", 1)]
+    )]
+    return spark.createDataFrame(rows, "pid int, k string, ts double")
+
+
+def _intervals(spark):
+    rows = [
+        (100, "a", 0.0, 6.0),     # catches a@5
+        (101, "a", 5.0, 10.0),    # catches a@5, a@10 (inclusive both ends)
+        (102, "a", 11.0, 200.0),  # catches a@99 (multi-bucket span)
+        (103, "b", 0.0, 2.0),     # catches nothing of b's
+        (104, "b", 290.0, 310.0), # catches b@300
+        (105, "d", 0.0, 1000.0),  # wrong key — never matches
+        (106, "a", 50.0, 40.0),   # inverted — never matches
+    ]
+    return spark.createDataFrame(rows, "iid int, k string, lo double, hi double")
+
+
+def _naive(points, intervals, keyed=True):
+    out = points.crossJoin(intervals.select(
+        F.col("iid"), F.col("k").alias("ik"), "lo", "hi"))
+    c = (F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi"))
+    if keyed:
+        c = c & (F.col("k") == F.col("ik"))
+    return {(r.pid, r.iid) for r in out.where(c).collect()}
+
+
+@pytest.mark.parametrize("width", [1.0, 7.0, 64.0, 1000.0])
+def test_inner_matches_naive_all_widths(spark, width):
+    p, i = _points(spark), _intervals(spark)
+    got = interval_join(p, i, "ts", "lo", "hi", on="k", bucket_width=width)
+    pairs = {(r.pid, r.iid) for r in got.collect()}
+    assert pairs == _naive(p, i)
+    # ...and with no equi-key: pure containment
+    i2 = i.select("iid", "lo", "hi")
+    got2 = interval_join(p, i2, "ts", "lo", "hi", bucket_width=width)
+    assert {(r.pid, r.iid) for r in got2.collect()} == _naive(p, i, keyed=False)
+
+
+def test_left_keeps_unmatched_points_once(spark):
+    p, i = _points(spark), _intervals(spark)
+    got = interval_join(p, i, "ts", "lo", "hi", on="k",
+                        bucket_width=8.0, how="left").collect()
+    by_pid = {}
+    for r in got:
+        by_pid.setdefault(r.pid, []).append(r.iid)
+    # c@1 has no intervals for key c; b@7 has none containing it
+    assert by_pid[5] == [None]
+    assert by_pid[3] == [None]
+    assert sorted(by_pid[0]) == [100, 101]
+
+
+def test_count_in_interval_includes_zero(spark):
+    p, i = _points(spark), _intervals(spark)
+    got = count_in_interval(p, i, "ts", "lo", "hi", on="k", bucket_width=8.0)
+    counts = {r.pid: r.n_in_interval for r in got.collect()}
+    assert counts == {0: 2, 1: 1, 2: 1, 3: 0, 4: 1, 5: 0}
+    assert dict(got.dtypes)["n_in_interval"] == "bigint"
+
+
+def test_timestamp_axis_and_seconds_width(spark):
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    p = spark.createDataFrame(
+        [(1, base), (2, base + datetime.timedelta(hours=2))],
+        "pid int, ts timestamp",
+    )
+    i = spark.createDataFrame(
+        [(10, base - datetime.timedelta(minutes=30),
+          base + datetime.timedelta(minutes=30))],
+        "iid int, lo timestamp, hi timestamp",
+    )
+    got = interval_join(p, i, "ts", "lo", "hi", bucket_width=3600.0)
+    assert [(r.pid, r.iid) for r in got.collect()] == [(1, 10)]
+
+
+def test_date_axis(spark):
+    d = datetime.date
+    p = spark.createDataFrame(
+        [(1, d(2024, 3, 5)), (2, d(2024, 6, 1))], "pid int, ts date"
+    )
+    i = spark.createDataFrame(
+        [(10, d(2024, 3, 1), d(2024, 3, 31))], "iid int, lo date, hi date"
+    )
+    got = interval_join(p, i, "ts", "lo", "hi", bucket_width=86400.0 * 7)
+    assert [(r.pid, r.iid) for r in got.collect()] == [(1, 10)]
+
+
+def test_span_guard_raises(spark):
+    p = spark.createDataFrame([(1, 0.5)], "pid int, ts double")
+    i = spark.createDataFrame([(10, 0.0, 1e9)], "iid int, lo double, hi double")
+    with pytest.raises(Exception, match="max_span_buckets"):
+        interval_join(
+            p, i, "ts", "lo", "hi", bucket_width=1.0, max_span_buckets=100
+        ).collect()
+
+
+def test_collision_and_arg_validation(spark):
+    p = _points(spark)
+    i = _intervals(spark).withColumnRenamed("iid", "pid")
+    with pytest.raises(ValueError, match="collision"):
+        interval_join(p, i, "ts", "lo", "hi", on="k", bucket_width=1.0)
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_join(p, _intervals(spark), "ts", "lo", "hi", bucket_width=0)
+    with pytest.raises(ValueError, match="inner|left"):
+        interval_join(p, _intervals(spark).drop("k"), "ts", "lo", "hi",
+                      bucket_width=1.0, how="full")
+
+
+def test_plan_has_no_cartesian_or_bnlj(spark):
+    p, i = _points(spark), _intervals(spark)
+    plan = interval_join(
+        p, i, "ts", "lo", "hi", on="k", bucket_width=8.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
