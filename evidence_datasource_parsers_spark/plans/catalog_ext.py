@@ -240,7 +240,13 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
                 WHEN epoch_us(c.ts) - epoch_us(b.purchase_ts)
                      <= epoch_us(f.purchase_ts) - epoch_us(c.ts)
                 THEN b.purchase_id ELSE f.purchase_id END
-               AS nearest_purchase_id
+               AS nearest_purchase_id,
+           -- interval-join leg: purchases whose 1-hour window covers the
+           -- click, i.e. purchases in the hour before it (inclusive ends)
+           (SELECT count(*) FROM purchases p2
+            WHERE p2.user_id = c.user_id
+              AND epoch_us(c.ts) - epoch_us(p2.purchase_ts)
+                  BETWEEN 0 AND 3600000000) AS purchases_prev_hour
     FROM clicks c
     LEFT JOIN LATERAL (
         SELECT purchase_id, purchase_ts FROM purchases p
@@ -263,8 +269,17 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
     lacks natively.  Implemented as union-tag + two windows over the SAME
     key partitioning: ONE shuffle on user_id total, no per-row subquery, no
     range explosion; the oracle's per-row laterals are exactly the O(n*m)
-    plan this operator replaces."""
+    plan this operator replaces.
+
+    ``purchases_prev_hour`` adds the bucketed interval-join leg
+    (operators/interval.py): each purchase opens a [ts, ts+1h] window,
+    clicks are points, and the per-click containment count comes from the
+    coarse-bucket equi-join — never a cartesian; the oracle's correlated
+    scalar subquery is again the per-row plan the operator replaces."""
     from evidence_datasource_parsers_spark.operators.asof import asof_join_multi
+    from evidence_datasource_parsers_spark.operators.interval import (
+        count_in_interval,
+    )
 
     e = load(spark, sf, "events")
     clicks = e.where(F.col("event_type") == "click").select(
@@ -274,6 +289,25 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.col("ts").alias("purchase_ts"),
+    )
+    # purchase → 1h window; exact micros arithmetic mirrors the oracle's
+    # epoch_us bounds bit-for-bit
+    windows = purchases.select(
+        "user_id",
+        F.col("purchase_ts").alias("win_start"),
+        F.timestamp_micros(
+            F.unix_micros("purchase_ts") + 3_600_000_000
+        ).alias("win_end"),
+    )
+    clicks = count_in_interval(
+        clicks,
+        windows,
+        "ts",
+        "win_start",
+        "win_end",
+        on="user_id",
+        bucket_width=3600.0,
+        count_col="purchases_prev_hour",
     )
     joined = asof_join_multi(
         clicks,
@@ -305,6 +339,7 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
         F.when(take_backward, b_id).otherwise(f_id).alias(
             "nearest_purchase_id"
         ),
+        F.col("purchases_prev_hour"),
     )
 
 
