@@ -34,3 +34,7 @@ from evidence_datasource_parsers_spark.functions.html import (  # noqa: F401
     looks_like_html,
     strip_html,
 )
+from evidence_datasource_parsers_spark.functions.tfidf import (  # noqa: F401
+    bm25_query_scores,
+    term_relevance,
+)

@@ -78,3 +78,7 @@ from evidence_datasource_parsers_spark.operators.ivf import (  # noqa: F401
     ivf_topk,
     needs_refit,
 )
+from evidence_datasource_parsers_spark.operators.interval import (  # noqa: F401
+    count_in_interval,
+    interval_join,
+)

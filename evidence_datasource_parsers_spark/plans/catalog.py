@@ -385,19 +385,67 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q11_explode_tokens",
     """
-    SELECT token, count(*) AS n
-    FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
-    GROUP BY token
+    WITH tok AS (
+        SELECT p_partkey AS doc, unnest(string_split(p_name, ' ')) AS term
+        FROM part
+    ), tf AS (
+        SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc, term
+    ), dl AS (
+        SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc
+    ), dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+        FROM tf GROUP BY term
+    ), stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(dl) AS DOUBLE) AS sumdl
+        FROM dl
+    ), rel AS (
+        SELECT tf.term, tf.tf, tf.doc, d.dl, f.doc_freq,
+               ln((1.0 + s.n) / (1.0 + CAST(f.doc_freq AS DOUBLE))) + 1.0
+                   AS idf,
+               ln(1.0 + (s.n - CAST(f.doc_freq AS DOUBLE) + 0.5)
+                        / (CAST(f.doc_freq AS DOUBLE) + 0.5)) AS idf_bm25,
+               s.sumdl / s.n AS avgdl
+        FROM tf
+        JOIN dl d ON tf.doc = d.doc
+        JOIN dfreq f ON tf.term = f.term
+        CROSS JOIN stats s
+    )
+    SELECT term AS token,
+           CAST(sum(tf) AS BIGINT) AS n,
+           max(doc_freq) AS doc_freq,
+           round(max(idf), 6) AS idf,
+           round(max(CAST(tf AS DOUBLE) * idf), 6) AS top_tfidf,
+           round(max(idf_bm25 * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                     / (CAST(tf AS DOUBLE)
+                        + 1.2 * (1.0 - 0.75
+                                 + 0.75 * CAST(dl AS DOUBLE) / avgdl))),
+                 6) AS top_bm25
+    FROM rel GROUP BY term
     """,
-    tags=("R1", "split"),
+    tags=("R1", "split", "tfidf", "bm25"),
 )
 def q11(spark: SparkSession, sf: str) -> DataFrame:
-    """split + explode (R1) then count — the word-frequency shape."""
+    """split + explode (R1) then count — the word-frequency shape — extended
+    to per-term corpus relevance: doc_freq, smoothed idf, and the best
+    per-doc tfidf and BM25 score for each term (functions/tfidf.py:
+    term_relevance; parts are the docs, p_name the text).  The oracle
+    replays tokenize→tf→dl→doc_freq→scalars with IDENTICAL arithmetic
+    structure; the final round(…, 6) absorbs libm's 1-ulp ln() spread
+    between the JVM and DuckDB."""
+    from evidence_datasource_parsers_spark.functions.tfidf import (
+        term_relevance,
+    )
+
     p = load(spark, sf, "part")
-    return (
-        p.select(F.explode(F.split("p_name", " ")).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
+    rel = term_relevance(p, "p_partkey", "p_name")
+    return rel.groupBy(F.col("term").alias("token")).agg(
+        F.sum("tf").cast("long").alias("n"),
+        F.max("doc_freq").alias("doc_freq"),
+        F.round(F.max("idf"), 6).alias("idf"),
+        F.round(F.max("tfidf"), 6).alias("top_tfidf"),
+        F.round(F.max("bm25"), 6).alias("top_bm25"),
     )
 
 
