@@ -682,11 +682,69 @@ def _emb_incr_ctes_sql() -> str:
     )"""
 
 
+SEM_CELLS = 8
+SEM_THRESHOLD = 0.5
+
+
+def _semdedup_ctes_sql() -> str:
+    """CTEs for the SemDeDup leg: assign every embedding to its nearest
+    deterministic centroid (the identical squared-diff balanced folds and
+    struct-sort tie-breaks as ivf._cells_udf), form within-cell pairs above
+    the cosine threshold, then connected components via a RECURSIVE
+    min-label CTE — per doc, the smallest id reachable through the dup
+    graph, exactly duplicate_clusters' fixpoint."""
+    from evidence_datasource_parsers_spark.operators.ivf import (
+        deterministic_centroids,
+    )
+
+    cents = deterministic_centroids(EMB_DIM, SEM_CELLS)
+    nds = ",\n           ".join(
+        "(-("
+        + _balanced_sum_sql(
+            [f"(ea[{i + 1}] - {v!r}) * (ea[{i + 1}] - {v!r})"
+             for i, v in enumerate(c)]
+        )
+        + f")) AS nd{j}"
+        for j, c in enumerate(cents)
+    )
+    structs = ", ".join(
+        f"struct_pack(negdist := nd{j}, cell := {j})"
+        for j in range(SEM_CELLS)
+    )
+    return f"""
+    sd AS (SELECT vec_id, {nds} FROM iv),
+    scell AS (SELECT vec_id,
+                     list_sort([{structs}])[{SEM_CELLS}].cell AS cell
+              FROM sd),
+    spairs AS (
+        SELECT a.vec_id AS pa, b.vec_id AS pb
+        FROM (SELECT c.vec_id, c.cell, v.ea AS qa
+              FROM scell c JOIN iv v USING (vec_id)) a
+        JOIN (SELECT c.vec_id, c.cell, v.ea AS ca
+              FROM scell c JOIN iv v USING (vec_id)) b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {DOT_SQL} / ({NORM_Q} * {NORM_C}) > {SEM_THRESHOLD}
+    ),
+    sedges AS (
+        SELECT pa AS eid, pb AS nbr FROM spairs
+        UNION ALL
+        SELECT pb AS eid, pa AS nbr FROM spairs
+    ),
+    slab AS (
+        SELECT eid AS id, eid AS label FROM sedges
+        UNION
+        SELECT e.eid, l.label FROM sedges e JOIN slab l ON l.id = e.nbr
+    ),
+    scomp AS (SELECT id, min(label) AS rep FROM slab GROUP BY id)"""
+
+
 @register(
     "q38_embedding_dupes",
     f"""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS qa FROM embeddings),
-    {_emb_incr_ctes_sql()}
+    WITH RECURSIVE
+    v AS (SELECT vec_id, label, embedding::DOUBLE[] AS qa FROM embeddings),
+    {_emb_incr_ctes_sql()},
+    {_semdedup_ctes_sql()}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
            {DOT_SQL.replace('ca', 'cb')}
                / ({NORM_Q} * {NORM_C.replace('ca', 'cb')}) AS cosine_sim,
@@ -701,8 +759,12 @@ def _emb_incr_ctes_sql() -> str:
            'incr_fresh' AS src
     FROM iv
     WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT oid FROM idropped)
+    UNION ALL
+    SELECT id AS id_a, rep AS id_b, CAST(NULL AS VARCHAR) AS label,
+           CAST(NULL AS DOUBLE) AS cosine_sim, 'semdedup' AS src
+    FROM scomp
     """,
-    tags=("dedup", "embedding", "incremental"),
+    tags=("dedup", "embedding", "incremental", "semdedup"),
 )
 def q38(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup, at-rest AND incremental.
@@ -720,7 +782,22 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
     re-ingests sharing >= 1 hyperplane bucket with a stored vector at exact
     cosine >= {INCR_EMB_THRESHOLD}.  The oracle replays plane constants,
     bucket packing, candidate generation, and the cosine threshold, so a
-    drift anywhere in the LSH-verify chain breaks the value hash."""
+    drift anywhere in the LSH-verify chain breaks the value hash.
+
+    Leg 3 (src='semdedup'): the SemDeDup pipeline (operators/semdedup.py,
+    Abbas et al. 2023) — nearest-centroid cells over {SEM_CELLS}
+    deterministic centroids, within-cell cosine pairs > {SEM_THRESHOLD},
+    pointer-doubled connected components, min-id representative.  One row
+    per doc in any dup group: (doc, its group's representative).  The
+    oracle replays assignment and pairing arithmetic and resolves the
+    components with a RECURSIVE min-label CTE, so the WHOLE
+    cluster→pair→component→representative chain is value-hash checked."""
+    from evidence_datasource_parsers_spark.operators.ivf import (
+        deterministic_centroids,
+    )
+    from evidence_datasource_parsers_spark.operators.semdedup import (
+        semantic_dupe_groups,
+    )
     from evidence_datasource_parsers_spark.operators.similarity import (
         blocked_cosine_pairs,
         incremental_embedding_dedupe,
@@ -757,7 +834,20 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("double").alias("cosine_sim"),
         F.lit("incr_fresh").alias("src"),
     )
-    return pairs.unionByName(incr)
+    sem = semantic_dupe_groups(
+        full.select("vec_id", "v"),
+        deterministic_centroids(EMB_DIM, SEM_CELLS),
+        SEM_THRESHOLD,
+        id_col="vec_id",
+        vec_col="v",
+    ).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster_id").alias("id_b"),
+        F.lit(None).cast("string").alias("label"),
+        F.lit(None).cast("double").alias("cosine_sim"),
+        F.lit("semdedup").alias("src"),
+    )
+    return pairs.unionByName(incr).unionByName(sem)
 
 
 def _ann_oracle_sql() -> str:
