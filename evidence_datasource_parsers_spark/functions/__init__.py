@@ -38,3 +38,8 @@ from evidence_datasource_parsers_spark.functions.tfidf import (  # noqa: F401
     bm25_query_scores,
     term_relevance,
 )
+from evidence_datasource_parsers_spark.functions.bpe import (  # noqa: F401
+    apply_bpe,
+    bpe_token_count,
+    learn_bpe_merges,
+)

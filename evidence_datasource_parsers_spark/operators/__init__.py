@@ -82,3 +82,7 @@ from evidence_datasource_parsers_spark.operators.interval import (  # noqa: F401
     count_in_interval,
     interval_join,
 )
+from evidence_datasource_parsers_spark.operators.semdedup import (  # noqa: F401
+    semantic_dedupe,
+    semantic_dupe_groups,
+)
