@@ -35,6 +35,7 @@ from evidence_datasource_parsers_spark.operators.passage_dedup import (  # noqa:
 from evidence_datasource_parsers_spark.operators.profiling import (  # noqa: F401
     corpus_profile,
     key_skew_report,
+    token_distribution_profile,
 )
 from evidence_datasource_parsers_spark.operators.quantize import (  # noqa: F401
     dequantize_embeddings,

@@ -49,6 +49,71 @@ def corpus_profile(
     return df.groupBy(group_col).agg(*aggs)
 
 
+def token_distribution_profile(
+    df: DataFrame, text_col: str = "text", top_n: int = 1000
+) -> DataFrame:
+    """One-row token-distribution summary: vocabulary size, total token
+    mass, the share held by the ``top_n`` heaviest tokens, and the Zipf
+    exponent fitted over those top tokens.
+
+    Natural language follows freq ∝ rank^s with s ≈ −1; a corpus whose
+    fitted slope is far shallower is template/boilerplate-heavy (near-
+    uniform token use — a dedup/quality red flag), far steeper means a
+    few tokens dominate (log spam, repeated separators).  The slope is a
+    cheap corpus-health number to trend across ingest batches.
+
+    Plan shape: ONE shuffle on token (map-side combined counts), a
+    vocab-sized scalar agg, a top-N heap (TakeOrderedAndProject — no full
+    sort), then the log-log least-squares fit as an aggregation over the
+    tiny top-N frame.  No driver-side math; safe to collect (1 row).
+    """
+    tok = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+            )
+        ).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("freq").alias("total_tokens"),
+    )
+    from pyspark.sql import Window
+
+    top = counts.orderBy(F.col("freq").desc(), "token").limit(top_n)
+    ranked = top.withColumn(
+        "__r",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), "token")
+        ),
+    )
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    fit = ranked.agg(
+        F.sum("freq").alias("top_tokens"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    n = F.col("__n").cast("double")
+    slope = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / (
+        n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    )
+    return fit.crossJoin(F.broadcast(totals)).select(
+        "vocab_size",
+        "total_tokens",
+        (F.col("top_tokens") / F.col("total_tokens")).alias(
+            "top_n_share"
+        ),
+        slope.alias("zipf_slope"),
+    )
+
+
 def key_skew_report(
     df: DataFrame, key: str | list[str], top_n: int = 20
 ) -> DataFrame:
