@@ -82,6 +82,7 @@ from evidence_datasource_parsers_spark.operators.ivf import (  # noqa: F401
 from evidence_datasource_parsers_spark.operators.interval import (  # noqa: F401
     count_in_interval,
     interval_join,
+    interval_overlap_join,
 )
 from evidence_datasource_parsers_spark.operators.semdedup import (  # noqa: F401
     semantic_dedupe,
