@@ -412,17 +412,43 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
         JOIN dfreq f ON tf.term = f.term
         CROSS JOIN stats s
     )
-    SELECT term AS token,
-           CAST(sum(tf) AS BIGINT) AS n,
-           max(doc_freq) AS doc_freq,
-           round(max(idf), 6) AS idf,
-           round(max(CAST(tf AS DOUBLE) * idf), 6) AS top_tfidf,
-           round(max(idf_bm25 * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
-                     / (CAST(tf AS DOUBLE)
-                        + 1.2 * (1.0 - 0.75
-                                 + 0.75 * CAST(dl AS DOUBLE) / avgdl))),
-                 6) AS top_bm25
-    FROM rel GROUP BY term
+    , per_term AS (
+        SELECT term AS token,
+               CAST(sum(tf) AS BIGINT) AS n,
+               max(doc_freq) AS doc_freq,
+               round(max(idf), 6) AS idf,
+               round(max(CAST(tf AS DOUBLE) * idf), 6) AS top_tfidf,
+               round(max(idf_bm25 * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                         / (CAST(tf AS DOUBLE)
+                            + 1.2 * (1.0 - 0.75
+                                     + 0.75 * CAST(dl AS DOUBLE) / avgdl))),
+                     6) AS top_bm25
+        FROM rel GROUP BY term
+    ), zr AS (
+        SELECT n,
+               row_number() OVER (ORDER BY n DESC, token) AS r
+        FROM per_term
+    ), zvals AS (
+        SELECT CAST(round(ln(CAST(r AS DOUBLE)), 12) AS DECIMAL(28, 12)) AS xd,
+               CAST(round(ln(CAST(n AS DOUBLE)), 12) AS DECIMAL(28, 12)) AS yd,
+               CAST(round(round(ln(CAST(r AS DOUBLE)), 12)
+                          * round(ln(CAST(n AS DOUBLE)), 12), 12)
+                    AS DECIMAL(28, 12)) AS xyd,
+               CAST(round(round(ln(CAST(r AS DOUBLE)), 12)
+                          * round(ln(CAST(r AS DOUBLE)), 12), 12)
+                    AS DECIMAL(28, 12)) AS xxd
+        FROM zr
+    ), zfit AS (
+        SELECT CAST(count(*) AS DOUBLE) AS zn,
+               CAST(sum(xd) AS DOUBLE) AS sx, CAST(sum(yd) AS DOUBLE) AS sy,
+               CAST(sum(xyd) AS DOUBLE) AS sxy,
+               CAST(sum(xxd) AS DOUBLE) AS sxx
+        FROM zvals
+    )
+    SELECT p.*,
+           round((zn * sxy - sx * sy) / (zn * sxx - sx * sx), 6)
+               AS zipf_slope
+    FROM per_term p CROSS JOIN zfit
     """,
     tags=("R1", "split", "tfidf", "bm25"),
 )
@@ -433,19 +459,51 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
     term_relevance; parts are the docs, p_name the text).  The oracle
     replays tokenize→tf→dl→doc_freq→scalars with IDENTICAL arithmetic
     structure; the final round(…, 6) absorbs libm's 1-ulp ln() spread
-    between the JVM and DuckDB."""
+    between the JVM and DuckDB.
+
+    ``zipf_slope`` (constant column) is the corpus-health number from
+    operators/profiling.token_distribution_profile: the log-log
+    least-squares Zipf exponent over the ranked token frequencies.  Float
+    SUMS are partition-order-dependent, so the fit's accumulators go
+    through exact DECIMAL(28,12) sums of per-row 12-dp-rounded ln values —
+    order-independent in BOTH engines — and only the final 5-op formula
+    runs in double."""
     from evidence_datasource_parsers_spark.functions.tfidf import (
         term_relevance,
     )
 
     p = load(spark, sf, "part")
     rel = term_relevance(p, "p_partkey", "p_name")
-    return rel.groupBy(F.col("term").alias("token")).agg(
+    per_term = rel.groupBy(F.col("term").alias("token")).agg(
         F.sum("tf").cast("long").alias("n"),
         F.max("doc_freq").alias("doc_freq"),
         F.round(F.max("idf"), 6).alias("idf"),
         F.round(F.max("tfidf"), 6).alias("top_tfidf"),
         F.round(F.max("bm25"), 6).alias("top_bm25"),
+    )
+    r = F.row_number().over(Window.orderBy(F.col("n").desc(), "token"))
+    lx = F.round(F.log(r.cast("double")), 12)
+    ly = F.round(F.log(F.col("n").cast("double")), 12)
+    dec = "decimal(28,12)"
+    zvals = per_term.select(
+        lx.cast(dec).alias("xd"),
+        ly.cast(dec).alias("yd"),
+        F.round(lx * ly, 12).cast(dec).alias("xyd"),
+        F.round(lx * lx, 12).cast(dec).alias("xxd"),
+    )
+    zfit = zvals.agg(
+        F.count(F.lit(1)).cast("double").alias("zn"),
+        F.sum("xd").cast("double").alias("sx"),
+        F.sum("yd").cast("double").alias("sy"),
+        F.sum("xyd").cast("double").alias("sxy"),
+        F.sum("xxd").cast("double").alias("sxx"),
+    )
+    zn, sx, sy = F.col("zn"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = F.round((zn * sxy - sx * sy) / (zn * sxx - sx * sx), 6)
+    return per_term.crossJoin(F.broadcast(zfit)).select(
+        "token", "n", "doc_freq", "idf", "top_tfidf", "top_bm25",
+        slope.alias("zipf_slope"),
     )
 
 
