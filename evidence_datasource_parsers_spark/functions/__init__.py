@@ -43,3 +43,7 @@ from evidence_datasource_parsers_spark.functions.bpe import (  # noqa: F401
     bpe_token_count,
     learn_bpe_merges,
 )
+from evidence_datasource_parsers_spark.functions.ngram_lm import (  # noqa: F401
+    doc_perplexity,
+    train_ngram_lm,
+)
