@@ -121,15 +121,26 @@ def _encoder(merges: list[tuple[str, str]]):
     return encode_word
 
 
-def apply_bpe(
-    merges: list[tuple[str, str]], text: Column | str
-) -> Column:
+def apply_bpe(merges, text: Column | str) -> Column:
     """``array<string>`` of BPE tokens for a text column (greedy
-    lowest-rank-first application of the learned merges)."""
-    encode_word = _encoder(merges)
+    lowest-rank-first application of the learned merges).
+
+    ``merges`` is the learned list OR a ``SparkContext.broadcast`` of it —
+    pass a broadcast for production-sized tables (tens of thousands of
+    merges) so the ranks ship to each executor once instead of riding in
+    every task closure.
+    """
+    is_bc = hasattr(merges, "value")  # pyspark Broadcast duck-type
+    encode_word = None if is_bc else _encoder(merges)
+    worker_cache: dict = {}  # broadcast path: one rank dict per worker
 
     @pandas_udf("array<string>")
     def _encode(s: pd.Series) -> pd.Series:
+        enc = encode_word
+        if enc is None:
+            enc = worker_cache.get("e")
+            if enc is None:
+                enc = worker_cache["e"] = _encoder(merges.value)
         memo: dict = {}
         out = []
         for text_val in s:
@@ -138,7 +149,7 @@ def apply_bpe(
                 continue
             toks: list[str] = []
             for w in text_val.split():
-                toks.extend(encode_word(w, memo))
+                toks.extend(enc(w, memo))
             out.append(toks)
         return pd.Series(out)
 
@@ -146,8 +157,7 @@ def apply_bpe(
     return _encode(col)
 
 
-def bpe_token_count(
-    merges: list[tuple[str, str]], text: Column | str
-) -> Column:
-    """Exact token count under the learned BPE — the budget number."""
+def bpe_token_count(merges, text: Column | str) -> Column:
+    """Exact token count under the learned BPE — the budget number.
+    Accepts the merges list or its broadcast, as :func:`apply_bpe`."""
     return F.size(apply_bpe(merges, text)).cast("long")

@@ -77,3 +77,12 @@ def test_max_vocab_guard(spark):
     )
     with pytest.raises(ValueError, match="max_vocab"):
         learn_bpe_merges(df, "text", 2, max_vocab=10)
+
+
+def test_apply_with_broadcast_merges(spark, corpus):
+    merges = learn_bpe_merges(corpus, "text", 10)
+    bc = spark.sparkContext.broadcast(merges)
+    df = spark.createDataFrame([(1, "newest low")], "doc_id int, text string")
+    direct = df.select(apply_bpe(merges, "text").alias("t")).first().t
+    via_bc = df.select(apply_bpe(bc, "text").alias("t")).first().t
+    assert direct == via_bc

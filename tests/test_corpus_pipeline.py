@@ -210,3 +210,59 @@ def test_incremental_refresh_pipeline(spark, sf_dir):
         store.select("content_hash"), on="content_hash", how="left_semi"
     )
     assert overlap.count() == 0
+
+
+def test_pretokenization_pipeline(spark, sf_dir):
+    """BPE learn → apply/count → chunk → shard: the tokenizer-aware half of
+    a training-data pipeline, contracts asserted between stages."""
+    from evidence_datasource_parsers_spark.functions.bpe import (
+        apply_bpe,
+        bpe_token_count,
+        learn_bpe_merges,
+    )
+    from evidence_datasource_parsers_spark.operators.sharding import (
+        assign_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    n0 = docs.count()
+
+    # 1. learn a small merge table on the corpus itself
+    merges = learn_bpe_merges(docs, "text", n_merges=64)
+    assert len(merges) == 64
+    bc = spark.sparkContext.broadcast(merges)
+
+    # 2. tokenize: counts must equal the applied token arrays' sizes and
+    # reconstruct the original words
+    tk = docs.select(
+        "doc_id",
+        apply_bpe(bc, "text").alias("toks"),
+        bpe_token_count(bc, "text").alias("n_tok"),
+    )
+    bad = tk.where(F.size("toks") != F.col("n_tok")).count()
+    assert bad == 0
+    sample = tk.orderBy("doc_id").first()
+    joined = "".join(sample.toks).replace("</w>", " ").strip()
+    orig = docs.orderBy("doc_id").first().text
+    assert joined.split() == orig.split()
+
+    # 3. chunk to fixed windows; every doc survives
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=8)
+    assert chunks.select("doc_id").distinct().count() == n0
+
+    # 4. deterministic shards over chunk keys
+    keyed = chunks.withColumn(
+        "chunk_key",
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")),
+    )
+    sh = assign_shards(keyed, "chunk_key", num_shards=8)
+    assert sh.count() == chunks.count()
+    a = sorted((r.chunk_key, r.shard, r.shard_pos)
+               for r in sh.collect())
+    b = sorted((r.chunk_key, r.shard, r.shard_pos)
+               for r in assign_shards(
+                   keyed.repartition(13), "chunk_key", num_shards=8
+               ).collect())
+    assert a == b
