@@ -47,3 +47,8 @@ from evidence_datasource_parsers_spark.functions.ngram_lm import (  # noqa: F401
     doc_perplexity,
     train_ngram_lm,
 )
+from evidence_datasource_parsers_spark.functions.textnorm import (  # noqa: F401
+    dedup_key,
+    normalize_unicode,
+    strip_accents,
+)
