@@ -47,6 +47,7 @@ from evidence_datasource_parsers_spark.operators.sampling import (  # noqa: F401
     hash_sample,
     leakage_safe_split,
     mixture_fractions,
+    quality_binned_sample,
     reservoir_per_key,
     split_assign,
     stratified_hash_sample,

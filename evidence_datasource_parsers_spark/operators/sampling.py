@@ -97,6 +97,67 @@ def reservoir_per_key(
     )
 
 
+def quality_binned_sample(
+    df: DataFrame,
+    score_col: str,
+    key: str | Column,
+    bin_fractions: list[float],
+    salt: str = "quality",
+    bin_col: str = "quality_bin",
+) -> DataFrame:
+    """Curriculum-style sampling: split the corpus into ``len(bin_fractions)``
+    equal-population quality bins (by ``score_col`` quantiles) and keep a
+    different deterministic fraction of each — e.g. ``[0.05, 0.25, 1.0]``
+    keeps 5% of the worst third, everything from the best third.
+
+    The bin edges come from ONE ``percentile_approx`` aggregate broadcast
+    back into the plan (the F7 in-plan-scalar pattern — no driver collect),
+    bin assignment is a narrow array scan over those edges, and the keep
+    decision is the same portable-hash rule as every sampler here, salted
+    per bin so adjacent bins' samples stay independent.  Output keeps
+    ``bin_col`` (0 = lowest quality) for audit.
+
+    Rows with NULL score land in bin 0 (the most-downsampled tier) rather
+    than silently vanishing or riding for free.
+    """
+    n_bins = len(bin_fractions)
+    if n_bins < 2:
+        raise ValueError("need at least 2 bins")
+    for f in bin_fractions:
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fractions must be in [0, 1], got {f}")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = df.agg(
+        F.percentile_approx(
+            F.col(score_col), F.array(*[F.lit(q) for q in qs])
+        ).alias("__edges")
+    )
+    key_col = F.col(key) if isinstance(key, str) else key
+    # bin = number of edges strictly below the score (ties go DOWN so the
+    # boundary population isn't double-kept); NULL score → bin 0
+    with_bin = df.crossJoin(F.broadcast(edges)).withColumn(
+        bin_col,
+        F.coalesce(
+            F.size(
+                F.filter(
+                    F.col("__edges"),
+                    lambda e: e < F.col(score_col),
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    thresholds = F.array(
+        *[F.lit(int(f * _SPACE)).cast("long") for f in bin_fractions]
+    )
+    keep = _key_hash(
+        F.concat(key_col.cast("string"), F.lit(":b"),
+                 F.col(bin_col).cast("string")),
+        salt,
+    ) < F.element_at(thresholds, F.col(bin_col) + 1)
+    return with_bin.where(keep).drop("__edges")
+
+
 def mixture_fractions(
     df: DataFrame,
     domain_col: str,

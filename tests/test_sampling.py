@@ -265,3 +265,47 @@ def test_write_shards_layout_and_order(spark, tmp_path):
         t = pq.read_table(part, columns=["shard_pos"])
         poss = t.column("shard_pos").to_pylist()
         assert poss == sorted(poss), str(part)
+
+
+def test_quality_binned_sample_fractions_and_bins(spark):
+    from evidence_datasource_parsers_spark.operators.sampling import (
+        quality_binned_sample,
+    )
+
+    rows = [(i, float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    # keep nothing from the bottom two thirds, everything from the top
+    kept = quality_binned_sample(df, "score", "doc_id", [0.0, 0.0, 1.0])
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert len(ids) >= 90  # top third (approx quantile edges wobble a bit)
+    assert min(ids) >= 190
+    assert {r.quality_bin for r in kept.collect()} == {2}
+
+    # middle fraction ~0.5 keeps roughly half of its bin, deterministically
+    half = quality_binned_sample(df, "score", "doc_id", [0.0, 0.5, 0.0])
+    a = sorted(r.doc_id for r in half.collect())
+    b = sorted(r.doc_id for r in
+               quality_binned_sample(
+                   df.repartition(7), "score", "doc_id", [0.0, 0.5, 0.0]
+               ).collect())
+    assert a == b
+    assert 20 <= len(a) <= 80  # ~50 of ~100
+
+
+def test_quality_binned_sample_null_scores_land_in_bin0(spark):
+    from evidence_datasource_parsers_spark.operators.sampling import (
+        quality_binned_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 100.0), (3, 200.0), (4, 300.0), (5, 400.0)],
+        "doc_id long, score double",
+    )
+    kept = quality_binned_sample(df, "score", "doc_id", [1.0, 0.0])
+    got = {r.doc_id: r.quality_bin for r in kept.collect()}
+    assert 1 in got and got[1] == 0  # null rides the most-downsampled tier
+
+    with pytest.raises(ValueError, match="at least 2"):
+        quality_binned_sample(df, "score", "doc_id", [1.0])
+    with pytest.raises(ValueError, match="fractions"):
+        quality_binned_sample(df, "score", "doc_id", [0.5, 1.5])
