@@ -48,6 +48,7 @@ def asof_join_multi(
     right_cols: list[str],
     tie_break: str | None = None,
     directions: tuple[str, ...] = ("backward", "forward"),
+    tolerance: float | None = None,
 ) -> DataFrame:
     """All requested directions in ONE shuffle.
 
@@ -56,7 +57,14 @@ def asof_join_multi(
     a valid match in both directions (inclusive).  Ties among simultaneous
     right rows resolve deterministically by ``tie_break``: backward keeps
     the greatest value (latest wins), forward the smallest (earliest wins).
+
+    ``tolerance`` (pandas merge_asof parity) nulls any match farther than
+    the given distance from the left timestamp — SECONDS for
+    timestamp/date axes, axis units otherwise.  A narrow post-mask on the
+    windowed result: the plan keeps its single shuffle.
     """
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("tolerance must be non-negative")
     for d in directions:
         if d not in ("backward", "forward"):
             raise ValueError(f"unknown direction {d!r}")
@@ -110,7 +118,22 @@ def asof_join_multi(
         )
         out_cols.append(F.col(f"__{d}__ts").alias(f"{right_ts}_{d}"))
     carried = unioned.select(*lcols, "__side", *carried_cols)
-    return carried.where(F.col("__side") == 1).select(*lcols, *out_cols)
+    out = carried.where(F.col("__side") == 1).select(*lcols, *out_cols)
+    if tolerance is not None:
+        temporal = ldt[left_ts].startswith("timestamp") or ldt[left_ts] == "date"
+        tol = float(tolerance) * (1_000_000 if temporal else 1)
+        for d in directions:
+            dist = F.abs(
+                _num(F.col(left_ts), ldt[left_ts])
+                - _num(F.col(f"{right_ts}_{d}"), rdt[right_ts])
+            )
+            ok = dist <= tol
+            for c in right_cols:
+                out = out.withColumn(f"{c}_{d}", F.when(ok, F.col(f"{c}_{d}")))
+            out = out.withColumn(
+                f"{right_ts}_{d}", F.when(ok, F.col(f"{right_ts}_{d}"))
+            )
+    return out
 
 
 def asof_join(
@@ -122,18 +145,24 @@ def asof_join(
     right_cols: list[str],
     tie_break: str | None = None,
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join in one direction (or ``nearest``), output columns named
     after ``right_cols`` / ``right_ts``.
 
     ``nearest`` computes both scans in the shared single-shuffle plan and
     picks per row the match with the smaller absolute time distance
-    (backward wins exact ties), handling one-sided nulls.
+    (backward wins exact ties), handling one-sided nulls.  ``tolerance``
+    (pandas merge_asof parity) nulls matches farther than the given
+    distance (seconds on temporal axes) BEFORE nearest picks, so an
+    out-of-tolerance backward match cannot shadow an in-tolerance forward
+    one.
     """
     if direction in ("backward", "forward"):
         out = asof_join_multi(
             left, right, on, left_ts, right_ts, right_cols,
             tie_break=tie_break, directions=(direction,),
+            tolerance=tolerance,
         )
         return out.select(
             *left.columns,
@@ -146,6 +175,7 @@ def asof_join(
     both = asof_join_multi(
         left, right, on, left_ts, right_ts, right_cols,
         tie_break=tie_break, directions=("backward", "forward"),
+        tolerance=tolerance,
     )
     ldt = dict(left.dtypes)[left_ts]
     rdt = dict(right.dtypes)[right_ts]

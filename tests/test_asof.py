@@ -244,3 +244,52 @@ def test_asof_nearest_on_date_typed_axis(spark):
     }
     # 01-10 is 2 days from 01-08 and 9 from 01-19 → 101; 01-20 → 102
     assert out == {1: 101, 2: 102}
+
+
+def test_tolerance_masks_far_matches(spark):
+    """pandas merge_asof parity: matches beyond `tolerance` become nulls,
+    and nearest picks among IN-tolerance candidates only."""
+    import pytest
+
+    from evidence_datasource_parsers_spark.operators.asof import (
+        asof_join,
+        asof_join_multi,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "k", 100.0), (2, "k", 500.0)], "lid int, k string, ts double"
+    )
+    right = spark.createDataFrame(
+        [(10, "k", 95.0), (11, "k", 103.0), (12, "k", 490.0)],
+        "rid int, k string, rts double",
+    )
+    m = asof_join_multi(
+        left, right, "k", "ts", "rts", ["rid"], tolerance=5.0
+    )
+    rows = {r.lid: r for r in m.collect()}
+    # lid=1: backward 95 (dist 5, kept — inclusive), forward 103 (dist 3)
+    assert rows[1].rid_backward == 10 and rows[1].rid_forward == 11
+    # lid=2: backward 490 (dist 10 > 5 → nulled), forward none
+    assert rows[2].rid_backward is None and rows[2].rid_forward is None
+    assert rows[2].rts_backward is None
+
+    # nearest must not be shadowed by an out-of-tolerance backward match
+    left2 = spark.createDataFrame(
+        [(1, "k", 100.0)], "lid int, k string, ts double"
+    )
+    right2 = spark.createDataFrame(
+        [(20, "k", 99.0), (21, "k", 104.0)], "rid int, k string, rts double"
+    )
+    n = asof_join(
+        left2, right2, "k", "ts", "rts", ["rid"],
+        direction="nearest", tolerance=2.0,
+    ).collect()[0]
+    assert n.rid == 20  # 99 in tolerance; 104 (dist 4) masked
+    n2 = asof_join(
+        left2, right2, "k", "ts", "rts", ["rid"],
+        direction="nearest", tolerance=0.5,
+    ).collect()[0]
+    assert n2.rid is None  # both masked
+
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join_multi(left, right, "k", "ts", "rts", ["rid"], tolerance=-1)
