@@ -55,6 +55,7 @@ def term_relevance(
     delim: str = " ",
     k1: float = 1.2,
     b: float = 0.75,
+    persist_tf: bool = True,
 ) -> DataFrame:
     """Per (doc, term) relevance table.
 
@@ -63,6 +64,14 @@ def term_relevance(
     top-k selection) derives from this one frame without re-tokenizing.
 
     Docs with NULL text contribute nothing (no tokens).
+
+    The tf frame feeds FOUR consumers (itself, dl, doc_freq, the corpus
+    scalars) and Spark does not share subplans, so without caching the
+    tokenize+count stage — the corpus scan — runs four times.
+    ``persist_tf`` (default) caches tf (MEMORY_AND_DISK; far smaller than
+    the text) so the corpus is tokenized ONCE; the cached blocks live
+    until the session clears them — pass False inside memory-tight loops
+    that manage their own persistence.
     """
     tok = df.select(
         F.col(id_col),
@@ -71,6 +80,8 @@ def term_relevance(
     tf = tok.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    if persist_tf:
+        tf = tf.persist()
     # doc length from tf, not a second token pass
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     dfreq = tf.groupBy("term").agg(

@@ -82,3 +82,14 @@ def test_boilerplate_term_scores_near_zero(spark):
     common = rel.where(F.col("term") == "common").select("idf_bm25").first()
     rare = rel.where(F.col("term") == "rare").select("idf_bm25").first()
     assert common.idf_bm25 < 0.1 < rare.idf_bm25
+
+
+def test_term_relevance_plan_shape(spark, corpus):
+    """The tf frame is persisted so the tokenize+count corpus scan runs
+    ONCE and the three derived consumers (dl, doc_freq, scalars) read the
+    cache — the plan must show InMemoryTableScan reuse and no cartesian
+    (the only nested-loop is the 1-row corpus-scalar broadcast)."""
+    plan = term_relevance(corpus, "doc_id", "text")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # cached tf feeds the consumers
