@@ -89,3 +89,9 @@ from evidence_datasource_parsers_spark.operators.semdedup import (  # noqa: F401
     semantic_dedupe,
     semantic_dupe_groups,
 )
+from evidence_datasource_parsers_spark.operators.sketches import (  # noqa: F401
+    hll_estimates,
+    hll_merge_stores,
+    hll_store,
+    incremental_distinct_count,
+)
