@@ -117,7 +117,8 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
                          [0.25, 0.75])[2] AS p75_price_c,
            count(DISTINCT l_partkey) AS exact_parts,
            TRUE AS hll_within_5pct,
-           TRUE AS approx_p50_within_tol
+           TRUE AS approx_p50_within_tol,
+           TRUE AS merged_hll_within_5pct
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("percentile", "approx", "sketch"),
@@ -129,11 +130,34 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     invariant: Spark emits approx_count_distinct's relative error vs the
     exact count as a <5% boolean, which the oracle states as TRUE (sketch
     constants are engine-specific, the error bound is not — rsd=0.02 gives
-    huge headroom)."""
+    huge headroom).
+
+    ``merged_hll_within_5pct`` exercises the MERGEABLE sketch-store path
+    (operators/sketches.py): the scan is split into two batches by
+    orderkey parity, each batch folded into the carried HLL store via
+    incremental_distinct_count, and the merged estimate must land within
+    5% of the exact distinct count — the incremental-analytics refresh
+    loop, driver-checked as an invariant."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        hll_estimates,
+        incremental_distinct_count,
+    )
+
     l = load(spark, sf, "lineitem")
+    store = None
+    for parity in (0, 1):
+        store = incremental_distinct_count(
+            store,
+            l.where(F.col("l_orderkey") % 2 == parity),
+            ["l_returnflag"],
+            "l_partkey",
+        )
+    merged = hll_estimates(store).select(
+        "l_returnflag", F.col("approx_distinct").alias("__mest")
+    )
     qty_c = cents(F.col("l_quantity"))
     price_c = cents(F.col("l_extendedprice"))
-    return l.groupBy("l_returnflag").agg(
+    agg = l.groupBy("l_returnflag").agg(
         F.percentile(qty_c, F.lit(0.5)).alias("median_qty_c"),
         F.percentile(price_c, F.lit(0.25)).alias("p25_price_c"),
         F.percentile(price_c, F.lit(0.75)).alias("p75_price_c"),
@@ -155,6 +179,14 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
             )
             <= 0.005 * F.percentile(price_c, F.lit(0.5))
         ).alias("approx_p50_within_tol"),
+    )
+    return agg.join(F.broadcast(merged), on="l_returnflag").select(
+        agg["*"],
+        (
+            F.abs(F.col("__mest") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            < 0.05
+        ).alias("merged_hll_within_5pct"),
     )
 
 
