@@ -100,7 +100,14 @@ def doc_perplexity(
     marginals — both size-gated broadcasts; unseen pairs/contexts fall
     back to the add-α floor.  NULL/empty text yields a single EOS
     prediction, never a dropped row.
+
+    The model is persisted here: ``lm`` feeds THREE consumers (the vocab
+    count, the pair join, the context marginals) and its lineage is the
+    training-corpus scan — without caching, scoring would re-tokenize the
+    clean corpus three times (the same no-subplan-sharing hazard
+    term_relevance guards against).
     """
+    lm = lm.persist()
     if vocab_size is None:
         vocab_size = lm_vocab_size(lm)
     v = float(vocab_size)
