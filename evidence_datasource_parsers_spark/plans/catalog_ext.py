@@ -567,8 +567,59 @@ SHARD_CK_MOD = 1000003
                       1, 15))::BIGINT AS ph
               FROM documents))
     GROUP BY shard
+    UNION ALL
+    SELECT 'ppl_' || CAST(CAST(floor(-lpd / 50.0) AS BIGINT) AS VARCHAR)
+               AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(CAST(round(lpd * 1000000) AS BIGINT)) AS BIGINT)
+               AS agg_val
+    FROM (
+        WITH ntok AS (
+            SELECT doc_id,
+                   list_concat(
+                       list_concat(
+                           ['<s>'],
+                           list_filter(
+                               string_split(
+                                   trim(regexp_replace(
+                                       lower(coalesce(text, '')),
+                                       '[^a-z0-9]+', ' ', 'g')), ' '),
+                               x -> x <> '')),
+                       ['</s>']) AS tk
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(2, len(tk) + 1),
+                       i -> struct_pack(ctx := tk[i - 1], w := tk[i]))) AS g
+            FROM ntok
+        ), ge AS (
+            SELECT doc_id, g.ctx AS ctx, g.w AS w FROM grams
+        ), cnt AS (
+            SELECT ctx, w, CAST(count(*) AS BIGINT) AS c
+            FROM ge WHERE doc_id % 2 = 0 GROUP BY ctx, w
+        ), ctxc AS (
+            SELECT ctx, CAST(sum(c) AS BIGINT) AS cc FROM cnt GROUP BY ctx
+        ), vsz AS (
+            SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM cnt
+        ), scored AS (
+            SELECT ge.doc_id,
+                   CAST(round(ln(
+                       (CAST(coalesce(cnt.c, 0) AS DOUBLE) + 1.0)
+                       / (CAST(coalesce(ctxc.cc, 0) AS DOUBLE) + 1.0 * s.v)
+                   ), 12) AS DECIMAL(28, 12)) AS lp
+            FROM ge
+            LEFT JOIN cnt ON ge.ctx = cnt.ctx AND ge.w = cnt.w
+            LEFT JOIN ctxc ON ge.ctx = ctxc.ctx
+            CROSS JOIN vsz s
+            WHERE ge.doc_id % 2 = 1
+        )
+        SELECT doc_id, CAST(sum(lp) AS DOUBLE) AS lpd
+        FROM scored GROUP BY doc_id
+    )
+    GROUP BY 1
     """,
-    tags=("train-split", "dedup", "sharding"),
+    tags=("train-split", "dedup", "sharding", "ngram-lm"),
 )
 def q50(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic split AND deterministic global shuffle, both hash-driven.
@@ -582,8 +633,25 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
     order-SENSITIVE checksum Σ shard_pos · (hash % {SHARD_CK_MOD}), so the
     oracle verifies not just the shard assignment but the exact
     within-shard row ORDER the trainer would read — a nondeterministic
-    shuffle (rand(), partition-dependent ids) breaks the value hash."""
+    shuffle (rand(), partition-dependent ids) breaks the value hash.
+
+    Leg 3 (ppl_<k> buckets): the n-gram-LM quality filter
+    (functions/ngram_lm.py) driver-gated END-TO-END: a bigram model
+    trains on the even-doc half, scores the odd half, and docs bucket by
+    exact per-doc log-probability.  Per-gram log-probs round to 12 dp and
+    sum as DECIMAL(28,12) — order-independent in both engines (the q11
+    Zipf construction) — then bucket floors and a 1e6-scaled integer sum
+    make the whole LM chain (tokenize→counts→smoothing→score) value-hash
+    checked."""
     from evidence_datasource_parsers_spark.functions.hashing import portable_hash
+    from evidence_datasource_parsers_spark.functions.ngram_lm import (
+        _ngrams,
+        lm_vocab_size,
+        train_ngram_lm,
+    )
+    from evidence_datasource_parsers_spark.operators.joins import (
+        broadcast_if_small,
+    )
     from evidence_datasource_parsers_spark.operators.sharding import (
         assign_shards,
     )
@@ -621,7 +689,64 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
             "agg_val",
         )
     )
-    return splits.unionByName(shards)
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9]+", " "
+        )
+    )
+    nd = d.select("doc_id", norm.alias("ntext"))
+    lm = train_ngram_lm(
+        nd.where(F.col("doc_id") % 2 == 0), "ntext", n=2
+    ).persist()
+    v = float(lm_vocab_size(lm))
+    ctx_tot = lm.groupBy("ctx").agg(F.sum("c").cast("long").alias("cc"))
+    g = (
+        nd.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.explode(_ngrams(F.col("ntext"), 2)).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.ctx").alias("ctx"),
+            F.col("g.word").alias("w"),
+        )
+    )
+    joined = g.join(
+        broadcast_if_small(lm.withColumnRenamed("word", "w")),
+        on=["ctx", "w"],
+        how="left",
+    ).join(broadcast_if_small(ctx_tot), on="ctx", how="left")
+    lp = F.round(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(1.0))
+            / (
+                F.coalesce(F.col("cc"), F.lit(0)).cast("double")
+                + F.lit(1.0) * F.lit(v)
+            )
+        ),
+        12,
+    ).cast("decimal(28,12)")
+    doclp = (
+        joined.select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.sum("lp").alias("lps"))
+    )
+    lpd = F.col("lps").cast("double")
+    ppl = (
+        doclp.select(
+            F.concat(
+                F.lit("ppl_"),
+                F.floor(-lpd / F.lit(50.0)).cast("long").cast("string"),
+            ).alias("bucket"),
+            lpd.alias("lpd"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.round(F.col("lpd") * 1_000_000).cast("long")).alias(
+                "agg_val"
+            ),
+        )
+    )
+    return splits.unionByName(shards).unionByName(ppl)
 
 
 @register(
