@@ -95,3 +95,7 @@ from evidence_datasource_parsers_spark.operators.sketches import (  # noqa: F401
     hll_store,
     incremental_distinct_count,
 )
+from evidence_datasource_parsers_spark.operators.zorder import (  # noqa: F401
+    morton_key,
+    zorder_by,
+)
