@@ -10,3 +10,7 @@ exercise every operator family of SURVEY §2 in its original composition.
 from evidence_datasource_parsers_spark.pipelines.slapenrich import (  # noqa: F401
     slapenrich_evidence,
 )
+from evidence_datasource_parsers_spark.pipelines.corpus_refresh import (  # noqa: F401
+    RefreshResult,
+    refresh_corpus_batch,
+)

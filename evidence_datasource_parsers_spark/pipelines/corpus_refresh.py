@@ -1,0 +1,111 @@
+"""The crawl-refresh pipeline as a first-class composable.
+
+Every training-data refresh runs the same loop: new batch → drop
+everything already seen (exact OR near-dup, against the carried
+fingerprint store) → quality-gate the survivors → assign leakage-safe
+splits → deterministic shards — and persist the updated store for the
+next run.  The pieces all exist as operators; this module is the
+supported composition, so a user gets the inter-stage decisions
+(documented below) instead of re-deriving them per pipeline.
+
+Decisions encoded here, stated because each is easy to get wrong:
+
+* **Rejected docs still enter the store.**  A doc dropped by the QUALITY
+  gate was still SEEN — its fingerprints go in the store so tomorrow's
+  re-crawl of the same junk is dropped by the cheap dedup path, not
+  re-scored.  (Dedup-dropped docs are already in the store by
+  definition.)
+* **Split before shard.**  Shards are a layout concern inside a split;
+  sharding first would scatter val docs through train shards.
+* **One persisted handle.**  The incremental operators pin the batch
+  fingerprints; the result exposes that handle and `RefreshResult.done()`
+  releases it — call it after the store and ready frames are
+  materialized (written or checkpointed).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.functions.quality import (
+    lexical_quality_score,
+)
+from evidence_datasource_parsers_spark.operators.dedupe import (
+    incremental_exact_dedupe,
+    incremental_lsh_dedupe,
+    incremental_simhash_dedupe,
+)
+from evidence_datasource_parsers_spark.operators.sampling import (
+    split_assign,
+)
+from evidence_datasource_parsers_spark.operators.sharding import (
+    assign_shards,
+)
+
+
+class RefreshResult(NamedTuple):
+    """``ready``: fresh docs that passed every gate, with ``quality``,
+    ``split``, ``shard``, ``shard_pos`` columns.  ``store``: the updated
+    fingerprint store to persist for the next run.  ``pinned``: cache
+    handles — call :meth:`done` once both frames are materialized."""
+
+    ready: DataFrame
+    store: DataFrame
+    pinned: tuple
+
+    def done(self) -> None:
+        for p in self.pinned:
+            p.unpersist()
+
+
+def refresh_corpus_batch(
+    batch: DataFrame,
+    prev_store: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    mode: str = "lsh",
+    min_quality: float | None = None,
+    splits: dict | None = None,
+    num_shards: int = 64,
+    **dedupe_kwargs,
+) -> RefreshResult:
+    """One refresh-loop iteration.  ``mode``: ``exact`` | ``lsh`` |
+    ``simhash`` selects the dedup family (and therefore the store schema —
+    a store is only meaningful to the mode that wrote it).
+    ``dedupe_kwargs`` pass through to the chosen incremental operator
+    (num_perm/bands/k/threshold/…)."""
+    if mode == "exact":
+        fresh, store = incremental_exact_dedupe(
+            batch, prev_store, text_col, id_col, **dedupe_kwargs
+        )
+        pinned: tuple = (fresh,)
+    elif mode == "lsh":
+        res = incremental_lsh_dedupe(
+            batch, prev_store, text_col, id_col, **dedupe_kwargs
+        )
+        fresh, store, pinned = res.fresh, res.store, (res.pinned,)
+    elif mode == "simhash":
+        res = incremental_simhash_dedupe(
+            batch, prev_store, text_col, id_col, **dedupe_kwargs
+        )
+        fresh, store, pinned = res.fresh, res.store, (res.pinned,)
+    else:
+        raise ValueError(f"mode must be exact|lsh|simhash, got {mode!r}")
+
+    scored = fresh.withColumn(
+        "quality", lexical_quality_score(F.col(text_col))
+    )
+    if min_quality is not None:
+        scored = scored.where(
+            F.coalesce(F.col("quality"), F.lit(float("-inf")))
+            >= min_quality
+        )
+    split = split_assign(
+        scored, id_col, splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    ready = assign_shards(split, id_col, num_shards)
+    return RefreshResult(ready=ready, store=store, pinned=pinned)

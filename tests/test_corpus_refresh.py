@@ -1,0 +1,82 @@
+"""refresh_corpus_batch: two-run store carry, quality-gate store
+semantics (rejected docs are still SEEN), mode dispatch, determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.pipelines.corpus_refresh import (
+    refresh_corpus_batch,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_two_run_refresh_drops_recrawls(spark):
+    b1 = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely different content about shipping containers"),
+    ])
+    r1 = refresh_corpus_batch(b1, None, mode="lsh", k=3, num_shards=2)
+    assert {r.doc_id for r in r1.ready.select("doc_id").collect()} == {1, 2}
+    store = r1.store.localCheckpoint(eager=True)
+    r1.done()
+
+    b2 = _docs(spark, [
+        (11, "the quick brown fox jumps over the lazy dog again and again"),
+        (12, "a genuinely new document about distributed query engines"),
+    ])
+    r2 = refresh_corpus_batch(b2, store, mode="lsh", k=3, num_shards=2)
+    ready = {r.doc_id for r in r2.ready.select("doc_id").collect()}
+    assert ready == {12}  # re-crawl 11 dropped against the carried store
+    cols = set(r2.ready.columns)
+    assert {"quality", "split", "shard", "shard_pos"} <= cols
+    r2.done()
+
+
+def test_quality_rejects_still_enter_store(spark):
+    """A doc dropped by the quality gate must still be in the store so the
+    next run's re-crawl short-circuits at the dedup stage."""
+    junk = "zzz " * 30
+    b1 = _docs(spark, [(1, junk.strip())])
+    r1 = refresh_corpus_batch(b1, None, mode="exact", min_quality=10.0)
+    assert r1.ready.count() == 0  # rejected by quality
+    store = r1.store.localCheckpoint(eager=True)
+    assert store.count() == 1    # ...but SEEN
+    r1.done()
+
+    r2 = refresh_corpus_batch(
+        _docs(spark, [(2, junk.strip())]), store, mode="exact",
+        min_quality=10.0,
+    )
+    # re-crawl of the junk dies at dedup (store hit), not at re-scoring
+    assert r2.store.count() == 1
+    r2.done()
+
+
+def test_mode_dispatch_and_guard(spark):
+    b = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta eta")])
+    for mode in ("exact", "lsh", "simhash"):
+        r = refresh_corpus_batch(b, None, mode=mode)
+        assert r.ready.count() == 1
+        r.done()
+    with pytest.raises(ValueError, match="mode"):
+        refresh_corpus_batch(b, None, mode="fuzzy")
+
+
+def test_deterministic_across_runs(spark):
+    b = _docs(spark, [
+        (i, f"document number {i} with shared filler words common to all")
+        for i in range(20)
+    ])
+    r1 = refresh_corpus_batch(b, None, mode="lsh", k=3, num_shards=4)
+    r2 = refresh_corpus_batch(b, None, mode="lsh", k=3, num_shards=4)
+    a = sorted((r.doc_id, r.split, r.shard, r.shard_pos)
+               for r in r1.ready.collect())
+    c = sorted((r.doc_id, r.split, r.shard, r.shard_pos)
+               for r in r2.ready.collect())
+    assert a == c
+    r1.done(); r2.done()
