@@ -121,3 +121,55 @@ def incremental_dedupe_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_distinct_count_sink(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    group_cols: list[str],
+    value_col: str,
+    lgk: int = 12,
+):
+    """foreachBatch sink maintaining the mergeable HLL sketch store
+    (operators/sketches.py) across micro-batches AND runs: per batch, fold
+    the batch's sketches into the on-disk store and swap atomically.
+
+    The store IS the output — distinct-count dashboards read it with
+    ``hll_estimates`` at any time; re-ingested values cannot inflate it
+    (HLL registers take maxima).  Exactly-once for the store by the same
+    tmp+swap discipline as :func:`incremental_dedupe_sink`; a replayed
+    batch merges idempotently rather than double-counting — the property
+    that makes sketch stores SAFER under at-least-once delivery than
+    exact counters.
+    """
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        incremental_distinct_count,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        store = (
+            spark.read.parquet(store_dir)
+            if os.path.isdir(store_dir)
+            else None
+        )
+        updated = incremental_distinct_count(
+            store, batch_df, group_cols, value_col, lgk
+        )
+        tmp = f"{store_dir}__swap_{uuid.uuid4().hex[:8]}"
+        updated.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(store_dir):
+            old = f"{store_dir}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(store_dir, old)
+            os.rename(tmp, store_dir)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, store_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

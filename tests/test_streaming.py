@@ -328,3 +328,55 @@ def test_incremental_lsh_sink_drops_streamed_recrawls(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(store).collect()
     } == {1, 11}
+
+
+def test_streaming_distinct_count_sink(spark, tmp_path):
+    """The sketch store accumulates across runs and re-ingests do not
+    inflate it: run 1 sees 100 urls, run 2 replays them plus 50 new —
+    the estimate tracks 150, not 250."""
+    import json as _json
+
+    import pytest
+
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        hll_estimates,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        streaming_distinct_count_sink,
+    )
+
+    src = tmp_path / "urls_in"
+    src.mkdir()
+    store = str(tmp_path / "hll_store")
+
+    def rows(lo, hi):
+        return "\n".join(
+            _json.dumps({"domain": "a", "url": f"u{i}"})
+            for i in range(lo, hi)
+        )
+
+    (src / "b1.json").write_text(rows(0, 100))
+
+    def run():
+        stream = (
+            spark.readStream.schema("domain string, url string")
+            .json(str(src))
+        )
+        ckpt = str(tmp_path / f"ck_{len(list(tmp_path.iterdir()))}")
+        q = streaming_distinct_count_sink(
+            stream, store, ckpt, ["domain"], "url"
+        )
+        q.awaitTermination()
+
+    run()
+    est1 = {r.domain: r.approx_distinct
+            for r in hll_estimates(spark.read.parquet(store)).collect()}
+    assert est1["a"] == pytest.approx(100, rel=0.05)
+
+    # run 2 replays b1 (fresh checkpoint) + 50 genuinely new urls
+    (src / "b2.json").write_text(rows(100, 150))
+    run()
+    est2 = {r.domain: r.approx_distinct
+            for r in hll_estimates(spark.read.parquet(store)).collect()}
+    assert est2["a"] == pytest.approx(150, rel=0.05)
+    assert est2["a"] < 220  # replay did NOT double-count
