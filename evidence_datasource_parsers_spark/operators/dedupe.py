@@ -696,9 +696,11 @@ def incremental_lsh_dedupe(
     else:
         # reuse path: min id per content hash picks the same representatives
         # as min_by over full rows (ids are unique by contract)
+        # no distinct first: min over the (id, hash) multiset — one row per
+        # (doc, band) — equals min over the set, and the groupBy's map-side
+        # combine collapses the duplicates without the extra full shuffle
         surv_ids = (
             batch_fingerprints.select(id_col, "content_hash")
-            .distinct()
             .groupBy("content_hash")
             .agg(F.min(F.col(id_col)).alias(id_col))
             .select(id_col)
