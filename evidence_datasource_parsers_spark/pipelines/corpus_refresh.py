@@ -71,31 +71,51 @@ def refresh_corpus_batch(
     min_quality: float | None = None,
     splits: dict | None = None,
     num_shards: int = 64,
+    canonicalize: bool = False,
     **dedupe_kwargs,
 ) -> RefreshResult:
     """One refresh-loop iteration.  ``mode``: ``exact`` | ``lsh`` |
     ``simhash`` selects the dedup family (and therefore the store schema —
     a store is only meaningful to the mode that wrote it).
     ``dedupe_kwargs`` pass through to the chosen incremental operator
-    (num_perm/bands/k/threshold/…)."""
+    (num_perm/bands/k/threshold/…).
+
+    ``canonicalize=True`` fingerprints the Unicode-canonical text
+    (textnorm.dedup_key: NFKC + casefold + whitespace collapse) instead of
+    the raw bytes, so a full-width/ligature/case re-render of a stored doc
+    is recognized as a re-crawl.  The ORIGINAL text flows through to
+    ``ready`` — canonicalization is a fingerprint policy, not a mutation,
+    and it must be set consistently for the lifetime of a store (keys
+    written raw will never match keys written canonical).
+    """
+    fp_col = text_col
+    if canonicalize:
+        from evidence_datasource_parsers_spark.functions.textnorm import (
+            dedup_key,
+        )
+
+        fp_col = "__fp_text"
+        batch = batch.withColumn(fp_col, dedup_key(F.col(text_col)))
     if mode == "exact":
         fresh, store = incremental_exact_dedupe(
-            batch, prev_store, text_col, id_col, **dedupe_kwargs
+            batch, prev_store, fp_col, id_col, **dedupe_kwargs
         )
         pinned: tuple = (fresh,)
     elif mode == "lsh":
         res = incremental_lsh_dedupe(
-            batch, prev_store, text_col, id_col, **dedupe_kwargs
+            batch, prev_store, fp_col, id_col, **dedupe_kwargs
         )
         fresh, store, pinned = res.fresh, res.store, (res.pinned,)
     elif mode == "simhash":
         res = incremental_simhash_dedupe(
-            batch, prev_store, text_col, id_col, **dedupe_kwargs
+            batch, prev_store, fp_col, id_col, **dedupe_kwargs
         )
         fresh, store, pinned = res.fresh, res.store, (res.pinned,)
     else:
         raise ValueError(f"mode must be exact|lsh|simhash, got {mode!r}")
 
+    if canonicalize:
+        fresh = fresh.drop(fp_col)  # fingerprint policy, not a mutation
     scored = fresh.withColumn(
         "quality", lexical_quality_score(F.col(text_col))
     )

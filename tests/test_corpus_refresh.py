@@ -80,3 +80,27 @@ def test_deterministic_across_runs(spark):
                for r in r2.ready.collect())
     assert a == c
     r1.done(); r2.done()
+
+
+def test_canonicalize_catches_unicode_rerenders(spark):
+    """A full-width/ligature re-render of a stored doc is a re-crawl under
+    canonicalize=True, and raw text still flows to ready."""
+    b1 = _docs(spark, [(1, "file transfer complete")])
+    r1 = refresh_corpus_batch(b1, None, mode="exact", canonicalize=True)
+    store = r1.store.localCheckpoint(eager=True)
+    r1.done()
+
+    rerender = "ﬁle  TRANSFER complete"  # ligature + case + spacing
+    b2 = _docs(spark, [(2, rerender), (3, "actually new content")])
+    r2 = refresh_corpus_batch(b2, store, mode="exact", canonicalize=True)
+    rows = {r.doc_id: r.text for r in
+            r2.ready.select("doc_id", "text").collect()}
+    assert set(rows) == {3}
+    assert rows[3] == "actually new content"  # original text untouched
+    assert "__fp_text" not in r2.ready.columns
+    r2.done()
+
+    # without canonicalization the re-render slips through
+    r3 = refresh_corpus_batch(b2, store, mode="exact")
+    assert r3.ready.count() == 2
+    r3.done()
