@@ -6,6 +6,9 @@ Every reference parser is a CLI module (``python modules/ClinGen.py
     python -m evidence_datasource_parsers_spark list
     python -m evidence_datasource_parsers_spark run q01_pricing_summary \
         --sf-dir /root/testdata/sf0.01 [--output out.json.gz] [--explain]
+    python -m evidence_datasource_parsers_spark refresh \
+        --batch new_docs.parquet --store ./fp_store --out ./fresh_out \
+        [--mode lsh] [--min-quality 0.0] [--canonicalize] [--shards 64]
 """
 
 from __future__ import annotations
@@ -27,7 +30,27 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--explain", action="store_true")
     run.add_argument("--limit", type=int, default=20)
 
+    refresh = sub.add_parser(
+        "refresh",
+        help="one crawl-refresh iteration: dedup against the store, "
+        "quality-gate, split, shard, persist the updated store",
+    )
+    refresh.add_argument("--batch", required=True, help="parquet of new docs")
+    refresh.add_argument("--store", required=True,
+                         help="fingerprint store dir (created on first run)")
+    refresh.add_argument("--out", required=True, help="ready-docs output dir")
+    refresh.add_argument("--mode", default="lsh",
+                         choices=["exact", "lsh", "simhash"])
+    refresh.add_argument("--text-col", default="text")
+    refresh.add_argument("--id-col", default="doc_id")
+    refresh.add_argument("--min-quality", type=float, default=None)
+    refresh.add_argument("--shards", type=int, default=64)
+    refresh.add_argument("--canonicalize", action="store_true")
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "refresh":
+        return _refresh(args)
 
     from evidence_datasource_parsers_spark.plans import CATALOG
 
@@ -57,6 +80,56 @@ def main(argv: list[str] | None = None) -> int:
         print(f"wrote {args.output}")
     else:
         df.show(args.limit, truncate=False)
+    return 0
+
+
+def _refresh(args) -> int:
+    """The corpus_refresh pipeline as an operation: swap-safe store update
+    (tmp + rename, same discipline as the streaming sink) so a crash never
+    leaves a half-written store for the next run to read."""
+    import os
+    import shutil
+    import uuid
+
+    from evidence_datasource_parsers_spark.pipelines.corpus_refresh import (
+        refresh_corpus_batch,
+    )
+    from evidence_datasource_parsers_spark.session import get_spark
+
+    spark = get_spark("refresh")
+    spark.sparkContext.setLogLevel("ERROR")
+    batch = spark.read.parquet(args.batch)
+    prev = (
+        spark.read.parquet(args.store)
+        if os.path.isdir(args.store)
+        else None
+    )
+    res = refresh_corpus_batch(
+        batch,
+        prev,
+        args.text_col,
+        args.id_col,
+        mode=args.mode,
+        min_quality=args.min_quality,
+        num_shards=args.shards,
+        canonicalize=args.canonicalize,
+    )
+    try:
+        tmp = f"{args.store}__swap_{uuid.uuid4().hex[:8]}"
+        res.store.write.mode("overwrite").parquet(tmp)
+        ready = res.ready.localCheckpoint(eager=True)
+        if os.path.isdir(args.store):
+            old = f"{args.store}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(args.store, old)
+            os.rename(tmp, args.store)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, args.store)
+        ready.write.mode("append").parquet(args.out)
+        n = ready.count()
+        print(f"refresh: {n} fresh docs → {args.out}; store → {args.store}")
+    finally:
+        res.done()
     return 0
 
 
