@@ -69,23 +69,32 @@ def zorder_by(
         raise ValueError(
             f"bits*cols = {bits * len(cols)} exceeds the 63-bit long key"
         )
+    dts = dict(df.dtypes)
+
+    def _axis(c: str) -> Column:
+        """Column as a double axis: numerics cast; timestamps/dates via
+        epoch micros; strings via a 64-bit hash — equal values still share
+        a tile (equality-filter pruning), they just lose RANGE order,
+        which a string mostly lacks anyway."""
+        dt = dts[c]
+        if dt.startswith("timestamp") or dt == "date":
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        if dt in ("string", "binary"):
+            return F.xxhash64(F.col(c)).cast("double")
+        return F.col(c).cast("double")
+
     n_edges = (1 << bits) - 1
     qs = F.array(
         *[F.lit((i + 1) / (n_edges + 1)) for i in range(n_edges)]
     )
     edges = df.agg(
         *[
-            F.percentile_approx(F.col(c).cast("double"), qs).alias(
-                f"__edges_{c}"
-            )
+            F.percentile_approx(_axis(c), qs).alias(f"__edges_{c}")
             for c in cols
         ]
     )
     keyed = df.crossJoin(F.broadcast(edges))
-    bins = [
-        _bin_index(F.col(c).cast("double"), F.col(f"__edges_{c}"))
-        for c in cols
-    ]
+    bins = [_bin_index(_axis(c), F.col(f"__edges_{c}")) for c in cols]
     key = key_col or "__z"
     keyed = keyed.withColumn(key, morton_key(bins, bits)).drop(
         *[f"__edges_{c}" for c in cols]

@@ -76,3 +76,27 @@ def test_guards(spark):
         zorder_by(df, ["x", "y"], bits=32)
     with pytest.raises(ValueError, match="at least one"):
         zorder_by(df, [], bits=8)
+
+
+def test_string_and_timestamp_axes(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (f"dom{i % 4}", base + datetime.timedelta(hours=i), i)
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "domain string, ts timestamp, v int")
+    z = zorder_by(df, ["domain", "ts"], bits=4, num_partitions=4,
+                  key_col="zk")
+    got = z.collect()
+    assert len(got) == 64
+    # equal domains share tiles: rows of one domain span FEW partitions
+    from pyspark.sql import functions as F2
+    spread = (
+        z.withColumn("pid", F2.spark_partition_id())
+        .groupBy("domain")
+        .agg(F2.countDistinct("pid").alias("np"))
+        .collect()
+    )
+    assert max(r.np for r in spread) <= 3  # never smeared across all 4
