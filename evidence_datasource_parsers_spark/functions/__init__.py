@@ -52,3 +52,8 @@ from evidence_datasource_parsers_spark.functions.textnorm import (  # noqa: F401
     normalize_unicode,
     strip_accents,
 )
+from evidence_datasource_parsers_spark.functions.fingerprint import (  # noqa: F401
+    document_fingerprints,
+    fingerprint_documents,
+    fingerprint_overlap,
+)

@@ -1,0 +1,112 @@
+"""Document fingerprinting: rolling k-gram hashes + winnowing.
+
+The MOSS algorithm (Schleimer, Wilkerson, Aiken, "Winnowing: Local
+Algorithms for Document Fingerprinting", SIGMOD 2003): hash every
+character k-gram, slide a window of w consecutive hashes, keep each
+window's minimum — the selected hashes are the document's fingerprint.
+Guarantee: any substring match of length ≥ w + k − 1 shares at least one
+fingerprint, so plagiarism/boilerplate overlap is detectable from
+fingerprint sets ~2/(w+1) the size of the k-gram stream.
+
+All native higher-order functions — no UDF, no shuffle; per-document
+cost O(n·k) for the gram hashes (the polynomial is recomputed per
+position rather than rolled incrementally — same VALUES as the classic
+Rabin-Karp roll, which is what determinism cares about; k is small) and
+O(n·w) for window minima, both inside whole-stage codegen.
+
+The hash is an explicit polynomial mod a 61-bit prime — engine-portable
+by construction (any SQL engine can replay it), unlike xxhash/crc
+built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BASE = 257
+MOD_SMALL = (1 << 43) - 57  # prime; 257·(MOD_SMALL−1)+255 < 2^52 — every
+# accumulator step stays inside exact long range, so the polynomial is
+# replayable bit-for-bit by any engine with 64-bit integers
+
+
+def kgram_hashes(text: Column | str, k: int = 5) -> Column:
+    """array<long> of polynomial hashes of each character k-gram of the
+    lower-cased text (whitespace collapsed first so formatting changes
+    don't shift every gram).  Shorter-than-k (or NULL) text → empty array.
+
+    h(gram) = Σ code(c_j)·BASE^(k−1−j) mod MOD_SMALL, accumulated as
+    ((acc·BASE) + code) mod MOD_SMALL per character.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " ")
+    )
+    chars = F.split(norm, "")
+    n = F.size(chars)
+    mod = F.lit(MOD_SMALL)
+    starts = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        starts,
+        lambda i: F.aggregate(
+            F.slice(chars, i, k),
+            F.lit(0).cast("long"),
+            lambda acc, c: F.pmod(
+                acc * F.lit(BASE) + F.ascii(c).cast("long"), mod
+            ),
+        ),
+    )
+
+
+def winnow(hashes: Column, w: int = 4) -> Column:
+    """Winnowing selection: sorted distinct minima of every length-``w``
+    window over the k-gram hash array.  Arrays shorter than ``w`` (but
+    non-empty) contribute their global min, so short docs still
+    fingerprint; empty arrays → empty fingerprint."""
+    n = F.size(hashes)
+    starts = F.when(
+        n >= w, F.sequence(F.lit(1), n - (w - 1))
+    ).otherwise(
+        F.when(n > 0, F.sequence(F.lit(1), F.lit(1))).otherwise(
+            F.array().cast("array<int>")
+        )
+    )
+    mins = F.transform(
+        starts,
+        lambda i: F.array_min(F.slice(hashes, i, F.least(F.lit(w), n))),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+def document_fingerprints(
+    text: Column | str, k: int = 5, w: int = 4
+) -> Column:
+    """The document's winnowed fingerprint set (array<long>, sorted)."""
+    return winnow(kgram_hashes(text, k), w)
+
+
+def fingerprint_overlap(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two fingerprint arrays (0.0 when both
+    empty — two empty docs are NOT evidence of shared content)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def fingerprint_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    out_col: str = "fingerprints",
+) -> DataFrame:
+    """Corpus pass: ``(id_col, fingerprints)`` — one narrow projection.
+    Explode ``out_col`` and group by hash to find cross-document shared
+    regions (the passage_dedup shape, at character granularity)."""
+    return df.select(
+        F.col(id_col),
+        document_fingerprints(F.col(text_col), k, w).alias(out_col),
+    )

@@ -420,6 +420,12 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.unionByName(incr)
 
 
+from evidence_datasource_parsers_spark.functions.fingerprint import (
+    MOD_SMALL as WINNOW_MOD,
+)
+
+WINNOW_K = 5
+WINNOW_W = 4
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 3
 SIMHASH_BLOCKS = 6
@@ -464,8 +470,44 @@ def _simhash_bits_sql() -> str:
     UNION ALL
     SELECT doc_id, ch AS content_hash, sim AS simhash, 'incr_fresh' AS src
     FROM surv
+    UNION ALL
+    SELECT doc_id, fphash AS content_hash, CAST(NULL AS BIGINT) AS simhash,
+           'winnow' AS src
+    FROM (
+        WITH wtok AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(coalesce(text, '')),
+                                       '\\s+', ' ', 'g')) AS wt
+            FROM documents WHERE doc_id % 10 = 0
+        ), wg AS (
+            SELECT doc_id,
+                   CASE WHEN length(wt) >= {WINNOW_K}
+                        THEN list_transform(
+                            range(1, length(wt) - {WINNOW_K} + 2),
+                            i -> list_reduce(
+                                list_prepend(CAST(0 AS BIGINT),
+                                    list_transform(range(i, i + {WINNOW_K}),
+                                        j -> CAST(ord(substr(wt, j, 1))
+                                                  AS BIGINT))),
+                                (a, c) -> (a * 257 + c) % {WINNOW_MOD}))
+                        ELSE CAST([] AS BIGINT[]) END AS hs
+            FROM wtok
+        ), wsel AS (
+            SELECT doc_id,
+                   CASE WHEN len(hs) >= {WINNOW_W}
+                        THEN list_transform(
+                            range(1, len(hs) - {WINNOW_W} + 2),
+                            i -> list_min(
+                                list_slice(hs, i, i + {WINNOW_W} - 1)))
+                        WHEN len(hs) > 0 THEN [list_min(hs)]
+                        ELSE CAST([] AS BIGINT[]) END AS sel
+            FROM wg
+        )
+        SELECT doc_id, unnest(list_sort(list_distinct(sel))) AS fphash
+        FROM wsel
+    )
     """,
-    tags=("dedup", "simhash", "fingerprint", "incremental"),
+    tags=("dedup", "simhash", "fingerprint", "incremental", "winnowing"),
 )
 def q35(spark: SparkSession, sf: str) -> DataFrame:
     """32-bit SimHash fingerprinting, at-rest AND incremental.
@@ -507,7 +549,30 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
     incr = res.pinned.join(
         res.fresh.select("doc_id"), on="doc_id", how="left_semi"
     ).select("doc_id", "content_hash", "simhash", F.lit("incr_fresh").alias("src"))
-    return sig.unionByName(incr)
+    # leg 3 (src='winnow'): MOSS winnowing fingerprints
+    # (functions/fingerprint.py) on a doc_id%10 sample — one row per
+    # selected k-gram hash; the oracle replays the polynomial rolling
+    # hash and the window-min selection with identical integer arithmetic
+    from evidence_datasource_parsers_spark.functions.fingerprint import (
+        document_fingerprints,
+    )
+
+    wn = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.explode(
+                document_fingerprints(F.col("text"), WINNOW_K, WINNOW_W)
+            ).alias("content_hash"),
+        )
+        .select(
+            "doc_id",
+            "content_hash",
+            F.lit(None).cast("long").alias("simhash"),
+            F.lit("winnow").alias("src"),
+        )
+    )
+    return sig.unionByName(incr).unionByName(wn)
 
 
 @register(
