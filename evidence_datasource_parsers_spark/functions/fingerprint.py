@@ -95,6 +95,48 @@ def fingerprint_overlap(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def shared_fingerprint_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Cross-document shared-content candidates: (id_a, id_b, n_shared)
+    for every pair sharing ≥ ``min_shared`` winnowed fingerprints.
+
+    The inverted-index shape: explode fingerprints, self-join on the hash
+    (shuffle key = the 43-bit hash — uniform), count per pair.  By the
+    winnowing guarantee a shared run of ≥ w+k−1 characters WILL collide
+    here, so this finds copied passages that word-level shingles
+    (passage_dedup) miss under reflowing/punctuation edits.  Ubiquitous
+    boilerplate hashes fan out quadratically — at corpus scale drop
+    hashes with document-frequency above a cap first (the same heavy-
+    hitter guard as every inverted index); ``max_doc_freq`` is that cap.
+    """
+    fps = fingerprint_documents(df, text_col, id_col, k, w)
+    inv = fps.select(
+        F.col(id_col), F.explode("fingerprints").alias("__h")
+    )
+    # heavy-hitter guard: a hash present in a large fraction of docs is
+    # boilerplate, not evidence — joining it would be quadratic
+    freq = inv.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__df")
+    ).where(F.col("__df") <= max_doc_freq)
+    inv = inv.join(freq.select("__h"), on="__h")
+    a = inv.withColumnRenamed(id_col, "id_a")
+    b = inv.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, on="__h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def fingerprint_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -99,3 +99,41 @@ def test_short_doc_still_fingerprints(spark):
     # len(norm)=6 with k=5 → 2 grams < w=4 → global min kept
     assert len(_fp(spark, "abcdef")) == 1
     assert _fp(spark, "abc") == []  # shorter than k
+
+
+def test_shared_fingerprint_pairs_finds_copied_passage(spark):
+    from evidence_datasource_parsers_spark.functions.fingerprint import (
+        shared_fingerprint_pairs,
+    )
+
+    passage = "this exact paragraph was copied between two documents"
+    df = spark.createDataFrame(
+        [
+            (1, "intro text before " + passage + " and a unique tail"),
+            (2, passage + " with its own different surroundings"),
+            (3, "entirely unrelated content zq zq zq 12345"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.n_shared
+             for r in shared_fingerprint_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)
+    # plan: inverted-index equi-join, never a cartesian
+    plan = shared_fingerprint_pairs(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_fuzz_matches_reference(spark):
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.text(alphabet="ab c", min_size=0, max_size=40),
+           st.sampled_from([(3, 2), (5, 4)]))
+    def check(text, kw):
+        k, w = kw
+        got = _fp(spark, text, k, w)
+        assert got == _py_winnow(_py_kgrams(text, k), w)
+
+    check()
