@@ -14,8 +14,9 @@ position rather than rolled incrementally — same VALUES as the classic
 Rabin-Karp roll, which is what determinism cares about; k is small) and
 O(n·w) for window minima, both inside whole-stage codegen.
 
-The hash is an explicit polynomial mod a 61-bit prime — engine-portable
-by construction (any SQL engine can replay it), unlike xxhash/crc
+The hash is an explicit polynomial mod a 43-bit prime (every accumulator
+step stays in exact long range) — engine-portable by construction (any
+SQL engine can replay it; q35's oracle does), unlike xxhash/crc
 built-ins.
 """
 
