@@ -1,0 +1,107 @@
+"""WARC source: record grammar, HTTP envelope split, gzip multi-member
+files, truncation guard, and the Spark reader end-to-end."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from evidence_datasource_parsers_spark.sources.warc import (
+    iter_warc_records,
+    read_warc,
+    split_http_payload,
+)
+
+
+def _record(wtype: str, payload: bytes, url: str | None = None) -> bytes:
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: " + wtype.encode(),
+        b"WARC-Record-ID: <urn:uuid:" + wtype.encode() + b"-1>",
+        b"WARC-Date: 2024-01-01T00:00:00Z",
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    if url:
+        headers.append(b"WARC-Target-URI: " + url.encode())
+    return b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes, ctype: bytes = b"text/html") -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype
+        + b"\r\nServer: x\r\n\r\n" + body
+    )
+
+
+def _warc_bytes() -> bytes:
+    return (
+        _record("warcinfo", b"software: test")
+        + _record("response", _http(b"<html>hello page one</html>"),
+                  "http://a.example/one")
+        + _record("request", b"GET /one HTTP/1.1\r\nHost: a.example\r\n",
+                  "http://a.example/one")
+        + _record("response", _http(b"plain body", b"text/plain"),
+                  "http://a.example/two")
+    )
+
+
+def test_iter_records_plain_and_gzip():
+    for raw in (_warc_bytes(), gzip.compress(_warc_bytes())):
+        recs = list(iter_warc_records(raw))
+        assert [r["warc_type"] for r in recs] == [
+            "warcinfo", "response", "request", "response"
+        ]
+        assert recs[1]["url"] == "http://a.example/one"
+        assert recs[1]["payload"].startswith(b"HTTP/1.1 200")
+
+
+def test_multi_member_gzip():
+    raw = gzip.compress(
+        _record("response", _http(b"m1"), "http://m/1")
+    ) + gzip.compress(_record("response", _http(b"m2"), "http://m/2"))
+    recs = list(iter_warc_records(raw))
+    assert [r["url"] for r in recs] == ["http://m/1", "http://m/2"]
+
+
+def test_split_http_payload():
+    status, ctype, body = split_http_payload(_http(b"the body"))
+    assert (status, ctype, body) == (200, "text/html", b"the body")
+    assert split_http_payload(b"not http") == (None, None, b"not http")
+
+
+def test_truncation_guard():
+    big = _record("response", _http(b"x" * 1000), "http://big/") + _record(
+        "response", _http(b"after"), "http://after/"
+    )
+    recs = list(iter_warc_records(big, max_payload=100))
+    assert recs[0]["payload_truncated"] is True
+    assert len(recs[0]["payload"]) == 100
+    # the truncated record is fully drained: the NEXT record still parses
+    assert recs[1]["url"] == "http://after/"
+    assert recs[1]["payload_truncated"] is False
+
+
+def test_read_warc_dataframe(spark, tmp_path):
+    (tmp_path / "a.warc.gz").write_bytes(gzip.compress(_warc_bytes()))
+    (tmp_path / "b.warc").write_bytes(
+        _record("response", _http(b"<p>second file</p>"), "http://b/x")
+    )
+    df = read_warc(spark, str(tmp_path), responses_only=True)
+    rows = {r.url: r for r in df.collect()}
+    assert set(rows) == {
+        "http://a.example/one", "http://a.example/two", "http://b/x"
+    }
+    r = rows["http://a.example/one"]
+    assert r.http_status == 200
+    assert r.http_content_type == "text/html"
+    assert bytes(r.payload) == b"<html>hello page one</html>"
+    assert r.payload_truncated is False
+    # all record types without the filter
+    all_types = {r.warc_type for r in read_warc(spark, str(tmp_path)).collect()}
+    assert all_types == {"warcinfo", "response", "request"}
+
+
+def test_bad_magic_raises():
+    with pytest.raises(ValueError, match="WARC version"):
+        list(iter_warc_records(b"GARBAGE\r\n\r\n"))
