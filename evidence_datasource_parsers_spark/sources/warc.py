@@ -168,3 +168,51 @@ def read_warc(
             )
 
     return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+def warc_documents(
+    spark: SparkSession,
+    path: str,
+    max_payload: int = 100 * 1024 * 1024,
+) -> DataFrame:
+    """WARC directory → the engine's documents shape: (doc_id, url, text).
+
+    Successful (2xx) HTML/text responses only; ``text`` is the HTML-
+    stripped body (functions/html.py), ``url`` the canonical crawl URL
+    (functions/urls.py — tracking params, fragments, default ports gone),
+    ``doc_id`` the portable 60-bit hash of the RECORD id, so re-parsing
+    the same archives yields identical ids (and downstream
+    split/shard/dedup decisions) on any engine.  Feed the result straight
+    to ``pipelines.corpus_refresh.refresh_corpus_batch``.
+    """
+    from pyspark.sql import functions as F
+
+    from evidence_datasource_parsers_spark.functions.hashing import (
+        portable_hash,
+    )
+    from evidence_datasource_parsers_spark.functions.html import strip_html
+    from evidence_datasource_parsers_spark.functions.urls import (
+        canonicalize_url,
+    )
+
+    recs = read_warc(
+        spark, path, responses_only=True, max_payload=max_payload
+    )
+    textual = recs.where(
+        F.col("http_status").between(200, 299)
+        & (
+            F.col("http_content_type").startswith("text/")
+            | F.col("http_content_type").isNull()
+        )
+    )
+    body = F.col("payload").cast("string")
+    return textual.select(
+        portable_hash(F.col("record_id")).alias("doc_id"),
+        canonicalize_url(F.col("url")).alias("url"),
+        F.when(
+            F.col("http_content_type").startswith("text/html"),
+            strip_html(body),
+        )
+        .otherwise(body)
+        .alias("text"),
+    )
