@@ -134,3 +134,25 @@ def test_no_dups_is_identity(spark):
     cents = deterministic_centroids(DIM, 4)
     assert semantic_dupe_groups(df, cents, 0.999).count() == 0
     assert semantic_dedupe(df, cents, 0.999).count() == 6
+
+
+def test_with_fitted_kmeans_centroids(spark, corpus):
+    """The production path: centroids FITTED on the corpus (MLlib KMeans)
+    instead of the deterministic replay set — groups must still match the
+    brute-force oracle for tight perturbations (they share a cell under
+    any sane clustering), and the keep-policy is unchanged."""
+    from evidence_datasource_parsers_spark.operators.ivf import (
+        fit_ivf_centroids,
+    )
+
+    cents = fit_ivf_centroids(corpus, 4, vec_col="embedding")
+    got = semantic_dupe_groups(corpus, cents, 0.999).collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+    brute = _brute_groups(
+        [(r.doc_id, r.embedding) for r in corpus.collect()], 0.999
+    )
+    assert by_cluster == brute
+    kept = semantic_dedupe(corpus, cents, 0.999)
+    assert {r.doc_id for r in kept.collect()} == set(range(10))
