@@ -99,3 +99,7 @@ from evidence_datasource_parsers_spark.operators.zorder import (  # noqa: F401
     morton_key,
     zorder_by,
 )
+from evidence_datasource_parsers_spark.operators.mmr import (  # noqa: F401
+    mmr_select,
+    mmr_select_ids,
+)
