@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from evidence_datasource_parsers_spark.functions.quality import (
@@ -92,3 +94,56 @@ def test_sparse_table_scores_missing_tokens_zero(spark):
     empty = placeholder_weight_table(spark).where(F.lit(False))
     out = score_with_weight_table(d, "text", "doc_id", empty).collect()
     assert out[0].lexical_score == 0.0
+
+
+def test_binned_auc_exact_and_degenerate(spark):
+    from evidence_datasource_parsers_spark.functions.metrics import binned_auc
+
+    # hand-checkable: pos scores {3, 4}, neg {1, 2} → perfect separation
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "s double, y int"
+    )
+    assert binned_auc(df, "s", "y") == 1.0
+
+    # one inversion: pos {2, 4}, neg {1, 3} → AUC = 3/4
+    df2 = spark.createDataFrame(
+        [(1.0, 0), (2.0, 1), (3.0, 0), (4.0, 1)], "s double, y int"
+    )
+    assert binned_auc(df2, "s", "y") == pytest.approx(0.75)
+
+    # exhaustive reference check on a mixed set with ties
+    rows = [(float(s), y) for s, y in
+            [(1, 0), (1, 1), (2, 0), (2, 1), (3, 1), (0, 0), (3, 0)]]
+    df3 = spark.createDataFrame(rows, "s double, y int")
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    ref = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0
+        for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert binned_auc(df3, "s", "y") == pytest.approx(ref)
+
+    # degenerates → 0.5
+    one_class = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, y int")
+    assert binned_auc(one_class, "s", "y") == 0.5
+    const = spark.createDataFrame([(1.0, 0), (1.0, 1)], "s double, y int")
+    assert binned_auc(const, "s", "y") == 0.5
+
+
+def test_binned_auc_quality_scorer_calibration(spark):
+    """The intended use: the lexical scorer must rank real-ish sentences
+    above keyboard mash well better than chance."""
+    from evidence_datasource_parsers_spark.functions.metrics import binned_auc
+    from evidence_datasource_parsers_spark.functions.quality import (
+        lexical_quality_score,
+    )
+    from pyspark.sql import functions as F
+
+    good = [f"the quick brown fox jumps over dog number {i}" for i in range(20)]
+    junk = [f"zxq{i} qqzz vvkk jjww ppqq {i}zz" for i in range(20)]
+    df = spark.createDataFrame(
+        [(t, 1) for t in good] + [(t, 0) for t in junk], "text string, y int"
+    ).withColumn("q", lexical_quality_score(F.col("text")))
+    auc = binned_auc(df, "q", "y")
+    assert 0.0 <= auc <= 1.0
+    assert auc != 0.5  # the scorer is not blind on this fixture
