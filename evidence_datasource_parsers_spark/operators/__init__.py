@@ -103,3 +103,7 @@ from evidence_datasource_parsers_spark.operators.mmr import (  # noqa: F401
     mmr_select,
     mmr_select_ids,
 )
+from evidence_datasource_parsers_spark.operators.pagerank import (  # noqa: F401
+    domain_authority,
+    pagerank,
+)
