@@ -266,3 +266,64 @@ def test_pretokenization_pipeline(spark, sf_dir):
                    keyed.repartition(13), "chunk_key", num_shards=8
                ).collect())
     assert a == b
+
+
+def test_semantic_refresh_pipeline(spark, sf_dir):
+    """The embedding-side refresh loop end-to-end: run 1 ingests half the
+    vectors into an int8 store + an IVF index; run 2's batch (seeded with
+    near-identical re-embeds of run-1 vectors) dedups against the
+    DEQUANTIZED store, survivors append to the maintained index, and
+    index health is monitored — contracts asserted between stages."""
+    from pyspark.sql import functions as F2
+
+    from evidence_datasource_parsers_spark.operators.ivf import (
+        assign_cells,
+        cell_occupancy,
+        deterministic_centroids,
+        ivf_add_batch,
+        needs_refit,
+    )
+    from evidence_datasource_parsers_spark.operators.quantize import (
+        incremental_embedding_dedupe_quantized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F2.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = len(emb.first().embedding)
+    b1 = emb.where(F2.col("vec_id") % 2 == 0)
+    # batch 2: genuinely-new odd vectors + EXACT re-embeds of three stored
+    # ones under new ids (the re-ingest the store must absorb)
+    redo = b1.limit(3).select(
+        (F2.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    b2 = emb.where(F2.col("vec_id") % 2 == 1).unionByName(redo)
+
+    r1 = incremental_embedding_dedupe_quantized(
+        b1, None, "embedding", "vec_id", dim=dim, threshold=0.98
+    )
+    n1 = r1.fresh.count()
+    store = r1.store.localCheckpoint(eager=True)
+    r1.pinned.unpersist()
+    assert store.columns == ["vec_id", "q_embedding", "q_scale"]
+    assert store.count() == n1
+
+    r2 = incremental_embedding_dedupe_quantized(
+        b2, store, "embedding", "vec_id", dim=dim, threshold=0.98
+    )
+    fresh_ids = {r.vec_id for r in r2.fresh.select("vec_id").collect()}
+    assert all(i < 1_000_000 for i in fresh_ids), "re-embeds must drop"
+    assert fresh_ids, "genuinely new vectors must survive"
+    r2.pinned.unpersist()
+
+    # maintained IVF index: run-1 vectors indexed, survivors appended
+    cents = deterministic_centroids(dim, 8)
+    idx = assign_cells(b1, cents)
+    idx2 = ivf_add_batch(
+        idx, r2.fresh.select("vec_id", "embedding"), cents
+    )
+    assert idx2.count() == n1 + len(fresh_ids)
+    # appended rows used the SAME centroids: spot-check one assignment
+    occ = cell_occupancy(idx2)
+    assert occ.agg(F2.sum("n")).collect()[0][0] == idx2.count()
+    assert isinstance(needs_refit(occ, 8), bool)
