@@ -72,6 +72,9 @@ def refresh_corpus_batch(
     splits: dict | None = None,
     num_shards: int = 64,
     canonicalize: bool = False,
+    lm: DataFrame | None = None,
+    max_perplexity: float | None = None,
+    lm_n: int = 2,
     **dedupe_kwargs,
 ) -> RefreshResult:
     """One refresh-loop iteration.  ``mode``: ``exact`` | ``lsh`` |
@@ -87,6 +90,13 @@ def refresh_corpus_batch(
     ``ready`` — canonicalization is a fingerprint policy, not a mutation,
     and it must be set consistently for the lifetime of a store (keys
     written raw will never match keys written canonical).
+
+    ``lm`` + ``max_perplexity`` add the CCNet-style gate: docs scoring
+    above the perplexity ceiling under the supplied n-gram model
+    (functions/ngram_lm.train_ngram_lm over a clean corpus) are dropped
+    AFTER dedup — so, like quality rejects, they are SEEN by the store
+    and tomorrow's re-crawl dies at the cheap dedup stage.  ``ready``
+    carries the ``perplexity`` column for audit.
     """
     fp_col = text_col
     if canonicalize:
@@ -123,6 +133,17 @@ def refresh_corpus_batch(
         scored = scored.where(
             F.coalesce(F.col("quality"), F.lit(float("-inf")))
             >= min_quality
+        )
+    if lm is not None and max_perplexity is not None:
+        from evidence_datasource_parsers_spark.functions.ngram_lm import (
+            doc_perplexity,
+        )
+
+        ppl = doc_perplexity(scored, lm, text_col, id_col, n=lm_n).select(
+            id_col, "perplexity"
+        )
+        scored = scored.join(ppl, on=id_col).where(
+            F.col("perplexity") <= max_perplexity
         )
     split = split_assign(
         scored, id_col, splits or {"train": 0.9, "val": 0.05, "test": 0.05}

@@ -104,3 +104,37 @@ def test_canonicalize_catches_unicode_rerenders(spark):
     r3 = refresh_corpus_batch(b2, store, mode="exact")
     assert r3.ready.count() == 2
     r3.done()
+
+
+def test_lm_perplexity_gate(spark):
+    """The CCNet gate inside the refresh loop: docs fluent under the
+    clean-corpus LM pass, gibberish is dropped — but still enters the
+    store (seen-set semantics, like quality rejects)."""
+    from evidence_datasource_parsers_spark.functions.ngram_lm import (
+        train_ngram_lm,
+    )
+
+    clean = _docs(spark, [
+        (i, "the quick brown fox jumps over the lazy dog")
+        for i in range(5)
+    ])
+    lm = train_ngram_lm(clean, "text", n=2)
+
+    batch = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "zz qq vv kk ww pp xx yy"),
+    ])
+    # calibrate the ceiling: fluent text scores far below gibberish
+    loose = refresh_corpus_batch(batch, None, mode="exact", lm=lm,
+                                 max_perplexity=1e9)
+    ppl = {r.doc_id: r.perplexity for r in
+           loose.ready.select("doc_id", "perplexity").collect()}
+    assert ppl[1] < ppl[2]
+    loose.done()
+
+    ceiling = (ppl[1] + ppl[2]) / 2
+    gated = refresh_corpus_batch(batch, None, mode="exact", lm=lm,
+                                 max_perplexity=ceiling)
+    assert {r.doc_id for r in gated.ready.collect()} == {1}
+    assert gated.store.count() == 2  # the gibberish is still SEEN
+    gated.done()
