@@ -51,7 +51,10 @@ def incremental_dedupe_sink(
       * ``'lsh'``    — MinHash-LSH fingerprints: a re-crawl with a few
         changed words is still dropped (`incremental_lsh_dedupe`);
       * ``'simhash'`` — hamming-distance fingerprints
-        (`incremental_simhash_dedupe`).
+        (`incremental_simhash_dedupe`);
+      * ``'embedding'`` — semantic re-embeds dropped against an INT8
+        vector store (`quantize.incremental_embedding_dedupe_quantized`);
+        ``text_col`` names the vector column.
 
     ``dedupe_opts`` pass through to the chosen operator (num_perm/bands/k
     for lsh; nbits/max_hamming/n_blocks for simhash; threshold).  The LSH
@@ -60,7 +63,7 @@ def incremental_dedupe_sink(
     """
     from evidence_datasource_parsers_spark.operators import dedupe as dd
 
-    if mode not in ("exact", "lsh", "simhash"):
+    if mode not in ("exact", "lsh", "simhash", "embedding"):
         raise ValueError(f"unknown dedupe mode {mode!r}")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -83,8 +86,18 @@ def incremental_dedupe_sink(
             )
             fresh, new_store = res.fresh, res.store
             fresh = fresh.persist()  # consumed once; pinned fp covers store
-        else:
+        elif mode == "simhash":
             res = dd.incremental_simhash_dedupe(
+                batch_df, store, text_col, id_col, **dedupe_opts
+            )
+            fresh, new_store = res.fresh, res.store
+            fresh = fresh.persist()
+        else:  # embedding
+            from evidence_datasource_parsers_spark.operators.quantize import (
+                incremental_embedding_dedupe_quantized,
+            )
+
+            res = incremental_embedding_dedupe_quantized(
                 batch_df, store, text_col, id_col, **dedupe_opts
             )
             fresh, new_store = res.fresh, res.store

@@ -380,3 +380,54 @@ def test_streaming_distinct_count_sink(spark, tmp_path):
             for r in hll_estimates(spark.read.parquet(store)).collect()}
     assert est2["a"] == pytest.approx(150, rel=0.05)
     assert est2["a"] < 220  # replay did NOT double-count
+
+
+def test_incremental_dedupe_sink_embedding_mode(spark, tmp_path):
+    """Streaming semantic dedup against the INT8 vector store: run 2's
+    exact re-embed of a stored vector is dropped, the new vector lands."""
+    import json as _json
+
+    src = tmp_path / "vecs_in"
+    src.mkdir()
+    out = str(tmp_path / "fresh_vecs")
+    store = str(tmp_path / "qstore")
+
+    def vec(i, direction):
+        v = [0.0] * 8
+        v[direction] = 1.0
+        return _json.dumps({"vec_id": i, "embedding": v})
+
+    (src / "b1.json").write_text(vec(1, 0) + "\n" + vec(2, 1))
+
+    def run():
+        stream = (
+            spark.readStream
+            .schema("vec_id long, embedding array<double>")
+            .json(str(src))
+        )
+        ckpt = str(tmp_path / f"ckv_{len(list(tmp_path.iterdir()))}")
+        q = incremental_dedupe_sink_embedding(stream, out, store, ckpt)
+        q.awaitTermination()
+
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        incremental_dedupe_sink,
+    )
+
+    def incremental_dedupe_sink_embedding(stream, out, store, ckpt):
+        return incremental_dedupe_sink(
+            stream, out, store, ckpt, "embedding", "vec_id",
+            mode="embedding", dim=8, threshold=0.99,
+        )
+
+    run()
+    assert sorted(
+        r.vec_id for r in spark.read.parquet(out).collect()
+    ) == [1, 2]
+
+    (src / "b2.json").write_text(vec(10, 0) + "\n" + vec(11, 2))
+    run()  # fresh checkpoint: replays b1 (absorbed) + b2
+    ids = sorted(r.vec_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 11]  # re-embed 10 of direction-0 dropped
+    st = spark.read.parquet(store)
+    assert sorted(st.columns) == ["q_embedding", "q_scale", "vec_id"]
+    assert st.count() == 3
