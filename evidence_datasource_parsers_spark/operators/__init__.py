@@ -107,3 +107,6 @@ from evidence_datasource_parsers_spark.operators.pagerank import (  # noqa: F401
     domain_authority,
     pagerank,
 )
+from evidence_datasource_parsers_spark.operators.packing import (  # noqa: F401
+    materialize_packs,
+)
