@@ -33,6 +33,7 @@ from evidence_datasource_parsers_spark.operators.passage_dedup import (  # noqa:
     repeated_passages,
 )
 from evidence_datasource_parsers_spark.operators.profiling import (  # noqa: F401
+    corpus_diff,
     corpus_profile,
     key_skew_report,
     token_distribution_profile,

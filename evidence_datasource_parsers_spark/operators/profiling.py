@@ -49,6 +49,45 @@ def corpus_profile(
     return df.groupBy(group_col).agg(*aggs)
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Version diff between two corpus snapshots: (``id_col``, status)
+    with status ∈ added | removed | changed | unchanged.
+
+    The release-audit companion to the manifest checksums: the checksum
+    says WHETHER two versions differ, this says WHERE.  One full-outer
+    join on the id; comparison is on the portable 60-bit content hash
+    (never the text), with NULL text hashing to a sentinel so
+    NULL→'x' edits count as changed.  Aggregate the output for the
+    summary counts; filter status != 'unchanged' for the release notes.
+    """
+    from evidence_datasource_parsers_spark.functions.hashing import (
+        portable_hash,
+    )
+
+    def hashed(df, name):
+        return df.select(
+            F.col(id_col),
+            F.coalesce(
+                portable_hash(F.col(text_col)), F.lit(-1)
+            ).alias(name),
+        )
+
+    o, n = hashed(old, "__oh"), hashed(new, "__nh")
+    joined = o.join(n, on=id_col, how="full_outer")
+    status = (
+        F.when(F.col("__oh").isNull(), "added")
+        .when(F.col("__nh").isNull(), "removed")
+        .when(F.col("__oh") == F.col("__nh"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(F.col(id_col), status.alias("status"))
+
+
 def token_distribution_profile(
     df: DataFrame, text_col: str = "text", top_n: int = 1000
 ) -> DataFrame:

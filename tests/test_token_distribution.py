@@ -56,3 +56,21 @@ def test_top_n_share_and_plan(spark):
     )
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-N heap, not a global sort
+
+
+def test_corpus_diff(spark):
+    from evidence_datasource_parsers_spark.operators.profiling import (
+        corpus_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "was null"), (5, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "changed", 5: "added"}
