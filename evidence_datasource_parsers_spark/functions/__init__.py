@@ -31,6 +31,7 @@ from evidence_datasource_parsers_spark.functions.urls import (  # noqa: F401
     registrable_domain,
 )
 from evidence_datasource_parsers_spark.functions.html import (  # noqa: F401
+    extract_links,
     looks_like_html,
     strip_html,
 )

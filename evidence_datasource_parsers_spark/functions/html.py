@@ -69,3 +69,22 @@ def looks_like_html(text: Column | str) -> Column:
     the regexp chain keeps the common path narrow."""
     c = F.col(text) if isinstance(text, str) else text
     return c.rlike(r"(?is)<!doctype\s+html|<[a-zA-Z][^>]*>.*</[a-zA-Z]")
+
+
+def extract_links(text: Column | str) -> Column:
+    """array<string> of href targets from anchor tags — the input to the
+    link graph (operators/pagerank.domain_authority).
+
+    Native regexp_extract_all over ``<a ... href="...">`` (single or
+    double quotes, case-insensitive, whitespace-tolerant); relative,
+    fragment-only, and javascript: links are filtered out — they carry no
+    cross-domain signal.  Run this on the RAW html (before strip_html —
+    stripping removes the tags links live in).
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    pat = r"""(?i)<a\s[^>]*?href\s*=\s*["']([^"']+)["']"""
+    links = F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(pat), 1)
+    return F.filter(
+        links,
+        lambda u: u.rlike("(?i)^https?://"),
+    )
