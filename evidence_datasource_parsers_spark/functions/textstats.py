@@ -9,6 +9,7 @@ whole-stage codegen and scale linearly with input splits.
 from __future__ import annotations
 
 from pyspark.sql import Column
+import pandas as _pd
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword inventories for the n-gram/stopword heuristic.
@@ -275,3 +276,32 @@ def repetition_signals(
         f"top_{ngram_n}gram_frac",
         top_ngram_char_fraction(F.col(text_col), ngram_n),
     )
+
+
+def compression_ratio(text: Column | str, level: int = 6) -> Column:
+    """zlib-compressed size / raw utf-8 size — the cheapest whole-document
+    repetitiveness signal (C4/Gopher-family filters): boilerplate, keyword
+    stuffing, and template spam compress far below prose (~0.3-0.4 for
+    English text; < ~0.2 is machine-generated repetition).  NULL/empty
+    text → NULL (no evidence either way).
+
+    An Arrow-batched stdlib-zlib UDF — compression is the one text signal
+    native expressions genuinely cannot express; everything upstream of it
+    in the quality pass stays JVM-side.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: _pd.Series) -> _pd.Series:
+        import zlib
+
+        def one(v):
+            if not v:
+                return None
+            raw = v.encode("utf-8")
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return s.map(one)
+
+    col = F.col(text) if isinstance(text, str) else text
+    return _ratio(col)

@@ -251,3 +251,24 @@ def test_duplicate_line_fraction_literal_separator(spark):
     }
     assert got[1] == pytest.approx(10 / 14)  # 'alpha' x2 of 14 chars
     assert got[2] == 0.0
+
+
+def test_compression_ratio_signal(spark):
+    from evidence_datasource_parsers_spark.functions.textstats import (
+        compression_ratio,
+    )
+
+    prose = (
+        "The committee reviewed seventeen distinct proposals before "
+        "selecting a winner, citing methodology, novelty, and rigor."
+    ) * 3
+    spam = "buy now " * 60
+    df = spark.createDataFrame(
+        [(1, prose), (2, spam), (3, None), (4, "")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.cr for r in df.select(
+        "doc_id", compression_ratio("text").alias("cr")).collect()}
+    assert got[2] < got[1] < 1.0  # spam compresses much further
+    assert got[2] < 0.2
+    assert got[3] is None and got[4] is None
