@@ -20,6 +20,8 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "de": ["der", "die", "und", "das", "ist"],
     "fr": ["le", "la", "et", "les", "des"],
     "es": ["el", "la", "de", "que", "los"],
+    "it": ["il", "di", "che", "non", "per"],
+    "pt": ["uma", "com", "os", "que", "para"],
 }
 
 STOPWORDS_EN = LANG_STOPWORDS["en"] + ["in", "is", "it", "for", "on"]

@@ -169,7 +169,12 @@ def _synth_url():
                / ({WEIGHT_SCALE} * len(toks)) AS lexical_score,
            lang AS lang_label,
            h_de AS hits_de, h_en AS hits_en, h_es AS hits_es, h_fr AS hits_fr,
-           CASE WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+           h_it AS hits_it, h_pt AS hits_pt,
+           CASE WHEN h_pt >= h_it AND h_pt >= h_fr AND h_pt >= h_es
+                     AND h_pt >= h_en AND h_pt >= h_de THEN 'pt'
+                WHEN h_it >= h_fr AND h_it >= h_es AND h_it >= h_en
+                     AND h_it >= h_de THEN 'it'
+                WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
                 WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
                 WHEN h_en >= h_de THEN 'en'
                 ELSE 'de' END AS lang_guess,

@@ -147,3 +147,21 @@ def test_binned_auc_quality_scorer_calibration(spark):
     auc = binned_auc(df, "q", "y")
     assert 0.0 <= auc <= 1.0
     assert auc != 0.5  # the scorer is not blind on this fixture
+
+
+def test_lang_guess_six_languages(spark):
+    from evidence_datasource_parsers_spark.functions.textstats import (
+        lang_guess,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "il problema che non funziona per niente"),
+            (2, "uma casa com os amigos que vieram para jantar"),
+            (3, "the cat and the dog of a friend"),
+        ],
+        "i int, text string",
+    )
+    got = {r.i: r.g for r in
+           df.select("i", lang_guess("text").alias("g")).collect()}
+    assert got == {1: "it", 2: "pt", 3: "en"}
