@@ -55,3 +55,22 @@ def test_global_sort_flags(spark):
     assert audit_plan(*_plans(ok)) == []
     topk = spark.range(100).orderBy("id").limit(3)
     assert audit_plan(*_plans(topk)) == []
+
+
+def test_catalog_sweep_no_red_flags(spark, sf_dir):
+    """Every catalog query's plan stays free of scale red flags — the
+    regression guard version of tools/plan_audit.py (same detectors,
+    same single documented allowance)."""
+    from evidence_datasource_parsers_spark.plans import CATALOG
+    from tools.plan_audit import ALLOW
+
+    flagged = {}
+    for name, q in sorted(CATALOG.items()):
+        df = q.builder(spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        flags = audit_plan(
+            qe.executedPlan().toString(), qe.optimizedPlan().toString()
+        )
+        if flags and name not in ALLOW:
+            flagged[name] = flags
+    assert flagged == {}
