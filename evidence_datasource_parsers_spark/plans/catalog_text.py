@@ -34,8 +34,6 @@ from evidence_datasource_parsers_spark.functions.textstats import (
     LANG_STOPWORDS,
     STOPWORDS_EN,
     bpe_like_token_count,
-    lang_guess,
-    stopword_hits,
 )
 from evidence_datasource_parsers_spark.operators.dedupe import (
     char_shingles,
@@ -220,10 +218,27 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     )
     sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
     toks, t = F.col("__toks"), F.col("__t")
+    # hits reuse the staged (already-lowercased, already-split) token
+    # array: the raw-text stopword_hits path re-tokenizes per language —
+    # 12 extra array passes across 6 languages + the guess (measured
+    # ~0.2s at sf0.1).  Same values: __t is lowercase and stopwords are
+    # single lowercase words, so the token SET matches raw tokenization.
+    def _hits(sw_l):
+        arr = F.array(*[F.lit(w) for w in sw_l])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
     hit_cols = [
-        stopword_hits(F.col("text"), sw_l).alias(f"hits_{code}")
+        _hits(sw_l).alias(f"hits_{code}")
         for code, sw_l in sorted(LANG_STOPWORDS.items())
     ]
+    guess = F.array_max(
+        F.array(
+            *[
+                F.struct(_hits(sw_l).alias("hits"), F.lit(code).alias("code"))
+                for code, sw_l in sorted(LANG_STOPWORDS.items())
+            ]
+        )
+    )["code"]
     return staged.select(
         "doc_id",
         F.length(t).alias("n_chars_norm"),
@@ -251,7 +266,7 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("lexical_score"),
         F.col("lang").alias("lang_label"),
         *hit_cols,
-        lang_guess(F.col("text")).alias("lang_guess"),
+        guess.alias("lang_guess"),
         canonicalize_url(_synth_url()).alias("canon_url"),
         registrable_domain(_synth_url()).alias("url_domain"),
     )
