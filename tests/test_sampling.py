@@ -309,3 +309,42 @@ def test_quality_binned_sample_null_scores_land_in_bin0(spark):
         quality_binned_sample(df, "score", "doc_id", [1.0])
     with pytest.raises(ValueError, match="fractions"):
         quality_binned_sample(df, "score", "doc_id", [0.5, 1.5])
+
+
+def test_quality_bins_salt_independence(spark):
+    from evidence_datasource_parsers_spark.operators.sampling import (
+        quality_binned_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(400)], "doc_id long, score double"
+    )
+    a = {r.doc_id for r in quality_binned_sample(
+        df, "score", "doc_id", [0.5, 0.5], salt="s1").collect()}
+    b = {r.doc_id for r in quality_binned_sample(
+        df, "score", "doc_id", [0.5, 0.5], salt="s2").collect()}
+    # two salts draw ~independent halves: overlap near 25% of corpus,
+    # nowhere near identical or disjoint
+    inter = len(a & b)
+    assert 40 < inter < 160
+    assert a != b
+
+
+def test_shard_assignment_append_stable(spark):
+    """Growing the corpus must never move an EXISTING doc's shard (shard
+    is a pure hash of the id); within-shard positions may shift."""
+    from evidence_datasource_parsers_spark.operators.sharding import (
+        assign_shards,
+    )
+
+    base = spark.createDataFrame(
+        [(i,) for i in range(100)], "doc_id long"
+    )
+    grown = spark.createDataFrame(
+        [(i,) for i in range(150)], "doc_id long"
+    )
+    s1 = {r.doc_id: r.shard for r in
+          assign_shards(base, "doc_id", 8).collect()}
+    s2 = {r.doc_id: r.shard for r in
+          assign_shards(grown, "doc_id", 8).collect()}
+    assert all(s2[d] == s for d, s in s1.items())

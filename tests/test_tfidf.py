@@ -93,3 +93,12 @@ def test_term_relevance_plan_shape(spark, corpus):
         .queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan  # cached tf feeds the consumers
+
+
+def test_bm25_query_edge_cases(spark, corpus):
+    # no term matches any document → empty result, not an error
+    none = bm25_query_scores(corpus, "doc_id", "text", ["zzzz"])
+    assert none.count() == 0
+    # empty query → empty result
+    empty = bm25_query_scores(corpus, "doc_id", "text", [])
+    assert empty.count() == 0
