@@ -220,6 +220,37 @@ def domain_mixture_sample(
     )
 
 
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoffs: list[tuple],
+    out_col: str = "split",
+) -> DataFrame:
+    """Time-ordered splits: train on the past, evaluate on the future —
+    the leakage rule hash splits CANNOT give you when examples are
+    time-correlated (news about one event lands in train AND test under
+    any content-blind random split).
+
+    ``cutoffs`` is ordered [(name, upper_bound), …, (last_name, None)]:
+    each row joins the first split whose upper bound is STRICTLY greater
+    than its timestamp (bounds are exclusive upper edges; the final None
+    catches everything after).  Rows with NULL timestamps get a NULL
+    split — silently assigning undated data to train is how eval leaks.
+
+    A narrow when-chain: no shuffle, no hash, pushdown-friendly.
+    """
+    if not cutoffs or cutoffs[-1][1] is not None:
+        raise ValueError("cutoffs must end with a (name, None) catch-all")
+    ts = F.col(ts_col)
+    expr = None
+    for name, bound in cutoffs:
+        cond = ts.isNotNull() if bound is None else ts < F.lit(bound).cast(
+            dict(df.dtypes)[ts_col]
+        )
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr)
+
+
 def split_assign(
     df: DataFrame,
     key: str | Column,

@@ -348,3 +348,28 @@ def test_shard_assignment_append_stable(spark):
     s2 = {r.doc_id: r.shard for r in
           assign_shards(grown, "doc_id", 8).collect()}
     assert all(s2[d] == s for d, s in s1.items())
+
+
+def test_temporal_split(spark):
+    import datetime
+
+    from evidence_datasource_parsers_spark.operators.sampling import (
+        temporal_split,
+    )
+
+    d = datetime.datetime
+    df = spark.createDataFrame(
+        [
+            (1, d(2023, 12, 31)), (2, d(2024, 1, 1)),  # boundary → NEXT split
+            (3, d(2024, 1, 15)), (4, d(2024, 3, 1)), (5, None),
+        ],
+        "doc_id long, ts timestamp",
+    )
+    got = {r.doc_id: r.split for r in temporal_split(
+        df, "ts",
+        [("train", "2024-01-01"), ("val", "2024-02-01"), ("test", None)],
+    ).collect()}
+    assert got == {1: "train", 2: "val", 3: "val", 4: "test", 5: None}
+
+    with pytest.raises(ValueError, match="catch-all"):
+        temporal_split(df, "ts", [("train", "2024-01-01")])
