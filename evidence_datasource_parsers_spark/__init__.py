@@ -14,6 +14,6 @@ Design principles:
     shuffle on explicit keys, no driver-side loops over data.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 from evidence_datasource_parsers_spark.session import get_spark  # noqa: F401
