@@ -86,9 +86,22 @@ def read_json(
     schema: StructType | str | None = None,
     recursive: bool = False,
     multiline: bool = False,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
-    """JSON / JSON-lines scan (S5) incl. recursive directory lookup (S6)."""
-    reader = spark.read.option("multiLine", multiline)
+    """JSON / JSON-lines scan (S5) incl. recursive directory lookup (S6).
+
+    Corrupt-line policy — crawl-scale JSON always has some: the default
+    PERMISSIVE keeps bad lines as all-NULL rows; pass ``corrupt_col``
+    (with an explicit ``schema`` that includes that string column — a
+    Spark requirement) to capture the raw offending line for audit
+    instead of losing it; ``mode='DROPMALFORMED'`` silently drops;
+    ``mode='FAILFAST'`` raises on the first bad line (the right setting
+    for curated inputs where corruption means upstream breakage).
+    """
+    reader = spark.read.option("multiLine", multiline).option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
     if schema is not None:

@@ -514,3 +514,34 @@ def test_compaction_partitioned_tree(spark, tmp_path):
             if not f.startswith(("_", ".")) and not f.endswith(".crc")
         ]
         assert len(files) == 1, (leaf, files)
+
+
+def test_read_json_corrupt_record_policies(spark, tmp_path):
+    from evidence_datasource_parsers_spark.sources.readers import read_json
+
+    p = tmp_path / "mixed.json"
+    p.write_text('{"a": 1}\nNOT JSON AT ALL\n{"a": 3}\n')
+
+    # default PERMISSIVE: bad line survives as nulls
+    perm = read_json(spark, str(p), schema="a bigint")
+    assert perm.count() == 3
+    assert perm.where("a IS NULL").count() == 1
+
+    # corrupt_col captures the raw line for audit
+    audited = read_json(
+        spark, str(p), schema="a bigint, _bad string", corrupt_col="_bad"
+    )
+    bad = [r._bad for r in audited.where("_bad IS NOT NULL").collect()]
+    assert bad == ["NOT JSON AT ALL"]
+
+    # DROPMALFORMED removes it
+    dropped = read_json(spark, str(p), schema="a bigint",
+                        mode="DROPMALFORMED")
+    assert sorted(r.a for r in dropped.collect()) == [1, 3]
+
+    # FAILFAST raises
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_json(spark, str(p), schema="a bigint",
+                  mode="FAILFAST").collect()
