@@ -37,9 +37,11 @@ def read_csv(
     null_value: str | None = None,
     quote: str = '"',
     skip_rows: int = 0,
+    mode: str = "PERMISSIVE",
 ) -> DataFrame:
     """CSV/TSV scan: S1 (options), S2 (forced schema), S3 (multi-file),
-    S4 (inferSchema).
+    S4 (inferSchema).  ``mode`` is the malformed-line policy
+    (PERMISSIVE | DROPMALFORMED | FAILFAST — same contract as read_json).
 
     ``skip_rows`` replaces the reference's fragile
     ``monotonically_increasing_id``-based preamble skipping
@@ -68,6 +70,7 @@ def read_csv(
         .option("quote", quote)
         .option("multiLine", multiline)
         .option("escape", '"')
+        .option("mode", mode)
     )
     if null_value is not None:
         reader = reader.option("nullValue", null_value)

@@ -545,3 +545,19 @@ def test_read_json_corrupt_record_policies(spark, tmp_path):
     with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         read_json(spark, str(p), schema="a bigint",
                   mode="FAILFAST").collect()
+
+
+def test_read_csv_malformed_modes(spark, tmp_path):
+    from evidence_datasource_parsers_spark.sources.readers import read_csv
+
+    p = tmp_path / "mixed.csv"
+    p.write_text("a,b\n1,x\nTHIS,LINE,HAS,TOO,MANY,COLUMNS\n3,z\n")
+    schema = "a bigint, b string"
+
+    dropped = read_csv(spark, str(p), schema=schema, mode="DROPMALFORMED")
+    assert sorted(r.a for r in dropped.collect()) == [1, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_csv(spark, str(p), schema=schema, mode="FAILFAST").collect()
