@@ -175,7 +175,8 @@ def warc_documents(
     path: str,
     max_payload: int = 100 * 1024 * 1024,
 ) -> DataFrame:
-    """WARC directory → the engine's documents shape: (doc_id, url, text).
+    """WARC directory → the engine's documents shape:
+    (doc_id, url, crawl_ts, text).
 
     Successful (2xx) HTML/text responses only; ``text`` is the HTML-
     stripped body (functions/html.py), ``url`` the canonical crawl URL
@@ -209,6 +210,10 @@ def warc_documents(
     return textual.select(
         portable_hash(F.col("record_id")).alias("doc_id"),
         canonicalize_url(F.col("url")).alias("url"),
+        # ISO-8601 WARC-Date → the crawl timestamp temporal_split consumes
+        F.to_timestamp(
+            F.regexp_replace(F.col("warc_date"), "Z$", "+00:00")
+        ).alias("crawl_ts"),
         F.when(
             F.col("http_content_type").startswith("text/html"),
             strip_html(body),

@@ -144,3 +144,23 @@ def test_warc_to_refresh_pipeline_end_to_end(spark, tmp_path):
     assert len(ready) == 2
     assert {"split", "shard", "quality"} <= set(res.ready.columns)
     res.done()
+
+
+def test_warc_documents_crawl_ts_feeds_temporal_split(spark, tmp_path):
+    from evidence_datasource_parsers_spark.operators.sampling import (
+        temporal_split,
+    )
+    from evidence_datasource_parsers_spark.sources.warc import warc_documents
+
+    raw = _record("response", _http(b"early doc"), "http://t/1").replace(
+        b"WARC-Date: 2024-01-01T00:00:00Z", b"WARC-Date: 2023-06-01T12:30:00Z"
+    ) + _record("response", _http(b"late doc"), "http://t/2")
+    (tmp_path / "t.warc").write_bytes(raw)
+
+    docs = warc_documents(spark, str(tmp_path))
+    assert dict(docs.dtypes)["crawl_ts"] == "timestamp"
+    split = temporal_split(
+        docs, "crawl_ts", [("train", "2024-01-01"), ("eval", None)]
+    )
+    got = {r.url: r.split for r in split.collect()}
+    assert got == {"http://t/1": "train", "http://t/2": "eval"}
