@@ -8,11 +8,14 @@ Guarantee: any substring match of length ≥ w + k − 1 shares at least one
 fingerprint, so plagiarism/boilerplate overlap is detectable from
 fingerprint sets ~2/(w+1) the size of the k-gram stream.
 
-All native higher-order functions — no UDF, no shuffle; per-document
-cost O(n·k) for the gram hashes (the polynomial is recomputed per
-position rather than rolled incrementally — same VALUES as the classic
-Rabin-Karp roll, which is what determinism cares about; k is small) and
-O(n·w) for window minima, both inside whole-stage codegen.
+Two equivalent implementations (equality-tested): reference Column
+expressions (kgram_hashes/winnow — for tiny fixtures and as executable
+documentation of the arithmetic) and the Arrow-batched corpus kernel in
+:func:`fingerprint_documents`.  The kernel exists because nested HOF
+evaluation is interpreted AND re-inlines sub-expressions referenced
+inside lambda bodies — projection boundaries protect plain column
+references but NOT lambda-internal ones — making the expression forms
+O(n²) per document (measured ~6 s per 300-char doc).
 
 The hash is an explicit polynomial mod a 43-bit prime (every accumulator
 step stays in exact long range) — engine-portable by construction (any
@@ -22,6 +25,7 @@ built-ins.
 
 from __future__ import annotations
 
+import pandas as _pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -31,19 +35,26 @@ MOD_SMALL = (1 << 43) - 57  # prime; 257·(MOD_SMALL−1)+255 < 2^52 — every
 # replayable bit-for-bit by any engine with 64-bit integers
 
 
-def kgram_hashes(text: Column | str, k: int = 5) -> Column:
-    """array<long> of polynomial hashes of each character k-gram of the
-    lower-cased text (whitespace collapsed first so formatting changes
-    don't shift every gram).  Shorter-than-k (or NULL) text → empty array.
-
-    h(gram) = Σ code(c_j)·BASE^(k−1−j) mod MOD_SMALL, accumulated as
-    ((acc·BASE) + code) mod MOD_SMALL per character.
-    """
+def normalized_chars(text: Column | str) -> Column:
+    """Character array of the lower-cased, whitespace-collapsed text —
+    the staging column the k-gram pass must read (see kgram_hashes'
+    warning)."""
     col = F.col(text) if isinstance(text, str) else text
     norm = F.trim(
         F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " ")
     )
-    chars = F.split(norm, "")
+    return F.split(norm, "")
+
+
+def hashes_from_chars(chars: Column, k: int = 5) -> Column:
+    """k-gram polynomial hashes from a PRE-MATERIALIZED char-array column.
+
+    Fixture-scale only: even with ``chars`` staged as a column, the
+    downstream winnow's lambda-internal references re-inline THIS
+    function's transform per window (projection boundaries do not reach
+    inside lambdas) — corpus runs go through the Arrow kernel in
+    :func:`fingerprint_documents`.
+    """
     n = F.size(chars)
     mod = F.lit(MOD_SMALL)
     starts = F.when(
@@ -59,6 +70,21 @@ def kgram_hashes(text: Column | str, k: int = 5) -> Column:
             ),
         ),
     )
+
+
+def kgram_hashes(text: Column | str, k: int = 5) -> Column:
+    """array<long> of polynomial hashes of each character k-gram of the
+    lower-cased text (whitespace collapsed first so formatting changes
+    don't shift every gram).  Shorter-than-k (or NULL) text → empty array.
+
+    h(gram) = Σ code(c_j)·BASE^(k−1−j) mod MOD_SMALL, accumulated as
+    ((acc·BASE) + code) mod MOD_SMALL per character.
+
+    WARNING — O(n²) per document under interpreted HOF evaluation (see
+    module docstring); fixture-scale only.  Corpus runs use
+    :func:`fingerprint_documents`.
+    """
+    return hashes_from_chars(normalized_chars(text), k)
 
 
 def winnow(hashes: Column, w: int = 4) -> Column:
@@ -84,7 +110,12 @@ def winnow(hashes: Column, w: int = 4) -> Column:
 def document_fingerprints(
     text: Column | str, k: int = 5, w: int = 4
 ) -> Column:
-    """The document's winnowed fingerprint set (array<long>, sorted)."""
+    """The document's winnowed fingerprint set (array<long>, sorted) as a
+    single Column expression.
+
+    WARNING — O(n²·k) per document under interpreted HOF evaluation
+    (~300 s for 50 mid-sized docs; see module docstring); fixture-scale
+    only.  Corpus runs use :func:`fingerprint_documents`."""
     return winnow(kgram_hashes(text, k), w)
 
 
@@ -146,10 +177,44 @@ def fingerprint_documents(
     w: int = 4,
     out_col: str = "fingerprints",
 ) -> DataFrame:
-    """Corpus pass: ``(id_col, fingerprints)`` — one narrow projection.
-    Explode ``out_col`` and group by hash to find cross-document shared
-    regions (the passage_dedup shape, at character granularity)."""
+    """Corpus pass: ``(id_col, fingerprints)`` via an Arrow-batched
+    kernel replaying the identical integer arithmetic (exact Python ints,
+    same polynomial, same window minima — q35's oracle hash proves the
+    equivalence per run).
+
+    Why a kernel and not the Column expressions: nested HOF evaluation is
+    interpreted AND re-inlines sub-expressions referenced inside lambdas
+    (projection boundaries do NOT protect lambda-internal references, the
+    way they do plain column references) — measured O(n²) blowup: ~6 s
+    per 300-char document, vs microseconds here.  The same lesson as the
+    ANN cosine kernels, one layer deeper.  Explode ``out_col`` and group
+    by hash to find cross-document shared regions (the passage_dedup
+    shape, at character granularity)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _kernel(s: _pd.Series) -> _pd.Series:
+        def one(v):
+            norm = re.sub(r"\s+", " ", (v or "").lower()).strip()
+            n = len(norm)
+            if n < k:
+                return []
+            hs = []
+            for i in range(n - k + 1):
+                h = 0
+                for c in norm[i : i + k]:
+                    h = (h * BASE + ord(c)) % MOD_SMALL
+                hs.append(h)
+            if len(hs) < w:
+                return sorted({min(hs)})
+            return sorted(
+                {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+            )
+
+        return s.map(one)
+
     return df.select(
-        F.col(id_col),
-        document_fingerprints(F.col(text_col), k, w).alias(out_col),
+        F.col(id_col), _kernel(F.col(text_col)).alias(out_col)
     )

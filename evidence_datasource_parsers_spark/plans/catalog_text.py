@@ -572,19 +572,24 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
     # leg 3 (src='winnow'): MOSS winnowing fingerprints
     # (functions/fingerprint.py) on a doc_id%10 sample — one row per
     # selected k-gram hash; the oracle replays the polynomial rolling
-    # hash and the window-min selection with identical integer arithmetic
+    # hash and the window-min selection with identical integer arithmetic.
+    # MUST go through fingerprint_documents (staged hash array): the
+    # single-expression form re-inlines the O(n·k) k-gram pipeline per
+    # window under interpreted HOF evaluation — O(n²·k), measured 326 s
+    # vs ~2 s at sf0.001.
     from evidence_datasource_parsers_spark.functions.fingerprint import (
-        document_fingerprints,
+        fingerprint_documents,
     )
 
     wn = (
-        d.where(F.col("doc_id") % 10 == 0)
-        .select(
+        fingerprint_documents(
+            d.where(F.col("doc_id") % 10 == 0),
+            "text",
             "doc_id",
-            F.explode(
-                document_fingerprints(F.col("text"), WINNOW_K, WINNOW_W)
-            ).alias("content_hash"),
+            WINNOW_K,
+            WINNOW_W,
         )
+        .select("doc_id", F.explode("fingerprints").alias("content_hash"))
         .select(
             "doc_id",
             "content_hash",

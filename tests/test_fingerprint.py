@@ -137,3 +137,22 @@ def test_winnow_fuzz_matches_reference(spark):
         assert got == _py_winnow(_py_kgrams(text, k), w)
 
     check()
+
+
+def test_kernel_equals_column_form(spark):
+    """The Arrow corpus kernel and the single-expression Column form must
+    agree exactly (same polynomial, winnow, and normalization)."""
+    from evidence_datasource_parsers_spark.functions.fingerprint import (
+        fingerprint_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox JUMPS over\tthe lazy dog"),
+         (2, None), (3, "abc"), (4, "abcdef")],
+        "doc_id long, text string",
+    )
+    via_kernel = {r.doc_id: r.fingerprints
+                  for r in fingerprint_documents(df, "text").collect()}
+    via_col = {r.doc_id: r.f for r in df.select(
+        "doc_id", document_fingerprints("text").alias("f")).collect()}
+    assert via_kernel == via_col
