@@ -48,6 +48,7 @@ def semantic_dupe_groups(
     id_col: str = "doc_id",
     vec_col: str = "embedding",
     max_block_rows: int = 2048,
+    quantize_decimals: int | None = None,
 ) -> DataFrame:
     """Audit frame: (``id_col``, cluster_id, is_representative) for every
     doc that belongs to a semantic-dup group of size ≥ 2.
@@ -59,7 +60,8 @@ def semantic_dupe_groups(
     """
     cells = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
     pairs = blocked_cosine_pairs(
-        cells, "cell", id_col, vec_col, threshold, max_block_rows
+        cells, "cell", id_col, vec_col, threshold, max_block_rows,
+        quantize_decimals=quantize_decimals,
     )
     groups = duplicate_clusters(pairs, "id_a", "id_b")
     return groups.select(
@@ -76,6 +78,7 @@ def semantic_dedupe(
     id_col: str = "doc_id",
     vec_col: str = "embedding",
     max_block_rows: int = 2048,
+    quantize_decimals: int | None = None,
 ) -> DataFrame:
     """The deduplicated corpus: every semantic-dup group reduced to its
     min-id representative; all other rows pass through untouched.
@@ -84,6 +87,7 @@ def semantic_dedupe(
     small — the common case); the corpus itself is scanned once and never
     shuffled by the drop."""
     drops = semantic_dupe_groups(
-        corpus, centroids, threshold, id_col, vec_col, max_block_rows
+        corpus, centroids, threshold, id_col, vec_col, max_block_rows,
+        quantize_decimals=quantize_decimals,
     ).where(~F.col("is_representative")).select(id_col)
     return corpus.join(drops, on=id_col, how="left_anti")

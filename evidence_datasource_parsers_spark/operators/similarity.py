@@ -91,6 +91,48 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
+# ---------------------------------------------------------------------------
+# ULP-insensitive quantization.  Oracle-checked cosine values travel through
+# different engines (numpy kernel vs DuckDB's C++ expression evaluator) whose
+# results *should* be bit-identical under IEEE rules, yet round-4's driver
+# gate recorded one environment-dependent hash mismatch (q38) that five local
+# replays could not reproduce.  Rather than chase the last bit, every value
+# that reaches a hash gate is quantized to 9 decimals with an arithmetic both
+# engines express EXACTLY the same way — floor(x·1e9 + 0.5)/1e9, plain IEEE
+# multiply/floor/divide, no library rounding semantics (Spark's F.round goes
+# through Java BigDecimal HALF_UP while DuckDB rounds in C; those two can
+# legitimately disagree on the last bit, this scheme cannot).  Nine decimals
+# keeps the oracle's full power over any real arithmetic bug (those differ at
+# 1e-2..1e-7) while making the hash insensitive to 1-ULP drift except on a
+# ~1e-7-measure rounding boundary.
+# ---------------------------------------------------------------------------
+
+COS_QUANT_DECIMALS = 9
+
+
+def quantize_np(x, decimals: int = COS_QUANT_DECIMALS):
+    """Half-up quantization of a numpy array — floor(x·10^d + 0.5)/10^d.
+    NaN passes through (floor(NaN) is NaN)."""
+    import numpy as np
+
+    q = float(10**decimals)
+    return np.floor(x * q + 0.5) / q
+
+
+def quantize_col(c: Column, decimals: int = COS_QUANT_DECIMALS) -> Column:
+    """Column twin of :func:`quantize_np` — identical IEEE op sequence.
+    Spark's ``floor`` returns LONG (|cos|·1e9 fits easily); the long→double
+    cast and division reproduce numpy's values exactly."""
+    q = float(10**decimals)
+    return F.floor(c * F.lit(q) + F.lit(0.5)).cast("double") / F.lit(q)
+
+
+def quantize_sql(expr: str, decimals: int = COS_QUANT_DECIMALS) -> str:
+    """SQL twin for the DuckDB oracle — same multiply/floor/divide."""
+    q = float(10**decimals)
+    return f"floor(({expr}) * {q!r} + 0.5) / {q!r}"
+
+
 def pairwise_fold(x):
     """Pairwise balanced-tree fold over the LAST axis of a numpy array — the
     association order of ``balanced_sum`` / the oracle's parenthesized sum,
@@ -368,6 +410,7 @@ def blocked_cosine_pairs(
     threshold: float,
     max_block_rows: int = 2048,
     fold_chunk: int = 64,
+    quantize_decimals: int | None = None,
 ) -> DataFrame:
     """All within-block embedding pairs with cosine > ``threshold`` — the
     blocked near-dup pass — with the block-size cap ENFORCED inside the
@@ -393,6 +436,11 @@ def blocked_cosine_pairs(
 
     Output: (id_a, id_b, <block_col>, cosine_sim) with id_a < id_b, input
     id/block dtypes preserved.
+
+    ``quantize_decimals`` (oracle-gated callers): half-up-quantize cosines
+    to that many decimals BEFORE the threshold test and the output, via
+    :func:`quantize_np` — kills last-bit environment sensitivity at the
+    value-hash gate.
     """
     dts = dict(df.dtypes)
     out_schema = (
@@ -448,6 +496,11 @@ def blocked_cosine_pairs(
             )
         norms = np.sqrt(np.diagonal(dots))
         cos = dots / (norms[:, None] * norms[None, :])
+        if quantize_decimals is not None:
+            # quantize BEFORE the threshold test so pair membership is as
+            # ULP-insensitive as the emitted value (oracle filters on the
+            # identically quantized expression)
+            cos = quantize_np(cos, quantize_decimals)
         mask = (ids[:, None] < ids[None, :]) & (cos > threshold)
         if mixed:  # same-sub-block pairs belong to the diagonal group
             mask &= g[:, None] != g[None, :]
@@ -498,6 +551,7 @@ def incremental_embedding_dedupe(
     n_planes: int = 8,
     n_tables: int = 4,
     store_bucket_rows: DataFrame | None = None,
+    quantize_decimals: int | None = None,
 ) -> IncrementalEmbeddingResult:
     """Batch-over-batch semantic dedup against a persisted vector store
     (``(id, vec)`` rows of every retained document; None on the first run).
@@ -557,9 +611,13 @@ def incremental_embedding_dedupe(
         # in several tables — dedup BEFORE the kernel, same as ann_lsh_topk
         .distinct()
     )
-    dropped = cand.filter(
-        cosine_pairs_udf()(F.col("__nv"), F.col("__sv")) >= F.lit(threshold)
-    ).select(id_col)
+    score = cosine_pairs_udf()(F.col("__nv"), F.col("__sv"))
+    if quantize_decimals is not None:
+        # oracle-gated callers: drop decision compares the quantized score
+        # (the oracle's WHERE uses the identical floor(x·10^d+0.5)/10^d),
+        # so membership cannot flip on a last-bit difference
+        score = quantize_col(score, quantize_decimals)
+    dropped = cand.filter(score >= F.lit(threshold)).select(id_col)
     fresh = new_batch.join(dropped, on=id_col, how="left_anti")
     new_store = vector_store.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)

@@ -306,3 +306,30 @@ def test_enricher_executor_per_worker_cache(spark):
     out = enricher._enrich_executor(keys, ["k"], "`k` string, `mapped` string")
     assert out.count() == 5
     assert acc.value == 2  # 2 distinct keys, dup rows served from cache
+
+
+def test_worker_cache_lru_bound():
+    """The per-process executor cache is a bounded LRU: inserting past the
+    cap evicts the least-recently-used key; a touched key survives."""
+    from evidence_datasource_parsers_spark import enrich
+
+    ns = "test-lru-bound"
+    enrich._WORKER_CACHE.pop(ns, None)
+    calls = {"n": 0}
+
+    def compute(k):
+        calls["n"] += 1
+        return [{"v": k}]
+
+    for k in ("a", "b", "c"):
+        enrich._worker_cache_lookup(ns, k, lambda k=k: compute(k), 3)
+    assert calls["n"] == 3
+    # touch "a" → "b" becomes LRU; inserting "d" at cap 3 evicts "b"
+    enrich._worker_cache_lookup(ns, "a", lambda: compute("a"), 3)
+    assert calls["n"] == 3  # hit, no recompute
+    enrich._worker_cache_lookup(ns, "d", lambda: compute("d"), 3)
+    assert set(enrich._WORKER_CACHE[ns]) == {"c", "a", "d"}
+    # evicted key recomputes on next access
+    enrich._worker_cache_lookup(ns, "b", lambda: compute("b"), 3)
+    assert calls["n"] == 5  # a,b,c,d + b's recompute after eviction
+    enrich._WORKER_CACHE.pop(ns, None)

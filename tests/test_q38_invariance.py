@@ -1,0 +1,90 @@
+"""q38 determinism hardening (round-4 verdict item #1).
+
+The driver's r4 gate recorded a value-hash mismatch on q38 that five local
+replays could not reproduce.  Round 5's answer is (a) quantize every
+oracle-checked cosine with an engine-portable floor(x·1e9+0.5)/1e9 and (b)
+prove run-invariance: ten full executions of q38 at sf0.001 must produce the
+identical canonical value hash, and the three quantizer implementations
+(numpy kernel / Spark Column / DuckDB SQL) must agree bit-for-bit on a value
+grid that includes threshold-adjacent and rounding-boundary cases.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+from evidence_datasource_parsers_spark.forensics import canon_rows
+from evidence_datasource_parsers_spark.operators.similarity import (
+    quantize_col,
+    quantize_np,
+    quantize_sql,
+)
+
+
+def _hash_df(df) -> str:
+    cols, rows = canon_rows(df.columns, [tuple(r) for r in df.collect()])
+    h = hashlib.sha256()
+    h.update(repr(cols).encode())
+    for r in rows:
+        h.update(repr(r).encode())
+    return h.hexdigest()
+
+
+GRID = (
+    [0.0, 1.0, -1.0, 0.3, 0.5, -0.5, 0.299999999, 0.300000001]
+    + [0.3 + k * 1e-9 for k in range(-3, 4)]  # quantum-adjacent around 0.3
+    + [math.nextafter(0.5, 0.0), math.nextafter(0.5, 1.0)]  # 1-ULP off 0.5
+    + [0.123456789123456789, -0.987654321987654321, 0.9999999999]
+)
+
+
+def test_quantizers_agree_tri_engine(spark):
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    np_out = [float(v) for v in quantize_np(np.array(GRID))]
+
+    sdf = spark.createDataFrame([(v,) for v in GRID], "x double")
+    col_out = [
+        r[0]
+        for r in sdf.select(quantize_col(F.col("x")).alias("q"))
+        .toPandas()["q"]
+        .pipe(lambda s: s.to_frame().itertuples(index=False))
+    ]
+
+    con = duckdb.connect()
+    sql_out = [
+        con.sql(f"SELECT {quantize_sql(f'CAST({v!r} AS DOUBLE)')}").fetchone()[0]
+        for v in GRID
+    ]
+    con.close()
+
+    for v, a, b, c in zip(GRID, np_out, col_out, sql_out):
+        assert a == b == c, f"quantize disagreement at {v!r}: {a} {b} {c}"
+        # quantized value is within half a quantum of the input
+        assert abs(a - v) <= 0.5e-9 + 1e-15
+
+
+def test_quantize_nan_passthrough():
+    import numpy as np
+
+    out = quantize_np(np.array([float("nan"), 0.25]))
+    assert math.isnan(out[0]) and out[1] == 0.25
+
+
+def test_q38_hash_run_invariant(spark, sf_dir):
+    """Ten independent executions of the full q38 plan (all three legs,
+    fresh DataFrame graph each time) must canonical-hash identically."""
+    from evidence_datasource_parsers_spark.plans.catalog import CATALOG
+    import evidence_datasource_parsers_spark.plans.catalog_text  # noqa: F401
+
+    os.environ["SPARK_GRAFT_NO_FORENSICS"] = "1"
+    try:
+        q = CATALOG["q38_embedding_dupes"].builder
+        hashes = {_hash_df(q(spark, sf_dir)) for _ in range(10)}
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_FORENSICS", None)
+    assert len(hashes) == 1, f"q38 produced {len(hashes)} distinct hashes"

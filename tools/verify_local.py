@@ -14,39 +14,14 @@ cannot sort those (round-1 failure mode for q18/q19).
 
 from __future__ import annotations
 
-import math
 import sys
 
 sys.path.insert(0, "/root/repo")
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
-def canon_value(v):
-    import datetime
-
-    if v is None:
-        return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(v)
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return "[" + ",".join(canon_value(x) for x in v) + "]"
-    if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    return str(v)
-
-
-def canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
-    return sorted(cols), sorted(out)
+from evidence_datasource_parsers_spark.forensics import (  # noqa: E402
+    TABLES,
+    canon_rows,
+)
 
 
 def run(sf_dir: str, only: list[str], vanilla: bool = False) -> int:
