@@ -26,15 +26,33 @@ if REPO_ROOT not in os.environ.get("PYTHONPATH", ""):
     )
 
 from evidence_datasource_parsers_spark.plans import CATALOG  # noqa: E402
+from evidence_datasource_parsers_spark.plans.catalog import (  # noqa: E402
+    ensure_oracle_confs,
+)
+
+
+def _wrap(builder) -> Callable[[SparkSession, str], DataFrame]:
+    """The driver runs these builders on its own VANILLA SparkSession, so
+    the catalog's timestamp assumptions (UTC session TZ, parquet
+    nanos-as-long) are pinned here — once per session, scoped to the
+    correctness path instead of mutating conf inside every table scan."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_oracle_confs(spark)
+        return builder(spark, sf_dir)
+
+    return wrapped
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: pricing summary on /root/testdata/sf0.001."""
-    return CATALOG["q01_pricing_summary"].builder(spark, "/root/testdata/sf0.001")
+    return _wrap(CATALOG["q01_pricing_summary"].builder)(
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.builder for name, q in CATALOG.items()}
+    return {name: _wrap(q.builder) for name, q in CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:

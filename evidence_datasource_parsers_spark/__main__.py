@@ -88,9 +88,12 @@ def _refresh(args) -> int:
     (tmp + rename, same discipline as the streaming sink) so a crash never
     leaves a half-written store for the next run to read."""
     import os
-    import shutil
     import uuid
 
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        recover_store_dir,
+        swap_store_dir,
+    )
     from evidence_datasource_parsers_spark.pipelines.corpus_refresh import (
         refresh_corpus_batch,
     )
@@ -99,6 +102,10 @@ def _refresh(args) -> int:
     spark = get_spark("refresh")
     spark.sparkContext.setLogLevel("ERROR")
     batch = spark.read.parquet(args.batch)
+    # a previous run may have crashed mid-swap, leaving the store as a lone
+    # __old_* dir — restore it before reading
+    if recover_store_dir(args.store):
+        print(f"refresh: recovered {args.store} from interrupted swap")
     prev = (
         spark.read.parquet(args.store)
         if os.path.isdir(args.store)
@@ -118,13 +125,7 @@ def _refresh(args) -> int:
         tmp = f"{args.store}__swap_{uuid.uuid4().hex[:8]}"
         res.store.write.mode("overwrite").parquet(tmp)
         ready = res.ready.localCheckpoint(eager=True)
-        if os.path.isdir(args.store):
-            old = f"{args.store}__old_{uuid.uuid4().hex[:8]}"
-            os.rename(args.store, old)
-            os.rename(tmp, args.store)
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, args.store)
+        swap_store_dir(args.store, tmp)
         ready.write.mode("append").parquet(args.out)
         n = ready.count()
         print(f"refresh: {n} fresh docs → {args.out}; store → {args.store}")

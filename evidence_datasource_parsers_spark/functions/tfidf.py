@@ -47,6 +47,27 @@ def tokenize(text: Column | str, delim: str = " ") -> Column:
     return F.filter(F.split(col, delim), lambda t: t != F.lit(""))
 
 
+# Live tf cache handles from term_relevance calls that did not supply their
+# own ``tf_pin`` list.  Bounded FIFO: the advice-r4 leak was every call
+# accumulating MEMORY_AND_DISK blocks for the session lifetime (q11, BM25
+# scoring, repeated notebook use); with the bound, at most _PINNED_TF_MAX
+# tf frames stay cached and older ones are unpersisted as new calls land.
+_PINNED_TF: list[DataFrame] = []
+_PINNED_TF_MAX = 4
+
+
+def _register_tf_pin(tf: DataFrame) -> None:
+    _PINNED_TF.append(tf)
+    while len(_PINNED_TF) > _PINNED_TF_MAX:
+        _PINNED_TF.pop(0).unpersist()
+
+
+def release_tf_pins() -> None:
+    """Unpersist every tf frame pinned by handle-less term_relevance calls."""
+    while _PINNED_TF:
+        _PINNED_TF.pop().unpersist()
+
+
 def term_relevance(
     df: DataFrame,
     id_col: str,
@@ -56,6 +77,7 @@ def term_relevance(
     k1: float = 1.2,
     b: float = 0.75,
     persist_tf: bool = True,
+    tf_pin: list | None = None,
 ) -> DataFrame:
     """Per (doc, term) relevance table.
 
@@ -69,9 +91,13 @@ def term_relevance(
     scalars) and Spark does not share subplans, so without caching the
     tokenize+count stage — the corpus scan — runs four times.
     ``persist_tf`` (default) caches tf (MEMORY_AND_DISK; far smaller than
-    the text) so the corpus is tokenized ONCE; the cached blocks live
-    until the session clears them — pass False inside memory-tight loops
-    that manage their own persistence.
+    the text) so the corpus is tokenized ONCE.  The cache handle is OWNED:
+    pass ``tf_pin=[]`` and the pinned frame is appended there for you to
+    ``unpersist()`` once the output is materialized; without ``tf_pin``
+    the handle goes into a bounded module FIFO (at most ``_PINNED_TF_MAX``
+    live pins — older ones are released as new calls land, and
+    :func:`release_tf_pins` frees them all).  Pass ``persist_tf=False``
+    inside loops that manage their own persistence.
     """
     tok = df.select(
         F.col(id_col),
@@ -82,6 +108,10 @@ def term_relevance(
     )
     if persist_tf:
         tf = tf.persist()
+        if tf_pin is not None:
+            tf_pin.append(tf)
+        else:
+            _register_tf_pin(tf)
     # doc length from tf, not a second token pass
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     dfreq = tf.groupBy("term").agg(
@@ -134,6 +164,7 @@ def bm25_query_scores(
     delim: str = " ",
     k1: float = 1.2,
     b: float = 0.75,
+    tf_pin: list | None = None,
 ) -> DataFrame:
     """Per-doc BM25 score for a bag-of-terms query: Σ over matching terms.
 
@@ -141,8 +172,11 @@ def bm25_query_scores(
     the tf aggregate's key), so only query-term postings shuffle — the
     classic inverted-index probe, expressed relationally.  Docs sharing no
     term with the query are absent (score 0 by convention).
+
+    The underlying tf cache follows term_relevance's pin contract: pass
+    ``tf_pin=[]`` to own the handle, else the bounded module FIFO holds it.
     """
     rel = term_relevance(
-        df, id_col, text_col, delim=delim, k1=k1, b=b
+        df, id_col, text_col, delim=delim, k1=k1, b=b, tf_pin=tf_pin
     ).where(F.col("term").isin([t for t in query_terms]))
     return rel.groupBy(id_col).agg(F.sum("bm25").alias("bm25_score"))

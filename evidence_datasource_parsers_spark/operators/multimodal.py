@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The container has no compressed-format codecs (no PIL/ffmpeg), so decode is
-REAL for the uncompressed formats a pure-Python parser can handle — PPM (P6),
-BMP (24-bit BI_RGB), WAV (PCM16) — plus the synthetic MM01 container below;
-compressed formats (JPEG/PNG/MP3) still raise a clearly-marked
-``NotImplementedError`` where a PIL/ffmpeg-backed kernel with the same
-signature plugs in.  Everything Spark-side is real and tested: schemas,
-Arrow batch shapes, ``mapInPandas`` plumbing, partitioning.
+The container has no media libraries (no PIL/ffmpeg), so decode is REAL for
+every format a pure-Python/numpy parser can handle — PPM (P6), BMP (24-bit
+BI_RGB), WAV (PCM16), PNG (stdlib zlib inflate), baseline JPEG
+(functions/jpeg.py: Huffman + dequant + IDCT + YCbCr, the format real web
+corpora are dominated by) — plus the synthetic MM01 container below.
+Remaining unsupported variants (progressive JPEG, palette PNG, compressed
+BMP/WAV, MP3) raise a clearly-marked ``NotImplementedError`` where a
+PIL/ffmpeg-backed kernel with the same signature plugs in.  Everything
+Spark-side is real and tested: schemas, Arrow batch shapes, ``mapInPandas``
+plumbing, partitioning.
 
 Synthetic container format (used by tests): a binary blob whose first 14 bytes
 are a header ``MM01`` + media-type byte + int32 width/height (big-endian) +
@@ -337,9 +340,16 @@ def decode_blob(blob: bytes) -> dict:
             "channels": px.shape[2], "pixels": px,
         }
     if blob[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decode requires PIL (absent here); PNG/PPM/BMP are native"
+        from evidence_datasource_parsers_spark.functions.jpeg import (
+            decode_jpeg,
         )
+
+        px = decode_jpeg(blob)  # baseline sequential; progressive raises
+        return {
+            "media_type": "image", "format": "jpeg",
+            "width": px.shape[1], "height": px.shape[0],
+            "channels": px.shape[2], "pixels": px,
+        }
     return {"media_type": "unknown"}
 
 

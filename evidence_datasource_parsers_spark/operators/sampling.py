@@ -134,15 +134,23 @@ def quality_binned_sample(
     )
     key_col = F.col(key) if isinstance(key, str) else key
     # bin = number of edges strictly below the score (ties go DOWN so the
-    # boundary population isn't double-kept); NULL score → bin 0
+    # boundary population isn't double-kept); NULL score → bin 0.  A
+    # degenerate score column (all NULL / empty frame) makes
+    # percentile_approx emit NULL edges, filter(NULL) is NULL, and
+    # size(NULL) is -1 under the default legacy sizeOfNull — the greatest()
+    # clamp sends those rows to bin 0 as documented instead of letting -1
+    # reach element_at(thresholds, 0).
     with_bin = df.crossJoin(F.broadcast(edges)).withColumn(
         bin_col,
-        F.coalesce(
-            F.size(
-                F.filter(
-                    F.col("__edges"),
-                    lambda e: e < F.col(score_col),
-                )
+        F.greatest(
+            F.coalesce(
+                F.size(
+                    F.filter(
+                        F.col("__edges"),
+                        lambda e: e < F.col(score_col),
+                    )
+                ),
+                F.lit(0),
             ),
             F.lit(0),
         ),

@@ -41,24 +41,41 @@ _TS_COLS = {
 }
 
 
+# Sessions already pinned to the oracle's timestamp semantics.  Keyed by the
+# underlying Java session object id so a rebuilt session re-pins.
+_ORACLE_CONF_SESSIONS: set[int] = set()
+
+
+def ensure_oracle_confs(spark: SparkSession) -> None:
+    """Pin the two session confs the catalog's timestamp semantics assume:
+    ``spark.sql.session.timeZone=UTC`` (NTZ→LTZ cast is identity wall-clock,
+    date_format/hour match DuckDB's naive reading) and the parquet
+    nanos-as-long legacy flag (test parquet has stored TIMESTAMP(NANOS)).
+
+    ``session.get_spark`` sets both at session build; this explicit hook
+    exists for FOREIGN sessions — the correctness driver's vanilla one —
+    and is called by the ``__spark_entry__`` wrappers, i.e. scoped to the
+    correctness path.  ``load()`` itself no longer mutates session conf
+    (round-4 verdict #3: a co-resident user pipeline must not have its
+    timestamp semantics silently switched by a table scan).  Idempotent,
+    memoized per session.
+    """
+    key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
+    if key in _ORACLE_CONF_SESSIONS:
+        return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ORACLE_CONF_SESSIONS.add(key)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one test table, normalizing timestamp physical-type variants.
 
-    SIDE EFFECT: sets ``spark.sql.session.timeZone=UTC`` (and the nanos
-    legacy flag) on the session — every timestamp render/cast after the
-    first load() is UTC.  ``session.get_spark`` sets the same confs at
-    session start, so sessions built by the factory see no behavior change;
-    only foreign sessions (like the correctness driver's vanilla one, the
-    reason the confs are set here at all) are switched.
+    ASSUMES the session is pinned to UTC + nanosAsLong — true for factory
+    sessions (session.get_spark) and for the correctness path (the
+    ``__spark_entry__`` wrappers call :func:`ensure_oracle_confs`).  No
+    session conf is mutated here.
     """
-    # The correctness driver builds its own vanilla SparkSession, so session-
-    # factory confs (session.py) do not apply here; both confs are runtime-
-    # settable, so set them at the scan so the fix travels with every query
-    # builder regardless of who built the session.  UTC pins the NTZ→LTZ
-    # cast to identity wall-clock and keeps date_format/hour output equal to
-    # the DuckDB oracle's naive-timestamp reading.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     for col in _TS_COLS.get(table, ()):
         dt = dict(df.dtypes).get(col)

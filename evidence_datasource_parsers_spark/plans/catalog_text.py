@@ -1222,7 +1222,9 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
            CAST(least(octet_length(encode(d.text)), 256) AS BIGINT)
                AS payload_bytes,
            p.s AS ppm_pixel_sum,
-           p.s / 384.0 AS ppm_pixel_mean
+           p.s / 384.0 AS ppm_pixel_mean,
+           CAST((d.doc_id % 256) * 1152 AS BIGINT) AS jpeg_pixel_sum,
+           CAST(d.doc_id % 256 AS DOUBLE) AS jpeg_pixel_mean
     FROM documents d JOIN ppm p ON d.doc_id = p.doc_id
     """,
     tags=("multimodal", "mapInPandas"),
@@ -1310,15 +1312,54 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
             out["ppm_pixel_mean"] = means
             yield out
 
+    def jpeg_stats(batches):
+        """REAL baseline-JPEG codec leg (functions/jpeg.py): a flat
+        24×16 RGB image at gray level doc_id%256 is ENCODED (DCT,
+        quantize, Huffman) and DECODED (full marker parse, entropy
+        decode, IDCT, YCbCr→RGB) per document.  Flat blocks quantize
+        losslessly at q95 (only a DC coefficient, and the luma DC
+        quantizer 2 divides 8·(v−128)), so the oracle recomputes the
+        decoded stats arithmetically — sum = g·1152, mean = g — and any
+        drift anywhere in the 700-line codec chain breaks the hash."""
+        import numpy as _np
+
+        from evidence_datasource_parsers_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            sums, means = [], []
+            for mid in pdf["media_id"]:
+                g = int(mid) % 256
+                img = _np.full((16, 24, 3), g, dtype=_np.uint8)
+                px = decode_jpeg(encode_jpeg(img, quality=95)).astype(
+                    _np.int64
+                )
+                s = int(px.sum())
+                sums.append(s)
+                means.append(float(s) / float(px.size))
+            out = pdf.copy()
+            out["jpeg_pixel_sum"] = sums
+            out["jpeg_pixel_mean"] = means
+            yield out
+
     media = d.mapInPandas(to_blobs, "media_id long, blob binary")
     meta = media.mapInPandas(
         decode,
         "media_id long, media_type string, width int, height int,"
         " depth int, payload_bytes long",
     )
-    return meta.mapInPandas(
+    stats = meta.mapInPandas(
         ppm_stats,
         "media_id long, media_type string, width int, height int,"
         " depth int, payload_bytes long, ppm_pixel_sum long,"
         " ppm_pixel_mean double",
+    )
+    return stats.mapInPandas(
+        jpeg_stats,
+        "media_id long, media_type string, width int, height int,"
+        " depth int, payload_bytes long, ppm_pixel_sum long,"
+        " ppm_pixel_mean double, jpeg_pixel_sum long,"
+        " jpeg_pixel_mean double",
     )

@@ -35,11 +35,12 @@ WARC_SCHEMA = (
 )
 
 
-def _read_headers(stream) -> dict | None:
+def _read_headers(stream, first_line: bytes | None = None) -> dict | None:
     """Read a WARC header block: version line + headers until blank line.
     Returns None at end of stream.  Tolerates leading blank lines (the
-    inter-record CRLF CRLF)."""
-    line = stream.readline()
+    inter-record CRLF CRLF).  ``first_line`` lets the resync path hand back
+    an already-consumed version line."""
+    line = first_line if first_line is not None else stream.readline()
     while line in (b"\r\n", b"\n"):
         line = stream.readline()
     if not line:
@@ -59,18 +60,63 @@ def _read_headers(stream) -> dict | None:
 
 
 def iter_warc_records(
-    raw: bytes, max_payload: int = 100 * 1024 * 1024
+    raw: bytes,
+    max_payload: int = 100 * 1024 * 1024,
+    mode: str = "PERMISSIVE",
 ) -> Iterator[dict]:
-    """Yield parsed records from (possibly multi-member gzip) WARC bytes."""
+    """Yield parsed records from (possibly multi-member gzip) WARC bytes.
+
+    ``mode`` is the malformed-record policy, same contract as the CSV/JSON
+    readers (crawl archives at scale ALWAYS contain a few mangled records;
+    one must not fail a 1 GB member):
+
+    * ``PERMISSIVE`` (default) — a record with a bad version line, a
+      non-numeric/negative Content-Length, or junk between records is
+      emitted as a flagged row (``warc_type='__malformed__'``, the
+      offending bytes in ``payload``), then the parser resyncs at the next
+      ``WARC/`` version line.
+    * ``DROPMALFORMED`` — same resync, bad records silently skipped.
+    * ``FAILFAST`` — raise, the right setting for curated archives.
+    """
+    if mode not in ("PERMISSIVE", "DROPMALFORMED", "FAILFAST"):
+        raise ValueError(f"unknown malformed-record mode {mode!r}")
     if raw[:2] == b"\x1f\x8b":
         stream = gzip.GzipFile(fileobj=io.BytesIO(raw))
     else:
         stream = io.BytesIO(raw)
+    pending: bytes | None = None
     while True:
-        headers = _read_headers(stream)
-        if headers is None:
-            return
-        length = int(headers.get("content-length", "0"))
+        try:
+            headers = _read_headers(stream, pending)
+            pending = None
+            if headers is None:
+                return
+            length = int(headers.get("content-length", "0"))
+            if length < 0:
+                raise ValueError(f"negative Content-Length {length}")
+        except ValueError as exc:
+            if mode == "FAILFAST":
+                raise
+            if mode == "PERMISSIVE":
+                yield {
+                    "warc_type": "__malformed__",
+                    "url": None,
+                    "warc_date": None,
+                    "record_id": None,
+                    "content_type": None,
+                    "payload": str(exc).encode("utf-8", "replace")[:4096],
+                    "payload_truncated": False,
+                }
+            # resync: scan forward to the next WARC version line (or EOF)
+            pending = None
+            while True:
+                line = stream.readline()
+                if not line:
+                    return
+                if line.startswith(b"WARC/"):
+                    pending = line
+                    break
+            continue
         truncated = length > max_payload
         take = min(length, max_payload)
         payload = stream.read(take)
@@ -120,11 +166,15 @@ def read_warc(
     *,
     responses_only: bool = False,
     max_payload: int = 100 * 1024 * 1024,
+    mode: str = "PERMISSIVE",
 ) -> DataFrame:
     """WARC directory/glob → DataFrame (one row per record; see
     WARC_SCHEMA).  For ``warc-type=response`` rows, ``payload`` is the
     HTTP BODY and status/Content-Type are promoted to columns; other
-    record types keep their raw payload.
+    record types keep their raw payload.  ``mode`` is the malformed-record
+    policy (see :func:`iter_warc_records`); PERMISSIVE's flagged rows are
+    filtered by ``responses_only=True`` (they are not responses), so audit
+    them with ``responses_only=False``.
     """
     import pandas as pd
 
@@ -136,7 +186,7 @@ def read_warc(
         for pdf in batches:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                for rec in iter_warc_records(bytes(content), max_payload):
+                for rec in iter_warc_records(bytes(content), max_payload, mode):
                     if responses_only and rec["warc_type"] != "response":
                         continue
                     status, ctype, body = (None, None, rec["payload"])

@@ -30,6 +30,55 @@ import uuid
 from pyspark.sql import DataFrame
 
 
+def recover_store_dir(store_dir: str) -> bool:
+    """Crash-window recovery for the tmp+swap store discipline.
+
+    The swap is two renames — ``store → __old_X`` then ``__swap_Y →
+    store`` — and a crash between them leaves NO directory at
+    ``store_dir``: without recovery the next run would silently restart
+    from an empty store (ADVICE r4).  Called at the top of every batch:
+    if the store is missing but a ``__old_*`` sibling exists, the newest
+    one is renamed back into place (the crashed batch never committed its
+    checkpoint, so it replays against the restored store — idempotent for
+    both the dedup and the HLL sinks).  With the store present, leftover
+    ``__old_*`` / ``__swap_*`` siblings are stale garbage and are swept.
+
+    Single-writer contract (same as the sinks themselves).  Returns True
+    if a restore happened.
+    """
+    parent = os.path.dirname(store_dir) or "."
+    base = os.path.basename(store_dir)
+    if not os.path.isdir(parent):
+        return False
+    olds = sorted(
+        d for d in os.listdir(parent) if d.startswith(f"{base}__old_")
+    )
+    swaps = sorted(
+        d for d in os.listdir(parent) if d.startswith(f"{base}__swap_")
+    )
+    restored = False
+    if not os.path.isdir(store_dir) and olds:
+        os.rename(os.path.join(parent, olds.pop()), store_dir)
+        restored = True
+    if os.path.isdir(store_dir):
+        for d in olds + swaps:
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    return restored
+
+
+def swap_store_dir(store_dir: str, tmp: str) -> None:
+    """Swap a fully-written ``tmp`` directory into place at ``store_dir``.
+    Not atomic (two renames); pair with :func:`recover_store_dir` at the
+    start of the next batch/run to close the crash window."""
+    if os.path.isdir(store_dir):
+        old = f"{store_dir}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(store_dir, old)
+        os.rename(tmp, store_dir)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, store_dir)
+
+
 def incremental_dedupe_sink(
     stream: DataFrame,
     out_dir: str,
@@ -68,6 +117,7 @@ def incremental_dedupe_sink(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        recover_store_dir(store_dir)
         store = (
             spark.read.parquet(store_dir)
             if os.path.isdir(store_dir)
@@ -115,13 +165,7 @@ def incremental_dedupe_sink(
             tmp = f"{store_dir}__swap_{uuid.uuid4().hex[:8]}"
             new_store.write.mode("overwrite").parquet(tmp)
             fresh_mat = fresh.localCheckpoint(eager=True)
-            if os.path.isdir(store_dir):
-                old = f"{store_dir}__old_{uuid.uuid4().hex[:8]}"
-                os.rename(store_dir, old)
-                os.rename(tmp, store_dir)
-                shutil.rmtree(old)
-            else:
-                os.rename(tmp, store_dir)
+            swap_store_dir(store_dir, tmp)
             fresh_mat.write.mode("append").parquet(out_dir)
         finally:
             fresh.unpersist()
@@ -146,7 +190,9 @@ def streaming_distinct_count_sink(
 ):
     """foreachBatch sink maintaining the mergeable HLL sketch store
     (operators/sketches.py) across micro-batches AND runs: per batch, fold
-    the batch's sketches into the on-disk store and swap atomically.
+    the batch's sketches into the on-disk store and swap (tmp + two
+    renames — not atomic; the crash window between the renames is closed
+    by :func:`recover_store_dir` at the start of the next batch).
 
     The store IS the output — distinct-count dashboards read it with
     ``hll_estimates`` at any time; re-ingested values cannot inflate it
@@ -162,6 +208,7 @@ def streaming_distinct_count_sink(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        recover_store_dir(store_dir)
         store = (
             spark.read.parquet(store_dir)
             if os.path.isdir(store_dir)
@@ -172,13 +219,7 @@ def streaming_distinct_count_sink(
         )
         tmp = f"{store_dir}__swap_{uuid.uuid4().hex[:8]}"
         updated.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(store_dir):
-            old = f"{store_dir}__old_{uuid.uuid4().hex[:8]}"
-            os.rename(store_dir, old)
-            os.rename(tmp, store_dir)
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, store_dir)
+        swap_store_dir(store_dir, tmp)
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -86,3 +86,38 @@ def test_rerun_determinism(spark, sf_dir):
         a = sorted(map(str, CATALOG[name].builder(spark, sf_dir).collect()))
         b = sorted(map(str, CATALOG[name].builder(spark, sf_dir).collect()))
         assert a == b, f"{name} not rerun-stable"
+
+
+def test_load_does_not_mutate_session_conf(spark, sf_dir):
+    """r4 verdict #3: a table scan must not silently switch a co-resident
+    pipeline's timestamp semantics.  UTC pinning now lives in the session
+    factory + the __spark_entry__ wrappers (ensure_oracle_confs), not in
+    load()."""
+    from evidence_datasource_parsers_spark.plans.catalog import load
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        load(spark, sf_dir, "region").count()
+        assert (
+            spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_entry_wrappers_pin_oracle_confs(spark):
+    """The driver's vanilla-session path gets UTC via the queries() wrapper."""
+    import __spark_entry__ as E
+    from evidence_datasource_parsers_spark.plans import catalog
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    key = id(spark._jsparkSession)
+    try:
+        catalog._ORACLE_CONF_SESSIONS.discard(key)
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        E.queries()["q02_filter_project"](spark, "/root/testdata/sf0.001")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+        catalog._ORACLE_CONF_SESSIONS.discard(key)

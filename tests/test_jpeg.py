@@ -1,0 +1,124 @@
+"""Baseline JPEG codec (functions/jpeg.py): roundtrip accuracy, subsampling,
+restart-marker resync, honest unsupported-variant guards, and the Spark-side
+decoded-stats plumbing through operators/multimodal.decode_blob."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from evidence_datasource_parsers_spark.functions.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _smooth_rgb(h: int, w: int) -> np.ndarray:
+    """A low-frequency test image (JPEG-friendly: bounded roundtrip error)."""
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            128 + 80 * np.sin(x / 17.0),
+            128 + 80 * np.cos(y / 13.0),
+            128 + 60 * np.sin((x + y) / 23.0),
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def test_flat_image_roundtrips_exactly():
+    """A flat block has only a DC coefficient and the q95 luma quantizer
+    (2) divides 8·(v−128), so decode must reproduce every gray level
+    EXACTLY — the property the q62 oracle leg relies on."""
+    for g in (0, 1, 77, 128, 200, 255):
+        img = np.full((16, 24, 3), g, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert out.shape == (16, 24, 3)
+        assert int(np.abs(out.astype(int) - g).max()) == 0
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("restart", [0, 3])
+def test_smooth_roundtrip_within_tolerance(subsampling, restart):
+    img = _smooth_rgb(50, 70)  # odd dims: exercises padding + crop
+    blob = encode_jpeg(
+        img, quality=92, restart_interval=restart, subsampling=subsampling
+    )
+    out = decode_jpeg(blob)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(float) - img.astype(float))
+    # smooth content: tight bound at 4:4:4, looser with subsampled chroma
+    assert err.mean() < (1.5 if subsampling == "4:4:4" else 4.0)
+    assert err.max() < (12 if subsampling == "4:4:4" else 40)
+
+
+def test_grayscale_single_component():
+    g = (np.mgrid[0:20, 0:24][0] * 5 % 200).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == (20, 24, 1)
+    assert np.abs(out[:, :, 0].astype(float) - g).max() <= 2
+
+
+def test_quality_tradeoff_monotone():
+    img = _smooth_rgb(48, 48)
+    sizes, errs = [], []
+    for q in (30, 60, 90):
+        blob = encode_jpeg(img, quality=q)
+        sizes.append(len(blob))
+        errs.append(
+            np.abs(decode_jpeg(blob).astype(float) - img.astype(float)).mean()
+        )
+    assert sizes[0] < sizes[1] < sizes[2]  # more quality → more bytes
+    assert errs[0] > errs[2]  # more quality → less error
+
+
+def test_progressive_rejected_honestly():
+    blob = bytearray(encode_jpeg(_smooth_rgb(16, 16)))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(blob))
+
+
+def test_truncated_scan_raises_valueerror():
+    blob = encode_jpeg(_smooth_rgb(32, 32))
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) // 2])
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+
+
+def test_decode_blob_dispatches_jpeg():
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        decode_blob,
+    )
+
+    img = np.full((8, 8, 3), 99, dtype=np.uint8)
+    d = decode_blob(encode_jpeg(img, quality=95))
+    assert d["media_type"] == "image" and d["format"] == "jpeg"
+    assert (d["width"], d["height"], d["channels"]) == (8, 8, 3)
+    assert int(d["pixels"].astype(int).sum()) == 99 * 8 * 8 * 3
+
+
+def test_decoded_image_stats_spark_path(spark):
+    """The Arrow kernel path: JPEG blobs flow through decoded_image_stats
+    next to PPM/PNG ones, undecodable blobs yield nulls."""
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        decoded_image_stats,
+        encode_ppm,
+    )
+
+    flat = np.full((8, 8, 3), 50, dtype=np.uint8)
+    rows = [
+        (1, encode_jpeg(flat, quality=95)),
+        (2, encode_ppm(flat)),
+        (3, b"\xff\xd8\xffgarbage-jpeg"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    out = {r["media_id"]: r for r in decoded_image_stats(df).collect()}
+    assert out[1]["img_format"] == "jpeg"
+    assert out[1]["pixel_sum"] == out[2]["pixel_sum"] == 50 * 8 * 8 * 3
+    assert out[3]["img_format"] is None  # corrupt → nulls, no crash
+    assert out[4]["img_format"] is None

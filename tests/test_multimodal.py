@@ -115,9 +115,10 @@ def test_decode_wav_pcm16():
 
 
 def test_decode_blob_compressed_raises():
-    # JPEG still needs PIL; PNG is decoded natively now (a signature with
-    # no chunks is a MALFORMED png, not an unsupported codec)
-    with pytest.raises(NotImplementedError, match="PIL"):
+    # JPEG and PNG are both decoded natively now — a signature with no
+    # valid structure behind it is MALFORMED input, not an unsupported
+    # codec, so both raise ValueError (the kernels map it to null rows)
+    with pytest.raises(ValueError):
         decode_blob(b"\xff\xd8\xff\xe0....")
     with pytest.raises(ValueError, match="missing IHDR"):
         decode_blob(b"\x89PNG\r\n\x1a\n....")

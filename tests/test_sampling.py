@@ -373,3 +373,27 @@ def test_temporal_split(spark):
 
     with pytest.raises(ValueError, match="catch-all"):
         temporal_split(df, "ts", [("train", "2024-01-01")])
+
+
+def test_quality_binned_sample_degenerate_scores(spark):
+    """All-NULL score column (ADVICE r4): percentile_approx yields NULL
+    edges, size(filter(NULL)) is -1 under legacy sizeOfNull — rows must
+    fall into bin 0 as the docstring promises, not crash element_at."""
+    from evidence_datasource_parsers_spark.operators.sampling import (
+        quality_binned_sample,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    kept = quality_binned_sample(df, "score", "doc_id", [1.0, 0.0, 0.0])
+    rows = kept.collect()
+    assert len(rows) == 20  # bin 0 fraction 1.0 keeps everything
+    assert all(r["quality_bin"] == 0 for r in rows)
+    # and the inverse: bin-0 fraction 0 keeps nothing
+    assert (
+        quality_binned_sample(df, "score", "doc_id", [0.0, 1.0, 1.0]).count()
+        == 0
+    )

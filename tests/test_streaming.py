@@ -431,3 +431,44 @@ def test_incremental_dedupe_sink_embedding_mode(spark, tmp_path):
     st = spark.read.parquet(store)
     assert sorted(st.columns) == ["q_embedding", "q_scale", "vec_id"]
     assert st.count() == 3
+
+
+def test_store_swap_crash_recovery(tmp_path):
+    """ADVICE r4: a crash between the swap's two renames leaves no dir at
+    store_dir; recover_store_dir must restore the lone __old_* dir instead
+    of silently restarting from an empty store, and sweep stale leftovers
+    once a store is present."""
+    import os
+
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        recover_store_dir,
+        swap_store_dir,
+    )
+
+    store = str(tmp_path / "store")
+
+    def mkdir_with(name: str, marker: str) -> None:
+        os.makedirs(name)
+        with open(os.path.join(name, "marker"), "w") as fh:
+            fh.write(marker)
+
+    # crash window: store renamed away, swap dir still on disk
+    mkdir_with(f"{store}__old_deadbeef", "v1")
+    mkdir_with(f"{store}__swap_cafef00d", "v2-unswapped")
+    assert recover_store_dir(store) is True
+    assert open(os.path.join(store, "marker")).read() == "v1"
+    # stale swap swept
+    assert not os.path.isdir(f"{store}__swap_cafef00d")
+
+    # normal swap path: tmp replaces store, old removed
+    mkdir_with(f"{store}__swap_01234567", "v2")
+    swap_store_dir(store, f"{store}__swap_01234567")
+    assert open(os.path.join(store, "marker")).read() == "v2"
+    assert recover_store_dir(store) is False  # nothing to do
+    assert os.listdir(tmp_path) == ["store"]
+
+    # no store, no leftovers → first-run semantics, no restore
+    import shutil
+
+    shutil.rmtree(store)
+    assert recover_store_dir(store) is False

@@ -102,3 +102,29 @@ def test_bm25_query_edge_cases(spark, corpus):
     # empty query → empty result
     empty = bm25_query_scores(corpus, "doc_id", "text", [])
     assert empty.count() == 0
+
+
+def test_tf_pin_contract_bounded_fifo(spark, corpus):
+    """ADVICE r4: the tf cache handle must not accumulate for the session
+    lifetime.  Caller-owned pin via tf_pin=[]; handle-less calls go into a
+    bounded FIFO that unpersists the oldest past the cap."""
+    from evidence_datasource_parsers_spark.functions import tfidf as T
+
+    T.release_tf_pins()
+    # caller-owned handle
+    pin = []
+    out = term_relevance(corpus, "doc_id", "text", tf_pin=pin)
+    out.count()
+    assert len(pin) == 1 and pin[0].is_cached
+    pin.pop().unpersist()
+    assert not T._PINNED_TF  # caller-owned pins stay out of the FIFO
+
+    # handle-less calls: FIFO evicts beyond the cap
+    frames = []
+    for i in range(T._PINNED_TF_MAX + 2):
+        frames.append(
+            term_relevance(corpus.limit(3 + i), "doc_id", "text")
+        )
+    assert len(T._PINNED_TF) == T._PINNED_TF_MAX
+    T.release_tf_pins()
+    assert not T._PINNED_TF

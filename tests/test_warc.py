@@ -102,9 +102,46 @@ def test_read_warc_dataframe(spark, tmp_path):
     assert all_types == {"warcinfo", "response", "request"}
 
 
-def test_bad_magic_raises():
+def test_bad_magic_failfast_raises():
     with pytest.raises(ValueError, match="WARC version"):
-        list(iter_warc_records(b"GARBAGE\r\n\r\n"))
+        list(iter_warc_records(b"GARBAGE\r\n\r\n", mode="FAILFAST"))
+
+
+def test_malformed_record_policies():
+    """One mangled record must not fail the file (ADVICE r4): PERMISSIVE
+    flags it and resyncs at the next version line, DROPMALFORMED skips,
+    FAILFAST raises.  Covers bad version line AND non-numeric/negative
+    Content-Length."""
+    bad_version = b"GARBAGE LINE\r\n\r\n"
+    bad_length = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: NaN\r\n\r\n"
+    )
+    neg_length = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -9\r\n\r\n"
+    )
+    for junk in (bad_version, bad_length, neg_length):
+        raw = (
+            _record("response", _http(b"first ok"), "http://a.example/1")
+            + junk
+            + _record("response", _http(b"second ok"), "http://a.example/2")
+        )
+        perm = list(iter_warc_records(raw))  # PERMISSIVE default
+        assert [r["warc_type"] for r in perm] == [
+            "response", "__malformed__", "response",
+        ]
+        assert perm[1]["payload"]  # carries the parse error text
+        drop = list(iter_warc_records(raw, mode="DROPMALFORMED"))
+        assert [r["warc_type"] for r in drop] == ["response", "response"]
+        assert drop[1]["url"] == "http://a.example/2"
+        with pytest.raises(ValueError):
+            list(iter_warc_records(raw, mode="FAILFAST"))
+
+
+def test_malformed_tail_only_flags_once():
+    raw = _record("response", _http(b"ok"), "http://a.example/1") + b"TRAILING JUNK"
+    out = list(iter_warc_records(raw))
+    types = [r["warc_type"] for r in out]
+    assert types == ["response", "__malformed__"]
 
 
 def test_warc_to_refresh_pipeline_end_to_end(spark, tmp_path):
