@@ -35,10 +35,14 @@ def pagerank(
     damping: float = 0.85,
     max_iterations: int = 40,
     tol: float = 1e-6,
+    iteration_counter: list | None = None,
 ) -> DataFrame:
     """(node, rank) with Σrank = 1 (probability semantics).
 
     ``tol``: stop when the max per-node rank change is below it.
+    ``iteration_counter``: optional list the converged iteration count is
+    appended to (observability/testing — convergence speed is a property
+    worth asserting on adversarial graphs).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
@@ -61,7 +65,7 @@ def pagerank(
         outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         base = (1.0 - damping) / n
-        for _ in range(max_iterations):
+        for it in range(max_iterations):
             contrib_src = ranks.join(outdeg, ranks.node == outdeg.src, "left")
             # dangling mass: total rank sitting on nodes with no out-links,
             # redistributed uniformly (one tiny aggregate, broadcast back)
@@ -101,6 +105,8 @@ def pagerank(
             )
             ranks = new_ranks
             if delta is not None and delta < tol:
+                if iteration_counter is not None:
+                    iteration_counter.append(it + 1)
                 return ranks
         raise RuntimeError(
             f"pagerank did not converge in {max_iterations} iterations "

@@ -90,6 +90,71 @@ def build_scaled(spark, base: str, out: str, replicas: int) -> None:
         )
 
 
+def incremental_refresh_case(spark, base: str, out_dir: str, materialize):
+    """The incremental-triad scale question the headline queries can't ask:
+    a FIXED-SIZE refresh batch (the base corpus's odd doc_ids) deduped
+    against a bucketed on-disk LSH fingerprint store at base size vs 10×
+    size.  Store BUILD time is excluded — the store is the state carried
+    between runs; what must stay flat as the corpus grows is the per-batch
+    cost (store-side scan stays in place — plan-proven in
+    tests/test_plan_shapes.py — so the factor should track the store scan,
+    far below the replica count)."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        incremental_lsh_dedupe,
+        lsh_fingerprints,
+    )
+    from evidence_datasource_parsers_spark.plans.catalog import load
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucketed_store,
+        write_bucketed_store,
+    )
+
+    batch = (
+        load(spark, base, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    row: dict = {}
+    for label, sf_dir in (("base", base), ("scaled", out_dir)):
+        table = f"bench_incr_store_{label}"
+        store_path = os.path.join(
+            os.environ.get("SPARK_GRAFT_SCALE_DIR",
+                           "/tmp/spark_graft_scale_store"),
+            f"lsh_store_{label}",
+        )
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            write_bucketed_store(
+                lsh_fingerprints(
+                    load(spark, sf_dir, "documents").filter(
+                        F.col("doc_id") % 2 == 0
+                    ),
+                    "text", "doc_id", mode="word",
+                ),
+                store_path, table, ["band", "key"], 32,
+            )
+            best = -1.0
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                res = incremental_lsh_dedupe(
+                    batch, read_bucketed_store(spark, table),
+                    "text", "doc_id", mode="word",
+                )
+                materialize(res.fresh)
+                res.pinned.unpersist()
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+            row[label] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"incremental@{label} failed: {exc}", file=sys.stderr)
+            row[label] = -1.0
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if row.get("base", -1) > 0 and row.get("scaled", -1) > 0:
+        row["factor"] = round(row["scaled"] / row["base"], 2)
+    return row
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -136,6 +201,10 @@ def main() -> None:
         if row["base"] > 0 and row["scaled"] > 0:
             row["factor"] = round(row["scaled"] / row["base"], 2)
         results[name] = row
+
+    results["incremental_lsh_refresh"] = incremental_refresh_case(
+        spark, base, out_dir, materialize
+    )
 
     line = json.dumps(
         {
