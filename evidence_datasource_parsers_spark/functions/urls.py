@@ -111,3 +111,49 @@ def dedupe_by_url(
         .agg(F.min_by(row, F.col(id_col)).alias("__row"))
         .select("__row.*")
     )
+
+
+def filter_urls(
+    df: DataFrame,
+    url_col: str,
+    *,
+    allow_domains: list[str] | None = None,
+    block_domains: list[str] | None = None,
+    block_patterns: list[str] | None = None,
+    keep_null_urls: bool = False,
+) -> DataFrame:
+    """Crawl-curation URL gate — the blocklist stage every corpus refresh
+    runs before spending compute on content (C4/RefinedWeb-style):
+
+      * ``block_domains`` — drop rows whose REGISTRABLE domain is listed
+        (so ``spam.example`` also blocks ``cdn.spam.example``);
+      * ``allow_domains`` — if given, keep ONLY listed registrable
+        domains (allowlist crawls);
+      * ``block_patterns`` — Java regexes matched against the canonical
+        URL (path-level junk: /tag/, /login, calendars, infinite
+        facets…);
+      * NULL/unparseable-host URLs drop unless ``keep_null_urls``.
+
+    Scale shape: domain lists are LITERAL IN-PLAN SETS (isin) — the right
+    encoding up to ~10⁴ entries, after which pass a domain FRAME and
+    anti-join it (broadcast_if_small) instead; patterns fold into ONE
+    alternation regex evaluated once per row.  Everything is native
+    expressions: the filter runs in whole-stage codegen and pushes past
+    column pruning — zero Python, zero shuffle.
+    """
+    dom = registrable_domain(F.col(url_col))
+    cond = F.lit(True)
+    if not keep_null_urls:
+        cond = dom.isNotNull()
+    if allow_domains is not None:
+        cond = cond & dom.isin([d.lower() for d in allow_domains])
+    if block_domains:
+        cond = cond & ~F.coalesce(
+            dom.isin([d.lower() for d in block_domains]), F.lit(False)
+        )
+    if block_patterns:
+        merged = "(?i)(" + "|".join(f"(?:{p})" for p in block_patterns) + ")"
+        cond = cond & ~F.coalesce(
+            canonicalize_url(F.col(url_col)).rlike(merged), F.lit(False)
+        )
+    return df.where(cond)

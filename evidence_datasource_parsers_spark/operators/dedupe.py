@@ -957,3 +957,55 @@ def incremental_simhash_dedupe(
         fp.join(dropped, on=id_col, how="left_anti")
     )
     return IncrementalSimhashResult(fresh=fresh, store=new_store, pinned=fp)
+
+
+def hamming_near_dup_pairs(
+    fp: DataFrame,
+    id_col: str,
+    fp_col: str,
+    *,
+    nbits: int = 64,
+    max_hamming: int = 3,
+    n_blocks: int = 6,
+) -> DataFrame:
+    """Generic at-rest near-dup pairs over ANY long-fingerprint column
+    (SimHash, image pHash, audio fingerprints): all (id_a < id_b) pairs
+    with hamming(fp_a, fp_b) <= ``max_hamming``.
+
+    The same Manku-Jain-Das-Sarma pigeonhole as the incremental SimHash
+    path: the fingerprint splits into ``n_blocks`` bit blocks, any pair
+    within hamming d agrees on some (n_blocks - d)-block subset, so
+    candidates come from C(n_blocks, d) exact equi-joins on packed block
+    keys — never an all-pairs product — and each candidate is verified
+    with one bit_count(xor).  Pairs colliding in several combos dedup
+    BEFORE verification (hamming is cheap, but the dedup keeps the pair
+    frame honest for downstream clustering).
+    """
+    keys = fp.select(
+        F.col(id_col),
+        F.col(fp_col).alias("__fp"),
+        F.explode(
+            simhash_combo_keys(F.col(fp_col), nbits, max_hamming, n_blocks)
+        ).alias("__ck"),
+    ).select(
+        id_col, "__fp", F.col("__ck.combo").alias("__combo"),
+        F.col("__ck.key").alias("__key"),
+    )
+    a = keys.select(
+        F.col(id_col).alias("id_a"), F.col("__fp").alias("__fa"),
+        "__combo", "__key",
+    )
+    b = keys.select(
+        F.col(id_col).alias("id_b"), F.col("__fp").alias("__fb"),
+        "__combo", "__key",
+    )
+    cand = (
+        a.join(b, on=["__combo", "__key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__fa", "__fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

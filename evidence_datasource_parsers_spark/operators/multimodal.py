@@ -23,6 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MAGIC = b"MM01"
 MEDIA_TYPES = {0: "image", 1: "audio", 2: "video"}
@@ -638,3 +639,96 @@ def sample_frames(
             )
 
     return df.select(id_col, binary_col).mapInPandas(kernel, out_schema)
+
+
+def image_phash_frame(
+    df: DataFrame, binary_col: str = "blob", id_col: str = "media_id"
+) -> DataFrame:
+    """Perceptual image hashes: ``(id_col, phash)`` — the image analogue of
+    the text SimHash fingerprint, and the state an image near-dup pipeline
+    carries (re-encoded/resized copies of one photo land within a few bits;
+    distinct photos land ~32 bits apart).
+
+    The classic DCT pHash (public algorithm): decode → BT.601 luma →
+    nearest-neighbor 32×32 downsample (deterministic; smoother kernels
+    shift hashes between library versions — determinism wins for a store)
+    → 32×32 DCT (the same orthonormal transform as functions/jpeg.py) →
+    the 63 lowest-frequency AC coefficients (8×8 corner minus DC) → sign
+    bits against their MEDIAN → packed into one long (63 bits: no sign
+    games).  Undecodable/non-image blobs yield NULL.
+
+    Feed the frame to ``operators.dedupe.hamming_near_dup_pairs(nbits=63)``
+    for at-rest pairs, or persist it as the store of an incremental image
+    dedup (same combo-key machinery as the text SimHash store).  One
+    narrow Arrow pass, no shuffle.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n = np.arange(32)
+        C = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 64.0)
+        C[0, :] = 1.0
+        C *= np.where(
+            n[:, None] == 0, np.sqrt(1.0 / 32.0), np.sqrt(2.0 / 32.0)
+        )
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    d = decode_blob(bytes(blob) if blob is not None else None)
+                except (ValueError, NotImplementedError, struct.error):
+                    d = {"media_type": "unknown"}
+                if d.get("media_type") != "image" or d["pixels"].size == 0:
+                    out.append((mid, None))
+                    continue
+                px = d["pixels"].astype(np.float64)
+                gray = (
+                    0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                    + 0.114 * px[:, :, 2]
+                    if px.shape[2] >= 3
+                    else px[:, :, 0]
+                )
+                h, w = gray.shape
+                yi = np.minimum((np.arange(32) * h) // 32, h - 1)
+                xi = np.minimum((np.arange(32) * w) // 32, w - 1)
+                small = gray[np.ix_(yi, xi)]
+                dct = C @ small @ C.T
+                low = dct[:8, :8].flatten()[1:]  # 63 AC coefficients
+                med = np.median(low)
+                bits = low > med
+                v = 0
+                for bit in bits:
+                    v = (v << 1) | int(bit)
+                out.append((mid, v))
+            yield pd.DataFrame({id_col: out and [r[0] for r in out] or [],
+                                "phash": [r[1] for r in out]})
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel, f"{id_col} long, phash long"
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    n_blocks: int = 9,
+) -> DataFrame:
+    """At-rest image near-dup pairs: (id_a, id_b, hamming) over the pHash
+    frame via the pigeonhole equi-joins — never an all-pairs product.
+    ``max_hamming`` 6 @ 63 bits separates re-encodes (≤ ~4 bits moved)
+    from distinct photos (~31 bits); raise it for aggressive variants
+    (heavy crops shift more bits)."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        hamming_near_dup_pairs,
+    )
+
+    fp = image_phash_frame(df, binary_col, id_col).where(
+        F.col("phash").isNotNull()
+    )
+    return hamming_near_dup_pairs(
+        fp, id_col, "phash",
+        nbits=63, max_hamming=max_hamming, n_blocks=n_blocks,
+    )

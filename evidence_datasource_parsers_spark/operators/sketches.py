@@ -92,3 +92,155 @@ def incremental_distinct_count(
     if prev_store is None:
         return fresh
     return hll_merge_stores([prev_store, fresh], group_cols, sketch_col)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-edge histograms — the QUANTILE analogue of the HLL store.
+#
+# percentile_approx answers "what's p50 NOW" but its sketch is not exposed
+# for persistence, so distribution dashboards (doc length, quality score,
+# tokens/doc) over a growing corpus would re-scan history every refresh.
+# A fixed-edge histogram IS mergeable — counts add elementwise — at the
+# cost of choosing edges up front (cheap for pipeline metrics: bounds are
+# known and log-spaced edges cover decades).  Merging is associative,
+# commutative, and EXACT (integer adds, no estimator drift); percentile
+# reads interpolate within a bin, so error is bounded by bin width.
+#
+# Store contract mirrors hll_store: (group_cols…, counts array<long>) with
+# len(edges)+1 bins — [underflow, between-edges…, overflow].  NULL values
+# are not counted.
+# ---------------------------------------------------------------------------
+
+
+def histogram_store(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    edges: list[float],
+    counts_col: str = "counts",
+) -> DataFrame:
+    """One fixed-edge histogram of ``value_col`` per group: counts[i] =
+    rows with edges[i-1] <= v < edges[i] (counts[0] = v < edges[0],
+    counts[-1] = v >= edges[-1]).  ``edges`` must be strictly increasing
+    and IDENTICAL across every run that will ever merge — persist them
+    next to the store.  One map-side-combined aggregation; the bin index
+    is a native array scan (no UDF, no second shuffle)."""
+    if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
+        raise ValueError("edges must be strictly increasing")
+    v = F.col(value_col).cast("double")
+    e = F.array(*[F.lit(float(x)) for x in edges])
+    # filter() drops elements whose lambda evaluates to NULL, so a NULL v
+    # would silently land in bin 0 — guard it to a NULL bin (not counted)
+    bin_ = F.when(v.isNotNull(), F.size(F.filter(e, lambda x: x <= v)))
+    n_bins = len(edges) + 1
+    binned = df.withColumn("__bin", bin_)
+    return binned.groupBy(*group_cols).agg(
+        F.array(
+            *[
+                F.sum(
+                    F.when(F.col("__bin") == i, F.lit(1)).otherwise(F.lit(0))
+                ).cast("long")
+                for i in range(n_bins)
+            ]
+        ).alias(counts_col)
+    )
+
+
+def histogram_merge_stores(
+    stores: list[DataFrame],
+    group_cols: list[str],
+    counts_col: str = "counts",
+) -> DataFrame:
+    """Union N histogram stores: counts add elementwise per group (exact —
+    unlike HLL there is no estimator to drift).  ONE shuffle on the group
+    key; the elementwise sum is a zip_with fold over the union."""
+    if not stores:
+        raise ValueError("need at least one store")
+    unioned = stores[0]
+    for s in stores[1:]:
+        unioned = unioned.unionByName(s)
+    exploded = unioned.select(
+        *group_cols, F.posexplode(counts_col).alias("__bin", "__c")
+    )
+    return (
+        exploded.groupBy(*group_cols, "__bin")
+        .agg(F.sum("__c").alias("__c"))
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__bin", "__c"))
+            ).alias("__bc")
+        )
+        .select(
+            *group_cols,
+            F.transform(F.col("__bc"), lambda s: s["__c"]).alias(counts_col),
+        )
+    )
+
+
+def histogram_percentiles(
+    store: DataFrame,
+    edges: list[float],
+    percentiles: list[float],
+    group_cols: list[str],
+    counts_col: str = "counts",
+) -> DataFrame:
+    """Read side: approximate percentiles per group from the carried
+    histogram — linear interpolation inside the containing bin (error ≤
+    bin width; exact at bin boundaries).  Underflow clamps to edges[0],
+    overflow to edges[-1] (open-ended bins have no interior to
+    interpolate).  Output: one column ``p{int(100p)}`` per requested
+    percentile.  Relational shape: posexplode + running sum window per
+    group — store frames are group-sized, so the window is cheap."""
+    from pyspark.sql import Window
+
+    lo = [float("-inf")] + [float(x) for x in edges]
+    hi = [float(x) for x in edges] + [float("inf")]
+    lo_a = F.array(*[F.lit(x) for x in lo])
+    hi_a = F.array(*[F.lit(x) for x in hi])
+    w = Window.partitionBy(*group_cols).orderBy("__bin")
+    cum = (
+        store.select(
+            *group_cols, F.posexplode(counts_col).alias("__bin", "__c")
+        )
+        .withColumn("__cum", F.sum("__c").over(w))
+        .withColumn(
+            "__total", F.sum("__c").over(Window.partitionBy(*group_cols))
+        )
+        .where(F.col("__c") > 0)
+    )
+    aggs = []
+    for p in percentiles:
+        target = F.lit(p) * F.col("__total")
+        # first bin whose cumulative count reaches the target
+        in_bin = (F.col("__cum") >= target) & (
+            (F.col("__cum") - F.col("__c")) < target
+        )
+        binlo = F.element_at(lo_a, F.col("__bin") + 1)
+        binhi = F.element_at(hi_a, F.col("__bin") + 1)
+        frac = (target - (F.col("__cum") - F.col("__c"))) / F.col("__c")
+        interp = F.when(
+            binlo == F.lit(float("-inf")), binhi
+        ).when(
+            binhi == F.lit(float("inf")), binlo
+        ).otherwise(binlo + (binhi - binlo) * frac)
+        aggs.append(
+            F.min(F.when(in_bin, interp)).alias(f"p{int(round(p * 100))}")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def incremental_histogram(
+    prev_store: DataFrame | None,
+    batch: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    edges: list[float],
+    counts_col: str = "counts",
+) -> DataFrame:
+    """Fold one batch into the carried histogram store (None on the first
+    run) — same shape as :func:`incremental_distinct_count`."""
+    b = histogram_store(batch, group_cols, value_col, edges, counts_col)
+    if prev_store is None:
+        return b
+    return histogram_merge_stores([prev_store, b], group_cols, counts_col)

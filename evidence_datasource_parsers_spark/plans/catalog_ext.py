@@ -118,7 +118,19 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
            count(DISTINCT l_partkey) AS exact_parts,
            TRUE AS hll_within_5pct,
            TRUE AS approx_p50_within_tol,
-           TRUE AS merged_hll_within_5pct
+           TRUE AS merged_hll_within_5pct,
+           concat_ws(',',
+             CAST(SUM(CASE WHEN CAST(round(l_quantity*100) AS BIGINT) < 1000
+                      THEN 1 ELSE 0 END) AS VARCHAR),
+             CAST(SUM(CASE WHEN CAST(round(l_quantity*100) AS BIGINT) >= 1000
+                       AND CAST(round(l_quantity*100) AS BIGINT) < 2500
+                      THEN 1 ELSE 0 END) AS VARCHAR),
+             CAST(SUM(CASE WHEN CAST(round(l_quantity*100) AS BIGINT) >= 2500
+                       AND CAST(round(l_quantity*100) AS BIGINT) < 4000
+                      THEN 1 ELSE 0 END) AS VARCHAR),
+             CAST(SUM(CASE WHEN CAST(round(l_quantity*100) AS BIGINT) >= 4000
+                      THEN 1 ELSE 0 END) AS VARCHAR)
+           ) AS hist_qty_c
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("percentile", "approx", "sketch"),
@@ -137,23 +149,45 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     orderkey parity, each batch folded into the carried HLL store via
     incremental_distinct_count, and the merged estimate must land within
     5% of the exact distinct count — the incremental-analytics refresh
-    loop, driver-checked as an invariant."""
+    loop, driver-checked as an invariant.
+
+    ``hist_qty_c`` exercises the mergeable FIXED-EDGE HISTOGRAM store the
+    same way (parity-split batches folded via incremental_histogram) but
+    with an EXACT oracle: unlike HLL, histogram merges are integer adds,
+    so DuckDB recomputes every bin count and any drift in binning,
+    merging, or bin order breaks the value hash."""
     from evidence_datasource_parsers_spark.operators.sketches import (
         hll_estimates,
         incremental_distinct_count,
+        incremental_histogram,
     )
 
     l = load(spark, sf, "lineitem")
     store = None
+    hstore = None
+    hedges = [1000.0, 2500.0, 4000.0]  # quantity cents; mirrored in SQL
     for parity in (0, 1):
+        batch = l.where(F.col("l_orderkey") % 2 == parity)
         store = incremental_distinct_count(
-            store,
-            l.where(F.col("l_orderkey") % 2 == parity),
+            store, batch, ["l_returnflag"], "l_partkey"
+        )
+        hstore = incremental_histogram(
+            hstore,
+            batch.select(
+                "l_returnflag", cents(F.col("l_quantity")).alias("__qc")
+            ),
             ["l_returnflag"],
-            "l_partkey",
+            "__qc",
+            hedges,
         )
     merged = hll_estimates(store).select(
         "l_returnflag", F.col("approx_distinct").alias("__mest")
+    )
+    hist = hstore.select(
+        "l_returnflag",
+        F.concat_ws(
+            ",", F.transform(F.col("counts"), lambda c: c.cast("string"))
+        ).alias("hist_qty_c"),
     )
     qty_c = cents(F.col("l_quantity"))
     price_c = cents(F.col("l_extendedprice"))
@@ -180,13 +214,18 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
             <= 0.005 * F.percentile(price_c, F.lit(0.5))
         ).alias("approx_p50_within_tol"),
     )
-    return agg.join(F.broadcast(merged), on="l_returnflag").select(
-        agg["*"],
-        (
-            F.abs(F.col("__mest") - F.col("exact_parts"))
-            / F.col("exact_parts")
-            < 0.05
-        ).alias("merged_hll_within_5pct"),
+    return (
+        agg.join(F.broadcast(merged), on="l_returnflag")
+        .join(F.broadcast(hist), on="l_returnflag")
+        .select(
+            agg["*"],
+            (
+                F.abs(F.col("__mest") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                < 0.05
+            ).alias("merged_hll_within_5pct"),
+            "hist_qty_c",
+        )
     )
 
 

@@ -271,3 +271,64 @@ def warc_documents(
         .otherwise(body)
         .alias("text"),
     )
+
+
+def warc_media(
+    spark: SparkSession,
+    path: str,
+    max_payload: int = 100 * 1024 * 1024,
+    decode_stats: bool = True,
+) -> DataFrame:
+    """WARC directory → the multimodal media shape: one row per successful
+    (2xx) ``image/*`` response — (media_id, url, crawl_ts, content_type,
+    blob) — optionally joined with REAL decoded-pixel statistics.
+
+    This closes the crawl→multimodal loop the way ``warc_documents``
+    closes crawl→text: the same archives a text pipeline ingests carry the
+    corpus's images, and with the native baseline-JPEG/PNG/BMP decoders
+    (operators/multimodal.py, functions/jpeg.py) the decode column is real
+    — undecodable or unsupported variants (progressive JPEG, palette PNG)
+    surface as NULL stats rows to route to a PIL-backed kernel, never as
+    task failures.
+
+    ``media_id`` is the portable 60-bit hash of the WARC record id —
+    identical ids on re-parse, same contract as ``warc_documents``.
+
+    Scale shape: per-file parallelism from the WARC scan; the decode pass
+    is one narrow Arrow mapInPandas over (id, blob) — no shuffle; join
+    back to the metadata is id-equi (AQE broadcasts the stats side when
+    small).  Set ``decode_stats=False`` to get just the blob rows (e.g.
+    to feed ``resize_images`` or an external embedding model).
+    """
+    from pyspark.sql import functions as F
+
+    from evidence_datasource_parsers_spark.functions.hashing import (
+        portable_hash,
+    )
+    from evidence_datasource_parsers_spark.functions.urls import (
+        canonicalize_url,
+    )
+
+    recs = read_warc(
+        spark, path, responses_only=True, max_payload=max_payload
+    )
+    media = recs.where(
+        F.col("http_status").between(200, 299)
+        & F.col("http_content_type").startswith("image/")
+    ).select(
+        portable_hash(F.col("record_id")).alias("media_id"),
+        canonicalize_url(F.col("url")).alias("url"),
+        F.to_timestamp(
+            F.regexp_replace(F.col("warc_date"), "Z$", "+00:00")
+        ).alias("crawl_ts"),
+        F.col("http_content_type").alias("content_type"),
+        F.col("payload").alias("blob"),
+    )
+    if not decode_stats:
+        return media
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        decoded_image_stats,
+    )
+
+    stats = decoded_image_stats(media, "blob", "media_id")
+    return media.join(stats, on="media_id", how="left")

@@ -122,3 +122,102 @@ def test_decoded_image_stats_spark_path(spark):
     assert out[1]["pixel_sum"] == out[2]["pixel_sum"] == 50 * 8 * 8 * 3
     assert out[3]["img_format"] is None  # corrupt → nulls, no crash
     assert out[4]["img_format"] is None
+
+
+def _photo():
+    import numpy as np
+
+    y, x = np.mgrid[0:64, 0:64]
+    p = np.clip(
+        128 + 60 * np.sin(x / 9.0) + 50 * np.cos(y / 7.0)
+        + 20 * np.sin((x * y) / 301.0),
+        0, 255,
+    )
+    return np.stack([p, p * 0.8 + 20, p * 0.6 + 40], axis=2).astype(np.uint8)
+
+
+def _other_photo():
+    """Structurally DIFFERENT content (a phase shift of the same function
+    would — correctly — still hash nearby; pHash keys on structure)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:64, 0:64]
+    p = np.clip(128 + 70 * np.cos(x / 5.0) - 40 * np.sin(y / 11.0), 0, 255)
+    return np.stack([p] * 3, axis=2).astype(np.uint8)
+
+
+def test_image_phash_near_dup_vs_distinct(spark):
+    """Perceptual hashing: a JPEG re-encode of the same photo lands within
+    a few bits; a different photo lands tens of bits away; corrupt blobs
+    yield NULL; the pigeonhole pair search finds exactly the re-encode."""
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        image_phash_frame,
+    )
+
+    photo, other = _photo(), _other_photo()
+    rows = [
+        (1, encode_jpeg(photo, quality=95)),
+        (2, encode_jpeg(photo, quality=60)),   # re-encode (near-dup)
+        (3, encode_jpeg(other, quality=95)),   # distinct
+        (4, b"\xff\xd8\xffbroken"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    fp = {r.media_id: r.phash for r in image_phash_frame(df).collect()}
+    assert fp[4] is None
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fp[1], fp[2]) <= 6
+    assert ham(fp[1], fp[3]) >= 20
+    pairs = image_near_dup_pairs(df).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].hamming == ham(fp[1], fp[2])
+
+
+def test_image_phash_format_invariant(spark):
+    """The same pixels through different containers (PPM vs lossless-ish
+    JPEG q95) hash within a couple of bits — pHash keys on content, not
+    encoding."""
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        encode_ppm,
+        image_phash_frame,
+    )
+
+    photo = _photo()
+    df = spark.createDataFrame(
+        [(1, encode_ppm(photo)), (2, encode_jpeg(photo, quality=95))],
+        "media_id long, blob binary",
+    )
+    fp = {r.media_id: r.phash for r in image_phash_frame(df).collect()}
+    assert bin(fp[1] ^ fp[2]).count("1") <= 4
+
+
+def test_hamming_near_dup_pairs_generic_exactness(spark):
+    """The pigeonhole pair search must equal brute force on a seeded
+    fingerprint set (any long column, not just pHash)."""
+    from itertools import combinations
+
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        hamming_near_dup_pairs,
+    )
+
+    base = 0b1011_0110_1110_0001_1111_0000_1010_0101
+    fps = [
+        (1, base),
+        (2, base ^ 0b101),            # hamming 2... bits 0,2
+        (3, base ^ (1 << 40)),        # hamming 1
+        (4, base ^ 0xFFFF),           # hamming 16 — out of range
+        (5, 0),
+    ]
+    df = spark.createDataFrame(fps, "id long, fp long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_near_dup_pairs(
+            df, "id", "fp", nbits=63, max_hamming=3, n_blocks=6
+        ).collect()
+    }
+    want = {}
+    for (ia, fa), (ib, fb) in combinations(fps, 2):
+        h = bin(fa ^ fb).count("1")
+        if h <= 3:
+            want[(min(ia, ib), max(ia, ib))] = h
+    assert got == want and got  # non-empty: pairs (1,2) and (1,3)

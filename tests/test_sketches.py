@@ -93,3 +93,76 @@ def test_store_survives_parquet_roundtrip(spark, tmp_path):
 def test_empty_store_list_raises(spark):
     with pytest.raises(ValueError, match="at least one"):
         hll_merge_stores([], ["domain"])
+
+
+def test_histogram_store_and_exact_merge(spark):
+    """Fixed-edge histograms merge EXACTLY: split-then-merge must equal the
+    one-shot histogram bin-for-bin, regardless of merge order."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        histogram_merge_stores,
+        histogram_store,
+        incremental_histogram,
+    )
+
+    edges = [10.0, 100.0, 1000.0]
+    rows = [("a", float(v)) for v in [1, 5, 10, 50, 99, 100, 500, 5000]]
+    rows += [("b", float(v)) for v in [200, 300]]
+    rows += [("a", None)]  # NULL not counted
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    one_shot = {
+        r["g"]: r["counts"]
+        for r in histogram_store(df, ["g"], "v", edges).collect()
+    }
+    assert one_shot["a"] == [2, 3, 2, 1]  # <10 | [10,100) | [100,1000) | >=1000
+    assert one_shot["b"] == [0, 0, 2, 0]
+
+    odd = df.where("v % 2 = 1 or v is null")
+    even = df.where("v % 2 = 0")
+    merged = {
+        r["g"]: r["counts"]
+        for r in histogram_merge_stores(
+            [
+                histogram_store(odd, ["g"], "v", edges),
+                histogram_store(even, ["g"], "v", edges),
+            ],
+            ["g"],
+        ).collect()
+    }
+    assert merged == one_shot
+
+    # incremental fold: None → batch; then fold the rest in
+    st = incremental_histogram(None, odd, ["g"], "v", edges)
+    st = incremental_histogram(st, even, ["g"], "v", edges)
+    assert {r["g"]: r["counts"] for r in st.collect()} == one_shot
+
+
+def test_histogram_percentiles_interpolation(spark):
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        histogram_percentiles,
+        histogram_store,
+    )
+
+    edges = [0.0, 10.0, 20.0, 30.0]
+    # 10 uniform values in [10, 20): p50 lands mid-bin
+    rows = [("g", 10.0 + v) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    store = histogram_store(df, ["g"], "v", edges)
+    out = histogram_percentiles(store, edges, [0.5, 1.0], ["g"]).collect()[0]
+    assert out["p50"] == pytest.approx(15.0)  # interpolated mid-bin
+    assert out["p100"] == pytest.approx(20.0)  # top of the containing bin
+    # overflow bin clamps to the last edge
+    big = spark.createDataFrame([("g", 99.0)], "g string, v double")
+    store2 = histogram_store(big, ["g"], "v", edges)
+    out2 = histogram_percentiles(store2, edges, [0.5], ["g"]).collect()[0]
+    assert out2["p50"] == pytest.approx(30.0)
+
+
+def test_histogram_store_rejects_bad_edges(spark):
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        histogram_store,
+    )
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="strictly increasing"):
+        histogram_store(df, ["g"], "v", [1.0, 1.0, 2.0])

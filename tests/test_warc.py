@@ -14,11 +14,15 @@ from evidence_datasource_parsers_spark.sources.warc import (
 )
 
 
+_REC_SEQ = [0]  # WARC record ids are unique in real archives; mirror that
+
+
 def _record(wtype: str, payload: bytes, url: str | None = None) -> bytes:
+    _REC_SEQ[0] += 1
     headers = [
         b"WARC/1.0",
         b"WARC-Type: " + wtype.encode(),
-        b"WARC-Record-ID: <urn:uuid:" + wtype.encode() + b"-1>",
+        b"WARC-Record-ID: <urn:uuid:%s-%d>" % (wtype.encode(), _REC_SEQ[0]),
         b"WARC-Date: 2024-01-01T00:00:00Z",
         b"Content-Length: " + str(len(payload)).encode(),
     ]
@@ -201,3 +205,45 @@ def test_warc_documents_crawl_ts_feeds_temporal_split(spark, tmp_path):
     )
     got = {r.url: r.split for r in split.collect()}
     assert got == {"http://t/1": "train", "http://t/2": "eval"}
+
+
+def test_warc_media_crawl_to_multimodal(spark, tmp_path):
+    """Crawl→multimodal loop: image/* responses come out as blob rows with
+    REAL decoded-pixel stats (the baseline JPEG codec + PPM decoder);
+    corrupt images surface as NULL stats, text responses are excluded."""
+    import numpy as np
+
+    from evidence_datasource_parsers_spark.functions.jpeg import encode_jpeg
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        encode_ppm,
+    )
+    from evidence_datasource_parsers_spark.sources.warc import warc_media
+
+    flat = np.full((8, 8, 3), 50, dtype=np.uint8)
+    raw = (
+        _record("response", _http(b"<html>text page</html>"),
+                "http://a.example/page")
+        + _record("response", _http(encode_jpeg(flat, quality=95),
+                                    b"image/jpeg"),
+                  "http://a.example/photo.jpg")
+        + _record("response", _http(encode_ppm(flat), b"image/x-portable-pixmap"),
+                  "http://a.example/pic.ppm")
+        + _record("response", _http(b"\xff\xd8\xffcorrupt", b"image/jpeg"),
+                  "http://a.example/broken.jpg")
+    )
+    (tmp_path / "m.warc.gz").write_bytes(gzip.compress(raw))
+
+    out = warc_media(spark, str(tmp_path)).collect()
+    by_url = {r["url"]: r for r in out}
+    assert len(out) == 3  # html response excluded
+    jpg = by_url["http://a.example/photo.jpg"]
+    ppm = by_url["http://a.example/pic.ppm"]
+    bad = by_url["http://a.example/broken.jpg"]
+    assert jpg["img_format"] == "jpeg" and ppm["img_format"] == "ppm"
+    assert jpg["pixel_sum"] == ppm["pixel_sum"] == 50 * 8 * 8 * 3
+    assert jpg["content_type"] == "image/jpeg"
+    assert jpg["crawl_ts"] is not None
+    assert bad["img_format"] is None and bad["pixel_sum"] is None
+    # blob rows only (no decode pass) when decode_stats=False
+    slim = warc_media(spark, str(tmp_path), decode_stats=False)
+    assert "pixel_sum" not in slim.columns and slim.count() == 3
