@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import struct
 from collections.abc import Iterator
+from typing import NamedTuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -732,3 +733,92 @@ def image_near_dup_pairs(
         fp, id_col, "phash",
         nbits=63, max_hamming=max_hamming, n_blocks=n_blocks,
     )
+
+
+class IncrementalPhashResult(NamedTuple):
+    """Same contract as the text-side incremental results: ``pinned`` is
+    the persisted batch pHash frame both outputs derive from; unpersist it
+    after materializing."""
+
+    fresh: DataFrame
+    store: DataFrame
+    pinned: DataFrame
+
+
+def incremental_phash_dedupe(
+    new_batch: DataFrame,
+    phash_store: DataFrame | None,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    *,
+    max_hamming: int = 6,
+    n_blocks: int = 9,
+    batch_phashes: DataFrame | None = None,
+) -> IncrementalPhashResult:
+    """Batch-over-batch IMAGE near-dup dedup — the fourth modality of the
+    fingerprint-store pattern (exact → lexical → semantic → perceptual).
+    The carried state is one ``(id, phash)`` row per retained image (8
+    bytes of hash); a new image is dropped when a stored pHash lies within
+    ``max_hamming`` bits of its own — candidates from the same
+    Manku block-combination tables as the text SimHash store
+    (``dedupe.simhash_combo_keys`` over the 63-bit hash), verified with
+    one ``bit_count(xor)``.  Re-encodes/resizes of stored photos are
+    combo-key mates within a few bits; exact re-uploads sit at hamming 0.
+
+    Within-batch images with IDENTICAL pHashes collapse to the min-id
+    representative first; within-batch near-dups are an at-rest pass
+    (:func:`image_near_dup_pairs` over the batch).  Undecodable blobs
+    (NULL pHash) pass through as fresh and are NOT stored — route them to
+    a PIL-backed kernel rather than silently treating them as unique
+    forever.
+
+    ``batch_phashes``: optional precomputed :func:`image_phash_frame`
+    rows (single-decode reuse when the pipeline also computes stats).
+    """
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        hamming_distance,
+        simhash_combo_keys,
+    )
+
+    fp_all = (
+        batch_phashes
+        if batch_phashes is not None
+        else image_phash_frame(new_batch, binary_col, id_col)
+    )
+    fp_ok = fp_all.where(F.col("phash").isNotNull())
+    # within-batch exact-pHash collapse (min id), NULL-pHash rows exempt
+    surv_ids = (
+        fp_ok.groupBy("phash").agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col)
+    )
+    null_ids = fp_all.where(F.col("phash").isNull()).select(id_col)
+    fp = fp_ok.join(surv_ids, on=id_col, how="left_semi").persist()
+    keep_ids = surv_ids.unionByName(null_ids)
+    survivors = new_batch.join(keep_ids, on=id_col, how="left_semi")
+    if phash_store is None:
+        return IncrementalPhashResult(fresh=survivors, store=fp, pinned=fp)
+    combos = lambda c: F.explode(  # noqa: E731
+        simhash_combo_keys(c, 63, max_hamming, n_blocks)
+    )
+    batch_keys = fp.select(
+        F.col(id_col),
+        F.col("phash").alias("__np"),
+        combos(F.col("phash")).alias("__k"),
+    ).select(id_col, "__np", "__k.combo", "__k.key")
+    store_keys = phash_store.select(
+        F.col("phash").alias("__sp"),
+        combos(F.col("phash")).alias("__k"),
+    ).select("__sp", "__k.combo", "__k.key")
+    dropped = (
+        batch_keys.join(store_keys, on=["combo", "key"])
+        .filter(
+            hamming_distance(F.col("__np"), F.col("__sp"))
+            <= F.lit(max_hamming)
+        )
+        .select(id_col)
+    )
+    fresh = survivors.join(dropped, on=id_col, how="left_anti")
+    new_store = phash_store.unionByName(
+        fp.join(dropped, on=id_col, how="left_anti")
+    )
+    return IncrementalPhashResult(fresh=fresh, store=new_store, pinned=fp)

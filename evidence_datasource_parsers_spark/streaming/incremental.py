@@ -104,6 +104,10 @@ def incremental_dedupe_sink(
       * ``'embedding'`` — semantic re-embeds dropped against an INT8
         vector store (`quantize.incremental_embedding_dedupe_quantized`);
         ``text_col`` names the vector column.
+      * ``'phash'`` — perceptual IMAGE near-dup: re-encoded/resized
+        copies of stored photos dropped against an (id, phash) store
+        (`multimodal.incremental_phash_dedupe`); ``text_col`` names the
+        binary blob column.
 
     ``dedupe_opts`` pass through to the chosen operator (num_perm/bands/k
     for lsh; nbits/max_hamming/n_blocks for simhash; threshold).  The LSH
@@ -112,7 +116,7 @@ def incremental_dedupe_sink(
     """
     from evidence_datasource_parsers_spark.operators import dedupe as dd
 
-    if mode not in ("exact", "lsh", "simhash", "embedding"):
+    if mode not in ("exact", "lsh", "simhash", "embedding", "phash"):
         raise ValueError(f"unknown dedupe mode {mode!r}")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -138,6 +142,16 @@ def incremental_dedupe_sink(
             fresh = fresh.persist()  # consumed once; pinned fp covers store
         elif mode == "simhash":
             res = dd.incremental_simhash_dedupe(
+                batch_df, store, text_col, id_col, **dedupe_opts
+            )
+            fresh, new_store = res.fresh, res.store
+            fresh = fresh.persist()
+        elif mode == "phash":
+            from evidence_datasource_parsers_spark.operators.multimodal import (
+                incremental_phash_dedupe,
+            )
+
+            res = incremental_phash_dedupe(
                 batch_df, store, text_col, id_col, **dedupe_opts
             )
             fresh, new_store = res.fresh, res.store

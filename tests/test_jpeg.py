@@ -221,3 +221,60 @@ def test_hamming_near_dup_pairs_generic_exactness(spark):
         if h <= 3:
             want[(min(ia, ib), max(ia, ib))] = h
     assert got == want and got  # non-empty: pairs (1,2) and (1,3)
+
+
+def test_incremental_phash_dedupe_two_runs(spark):
+    """The perceptual store across two refresh runs: run 1 seeds the store;
+    run 2's re-encoded copy of a stored photo drops, its genuinely new
+    photo survives, its undecodable blob passes through unstored, and the
+    store grows by exactly the survivors with hashes."""
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        incremental_phash_dedupe,
+    )
+
+    photo, other = _photo(), _other_photo()
+    run1 = spark.createDataFrame(
+        [(1, encode_jpeg(photo, quality=95))], "media_id long, blob binary"
+    )
+    r1 = incremental_phash_dedupe(run1, None)
+    assert r1.fresh.count() == 1 and r1.store.count() == 1
+    store = r1.store.localCheckpoint(eager=True)
+    r1.pinned.unpersist()
+
+    run2 = spark.createDataFrame(
+        [
+            (10, encode_jpeg(photo, quality=60)),  # re-encode → drop
+            (11, encode_jpeg(other, quality=95)),  # new → keep
+            (12, encode_jpeg(other, quality=90)),  # within-batch near-dup of
+                                                   # 11: kept (at-rest scope)
+            (13, b"\xff\xd8\xffbroken"),           # undecodable → keep, unstored
+        ],
+        "media_id long, blob binary",
+    )
+    r2 = incremental_phash_dedupe(run2, store)
+    fresh_ids = {r["media_id"] for r in r2.fresh.collect()}
+    # 10 drops against the store; 11 survives; 13 passes through; 12 is
+    # within-batch near-dup scope — kept UNLESS its pHash exactly equals
+    # 11's (then the in-batch exact collapse keeps only 11)
+    assert 10 not in fresh_ids
+    assert {11, 13} <= fresh_ids <= {11, 12, 13}
+    stored = {r["media_id"] for r in r2.store.collect()}
+    assert 1 in stored and 11 in stored
+    assert 10 not in stored and 13 not in stored  # dropped / NULL pHash
+    r2.pinned.unpersist()
+
+
+def test_incremental_phash_within_batch_exact_collapse(spark):
+    """Bit-identical blobs in ONE batch collapse to the min id before the
+    store join."""
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        incremental_phash_dedupe,
+    )
+
+    blob = encode_jpeg(_photo(), quality=95)
+    batch = spark.createDataFrame(
+        [(5, blob), (2, blob), (9, blob)], "media_id long, blob binary"
+    )
+    r = incremental_phash_dedupe(batch, None)
+    assert {x["media_id"] for x in r.fresh.collect()} == {2}
+    r.pinned.unpersist()
