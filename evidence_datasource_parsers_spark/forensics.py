@@ -74,17 +74,55 @@ def _env_info() -> dict:
     return info
 
 
+def _write_status(name: str, status: dict) -> None:
+    """Unconditional status artifact + one stdout line (round-5 verdict #2:
+    a silent-on-success audit cannot prove it ran at the driver's gate)."""
+    import time
+
+    status = {"query": name, "ts": time.time(), **status, "env": _env_info()}
+    line = (
+        f"{name} self-audit: {status.get('status', '?').upper()}"
+        f" hash={status.get('result_hash', '-')} rows={status.get('rows_spark', '-')}"
+    )
+    try:
+        with open(
+            os.path.join(ARTIFACT_DIR, f"{name.upper()}_AUDIT.json"), "w"
+        ) as fh:
+            json.dump(status, fh, indent=1, default=str)
+    except Exception:  # noqa: BLE001
+        line += " (artifact write failed)"
+    print(line, flush=True)
+
+
+def result_hash(cols, rows) -> str:
+    """Canonical sha256 of a (cols, rows) result — same canonicalization as
+    the driver replica, so two sides that hash equal here hash equal there."""
+    import hashlib
+
+    sc, sr = canon_rows(cols, rows)
+    h = hashlib.sha256()
+    h.update("|".join(sc).encode())
+    for r in sr:
+        h.update("\x1f".join(r).encode("utf-8", "replace"))
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+
 def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
-    """Self-audit ``df`` against its DuckDB ``oracle`` SQL; on any value
-    divergence write ``{ARTIFACT_DIR}/{NAME}_DIFF.json`` with the first 20
-    diverging canonical rows and environment versions.  Best-effort: every
-    failure mode is swallowed (forensics must never fail the query), and a
-    pre-existing artifact from an earlier mismatch is removed on a clean
-    pass so the file always reflects the latest run.
+    """Self-audit ``df`` against its DuckDB ``oracle`` SQL.
+
+    ALWAYS writes ``{ARTIFACT_DIR}/{NAME}_AUDIT.json`` (status match /
+    mismatch / error, canonical result hash, row counts, env versions,
+    timestamp) and prints a one-line status to stdout so the driver's
+    captured log tail records that the audit ran — round 5's audit was
+    silent on success and could not prove it executed at the gate.  On
+    divergence additionally writes ``{NAME}_DIFF.json`` with the first 20
+    diverging canonical rows.  Best-effort: audit failures must never turn
+    a green query red, but they are now *recorded*, not swallowed.
     """
     if os.environ.get("SPARK_GRAFT_NO_FORENSICS"):
         return
-    path = os.path.join(ARTIFACT_DIR, f"{name.upper()}_DIFF.json")
+    diff_path = os.path.join(ARTIFACT_DIR, f"{name.upper()}_DIFF.json")
     try:
         import duckdb
 
@@ -103,9 +141,19 @@ def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
             con.close()
         sc, sr = canon_rows(s_cols, s_rows)
         dc, dr = canon_rows(d_cols, d_rows)
+        s_hash = result_hash(s_cols, s_rows)
+        d_hash = result_hash(d_cols, d_rows)
         if sc == dc and sr == dr:
-            if os.path.exists(path):
-                os.remove(path)
+            if os.path.exists(diff_path):
+                os.remove(diff_path)
+            _write_status(name, {
+                "status": "match",
+                "result_hash": s_hash,
+                "oracle_hash": d_hash,
+                "rows_spark": len(sr),
+                "rows_oracle": len(dr),
+                "sf_dir": sf_dir,
+            })
             return
         spark_only = [r for r in sr if r not in set(dr)][:20]
         oracle_only = [r for r in dr if r not in set(sr)][:20]
@@ -120,7 +168,25 @@ def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
             "oracle_only_rows": oracle_only,
             "env": _env_info(),
         }
-        with open(path, "w") as fh:
+        with open(diff_path, "w") as fh:
             json.dump(artifact, fh, indent=1, default=str)
-    except Exception:  # noqa: BLE001 — forensics never fails the query
-        pass
+        _write_status(name, {
+            "status": "mismatch",
+            "result_hash": s_hash,
+            "oracle_hash": d_hash,
+            "rows_spark": len(sr),
+            "rows_oracle": len(dr),
+            "sf_dir": sf_dir,
+        })
+    except Exception as exc:  # noqa: BLE001 — forensics never fails the query
+        import traceback
+
+        try:
+            _write_status(name, {
+                "status": "error",
+                "error": repr(exc),
+                "traceback": traceback.format_exc()[-2000:],
+                "sf_dir": sf_dir,
+            })
+        except Exception:  # noqa: BLE001 — truly last resort
+            pass

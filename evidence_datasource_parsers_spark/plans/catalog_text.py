@@ -840,21 +840,21 @@ def _semdedup_ctes_sql() -> str:
     v AS (SELECT vec_id, label, embedding::DOUBLE[] AS qa FROM embeddings),
     {_emb_incr_ctes_sql()},
     {_semdedup_ctes_sql()}
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
-           {quantize_sql(f"{DOT_SQL.replace('ca', 'cb')} / ({NORM_Q} * {NORM_C.replace('ca', 'cb')})")} AS cosine_sim,
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.label AS BIGINT) AS label,
+           CAST(floor(({quantize_sql(f"{DOT_SQL.replace('ca', 'cb')} / ({NORM_Q} * {NORM_C.replace('ca', 'cb')})")}) * 1000000000.0 + 0.5) AS BIGINT) AS cosine_q9,
            'pair' AS src
     FROM v a JOIN (SELECT vec_id, label, qa AS cb FROM v) b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {quantize_sql(f"{DOT_SQL.replace('ca', 'cb')} / ({NORM_Q} * {NORM_C.replace('ca', 'cb')})")} > 0.3
     UNION ALL
-    SELECT vec_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
-           CAST(NULL AS VARCHAR) AS label, CAST(NULL AS DOUBLE) AS cosine_sim,
+    SELECT vec_id AS id_a, CAST(-1 AS BIGINT) AS id_b,
+           CAST(-1 AS BIGINT) AS label, CAST(-2000000000 AS BIGINT) AS cosine_q9,
            'incr_fresh' AS src
     FROM iv
     WHERE vec_id % 2 = 1 AND vec_id NOT IN (SELECT oid FROM idropped)
     UNION ALL
-    SELECT id AS id_a, rep AS id_b, CAST(NULL AS VARCHAR) AS label,
-           CAST(NULL AS DOUBLE) AS cosine_sim, 'semdedup' AS src
+    SELECT id AS id_a, rep AS id_b, CAST(-1 AS BIGINT) AS label,
+           CAST(-2000000000 AS BIGINT) AS cosine_q9, 'semdedup' AS src
     FROM scomp
     """,
     tags=("dedup", "embedding", "incremental", "semdedup"),
@@ -884,7 +884,13 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
     per doc in any dup group: (doc, its group's representative).  The
     oracle replays assignment and pairing arithmetic and resolves the
     components with a RECURSIVE min-label CTE, so the WHOLE
-    cluster→pair→component→representative chain is value-hash checked."""
+    cluster→pair→component→representative chain is value-hash checked.
+
+    Hashed surface (round 6): integer-only and NULL-free — cosine is
+    emitted as the scaled BIGINT ``cosine_q9`` = floor(cos·1e9 + 0.5) and
+    legs 2/3 use typed sentinels (id_b=-1, label=-1, cosine_q9=-2e9)
+    instead of NULLs, removing the double-repr and NULL-vs-NaN rendering
+    freedoms a foreign canonicalizer has over the previous surface."""
     from evidence_datasource_parsers_spark.operators.ivf import (
         deterministic_centroids,
     )
@@ -903,6 +909,19 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
     # (correctly) scores NULL blocks, so align the QUERY to the
     # oracle's semantics explicitly rather than relying on the
     # fixture having no nulls
+    # round-6 hardening: the hashed surface is integer-only and NULL-free.
+    # cosine_sim was the last double in the output and legs 2/3 carried
+    # NULL-typed cells — both are surfaces a foreign canonicalizer (e.g. a
+    # pandas round-trip that floats nullable int64s: 17 vs 17.0) can render
+    # differently per side while rows and schema still match, exactly the
+    # r4/r5 gate signature.  cosine_q9 = floor(q·1e9 + 0.5) over the already
+    # engine-portable quantized cosine q = floor(x·1e9+0.5)/1e9: since
+    # |q·1e9 − n| ≤ 1 ULP ≈ 1e-7 for n ≤ 1e9, floor(q·1e9+0.5) recovers the
+    # integer n exactly and deterministically on both engines.  Sentinels:
+    # id_b=-1, label=-1 (real labels are >= 0), cosine_q9=-2000000000
+    # (outside the valid [-1e9, 1e9] range).
+    _Q9 = float(10**COS_QUANT_DECIMALS)
+    _COS_SENTINEL = -2_000_000_000
     pairs = blocked_cosine_pairs(
         full.where(F.col("label").isNotNull()),
         block_col="label",
@@ -910,7 +929,15 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
         vec_col="v",
         threshold=0.3,
         quantize_decimals=COS_QUANT_DECIMALS,
-    ).withColumn("src", F.lit("pair"))
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("label").cast("long").alias("label"),
+        F.floor(F.col("cosine_sim") * F.lit(_Q9) + F.lit(0.5)).alias(
+            "cosine_q9"
+        ),
+        F.lit("pair").alias("src"),
+    )
     res = incremental_embedding_dedupe(
         full.filter(F.col("vec_id") % 2 == 1).select("vec_id", "v"),
         full.filter(F.col("vec_id") % 2 == 0).select("vec_id", "v"),
@@ -924,9 +951,9 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
     )
     incr = res.fresh.select(
         F.col("vec_id").alias("id_a"),
-        F.lit(None).cast("long").alias("id_b"),
-        F.lit(None).cast("string").alias("label"),
-        F.lit(None).cast("double").alias("cosine_sim"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.lit(-1).cast("long").alias("label"),
+        F.lit(_COS_SENTINEL).cast("long").alias("cosine_q9"),
         F.lit("incr_fresh").alias("src"),
     )
     sem = semantic_dupe_groups(
@@ -939,8 +966,8 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         F.col("vec_id").alias("id_a"),
         F.col("cluster_id").alias("id_b"),
-        F.lit(None).cast("string").alias("label"),
-        F.lit(None).cast("double").alias("cosine_sim"),
+        F.lit(-1).cast("long").alias("label"),
+        F.lit(_COS_SENTINEL).cast("long").alias("cosine_q9"),
         F.lit("semdedup").alias("src"),
     )
     out = pairs.unionByName(incr).unionByName(sem)

@@ -1,0 +1,82 @@
+"""Forensics observability (round-5 verdict item #2).
+
+Round 5's audit was silent on success and swallowed every failure, so a red
+driver gate could not be distinguished from "the audit never ran".  The
+contract now: ``audit_against_oracle`` ALWAYS writes ``{NAME}_AUDIT.json``
+(match / mismatch / error) and prints one status line; on mismatch it
+additionally writes the ``{NAME}_DIFF.json`` diverging-row artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from evidence_datasource_parsers_spark import forensics
+
+
+@pytest.fixture
+def artifact_dir(tmp_path, monkeypatch):
+    monkeypatch.setattr(forensics, "ARTIFACT_DIR", str(tmp_path))
+    monkeypatch.delenv("SPARK_GRAFT_NO_FORENSICS", raising=False)
+    return str(tmp_path)
+
+
+def _read(path):
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def test_audit_match_writes_status_artifact(spark, sf_dir, artifact_dir, capsys):
+    df = spark.range(3).selectExpr("id AS n")
+    forensics.audit_against_oracle(
+        "t_match", df, sf_dir, "SELECT range AS n FROM range(3)"
+    )
+    st = _read(os.path.join(artifact_dir, "T_MATCH_AUDIT.json"))
+    assert st["status"] == "match"
+    assert st["result_hash"] == st["oracle_hash"]
+    assert st["rows_spark"] == st["rows_oracle"] == 3
+    assert st["env"]["pyspark"]
+    assert not os.path.exists(os.path.join(artifact_dir, "T_MATCH_DIFF.json"))
+    assert "t_match self-audit: MATCH" in capsys.readouterr().out
+
+
+def test_audit_mismatch_writes_both_artifacts(spark, sf_dir, artifact_dir, capsys):
+    df = spark.range(3).selectExpr("id AS n")
+    forensics.audit_against_oracle(
+        "t_mis", df, sf_dir, "SELECT range + 100 AS n FROM range(3)"
+    )
+    st = _read(os.path.join(artifact_dir, "T_MIS_AUDIT.json"))
+    assert st["status"] == "mismatch"
+    assert st["result_hash"] != st["oracle_hash"]
+    diff = _read(os.path.join(artifact_dir, "T_MIS_DIFF.json"))
+    assert diff["spark_only_rows"] and diff["oracle_only_rows"]
+    assert "t_mis self-audit: MISMATCH" in capsys.readouterr().out
+
+
+def test_audit_error_is_recorded_not_swallowed(spark, sf_dir, artifact_dir, capsys):
+    df = spark.range(1).selectExpr("id AS n")
+    forensics.audit_against_oracle("t_err", df, sf_dir, "SELECT definitely syntax error (")
+    st = _read(os.path.join(artifact_dir, "T_ERR_AUDIT.json"))
+    assert st["status"] == "error"
+    assert "traceback" in st
+    assert "t_err self-audit: ERROR" in capsys.readouterr().out
+
+
+def test_audit_disabled_by_env(spark, sf_dir, artifact_dir, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_NO_FORENSICS", "1")
+    df = spark.range(1).selectExpr("id AS n")
+    forensics.audit_against_oracle(
+        "t_off", df, sf_dir, "SELECT range AS n FROM range(1)"
+    )
+    assert os.listdir(artifact_dir) == []
+
+
+def test_result_hash_stable_under_column_and_row_order(spark):
+    a = forensics.result_hash(["b", "a"], [(2, 1), (4, 3)])
+    b = forensics.result_hash(["a", "b"], [(3, 4), (1, 2)])
+    assert a == b
+    c = forensics.result_hash(["a", "b"], [(3, 4), (1, 99)])
+    assert a != c

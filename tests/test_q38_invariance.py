@@ -75,6 +75,28 @@ def test_quantize_nan_passthrough():
     assert math.isnan(out[0]) and out[1] == 0.25
 
 
+def test_q38_surface_integer_only_null_free(spark, sf_dir):
+    """Round-6 hardening: the hashed output must contain no floating-point
+    column and no NULL cell — the two remaining freedoms a foreign
+    canonicalizer had (double repr, NULL-vs-NaN rendering of nullable
+    int64s through a pandas round-trip)."""
+    from evidence_datasource_parsers_spark.plans.catalog import CATALOG
+    import evidence_datasource_parsers_spark.plans.catalog_text  # noqa: F401
+
+    os.environ["SPARK_GRAFT_NO_FORENSICS"] = "1"
+    try:
+        df = CATALOG["q38_embedding_dupes"].builder(spark, sf_dir)
+        assert not any(
+            t in ("double", "float") for _, t in df.dtypes
+        ), f"float column in hashed surface: {df.dtypes}"
+        rows = df.collect()
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_FORENSICS", None)
+    assert rows, "q38 returned no rows at test SF"
+    for r in rows:
+        assert None not in tuple(r), f"NULL cell in hashed surface: {r}"
+
+
 def test_q38_hash_run_invariant(spark, sf_dir):
     """Ten independent executions of the full q38 plan (all three legs,
     fresh DataFrame graph each time) must canonical-hash identically."""
