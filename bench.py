@@ -39,14 +39,20 @@ def main() -> None:
     for name in names:
         materialize(CATALOG[name].builder(spark, "/root/testdata/sf0.001"))
 
-    # min of 3 timed runs per query: the host is shared, and a single sample
+    # min of N timed runs per query: the host is shared, and a single sample
     # can absorb seconds of neighbor load (observed ~2× per-query swing
-    # between back-to-back runs); the minimum measures the engine.
+    # between back-to-back runs); the minimum measures the engine.  Hot
+    # queries (min > 0.5s) get 5 samples instead of 3, and every sample plus
+    # the relative spread is recorded — round 5's min-of-3 produced phantom
+    # +64%/+71% round-over-round "regressions" in unchanged code that an
+    # in-file spread record would have adjudicated without re-measurement.
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    spread: dict[str, float] = {}
     for name in names:
-        best = -1.0
+        runs: list[float] = []
         try:
-            for _ in range(3):
+            while len(runs) < (3 if not runs or min(runs) <= 0.5 else 5):
                 # drop persisted blocks so every run is cold — CacheManager
                 # matches identical plans, and a query that persists inside
                 # (e.g. the LSH signature pin) would otherwise time its own
@@ -54,12 +60,16 @@ def main() -> None:
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 materialize(CATALOG[name].builder(spark, sf_dir))
-                dt = time.perf_counter() - t0
-                best = dt if best < 0 else min(best, dt)
-            timings[name] = round(best, 3)
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
+            samples[name] = [round(r, 3) for r in runs]
+            # relative spread: (max-min)/min — >0.5 flags a noisy sample set
+            spread[name] = round((max(runs) - min(runs)) / min(runs), 3)
         except Exception as exc:  # one broken query must not kill the line
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+            samples[name] = [round(r, 3) for r in runs]
+            spread[name] = -1.0
 
     # failed queries (-1.0 sentinel) must not subtract from the headline
     # total — the metric stays monotone in real work done
@@ -71,6 +81,8 @@ def main() -> None:
                 "value": round(sum(t for t in timings.values() if t >= 0), 3),
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
+                "spread": spread,
                 "failed": failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -47,10 +47,28 @@ def main(argv: list[str] | None = None) -> int:
     refresh.add_argument("--shards", type=int, default=64)
     refresh.add_argument("--canonicalize", action="store_true")
 
+    media = sub.add_parser(
+        "refresh-media",
+        help="one media-refresh iteration: perceptual (pHash) dedup "
+        "against the image store, decode-stats gate, persist the store",
+    )
+    media.add_argument("--batch", required=True,
+                       help="parquet of new media rows (media_id, blob)")
+    media.add_argument("--store", required=True,
+                       help="pHash store dir (created on first run)")
+    media.add_argument("--out", required=True, help="ready-media output dir")
+    media.add_argument("--binary-col", default="blob")
+    media.add_argument("--id-col", default="media_id")
+    media.add_argument("--max-hamming", type=int, default=6)
+    media.add_argument("--min-width", type=int, default=None)
+    media.add_argument("--min-height", type=int, default=None)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "refresh":
         return _refresh(args)
+    if args.cmd == "refresh-media":
+        return _refresh_media(args)
 
     from evidence_datasource_parsers_spark.plans import CATALOG
 
@@ -129,6 +147,57 @@ def _refresh(args) -> int:
         ready.write.mode("append").parquet(args.out)
         n = ready.count()
         print(f"refresh: {n} fresh docs → {args.out}; store → {args.store}")
+    finally:
+        res.done()
+    return 0
+
+
+def _refresh_media(args) -> int:
+    """The media branch of the crawl loop as an operation — identical
+    swap-safe store discipline (recover → read → tmp write → rename) to
+    the text ``refresh``, over the perceptual pHash store."""
+    import os
+    import uuid
+
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        recover_store_dir,
+        swap_store_dir,
+    )
+    from evidence_datasource_parsers_spark.pipelines.corpus_refresh import (
+        refresh_media_batch,
+    )
+    from evidence_datasource_parsers_spark.session import get_spark
+
+    spark = get_spark("refresh-media")
+    spark.sparkContext.setLogLevel("ERROR")
+    batch = spark.read.parquet(args.batch)
+    if recover_store_dir(args.store):
+        print(f"refresh-media: recovered {args.store} from interrupted swap")
+    prev = (
+        spark.read.parquet(args.store)
+        if os.path.isdir(args.store)
+        else None
+    )
+    res = refresh_media_batch(
+        batch,
+        prev,
+        args.binary_col,
+        args.id_col,
+        max_hamming=args.max_hamming,
+        min_width=args.min_width,
+        min_height=args.min_height,
+    )
+    try:
+        tmp = f"{args.store}__swap_{uuid.uuid4().hex[:8]}"
+        res.store.write.mode("overwrite").parquet(tmp)
+        ready = res.ready.localCheckpoint(eager=True)
+        swap_store_dir(args.store, tmp)
+        ready.write.mode("append").parquet(args.out)
+        n = ready.count()
+        print(
+            f"refresh-media: {n} fresh images → {args.out}; "
+            f"store → {args.store}"
+        )
     finally:
         res.done()
     return 0

@@ -8,14 +8,19 @@ process from the public spec:
   decoder — JFIF/EXIF segment parse, DQT (8- and 16-bit), DHT, SOF0/SOF1,
   DRI + RSTn restart markers, interleaved MCU Huffman decode, dequantize,
   inverse zigzag, vectorized float IDCT, chroma upsampling for integer
-  sampling ratios (4:4:4 / 4:2:2 / 4:2:0 / grayscale), BT.601 YCbCr→RGB.
-  Progressive (SOF2), arithmetic coding, hierarchical and 12-bit variants
-  raise ``NotImplementedError`` — the same honest unsupported-variant
-  contract as the PNG/BMP decoders.
+  sampling ratios (4:4:4 / 4:2:2 / 4:2:0 / grayscale), BT.601 YCbCr→RGB —
+  AND the progressive DCT process (SOF2, T.81 Annex G: spectral-selection
+  scans, successive-approximation DC/AC first + refinement passes, EOB
+  runs), since a meaningful slice of real crawl JPEGs is progressive.
+  Arithmetic coding, hierarchical and 12-bit variants raise
+  ``NotImplementedError`` — the same honest unsupported-variant contract
+  as the PNG/BMP decoders.  All malformed-input failures are normalized to
+  ``ValueError`` so the multimodal kernels' NULL-row contract holds.
 
   encoder — the matching baseline writer (Annex K quant + Huffman tables,
-  libjpeg-style quality scaling, 4:4:4, optional restart interval) so the
-  test suite can roundtrip without shipping binary fixtures.
+  libjpeg-style quality scaling, 4:4:4 / 4:2:0, optional restart interval)
+  plus a progressive (SOF2) writer with a web-typical scan script, so the
+  test suite can roundtrip both processes without binary fixtures.
 
 Scale note: entropy decode is a per-image Python bit loop — fine behind the
 Arrow-batched kernels (one image per loop, thousands of images per task),
@@ -212,16 +217,10 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, (v if v > 0 else v + (1 << s) - 1)
 
 
-def encode_jpeg(
-    pixels,
-    quality: int = 90,
-    restart_interval: int = 0,
-    subsampling: str = "4:4:4",
-) -> bytes:
-    """(h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 → baseline JFIF
-    bytes.  ``subsampling`` is ``4:4:4`` or ``4:2:0`` (2×2-averaged chroma,
-    the web default); ``restart_interval`` > 0 emits DRI + RSTn markers
-    every that many MCUs (exercises the decoder's resync)."""
+def _jpeg_prep(pixels, quality: int, subsampling: str) -> dict:
+    """Shared encoder front half: color convert, subsample, pad to the MCU
+    grid, DCT, quantize.  Returns the per-component zigzag coefficient
+    grids plus the geometry both writers (baseline and progressive) need."""
     import numpy as np
 
     if subsampling not in ("4:4:4", "4:2:0"):
@@ -281,33 +280,63 @@ def encode_jpeg(
         f = C @ blocks @ C.T
         q = np.round(f / qt[min(ci, len(qt) - 1)].reshape(8, 8))
         coefs.append(q.reshape(-1, 64)[:, zz].astype(np.int64))
+    return {
+        "coefs": coefs, "factors": factors, "qt": qt, "h": h, "w": w,
+        "mcux": mcux, "mcuy": mcuy, "gray": gray,
+        "ncomp": 1 if gray else 3,
+    }
 
-    enc_dc = [_canonical_codes(*DC_LUMA), _canonical_codes(*DC_CHROMA)]
-    enc_ac = [_canonical_codes(*AC_LUMA), _canonical_codes(*AC_CHROMA)]
 
-    bw = _BitWriter()
+def _jpeg_headers(p: dict, sof_marker: int) -> bytearray:
+    """SOI + JFIF APP0 + DQT + SOF + DHT for a prepared image."""
     out = bytearray(b"\xff\xd8")  # SOI
     out += (
         b"\xff\xe0" + struct.pack(">H", 16)
         + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     )
-    for ti, t in enumerate(qt):
+    for ti, t in enumerate(p["qt"]):
         out += b"\xff\xdb" + struct.pack(">HB", 67, ti)
         out += bytes(int(t[z]) for z in ZIGZAG)
-    ncomp = 1 if gray else 3
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    ncomp = p["ncomp"]
+    out += bytes((0xFF, sof_marker)) + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, p["h"], p["w"], ncomp
+    )
     for ci in range(ncomp):
-        ch, cv = factors[ci]
+        ch, cv = p["factors"][ci]
         out += struct.pack(
-            "BBB", ci + 1, (ch << 4) | cv, min(ci, len(qt) - 1)
+            "BBB", ci + 1, (ch << 4) | cv, min(ci, len(p["qt"]) - 1)
         )
     for cls, tid, (bits, vals) in (
         (0, 0, DC_LUMA), (1, 0, AC_LUMA), (0, 1, DC_CHROMA), (1, 1, AC_CHROMA)
     ):
-        if tid == 1 and gray:
+        if tid == 1 and p["gray"]:
             continue
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
         out += bytes(bits) + bytes(vals)
+    return out
+
+
+def encode_jpeg(
+    pixels,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "4:4:4",
+) -> bytes:
+    """(h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 → baseline JFIF
+    bytes.  ``subsampling`` is ``4:4:4`` or ``4:2:0`` (2×2-averaged chroma,
+    the web default); ``restart_interval`` > 0 emits DRI + RSTn markers
+    every that many MCUs (exercises the decoder's resync)."""
+    import numpy as np
+
+    p = _jpeg_prep(pixels, quality, subsampling)
+    coefs, factors = p["coefs"], p["factors"]
+    mcux, mcuy, ncomp = p["mcux"], p["mcuy"], p["ncomp"]
+
+    enc_dc = [_canonical_codes(*DC_LUMA), _canonical_codes(*DC_CHROMA)]
+    enc_ac = [_canonical_codes(*AC_LUMA), _canonical_codes(*AC_CHROMA)]
+
+    bw = _BitWriter()
+    out = _jpeg_headers(p, 0xC0)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
@@ -366,6 +395,192 @@ def encode_jpeg(
                     put_block(coefs[ci][row * (mcux * ch) + col], tid, ci)
     bw.flush()
     out += bytes(bw.buf)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (SOF2) — fixture generator for the progressive decode
+# path.  Spectral selection + one successive-approximation level, Annex K
+# tables.  EOB0 only: the K tables define no EOBn>0 codes, and a run of one
+# is always legal — the decoder still implements full EOBn.
+# ---------------------------------------------------------------------------
+
+
+def _ac_first_encode(bw, blk, ss, se, al, table) -> None:
+    """G.1.2.2 encoder: band coefficients at precision ``al`` (sign-
+    magnitude truncation), ZRL runs, EOB0 terminator."""
+    last = ss - 1
+    for k in range(ss, se + 1):
+        if abs(int(blk[k])) >> al:
+            last = k
+    r = 0
+    for k in range(ss, last + 1):
+        v = int(blk[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = table[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        s, bitsv = _magnitude(t if v > 0 else -t)
+        code, ln = table[(r << 4) | s]
+        bw.write(code, ln)
+        bw.write(bitsv, s)
+        r = 0
+    if last < se:
+        code, ln = table[0x00]  # EOB0
+        bw.write(code, ln)
+
+
+def _ac_refine_encode(bw, blk, ss, se, al, table) -> None:
+    """G.1.2.3 encoder: ±1 newly-nonzero symbols, buffered correction bits
+    for previously-nonzero coefficients, EOB0 carrying the band tail."""
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eob = -1  # band index of the last NEWLY-nonzero coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    r = 0
+    pending: list[int] = []  # correction bits since the last symbol
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            code, ln = table[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if t > 1:  # previously nonzero: its next magnitude bit
+            pending.append(t & 1)
+            continue
+        code, ln = table[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(blk[ss + i]) > 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        code, ln = table[0x00]  # EOB0 — tail correction bits follow
+        bw.write(code, ln)
+        for b in pending:
+            bw.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    pixels, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
+    """(h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 → progressive
+    (SOF2) JFIF bytes.  Scan script mirrors the common web layout:
+    interleaved DC first pass at Al=1, spectral AC bands at Al=1, then DC
+    and AC refinement scans down to Al=0 — so the decoder's successive-
+    approximation paths (DC bit refine, AC ±1 insertion, correction bits,
+    ZRL-in-refine, EOB tails) are all exercised.  Coefficients after all
+    scans equal the baseline encoder's exactly, so a progressive decode
+    must reproduce ``decode_jpeg(encode_jpeg(px))`` bit-for-bit."""
+    p = _jpeg_prep(pixels, quality, subsampling)
+    coefs, factors, ncomp = p["coefs"], p["factors"], p["ncomp"]
+    mcux, mcuy = p["mcux"], p["mcuy"]
+    enc_dc = [_canonical_codes(*DC_LUMA), _canonical_codes(*DC_CHROMA)]
+    enc_ac = [_canonical_codes(*AC_LUMA), _canonical_codes(*AC_CHROMA)]
+    out = _jpeg_headers(p, 0xC2)
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    nb = []  # true (non-padded) block dims per component
+    for ci in range(ncomp):
+        ch, cv = factors[ci]
+        cw = -(-(p["w"] * ch) // hmax)
+        chh = -(-(p["h"] * cv) // vmax)
+        nb.append((-(-cw // 8), -(-chh // 8)))
+
+    if ncomp == 3:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 1),
+            ([2], 1, 63, 0, 1),
+            ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+        ]
+    else:  # grayscale: single-component (non-interleaved) DC scans too
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 63, 0, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+
+    for comps_idx, ss, se, ah, al in script:
+        ns = len(comps_idx)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comps_idx:
+            tid = min(ci, 1)
+            out += struct.pack("BB", ci + 1, (tid << 4) | tid)
+        out += struct.pack("BBB", ss, se, (ah << 4) | al)
+        bw = _BitWriter()
+        if ss == 0:  # DC scan
+            if ns > 1:  # interleaved: MCU order, padded grid
+                pred = [0] * ncomp
+                for m in range(mcux * mcuy):
+                    my, mx = divmod(m, mcux)
+                    for ci in comps_idx:
+                        ch, cv = factors[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                row, col = my * cv + by, mx * ch + bx
+                                v = int(
+                                    coefs[ci][row * (mcux * ch) + col][0]
+                                )
+                                if ah == 0:
+                                    vq = v >> al
+                                    s, bitsv = _magnitude(vq - pred[ci])
+                                    pred[ci] = vq
+                                    code, ln = enc_dc[min(ci, 1)][s]
+                                    bw.write(code, ln)
+                                    bw.write(bitsv, s)
+                                else:
+                                    bw.write((v >> al) & 1, 1)
+            else:  # non-interleaved: raster over the true block grid
+                ci = comps_idx[0]
+                nbx, nby = nb[ci]
+                bwpr = mcux * factors[ci][0]
+                pred0 = 0
+                for b in range(nbx * nby):
+                    row, col = divmod(b, nbx)
+                    v = int(coefs[ci][row * bwpr + col][0])
+                    if ah == 0:
+                        vq = v >> al
+                        s, bitsv = _magnitude(vq - pred0)
+                        pred0 = vq
+                        code, ln = enc_dc[min(ci, 1)][s]
+                        bw.write(code, ln)
+                        bw.write(bitsv, s)
+                    else:
+                        bw.write((v >> al) & 1, 1)
+        else:  # AC scan — always one component
+            ci = comps_idx[0]
+            nbx, nby = nb[ci]
+            bwpr = mcux * factors[ci][0]
+            tbl = enc_ac[min(ci, 1)]
+            for b in range(nbx * nby):
+                row, col = divmod(b, nbx)
+                blk = coefs[ci][row * bwpr + col]
+                if ah == 0:
+                    _ac_first_encode(bw, blk, ss, se, al, tbl)
+                else:
+                    _ac_refine_encode(bw, blk, ss, se, al, tbl)
+        bw.flush()
+        out += bytes(bw.buf)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -441,9 +656,32 @@ def _huff_decode(br: _BitReader, table: dict) -> int:
 
 
 def decode_jpeg(blob: bytes):
-    """Baseline JFIF/EXIF bytes → (h, w, 3) RGB (or (h, w, 1) grayscale)
-    uint8 array.  Raises ``ValueError`` on corrupt data and
-    ``NotImplementedError`` on progressive/arithmetic/12-bit variants."""
+    """JFIF/EXIF bytes → (h, w, 3) RGB (or (h, w, 1) grayscale) uint8 array.
+
+    Handles baseline/extended sequential (SOF0/SOF1) and progressive (SOF2,
+    spectral selection + successive approximation, T.81 Annex G) DCT
+    processes.  Raises ``ValueError`` on corrupt data and
+    ``NotImplementedError`` on arithmetic/hierarchical/12-bit variants.
+
+    Every malformed-input failure mode is normalized to ``ValueError`` —
+    the multimodal kernels' except-tuple contract ("undecodable blobs
+    surface as NULL rows, never as task failures") must hold for truncated
+    segments (IndexError), SOS before SOF (StopIteration → RuntimeError
+    under PEP 479 inside generator kernels), and missing DHT ids (KeyError)
+    alike, not just for well-formed-but-unsupported files.
+    """
+    try:
+        return _decode_jpeg_impl(blob)
+    except (ValueError, NotImplementedError):
+        raise
+    except (
+        IndexError, KeyError, StopIteration, RuntimeError,
+        struct.error, TypeError, OverflowError,
+    ) as exc:
+        raise ValueError(f"corrupt JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg_impl(blob: bytes):
     import numpy as np
 
     if blob[:2] != b"\xff\xd8":
@@ -454,6 +692,8 @@ def decode_jpeg(blob: bytes):
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
+    geom = None  # (mcux, mcuy) once progressive coefficient arrays exist
     n = len(blob)
     while pos + 4 <= n:
         if blob[pos] != 0xFF:
@@ -489,20 +729,21 @@ def decode_jpeg(blob: bytes):
                 vals = list(seg[i + 17 : i + 17 + cnt])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline+extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG")
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated SOF component list")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -512,17 +753,42 @@ def decode_jpeg(blob: bytes):
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated SOS header")
             scan = []
             for ci in range(ns):
                 cs, tt = seg[1 + 2 * ci : 3 + 2 * ci]
-                comp = next(c for c in comps if c["id"] == cs)
-                comp["dc"] = htables[(0, tt >> 4)]
-                comp["ac"] = htables[(1, tt & 0x0F)]
+                comp = None
+                for c in comps:
+                    if c["id"] == cs:
+                        comp = c
+                        break
+                if comp is None:
+                    raise ValueError(f"SOS references unknown component {cs}")
+                # progressive DC-refine scans legitimately omit tables;
+                # resolve lazily and validate only when a pass needs one
+                comp["dc"] = htables.get((0, tt >> 4))
+                comp["ac"] = htables.get((1, tt & 0x0F))
                 scan.append(comp)
-            return _decode_scan(
-                blob, pos, scan, h, w, qtables, restart_interval
+            if not progressive:
+                for c in scan:
+                    if c["dc"] is None or c["ac"] is None:
+                        raise ValueError("SOS references undefined DHT")
+                return _decode_scan(
+                    blob, pos, scan, h, w, qtables, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahl = seg[3 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0x0F
+            if geom is None:
+                geom = _alloc_coeff_blocks(comps, h, w)
+            pos = _decode_progressive_scan(
+                blob, pos, scan, ss, se, ah, al,
+                restart_interval, geom[0], geom[1],
             )
         # other segments (APPn, COM) are skipped
+    if progressive and geom is not None:
+        return _reconstruct(comps, h, w, qtables, geom[0], geom[1])
     raise ValueError("no SOS marker before EOI")
 
 
@@ -550,7 +816,6 @@ def _decode_scan(blob, pos, comps, h, w, qtables, restart_interval):
         c["bw"] = mcux * c["h"]  # blocks per row for this component
     br = _BitReader(blob, pos)
     pred = {c["id"]: 0 for c in comps}
-    zz = np.asarray(ZIGZAG)
     for m in range(mcux * mcuy):
         if restart_interval and m and m % restart_interval == 0:
             br.align_restart()
@@ -581,13 +846,27 @@ def _decode_scan(blob, pos, comps, h, w, qtables, restart_interval):
                     row = my * c["v"] + by
                     col = mx * c["h"] + bx
                     c["blocks"][row * c["bw"] + col] = blk
-    # dequantize + inverse zigzag + IDCT, vectorized per component
+    return _reconstruct(comps, h, w, qtables, mcux, mcuy)
+
+
+def _reconstruct(comps, h, w, qtables, mcux, mcuy):
+    """Dequantize + inverse zigzag + vectorized IDCT + chroma upsample +
+    color convert — shared by the baseline path (one scan, float blocks)
+    and the progressive path (coefficients accumulated over many scans)."""
+    import numpy as np
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    zz = np.asarray(ZIGZAG)
     C = _dct_matrix()
     planes = []
     for c in comps:
+        if c["tq"] not in qtables:
+            raise ValueError(f"component references undefined DQT {c['tq']}")
         q = qtables[c["tq"]].reshape(64).astype(np.float64)
-        coz = np.zeros_like(c["blocks"])
-        coz[:, zz] = c["blocks"] * q[zz]
+        coeff = c["blocks"].astype(np.float64)
+        coz = np.zeros_like(coeff)
+        coz[:, zz] = coeff * q[zz]
         blocks = C.T @ coz.reshape(-1, 8, 8) @ C + 128.0
         bh, bw_ = mcuy * c["v"], mcux * c["h"]
         plane = (
@@ -615,3 +894,214 @@ def _decode_scan(blob, pos, comps, h, w, qtables, restart_interval):
         axis=2,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decode (T.81 Annex G: spectral selection + successive
+# approximation).  Coefficients accumulate across scans in per-component
+# int32 arrays (zigzag order, matching the baseline layout) and one shared
+# _reconstruct call renders the final image at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _alloc_coeff_blocks(comps, h, w):
+    """Allocate zero coefficient arrays in the padded MCU geometry; record
+    each component's true (non-padded) block dims for non-interleaved
+    scans.  Returns (mcux, mcuy)."""
+    import numpy as np
+
+    if not comps or h == 0 or w == 0:
+        raise ValueError("SOS before a valid SOF")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("invalid sampling factors")
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                f"non-integer chroma sampling ratio {c['h']}x{c['v']} "
+                f"vs {hmax}x{vmax}"
+            )
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["blocks"] = np.zeros(
+            (mcuy * c["v"] * c["bw"], 64), dtype=np.int32
+        )
+        # true block dims: ceil(component sample dims / 8)
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        c["nbx"] = -(-cw // 8)
+        c["nby"] = -(-ch // 8)
+    return mcux, mcuy
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """First position at/after ``pos`` holding a non-RST, non-stuffing
+    marker (the end of a progressive scan's entropy data)."""
+    n = len(data)
+    while pos + 1 < n:
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] != 0x00
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _refine_nonzero(br, blk, k, al):
+    """Append the correction bit of a known-nonzero coefficient (G.1.2.3):
+    a 1-bit moves the magnitude toward the next approximation level."""
+    p1 = 1 << al
+    if br.read_bit() and not (int(blk[k]) & p1):
+        blk[k] += p1 if blk[k] >= 0 else -p1
+
+
+def _ac_first_pass(br, blk, ss, se, al, ac_table, eobrun):
+    """G.1.2.2 — first pass over an AC spectral band."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_pass(br, blk, ss, se, al, ac_table, eobrun):
+    """G.1.2.3 — refinement pass: one new ±1<<al coefficient per nonzero
+    symbol, correction bits for every already-nonzero coefficient crossed.
+
+    ``eobrun`` convention matches the spec's EOB logic: on EOBn the run
+    INCLUDES the current block (1<<r + appended bits) so its band tail
+    still consumes correction bits below before the decrement — EOB0 with
+    pending correction bits is the normal encoder output for a block whose
+    refinements all land after the last newly-nonzero coefficient.
+    """
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:  # EOBn — current block's tail handled below
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                val = p1 if br.read_bit() else -p1
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nonzero(br, blk, k, al)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                _refine_nonzero(br, blk, k, al)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    blob, pos, scan, ss, se, ah, al, restart_interval, mcux, mcuy
+):
+    """Decode one progressive SOS's entropy data into the components'
+    coefficient arrays; returns the position of the next marker.
+
+    Scan kinds (T.81 G.1.1.1): DC scans (ss=0, se=0) may interleave all
+    components; AC scans (ss>0) carry exactly one component and iterate
+    its true (non-padded) block grid in raster order.  ``ah=0`` is a
+    first pass, ``ah>0`` a successive-approximation refinement.
+    """
+    br = _BitReader(blob, pos)
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("DC scan with nonzero Se")
+    if not is_dc and len(scan) != 1:
+        raise ValueError("interleaved AC progressive scan")
+
+    if len(scan) > 1:
+        # interleaved DC scan: MCU order, every block incl. padding
+        pred = {c["id"]: 0 for c in scan}
+        if ah == 0:
+            for c in scan:
+                if c["dc"] is None:
+                    raise ValueError("DC first pass without DHT")
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                br.align_restart()
+                pred = {c["id"]: 0 for c in scan}
+            my, mx = divmod(m, mcux)
+            for c in scan:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        blk = c["blocks"][row * c["bw"] + col]
+                        if ah == 0:
+                            s = _huff_decode(br, c["dc"])
+                            pred[c["id"]] += _extend(br.receive(s), s)
+                            blk[0] = pred[c["id"]] << al
+                        elif br.read_bit():
+                            blk[0] = int(blk[0]) | (1 << al)
+        return _next_marker_pos(blob, br.pos)
+
+    # non-interleaved scan (every AC scan; single-component DC scans too):
+    # raster order over the component's TRUE block grid — MCU-order with
+    # padding skipped is a DIFFERENT sequence for subsampled components
+    c = scan[0]
+    if is_dc and ah == 0 and c["dc"] is None:
+        raise ValueError("DC first pass without DHT")
+    if not is_dc and c["ac"] is None:
+        raise ValueError("AC scan without DHT")
+    pred0 = 0
+    eobrun = 0
+    for b in range(c["nbx"] * c["nby"]):
+        if restart_interval and b and b % restart_interval == 0:
+            br.align_restart()
+            pred0 = 0
+            eobrun = 0
+        row, col = divmod(b, c["nbx"])
+        blk = c["blocks"][row * c["bw"] + col]
+        if is_dc:
+            if ah == 0:
+                s = _huff_decode(br, c["dc"])
+                pred0 += _extend(br.receive(s), s)
+                blk[0] = pred0 << al
+            elif br.read_bit():
+                blk[0] = int(blk[0]) | (1 << al)
+        elif ah == 0:
+            eobrun = _ac_first_pass(br, blk, ss, se, al, c["ac"], eobrun)
+        else:
+            eobrun = _ac_refine_pass(br, blk, ss, se, al, c["ac"], eobrun)
+    return _next_marker_pos(blob, br.pos)

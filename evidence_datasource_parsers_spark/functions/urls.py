@@ -146,7 +146,15 @@ def filter_urls(
     if not keep_null_urls:
         cond = dom.isNotNull()
     if allow_domains is not None:
-        cond = cond & dom.isin([d.lower() for d in allow_domains])
+        # NULL-host rows: a bare isin is NULL for NULL dom and where()
+        # drops it, silently overriding keep_null_urls — make the branch
+        # explicit either way
+        allowed = F.coalesce(
+            dom.isin([d.lower() for d in allow_domains]), F.lit(False)
+        )
+        if keep_null_urls:
+            allowed = allowed | dom.isNull()
+        cond = cond & allowed
     if block_domains:
         cond = cond & ~F.coalesce(
             dom.isin([d.lower() for d in block_domains]), F.lit(False)

@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
 The container has no media libraries (no PIL/ffmpeg), so decode is REAL for
-every format a pure-Python/numpy parser can handle — PPM (P6), BMP (24-bit
-BI_RGB), WAV (PCM16), PNG (stdlib zlib inflate), baseline JPEG
-(functions/jpeg.py: Huffman + dequant + IDCT + YCbCr, the format real web
-corpora are dominated by) — plus the synthetic MM01 container below.
-Remaining unsupported variants (progressive JPEG, palette PNG, compressed
-BMP/WAV, MP3) raise a clearly-marked ``NotImplementedError`` where a
+every format a pure-Python/numpy parser can handle — PPM (P6, 8- and
+16-bit), BMP (24-bit BI_RGB), WAV (PCM16), PNG (stdlib zlib inflate: all
+color types incl. palette+tRNS, depths 1–16, Adam7 interlacing), baseline
+AND progressive JPEG (functions/jpeg.py: Huffman + dequant + IDCT + YCbCr,
+the formats real web corpora are dominated by) — plus the synthetic MM01
+container below.  Remaining unsupported variants (arithmetic/12-bit JPEG,
+compressed BMP/WAV, MP3) raise a clearly-marked ``NotImplementedError`` where a
 PIL/ffmpeg-backed kernel with the same signature plugs in.  Everything
 Spark-side is real and tested: schemas, Arrow batch shapes, ``mapInPandas``
 plumbing, partitioning.
@@ -87,10 +88,20 @@ def decode_ppm(blob: bytes):
             pos = end
     pos += 1  # the single whitespace after maxval
     w, h, maxval = tokens
+    if maxval <= 0 or maxval > 65535:
+        raise ValueError(f"invalid PPM maxval {maxval}")
+    if maxval > 255:
+        # two-byte big-endian samples (netpbm spec); scale to 8-bit with
+        # rounding against the actual maxval, like every mainstream viewer
+        if w < 0 or h < 0 or size - pos < w * h * 6:
+            raise ValueError("truncated PPM raster")
+        raster16 = np.frombuffer(
+            blob, dtype=">u2", count=w * h * 3, offset=pos
+        ).astype(np.uint32)
+        raster = ((raster16 * 255 + maxval // 2) // maxval).astype(np.uint8)
+        return raster.reshape(h, w, 3)
     if w < 0 or h < 0 or size - pos < w * h * 3:
         raise ValueError("truncated PPM raster")
-    if maxval > 255:
-        raise NotImplementedError("16-bit PPM (maxval > 255) not supported")
     raster = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos)
     return raster.reshape(h, w, 3)
 
@@ -99,34 +110,133 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
 
 
-def encode_png(pixels) -> bytes:
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    body = ctype + data
+    return struct.pack(">I", len(data)) + body + struct.pack(
+        ">I", zlib.crc32(body) & 0xFFFFFFFF
+    )
+
+
+def encode_png(pixels, palette=None, transparency: bytes | None = None) -> bytes:
     """(h, w, c) uint8 array (c ∈ {1, 2, 3, 4}) → PNG bytes: 8-bit,
     non-interlaced, filter 0 on every scanline, one zlib IDAT.  Stdlib
-    only — the writer half of the roundtrip proof for :func:`decode_png`."""
+    only — the writer half of the roundtrip proof for :func:`decode_png`.
+
+    ``palette`` ((n, 3) uint8): write color type 3 — ``pixels`` is then an
+    (h, w) INDEX array; ``transparency`` adds a tRNS alpha-per-entry chunk.
+    """
     import zlib
 
     import numpy as np
 
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if palette is not None:
+        if px.ndim != 2:
+            raise ValueError("palette PNG takes an (h, w) index array")
+        h, w = px.shape
+        pal = np.ascontiguousarray(palette, dtype=np.uint8)
+        out = _PNG_SIG + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        )
+        out += _png_chunk(b"PLTE", pal.tobytes())
+        if transparency is not None:
+            out += _png_chunk(b"tRNS", bytes(transparency))
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+        return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(
+            b"IEND", b""
+        )
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, c = px.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        body = ctype + data
-        return struct.pack(">I", len(data)) + body + struct.pack(
-            ">I", zlib.crc32(body) & 0xFFFFFFFF
-        )
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def _png_unfilter(raw: bytes, pos: int, h: int, stride: int, bpp: int):
+    """Unapply the five PNG scanline filters over one raster of ``h`` rows
+    of ``stride`` filtered bytes each (``bpp`` = filter byte distance =
+    ceil(bits_per_pixel/8)).  Returns ((h, stride) uint8 array, next pos).
+    Sequential by construction (each row depends on the previous), so the
+    loop is per-ROW with numpy inside; Sub/Average/Paeth are per-byte only
+    within a row."""
+    import numpy as np
+
+    if len(raw) - pos < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, np.uint8, stride, pos).copy()
+        pos += stride
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub (addition wraps mod 256, as specified; explicit
+            # masked int arithmetic — uint8 += emits a numpy overflow
+            # RuntimeWarning on every wrap, which warnings-as-errors CI
+            # would turn into a task failure)
+            for i in range(bpp, stride):
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        elif f == 2:  # Up
+            row += prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                cc = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = row
+        prev = row
+    return out, pos
+
+
+def _png_unpack_samples(rows, w: int, depth: int, channels: int):
+    """(h, stride) filtered-byte rows → (h, w·channels) uint8 sample array.
+    Sub-byte depths (1/2/4) unpack MSB-first per the spec (row padding
+    bits discarded); 16-bit samples downscale via their high byte."""
+    import numpy as np
+
+    if depth == 16:
+        # big-endian sample pairs; the high byte IS sample >> 8
+        return np.ascontiguousarray(
+            rows[:, : w * channels * 2 : 2]
+        )
+    if depth == 8:
+        return rows[:, : w * channels]
+    per_byte = 8 // depth
+    # unpack each byte into its bit groups, MSB first
+    shifts = np.arange(per_byte - 1, -1, -1, dtype=np.uint8) * depth
+    mask = (1 << depth) - 1
+    expanded = (rows[:, :, None] >> shifts[None, None, :]) & mask
+    return expanded.reshape(rows.shape[0], -1)[:, : w * channels].astype(
+        np.uint8
+    )
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def decode_png(blob: bytes):
@@ -134,13 +244,12 @@ def decode_png(blob: bytes):
     chunks concatenated and inflated, all five scanline filters (None /
     Sub / Up / Average / Paeth) unapplied per the PNG spec.
 
-    Covered: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-    6 (RGBA), non-interlaced.  Palette (type 3), 16-bit, and Adam7
-    interlacing raise ``NotImplementedError`` — honest unsupported-variant
-    guards inside a real decoder, same policy as 16-bit PPM.  Unfiltering
-    is sequential by construction (each row depends on the previous), so
-    the Python loop is per-ROW with numpy inside; Sub/Average/Paeth are
-    per-byte only within a row.
+    Covered: color types 0 (gray, depths 1/2/4/8/16), 2 (RGB, 8/16),
+    3 (palette, depths 1/2/4/8, optional tRNS alpha → RGBA), 4 (gray+alpha,
+    8/16), 6 (RGBA, 8/16), both non-interlaced and Adam7-interlaced
+    rasters.  16-bit samples downscale to 8-bit via the high byte (the
+    standard viewer conversion); sub-8-bit grays scale to the full 0–255
+    range (spec sample depth rescaling).
     """
     import zlib
 
@@ -149,7 +258,7 @@ def decode_png(blob: bytes):
     if blob[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, size = 8, len(blob)
-    ihdr, idat = None, []
+    ihdr, idat, plte, trns = None, [], None, None
     while pos + 8 <= size:
         (length,) = struct.unpack(">I", blob[pos : pos + 4])
         ctype = blob[pos + 4 : pos + 8]
@@ -160,61 +269,78 @@ def decode_png(blob: bytes):
             ihdr = struct.unpack(">IIBBBBB", data[:13])
         elif ctype == b"IDAT":
             idat.append(data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IEND":
             break
         pos += 12 + length  # length + type + data + CRC (CRC not verified)
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG not supported")
-    if color not in _PNG_CHANNELS:
-        raise NotImplementedError(f"palette/unknown PNG color type {color}")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if color == 3:
+        channels = 1
+    elif color in _PNG_CHANNELS:
+        channels = _PNG_CHANNELS[color]
+    else:
+        raise NotImplementedError(f"unknown PNG color type {color}")
+    if depth == 16 and color == 3:
+        raise ValueError("16-bit palette PNG is not a legal combination")
+    if depth not in (1, 2, 4, 8, 16) or (
+        depth not in (8, 16) and color not in (0, 3)
+    ):
+        raise ValueError(f"invalid PNG depth {depth} for color type {color}")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    c = _PNG_CHANNELS[color]
-    stride = w * c
+    bpp = max(1, (depth * channels) // 8)
     if w == 0 or h == 0:
-        return np.zeros((h, w, c), dtype=np.uint8)
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG raster")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    rp = 0
-    for y in range(h):
-        f = raw[rp]
-        rp += 1
-        row = np.frombuffer(raw, np.uint8, stride, rp).copy()
-        rp += stride
-        if f == 0:  # None
-            pass
-        elif f == 1:  # Sub (uint8 addition wraps mod 256, as specified)
-            for i in range(c, stride):
-                row[i] += row[i - c]
-        elif f == 2:  # Up
-            row += prev
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = int(row[i - c]) if i >= c else 0
-                row[i] = (int(row[i]) + (left + int(prev[i])) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = int(row[i - c]) if i >= c else 0
-                b = int(prev[i])
-                cc = int(prev[i - c]) if i >= c else 0
-                p = a + b - cc
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                row[i] = (int(row[i]) + pred) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {f}")
-        out[y] = row
-        prev = row
-    return out.reshape(h, w, c)
+        return np.zeros((h, w, max(1, channels)), dtype=np.uint8)
+
+    def stride_of(width: int) -> int:
+        return -(-(width * depth * channels) // 8)
+
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, h, stride_of(w), bpp)
+        samples = _png_unpack_samples(rows, w, depth, channels)
+        img = samples.reshape(h, w, channels)
+    else:  # Adam7: seven independently-filtered sub-rasters, scattered
+        img = np.zeros((h, w, channels), dtype=np.uint8)
+        rp = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            rows, rp = _png_unfilter(raw, rp, ph, stride_of(pw), bpp)
+            samples = _png_unpack_samples(rows, pw, depth, channels)
+            img[y0::dy, x0::dx] = samples.reshape(ph, pw, channels)
+
+    if color == 3:  # palette lookup (+ optional tRNS alpha)
+        n = len(plte) // 3
+        pal = np.frombuffer(plte[: n * 3], np.uint8).reshape(n, 3)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError("palette index out of range")
+        rgb = pal[idx]
+        if trns is not None:
+            alpha = np.full(n, 255, dtype=np.uint8)
+            alpha[: min(n, len(trns))] = np.frombuffer(
+                trns[:n], np.uint8
+            )[: min(n, len(trns))]
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb
+    if depth in (1, 2, 4):  # sub-byte gray: rescale to full range
+        img = (img.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
+    return img
 
 
 def decode_bmp(blob: bytes):
@@ -346,7 +472,7 @@ def decode_blob(blob: bytes) -> dict:
             decode_jpeg,
         )
 
-        px = decode_jpeg(blob)  # baseline sequential; progressive raises
+        px = decode_jpeg(blob)  # baseline sequential or progressive
         return {
             "media_type": "image", "format": "jpeg",
             "width": px.shape[1], "height": px.shape[0],
@@ -705,8 +831,12 @@ def image_phash_frame(
             yield pd.DataFrame({id_col: out and [r[0] for r in out] or [],
                                 "phash": [r[1] for r in out]})
 
+    # derive the id field's type from the input schema — a hardcoded
+    # `long` turns string/uuid media ids into an Arrow task failure deep
+    # inside the kernel instead of a working frame
+    id_dt = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, binary_col).mapInPandas(
-        kernel, f"{id_col} long, phash long"
+        kernel, f"{id_col} {id_dt}, phash long"
     )
 
 

@@ -150,3 +150,116 @@ def refresh_corpus_batch(
     )
     ready = assign_shards(split, id_col, num_shards)
     return RefreshResult(ready=ready, store=store, pinned=pinned)
+
+
+class MediaRefreshResult(NamedTuple):
+    """Media twin of :class:`RefreshResult`.  ``ready``: fresh images that
+    survived perceptual dedup (plus decode-stats columns when requested);
+    ``store``: the updated pHash store; ``pinned``: cache handles — call
+    :meth:`done` after materializing both frames."""
+
+    ready: DataFrame
+    store: DataFrame
+    pinned: tuple
+
+    def done(self) -> None:
+        for p in self.pinned:
+            p.unpersist()
+
+
+def refresh_media_batch(
+    batch: DataFrame,
+    prev_phash_store: DataFrame | None,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    *,
+    max_hamming: int = 6,
+    n_blocks: int = 9,
+    decode_stats: bool = True,
+    min_width: int | None = None,
+    min_height: int | None = None,
+) -> MediaRefreshResult:
+    """One media-refresh iteration — the image branch of the crawl loop
+    (``warc_media`` batch → perceptual dedup against the carried pHash
+    store → decode-stats gate), mirroring :func:`refresh_corpus_batch`'s
+    decisions:
+
+    * **Gated images still enter the store** — an image dropped by the
+      dimension gate was SEEN; its pHash persists so tomorrow's re-crawl
+      dies at the cheap dedup stage, not at a re-decode.
+    * **Undecodable blobs pass through ungated and unstored** (NULL
+      pHash/stats rows, the adapter contract): they carry no fingerprint
+      to store and no dimensions to judge; callers route them to a
+      richer decoder or drop them explicitly.
+
+    When ``batch`` already carries ``width``/``height`` (a ``warc_media``
+    frame with ``decode_stats=True``), the existing columns are used —
+    no second decode pass.
+    """
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        decoded_image_stats,
+        incremental_phash_dedupe,
+    )
+
+    res = incremental_phash_dedupe(
+        batch,
+        prev_phash_store,
+        binary_col,
+        id_col,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+    )
+    ready = res.fresh
+    have_stats = "width" in ready.columns and "height" in ready.columns
+    if decode_stats and not have_stats:
+        stats = decoded_image_stats(ready, binary_col, id_col)
+        ready = ready.join(stats, on=id_col, how="left")
+        have_stats = True
+    if have_stats and (min_width is not None or min_height is not None):
+        cond = F.lit(True)
+        if min_width is not None:
+            cond = cond & (F.col("width") >= min_width)
+        if min_height is not None:
+            cond = cond & (F.col("height") >= min_height)
+        # NULL dims (undecodable) pass through — see the contract above
+        ready = ready.where(F.col("width").isNull() | cond)
+    return MediaRefreshResult(
+        ready=ready, store=res.store, pinned=(res.pinned,)
+    )
+
+
+class CrawlRefreshResult(NamedTuple):
+    """Both modalities of one refresh iteration; ``done()`` releases every
+    pinned handle."""
+
+    docs: RefreshResult
+    media: MediaRefreshResult
+
+    def done(self) -> None:
+        self.docs.done()
+        self.media.done()
+
+
+def refresh_crawl_batch(
+    doc_batch: DataFrame,
+    media_batch: DataFrame,
+    doc_store: DataFrame | None,
+    phash_store: DataFrame | None,
+    *,
+    doc_kwargs: dict | None = None,
+    media_kwargs: dict | None = None,
+) -> CrawlRefreshResult:
+    """One refresh call carrying BOTH modalities of a crawl: the text
+    triad over ``doc_batch`` (``warc_documents``) and the perceptual
+    branch over ``media_batch`` (``warc_media``), each against its own
+    carried store.  The two branches share no state — a text store is
+    meaningless to the image branch — so this is deliberately a thin
+    composition; its value is the single materialize-then-``done()``
+    lifecycle over all pinned handles."""
+    docs = refresh_corpus_batch(
+        doc_batch, doc_store, **(doc_kwargs or {})
+    )
+    media = refresh_media_batch(
+        media_batch, phash_store, **(media_kwargs or {})
+    )
+    return CrawlRefreshResult(docs=docs, media=media)

@@ -41,11 +41,6 @@ _TS_COLS = {
 }
 
 
-# Sessions already pinned to the oracle's timestamp semantics.  Keyed by the
-# underlying Java session object id so a rebuilt session re-pins.
-_ORACLE_CONF_SESSIONS: set[int] = set()
-
-
 def ensure_oracle_confs(spark: SparkSession) -> None:
     """Pin the two session confs the catalog's timestamp semantics assume:
     ``spark.sql.session.timeZone=UTC`` (NTZ→LTZ cast is identity wall-clock,
@@ -57,15 +52,15 @@ def ensure_oracle_confs(spark: SparkSession) -> None:
     and is called by the ``__spark_entry__`` wrappers, i.e. scoped to the
     correctness path.  ``load()`` itself no longer mutates session conf
     (round-4 verdict #3: a co-resident user pipeline must not have its
-    timestamp semantics silently switched by a table scan).  Idempotent,
-    memoized per session.
+    timestamp semantics silently switched by a table scan).  Idempotent
+    read-then-set — an earlier id()-keyed memo could alias a NEW session
+    after GC reused a collected proxy's id and silently skip the pinning;
+    two conf.get calls per invocation are cheap and cannot go stale.
     """
-    key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
-    if key in _ORACLE_CONF_SESSIONS:
-        return
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    _ORACLE_CONF_SESSIONS.add(key)
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -285,11 +285,11 @@ def warc_media(
 
     This closes the crawl→multimodal loop the way ``warc_documents``
     closes crawl→text: the same archives a text pipeline ingests carry the
-    corpus's images, and with the native baseline-JPEG/PNG/BMP decoders
-    (operators/multimodal.py, functions/jpeg.py) the decode column is real
-    — undecodable or unsupported variants (progressive JPEG, palette PNG)
-    surface as NULL stats rows to route to a PIL-backed kernel, never as
-    task failures.
+    corpus's images, and with the native JPEG (baseline + progressive) /
+    PNG / BMP decoders (operators/multimodal.py, functions/jpeg.py) the
+    decode column is real — undecodable or unsupported variants (palette
+    PNG, arithmetic JPEG) surface as NULL stats rows to route to a
+    PIL-backed kernel, never as task failures.
 
     ``media_id`` is the portable 60-bit hash of the WARC record id —
     identical ids on re-parse, same contract as ``warc_documents``.

@@ -58,7 +58,14 @@ def recover_store_dir(store_dir: str) -> bool:
     )
     restored = False
     if not os.path.isdir(store_dir) and olds:
-        os.rename(os.path.join(parent, olds.pop()), store_dir)
+        # the __old_ suffix is a random uuid, so name order says nothing
+        # about age — pick the most recently renamed (mtime) candidate so
+        # two coexisting crash leftovers restore the newest state
+        newest = max(
+            olds, key=lambda d: os.path.getmtime(os.path.join(parent, d))
+        )
+        olds.remove(newest)
+        os.rename(os.path.join(parent, newest), store_dir)
         restored = True
     if os.path.isdir(store_dir):
         for d in olds + swaps:

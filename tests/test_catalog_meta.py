@@ -107,17 +107,20 @@ def test_load_does_not_mutate_session_conf(spark, sf_dir):
 
 
 def test_entry_wrappers_pin_oracle_confs(spark):
-    """The driver's vanilla-session path gets UTC via the queries() wrapper."""
+    """The driver's vanilla-session path gets UTC via the queries() wrapper.
+    ensure_oracle_confs is read-then-set since round 6 (ADVICE r5: the
+    id()-keyed memo could alias a new session after GC reuses a proxy id),
+    so a drifted conf is re-pinned on EVERY wrapped call — no memo to clear."""
     import __spark_entry__ as E
-    from evidence_datasource_parsers_spark.plans import catalog
 
     old = spark.conf.get("spark.sql.session.timeZone")
-    key = id(spark._jsparkSession)
     try:
-        catalog._ORACLE_CONF_SESSIONS.discard(key)
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        E.queries()["q02_filter_project"](spark, "/root/testdata/sf0.001")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # drift again mid-session: the next wrapped call must re-pin
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
         E.queries()["q02_filter_project"](spark, "/root/testdata/sf0.001")
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
-        catalog._ORACLE_CONF_SESSIONS.discard(key)

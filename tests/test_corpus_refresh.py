@@ -138,3 +138,131 @@ def test_lm_perplexity_gate(spark):
     assert {r.doc_id for r in gated.ready.collect()} == {1}
     assert gated.store.count() == 2  # the gibberish is still SEEN
     gated.done()
+
+
+# ---------------------------------------------------------------------------
+# Media branch (round 6): the image twin of the text refresh loop
+# ---------------------------------------------------------------------------
+
+
+def _photo(seed: int):
+    """64×64 low-frequency content: JPEG re-encodes stay within a few
+    pHash bits, structurally different seeds land tens of bits apart."""
+    import numpy as np
+
+    y, x = np.mgrid[0:64, 0:64]
+    p = np.clip(
+        128 + 60 * np.sin(x / (9.0 + seed)) + 50 * np.cos(y / (7.0 + seed))
+        + 20 * np.sin((x * y) / (301.0 + 40 * seed)),
+        0, 255,
+    )
+    return np.stack([p, p * 0.8 + 20, p * 0.6 + 30], axis=2).astype(np.uint8)
+
+
+def test_media_refresh_two_runs(spark):
+    """Two media-refresh iterations: run 1 seeds the pHash store; run 2's
+    JPEG re-encode of a stored photo drops, its genuinely new photo keeps,
+    gated-small images are dropped from ready but still SEEN by the store,
+    undecodable blobs pass through ungated/unstored — and ready carries
+    real decode-stats columns."""
+    import numpy as np
+
+    from evidence_datasource_parsers_spark.functions.jpeg import encode_jpeg
+    from evidence_datasource_parsers_spark.pipelines.corpus_refresh import (
+        refresh_media_batch,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, encode_jpeg(_photo(0), quality=95))],
+        "media_id long, blob binary",
+    )
+    r1 = refresh_media_batch(b1, None)
+    ready1 = r1.ready.collect()
+    assert [r["media_id"] for r in ready1] == [1]
+    assert ready1[0]["width"] == 64 and ready1[0]["img_format"] == "jpeg"
+    store = r1.store.localCheckpoint(eager=True)
+    r1.done()
+
+    tiny = np.full((4, 4, 3), 90, dtype=np.uint8)
+    b2 = spark.createDataFrame(
+        [
+            (10, encode_jpeg(_photo(0), quality=60)),  # re-encode → drop
+            (11, encode_jpeg(_photo(3), quality=95)),  # new → keep
+            (12, encode_jpeg(tiny, quality=95)),       # gated by min_width
+            (13, b"\xff\xd8\xffbroken"),               # undecodable → pass
+        ],
+        "media_id long, blob binary",
+    )
+    r2 = refresh_media_batch(b2, store, min_width=8, min_height=8)
+    ready2 = {r["media_id"]: r for r in r2.ready.collect()}
+    assert 10 not in ready2           # perceptual store hit
+    assert 12 not in ready2           # dimension gate
+    assert set(ready2) == {11, 13}
+    assert ready2[13]["img_format"] is None  # undecodable: NULL stats row
+    stored = {r["media_id"] for r in r2.store.collect()}
+    assert 12 in stored               # gated images are still SEEN
+    assert 11 in stored and 1 in stored
+    assert 13 not in stored           # no fingerprint to store
+    r2.done()
+
+
+def test_media_refresh_progressive_jpeg_enters_dedup_tier(spark):
+    """A progressive re-encode of a stored baseline photo must be caught
+    by the perceptual store — the round-6 decoder closes the hole where
+    progressive crawl images were invisible to the dedup tier."""
+    from evidence_datasource_parsers_spark.functions.jpeg import (
+        encode_jpeg, encode_jpeg_progressive,
+    )
+    from evidence_datasource_parsers_spark.pipelines.corpus_refresh import (
+        refresh_media_batch,
+    )
+
+    r1 = refresh_media_batch(
+        spark.createDataFrame(
+            [(1, encode_jpeg(_photo(1), quality=95))],
+            "media_id long, blob binary",
+        ),
+        None,
+    )
+    store = r1.store.localCheckpoint(eager=True)
+    r1.done()
+
+    r2 = refresh_media_batch(
+        spark.createDataFrame(
+            [
+                (20, encode_jpeg_progressive(_photo(1), quality=70)),
+                (21, encode_jpeg_progressive(_photo(4), quality=95)),
+            ],
+            "media_id long, blob binary",
+        ),
+        store,
+    )
+    assert {r["media_id"] for r in r2.ready.collect()} == {21}
+    r2.done()
+
+
+def test_crawl_refresh_carries_both_modalities(spark):
+    """One refresh call for one crawl: text triad + image branch, shared
+    done() lifecycle."""
+    from evidence_datasource_parsers_spark.functions.jpeg import encode_jpeg
+    from evidence_datasource_parsers_spark.pipelines.corpus_refresh import (
+        refresh_crawl_batch,
+    )
+
+    docs = _docs(spark, [
+        (1, "a long enough document about container shipping economics"),
+        (2, "another distinct document describing spark query planning"),
+    ])
+    media = spark.createDataFrame(
+        [(7, encode_jpeg(_photo(2), quality=95))],
+        "media_id long, blob binary",
+    )
+    res = refresh_crawl_batch(
+        docs, media, None, None,
+        doc_kwargs={"mode": "exact", "num_shards": 2},
+    )
+    assert res.docs.ready.count() == 2
+    assert res.media.ready.count() == 1
+    assert res.media.store.count() == 1
+    assert {"split", "shard"} <= set(res.docs.ready.columns)
+    res.done()

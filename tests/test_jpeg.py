@@ -73,12 +73,51 @@ def test_quality_tradeoff_monotone():
     assert errs[0] > errs[2]  # more quality → less error
 
 
-def test_progressive_rejected_honestly():
-    blob = bytearray(encode_jpeg(_smooth_rgb(16, 16)))
-    i = blob.find(b"\xff\xc0")
-    blob[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(bytes(blob))
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+def test_progressive_roundtrip_matches_baseline_exactly(subsampling):
+    """The progressive encoder's scan script (DC+AC first passes at Al=1,
+    refinements to Al=0) reconstructs the identical coefficients as the
+    baseline writer, so progressive decode must be bit-for-bit equal to
+    baseline decode of the same pixels at the same quality."""
+    from evidence_datasource_parsers_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    img = _smooth_rgb(50, 70)  # odd dims: padding + crop
+    blob = encode_jpeg_progressive(img, quality=85, subsampling=subsampling)
+    assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob  # really SOF2
+    assert blob.count(b"\xff\xda") == 9  # multi-scan script
+    base = decode_jpeg(encode_jpeg(img, quality=85, subsampling=subsampling))
+    assert np.array_equal(decode_jpeg(blob), base)
+
+
+def test_progressive_grayscale_noninterleaved_dc():
+    """Grayscale progressive: every scan (including DC) is single-component
+    → the decoder's non-interleaved raster path, 4-scan script."""
+    from evidence_datasource_parsers_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    g = (np.mgrid[0:21, 0:29][0] * 7 % 220).astype(np.uint8)
+    blob = encode_jpeg_progressive(g, quality=90)
+    assert blob.count(b"\xff\xda") == 4
+    base = decode_jpeg(encode_jpeg(g, quality=90))
+    assert np.array_equal(decode_jpeg(blob), base)
+
+
+def test_progressive_highfrequency_content():
+    """Random pixels maximize nonzero AC coefficients — the refinement
+    pass's ZRL/correction-bit/EOB-tail branches all fire."""
+    from evidence_datasource_parsers_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(40, 33, 3)).astype(np.uint8)
+    for sub in ("4:4:4", "4:2:0"):
+        base = decode_jpeg(encode_jpeg(img, quality=92, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, 92, sub))
+        assert np.array_equal(base, prog)
 
 
 def test_truncated_scan_raises_valueerror():
@@ -87,6 +126,41 @@ def test_truncated_scan_raises_valueerror():
         decode_jpeg(blob[: len(blob) // 2])
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG not a jpeg")
+
+
+def test_malformed_inputs_normalize_to_valueerror():
+    """Every malformed-input failure mode must surface as ValueError, not
+    IndexError/KeyError/StopIteration — the multimodal kernels' except
+    tuples rely on it (one corrupt crawl image must not fail a task)."""
+    good = encode_jpeg(_smooth_rgb(16, 16))
+
+    # truncated SOF segment: seg[0] would IndexError
+    i = good.find(b"\xff\xc0")
+    trunc_sof = good[: i + 4]
+    with pytest.raises(ValueError):
+        decode_jpeg(trunc_sof)
+
+    # SOS before any SOF: component lookup must not StopIteration
+    j = good.find(b"\xff\xda")
+    no_sof = good[:i] + good[j:]
+    with pytest.raises(ValueError):
+        decode_jpeg(no_sof)
+
+    # SOS referencing a DHT id that was never defined
+    k = good.find(b"\xff\xc4")
+    no_dht = bytearray(good)
+    # retarget every scan-component entry at table id 3 (undefined)
+    ns = no_dht[j + 4]
+    for ci in range(ns):
+        no_dht[j + 6 + 2 * ci] = 0x33
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(no_dht))
+    assert k > 0  # file really had DHTs to mis-reference
+
+    # empty / tiny blobs
+    for b in (b"", b"\xff", b"\xff\xd8", b"\xff\xd8\xff"):
+        with pytest.raises(ValueError):
+            decode_jpeg(b)
 
 
 def test_decode_blob_dispatches_jpeg():

@@ -407,17 +407,18 @@ def test_png_unsupported_variants_raise():
     sig = b"\x89PNG\r\n\x1a\n"
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"GIF89a")
-    # 16-bit depth
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        decode_png(sig + chunk(b"IHDR", ihdr16) + chunk(b"IDAT", b"x"))
-    # palette color type
+    # 16-bit palette is an illegal combination (16-bit proper decodes
+    # since round 6 — see test_png_16bit_high_byte)
+    ihdr16p = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    with pytest.raises(ValueError, match="16-bit palette"):
+        decode_png(sig + chunk(b"IHDR", ihdr16p) + chunk(b"IDAT", b"x"))
+    # palette color type without its PLTE chunk
     ihdr_pal = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
-    with pytest.raises(NotImplementedError, match="palette"):
+    with pytest.raises(ValueError, match="without PLTE"):
         decode_png(sig + chunk(b"IHDR", ihdr_pal) + chunk(b"IDAT", b"x"))
-    # interlaced
-    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    # invalid interlace method (0 and 1 are both decoded since round 6)
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 7)
+    with pytest.raises(ValueError, match="interlace"):
         decode_png(sig + chunk(b"IHDR", ihdr_i) + chunk(b"IDAT", b"x"))
     # truncated raster: half the scanlines missing
     px = np.zeros((4, 4, 3), dtype=np.uint8)
@@ -430,6 +431,198 @@ def test_png_unsupported_variants_raise():
     with pytest.raises(ValueError, match="corrupt PNG IDAT"):
         decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\x00bad"))
     assert decode_png(ok).shape == (4, 4, 3)
+
+
+def _png_raw(w, h, depth, color, interlace, raw, plte=None, trns=None):
+    """Hand-assembled PNG from a pre-built filtered raster."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_palette_roundtrip_with_and_without_trns():
+    """Color type 3: indices map through PLTE; tRNS adds per-entry alpha
+    (missing entries default opaque)."""
+    import numpy as np
+
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], dtype=np.uint8
+    )
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, 4, size=(6, 5)).astype(np.uint8)
+    got = decode_png(encode_png(idx, palette=pal))
+    assert got.shape == (6, 5, 3)
+    assert (got == pal[idx]).all()
+    # tRNS covering only the first two entries; rest default to 255
+    rgba = decode_png(encode_png(idx, palette=pal, transparency=b"\x00\x80"))
+    assert rgba.shape == (6, 5, 4)
+    assert (rgba[:, :, :3] == pal[idx]).all()
+    alpha = np.array([0, 0x80, 255, 255], dtype=np.uint8)
+    assert (rgba[:, :, 3] == alpha[idx]).all()
+    # out-of-range index is corrupt data, not a crash elsewhere
+    import pytest
+
+    bad = np.full((2, 2), 7, dtype=np.uint8)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(encode_png(bad, palette=pal))
+
+
+def test_png_subbyte_depths():
+    """Depths 1/2/4: palette indices unpack MSB-first with row padding
+    discarded; sub-byte grays rescale to the full 0–255 range."""
+    import numpy as np
+
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    def pack_rows(vals, depth):
+        per = 8 // depth
+        h, w = vals.shape
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)  # filter None
+            byte, nin = 0, 0
+            for x in range(w):
+                byte = (byte << depth) | int(vals[y, x])
+                nin += 1
+                if nin == per:
+                    raw.append(byte)
+                    byte, nin = 0, 0
+            if nin:
+                raw.append(byte << (depth * (per - nin)))
+        return bytes(raw)
+
+    pal = np.array(
+        [[i * 16, 255 - i * 16, i] for i in range(16)], dtype=np.uint8
+    )
+    rng = np.random.RandomState(5)
+    for depth in (1, 2, 4):
+        n = 1 << depth
+        idx = rng.randint(0, n, size=(5, 7))  # 7 wide: padding bits in play
+        blob = _png_raw(
+            7, 5, depth, 3, 0, pack_rows(idx, depth), plte=pal[:n].tobytes()
+        )
+        assert (decode_png(blob) == pal[:n][idx]).all()
+        # grayscale at the same depth: values rescale by 255/(2^d - 1)
+        gblob = _png_raw(7, 5, depth, 0, 0, pack_rows(idx, depth))
+        expect = (idx * 255 // (n - 1)).astype(np.uint8)[:, :, None]
+        assert (decode_png(gblob) == expect).all()
+
+
+def test_png_16bit_high_byte():
+    """Depth 16: big-endian sample pairs downscale via the high byte; the
+    filter distance is 2 bytes per sample (Sub filter must not mix the
+    two bytes of one sample with its neighbor's)."""
+    import numpy as np
+
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    rng = np.random.RandomState(21)
+    hi = rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint16)
+    px16 = (hi << 8) | rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint16)
+    raw = b"".join(
+        b"\x00" + px16[y].astype(">u2").tobytes() for y in range(4)
+    )
+    blob = _png_raw(5, 4, 16, 2, 0, raw)
+    assert (decode_png(blob) == hi.astype(np.uint8)[:, :, :]).all()
+    # 16-bit gray+alpha too
+    ga16 = (hi[:, :, :2] << 8) | 0x7F
+    raw_ga = b"".join(
+        b"\x00" + ga16[y].astype(">u2").tobytes() for y in range(4)
+    )
+    got = decode_png(_png_raw(5, 4, 16, 4, 0, raw_ga))
+    assert got.shape == (4, 5, 2)
+    assert (got == hi[:, :, :2].astype(np.uint8)).all()
+
+
+def test_ppm_16bit_maxval_scales():
+    """P6 with maxval > 255: two-byte big-endian samples, scaled against
+    the actual maxval with rounding."""
+    import numpy as np
+
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    vals = np.array(
+        [[[0, 1000, 65535], [32768, 12345, 500]]], dtype=np.uint16
+    )  # (1, 2, 3)
+    blob = b"P6\n3 1 65535\n".replace(b"3 1", b"2 1") + vals.astype(
+        ">u2"
+    ).tobytes()
+    got = decode_ppm(blob)
+    expect = ((vals.astype(np.uint32) * 255 + 32767) // 65535).astype(
+        np.uint8
+    )
+    assert (got == expect).all()
+    # non-65535 maxval: scaling uses the declared maxval
+    v2 = np.array([[[0, 512, 1023]]], dtype=np.uint16)
+    blob2 = b"P6\n1 1 1023\n" + v2.astype(">u2").tobytes()
+    exp2 = ((v2.astype(np.uint32) * 255 + 511) // 1023).astype(np.uint8)
+    assert (decode_ppm(blob2) == exp2).all()
+    # maxval 0 / oversized are corrupt headers
+    import pytest
+
+    with pytest.raises(ValueError, match="invalid PPM maxval"):
+        decode_ppm(b"P6\n1 1 0\n\x00\x00\x00")
+    with pytest.raises(ValueError, match="invalid PPM maxval"):
+        decode_ppm(b"P6\n1 1 70000\n" + b"\x00" * 6)
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7: seven per-pass rasters (each independently filtered) scatter
+    back to the original grid — RGB and palette variants, odd dims."""
+    import numpy as np
+
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        _ADAM7,
+        decode_png,
+    )
+
+    def interlaced_raw(px):
+        h, w, c = px.shape
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            for y in range(ph):
+                raw.append(0)  # filter None
+                raw += sub[y].tobytes()
+        return bytes(raw)
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    blob = _png_raw(11, 13, 8, 2, 1, interlaced_raw(px))
+    assert (decode_png(blob) == px).all()
+    # tiny image exercising empty passes (w or h below a pass origin)
+    tiny = rng.randint(0, 256, size=(3, 2, 3), dtype=np.uint8)
+    assert (
+        decode_png(_png_raw(2, 3, 8, 2, 1, interlaced_raw(tiny))) == tiny
+    ).all()
 
 
 def test_png_flows_through_stats_and_resize(spark):

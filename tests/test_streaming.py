@@ -472,3 +472,30 @@ def test_store_swap_crash_recovery(tmp_path):
 
     shutil.rmtree(store)
     assert recover_store_dir(store) is False
+
+
+def test_store_recovery_picks_newest_old_by_mtime(tmp_path):
+    """ADVICE r5: the __old_ suffix is a random uuid, so with two crash
+    leftovers the recovery must order by directory mtime, not name —
+    otherwise it can resurrect the older store state."""
+    import os
+    import time
+
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        recover_store_dir,
+    )
+
+    store = str(tmp_path / "store")
+    # name order says "aaaa" < "zzzz"; make the LEXICALLY SMALLER one newer
+    older = f"{store}__old_zzzzzzzz"
+    newer = f"{store}__old_aaaaaaaa"
+    for d, content, age in ((older, "old-state", 100), (newer, "new-state", 0)):
+        os.makedirs(d)
+        with open(os.path.join(d, "marker"), "w") as fh:
+            fh.write(content)
+        past = time.time() - age
+        os.utime(d, (past, past))
+
+    assert recover_store_dir(store) is True
+    assert open(os.path.join(store, "marker")).read() == "new-state"
+    assert not os.path.isdir(older)  # stale leftover swept

@@ -140,6 +140,12 @@ def test_filter_urls_blocklist_and_patterns(spark):
     # null URLs kept on request
     withnull = filter_urls(df, "url", keep_null_urls=True)
     assert 6 in {r.id for r in withnull.collect()}
+    # ADVICE r5: allowlist + keep_null_urls must still keep NULL-host rows
+    # (a bare isin is NULL for a NULL domain and where() would drop it)
+    both = filter_urls(
+        df, "url", allow_domains=["good.example"], keep_null_urls=True
+    )
+    assert {r.id for r in both.collect()} == {1, 4, 5, 6}
 
 
 def test_filter_urls_is_codegen_native(spark):

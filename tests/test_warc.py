@@ -247,3 +247,30 @@ def test_warc_media_crawl_to_multimodal(spark, tmp_path):
     # blob rows only (no decode pass) when decode_stats=False
     slim = warc_media(spark, str(tmp_path), decode_stats=False)
     assert "pixel_sum" not in slim.columns and slim.count() == 3
+
+
+def test_warc_media_decodes_progressive_jpeg(spark, tmp_path):
+    """A progressive (SOF2) crawl image yields REAL stats — before round 6
+    these fell out of the dedup/stats tiers as NULL rows."""
+    import numpy as np
+
+    from evidence_datasource_parsers_spark.functions.jpeg import (
+        encode_jpeg, encode_jpeg_progressive,
+    )
+    from evidence_datasource_parsers_spark.sources.warc import warc_media
+
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    prog = encode_jpeg_progressive(flat, quality=95)
+    raw = (
+        _record("response", _http(prog, b"image/jpeg"),
+                "http://a.example/progressive.jpg")
+        + _record("response", _http(encode_jpeg(flat, quality=95),
+                                    b"image/jpeg"),
+                  "http://a.example/baseline.jpg")
+    )
+    (tmp_path / "p.warc.gz").write_bytes(gzip.compress(raw))
+    by_url = {r["url"]: r for r in warc_media(spark, str(tmp_path)).collect()}
+    p = by_url["http://a.example/progressive.jpg"]
+    b = by_url["http://a.example/baseline.jpg"]
+    assert p["img_format"] == "jpeg" and p["pixel_sum"] == 77 * 8 * 8 * 3
+    assert p["pixel_sum"] == b["pixel_sum"]  # identical reconstruction
