@@ -478,6 +478,17 @@ def decode_blob(blob: bytes) -> dict:
             "width": px.shape[1], "height": px.shape[0],
             "channels": px.shape[2], "pixels": px,
         }
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from evidence_datasource_parsers_spark.functions.gif import (
+            decode_gif,
+        )
+
+        px = decode_gif(blob)  # first frame (LZW, palette, interlace)
+        return {
+            "media_type": "image", "format": "gif",
+            "width": px.shape[1], "height": px.shape[0],
+            "channels": px.shape[2], "pixels": px,
+        }
     return {"media_type": "unknown"}
 
 
