@@ -59,7 +59,10 @@ def ensure_oracle_confs(spark: SparkSession) -> None:
     """
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # no default on the timeZone read: conf.get VALIDATES a provided
+    # default through the entry's converter ('' → INVALID_CONF_VALUE),
+    # and the session timezone always has a value anyway
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 

@@ -1240,6 +1240,13 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
                CAST(sum((d.doc_id * 31 + r.k * 7) % 256) AS BIGINT) AS s
         FROM documents d, range(384) r(k)
         GROUP BY d.doc_id
+    ),
+    pal AS (
+        SELECT d.doc_id,
+               CAST(sum(3 * ((((d.doc_id * 13 + r.k * 5) % 16) * 17) % 256))
+                    AS BIGINT) AS s
+        FROM documents d, range(64) r(k)
+        GROUP BY d.doc_id
     )
     SELECT d.doc_id AS media_id,
            'image' AS media_type,
@@ -1251,8 +1258,13 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
            p.s AS ppm_pixel_sum,
            p.s / 384.0 AS ppm_pixel_mean,
            CAST((d.doc_id % 256) * 1152 AS BIGINT) AS jpeg_pixel_sum,
-           CAST(d.doc_id % 256 AS DOUBLE) AS jpeg_pixel_mean
-    FROM documents d JOIN ppm p ON d.doc_id = p.doc_id
+           CAST(d.doc_id % 256 AS DOUBLE) AS jpeg_pixel_mean,
+           CAST((d.doc_id % 256) * 1152 AS BIGINT) AS pjpeg_pixel_sum,
+           c.s AS gif_pixel_sum,
+           c.s AS png_pixel_sum
+    FROM documents d
+    JOIN ppm p ON d.doc_id = p.doc_id
+    JOIN pal c ON d.doc_id = c.doc_id
     """,
     tags=("multimodal", "mapInPandas"),
 )
@@ -1371,6 +1383,61 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
             out["jpeg_pixel_mean"] = means
             yield out
 
+    def codec_stats(batches):
+        """Round-6 DECODED legs: progressive JPEG, GIF, and palette PNG —
+        per document a flat gray image rides the full progressive chain
+        (9-scan encode → Annex-G decode; flat blocks quantize losslessly,
+        so sum = g·1152 exactly), and ONE deterministic 8×8 index raster
+        (idx_k = (doc_id·13 + k·5) mod 16, grayscale palette entry
+        i·17 mod 256) rides BOTH the GIF path (real LZW encode → decode,
+        palette map) and the palette-PNG path (PLTE + filter pipeline).
+        The oracle recomputes all three sums arithmetically, and GIF ≡ PNG
+        by construction — two decoders proving each other on the same
+        pixels under the value hash."""
+        import numpy as _np
+
+        from evidence_datasource_parsers_spark.functions.gif import (
+            decode_gif,
+            encode_gif,
+        )
+        from evidence_datasource_parsers_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg_progressive,
+        )
+        from evidence_datasource_parsers_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        k = _np.arange(64, dtype=_np.int64)
+        pal = _np.stack(
+            [(_np.arange(16) * 17) % 256] * 3, axis=1
+        ).astype(_np.uint8)
+        for pdf in batches:
+            pj, gs, ps = [], [], []
+            for mid in pdf["media_id"]:
+                g = int(mid) % 256
+                img = _np.full((16, 24, 3), g, dtype=_np.uint8)
+                pj.append(int(
+                    decode_jpeg(encode_jpeg_progressive(img, quality=95))
+                    .astype(_np.int64).sum()
+                ))
+                idx = ((int(mid) * 13 + k * 5) % 16).astype(
+                    _np.uint8
+                ).reshape(8, 8)
+                gs.append(int(
+                    decode_gif(encode_gif(idx, pal)).astype(_np.int64).sum()
+                ))
+                ps.append(int(
+                    decode_png(encode_png(idx, palette=pal))
+                    .astype(_np.int64).sum()
+                ))
+            out = pdf.copy()
+            out["pjpeg_pixel_sum"] = pj
+            out["gif_pixel_sum"] = gs
+            out["png_pixel_sum"] = ps
+            yield out
+
     media = d.mapInPandas(to_blobs, "media_id long, blob binary")
     meta = media.mapInPandas(
         decode,
@@ -1383,10 +1450,18 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         " depth int, payload_bytes long, ppm_pixel_sum long,"
         " ppm_pixel_mean double",
     )
-    return stats.mapInPandas(
+    stats = stats.mapInPandas(
         jpeg_stats,
         "media_id long, media_type string, width int, height int,"
         " depth int, payload_bytes long, ppm_pixel_sum long,"
         " ppm_pixel_mean double, jpeg_pixel_sum long,"
         " jpeg_pixel_mean double",
+    )
+    return stats.mapInPandas(
+        codec_stats,
+        "media_id long, media_type string, width int, height int,"
+        " depth int, payload_bytes long, ppm_pixel_sum long,"
+        " ppm_pixel_mean double, jpeg_pixel_sum long,"
+        " jpeg_pixel_mean double, pjpeg_pixel_sum long,"
+        " gif_pixel_sum long, png_pixel_sum long",
     )
