@@ -916,39 +916,60 @@ def incremental_phash_dedupe(
     ``batch_phashes``: optional precomputed :func:`image_phash_frame`
     rows (single-decode reuse when the pipeline also computes stats).
     """
-    from evidence_datasource_parsers_spark.operators.dedupe import (
-        hamming_distance,
-        simhash_combo_keys,
-    )
-
     fp_all = (
         batch_phashes
         if batch_phashes is not None
         else image_phash_frame(new_batch, binary_col, id_col)
     )
-    fp_ok = fp_all.where(F.col("phash").isNotNull())
-    # within-batch exact-pHash collapse (min id), NULL-pHash rows exempt
+    return _incremental_fingerprint_dedupe(
+        new_batch, phash_store, fp_all, id_col, "phash",
+        max_hamming=max_hamming, n_blocks=n_blocks,
+    )
+
+
+def _incremental_fingerprint_dedupe(
+    new_batch: DataFrame,
+    store: DataFrame | None,
+    fp_all: DataFrame,
+    id_col: str,
+    fp_col: str,
+    *,
+    max_hamming: int,
+    n_blocks: int,
+    nbits: int = 63,
+) -> IncrementalPhashResult:
+    """Shared core of the perceptual fingerprint stores (image pHash,
+    audio spectral hash): within-batch exact-hash collapse to the min id
+    (NULL-hash rows exempt and never stored), then the Manku
+    block-combination pigeonhole join of batch hashes against the carried
+    store, verified with one ``bit_count(xor)``."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        hamming_distance,
+        simhash_combo_keys,
+    )
+
+    fp_ok = fp_all.where(F.col(fp_col).isNotNull())
     surv_ids = (
-        fp_ok.groupBy("phash").agg(F.min(F.col(id_col)).alias(id_col))
+        fp_ok.groupBy(fp_col).agg(F.min(F.col(id_col)).alias(id_col))
         .select(id_col)
     )
-    null_ids = fp_all.where(F.col("phash").isNull()).select(id_col)
+    null_ids = fp_all.where(F.col(fp_col).isNull()).select(id_col)
     fp = fp_ok.join(surv_ids, on=id_col, how="left_semi").persist()
     keep_ids = surv_ids.unionByName(null_ids)
     survivors = new_batch.join(keep_ids, on=id_col, how="left_semi")
-    if phash_store is None:
+    if store is None:
         return IncrementalPhashResult(fresh=survivors, store=fp, pinned=fp)
     combos = lambda c: F.explode(  # noqa: E731
-        simhash_combo_keys(c, 63, max_hamming, n_blocks)
+        simhash_combo_keys(c, nbits, max_hamming, n_blocks)
     )
     batch_keys = fp.select(
         F.col(id_col),
-        F.col("phash").alias("__np"),
-        combos(F.col("phash")).alias("__k"),
+        F.col(fp_col).alias("__np"),
+        combos(F.col(fp_col)).alias("__k"),
     ).select(id_col, "__np", "__k.combo", "__k.key")
-    store_keys = phash_store.select(
-        F.col("phash").alias("__sp"),
-        combos(F.col("phash")).alias("__k"),
+    store_keys = store.select(
+        F.col(fp_col).alias("__sp"),
+        combos(F.col(fp_col)).alias("__k"),
     ).select("__sp", "__k.combo", "__k.key")
     dropped = (
         batch_keys.join(store_keys, on=["combo", "key"])
@@ -959,7 +980,147 @@ def incremental_phash_dedupe(
         .select(id_col)
     )
     fresh = survivors.join(dropped, on=id_col, how="left_anti")
-    new_store = phash_store.unionByName(
+    new_store = store.unionByName(
         fp.join(dropped, on=id_col, how="left_anti")
     )
     return IncrementalPhashResult(fresh=fresh, store=new_store, pinned=fp)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting — the FIFTH modality of the fingerprint-store family
+# (exact → lexical → semantic → perceptual-image → perceptual-audio)
+# ---------------------------------------------------------------------------
+
+_AFP_FRAMES = 64
+_AFP_BANDS = 16
+_AFP_LO_HZ = 100.0
+_AFP_HI_HZ = 3000.0
+
+
+def _audio_spectral_hash(x, rate: int) -> int | None:
+    """63-bit spectral hash of a mono float signal — Haitsma-Kalker-style
+    band energies made pHash-shaped so the whole hamming infrastructure
+    (pigeonhole pairs, combo-key stores) is shared:
+
+    fixed-COUNT framing (64 frames spanning the clip — robust to
+    resampling, which scales every frame the same way) → per-frame rFFT →
+    energy in 16 log-spaced ABSOLUTE-Hz bands (100–3000 Hz: present at
+    every common rate, so an 8 kHz and a 16 kHz rendering see the same
+    spectral region) → per-frame energy normalization (level invariance)
+    → mean-pool to an 8×8 time-band grid → 8×8 DCT → 63 AC sign bits vs
+    their median, packed into one long.
+
+    Returns None for clips too short to frame (< 8 samples/frame).
+    """
+    import numpy as np
+
+    n = len(x)
+    if n < _AFP_FRAMES * 8:
+        return None
+    frame_len = n // _AFP_FRAMES
+    frames = x[: frame_len * _AFP_FRAMES].reshape(_AFP_FRAMES, frame_len)
+    spec = np.abs(np.fft.rfft(frames, axis=1))
+    freqs = np.fft.rfftfreq(frame_len, 1.0 / rate)
+    edges = np.geomspace(_AFP_LO_HZ, _AFP_HI_HZ, _AFP_BANDS + 1)
+    E = np.zeros((_AFP_FRAMES, _AFP_BANDS))
+    for b in range(_AFP_BANDS):
+        m = (freqs >= edges[b]) & (freqs < edges[b + 1])
+        if m.any():
+            E[:, b] = spec[:, m].sum(axis=1)
+    tot = E.sum(axis=1, keepdims=True)
+    tot[tot == 0] = 1.0
+    E = E / tot
+    G = E.reshape(8, _AFP_FRAMES // 8, 8, _AFP_BANDS // 8).mean(axis=(1, 3))
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    C[0, :] = 1.0
+    C *= np.where(k[:, None] == 0, np.sqrt(1.0 / 8.0), np.sqrt(2.0 / 8.0))
+    low = (C @ G @ C.T).flatten()[1:]  # 63 AC coefficients
+    bits = low > np.median(low)
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v
+
+
+def audio_fingerprint_frame(
+    df: DataFrame, binary_col: str = "blob", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, afp) frame over PCM16 WAV blobs — the audio twin of
+    :func:`image_phash_frame`.  Undecodable/too-short blobs yield NULL.
+    One narrow Arrow pass, no shuffle."""
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    rate, _ch, samples = decode_wav(
+                        bytes(blob) if blob is not None else b""
+                    )
+                    x = samples[:, 0].astype(np.float64) / 32768.0
+                    out.append((mid, _audio_spectral_hash(x, rate)))
+                except (ValueError, NotImplementedError, struct.error):
+                    out.append((mid, None))
+            yield pd.DataFrame(
+                {
+                    id_col: [r[0] for r in out],
+                    "afp": [r[1] for r in out],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel, f"{id_col} {id_dt}, afp long"
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    max_hamming: int = 8,
+    n_blocks: int = 10,
+) -> DataFrame:
+    """At-rest audio near-dup pairs (id_a, id_b, hamming) via the shared
+    pigeonhole equi-joins — re-encodes/resamples/level-changes of the same
+    recording land within a few bits, different recordings tens apart."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        hamming_near_dup_pairs,
+    )
+
+    fp = audio_fingerprint_frame(df, binary_col, id_col).where(
+        F.col("afp").isNotNull()
+    )
+    return hamming_near_dup_pairs(
+        fp, id_col, "afp",
+        nbits=63, max_hamming=max_hamming, n_blocks=n_blocks,
+    )
+
+
+def incremental_audio_dedupe(
+    new_batch: DataFrame,
+    afp_store: DataFrame | None,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    *,
+    max_hamming: int = 8,
+    n_blocks: int = 10,
+    batch_fingerprints: DataFrame | None = None,
+) -> IncrementalPhashResult:
+    """Batch-over-batch AUDIO near-dup dedup against a carried (id, afp)
+    store — same contract and store discipline as
+    :func:`incremental_phash_dedupe` (shared core); re-uploads and
+    re-encodes of stored recordings drop, silent/undecodable blobs pass
+    through unstored."""
+    fp_all = (
+        batch_fingerprints
+        if batch_fingerprints is not None
+        else audio_fingerprint_frame(new_batch, binary_col, id_col)
+    )
+    return _incremental_fingerprint_dedupe(
+        new_batch, afp_store, fp_all, id_col, "afp",
+        max_hamming=max_hamming, n_blocks=n_blocks,
+    )

@@ -155,6 +155,67 @@ def incremental_refresh_case(spark, base: str, out_dir: str, materialize):
     return row
 
 
+def incremental_phash_case(spark, materialize, replicas: int):
+    """Media twin of the incremental-refresh case: a FIXED batch of image
+    fingerprints deduped against a pHash store at base vs ``replicas``×
+    size.  The store is synthesized directly — (media_id, phash) longs ARE
+    the carried state; decode cost is per-image and scale-invariant, so
+    what must stay flat as the image corpus grows is the combo-key
+    candidate join against the store.  ~5% of the batch is seeded as
+    2-bit-flipped near-dups of store hashes so the drop path executes."""
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        incremental_phash_dedupe,
+    )
+
+    base_n, batch_n = 20_000, 2_000
+    mask63 = F.lit((1 << 63) - 1)
+
+    def mk_store(n: int):
+        return spark.range(n).select(
+            F.col("id").alias("media_id"),
+            F.xxhash64(F.col("id")).bitwiseAND(mask63).alias("phash"),
+        )
+
+    batch_fp = spark.range(batch_n).select(
+        (F.col("id") + F.lit(10**9)).alias("media_id"),
+        F.when(
+            F.col("id") % 20 == 0,
+            F.xxhash64((F.col("id") * 7) % F.lit(base_n))
+            .bitwiseAND(mask63)
+            .bitwiseXOR(F.lit(3)),
+        )
+        .otherwise(
+            F.xxhash64(F.col("id") + F.lit(10**9)).bitwiseAND(mask63)
+        )
+        .alias("phash"),
+    ).localCheckpoint(eager=True)
+    batch = batch_fp.select(
+        "media_id", F.lit(None).cast("binary").alias("blob")
+    )
+    row: dict = {}
+    for label, n in (("base", base_n), ("scaled", base_n * replicas)):
+        try:
+            store = mk_store(n).localCheckpoint(eager=True)  # build untimed
+            best = -1.0
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                res = incremental_phash_dedupe(
+                    batch, store, batch_phashes=batch_fp
+                )
+                materialize(res.fresh)
+                res.pinned.unpersist()
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+            row[label] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"phash@{label} failed: {exc}", file=sys.stderr)
+            row[label] = -1.0
+    if row.get("base", -1) > 0 and row.get("scaled", -1) > 0:
+        row["factor"] = round(row["scaled"] / row["base"], 2)
+    return row
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -204,6 +265,9 @@ def main() -> None:
 
     results["incremental_lsh_refresh"] = incremental_refresh_case(
         spark, base, out_dir, materialize
+    )
+    results["incremental_phash_refresh"] = incremental_phash_case(
+        spark, materialize, replicas
     )
 
     line = json.dumps(
