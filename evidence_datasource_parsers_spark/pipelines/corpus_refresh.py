@@ -228,16 +228,62 @@ def refresh_media_batch(
     )
 
 
+def refresh_audio_batch(
+    batch: DataFrame,
+    afp_store: DataFrame | None,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    *,
+    max_hamming: int = 8,
+    n_blocks: int = 10,
+    min_duration_s: float | None = None,
+) -> MediaRefreshResult:
+    """Audio twin of :func:`refresh_media_batch`: incremental spectral-
+    fingerprint dedup against the carried (id, afp) store, then an
+    optional minimum-duration gate over :func:`audio_features` columns
+    (re-used when the batch — a ``warc_media(content_prefix='audio/')``
+    frame — already carries ``duration_s``).  Same store semantics:
+    gated clips are still SEEN; undecodable blobs pass ungated/unstored."""
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        audio_features,
+        incremental_audio_dedupe,
+    )
+
+    res = incremental_audio_dedupe(
+        batch,
+        afp_store,
+        binary_col,
+        id_col,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+    )
+    ready = res.fresh
+    if min_duration_s is not None:
+        if "duration_s" not in ready.columns:
+            feats = audio_features(ready, binary_col, id_col)
+            ready = ready.join(feats, on=id_col, how="left")
+        ready = ready.where(
+            F.col("duration_s").isNull()
+            | (F.col("duration_s") >= min_duration_s)
+        )
+    return MediaRefreshResult(
+        ready=ready, store=res.store, pinned=(res.pinned,)
+    )
+
+
 class CrawlRefreshResult(NamedTuple):
-    """Both modalities of one refresh iteration; ``done()`` releases every
-    pinned handle."""
+    """The modalities of one refresh iteration; ``done()`` releases every
+    pinned handle.  ``audio`` is None when no audio batch was supplied."""
 
     docs: RefreshResult
     media: MediaRefreshResult
+    audio: MediaRefreshResult | None = None
 
     def done(self) -> None:
         self.docs.done()
         self.media.done()
+        if self.audio is not None:
+            self.audio.done()
 
 
 def refresh_crawl_batch(
@@ -248,11 +294,16 @@ def refresh_crawl_batch(
     *,
     doc_kwargs: dict | None = None,
     media_kwargs: dict | None = None,
+    audio_batch: DataFrame | None = None,
+    afp_store: DataFrame | None = None,
+    audio_kwargs: dict | None = None,
 ) -> CrawlRefreshResult:
-    """One refresh call carrying BOTH modalities of a crawl: the text
-    triad over ``doc_batch`` (``warc_documents``) and the perceptual
-    branch over ``media_batch`` (``warc_media``), each against its own
-    carried store.  The two branches share no state — a text store is
+    """One refresh call carrying the modalities of a crawl: the text
+    triad over ``doc_batch`` (``warc_documents``), the perceptual-image
+    branch over ``media_batch`` (``warc_media``), and optionally the
+    audio branch over ``audio_batch``
+    (``warc_media(content_prefix='audio/')``) — each against its own
+    carried store.  The branches share no state — a text store is
     meaningless to the image branch — so this is deliberately a thin
     composition; its value is the single materialize-then-``done()``
     lifecycle over all pinned handles."""
@@ -262,4 +313,9 @@ def refresh_crawl_batch(
     media = refresh_media_batch(
         media_batch, phash_store, **(media_kwargs or {})
     )
-    return CrawlRefreshResult(docs=docs, media=media)
+    audio = None
+    if audio_batch is not None:
+        audio = refresh_audio_batch(
+            audio_batch, afp_store, **(audio_kwargs or {})
+        )
+    return CrawlRefreshResult(docs=docs, media=media, audio=audio)

@@ -278,10 +278,17 @@ def warc_media(
     path: str,
     max_payload: int = 100 * 1024 * 1024,
     decode_stats: bool = True,
+    content_prefix: str = "image/",
 ) -> DataFrame:
     """WARC directory → the multimodal media shape: one row per successful
     (2xx) ``image/*`` response — (media_id, url, crawl_ts, content_type,
     blob) — optionally joined with REAL decoded-pixel statistics.
+
+    ``content_prefix`` selects the modality: ``"image/"`` (default, stats
+    from :func:`multimodal.decoded_image_stats`) or ``"audio/"`` (stats
+    from :func:`multimodal.audio_features` — duration/RMS/ZCR/dominant-Hz
+    for PCM-WAV payloads, NULL rows for compressed codecs this sandbox
+    cannot decode).  Any other prefix returns blob rows only.
 
     This closes the crawl→multimodal loop the way ``warc_documents``
     closes crawl→text: the same archives a text pipeline ingests carry the
@@ -314,7 +321,7 @@ def warc_media(
     )
     media = recs.where(
         F.col("http_status").between(200, 299)
-        & F.col("http_content_type").startswith("image/")
+        & F.col("http_content_type").startswith(content_prefix)
     ).select(
         portable_hash(F.col("record_id")).alias("media_id"),
         canonicalize_url(F.col("url")).alias("url"),
@@ -326,6 +333,15 @@ def warc_media(
     )
     if not decode_stats:
         return media
+    if content_prefix == "audio/":
+        from evidence_datasource_parsers_spark.operators.multimodal import (
+            audio_features,
+        )
+
+        stats = audio_features(media, "blob", "media_id")
+        return media.join(stats, on="media_id", how="left")
+    if content_prefix != "image/":
+        return media  # no native stats kernel for this modality
     from evidence_datasource_parsers_spark.operators.multimodal import (
         decoded_image_stats,
     )
