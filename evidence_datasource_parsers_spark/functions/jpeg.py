@@ -655,13 +655,19 @@ def _huff_decode(br: _BitReader, table: dict) -> int:
     raise ValueError("invalid Huffman code")
 
 
-def decode_jpeg(blob: bytes):
+def decode_jpeg(blob: bytes, default_tables: bool = False):
     """JFIF/EXIF bytes → (h, w, 3) RGB (or (h, w, 1) grayscale) uint8 array.
 
     Handles baseline/extended sequential (SOF0/SOF1) and progressive (SOF2,
     spectral selection + successive approximation, T.81 Annex G) DCT
     processes.  Raises ``ValueError`` on corrupt data and
     ``NotImplementedError`` on arithmetic/hierarchical/12-bit variants.
+
+    ``default_tables=True`` supplies the Annex K typical Huffman tables
+    for any table id a scan references but the stream never defined — the
+    MJPEG convention (AVI frames routinely omit DHT segments and rely on
+    the defaults; OpenDML spec).  Off by default: for still JPEGs a
+    missing DHT is corrupt data and must stay a ``ValueError``.
 
     Every malformed-input failure mode is normalized to ``ValueError`` —
     the multimodal kernels' except-tuple contract ("undecodable blobs
@@ -671,7 +677,7 @@ def decode_jpeg(blob: bytes):
     alike, not just for well-formed-but-unsupported files.
     """
     try:
-        return _decode_jpeg_impl(blob)
+        return _decode_jpeg_impl(blob, default_tables=default_tables)
     except (ValueError, NotImplementedError):
         raise
     except (
@@ -681,14 +687,26 @@ def decode_jpeg(blob: bytes):
         raise ValueError(f"corrupt JPEG: {exc!r}") from exc
 
 
-def _decode_jpeg_impl(blob: bytes):
+def _default_htables() -> dict:
+    """(class, id) → decode table for the Annex K typical tables, ids 0/1."""
+    return {
+        (0, 0): _decode_table(*DC_LUMA),
+        (1, 0): _decode_table(*AC_LUMA),
+        (0, 1): _decode_table(*DC_CHROMA),
+        (1, 1): _decode_table(*AC_CHROMA),
+    }
+
+
+def _decode_jpeg_impl(blob: bytes, default_tables: bool = False):
     import numpy as np
 
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, "np.ndarray"] = {}
-    htables: dict[tuple[int, int], dict] = {}
+    htables: dict[tuple[int, int], dict] = (
+        _default_htables() if default_tables else {}
+    )
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0

@@ -171,3 +171,56 @@ def decontaminate(
         min_eval_overlap=min_eval_overlap,
     )
     return corpus.join(hits, on=id_col, how="left_anti")
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    *,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    eval_bucket_rows: DataFrame | None = None,
+):
+    """Embedding-space eval-set decontamination — the SEMANTIC complement
+    of the n-gram overlap gate above: a training document whose embedding
+    lies within cosine ``threshold`` of ANY eval item is dropped, catching
+    the paraphrased / translated / re-templated contamination that n-gram
+    overlap structurally cannot see.
+
+    This is deliberately a thin, documented reuse of the incremental
+    embedding-store machinery (`similarity.incremental_embedding_dedupe`)
+    with the EVAL SET as the store: candidates come from the shared
+    multi-table hyperplane buckets (equi-join, never corpus × eval), and
+    verification is exact cosine.  Recall follows the standard LSH trade
+    (tune ``n_planes``/``n_tables``); exact re-ingests of eval items are
+    always caught.  Pass ``eval_bucket_rows`` (persisted
+    `hyperplane_bucket_rows` of the eval set) to amortize eval-side
+    hashing across corpus shards — the eval set is tiny relative to the
+    corpus, so the per-shard cost is the corpus-side bucketing alone.
+
+    Returns ``(clean, pinned)``: surviving corpus rows (full payload) and
+    the pinned bucket handle — unpersist after materializing ``clean``.
+    """
+    from evidence_datasource_parsers_spark.operators.similarity import (
+        incremental_embedding_dedupe,
+    )
+
+    res = incremental_embedding_dedupe(
+        corpus,
+        eval_embeddings.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+        ),
+        vec_col,
+        id_col,
+        dim=dim,
+        threshold=threshold,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        store_bucket_rows=eval_bucket_rows,
+    )
+    return res.fresh, res.pinned

@@ -2,12 +2,14 @@
 
 The container has no media libraries (no PIL/ffmpeg), so decode is REAL for
 every format a pure-Python/numpy parser can handle — PPM (P6, 8- and
-16-bit), BMP (24-bit BI_RGB), WAV (PCM16), PNG (stdlib zlib inflate: all
-color types incl. palette+tRNS, depths 1–16, Adam7 interlacing), baseline
-AND progressive JPEG (functions/jpeg.py: Huffman + dequant + IDCT + YCbCr,
-the formats real web corpora are dominated by) — plus the synthetic MM01
-container below.  Remaining unsupported variants (arithmetic/12-bit JPEG,
-compressed BMP/WAV, MP3) raise a clearly-marked ``NotImplementedError`` where a
+16-bit), BMP (24-bit BI_RGB, 8-bit palette, RLE8), WAV (PCM16), PNG
+(stdlib zlib inflate: all color types incl. palette+tRNS, depths 1–16,
+Adam7 interlacing), GIF (functions/gif.py: LZW, palette, interlace),
+baseline AND progressive JPEG (functions/jpeg.py: Huffman + dequant +
+IDCT + YCbCr, the formats real web corpora are dominated by) — plus the
+synthetic MM01 container below.  Remaining unsupported variants
+(arithmetic/12-bit JPEG, sub-8-bit BMP, compressed WAV, MP3) raise a
+clearly-marked ``NotImplementedError`` where a
 PIL/ffmpeg-backed kernel with the same signature plugs in.  Everything
 Spark-side is real and tested: schemas, Arrow batch shapes, ``mapInPandas``
 plumbing, partitioning.
@@ -344,8 +346,11 @@ def decode_png(blob: bytes):
 
 
 def decode_bmp(blob: bytes):
-    """Uncompressed 24-bit BMP (BI_RGB) → (h, w, 3) uint8 RGB array.
-    Bottom-up row order and 4-byte row padding per the BMP spec."""
+    """BMP → (h, w, 3) uint8 RGB array: 24-bit BI_RGB, 8-bit palette
+    (BI_RGB), and 8-bit RLE8-compressed (BI_RLE8, incl. end-of-line /
+    end-of-bitmap / delta escapes and absolute runs).  Bottom-up row
+    order and 4-byte row padding per the BMP spec.  Other depths /
+    compressions raise ``NotImplementedError``."""
     import numpy as np
 
     if blob[:2] != b"BM":
@@ -353,24 +358,78 @@ def decode_bmp(blob: bytes):
     if len(blob) < 54:  # file header (14) + BITMAPINFOHEADER (40)
         raise ValueError("truncated BMP header")
     data_offset = struct.unpack("<I", blob[10:14])[0]
+    hdr_size = struct.unpack("<I", blob[14:18])[0]
     w, h = struct.unpack("<ii", blob[18:26])
     bpp = struct.unpack("<H", blob[28:30])[0]
     compression = struct.unpack("<I", blob[30:34])[0]
-    if bpp != 24 or compression != 0:
-        raise NotImplementedError(
-            f"only 24-bit BI_RGB BMP supported (got {bpp}bpp, "
-            f"compression={compression})"
-        )
     bottom_up = h > 0
     h = abs(h)
-    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
-    if w < 0 or len(blob) - data_offset < stride * h:
-        raise ValueError("truncated BMP raster")
-    rows = np.frombuffer(
-        blob, dtype=np.uint8, count=stride * h, offset=data_offset
-    ).reshape(h, stride)[:, : w * 3]
-    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
-    return img[::-1] if bottom_up else img
+    if w < 0:
+        raise ValueError("negative BMP width")
+
+    if bpp == 24 and compression == 0:
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        if len(blob) - data_offset < stride * h:
+            raise ValueError("truncated BMP raster")
+        rows = np.frombuffer(
+            blob, dtype=np.uint8, count=stride * h, offset=data_offset
+        ).reshape(h, stride)[:, : w * 3]
+        img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+        return img[::-1] if bottom_up else img
+
+    if bpp == 8 and compression in (0, 1):  # palette / RLE8
+        clr_used = struct.unpack("<I", blob[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        if len(blob) < pal_off + clr_used * 4:
+            raise ValueError("truncated BMP palette")
+        pal = np.frombuffer(
+            blob, np.uint8, clr_used * 4, pal_off
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX → RGB
+        if compression == 0:
+            stride = (w + 3) & ~3
+            if len(blob) - data_offset < stride * h:
+                raise ValueError("truncated BMP raster")
+            idx = np.frombuffer(
+                blob, np.uint8, stride * h, data_offset
+            ).reshape(h, stride)[:, :w]
+        else:  # BI_RLE8 — always bottom-up per spec
+            idx = np.zeros((h, w), dtype=np.uint8)
+            x, row, i, n = 0, 0, data_offset, len(blob)
+            while i + 1 < n and row < h:
+                cnt, val = blob[i], blob[i + 1]
+                i += 2
+                if cnt > 0:  # encoded run
+                    end = min(x + cnt, w)
+                    idx[row, x:end] = val
+                    x = end
+                elif val == 0:  # end of line
+                    row += 1
+                    x = 0
+                elif val == 1:  # end of bitmap
+                    break
+                elif val == 2:  # delta
+                    if i + 1 >= n:
+                        raise ValueError("truncated RLE8 delta")
+                    x = min(x + blob[i], w)
+                    row += blob[i + 1]
+                    i += 2
+                else:  # absolute run of `val` pixels, word-aligned
+                    take = min(val, w - x)
+                    if i + val > n:
+                        raise ValueError("truncated RLE8 absolute run")
+                    idx[row, x : x + take] = np.frombuffer(
+                        blob, np.uint8, take, i
+                    )
+                    x += take
+                    i += (val + 1) & ~1
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        img = pal[idx]
+        return img[::-1] if bottom_up or compression == 1 else img
+
+    raise NotImplementedError(
+        f"unsupported BMP variant ({bpp}bpp, compression={compression})"
+    )
 
 
 def decode_wav(blob: bytes):
@@ -436,6 +495,18 @@ def decode_blob(blob: bytes) -> dict:
             "media_type": "image", "format": "bmp",
             "width": px.shape[1], "height": px.shape[0],
             "channels": 3, "pixels": px,
+        }
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        from evidence_datasource_parsers_spark.functions.avi import (
+            decode_avi,
+        )
+
+        v = decode_avi(blob)  # frames left undecoded — sample downstream
+        return {
+            "media_type": "video", "format": "avi_mjpeg",
+            "width": v["width"], "height": v["height"],
+            "n_frames": v["n_frames"], "fps": v["fps"],
+            "frames": v["frames"],
         }
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         rate, ch, samples = decode_wav(blob)
@@ -779,6 +850,44 @@ def sample_frames(
     return df.select(id_col, binary_col).mapInPandas(kernel, out_schema)
 
 
+_PHASH_DCT32 = None
+
+
+def _phash64(pixels) -> int:
+    """63-bit DCT pHash of a decoded (h, w, c) uint8 array — the shared
+    kernel core of the image pHash frame AND the per-frame video hashes:
+    BT.601 luma → deterministic nearest-neighbor 32×32 downsample → 32×32
+    DCT → 8×8 corner minus DC → sign bits vs their median."""
+    import numpy as np
+
+    global _PHASH_DCT32
+    if _PHASH_DCT32 is None:
+        n = np.arange(32)
+        C = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 64.0)
+        C[0, :] = 1.0
+        C *= np.where(
+            n[:, None] == 0, np.sqrt(1.0 / 32.0), np.sqrt(2.0 / 32.0)
+        )
+        _PHASH_DCT32 = C
+    C = _PHASH_DCT32
+    px = pixels.astype(np.float64)
+    gray = (
+        0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        if px.shape[2] >= 3
+        else px[:, :, 0]
+    )
+    h, w = gray.shape
+    yi = np.minimum((np.arange(32) * h) // 32, h - 1)
+    xi = np.minimum((np.arange(32) * w) // 32, w - 1)
+    dct = C @ gray[np.ix_(yi, xi)] @ C.T
+    low = dct[:8, :8].flatten()[1:]  # 63 AC coefficients
+    bits = low > np.median(low)
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v
+
+
 def image_phash_frame(
     df: DataFrame, binary_col: str = "blob", id_col: str = "media_id"
 ) -> DataFrame:
@@ -802,14 +911,6 @@ def image_phash_frame(
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        n = np.arange(32)
-        C = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 64.0)
-        C[0, :] = 1.0
-        C *= np.where(
-            n[:, None] == 0, np.sqrt(1.0 / 32.0), np.sqrt(2.0 / 32.0)
-        )
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
@@ -820,25 +921,7 @@ def image_phash_frame(
                 if d.get("media_type") != "image" or d["pixels"].size == 0:
                     out.append((mid, None))
                     continue
-                px = d["pixels"].astype(np.float64)
-                gray = (
-                    0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
-                    + 0.114 * px[:, :, 2]
-                    if px.shape[2] >= 3
-                    else px[:, :, 0]
-                )
-                h, w = gray.shape
-                yi = np.minimum((np.arange(32) * h) // 32, h - 1)
-                xi = np.minimum((np.arange(32) * w) // 32, w - 1)
-                small = gray[np.ix_(yi, xi)]
-                dct = C @ small @ C.T
-                low = dct[:8, :8].flatten()[1:]  # 63 AC coefficients
-                med = np.median(low)
-                bits = low > med
-                v = 0
-                for bit in bits:
-                    v = (v << 1) | int(bit)
-                out.append((mid, v))
+                out.append((mid, _phash64(d["pixels"])))
             yield pd.DataFrame({id_col: out and [r[0] for r in out] or [],
                                 "phash": [r[1] for r in out]})
 
@@ -1124,3 +1207,142 @@ def incremental_audio_dedupe(
         new_batch, afp_store, fp_all, id_col, "afp",
         max_hamming=max_hamming, n_blocks=n_blocks,
     )
+
+
+# ---------------------------------------------------------------------------
+# Video (MJPEG-AVI) — frame sampling and near-dup over per-frame pHashes
+# ---------------------------------------------------------------------------
+
+
+def video_frame_phashes(
+    df: DataFrame,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    *,
+    stride: int = 1,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """AVI blobs → one row per SAMPLED frame: (id, frame_idx, phash) —
+    the video analogue of :func:`image_phash_frame`.  The container walk
+    is a cheap byte scan; only every ``stride``-th frame (capped at
+    ``max_frames``) pays a JPEG decode + pHash, so cost scales with the
+    SAMPLE, not the clip length.  MJPEG frames without DHT segments use
+    the Annex K defaults (the in-the-wild convention).  Undecodable
+    containers emit zero rows; an undecodable individual frame is
+    skipped.  One narrow Arrow pass, no shuffle."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from evidence_datasource_parsers_spark.functions.avi import (
+            decode_avi,
+        )
+        from evidence_datasource_parsers_spark.functions.jpeg import (
+            decode_jpeg,
+        )
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    v = decode_avi(bytes(blob) if blob is not None else b"")
+                except (ValueError, struct.error):
+                    continue
+                sel = range(0, v["n_frames"], stride)
+                if max_frames is not None:
+                    sel = list(sel)[:max_frames]
+                for fi in sel:
+                    try:
+                        px = decode_jpeg(
+                            v["frames"][fi], default_tables=True
+                        )
+                    except (ValueError, NotImplementedError):
+                        continue
+                    ids.append(mid)
+                    idxs.append(fi)
+                    hashes.append(_phash64(px))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "phash": hashes}
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel, f"{id_col} {id_dt}, frame_idx int, phash long"
+    )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    *,
+    stride: int = 1,
+    max_frames: int | None = None,
+    frame_max_hamming: int = 6,
+    n_blocks: int = 9,
+    min_overlap: float = 0.5,
+) -> DataFrame:
+    """Video near-dup pairs (id_a, id_b, matched_frames, overlap): two
+    clips are near-dups when ≥ ``min_overlap`` of the shorter clip's
+    SAMPLED frames have a pHash within ``frame_max_hamming`` bits of some
+    frame of the other — re-encodes/re-containered copies match nearly
+    every frame, unrelated clips essentially none.
+
+    Scale shape: frame-level candidates come from the same Manku
+    combo-key equi-join as every hamming store (never frames × frames);
+    the per-video-pair rollup is one groupBy on (id_a, id_b).  Sampled
+    frame counts bound all cardinalities: a clip contributes
+    ⌈n_frames/stride⌉ rows regardless of duration."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        hamming_distance,
+        simhash_combo_keys,
+    )
+
+    fp = video_frame_phashes(
+        df, binary_col, id_col, stride=stride, max_frames=max_frames
+    ).persist()
+    counts = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nf"))
+    combos = lambda c: F.explode(  # noqa: E731
+        simhash_combo_keys(c, 63, frame_max_hamming, n_blocks)
+    )
+    keys = fp.select(
+        F.col(id_col).alias("__vid"),
+        F.col("frame_idx").alias("__fi"),
+        F.col("phash").alias("__ph"),
+        combos(F.col("phash")).alias("__k"),
+    ).select("__vid", "__fi", "__ph", "__k.combo", "__k.key")
+    a, b = keys.alias("a"), keys.alias("b")
+    # a-side frame matched by ANY b-side frame; dedup before the rollup
+    matched = (
+        a.join(b, on=["combo", "key"])
+        .where(F.col("a.__vid") < F.col("b.__vid"))
+        .filter(
+            hamming_distance(F.col("a.__ph"), F.col("b.__ph"))
+            <= F.lit(frame_max_hamming)
+        )
+        .select(
+            F.col("a.__vid").alias("id_a"),
+            F.col("b.__vid").alias("id_b"),
+            F.col("a.__fi").alias("__fi"),
+        )
+        .distinct()
+    )
+    rolled = matched.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("matched_frames")
+    )
+    ca = counts.select(
+        F.col(id_col).alias("id_a"), F.col("__nf").alias("__na")
+    )
+    cb = counts.select(
+        F.col(id_col).alias("id_b"), F.col("__nf").alias("__nb")
+    )
+    out = (
+        rolled.join(ca, on="id_a").join(cb, on="id_b")
+        .withColumn(
+            "overlap",
+            F.col("matched_frames") / F.least("__na", "__nb"),
+        )
+        .where(F.col("overlap") >= min_overlap)
+        .select("id_a", "id_b", "matched_frames", "overlap")
+    )
+    return out

@@ -115,6 +115,10 @@ def incremental_dedupe_sink(
         copies of stored photos dropped against an (id, phash) store
         (`multimodal.incremental_phash_dedupe`); ``text_col`` names the
         binary blob column.
+      * ``'audio'`` — perceptual AUDIO near-dup: re-rendered/resampled
+        copies of stored recordings dropped against an (id, afp)
+        spectral-fingerprint store (`multimodal.incremental_audio_dedupe`);
+        ``text_col`` names the binary blob column.
 
     ``dedupe_opts`` pass through to the chosen operator (num_perm/bands/k
     for lsh; nbits/max_hamming/n_blocks for simhash; threshold).  The LSH
@@ -123,7 +127,7 @@ def incremental_dedupe_sink(
     """
     from evidence_datasource_parsers_spark.operators import dedupe as dd
 
-    if mode not in ("exact", "lsh", "simhash", "embedding", "phash"):
+    if mode not in ("exact", "lsh", "simhash", "embedding", "phash", "audio"):
         raise ValueError(f"unknown dedupe mode {mode!r}")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -159,6 +163,16 @@ def incremental_dedupe_sink(
             )
 
             res = incremental_phash_dedupe(
+                batch_df, store, text_col, id_col, **dedupe_opts
+            )
+            fresh, new_store = res.fresh, res.store
+            fresh = fresh.persist()
+        elif mode == "audio":
+            from evidence_datasource_parsers_spark.operators.multimodal import (
+                incremental_audio_dedupe,
+            )
+
+            res = incremental_audio_dedupe(
                 batch_df, store, text_col, id_col, **dedupe_opts
             )
             fresh, new_store = res.fresh, res.store

@@ -327,3 +327,46 @@ def test_semantic_refresh_pipeline(spark, sf_dir):
     occ = cell_occupancy(idx2)
     assert occ.agg(F2.sum("n")).collect()[0][0] == idx2.count()
     assert isinstance(needs_refit(occ, 8), bool)
+
+
+def test_semantic_decontaminate(spark):
+    """Embedding-space eval decontamination: a paraphrase-close corpus doc
+    (cosine ≥ θ to an eval vector) drops — including an exact re-ingest —
+    while orthogonal and merely-similar-below-θ docs survive.  NULL
+    vectors pass through (no fingerprint to match)."""
+    import numpy as np
+
+    from evidence_datasource_parsers_spark.operators.decontaminate import (
+        semantic_decontaminate,
+    )
+
+    def unit(i, dim=16):
+        v = np.zeros(dim)
+        v[i] = 1.0
+        return v
+
+    def mix(a, b, t, dim=16):
+        v = (1 - t) * unit(a, dim) + t * unit(b, dim)
+        return v / np.linalg.norm(v)
+
+    eval_df = spark.createDataFrame(
+        [(100, unit(0).tolist()), (101, unit(1).tolist())],
+        "doc_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, unit(0).tolist()),          # exact eval item → drop
+            (2, mix(0, 2, 0.1).tolist()),   # paraphrase-close → drop
+            (3, mix(1, 2, 0.9).tolist()),   # similar-below-θ → keep
+            (4, unit(5).tolist()),          # orthogonal → keep
+            (5, None),                      # NULL vector → keep
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    clean, pinned = semantic_decontaminate(
+        corpus, eval_df, dim=16, threshold=0.9,
+        n_planes=4, n_tables=8,  # high recall at this tiny scale
+    )
+    kept = {r["doc_id"] for r in clean.collect()}
+    pinned.unpersist()
+    assert kept == {3, 4, 5}

@@ -96,6 +96,80 @@ def test_decode_bmp_bottom_up_with_padding():
     assert (decode_bmp(header + raster) == px).all()
 
 
+def _bmp8(idx, pal, compression, rle_payload=None):
+    """8-bit BMP builder: palette BI_RGB (rows padded) or BI_RLE8 with a
+    caller-supplied escape stream."""
+    import numpy as np
+
+    h, w = idx.shape
+    pal_bytes = b"".join(
+        bytes((int(b), int(g), int(r), 0)) for r, g, b in pal
+    )
+    if compression == 0:
+        stride = (w + 3) & ~3
+        raster = b"".join(
+            bytes(row).ljust(stride, b"\0") for row in idx[::-1]
+        )
+    else:
+        raster = rle_payload
+    off = 54 + len(pal_bytes)
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, compression,
+                      len(raster), 2835, 2835, len(pal), 0)
+        + pal_bytes + raster
+    )
+
+
+def test_decode_bmp_8bit_palette():
+    import numpy as np
+
+    pal = np.array([[250, 10, 20], [0, 200, 0], [5, 5, 250]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    got = decode_bmp(_bmp8(idx, pal, 0))
+    assert (got == pal[idx]).all()
+
+
+def test_decode_bmp_rle8_all_escapes():
+    """RLE8: encoded runs, an absolute run (word-aligned), end-of-line,
+    a delta jump (skipped pixels stay index 0), end-of-bitmap."""
+    import numpy as np
+
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    # visual target (3 rows × 6 cols), built bottom-up by the stream:
+    # bottom row: 4×1 then 2×2 ; middle row: absolute [3,2,1] then delta
+    # skips to EOL; top row: 6×3
+    rle = bytes(
+        [4, 1, 2, 2, 0, 0]            # row 0 (bottom): runs + EOL
+        + [0, 3, 3, 2, 1, 0, 0, 2, 2, 0, 0, 0]  # row 1: absolute(3)+pad, delta(2,0), EOL
+        + [6, 3, 0, 1]                # row 2 (top): run + EOB
+    )
+    got = decode_bmp(_bmp8(np.zeros((3, 6), np.uint8), pal, 1, rle))
+    want_bottom = pal[np.array([1, 1, 1, 1, 2, 2])]
+    want_middle = pal[np.array([3, 2, 1, 0, 0, 0])]  # delta leaves zeros
+    want_top = pal[np.array([3] * 6)]
+    assert (got[2] == want_bottom).all()
+    assert (got[1] == want_middle).all()
+    assert (got[0] == want_top).all()
+
+
+def test_decode_bmp_unsupported_variants_still_guarded():
+    import numpy as np
+    import pytest
+
+    pal = np.array([[1, 2, 3]], dtype=np.uint8)
+    blob = bytearray(_bmp8(np.zeros((1, 1), np.uint8), pal, 0))
+    blob[28:30] = struct.pack("<H", 4)  # 4bpp
+    with pytest.raises(NotImplementedError, match="unsupported BMP"):
+        decode_bmp(bytes(blob))
+    # palette index past the declared table is corrupt data
+    bad = _bmp8(np.array([[5]], dtype=np.uint8), pal, 0)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_bmp(bad)
+
+
 def test_decode_wav_pcm16():
     import numpy as np
 

@@ -499,3 +499,101 @@ def test_store_recovery_picks_newest_old_by_mtime(tmp_path):
     assert recover_store_dir(store) is True
     assert open(os.path.join(store, "marker")).read() == "new-state"
     assert not os.path.isdir(older)  # stale leftover swept
+
+
+def _perceptual_sink_two_runs(spark, tmp_path, mode, blobs1, blobs2, expect):
+    """Shared driver for the perceptual streaming modes (phash/audio):
+    parquet-source stream → incremental_dedupe_sink(mode) twice with a
+    fresh checkpoint (run 2 replays batch 1, absorbed by the store)."""
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        incremental_dedupe_sink,
+    )
+
+    src = tmp_path / f"{mode}_in"
+    src.mkdir()
+    out = str(tmp_path / f"{mode}_fresh")
+    store = str(tmp_path / f"{mode}_store")
+    spark.createDataFrame(blobs1, "media_id long, blob binary") \
+        .write.parquet(str(src / "b1"))
+
+    def run(tag):
+        stream = (
+            spark.readStream.schema("media_id long, blob binary")
+            .option("recursiveFileLookup", "true").parquet(str(src))
+        )
+        q = incremental_dedupe_sink(
+            stream, out, store, str(tmp_path / f"ck_{mode}_{tag}"),
+            "blob", "media_id", mode=mode,
+        )
+        q.awaitTermination()
+
+    run("a")
+    assert sorted(
+        r.media_id for r in spark.read.parquet(out).collect()
+    ) == sorted(b[0] for b in blobs1)
+    spark.createDataFrame(blobs2, "media_id long, blob binary") \
+        .write.parquet(str(src / "b2"))
+    run("b")
+    got = sorted(r.media_id for r in spark.read.parquet(out).collect())
+    assert got == sorted(expect)
+    return spark.read.parquet(store)
+
+
+def test_incremental_dedupe_sink_phash_mode(spark, tmp_path):
+    """Streaming perceptual-image dedup: run 2's JPEG re-encode of a
+    stored photo drops; the genuinely new photo lands."""
+    import numpy as np
+
+    from evidence_datasource_parsers_spark.functions.jpeg import encode_jpeg
+
+    y, x = np.mgrid[0:64, 0:64]
+    p = np.clip(
+        128 + 60 * np.sin(x / 9.0) + 50 * np.cos(y / 7.0)
+        + 20 * np.sin((x * y) / 301.0), 0, 255,
+    )
+    photo = np.stack([p, p * 0.8 + 20, p * 0.6 + 40], axis=2).astype(np.uint8)
+    q2 = np.clip(128 + 70 * np.cos(x / 5.0) - 40 * np.sin(y / 11.0), 0, 255)
+    other = np.stack([q2] * 3, axis=2).astype(np.uint8)
+    st = _perceptual_sink_two_runs(
+        spark, tmp_path, "phash",
+        [(1, encode_jpeg(photo, quality=95))],
+        [(10, encode_jpeg(photo, quality=60)),
+         (11, encode_jpeg(other, quality=95))],
+        expect=[1, 11],
+    )
+    assert sorted(st.columns) == ["media_id", "phash"] and st.count() == 2
+
+
+def test_incremental_dedupe_sink_audio_mode(spark, tmp_path):
+    """Streaming perceptual-audio dedup: run 2's resampled re-render of a
+    stored recording drops; the new recording lands."""
+    import struct as _struct
+
+    import numpy as np
+
+    def wav(samples_f, rate):
+        pcm = np.clip(samples_f * 32767.0, -32768, 32767).astype("<i2")
+        data = pcm.tobytes()
+        fmt = _struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (
+            b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data
+        )
+
+    def tone(rate, freqs):
+        t = np.arange(rate * 2) / rate
+        v = sum(a * np.sin(2 * np.pi * f * t) for f, a in freqs)
+        v = v * (0.6 + 0.4 * np.sin(np.pi * t))
+        return v / (np.abs(v).max() + 1e-9) * 0.8
+
+    song = [(220.0, 1.0), (550.0, 0.7), (1320.0, 0.5)]
+    other = [(330.0, 1.0), (880.0, 0.8), (1760.0, 0.4)]
+    st = _perceptual_sink_two_runs(
+        spark, tmp_path, "audio",
+        [(1, wav(tone(8000, song), 8000))],
+        [(10, wav(tone(16000, song), 16000)),
+         (11, wav(tone(8000, other), 8000))],
+        expect=[1, 11],
+    )
+    assert sorted(st.columns) == ["afp", "media_id"] and st.count() == 2
