@@ -1346,3 +1346,160 @@ def video_near_dup_pairs(
         .select("id_a", "id_b", "matched_frames", "overlap")
     )
     return out
+
+
+def video_meta_frame(
+    df: DataFrame, binary_col: str = "blob", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, n_frames, fps, width, height) per AVI blob — container walk
+    only, no frame decode.  Undecodable blobs yield NULL columns."""
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from evidence_datasource_parsers_spark.functions.avi import (
+            decode_avi,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    v = decode_avi(bytes(blob) if blob is not None else b"")
+                    rows.append(
+                        (mid, v["n_frames"], v["fps"], v["width"],
+                         v["height"])
+                    )
+                except (ValueError, struct.error):
+                    rows.append((mid, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_frames", "fps", "width", "height"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel,
+        f"{id_col} {id_dt}, n_frames int, fps double, width int, height int",
+    )
+
+
+def incremental_video_dedupe(
+    new_batch: DataFrame,
+    frame_store: DataFrame | None,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    *,
+    stride: int = 1,
+    max_frames: int | None = 32,
+    frame_max_hamming: int = 6,
+    n_blocks: int = 9,
+    min_overlap: float = 0.5,
+    batch_frame_phashes: DataFrame | None = None,
+) -> IncrementalPhashResult:
+    """Batch-over-batch VIDEO near-dup dedup — the SIXTH modality of the
+    fingerprint-store family (exact → lexical → semantic → image → audio
+    → video).  The carried state is the retained clips' sampled-frame
+    pHash rows ``(id, frame_idx, phash)``; a new clip drops when ≥
+    ``min_overlap`` of its sampled frames match (within
+    ``frame_max_hamming`` bits) frames of ONE stored clip — a re-encoded
+    / re-containered / re-muxed copy matches nearly every frame.
+
+    Within-batch clips with an IDENTICAL sampled-frame hash sequence
+    collapse to the min id first (exact re-uploads); looser within-batch
+    near-dups are an at-rest pass (:func:`video_near_dup_pairs`).
+    Undecodable containers pass through as fresh and are NOT stored.
+
+    Scale shape: frame-level candidates ride the same Manku combo-key
+    equi-join as every hamming store; ``max_frames`` bounds every clip's
+    row count regardless of duration, so store size scales with the
+    CLIP count, not watch time.
+    """
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        hamming_distance,
+        simhash_combo_keys,
+    )
+
+    fp_all = (
+        batch_frame_phashes
+        if batch_frame_phashes is not None
+        else video_frame_phashes(
+            new_batch, binary_col, id_col,
+            stride=stride, max_frames=max_frames,
+        )
+    )
+    # within-batch exact collapse: clips sharing the identical ordered
+    # frame-hash sequence keep only the min id
+    sig = fp_all.groupBy(id_col).agg(
+        F.sha2(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("frame_idx", "phash"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s["frame_idx"].cast("string"),
+                        s["phash"].cast("string"),
+                    ),
+                ),
+            ),
+            256,
+        ).alias("__sig"),
+        F.count(F.lit(1)).alias("__nf"),
+    )
+    surv_ids = sig.groupBy("__sig").agg(F.min(F.col(id_col)).alias(id_col))
+    fp = fp_all.join(
+        surv_ids.select(id_col), on=id_col, how="left_semi"
+    ).persist()
+    decodable_ids = sig.select(id_col)
+    undecodable = new_batch.join(decodable_ids, on=id_col, how="left_anti")
+    survivors = new_batch.join(
+        surv_ids.select(id_col), on=id_col, how="left_semi"
+    ).unionByName(undecodable)
+    if frame_store is None:
+        return IncrementalPhashResult(fresh=survivors, store=fp, pinned=fp)
+
+    combos = lambda c: F.explode(  # noqa: E731
+        simhash_combo_keys(c, 63, frame_max_hamming, n_blocks)
+    )
+    batch_keys = fp.select(
+        F.col(id_col).alias("__bid"),
+        F.col("frame_idx").alias("__bfi"),
+        F.col("phash").alias("__bp"),
+        combos(F.col("phash")).alias("__k"),
+    ).select("__bid", "__bfi", "__bp", "__k.combo", "__k.key")
+    store_keys = frame_store.select(
+        F.col(id_col).alias("__sid"),
+        F.col("phash").alias("__sp"),
+        combos(F.col("phash")).alias("__k"),
+    ).select("__sid", "__sp", "__k.combo", "__k.key")
+    matched = (
+        batch_keys.join(store_keys, on=["combo", "key"])
+        .filter(
+            hamming_distance(F.col("__bp"), F.col("__sp"))
+            <= F.lit(frame_max_hamming)
+        )
+        .select("__bid", "__sid", "__bfi")
+        .distinct()
+    )
+    batch_counts = sig.select(
+        F.col(id_col).alias("__bid"), F.col("__nf").alias("__nb")
+    )
+    store_counts = frame_store.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__ns")
+    ).select(F.col(id_col).alias("__sid"), "__ns")
+    dropped = (
+        matched.groupBy("__bid", "__sid")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .join(batch_counts, on="__bid")
+        .join(store_counts, on="__sid")
+        .where(
+            F.col("__m") / F.least("__nb", "__ns") >= F.lit(min_overlap)
+        )
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    fresh = survivors.join(dropped, on=id_col, how="left_anti")
+    new_store = frame_store.unionByName(
+        fp.join(dropped, on=id_col, how="left_anti")
+    )
+    return IncrementalPhashResult(fresh=fresh, store=new_store, pinned=fp)

@@ -271,19 +271,69 @@ def refresh_audio_batch(
     )
 
 
+def refresh_video_batch(
+    batch: DataFrame,
+    frame_store: DataFrame | None,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    *,
+    stride: int = 1,
+    max_frames: int | None = 32,
+    min_overlap: float = 0.5,
+    frame_max_hamming: int = 6,
+    min_n_frames: int | None = None,
+) -> MediaRefreshResult:
+    """Video twin of the media branches: clip-level dedup against the
+    carried sampled-frame pHash store, then an optional minimum-length
+    gate over :func:`video_meta_frame` columns.  Same store semantics:
+    gated clips are still SEEN; undecodable containers pass ungated and
+    unstored."""
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        incremental_video_dedupe,
+        video_meta_frame,
+    )
+
+    res = incremental_video_dedupe(
+        batch,
+        frame_store,
+        binary_col,
+        id_col,
+        stride=stride,
+        max_frames=max_frames,
+        min_overlap=min_overlap,
+        frame_max_hamming=frame_max_hamming,
+    )
+    ready = res.fresh
+    if min_n_frames is not None:
+        if "n_frames" not in ready.columns:
+            meta = video_meta_frame(ready, binary_col, id_col)
+            ready = ready.join(meta, on=id_col, how="left")
+        ready = ready.where(
+            F.col("n_frames").isNull()
+            | (F.col("n_frames") >= min_n_frames)
+        )
+    return MediaRefreshResult(
+        ready=ready, store=res.store, pinned=(res.pinned,)
+    )
+
+
 class CrawlRefreshResult(NamedTuple):
     """The modalities of one refresh iteration; ``done()`` releases every
-    pinned handle.  ``audio`` is None when no audio batch was supplied."""
+    pinned handle.  ``audio``/``video`` are None when no such batch was
+    supplied."""
 
     docs: RefreshResult
     media: MediaRefreshResult
     audio: MediaRefreshResult | None = None
+    video: MediaRefreshResult | None = None
 
     def done(self) -> None:
         self.docs.done()
         self.media.done()
         if self.audio is not None:
             self.audio.done()
+        if self.video is not None:
+            self.video.done()
 
 
 def refresh_crawl_batch(
@@ -297,16 +347,18 @@ def refresh_crawl_batch(
     audio_batch: DataFrame | None = None,
     afp_store: DataFrame | None = None,
     audio_kwargs: dict | None = None,
+    video_batch: DataFrame | None = None,
+    frame_store: DataFrame | None = None,
+    video_kwargs: dict | None = None,
 ) -> CrawlRefreshResult:
     """One refresh call carrying the modalities of a crawl: the text
     triad over ``doc_batch`` (``warc_documents``), the perceptual-image
     branch over ``media_batch`` (``warc_media``), and optionally the
-    audio branch over ``audio_batch``
-    (``warc_media(content_prefix='audio/')``) — each against its own
-    carried store.  The branches share no state — a text store is
-    meaningless to the image branch — so this is deliberately a thin
-    composition; its value is the single materialize-then-``done()``
-    lifecycle over all pinned handles."""
+    audio/video branches (``warc_media(content_prefix='audio/')`` /
+    ``'video/'``) — each against its own carried store.  The branches
+    share no state — a text store is meaningless to the image branch —
+    so this is deliberately a thin composition; its value is the single
+    materialize-then-``done()`` lifecycle over all pinned handles."""
     docs = refresh_corpus_batch(
         doc_batch, doc_store, **(doc_kwargs or {})
     )
@@ -318,4 +370,11 @@ def refresh_crawl_batch(
         audio = refresh_audio_batch(
             audio_batch, afp_store, **(audio_kwargs or {})
         )
-    return CrawlRefreshResult(docs=docs, media=media, audio=audio)
+    video = None
+    if video_batch is not None:
+        video = refresh_video_batch(
+            video_batch, frame_store, **(video_kwargs or {})
+        )
+    return CrawlRefreshResult(
+        docs=docs, media=media, audio=audio, video=video
+    )

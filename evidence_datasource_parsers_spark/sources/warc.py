@@ -285,10 +285,12 @@ def warc_media(
     blob) — optionally joined with REAL decoded-pixel statistics.
 
     ``content_prefix`` selects the modality: ``"image/"`` (default, stats
-    from :func:`multimodal.decoded_image_stats`) or ``"audio/"`` (stats
+    from :func:`multimodal.decoded_image_stats`), ``"audio/"`` (stats
     from :func:`multimodal.audio_features` — duration/RMS/ZCR/dominant-Hz
     for PCM-WAV payloads, NULL rows for compressed codecs this sandbox
-    cannot decode).  Any other prefix returns blob rows only.
+    cannot decode), or ``"video/"`` (:func:`multimodal.video_meta_frame`
+    — n_frames/fps/dims for MJPEG-AVI containers, NULL rows otherwise).
+    Any other prefix returns blob rows only.
 
     This closes the crawl→multimodal loop the way ``warc_documents``
     closes crawl→text: the same archives a text pipeline ingests carry the
@@ -339,6 +341,13 @@ def warc_media(
         )
 
         stats = audio_features(media, "blob", "media_id")
+        return media.join(stats, on="media_id", how="left")
+    if content_prefix == "video/":
+        from evidence_datasource_parsers_spark.operators.multimodal import (
+            video_meta_frame,
+        )
+
+        stats = video_meta_frame(media, "blob", "media_id")
         return media.join(stats, on="media_id", how="left")
     if content_prefix != "image/":
         return media  # no native stats kernel for this modality

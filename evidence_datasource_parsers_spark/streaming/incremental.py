@@ -119,6 +119,10 @@ def incremental_dedupe_sink(
         copies of stored recordings dropped against an (id, afp)
         spectral-fingerprint store (`multimodal.incremental_audio_dedupe`);
         ``text_col`` names the binary blob column.
+      * ``'video'`` — clip-level near-dup: re-encoded/re-muxed copies of
+        stored clips dropped against an (id, frame_idx, phash)
+        sampled-frame store (`multimodal.incremental_video_dedupe`);
+        ``text_col`` names the binary blob column.
 
     ``dedupe_opts`` pass through to the chosen operator (num_perm/bands/k
     for lsh; nbits/max_hamming/n_blocks for simhash; threshold).  The LSH
@@ -127,7 +131,9 @@ def incremental_dedupe_sink(
     """
     from evidence_datasource_parsers_spark.operators import dedupe as dd
 
-    if mode not in ("exact", "lsh", "simhash", "embedding", "phash", "audio"):
+    if mode not in (
+        "exact", "lsh", "simhash", "embedding", "phash", "audio", "video"
+    ):
         raise ValueError(f"unknown dedupe mode {mode!r}")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -173,6 +179,16 @@ def incremental_dedupe_sink(
             )
 
             res = incremental_audio_dedupe(
+                batch_df, store, text_col, id_col, **dedupe_opts
+            )
+            fresh, new_store = res.fresh, res.store
+            fresh = fresh.persist()
+        elif mode == "video":
+            from evidence_datasource_parsers_spark.operators.multimodal import (
+                incremental_video_dedupe,
+            )
+
+            res = incremental_video_dedupe(
                 batch_df, store, text_col, id_col, **dedupe_opts
             )
             fresh, new_store = res.fresh, res.store
