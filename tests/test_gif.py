@@ -131,3 +131,54 @@ def test_gif_phash_near_png_of_same_pixels(spark):
     fp = {r["media_id"]: r["phash"] for r in image_phash_frame(df).collect()}
     assert fp[1] is not None and fp[2] is not None
     assert bin(fp[1] ^ fp[2]).count("1") <= 4
+
+
+def test_lzw_roundtrip_hypothesis():
+    """Property: any index sequence below the code-size alphabet
+    roundtrips through the variable-width LZW pair."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=8).flatmap(
+            lambda mcs: st.tuples(
+                st.just(mcs),
+                st.lists(
+                    st.integers(min_value=0, max_value=(1 << mcs) - 1),
+                    max_size=600,
+                ),
+            )
+        )
+    )
+    def check(case):
+        mcs, seq = case
+        assert _lzw_decode(_lzw_encode(seq, mcs), mcs) == seq
+
+    check()
+
+
+def test_gif_roundtrip_hypothesis():
+    """Property: any (h, w) index raster over any palette size roundtrips
+    through the full container (plain and interlaced)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=2, max_value=16),
+        st.booleans(),
+        st.randoms(use_true_random=False),
+    )
+    def check(h, w, ncol, interlace, rnd):
+        pal = _pal(ncol)
+        idx = np.array(
+            [[rnd.randrange(ncol) for _ in range(w)] for _ in range(h)],
+            dtype=np.uint8,
+        )
+        blob = encode_gif(idx, pal, interlace=interlace)
+        assert (decode_gif(blob) == pal[idx]).all()
+
+    check()

@@ -364,3 +364,58 @@ def test_simhash_pigeonhole_join_is_equi_join(spark, sf_dir):
         assert res.fresh.count() > 0
     finally:
         res.pinned.unpersist()
+
+
+def _df_plan(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_perceptual_pair_ops_never_cartesian(spark):
+    """Every round-6 pair/dedup operator must stay on combo-key equi-joins:
+    no CartesianProduct and no non-broadcast nested loop anywhere in the
+    audio pair search, video pair search, or the three perceptual
+    incremental stores."""
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        incremental_audio_dedupe,
+        incremental_phash_dedupe,
+        incremental_video_dedupe,
+        video_near_dup_pairs,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, bytes(64)), (2, bytes(64))], "media_id long, blob binary"
+    )
+    phash_store = spark.createDataFrame(
+        [(9, 12345)], "media_id long, phash long"
+    )
+    afp_store = spark.createDataFrame(
+        [(9, 12345)], "media_id long, afp long"
+    )
+    frame_store = spark.createDataFrame(
+        [(9, 0, 12345)], "media_id long, frame_idx int, phash long"
+    )
+    plans = {
+        "audio_pairs": _df_plan(audio_near_dup_pairs(batch)),
+        "video_pairs": _df_plan(video_near_dup_pairs(batch)),
+        "incr_phash": _df_plan(
+            incremental_phash_dedupe(batch, phash_store).fresh
+        ),
+        "incr_audio": _df_plan(
+            incremental_audio_dedupe(batch, afp_store).fresh
+        ),
+        "incr_video": _df_plan(
+            incremental_video_dedupe(batch, frame_store).fresh
+        ),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        nodes = _nodes(plan)
+        for i, n in enumerate(nodes):
+            if n == "BroadcastNestedLoopJoin":
+                raise AssertionError(f"{name}: BNLJ in plan")
