@@ -1247,6 +1247,17 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
                     AS BIGINT) AS s
         FROM documents d, range(64) r(k)
         GROUP BY d.doc_id
+    ),
+    wav AS (
+        SELECT d.doc_id,
+               CAST(sum((d.doc_id * 7 + r.k * 13) % 2001 - 1000) AS BIGINT)
+                   AS ssum,
+               CAST(sum(CASE WHEN r.k >= 1 AND
+                        (((d.doc_id * 7 + r.k * 13) % 2001 - 1000) < 0)
+                        <> (((d.doc_id * 7 + (r.k - 1) * 13) % 2001 - 1000) < 0)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zc
+        FROM documents d, range(400) r(k)
+        GROUP BY d.doc_id
     )
     SELECT d.doc_id AS media_id,
            'image' AS media_type,
@@ -1261,10 +1272,15 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
            CAST(d.doc_id % 256 AS DOUBLE) AS jpeg_pixel_mean,
            CAST((d.doc_id % 256) * 1152 AS BIGINT) AS pjpeg_pixel_sum,
            c.s AS gif_pixel_sum,
-           c.s AS png_pixel_sum
+           c.s AS png_pixel_sum,
+           w.ssum AS audio_sample_sum,
+           w.zc AS audio_zero_crossings,
+           CAST((d.doc_id % 5 + 1) * 1000 + d.doc_id % 256 AS BIGINT)
+               AS avi_probe
     FROM documents d
     JOIN ppm p ON d.doc_id = p.doc_id
     JOIN pal c ON d.doc_id = c.doc_id
+    JOIN wav w ON d.doc_id = w.doc_id
     """,
     tags=("multimodal", "mapInPandas"),
 )
@@ -1438,6 +1454,62 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
             out["png_pixel_sum"] = ps
             yield out
 
+    def av_stats(batches):
+        """Audio + video container legs: a deterministic PCM16 WAV
+        (sample k = (doc_id·7 + k·13) mod 2001 − 1000, 400 samples) rides
+        the REAL RIFF/WAVE parser — emitted sample sum and sign-change
+        count are exact integer functions the oracle recomputes — and a
+        (doc_id mod 5 + 1)-frame flat MJPEG-AVI rides the REAL container
+        walk + frame decode (avi_probe = n_frames·1000 + first decoded
+        pixel; flat frames decode losslessly at q95)."""
+        import struct as _struct
+
+        import numpy as _np
+
+        from evidence_datasource_parsers_spark.functions.avi import (
+            decode_avi,
+            encode_avi_mjpeg,
+        )
+        from evidence_datasource_parsers_spark.functions.jpeg import (
+            decode_jpeg,
+        )
+        from evidence_datasource_parsers_spark.operators.multimodal import (
+            decode_wav,
+        )
+
+        k = _np.arange(400, dtype=_np.int64)
+        for pdf in batches:
+            ssums, zcs, probes = [], [], []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                samples = ((m * 7 + k * 13) % 2001 - 1000).astype("<i2")
+                data = samples.tobytes()
+                fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                blob = (
+                    b"RIFF"
+                    + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE" + b"fmt "
+                    + _struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + _struct.pack("<I", len(data)) + data
+                )
+                _rate, _ch, got = decode_wav(blob)  # the REAL parser
+                x = got[:, 0].astype(_np.int64)
+                ssums.append(int(x.sum()))
+                neg = x < 0
+                zcs.append(int((neg[1:] != neg[:-1]).sum()))
+                nf = m % 5 + 1
+                frame = _np.full((8, 8, 3), m % 256, dtype=_np.uint8)
+                v = decode_avi(
+                    encode_avi_mjpeg([frame] * nf, fps=10, quality=95)
+                )
+                px0 = decode_jpeg(v["frames"][0])
+                probes.append(v["n_frames"] * 1000 + int(px0[0, 0, 0]))
+            out = pdf.copy()
+            out["audio_sample_sum"] = ssums
+            out["audio_zero_crossings"] = zcs
+            out["avi_probe"] = probes
+            yield out
+
     media = d.mapInPandas(to_blobs, "media_id long, blob binary")
     meta = media.mapInPandas(
         decode,
@@ -1457,11 +1529,21 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         " ppm_pixel_mean double, jpeg_pixel_sum long,"
         " jpeg_pixel_mean double",
     )
-    return stats.mapInPandas(
+    stats = stats.mapInPandas(
         codec_stats,
         "media_id long, media_type string, width int, height int,"
         " depth int, payload_bytes long, ppm_pixel_sum long,"
         " ppm_pixel_mean double, jpeg_pixel_sum long,"
         " jpeg_pixel_mean double, pjpeg_pixel_sum long,"
         " gif_pixel_sum long, png_pixel_sum long",
+    )
+    return stats.mapInPandas(
+        av_stats,
+        "media_id long, media_type string, width int, height int,"
+        " depth int, payload_bytes long, ppm_pixel_sum long,"
+        " ppm_pixel_mean double, jpeg_pixel_sum long,"
+        " jpeg_pixel_mean double, pjpeg_pixel_sum long,"
+        " gif_pixel_sum long, png_pixel_sum long,"
+        " audio_sample_sum long, audio_zero_crossings long,"
+        " avi_probe long",
     )
