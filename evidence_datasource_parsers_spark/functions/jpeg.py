@@ -18,7 +18,7 @@ process from the public spec:
   ``ValueError`` so the multimodal kernels' NULL-row contract holds.
 
   encoder — the matching baseline writer (Annex K quant + Huffman tables,
-  libjpeg-style quality scaling, 4:4:4 / 4:2:0, optional restart interval)
+  libjpeg-style quality scaling, 4:4:4 / 4:2:2 / 4:2:0, optional restart interval)
   plus a progressive (SOF2) writer with a web-typical scan script, so the
   test suite can roundtrip both processes without binary fixtures.
 
@@ -223,7 +223,7 @@ def _jpeg_prep(pixels, quality: int, subsampling: str) -> dict:
     grids plus the geometry both writers (baseline and progressive) need."""
     import numpy as np
 
-    if subsampling not in ("4:4:4", "4:2:0"):
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     px = np.asarray(pixels, dtype=np.float64)
     gray = px.ndim == 2 or px.shape[2] == 1
@@ -237,15 +237,17 @@ def _jpeg_prep(pixels, quality: int, subsampling: str) -> dict:
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
-        if subsampling == "4:2:0":
-            factors = [(2, 2), (1, 1), (1, 1)]
+        if subsampling in ("4:2:0", "4:2:2"):
+            # 4:2:0 halves chroma in both axes; 4:2:2 horizontally only
+            cy = 2 if subsampling == "4:2:0" else 1
+            factors = [(2, cy), (1, 1), (1, 1)]
             comps_px = [ycc[0]]
             h0, w0 = ycc[0].shape
-            h2, w2 = -(-h0 // 2) * 2, -(-w0 // 2) * 2
+            h2, w2 = -(-h0 // cy) * cy, -(-w0 // 2) * 2
             for c in ycc[1:]:
                 p = np.pad(c, ((0, h2 - h0), (0, w2 - w0)), mode="edge")
                 comps_px.append(
-                    p.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+                    p.reshape(h2 // cy, cy, w2 // 2, 2).mean(axis=(1, 3))
                 )
         else:
             factors = [(1, 1)] * 3
@@ -323,8 +325,8 @@ def encode_jpeg(
     subsampling: str = "4:4:4",
 ) -> bytes:
     """(h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 → baseline JFIF
-    bytes.  ``subsampling`` is ``4:4:4`` or ``4:2:0`` (2×2-averaged chroma,
-    the web default); ``restart_interval`` > 0 emits DRI + RSTn markers
+    bytes.  ``subsampling`` is ``4:4:4``, ``4:2:2`` (2×1-averaged
+    chroma), or ``4:2:0`` (2×2-averaged chroma, the web default); ``restart_interval`` > 0 emits DRI + RSTn markers
     every that many MCUs (exercises the decoder's resync)."""
     import numpy as np
 

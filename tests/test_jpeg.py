@@ -38,7 +38,7 @@ def test_flat_image_roundtrips_exactly():
         assert int(np.abs(out.astype(int) - g).max()) == 0
 
 
-@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:2", "4:2:0"])
 @pytest.mark.parametrize("restart", [0, 3])
 def test_smooth_roundtrip_within_tolerance(subsampling, restart):
     img = _smooth_rgb(50, 70)  # odd dims: exercises padding + crop
@@ -73,7 +73,7 @@ def test_quality_tradeoff_monotone():
     assert errs[0] > errs[2]  # more quality → less error
 
 
-@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:2", "4:2:0"])
 def test_progressive_roundtrip_matches_baseline_exactly(subsampling):
     """The progressive encoder's scan script (DC+AC first passes at Al=1,
     refinements to Al=0) reconstructs the identical coefficients as the
