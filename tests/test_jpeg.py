@@ -352,3 +352,22 @@ def test_incremental_phash_within_batch_exact_collapse(spark):
     r = incremental_phash_dedupe(batch, None)
     assert {x["media_id"] for x in r.fresh.collect()} == {2}
     r.pinned.unpersist()
+
+
+def test_image_phash_frame_string_ids(spark):
+    """ADVICE r5: media ids are often URLs/uuids — the pHash frame must
+    derive the id column type from the input schema instead of assuming
+    long."""
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        image_phash_frame,
+    )
+
+    photo = _photo()
+    df = spark.createDataFrame(
+        [("http://a/x.jpg", encode_jpeg(photo, quality=95)),
+         ("http://a/y.jpg", b"broken")],
+        "media_id string, blob binary",
+    )
+    fp = {r["media_id"]: r["phash"] for r in image_phash_frame(df).collect()}
+    assert fp["http://a/x.jpg"] is not None
+    assert fp["http://a/y.jpg"] is None
