@@ -140,3 +140,75 @@ def score_with_weight_table(
         ).alias(out_col)
     )
     return df.join(scored, on=id_col, how="left")
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 4096,
+    salt: str = "quality",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Train the REAL weight table for :func:`score_with_weight_table`:
+    a distributed multinomial Naive Bayes over hashed token buckets — the
+    classic cheap quality classifier (label seed sets like "wiki vs raw
+    crawl", score everything else).
+
+    Per bucket ``b`` the weight is the smoothed log-likelihood ratio
+    ``log P(b|pos) − log P(b|neg)`` (add-``alpha``), rescaled so the
+    largest magnitude maps to ±WEIGHT_SCALE and half-up-quantized to an
+    INTEGER — the score tier's exact-integer-accumulation contract is
+    preserved, and a document's score is then its mean per-token LLR in
+    [-1, 1] (monotone in the NB posterior; the class prior shifts every
+    doc equally and drops out of any threshold calibrated on scores).
+
+    Everything is declarative aggregation — one explode + one
+    groupBy(bucket) shuffle; class totals and the max-|llr| normalizer
+    ride as in-plan 1-row broadcast scalars (no driver collect).  Buckets
+    never seen in training are absent from the table and score 0 at
+    inference (the sparse-export convention of the table tier).
+
+    ``label_col``: 1/true = positive ("good") docs, 0/false = negative.
+    """
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        normalized_text,
+    )
+
+    lab = F.col(label_col).cast("int")
+    toks = df.select(
+        lab.alias("__y"),
+        F.explode(
+            F.split(normalized_text(F.col(text_col)), " ")
+        ).alias("__tok"),
+    ).where(F.col("__tok") != "")
+    counts = toks.groupBy(
+        token_bucket(F.col("__tok"), n_buckets, salt).alias("bucket")
+    ).agg(
+        F.sum(F.col("__y")).alias("__pos"),
+        F.sum(1 - F.col("__y")).alias("__neg"),
+    )
+    totals = counts.agg(
+        F.sum("__pos").alias("__ptot"), F.sum("__neg").alias("__ntot")
+    )
+    denom = float(alpha) * n_buckets
+    scored = counts.crossJoin(F.broadcast(totals)).withColumn(
+        "__llr",
+        (
+            F.log((F.col("__pos") + F.lit(float(alpha)))
+                  / (F.col("__ptot") + F.lit(denom)))
+            - F.log((F.col("__neg") + F.lit(float(alpha)))
+                    / (F.col("__ntot") + F.lit(denom)))
+        ),
+    )
+    norm = scored.agg(F.max(F.abs(F.col("__llr"))).alias("__m"))
+    return (
+        scored.crossJoin(F.broadcast(norm))
+        .select(
+            "bucket",
+            F.floor(
+                F.col("__llr") / F.col("__m") * F.lit(float(WEIGHT_SCALE))
+                + F.lit(0.5)
+            ).cast("long").alias("weight"),
+        )
+    )

@@ -165,3 +165,58 @@ def test_lang_guess_six_languages(spark):
     got = {r.i: r.g for r in
            df.select("i", lang_guess("text").alias("g")).collect()}
     assert got == {1: "it", 2: "pt", 3: "en"}
+
+
+def test_train_quality_classifier_separates_heldout(spark):
+    """NB-trained weights: prose-vocabulary docs score above spam-vocabulary
+    docs on HELD-OUT text; shared vocabulary gets near-zero weights."""
+    from evidence_datasource_parsers_spark.functions.quality import (
+        score_with_weight_table,
+        train_quality_classifier,
+    )
+
+    prose = "the quick brown fox jumps over a lazy dog near the river bank"
+    spam = "win free casino bonus click buy cheap pills viagra lottery now"
+    train = spark.createDataFrame(
+        [(i, f"{prose} common words here", 1) for i in range(8)]
+        + [(100 + i, f"{spam} common words here", 0) for i in range(8)],
+        "doc_id long, text string, label int",
+    )
+    weights = train_quality_classifier(train, "text", "label")
+    # integer weights within the scale contract
+    import pyspark.sql.functions as F2
+
+    stats = weights.agg(
+        F2.max(F2.abs(F2.col("weight"))).alias("m"),
+    ).collect()[0]
+    assert stats["m"] == 1000  # normalizer maps the extreme to ±SCALE
+
+    held = spark.createDataFrame(
+        [
+            (1, "quick fox jumps over the river dog"),
+            (2, "free casino pills click lottery bonus"),
+            (3, "common words here"),  # shared vocab only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lexical_score"] for r in
+           score_with_weight_table(held, "text", "doc_id", weights).collect()}
+    assert out[1] > 0.2 and out[2] < -0.2
+    assert abs(out[3]) < abs(out[1]) and abs(out[3]) < abs(out[2])
+
+
+def test_train_quality_classifier_deterministic_under_repartition(spark):
+    from evidence_datasource_parsers_spark.functions.quality import (
+        train_quality_classifier,
+    )
+
+    train = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i % 3}", i % 2) for i in range(20)],
+        "doc_id long, text string, label int",
+    )
+    w1 = {r["bucket"]: r["weight"] for r in
+          train_quality_classifier(train, "text", "label").collect()}
+    w2 = {r["bucket"]: r["weight"] for r in
+          train_quality_classifier(
+              train.repartition(7), "text", "label").collect()}
+    assert w1 == w2 and w1
