@@ -75,6 +75,8 @@ def refresh_corpus_batch(
     lm: DataFrame | None = None,
     max_perplexity: float | None = None,
     lm_n: int = 2,
+    quality_weights: DataFrame | None = None,
+    quality_buckets: int = 4096,
     **dedupe_kwargs,
 ) -> RefreshResult:
     """One refresh-loop iteration.  ``mode``: ``exact`` | ``lsh`` |
@@ -97,6 +99,12 @@ def refresh_corpus_batch(
     AFTER dedup — so, like quality rejects, they are SEEN by the store
     and tomorrow's re-crawl dies at the cheap dedup stage.  ``ready``
     carries the ``perplexity`` column for audit.
+
+    ``quality_weights``: a TRAINED ``(bucket, weight)`` table
+    (functions/quality.train_quality_classifier over a seed label set)
+    replaces the placeholder expression tier for the ``quality`` column —
+    same hashing (``quality_buckets`` must match training), same [-1, 1]
+    scale, so ``min_quality`` thresholds transfer.
     """
     fp_col = text_col
     if canonicalize:
@@ -126,9 +134,19 @@ def refresh_corpus_batch(
 
     if canonicalize:
         fresh = fresh.drop(fp_col)  # fingerprint policy, not a mutation
-    scored = fresh.withColumn(
-        "quality", lexical_quality_score(F.col(text_col))
-    )
+    if quality_weights is not None:
+        from evidence_datasource_parsers_spark.functions.quality import (
+            score_with_weight_table,
+        )
+
+        scored = score_with_weight_table(
+            fresh, text_col, id_col, quality_weights,
+            n_buckets=quality_buckets, out_col="quality",
+        )
+    else:
+        scored = fresh.withColumn(
+            "quality", lexical_quality_score(F.col(text_col))
+        )
     if min_quality is not None:
         scored = scored.where(
             F.coalesce(F.col("quality"), F.lit(float("-inf")))

@@ -266,3 +266,37 @@ def test_crawl_refresh_carries_both_modalities(spark):
     assert res.media.store.count() == 1
     assert {"split", "shard"} <= set(res.docs.ready.columns)
     res.done()
+
+
+def test_refresh_with_trained_quality_weights(spark):
+    """The trained NB weight table plugs into the refresh loop's quality
+    gate: spam-vocabulary docs drop under a threshold the placeholder
+    family would not produce, and rejects are still SEEN by the store."""
+    from evidence_datasource_parsers_spark.functions.quality import (
+        train_quality_classifier,
+    )
+
+    prose = "the quick brown fox jumps over a lazy dog near the river"
+    spam = "win free casino bonus click buy cheap pills lottery now"
+    seed = spark.createDataFrame(
+        [(i, prose, 1) for i in range(6)]
+        + [(50 + i, spam, 0) for i in range(6)],
+        "doc_id long, text string, label int",
+    )
+    weights = train_quality_classifier(seed, "text", "label")
+
+    batch = _docs(spark, [
+        (1, "quick fox jumps over the lazy river dog again"),
+        (2, "free casino pills click bonus lottery cheap win"),
+    ])
+    res = refresh_corpus_batch(
+        batch, None, mode="exact",
+        quality_weights=weights, min_quality=0.0,
+    )
+    assert {r.doc_id for r in res.ready.collect()} == {1}
+    assert res.store.count() == 2  # the spam doc is still SEEN
+    scores = {r.doc_id: r.quality for r in
+              refresh_corpus_batch(batch, None, mode="exact",
+                                   quality_weights=weights).ready.collect()}
+    assert scores[1] > 0 > scores[2]
+    res.done()
