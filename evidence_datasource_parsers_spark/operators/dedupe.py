@@ -627,6 +627,7 @@ def incremental_lsh_dedupe(
     mode: str = "char",
     threshold: float = 0.5,
     batch_fingerprints: DataFrame | None = None,
+    hot_bucket_cap: int | None = None,
 ) -> IncrementalLshResult:
     """Batch-over-batch NEAR-dup dedup against a persisted LSH fingerprint
     store (:func:`lsh_fingerprints` rows from every prior run; None on the
@@ -673,6 +674,21 @@ def incremental_lsh_dedupe(
     feeds at-rest pair mining).  The hash parameters MUST match the ones
     passed here; the operator then derives the within-batch survivors
     from the fingerprints' content hashes instead of rescanning the text.
+
+    ``hot_bucket_cap``: ENFORCED guard for the web-scale failure mode the
+    candidate join otherwise has no answer to — a boilerplate band key
+    (template chrome dominating the shingle set) whose store bucket holds
+    millions of rows turns the (band, key) join into bucket×batch
+    fan-out.  When set, each store bucket contributes at most ``cap``
+    DETERMINISTIC representatives (lowest content_hash, then id) to the
+    join, bounding candidate multiplicity at bands × cap per batch doc.
+    Recall caveat, stated honestly: a true near-dup hiding in a hot
+    bucket is still caught when it matches one of the representatives or
+    shares ANY other band bucket (near-dups agree on most bands by
+    construction); a miss requires disagreeing on every other band AND
+    differing from all ``cap`` representatives — at that point the
+    "bucket" is boilerplate collision, not similarity.  Default ``None``
+    preserves exact semantics (the oracle-gated q34 path).
     """
     if batch_fingerprints is None:
         # 1. within-batch exact dedup, min-id representative (NULL text → -1
@@ -720,20 +736,30 @@ def incremental_lsh_dedupe(
     # hash equality for degenerate text (NULL signature components never
     # compare equal, so two NULL-text docs estimate 0.0).  The shuffle key
     # is (band, key) — bounded buckets, never text.
+    store_side = fingerprint_store.select(
+        "band",
+        "key",
+        F.col("content_hash").alias("__sch"),
+        F.col("sig").alias("__ssig"),
+        F.col(id_col).alias("__sid"),
+    )
+    if hot_bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key").orderBy(
+            F.col("__sch").asc(), F.col("__sid").asc()
+        )
+        store_side = (
+            store_side.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= hot_bucket_cap)
+            .drop("__rk")
+        )
     cand = fp.select(
         id_col, "content_hash", "band", "key", F.col("sig").alias("__nsig")
-    ).join(
-        fingerprint_store.select(
-            "band",
-            "key",
-            F.col("content_hash").alias("__sch"),
-            F.col("sig").alias("__ssig"),
-        ),
-        on=["band", "key"],
-    )
+    ).join(store_side.drop("__sid"), on=["band", "key"])
     # duplicate candidate ids (several bands / several store mates) are fine
     # on the right of a left_anti — no distinct, one less shuffle; candidate
-    # multiplicity is bounded by bands × bucket occupancy.
+    # multiplicity is bounded by bands × bucket occupancy (or bands × cap).
     dropped = cand.filter(
         (
             estimated_jaccard(F.col("__nsig"), F.col("__ssig"), num_perm)
@@ -741,6 +767,16 @@ def incremental_lsh_dedupe(
         )
         | (F.col("content_hash") == F.col("__sch"))
     ).select(id_col)
+    if hot_bucket_cap is not None:
+        # the representatives may not include an exact twin's row, so cap
+        # mode restores EXACT re-crawl catching with a separate 8-byte-hash
+        # semi-join (store hashes are unique per retained doc — no fan-out)
+        exact_hit = fp.select(id_col, "content_hash").join(
+            fingerprint_store.select("content_hash").distinct(),
+            on="content_hash",
+            how="left_semi",
+        ).select(id_col)
+        dropped = dropped.unionByName(exact_hit)
     fresh = survivors.join(dropped, on=id_col, how="left_anti")
     new_store = fingerprint_store.unionByName(
         fp.join(dropped, on=id_col, how="left_anti")

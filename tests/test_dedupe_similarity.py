@@ -1059,3 +1059,45 @@ def test_multiprobe_lsh_recall_dominates_base(spark, sf_dir):
         hyperplane_probe_rows(
             queries, "query_id", "embedding", dim, 4, 2, multiprobe=9
         ).count()
+
+
+def test_incremental_lsh_hot_bucket_cap(spark):
+    """The enforced boilerplate guard: a store bucket stuffed with many
+    rows contributes at most `cap` representatives to the candidate join,
+    yet (a) near-dup re-crawls of a hot-bucket doc still drop, (b) exact
+    re-crawls ALWAYS drop via the restored 8-byte-hash leg, and (c)
+    genuinely new docs survive.  Uncapped and capped agree on this
+    fixture end-to-end."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        incremental_lsh_dedupe,
+    )
+
+    # 60 stored docs sharing heavy boilerplate → shared band buckets
+    boiler = "home about contact subscribe newsletter copyright terms "
+    store_docs = spark.createDataFrame(
+        [(i, boiler * 3 + f"unique article body number {i}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    r0 = incremental_lsh_dedupe(store_docs, None, "text", "doc_id",
+                                mode="word", k=2)
+    store = r0.store.localCheckpoint(eager=True)
+    r0.pinned.unpersist()
+
+    batch = spark.createDataFrame(
+        [
+            (100, boiler * 3 + "unique article body number 7"),   # exact
+            (101, boiler * 3 + "unique article body number 7 !"), # near
+            (102, "a completely different standalone text with no "
+                  "boilerplate at all in it whatsoever"),          # new
+        ],
+        "doc_id long, text string",
+    )
+    for cap in (None, 3):
+        r = incremental_lsh_dedupe(
+            batch, store, "text", "doc_id",
+            mode="word", k=2, threshold=0.5, hot_bucket_cap=cap,
+        )
+        fresh = {x["doc_id"] for x in r.fresh.collect()}
+        assert fresh == {102}, f"cap={cap}: {fresh}"
+        r.pinned.unpersist()
