@@ -88,3 +88,141 @@ def extract_links(text: Column | str) -> Column:
         links,
         lambda u: u.rlike("(?i)^https?://"),
     )
+
+
+def extract_main_text_frame(
+    df,
+    html_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_block_chars: int = 40,
+    max_link_density: float = 0.4,
+):
+    """The announced DOM-aware tier: jusText-style main-content extraction
+    as an Arrow ``mapInPandas`` kernel over the stdlib ``html.parser``
+    (lenient on real-world tag soup) — the step that removes the
+    boilerplate :func:`strip_html` conservatively keeps.
+
+    Per block-level container the kernel accumulates text and the share of
+    it inside ``<a>`` tags; a block survives when it is long enough
+    (``min_block_chars``) and not link-dominated (``max_link_density``) —
+    navigation/footer/tag-cloud chrome is short and link-dense, body prose
+    is neither.  ``<script>/<style>/<noscript>/<template>/<head>`` payloads
+    are dropped wholesale.
+
+    Output: ``(id, main_text, title, n_blocks_kept, n_blocks_total)`` —
+    the counters feed quality gates ("chrome-only page") without a second
+    parse.  Unparseable/empty inputs yield NULL main_text.  One narrow
+    Arrow pass, no shuffle; the language-free scoring keeps the kernel
+    deterministic across corpora (jusText's stopword tier is a per-language
+    refinement a deployment can layer on the same block stream).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+        from html.parser import HTMLParser
+
+        block_tags = {
+            "p", "div", "li", "ul", "ol", "tr", "td", "th", "table",
+            "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre",
+            "section", "article", "header", "footer", "nav", "br",
+            "main", "aside",
+        }
+        skip_tags = {"script", "style", "noscript", "template", "head"}
+        ws = re.compile(r"\s+")
+
+        class Collector(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                self.blocks: list[tuple[str, int]] = []
+                self.cur: list[str] = []
+                self.cur_link = 0
+                self.skip = 0
+                self.links = 0
+                self.in_title = False
+                self.title_parts: list[str] = []
+
+            def _flush(self):
+                text = ws.sub(" ", "".join(self.cur)).strip()
+                if text:
+                    self.blocks.append((text, self.cur_link))
+                self.cur, self.cur_link = [], 0
+
+            def handle_starttag(self, tag, attrs):
+                if tag in skip_tags:
+                    self.skip += 1
+                elif tag == "title":
+                    self.in_title = True
+                elif tag == "a":
+                    self.links += 1
+                elif tag in block_tags:
+                    self._flush()
+
+            def handle_endtag(self, tag):
+                if tag in skip_tags:
+                    self.skip = max(0, self.skip - 1)
+                elif tag == "title":
+                    self.in_title = False
+                elif tag == "a":
+                    self.links = max(0, self.links - 1)
+                elif tag in block_tags:
+                    self._flush()
+
+            def handle_data(self, data):
+                if self.in_title:  # before the skip check: <title> lives
+                    self.title_parts.append(data)  # inside skip-listed <head>
+                    return
+                if self.skip:
+                    return
+                self.cur.append(data)
+                if self.links:
+                    self.cur_link += len(data)
+
+        for pdf in batches:
+            texts, titles, kept_n, total_n = [], [], [], []
+            for raw in pdf[html_col]:
+                if raw is None:
+                    texts.append(None)
+                    titles.append(None)
+                    kept_n.append(None)
+                    total_n.append(None)
+                    continue
+                c = Collector()
+                try:
+                    c.feed(str(raw))
+                    c.close()
+                    c._flush()
+                except Exception:  # noqa: BLE001 — tag soup must not fail tasks
+                    texts.append(None)
+                    titles.append(None)
+                    kept_n.append(None)
+                    total_n.append(None)
+                    continue
+                kept = [
+                    t for t, lk in c.blocks
+                    if len(t) >= min_block_chars
+                    and lk / max(1, len(t)) <= max_link_density
+                ]
+                texts.append("\n".join(kept) if kept else None)
+                title = ws.sub(" ", "".join(c.title_parts)).strip()
+                titles.append(title or None)
+                kept_n.append(len(kept))
+                total_n.append(len(c.blocks))
+            yield pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "main_text": texts,
+                "title": titles,
+                "n_blocks_kept": pd.array(kept_n, dtype="Int32"),
+                "n_blocks_total": pd.array(total_n, dtype="Int32"),
+            })
+
+    return df.select(id_col, html_col).mapInPandas(
+        kernel,
+        f"{id_col} {id_dt}, main_text string, title string,"
+        " n_blocks_kept int, n_blocks_total int",
+    )

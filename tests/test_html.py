@@ -120,3 +120,74 @@ def test_warc_to_domain_authority(spark, tmp_path):
     ranks = {r.domain: r.rank
              for r in domain_authority(pages, "url", "links").collect()}
     assert ranks["example.org"] == max(ranks.values())
+
+
+def test_extract_main_text_drops_chrome(spark):
+    """The readability tier: nav/footer link chrome and script payloads
+    vanish, body prose and the title survive, and the block counters
+    expose chrome-only pages."""
+    from evidence_datasource_parsers_spark.functions.html import (
+        extract_main_text_frame,
+        strip_html,
+    )
+    from pyspark.sql import functions as F
+
+    article = (
+        "The container shipping industry moved a record volume this "
+        "quarter, driven by restocking across consumer electronics."
+    )
+    para2 = (
+        "Analysts expect rates to normalize as new vessel capacity "
+        "enters service through the remainder of the year."
+    )
+    page = f"""<html><head><title>Shipping Report</title>
+    <script>var x = track();</script></head><body>
+    <nav><a href="/">Home</a> <a href="/news">News</a>
+    <a href="/about">About</a> <a href="/contact">Contact</a></nav>
+    <article><p>{article}</p><p>{para2}</p></article>
+    <footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a>
+    Copyright</footer></body></html>"""
+    chrome_only = """<html><body><nav><a href="/">Home</a>
+    <a href="/a">A</a> <a href="/b">B</a></nav></body></html>"""
+
+    df = spark.createDataFrame(
+        [(1, page), (2, chrome_only), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in extract_main_text_frame(df).collect()}
+    assert article in out[1]["main_text"] and para2 in out[1]["main_text"]
+    assert "Home" not in out[1]["main_text"]
+    assert "track()" not in out[1]["main_text"]
+    assert "Copyright" not in out[1]["main_text"]
+    assert out[1]["title"] == "Shipping Report"
+    assert out[1]["n_blocks_kept"] >= 2
+    assert out[2]["main_text"] is None          # chrome-only page
+    assert out[2]["n_blocks_total"] >= 1
+    assert out[3]["main_text"] is None          # NULL input
+
+    # contrast: the conservative expression tier keeps the chrome
+    flat = df.where(F.col("doc_id") == 1).select(
+        strip_html(F.col("text")).alias("t")
+    ).collect()[0]["t"]
+    assert "Home" in flat and article in flat
+
+
+def test_extract_main_text_tag_soup_resilient(spark):
+    """Real-world malformed markup (unclosed tags, stray brackets, bad
+    entities) must yield rows, never task failures."""
+    from evidence_datasource_parsers_spark.functions.html import (
+        extract_main_text_frame,
+    )
+
+    long_line = ("a perfectly reasonable sentence that clears the block "
+                 "length threshold for keeping body text around")
+    soup = [
+        (1, f"<p>{long_line}<div><p>more {long_line}"),
+        (2, "<<<>>>< p ><a href=>&&&;&unknown;</b></i>"),
+        (3, f"<table><tr><td>{long_line}</table>"),
+    ]
+    df = spark.createDataFrame(soup, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in extract_main_text_frame(df).collect()}
+    assert long_line in (out[1]["main_text"] or "")
+    assert long_line in (out[3]["main_text"] or "")
+    assert out[2]["main_text"] is None  # nothing worth keeping, no crash
