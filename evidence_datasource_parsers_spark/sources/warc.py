@@ -224,6 +224,7 @@ def warc_documents(
     spark: SparkSession,
     path: str,
     max_payload: int = 100 * 1024 * 1024,
+    main_content: bool = False,
 ) -> DataFrame:
     """WARC directory → the engine's documents shape:
     (doc_id, url, crawl_ts, text).
@@ -235,6 +236,15 @@ def warc_documents(
     the same archives yields identical ids (and downstream
     split/shard/dedup decisions) on any engine.  Feed the result straight
     to ``pipelines.corpus_refresh.refresh_corpus_batch``.
+
+    ``main_content=True`` swaps the conservative expression-tier
+    ``strip_html`` for the readability tier
+    (:func:`functions.html.extract_main_text_frame`): boilerplate
+    chrome (nav/footer link blocks) is removed, and the frame gains
+    ``title``/``n_blocks_kept``/``n_blocks_total`` columns; HTML pages
+    whose every block is chrome get NULL text (gate or drop them
+    downstream).  Non-HTML text/* bodies pass through unchanged either
+    way.
     """
     from pyspark.sql import functions as F
 
@@ -257,19 +267,36 @@ def warc_documents(
         )
     )
     body = F.col("payload").cast("string")
-    return textual.select(
+    base = textual.select(
         portable_hash(F.col("record_id")).alias("doc_id"),
         canonicalize_url(F.col("url")).alias("url"),
         # ISO-8601 WARC-Date → the crawl timestamp temporal_split consumes
         F.to_timestamp(
             F.regexp_replace(F.col("warc_date"), "Z$", "+00:00")
         ).alias("crawl_ts"),
-        F.when(
-            F.col("http_content_type").startswith("text/html"),
-            strip_html(body),
+        F.col("http_content_type").startswith("text/html").alias("__html"),
+        body.alias("__body"),
+    )
+    if not main_content:
+        return base.select(
+            "doc_id", "url", "crawl_ts",
+            F.when(F.col("__html"), strip_html(F.col("__body")))
+            .otherwise(F.col("__body"))
+            .alias("text"),
         )
-        .otherwise(body)
+    from evidence_datasource_parsers_spark.functions.html import (
+        extract_main_text_frame,
+    )
+
+    main = extract_main_text_frame(
+        base.where(F.col("__html")), "__body", "doc_id"
+    )
+    return base.join(main, on="doc_id", how="left").select(
+        "doc_id", "url", "crawl_ts",
+        F.when(F.col("__html"), F.col("main_text"))
+        .otherwise(F.col("__body"))
         .alias("text"),
+        "title", "n_blocks_kept", "n_blocks_total",
     )
 
 

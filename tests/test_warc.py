@@ -274,3 +274,39 @@ def test_warc_media_decodes_progressive_jpeg(spark, tmp_path):
     b = by_url["http://a.example/baseline.jpg"]
     assert p["img_format"] == "jpeg" and p["pixel_sum"] == 77 * 8 * 8 * 3
     assert p["pixel_sum"] == b["pixel_sum"]  # identical reconstruction
+
+
+def test_warc_documents_main_content_mode(spark, tmp_path):
+    """main_content=True routes HTML through the readability tier: chrome
+    links vanish, the title column appears, and plain-text responses pass
+    through untouched."""
+    from evidence_datasource_parsers_spark.sources.warc import warc_documents
+    article = ("The container shipping industry moved record volume this "
+               "quarter, driven by broad consumer restocking demand.")
+    page = (
+        "<html><head><title>Report</title></head><body>"
+        '<nav><a href="/">Home</a> <a href="/n">News</a></nav>'
+        f"<article><p>{article}</p></article>"
+        '<footer><a href="/t">Terms</a></footer></body></html>'
+    )
+    raw = (
+        _record("response", _http(page.encode(), b"text/html"),
+                "http://m.example/a")
+        + _record("response", _http(b"plain body text", b"text/plain"),
+                  "http://m.example/b.txt")
+    )
+    (tmp_path / "m2.warc.gz").write_bytes(gzip.compress(raw))
+
+    out = {r["url"]: r for r in
+           warc_documents(spark, str(tmp_path), main_content=True).collect()}
+    a = out["http://m.example/a"]
+    assert article in a["text"] and "Home" not in a["text"]
+    assert a["title"] == "Report" and a["n_blocks_kept"] >= 1
+    b = out["http://m.example/b.txt"]
+    assert b["text"] == "plain body text"  # non-HTML passthrough
+
+    # default mode unchanged: chrome text present, no title column
+    flat = warc_documents(spark, str(tmp_path))
+    assert "title" not in flat.columns
+    t = {r["url"]: r["text"] for r in flat.collect()}
+    assert "Home" in t["http://m.example/a"]
