@@ -1045,3 +1045,66 @@ def hamming_near_dup_pairs(
     return cand.select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def lsh_drop_provenance(
+    new_batch: DataFrame,
+    fingerprint_store: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    mode: str = "char",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Audit twin of :func:`incremental_lsh_dedupe`: WHICH stored document
+    caused each batch drop, and why — ``(batch_id, store_id,
+    est_jaccard, reason)`` with reason ``'exact'`` (content-hash match) or
+    ``'near'`` (band-bucket mate at est_jaccard ≥ threshold).  A doc
+    matched by several stored docs yields several rows (that IS the
+    provenance); docs that would survive yield none.
+
+    Deliberately a separate diagnostic — the production drop path stays a
+    bare anti-join with no wide provenance rows shuffled per batch doc;
+    run this on the (small) set of disputed drops, or sampled batches,
+    when auditing store behavior.  Same plan shape as the operator: one
+    fingerprint pass, one (band, key) equi-join, no text joins.
+    """
+    fp = lsh_fingerprints(
+        new_batch, text_col, id_col, num_perm, bands, k, mode
+    )
+    cand = fp.select(
+        F.col(id_col).alias("batch_id"),
+        "content_hash",
+        "band",
+        "key",
+        F.col("sig").alias("__nsig"),
+    ).join(
+        fingerprint_store.select(
+            "band",
+            "key",
+            F.col(id_col).alias("store_id"),
+            F.col("content_hash").alias("__sch"),
+            F.col("sig").alias("__ssig"),
+        ),
+        on=["band", "key"],
+    )
+    est = estimated_jaccard(F.col("__nsig"), F.col("__ssig"), num_perm)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(
+            (F.col("est_jaccard") >= F.lit(threshold))
+            | (F.col("content_hash") == F.col("__sch"))
+        )
+        .select(
+            "batch_id",
+            "store_id",
+            "est_jaccard",
+            F.when(
+                F.col("content_hash") == F.col("__sch"), F.lit("exact")
+            ).otherwise(F.lit("near")).alias("reason"),
+        )
+        .distinct()
+    )

@@ -1101,3 +1101,42 @@ def test_incremental_lsh_hot_bucket_cap(spark):
         fresh = {x["doc_id"] for x in r.fresh.collect()}
         assert fresh == {102}, f"cap={cap}: {fresh}"
         r.pinned.unpersist()
+
+
+def test_lsh_drop_provenance(spark):
+    """The audit twin names the stored doc behind each drop with a reason,
+    and stays silent for survivors."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        incremental_lsh_dedupe,
+        lsh_drop_provenance,
+    )
+
+    stored = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog by the river"),
+         (2, "completely unrelated text about warehouse inventory systems")],
+        "doc_id long, text string",
+    )
+    r = incremental_lsh_dedupe(stored, None, "text", "doc_id",
+                               mode="word", k=3)
+    store = r.store.localCheckpoint(eager=True)
+    r.pinned.unpersist()
+
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog by the river"),
+         (11, "the quick brown fox jumps over the lazy dog by the sea"),
+         (12, "a brand new document on solar panel efficiency curves")],
+        "doc_id long, text string",
+    )
+    prov = lsh_drop_provenance(batch, store, "text", "doc_id",
+                               mode="word", k=3, threshold=0.5)
+    rows = {(p.batch_id, p.store_id): p for p in prov.collect()}
+    assert (10, 1) in rows and rows[(10, 1)].reason == "exact"
+    assert (11, 1) in rows and rows[(11, 1)].reason == "near"
+    assert rows[(11, 1)].est_jaccard >= 0.5
+    assert not [k for k in rows if k[0] == 12]  # survivor: no rows
+    # provenance agrees with the operator's actual drops
+    r2 = incremental_lsh_dedupe(batch, store, "text", "doc_id",
+                                mode="word", k=3, threshold=0.5)
+    dropped = {10, 11, 12} - {x.doc_id for x in r2.fresh.collect()}
+    assert dropped == {k[0] for k in rows}
+    r2.pinned.unpersist()
