@@ -157,3 +157,54 @@ def test_filter_urls_is_codegen_native(spark):
         df, "url", block_domains=["b.example"], block_patterns=["/junk"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_robots_gate(spark):
+    """RFC 9309 politeness: per-domain robots rules gate URLs; domains
+    without robots rows, empty bodies, and NULL urls default to allowed;
+    agent-specific groups override the wildcard."""
+    from evidence_datasource_parsers_spark.functions.urls import (
+        filter_by_robots,
+        with_robots_allowed,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            # stdlib robotparser applies rules FIRST-match (not the RFC's
+            # longest-match), so Allow overrides must precede — the order
+            # most real robots.txt files use anyway
+            ("a.example",
+             "User-agent: *\nAllow: /private/ok\nDisallow: /private/\n"),
+            ("b.example",
+             "User-agent: trainingbot\nDisallow: /\n"
+             "User-agent: *\nDisallow:\n"),
+            ("c.example", ""),  # empty body → allowed
+        ],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.example/public/page"),
+            (2, "http://a.example/private/secret"),
+            (3, "http://a.example/private/ok"),          # Allow overrides
+            (4, "http://www.a.example/private/x"),       # subdomain inherits
+            (5, "http://b.example/anything"),
+            (6, "http://c.example/x"),
+            (7, "http://norobots.example/y"),            # no robots row
+            (8, None),
+        ],
+        "id long, url string",
+    )
+    flags = {r["id"]: r["robots_allowed"] for r in
+             with_robots_allowed(urls, robots).collect()}
+    assert flags[1] and flags[3] and flags[5] and flags[6] and flags[7]
+    assert flags[8] is True
+    assert not flags[2] and not flags[4]
+
+    # agent-specific: trainingbot is banned from b.example entirely
+    bot = {r["id"]: r["robots_allowed"] for r in
+           with_robots_allowed(urls, robots, agent="trainingbot").collect()}
+    assert not bot[5] and bot[1]
+
+    kept = {r["id"] for r in filter_by_robots(urls, robots).collect()}
+    assert kept == {1, 3, 5, 6, 7, 8}
