@@ -1,0 +1,237 @@
+"""Exact duplicated-span removal — the suffix-array substring-dedup
+formulation (Lee et al. 2022, "Deduplicating Training Data Makes Language
+Models Better") re-expressed Spark-first.
+
+operators/passage_dedup.py removes boilerplate at fixed non-overlapping
+window granularity — fast, but a duplicated passage that straddles two
+windows survives.  This module is the EXACT formulation at word-L-gram
+granularity: a token is removed iff it sits inside some length-L token
+window whose content occurs at least ``min_occurrences`` times in the
+corpus.  That is precisely the token set covered by duplicated substrings
+of >= L tokens (a duplicated span of M >= L tokens contributes M - L + 1
+duplicated anchors covering all M tokens; a token in no duplicated L-window
+is in no duplicated >= L-token span).
+
+Spark-first shape — no suffix array is materialized; the same span set
+falls out of three narrow relational stages:
+
+  1. anchor inventory: per doc, every word-L-gram start position with a
+     60-bit portable content hash (functions/hashing.py — identical in the
+     DuckDB oracle).  Built with native HOFs (``transform`` over a
+     ``sequence``, ``slice``, ``md5``) and ``posexplode`` — whole-stage
+     codegen, no Python.  Row count is O(total corpus tokens), the same
+     asymptotic cost a suffix array pays, but it streams: nothing is held
+     per-executor beyond a hash + two longs per anchor.
+  2. recurrence: groupBy the gram hash (map-side combined; shuffle keys are
+     8-byte hashes, never text), keep hashes seen >= min_occurrences times,
+     join back to the anchor inventory (the duplicated-gram table is
+     heavy-tailed-small; AQE picks broadcast when it fits).
+  3. maximal spans: per doc, sort anchor positions and merge runs — two
+     anchors chain iff their L-windows overlap or touch (gap <= L), a
+     single window + running-sum island pass, one shuffle on doc id.
+
+At 100 TB the only wide stages are the hash-keyed count (combiner-friendly,
+near-uniform md5 keys — no salting needed) and the doc-keyed island merge
+(keyed by the corpus' natural partition key).  The join back is the one
+data-size-proportional join and carries only (hash, doc, pos) triples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.functions.hashing import (
+    HEX_CHARS,
+    portable_hash_sql,
+)
+
+#: anchor-gram separator — byte 0x01 never appears in whitespace-split words
+GRAM_SEP = "\x01"
+
+
+def _words(text_col: Column) -> Column:
+    """Whitespace tokenization shared with the oracle: trim, split on runs
+    of whitespace, drop empties (an all-whitespace or NULL doc → [])."""
+    return F.filter(
+        F.split(F.trim(F.coalesce(text_col, F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def _gram_hash(words: Column, start0: Column, n: int) -> Column:
+    """Portable 60-bit hash of the n words starting at 0-based ``start0``.
+
+    Inlined twin of functions.hashing.portable_hash over the joined slice;
+    the oracle computes ('0x' || substr(md5(...),1,15))::BIGINT of the same
+    chr(1)-joined slice.
+    """
+    joined = F.concat_ws(GRAM_SEP, F.slice(words, start0 + F.lit(1), n))
+    return F.conv(F.substring(F.md5(joined), 1, HEX_CHARS), 16, 10).cast(
+        "long"
+    )
+
+
+def duplicated_anchor_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """0-based start positions of every duplicated word-L-gram.
+
+    Returns ``(id_col, pos)`` — one row per anchor whose L-gram content
+    occurs >= min_occurrences times corpus-wide (within-doc repeats count,
+    matching the substring-dedup definition).
+    """
+    n = min_tokens
+    toks = df.select(id_col, _words(F.col(text_col)).alias("__w"))
+    anchors = (
+        toks.where(F.size("__w") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__w") - F.lit(n)),
+                    lambda i: _gram_hash(F.col("__w"), i, n),
+                )
+            ).alias("pos", "__gh"),
+        )
+        .select(id_col, F.col("pos").cast("long").alias("pos"), "__gh")
+    )
+    dup = (
+        anchors.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_occurrences)
+        .select("__gh")
+    )
+    return anchors.join(dup, "__gh").select(id_col, "pos")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    Returns ``(id_col, span_start, span_end)`` with 0-based INCLUSIVE word
+    indices: every token in [span_start, span_end] lies inside some
+    duplicated L-gram window, and the spans are maximal (merging runs of
+    anchors whose windows overlap or touch).
+    """
+    n = min_tokens
+    pos = duplicated_anchor_positions(
+        df, text_col, id_col, min_tokens, min_occurrences
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # anchors at p and q (p < q) chain iff window [q, q+n-1] overlaps or
+    # touches [p, p+n-1], i.e. q - p <= n; a NULL lag (first anchor) is not
+    # a break — CASE falls through to 0 on both engines
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
+    island = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pos.withColumn("__isl", island)
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Excise every duplicated span and rebuild the text.
+
+    Returns the input columns plus ``clean_text`` (surviving words joined
+    by single spaces — whitespace is normalized as a side effect, matching
+    the tokenization), ``n_tokens`` and ``n_removed_tokens``.  Documents
+    with no duplicated span pass through with n_removed_tokens = 0.
+    """
+    spans = duplicated_spans(df, text_col, id_col, min_tokens, min_occurrences)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    joined = df.withColumn("__w", _words(F.col(text_col))).join(
+        per_doc, id_col, "left"
+    )
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    indexed = F.transform(
+        F.col("__w"), lambda x, i: F.struct(x.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            sp,
+            lambda p: (s["i"] >= p["span_start"]) & (s["i"] <= p["span_end"]),
+        ),
+    )
+    return (
+        joined.withColumn(
+            "clean_text",
+            F.concat_ws(" ", F.transform(kept, lambda s: s["t"])),
+        )
+        .withColumn("n_tokens", F.size("__w").cast("long"))
+        .withColumn(
+            "n_removed_tokens",
+            (F.size("__w") - F.size(kept)).cast("long"),
+        )
+        .drop("__w", "__spans")
+    )
+
+
+# --- oracle fragment (DuckDB dialect) --------------------------------------
+
+
+def span_dedup_oracle_ctes(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> str:
+    """DuckDB CTE chain replaying stages 1-3 bit-identically: ``sp_w``
+    (token lists), ``sp_spans`` (maximal spans).  Kept beside the operator
+    so the constants (separator, hash width, chain gap) can never drift."""
+    n = min_tokens
+    gram = f"array_to_string(w[i : i + {n - 1}], chr(1))"
+    return f"""
+    sp_w AS (SELECT {id_col},
+                    list_filter(regexp_split_to_array(
+                                    trim(coalesce({text_col}, '')), '\\s+'),
+                                x -> x <> '') AS w
+             FROM {table}),
+    sp_g AS (SELECT {id_col}, CAST(i - 1 AS BIGINT) AS pos,
+                    {portable_hash_sql(gram)} AS gh
+             FROM sp_w, unnest(range(1, len(w) - {n} + 2)) AS t(i)
+             WHERE len(w) >= {n}),
+    sp_dup AS (SELECT gh FROM sp_g GROUP BY gh
+               HAVING count(*) >= {min_occurrences}),
+    sp_pos AS (SELECT {id_col}, pos FROM sp_g JOIN sp_dup USING (gh)),
+    sp_brk AS (SELECT {id_col}, pos,
+                      CASE WHEN pos - lag(pos) OVER
+                             (PARTITION BY {id_col} ORDER BY pos) > {n}
+                           THEN 1 ELSE 0 END AS brk
+               FROM sp_pos),
+    sp_isl AS (SELECT {id_col}, pos,
+                      sum(brk) OVER (PARTITION BY {id_col} ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS isl
+               FROM sp_brk),
+    sp_spans AS (SELECT {id_col}, min(pos) AS span_start,
+                        CAST(max(pos) + {n - 1} AS BIGINT) AS span_end
+                 FROM sp_isl GROUP BY {id_col}, isl)"""

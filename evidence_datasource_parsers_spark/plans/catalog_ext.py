@@ -1061,34 +1061,7 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "q61_small_quantity_orders",
-    """
-    SELECT l.l_partkey,
-           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-               AS small_qty_revenue_c
-    FROM lineitem l
-    WHERE l.l_quantity < 0.5 * (
-        SELECT avg(l2.l_quantity) FROM lineitem l2
-        WHERE l2.l_partkey = l.l_partkey)
-    GROUP BY l.l_partkey
-    """,
-    tags=("tpch-q17", "correlated-subquery"),
-)
-def q61(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q17 shape (correlated scalar subquery): rows below half their
-    part's average quantity.  Spark-side: decorrelated by hand into an agg +
-    equi-join — the plan Catalyst itself produces for the subquery form.
-    avg(qty) = exact-cents sum / count, one deterministic division."""
-    l = load(spark, sf, "lineitem")
-    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
-        ((F.sum(cents(F.col("l_quantity"))) / 100.0) / F.count(F.lit(1))).alias(
-            "avg_qty"
-        )
-    )
-    return (
-        l.join(part_avg, l.l_partkey == part_avg.pk)
-        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-        .groupBy("l_partkey")
-        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("small_qty_revenue_c"))
-    )
+# q61_small_quantity_orders (TPC-H Q17 correlated-subquery shape) was
+# merged into q63_span_dedup leg 3 (catalog_text.py) to keep the catalog
+# inside the 50-query driver window; the decorrelated agg+equi-join plan
+# is unchanged there.

@@ -55,6 +55,7 @@ from evidence_datasource_parsers_spark.operators.similarity import (
 )
 from evidence_datasource_parsers_spark.plans.catalog import (
     CATALOG,
+    cents,
     load,
     rebalance,
     register,
@@ -1547,3 +1548,97 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         " audio_sample_sum long, audio_zero_crossings long,"
         " avi_probe long",
     )
+
+
+# --- q63: exact duplicated-span dedup (suffix-array formulation) -----------
+
+from evidence_datasource_parsers_spark.operators.span_dedup import (  # noqa: E402
+    duplicated_spans,
+    remove_duplicated_spans,
+    span_dedup_oracle_ctes,
+)
+
+SPAN_MIN_TOKENS = 8
+
+
+@register(
+    "q63_span_dedup",
+    f"""
+    WITH {span_dedup_oracle_ctes(min_tokens=SPAN_MIN_TOKENS)}
+    SELECT doc_id AS id, span_start AS a, span_end AS b, 'span' AS src
+    FROM sp_spans
+    UNION ALL
+    SELECT w.doc_id AS id, CAST(len(w.w) AS BIGINT) AS a,
+           CAST(coalesce(r.rm, 0) AS BIGINT) AS b, 'doc' AS src
+    FROM sp_w w LEFT JOIN (SELECT doc_id, sum(span_end - span_start + 1) AS rm
+                           FROM sp_spans GROUP BY doc_id) r USING (doc_id)
+    UNION ALL
+    SELECT l.l_partkey AS id,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS a,
+           CAST(COUNT(*) AS BIGINT) AS b, 'part' AS src
+    FROM lineitem l
+    WHERE l.l_quantity < 0.5 * (
+        SELECT avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY l.l_partkey
+    """,
+    tags=("dedup", "substring", "span", "exact", "tpch-q17"),
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicated-span dedup — Lee et al. 2022 substring dedup at
+    word-{SPAN_MIN_TOKENS}-gram anchor granularity (operators/span_dedup.py;
+    the exact formulation passage_dedup.py approximates with fixed windows).
+
+    Leg 1 (src='span'): every maximal duplicated token span per document —
+    0-based inclusive word indices — value-checking the full anchor →
+    recurrence → join-back → island-merge chain against a DuckDB replay.
+
+    Leg 2 (src='doc'): per-document token totals and removed-token counts
+    for ALL documents (clean docs ride the left join with 0), checking the
+    removal accounting AND that remove_duplicated_spans' surviving-token
+    count equals total − covered on the Spark side.
+
+    Leg 3 (src='part'): the relocated q61_small_quantity_orders — TPC-H Q17
+    correlated scalar subquery, decorrelated by hand into an agg+equi-join
+    (the plan Catalyst produces for the subquery form); merged here to keep
+    the catalog inside the 50-query driver window while preserving its
+    driver-green evidence.
+
+    Hashed surface: integer + string only, NULL-free (the q38 lesson).
+    """
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    spans = duplicated_spans(docs, min_tokens=SPAN_MIN_TOKENS).select(
+        F.col("doc_id").alias("id"),
+        F.col("span_start").alias("a"),
+        F.col("span_end").alias("b"),
+        F.lit("span").alias("src"),
+    )
+    # leg 2 derives removed counts from the REBUILT text (size(words) -
+    # size(kept)), not from span arithmetic — so a drift between the span
+    # table and the actual excision breaks the hash
+    cleaned = remove_duplicated_spans(
+        docs, min_tokens=SPAN_MIN_TOKENS
+    ).select(
+        F.col("doc_id").alias("id"),
+        F.col("n_tokens").alias("a"),
+        F.col("n_removed_tokens").alias("b"),
+        F.lit("doc").alias("src"),
+    )
+    l = load(spark, sf, "lineitem")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            (F.sum(cents(F.col("l_quantity"))) / 100.0) / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    small_qty = (
+        l.join(part_avg, l.l_partkey == part_avg.pk)
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy(F.col("l_partkey").alias("id"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"))).alias("a"),
+            F.count(F.lit(1)).alias("b"),
+        )
+        .withColumn("src", F.lit("part"))
+    )
+    return spans.unionByName(cleaned).unionByName(small_qty)

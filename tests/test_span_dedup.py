@@ -1,0 +1,155 @@
+"""Exact duplicated-span dedup (operators/span_dedup.py) — unit semantics
+plus a brute-force cross-check of the anchor/span chain."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.operators.span_dedup import (
+    duplicated_anchor_positions,
+    duplicated_spans,
+    remove_duplicated_spans,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+WORDS = "w{} " * 40  # helper to build distinct filler
+
+
+def _filler(lo, n):
+    return " ".join(f"u{lo + i}" for i in range(n))
+
+
+def test_no_duplicates_no_spans(spark):
+    df = _docs(
+        spark,
+        [(1, _filler(0, 20)), (2, _filler(100, 20))],
+    )
+    assert duplicated_spans(df, min_tokens=4).count() == 0
+    out = remove_duplicated_spans(df, min_tokens=4).collect()
+    assert all(r.n_removed_tokens == 0 for r in out)
+    # whitespace-normalized passthrough
+    assert {r.clean_text for r in out} == {_filler(0, 20), _filler(100, 20)}
+
+
+def test_cross_doc_duplicate_span_found_and_removed(spark):
+    shared = "a b c d e f"  # 6 tokens, L=4 -> anchors 0..2 in each doc
+    d1 = f"{_filler(0, 5)} {shared} {_filler(10, 5)}"
+    d2 = f"{_filler(20, 5)} {shared} {_filler(30, 5)}"
+    df = _docs(spark, [(1, d1), (2, d2)])
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(df, min_tokens=4).collect()
+    }
+    # shared block occupies word indices 5..10 in both docs
+    assert spans == {(1, 5, 10), (2, 5, 10)}
+    out = {
+        r.doc_id: r for r in remove_duplicated_spans(df, min_tokens=4).collect()
+    }
+    assert out[1].clean_text == f"{_filler(0, 5)} {_filler(10, 5)}"
+    assert out[1].n_removed_tokens == 6
+    assert out[2].n_removed_tokens == 6
+
+
+def test_within_doc_repeat_counts(spark):
+    shared = "p q r s"
+    df = _docs(spark, [(1, f"{shared} {_filler(0, 6)} {shared}")])
+    spans = sorted(
+        (r.span_start, r.span_end)
+        for r in duplicated_spans(df, min_tokens=4).collect()
+    )
+    assert spans == [(0, 3), (10, 13)]
+
+
+def test_straddling_span_caught_unlike_fixed_windows(spark):
+    """The motivating case: a duplicate straddling a fixed-window boundary.
+
+    passage_dedup with passage_tokens=8 would hash [0..7] and [8..15]
+    separately and miss a duplicate covering words 4..11; the exact
+    formulation catches it.
+    """
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    d1 = f"{_filler(0, 4)} {shared} {_filler(10, 4)}"
+    d2 = f"{_filler(20, 4)} {shared} {_filler(30, 4)}"
+    df = _docs(spark, [(1, d1), (2, d2)])
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(df, min_tokens=8).collect()
+    }
+    assert spans == {(1, 4, 11), (2, 4, 11)}
+
+
+def test_touching_windows_merge_into_one_span(spark):
+    # two duplicated 4-gram regions with a gap of exactly L chain together
+    a, b = "a1 a2 a3 a4", "b1 b2 b3 b4"
+    # doc 1/2 share a and b with 4 distinct-but-shared middle words, so the
+    # whole 12-token block is one duplicated region
+    mid = "m1 m2 m3 m4"
+    d1 = f"{_filler(0, 3)} {a} {mid} {b}"
+    d2 = f"{_filler(20, 3)} {a} {mid} {b}"
+    df = _docs(spark, [(1, d1), (2, d2)])
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(df, min_tokens=4).collect()
+    }
+    assert spans == {(1, 3, 14), (2, 3, 14)}
+
+
+def test_short_and_empty_docs_pass_through(spark):
+    df = _docs(spark, [(1, "one two"), (2, "   "), (3, None)])
+    assert duplicated_spans(df, min_tokens=4).count() == 0
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, min_tokens=4).collect()}
+    assert out[1].n_tokens == 2 and out[1].n_removed_tokens == 0
+    assert out[2].n_tokens == 0 and out[2].clean_text == ""
+    assert out[3].n_tokens == 0
+
+
+def test_min_occurrences_threshold(spark):
+    shared = "x1 x2 x3 x4"
+    rows = [(i, f"{_filler(i * 50, 4)} {shared}") for i in range(3)]
+    df = _docs(spark, rows)
+    # appears 3x: min_occurrences=3 keeps it, 4 drops it
+    assert duplicated_spans(df, min_tokens=4, min_occurrences=3).count() == 3
+    assert duplicated_spans(df, min_tokens=4, min_occurrences=4).count() == 0
+
+
+def test_anchor_positions_brute_force(spark):
+    """Cross-check anchors against a driver-side brute-force on small docs."""
+    import collections
+
+    rows = [
+        (1, "a b c d e a b c d e"),
+        (2, "z y a b c d q r s t"),
+        (3, "c d e a b c d e z z"),
+    ]
+    L = 3
+    grams = collections.Counter()
+    per_doc = {}
+    for did, text in rows:
+        ws = text.split()
+        per_doc[did] = ws
+        for i in range(len(ws) - L + 1):
+            grams[tuple(ws[i : i + L])] += 1
+    expect = {
+        (did, i)
+        for did, ws in per_doc.items()
+        for i in range(len(ws) - L + 1)
+        if grams[tuple(ws[i : i + L])] >= 2
+    }
+    df = _docs(spark, rows)
+    got = {
+        (r.doc_id, r.pos)
+        for r in duplicated_anchor_positions(df, min_tokens=L).collect()
+    }
+    assert got == expect
+
+
+def test_plan_has_no_cartesian_and_no_python_eval(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = duplicated_spans(df, min_tokens=8)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
