@@ -38,6 +38,8 @@ data-size-proportional join and carries only (hash, doc, pos) triples.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -78,16 +80,40 @@ def duplicated_anchor_positions(
     id_col: str = "doc_id",
     min_tokens: int = 8,
     min_occurrences: int = 2,
+    persist: bool = True,
 ) -> DataFrame:
     """0-based start positions of every duplicated word-L-gram.
 
     Returns ``(id_col, pos)`` — one row per anchor whose L-gram content
     occurs >= min_occurrences times corpus-wide (within-doc repeats count,
     matching the substring-dedup definition).
+
+    The anchor inventory feeds BOTH the recurrence count and the join-back;
+    without pinning, each consumer re-runs the md5-per-token gram hashing —
+    the dominant cost of the whole operator.  ``persist`` (default) pins
+    the (id, pos, hash) triples — 24 bytes/token, MEMORY_AND_DISK so it
+    spills rather than OOMs at corpus scale; pass False to trade a second
+    hashing pass for zero storage (the right call on a cache-starved
+    cluster).
     """
-    n = min_tokens
+    anchors = _anchor_inventory(df, text_col, id_col, min_tokens)
+    if persist:
+        anchors = anchors.persist()
+    dup = (
+        anchors.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_occurrences)
+        .select("__gh")
+    )
+    return anchors.join(dup, "__gh").select(id_col, "pos")
+
+
+def _anchor_inventory(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """``(id_col, pos, __gh)`` — every word-n-gram start with its hash."""
     toks = df.select(id_col, _words(F.col(text_col)).alias("__w"))
-    anchors = (
+    return (
         toks.where(F.size("__w") >= n)
         .select(
             id_col,
@@ -100,37 +126,13 @@ def duplicated_anchor_positions(
         )
         .select(id_col, F.col("pos").cast("long").alias("pos"), "__gh")
     )
-    dup = (
-        anchors.groupBy("__gh")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .where(F.col("__c") >= min_occurrences)
-        .select("__gh")
-    )
-    return anchors.join(dup, "__gh").select(id_col, "pos")
 
 
-def duplicated_spans(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    min_tokens: int = 8,
-    min_occurrences: int = 2,
-) -> DataFrame:
-    """Maximal duplicated token spans per document.
-
-    Returns ``(id_col, span_start, span_end)`` with 0-based INCLUSIVE word
-    indices: every token in [span_start, span_end] lies inside some
-    duplicated L-gram window, and the spans are maximal (merging runs of
-    anchors whose windows overlap or touch).
-    """
-    n = min_tokens
-    pos = duplicated_anchor_positions(
-        df, text_col, id_col, min_tokens, min_occurrences
-    )
+def _merge_islands(pos: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Maximal spans from duplicated anchor positions ``(id_col, pos)`` —
+    the window + running-sum island pass shared by the at-rest and
+    incremental tiers."""
     w = Window.partitionBy(id_col).orderBy("pos")
-    # anchors at p and q (p < q) chain iff window [q, q+n-1] overlaps or
-    # touches [p, p+n-1], i.e. q - p <= n; a NULL lag (first anchor) is not
-    # a break — CASE falls through to 0 on both engines
     brk = F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
     island = F.sum(brk).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -146,12 +148,37 @@ def duplicated_spans(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    min_occurrences: int = 2,
+    persist: bool = True,
+) -> DataFrame:
+    """Maximal duplicated token spans per document.
+
+    Returns ``(id_col, span_start, span_end)`` with 0-based INCLUSIVE word
+    indices: every token in [span_start, span_end] lies inside some
+    duplicated L-gram window, and the spans are maximal (merging runs of
+    anchors whose windows overlap or touch).
+    """
+    # anchors at p and q (p < q) chain iff window [q, q+n-1] overlaps or
+    # touches [p, p+n-1], i.e. q - p <= n; a NULL lag (first anchor) is not
+    # a break — CASE falls through to 0 on both engines
+    pos = duplicated_anchor_positions(
+        df, text_col, id_col, min_tokens, min_occurrences, persist
+    )
+    return _merge_islands(pos, id_col, min_tokens)
+
+
 def remove_duplicated_spans(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_tokens: int = 8,
     min_occurrences: int = 2,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Excise every duplicated span and rebuild the text.
 
@@ -159,8 +186,23 @@ def remove_duplicated_spans(
     by single spaces — whitespace is normalized as a side effect, matching
     the tokenization), ``n_tokens`` and ``n_removed_tokens``.  Documents
     with no duplicated span pass through with n_removed_tokens = 0.
+
+    Pass a precomputed ``spans`` frame (from :func:`duplicated_spans` over
+    the SAME df/params) when the caller also consumes the span table — the
+    whole anchor→recurrence→merge chain then runs once, not twice.
     """
-    spans = duplicated_spans(df, text_col, id_col, min_tokens, min_occurrences)
+    if spans is None:
+        spans = duplicated_spans(
+            df, text_col, id_col, min_tokens, min_occurrences
+        )
+    return _excise(df, spans, text_col, id_col)
+
+
+def _excise(
+    df: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Excision tail shared by the at-rest and incremental tiers: drop the
+    tokens covered by ``spans`` and rebuild ``clean_text`` per document."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
@@ -235,3 +277,90 @@ def span_dedup_oracle_ctes(
     sp_spans AS (SELECT {id_col}, min(pos) AS span_start,
                         CAST(max(pos) + {n - 1} AS BIGINT) AS span_end
                  FROM sp_isl GROUP BY {id_col}, isl)"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental tier — the gram-count store, completing the fingerprint-store
+# matrix (exact / LSH / SimHash / embedding / pHash / audio / video) for the
+# substring-dedup modality.
+# ---------------------------------------------------------------------------
+
+
+class IncrementalSpanResult(NamedTuple):
+    """Result of :func:`incremental_span_dedupe`.
+
+    ``pinned`` is the persisted anchor frame both outputs derive from; call
+    ``pinned.unpersist()`` after materializing ``cleaned`` and ``store``
+    (the same no-leaked-cache contract as the LSH/pHash incremental ops).
+    """
+
+    cleaned: DataFrame
+    store: DataFrame
+    pinned: DataFrame
+
+
+def incremental_span_dedupe(
+    new_batch: DataFrame,
+    gram_store: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> IncrementalSpanResult:
+    """Batch-over-batch exact substring dedup: excise from the NEW batch
+    every token span whose L-gram content has occurred >= min_occurrences
+    times across ALL ingested batches, without re-reading the historical
+    corpus.
+
+    ``gram_store`` carries one row per distinct gram hash ever seen:
+    ``(gram_hash, n_seen)`` with ``n_seen`` SATURATED at min_occurrences —
+    the marking test only needs "did the cumulative count reach the
+    threshold", so counts never grow past it and the store stays one small
+    integer per distinct gram.  Pass None on the first run.
+
+    Counting is additive (count over batch ∪ history = batch count + stored
+    count), so a batch-2 document is cleaned exactly as the at-rest
+    operator would clean it over the full union — property-tested.  The
+    usual incremental caveat applies in the other direction: batch-1
+    documents were cleaned with only batch-1 knowledge; a duplicate whose
+    second copy arrives later is excised from the LATER copy only (same
+    temporal semantics as the LSH/embedding stores, where the FIRST copy is
+    the one retained).
+
+    100 TB shape: the store is O(distinct grams) ≈ O(corpus tokens) rows of
+    (8-byte hash, 1-byte count) — the same asymptotic state a suffix array
+    carries, but mergeable and bucketable.  Write it bucketed by gram_hash
+    (sources/sinks.py:write_bucketed_store) and the batch-vs-store outer
+    merge is co-located on the store side; the batch side shuffles only
+    (hash, count) pairs, never text.
+    """
+    n = min_tokens
+    anchors = _anchor_inventory(new_batch, text_col, id_col, n).persist()
+    batch_counts = anchors.groupBy(F.col("__gh").alias("gram_hash")).agg(
+        F.count(F.lit(1)).alias("__bc")
+    )
+    if gram_store is not None:
+        merged = batch_counts.join(
+            gram_store.select("gram_hash", "n_seen"), "gram_hash", "full_outer"
+        ).select(
+            "gram_hash",
+            F.coalesce(F.col("__bc"), F.lit(0)).alias("__bc"),
+            F.coalesce(F.col("n_seen"), F.lit(0)).alias("__sc"),
+        )
+    else:
+        merged = batch_counts.select(
+            "gram_hash", "__bc", F.lit(0).cast("long").alias("__sc")
+        )
+    total = F.col("__bc") + F.col("__sc")
+    store = merged.select(
+        "gram_hash",
+        F.least(total, F.lit(min_occurrences)).cast("long").alias("n_seen"),
+    )
+    dup = (
+        merged.where((total >= min_occurrences) & (F.col("__bc") > 0))
+        .select(F.col("gram_hash").alias("__gh"))
+    )
+    pos = anchors.join(dup, "__gh").select(id_col, "pos")
+    spans = _merge_islands(pos, id_col, n)
+    cleaned = _excise(new_batch, spans, text_col, id_col)
+    return IncrementalSpanResult(cleaned=cleaned, store=store, pinned=anchors)

@@ -49,12 +49,15 @@ from evidence_datasource_parsers_spark.operators.sharding import (
 class RefreshResult(NamedTuple):
     """``ready``: fresh docs that passed every gate, with ``quality``,
     ``split``, ``shard``, ``shard_pos`` columns.  ``store``: the updated
-    fingerprint store to persist for the next run.  ``pinned``: cache
-    handles — call :meth:`done` once both frames are materialized."""
+    fingerprint store to persist for the next run.  ``span_store``: the
+    updated gram-count store when the span stage ran (else None) — persist
+    it alongside ``store``.  ``pinned``: cache handles — call :meth:`done`
+    once every returned frame is materialized."""
 
     ready: DataFrame
     store: DataFrame
     pinned: tuple
+    span_store: DataFrame | None = None
 
     def done(self) -> None:
         for p in self.pinned:
@@ -77,6 +80,9 @@ def refresh_corpus_batch(
     lm_n: int = 2,
     quality_weights: DataFrame | None = None,
     quality_buckets: int = 4096,
+    span_min_tokens: int | None = None,
+    span_store: DataFrame | None = None,
+    span_min_occurrences: int = 2,
     **dedupe_kwargs,
 ) -> RefreshResult:
     """One refresh-loop iteration.  ``mode``: ``exact`` | ``lsh`` |
@@ -105,6 +111,17 @@ def refresh_corpus_batch(
     replaces the placeholder expression tier for the ``quality`` column —
     same hashing (``quality_buckets`` must match training), same [-1, 1]
     scale, so ``min_quality`` thresholds transfer.
+
+    ``span_min_tokens`` enables the SUB-document stage: after doc-level
+    dedup, token spans whose ``span_min_tokens``-gram content recurred
+    across all runs (``span_store`` = the carried gram-count store) are
+    excised from the surviving docs (span_dedup.incremental_span_dedupe) —
+    boilerplate that rides inside otherwise-novel pages dies here, where
+    doc-level fingerprints can't see it.  ``text_col`` is REPLACED by the
+    cleaned text (a mutation, unlike canonicalize) and a
+    ``span_removed_tokens`` audit column is added BEFORE quality/LM
+    scoring, so the gates judge the text that would actually ship.  The
+    updated gram store returns as ``RefreshResult.span_store``.
     """
     fp_col = text_col
     if canonicalize:
@@ -134,6 +151,27 @@ def refresh_corpus_batch(
 
     if canonicalize:
         fresh = fresh.drop(fp_col)  # fingerprint policy, not a mutation
+    span_store_out = None
+    if span_min_tokens is not None:
+        from evidence_datasource_parsers_spark.operators.span_dedup import (
+            incremental_span_dedupe,
+        )
+
+        sres = incremental_span_dedupe(
+            fresh,
+            span_store,
+            text_col,
+            id_col,
+            min_tokens=span_min_tokens,
+            min_occurrences=span_min_occurrences,
+        )
+        fresh = (
+            sres.cleaned.withColumn(text_col, F.col("clean_text"))
+            .withColumnRenamed("n_removed_tokens", "span_removed_tokens")
+            .drop("clean_text", "n_tokens")
+        )
+        span_store_out = sres.store
+        pinned = pinned + (sres.pinned,)
     if quality_weights is not None:
         from evidence_datasource_parsers_spark.functions.quality import (
             score_with_weight_table,
@@ -167,7 +205,9 @@ def refresh_corpus_batch(
         scored, id_col, splits or {"train": 0.9, "val": 0.05, "test": 0.05}
     )
     ready = assign_shards(split, id_col, num_shards)
-    return RefreshResult(ready=ready, store=store, pinned=pinned)
+    return RefreshResult(
+        ready=ready, store=store, pinned=pinned, span_store=span_store_out
+    )
 
 
 class MediaRefreshResult(NamedTuple):

@@ -1608,7 +1608,8 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     Hashed surface: integer + string only, NULL-free (the q38 lesson).
     """
     docs = load(spark, sf, "documents").select("doc_id", "text")
-    spans = duplicated_spans(docs, min_tokens=SPAN_MIN_TOKENS).select(
+    span_tbl = duplicated_spans(docs, min_tokens=SPAN_MIN_TOKENS)
+    spans = span_tbl.select(
         F.col("doc_id").alias("id"),
         F.col("span_start").alias("a"),
         F.col("span_end").alias("b"),
@@ -1616,9 +1617,10 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     )
     # leg 2 derives removed counts from the REBUILT text (size(words) -
     # size(kept)), not from span arithmetic — so a drift between the span
-    # table and the actual excision breaks the hash
+    # table and the actual excision breaks the hash; the span table itself
+    # is computed ONCE and feeds both legs
     cleaned = remove_duplicated_spans(
-        docs, min_tokens=SPAN_MIN_TOKENS
+        docs, min_tokens=SPAN_MIN_TOKENS, spans=span_tbl
     ).select(
         F.col("doc_id").alias("id"),
         F.col("n_tokens").alias("a"),

@@ -123,6 +123,10 @@ def incremental_dedupe_sink(
         stored clips dropped against an (id, frame_idx, phash)
         sampled-frame store (`multimodal.incremental_video_dedupe`);
         ``text_col`` names the binary blob column.
+      * ``'span'`` — exact substring dedup: duplicated token spans are
+        EXCISED (documents are rewritten, not dropped — every batch doc is
+        appended with clean_text/n_tokens/n_removed_tokens) against a
+        saturating gram-count store (`span_dedup.incremental_span_dedupe`).
 
     ``dedupe_opts`` pass through to the chosen operator (num_perm/bands/k
     for lsh; nbits/max_hamming/n_blocks for simhash; threshold).  The LSH
@@ -132,7 +136,8 @@ def incremental_dedupe_sink(
     from evidence_datasource_parsers_spark.operators import dedupe as dd
 
     if mode not in (
-        "exact", "lsh", "simhash", "embedding", "phash", "audio", "video"
+        "exact", "lsh", "simhash", "embedding", "phash", "audio", "video",
+        "span",
     ):
         raise ValueError(f"unknown dedupe mode {mode!r}")
 
@@ -192,6 +197,18 @@ def incremental_dedupe_sink(
                 batch_df, store, text_col, id_col, **dedupe_opts
             )
             fresh, new_store = res.fresh, res.store
+            fresh = fresh.persist()
+        elif mode == "span":
+            from evidence_datasource_parsers_spark.operators.span_dedup import (
+                incremental_span_dedupe,
+            )
+
+            res = incremental_span_dedupe(
+                batch_df, store, text_col, id_col, **dedupe_opts
+            )
+            # "fresh" here is the batch REWRITTEN (spans excised), not a
+            # survivor subset — the swap/append discipline is identical
+            fresh, new_store = res.cleaned, res.store
             fresh = fresh.persist()
         else:  # embedding
             from evidence_datasource_parsers_spark.operators.quantize import (

@@ -300,3 +300,48 @@ def test_refresh_with_trained_quality_weights(spark):
                                    quality_weights=weights).ready.collect()}
     assert scores[1] > 0 > scores[2]
     res.done()
+
+
+def test_span_stage_excises_cross_run_boilerplate(spark):
+    """The sub-document stage: run-2 docs are NOVEL at doc level (they pass
+    exact dedup) but carry a passage already seen in run 1 — the span stage
+    excises it via the carried gram store, and the quality/split gates see
+    the cleaned text."""
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    b1 = _docs(
+        spark,
+        [(1, f"a first article about topic one {boiler}")],
+    )
+    r1 = refresh_corpus_batch(
+        b1, None, mode="exact", span_min_tokens=4, num_shards=2
+    )
+    assert r1.span_store is not None
+    gram_store = r1.span_store.localCheckpoint(eager=True)
+    doc_store = r1.store.localCheckpoint(eager=True)
+    # run 1: boilerplate seen once — nothing excised yet
+    row1 = r1.ready.collect()[0]
+    assert row1.span_removed_tokens == 0
+    r1.done()
+
+    b2 = _docs(
+        spark,
+        [(2, f"a second piece on another subject entirely {boiler}")],
+    )
+    r2 = refresh_corpus_batch(
+        b2, doc_store, mode="exact",
+        span_min_tokens=4, span_store=gram_store, num_shards=2,
+    )
+    row2 = r2.ready.collect()[0]
+    assert row2.doc_id == 2  # doc-level dedup kept it (novel doc)
+    assert row2.span_removed_tokens == 9
+    assert boiler.split()[0] not in row2.text.split()
+    assert row2.text == "a second piece on another subject entirely"
+    r2.done()
+
+
+def test_span_stage_off_by_default(spark):
+    b1 = _docs(spark, [(1, "plain document with no repetition at all")])
+    r1 = refresh_corpus_batch(b1, None, mode="exact")
+    assert r1.span_store is None
+    assert "span_removed_tokens" not in r1.ready.columns
+    r1.done()

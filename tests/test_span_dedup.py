@@ -153,3 +153,98 @@ def test_plan_has_no_cartesian_and_no_python_eval(spark, sf_dir):
     plan = duplicated_spans(df, min_tokens=8)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- incremental tier ------------------------------------------------------
+
+
+def _run_incremental(spark, batch, store):
+    from evidence_datasource_parsers_spark.operators.span_dedup import (
+        incremental_span_dedupe,
+    )
+
+    res = incremental_span_dedupe(batch, store, min_tokens=4)
+    cleaned = res.cleaned.collect()
+    new_store = res.store.collect()
+    res.pinned.unpersist()
+    return cleaned, new_store
+
+
+def test_incremental_cross_batch_duplicate_excised(spark):
+    """A passage seen once in batch 1 and once in batch 2 is unique within
+    each batch alone — only the store makes the batch-2 copy excisable."""
+    shared = "c1 c2 c3 c4 c5"
+    b1 = _docs(spark, [(1, f"{_filler(0, 5)} {shared}")])
+    b2 = _docs(spark, [(2, f"{_filler(10, 5)} {shared} {_filler(20, 3)}")])
+
+    c1, store1 = _run_incremental(spark, b1, None)
+    # batch 1 alone: no duplication, nothing removed
+    assert c1[0].n_removed_tokens == 0
+    store1_df = spark.createDataFrame(store1)
+
+    c2, store2 = _run_incremental(spark, b2, store1_df)
+    assert c2[0].n_removed_tokens == 5
+    assert c2[0].clean_text == f"{_filler(10, 5)} {_filler(20, 3)}"
+
+
+def test_incremental_equals_atrest_union_for_new_batch(spark):
+    """Additivity property: batch-2 docs come out of the incremental op
+    exactly as the at-rest operator over batch1 ∪ batch2 would clean them."""
+    rows1 = [
+        (1, f"{_filler(0, 6)} p1 p2 p3 p4 {_filler(10, 2)}"),
+        (2, f"q1 q2 q3 q4 {_filler(30, 5)}"),
+    ]
+    rows2 = [
+        (3, f"{_filler(40, 3)} p1 p2 p3 p4"),
+        (4, f"q1 q2 q3 q4 q1 q2 q3 q4 {_filler(50, 4)}"),
+        (5, _filler(60, 8)),
+    ]
+    b1, b2 = _docs(spark, rows1), _docs(spark, rows2)
+    _, store1 = _run_incremental(spark, b1, None)
+    cleaned2, _ = _run_incremental(
+        spark, b2, spark.createDataFrame(store1)
+    )
+    union_clean = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in remove_duplicated_spans(
+            _docs(spark, rows1 + rows2), min_tokens=4
+        ).collect()
+        if r.doc_id in (3, 4, 5)
+    }
+    got = {r.doc_id: (r.clean_text, r.n_removed_tokens) for r in cleaned2}
+    assert got == union_clean
+
+
+def test_incremental_store_saturates(spark):
+    shared = "s1 s2 s3 s4"
+    b1 = _docs(spark, [(i, f"{_filler(i * 30, 4)} {shared}") for i in range(4)])
+    _, store1 = _run_incremental(spark, b1, None)
+    assert max(r.n_seen for r in store1) == 2  # capped at min_occurrences
+    # re-ingesting more copies keeps the cap
+    b2 = _docs(spark, [(9, f"{shared} {_filler(90, 4)}")])
+    _, store2 = _run_incremental(spark, b2, spark.createDataFrame(store1))
+    assert max(r.n_seen for r in store2) == 2
+
+
+def test_incremental_first_batch_within_batch_dup(spark):
+    """Within-batch duplication is caught on the very first run (no store)."""
+    shared = "w1 w2 w3 w4"
+    b1 = _docs(
+        spark,
+        [(1, f"{shared} {_filler(0, 4)}"), (2, f"{_filler(10, 4)} {shared}")],
+    )
+    cleaned, store = _run_incremental(spark, b1, None)
+    assert {r.doc_id: r.n_removed_tokens for r in cleaned} == {1: 4, 2: 4}
+    # store keeps every distinct gram of the batch, saturated correctly
+    assert all(r.n_seen in (1, 2) for r in store)
+
+
+def test_incremental_store_grams_survive_absence(spark):
+    """Grams absent from the current batch stay in the store (full outer)."""
+    b1 = _docs(spark, [(1, "k1 k2 k3 k4 " + _filler(0, 4))])
+    _, store1 = _run_incremental(spark, b1, None)
+    b2 = _docs(spark, [(2, _filler(10, 8))])
+    _, store2 = _run_incremental(spark, b2, spark.createDataFrame(store1))
+    assert set(r.gram_hash for r in store1) <= set(
+        r.gram_hash for r in store2
+    )

@@ -597,3 +597,54 @@ def test_incremental_dedupe_sink_audio_mode(spark, tmp_path):
         expect=[1, 11],
     )
     assert sorted(st.columns) == ["afp", "media_id"] and st.count() == 2
+
+
+def test_incremental_dedupe_sink_span_mode(spark, tmp_path):
+    """mode='span': a passage first seen in run 1 is EXCISED from a run-2
+    document that repeats it — the doc itself survives, rewritten."""
+    import json as _json
+
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        incremental_dedupe_sink,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    d1 = f"one two three four five {shared}"
+    d2 = f"six seven eight nine ten {shared} eleven twelve"
+    src = tmp_path / "span_in"
+    src.mkdir()
+    out = str(tmp_path / "span_out")
+    store = str(tmp_path / "span_store")
+
+    def doc(i, text):
+        return _json.dumps({"doc_id": i, "text": text})
+
+    (src / "b1.json").write_text(doc(1, d1))
+
+    runs = [0]
+
+    def run():
+        runs[0] += 1
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        q = incremental_dedupe_sink(
+            stream, out, store, str(tmp_path / f"span_ck{runs[0]}"),
+            "text", "doc_id", mode="span", min_tokens=4,
+        )
+        q.awaitTermination()
+
+    run()
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert rows[1].n_removed_tokens == 0  # nothing duplicated yet
+
+    (src / "b2.json").write_text(doc(2, d2))
+    run()
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2}  # doc 2 appended, not dropped
+    assert rows[2].n_removed_tokens == 5
+    assert rows[2].clean_text == "six seven eight nine ten eleven twelve"
+    # gram store carries saturating counts, capped at 2
+    st = spark.read.parquet(store).collect()
+    assert st and max(r.n_seen for r in st) == 2

@@ -241,6 +241,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     names = [n for n, q in CATALOG.items() if q.bench]
+    # q63 is deliberately NOT bench=True (adding a ~4s query would break
+    # round-over-round headline comparability) but its scale behavior is
+    # the whole point of the suffix-array formulation — stress it here.
+    # The replicated documents table preserves within-replica duplicate
+    # structure (every token suffixed _r), so spans scale ×N.
+    names.append("q63_span_dedup")
     for name in names:  # codegen/JIT warm-up, untimed
         materialize(CATALOG[name].builder(spark, "/root/testdata/sf0.001"))
 
