@@ -33,6 +33,87 @@ def top_n_per_group(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global ``row_number`` under a TOTAL ordering — the scale
+    path that replaces ``row_number().over(Window.orderBy(...))``, whose
+    empty partition spec plans a SINGLE-partition sort of the whole input
+    (``WindowExec: No Partition Defined`` — the one shape that cannot
+    survive a 10⁸–10⁹-row vocabulary at 100 TB).
+
+    DataFrame-level ``RDD.zipWithIndex``:
+
+    1. ``repartitionByRange(order_by)`` — a sampled range shuffle; partition
+       *i* holds a contiguous key range strictly below partition *i+1*'s.
+    2. ``sortWithinPartitions(order_by)`` — partition-LOCAL sorts, fully
+       parallel (renders ``Sort [...], false`` — passes the plan audit).
+    3. ``monotonically_increasing_id()`` over the sorted stream encodes
+       (partition id << 33) + local ordinal; the frame is persisted FIRST so
+       both consumers below observe one materialization (ids are stable on
+       the cached blocks, whatever AQE did to the exchange).
+    4. Per-partition row counts — ≤ ``num_partitions`` longs — come back to
+       the driver in one bounded metadata action (exactly the count job
+       ``RDD.zipWithIndex`` runs; this is NOT a data collect) and turn into
+       a literal pid→offset map applied with ``element_at``: no join, no
+       window, no global sort anywhere in the plan.
+
+    Ranks are exact and deterministic for a total ``order_by`` regardless of
+    where the sampled range boundaries land.  Cost at scale: ONE full-data
+    shuffle (the range exchange) + local sorts + a counts job over the cache.
+    The caller owns the cache lifetime (``.unpersist()`` the RETURNED frame's
+    source via ``df_ranked`` lineage is unnecessary — blocks age out via the
+    context cleaner once the frame is unreferenced).
+
+    Parity: replaces the q11 Zipf-rank leg's vocabulary-wide unpartitioned
+    window (plans/catalog.py q11); reference computes ranks single-node in
+    pandas (e.g. modules/cancerBiomarkers.py-style driver frames) which the
+    Spark-first design must not imitate.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        if num_partitions is not None
+        else df.repartitionByRange(*order_by)
+    )
+    tagged = ranged.sortWithinPartitions(*order_by).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = (
+        tagged.groupBy(F.shiftright("__mid", 33).alias("__pid"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["__c"]
+    if not offsets:  # empty input: rank column still appears in the schema
+        return tagged.withColumn(rank_col, F.lit(None).cast("long")).drop(
+            "__mid"
+        )
+    off_map = F.create_map(
+        *[
+            F.lit(x).cast("long")
+            for pid, off in offsets.items()
+            for x in (pid, off)
+        ]
+    )
+    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return tagged.withColumn(
+        rank_col,
+        (
+            local + F.element_at(off_map, F.shiftright("__mid", 33)) + F.lit(1)
+        ).cast("long"),
+    ).drop("__mid")
+
+
 def top_1_per_group_agg(
     df: DataFrame,
     partition_by: list[str],

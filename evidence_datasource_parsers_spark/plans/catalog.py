@@ -482,9 +482,20 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
     SUMS are partition-order-dependent, so the fit's accumulators go
     through exact DECIMAL(28,12) sums of per-row 12-dp-rounded ln values —
     order-independent in BOTH engines — and only the final 5-op formula
-    runs in double."""
+    runs in double.
+
+    Scale note: the fit needs a rank over the ENTIRE vocabulary (the
+    least-squares sums run over every token), so the old
+    ``row_number().over(Window.orderBy(...))`` — a single-partition sort of
+    10⁸–10⁹ rows at web scale — is replaced by ``operators.windows.
+    global_rank`` (range shuffle + local sorts + exact per-partition
+    offsets).  Ranks are bit-identical, so the oracle's ``row_number()
+    OVER (ORDER BY n DESC, token)`` is unchanged."""
     from evidence_datasource_parsers_spark.functions.tfidf import (
         term_relevance,
+    )
+    from evidence_datasource_parsers_spark.operators.windows import (
+        global_rank,
     )
 
     p = load(spark, sf, "part")
@@ -496,8 +507,10 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.max("tfidf"), 6).alias("top_tfidf"),
         F.round(F.max("bm25"), 6).alias("top_bm25"),
     )
-    r = F.row_number().over(Window.orderBy(F.col("n").desc(), "token"))
-    lx = F.round(F.log(r.cast("double")), 12)
+    per_term = global_rank(
+        per_term, [F.col("n").desc(), F.col("token")], rank_col="__r"
+    )
+    lx = F.round(F.log(F.col("__r").cast("double")), 12)
     ly = F.round(F.log(F.col("n").cast("double")), 12)
     dec = "decimal(28,12)"
     zvals = per_term.select(

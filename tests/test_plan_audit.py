@@ -57,6 +57,81 @@ def test_global_sort_flags(spark):
     assert audit_plan(*_plans(topk)) == []
 
 
+def test_unpartitioned_window_flags(spark):
+    """The one scale-killer class the driver gate cannot see: a Window
+    with an empty partition spec plans a single-partition sort of the
+    whole input.  Seeded fixture must flag; the two sanctioned shapes —
+    partitioned windows and rank-the-bounded-top-N — must not."""
+    from pyspark.sql import Window
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("n"), F.col("id").cast("string").alias("t")
+    )
+    bad = df.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("n").desc(), "t"))
+    )
+    assert any(
+        "unpartitioned Window" in f for f in audit_plan(*_plans(bad))
+    )
+    # ordered-but-unpartitioned analytic frame flags too
+    bad2 = df.withColumn(
+        "s",
+        F.sum("n").over(
+            Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert any(
+        "unpartitioned Window" in f for f in audit_plan(*_plans(bad2))
+    )
+    # partitioned window (with or without orderBy) passes
+    ok = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("n").orderBy("t"))
+    )
+    assert audit_plan(*_plans(ok)) == []
+    ok2 = df.withColumn("m", F.max("n").over(Window.partitionBy("t")))
+    assert audit_plan(*_plans(ok2)) == []
+    # bounded input: rank only a limited top-N (profiling.py's shape)
+    top = (
+        df.orderBy(F.col("n").desc(), "t")
+        .limit(10)
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), "t")),
+        )
+    )
+    assert audit_plan(*_plans(top)) == []
+
+
+def test_global_rank_matches_window_rank(spark):
+    """operators/windows.global_rank — the distributed replacement for the
+    empty-partition-spec Window — must produce bit-identical ranks under a
+    total ordering, and its own plan must pass the auditor."""
+    from evidence_datasource_parsers_spark.operators.windows import (
+        global_rank,
+    )
+    from pyspark.sql import Window
+
+    df = spark.range(3000).select(
+        (F.col("id") % 211).alias("n"),
+        F.concat(F.lit("t"), (F.col("id") % 641).cast("string")).alias(
+            "t"
+        ),
+    ).distinct()
+    order = [F.col("n").desc(), F.col("t")]
+    want = df.withColumn(
+        "r", F.row_number().over(Window.orderBy(*order))
+    )
+    got = global_rank(df, order, rank_col="r", num_partitions=7)
+    assert sorted(map(tuple, want.collect())) == sorted(
+        map(tuple, got.collect())
+    )
+    assert audit_plan(*_plans(got)) == []
+    # empty input keeps the schema and returns zero rows
+    empty = global_rank(df.where(F.lit(False)), order, rank_col="r")
+    assert empty.columns == ["n", "t", "r"]
+    assert empty.count() == 0
+
+
 def test_catalog_sweep_no_red_flags(spark, sf_dir):
     """Every catalog query's plan stays free of scale red flags — the
     regression guard version of tools/plan_audit.py (same detectors,

@@ -12,6 +12,11 @@ shapes that wouldn't:
     ArrowEvalPython and are fine)
   * global Sort without a following limit (TakeOrderedAndProject is the
     wanted top-k shape)
+  * Window with an EMPTY partition spec over unbounded input — plans a
+    SINGLE-partition sort of the whole frame (`WindowExec: No Partition
+    Defined`); a GlobalLimit beneath it (rank-the-top-N, profiling.py's
+    shape) is bounded and passes.  The distributed alternative is
+    operators/windows.global_rank.
 
 Usage:  python tools/plan_audit.py [sf_dir] [query ...]
 Exit code 1 if any query flags.  Run it after adding a query — it is the
@@ -33,6 +38,72 @@ ALLOW = {
         "O(|Q|·|C|) is q37's documented baseline semantics"
     ),
 }
+
+
+def _node_indent(line: str) -> int:
+    """Depth of a plan-tree line = column where the node name starts
+    (after the ``+- `` / ``:- `` / ``:  `` scaffolding)."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _first_spec_arg(line: str, start: int) -> str:
+    """First top-level argument of the ``windowspecdefinition(`` opening at
+    ``start`` (paren-depth aware: partition exprs may contain calls)."""
+    depth = 0
+    for j in range(start, len(line)):
+        ch = line[j]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                return line[start:j]
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return line[start:j]
+    return line[start:]
+
+
+def _spec_is_unpartitioned(line: str) -> bool:
+    """True if any ``windowspecdefinition`` on the line has an EMPTY
+    partition spec.  Inside the spec, partition columns come first and are
+    bare; order fields carry ``ASC``/``DESC``; a spec that opens directly
+    with an order field or the frame itself has no partition columns."""
+    for m in re.finditer(r"windowspecdefinition\(", line):
+        first = _first_spec_arg(line, m.end()).strip()
+        if first.startswith("specifiedwindowframe") or re.search(
+            r"\b(ASC|DESC)\b", first
+        ):
+            return True
+    return False
+
+
+def unpartitioned_windows(optimized: str) -> list[str]:
+    """Flag ``Window`` nodes with an empty partition spec over unbounded
+    input in an optimized LOGICAL plan — the shape that plans a
+    SINGLE-partition ``WindowExec: No Partition Defined`` sort.  Bounded
+    inputs (a ``GlobalLimit`` anywhere in the subtree below the Window,
+    i.e. rank-only-the-top-N) are the one sanctioned use and pass."""
+    flags: list[str] = []
+    lines = optimized.splitlines()
+    for i, line in enumerate(lines):
+        m = re.search(r"\bWindow \[", line)
+        if not m or not _spec_is_unpartitioned(line):
+            continue
+        depth = _node_indent(line)
+        bounded = False
+        for below in lines[i + 1 :]:
+            if _node_indent(below) <= depth:
+                break
+            if "GlobalLimit" in below:
+                bounded = True
+                break
+        if not bounded:
+            frag = line.strip()
+            flags.append(
+                "unpartitioned Window over unbounded input "
+                f"(single-partition sort at scale): {frag[:100]}"
+            )
+    return flags
 
 
 def audit_plan(plan: str, optimized: str = "") -> list[str]:
@@ -62,6 +133,7 @@ def audit_plan(plan: str, optimized: str = "") -> list[str]:
         and "GlobalLimit" not in optimized
     ):
         flags.append("global Sort without top-k")
+    flags.extend(unpartitioned_windows(optimized))
     return flags
 
 
