@@ -155,6 +155,67 @@ def incremental_refresh_case(spark, base: str, out_dir: str, materialize):
     return row
 
 
+def incremental_span_case(spark, base, out_dir, materialize):
+    """Span-dedup twin of the incremental-refresh case: a FIXED batch of
+    documents cleaned against the saturating gram-count store built from
+    the even-doc_id half of the corpus at base vs 10× size.  What must stay
+    ~flat is the batch-vs-store full-outer merge on gram_hash — the store
+    side is bucketed on gram_hash so only (hash, count) pairs shuffle,
+    never text; cost should track the BATCH's anchor inventory, not the
+    store row count."""
+    from evidence_datasource_parsers_spark.operators.span_dedup import (
+        incremental_span_dedupe,
+    )
+    from evidence_datasource_parsers_spark.plans.catalog import load
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucketed_store,
+        write_bucketed_store,
+    )
+
+    batch = load(spark, base, "documents").filter(F.col("doc_id") % 2 == 1)
+    row: dict = {}
+    for label, sf_dir in (("base", base), ("scaled", out_dir)):
+        table = f"bench_incr_span_store_{label}"
+        store_path = os.path.join(
+            os.environ.get(
+                "SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale_store"
+            ),
+            f"span_store_{label}",
+        )
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            seed = incremental_span_dedupe(
+                load(spark, sf_dir, "documents").filter(
+                    F.col("doc_id") % 2 == 0
+                ),
+                None,
+            )
+            write_bucketed_store(
+                seed.store, store_path, table, ["gram_hash"], 32
+            )
+            seed.pinned.unpersist()
+            best = -1.0
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                res = incremental_span_dedupe(
+                    batch, read_bucketed_store(spark, table)
+                )
+                materialize(res.cleaned)
+                res.pinned.unpersist()
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+            row[label] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"span@{label} failed: {exc}", file=sys.stderr)
+            row[label] = -1.0
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if row.get("base", -1) > 0 and row.get("scaled", -1) > 0:
+        row["factor"] = round(row["scaled"] / row["base"], 2)
+    return row
+
+
 def incremental_phash_case(spark, materialize, replicas: int):
     """Media twin of the incremental-refresh case: a FIXED batch of image
     fingerprints deduped against a pHash store at base vs ``replicas``×
@@ -247,6 +308,10 @@ def main() -> None:
     # The replicated documents table preserves within-replica duplicate
     # structure (every token suffixed _r), so spans scale ×N.
     names.append("q63_span_dedup")
+    # q11 carries the global_rank distributed Zipf rank (replaced the
+    # vocabulary-wide unpartitioned window) — stress that its range-shuffle
+    # + offsets formulation scales with the vocabulary.
+    names.append("q11_explode_tokens")
     for name in names:  # codegen/JIT warm-up, untimed
         materialize(CATALOG[name].builder(spark, "/root/testdata/sf0.001"))
 
@@ -274,6 +339,9 @@ def main() -> None:
     )
     results["incremental_phash_refresh"] = incremental_phash_case(
         spark, materialize, replicas
+    )
+    results["incremental_span_refresh"] = incremental_span_case(
+        spark, base, out_dir, materialize
     )
 
     line = json.dumps(
