@@ -22,12 +22,17 @@ byte depth, followed by the payload.
 from __future__ import annotations
 
 import struct
-from collections.abc import Iterator
-from typing import NamedTuple
+from collections.abc import Callable, Iterator
+from typing import NamedTuple, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Pluggable decoder tried before the stdlib ones: ``(bytes) -> dict | None``
+#: in :func:`decode_blob`'s return contract; None defers to stdlib.  Must be
+#: a TOP-LEVEL callable — it is pickled into executor-side Arrow kernels.
+DecodeHook = Optional[Callable[[bytes], Optional[dict]]]
 
 MAGIC = b"MM01"
 MEDIA_TYPES = {0: "image", 1: "audio", 2: "video"}
@@ -468,20 +473,40 @@ def decode_wav(blob: bytes):
     return sample_rate, channels, samples
 
 
-def decode_blob(blob: bytes) -> dict:
+def decode_blob(blob: bytes, decode_hook: DecodeHook = None) -> dict:
     """Sniff + decode a media blob.  Returns a dict with ``media_type`` and
     type-specific fields:
 
       image → format, width, height, channels, pixels ((h, w, c) uint8)
       audio → format, sample_rate, channels, samples ((n, c) int16)
+      video → format, width, height, n_frames, fps, and EITHER ``frames``
+              (per-frame ENCODED bytes, JPEG) or ``frame_pixels``
+              (per-frame DECODED (h, w, c) uint8 rasters)
       unknown → just {'media_type': 'unknown'}
 
-    Real for PPM/BMP/WAV/MM01; compressed formats raise NotImplementedError
-    (the PIL/ffmpeg plug-in point)."""
+    Real for PPM/BMP/WAV/MM01/PNG/JPEG/GIF/MJPEG-AVI; unsupported variants
+    raise NotImplementedError.
+
+    ``decode_hook`` is the PIL/ffmpeg plug-in point: a TOP-LEVEL (picklable
+    — it ships to executors inside Arrow kernels) callable
+    ``(bytes) -> dict | None`` tried FIRST.  Return the decode dict above
+    to take the blob (MP4/H.264, arithmetic JPEG, WebP, ... — anything the
+    stdlib decoders cannot express), or None to defer to them; exceptions
+    propagate (a broken hook must fail the task, not silently degrade to
+    NULL rows).  The hook's output flows into the SAME stats / pHash /
+    fingerprint-store tiers with no plan change — every consumer
+    (decoded_image_stats, image_phash_frame, video_frame_phashes,
+    resize_images, the incremental dedups, warc_media, the refresh
+    pipelines) threads this parameter through.
+    """
     import numpy as np
 
     if blob is None:
         return {"media_type": "unknown"}
+    if decode_hook is not None:
+        hooked = decode_hook(bytes(blob))
+        if hooked is not None:
+            return hooked
     if blob[:2] == b"P6":
         px = decode_ppm(blob)
         return {
@@ -597,6 +622,7 @@ def resize_images(
     binary_col: str = "blob",
     id_col: str = "media_id",
     fake: bool = True,
+    decode_hook: DecodeHook = None,
 ) -> DataFrame:
     """Resize kernel over mapInPandas.
 
@@ -628,7 +654,8 @@ def resize_images(
                     continue
                 try:
                     decoded = decode_blob(
-                        bytes(blob) if blob is not None else None
+                        bytes(blob) if blob is not None else None,
+                        decode_hook,
                     )
                 except (ValueError, NotImplementedError, struct.error):
                     out.append(None)
@@ -659,7 +686,10 @@ def resize_images(
 
 
 def decoded_image_stats(
-    df: DataFrame, binary_col: str = "blob", id_col: str = "media_id"
+    df: DataFrame,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    decode_hook: DecodeHook = None,
 ) -> DataFrame:
     """REAL-decode statistics per image blob: pixel count/sum/mean/min/max
     over the decoded raster (PPM/BMP/MM01 via :func:`decode_blob`).  One
@@ -680,7 +710,10 @@ def decoded_image_stats(
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
                 try:
-                    d = decode_blob(bytes(blob) if blob is not None else None)
+                    d = decode_blob(
+                        bytes(blob) if blob is not None else None,
+                        decode_hook,
+                    )
                 except (ValueError, NotImplementedError, struct.error):
                     d = {"media_type": "unknown"}
                 if d["media_type"] != "image" or d["pixels"].size == 0:
@@ -753,8 +786,29 @@ def extract_features(
     return df.select(id_col, binary_col).mapInPandas(kernel, out_schema)
 
 
+def _decode_audio(blob: bytes | None, decode_hook: DecodeHook):
+    """(rate, channels, samples) via the hook-aware dispatch: a hook
+    returning a ``media_type='audio'`` dict (MP3/AAC/Opus, ...) wins; a
+    hook claim of another media type raises ValueError (callers NULL-row
+    it); otherwise the stdlib PCM16-WAV decoder runs."""
+    if decode_hook is not None and blob is not None:
+        hooked = decode_hook(bytes(blob))
+        if hooked is not None:
+            if hooked.get("media_type") != "audio":
+                raise ValueError("decode_hook: blob is not audio")
+            return (
+                hooked["sample_rate"],
+                hooked.get("channels", 1),
+                hooked["samples"],
+            )
+    return decode_wav(bytes(blob) if blob is not None else b"")
+
+
 def audio_features(
-    df: DataFrame, binary_col: str = "blob", id_col: str = "media_id"
+    df: DataFrame,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    decode_hook: DecodeHook = None,
 ) -> DataFrame:
     """REAL audio features per PCM16 WAV blob: duration, RMS level,
     zero-crossing rate, and the dominant frequency (argmax of the numpy
@@ -775,9 +829,7 @@ def audio_features(
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
                 try:
-                    rate, ch, samples = decode_wav(
-                        bytes(blob) if blob is not None else b""
-                    )
+                    rate, ch, samples = _decode_audio(blob, decode_hook)
                 except (ValueError, NotImplementedError, struct.error):
                     rows.append((mid, None, None, None, None, None, None, None))
                     continue
@@ -889,7 +941,10 @@ def _phash64(pixels) -> int:
 
 
 def image_phash_frame(
-    df: DataFrame, binary_col: str = "blob", id_col: str = "media_id"
+    df: DataFrame,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    decode_hook: DecodeHook = None,
 ) -> DataFrame:
     """Perceptual image hashes: ``(id_col, phash)`` — the image analogue of
     the text SimHash fingerprint, and the state an image near-dup pipeline
@@ -915,7 +970,10 @@ def image_phash_frame(
             out = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
                 try:
-                    d = decode_blob(bytes(blob) if blob is not None else None)
+                    d = decode_blob(
+                        bytes(blob) if blob is not None else None,
+                        decode_hook,
+                    )
                 except (ValueError, NotImplementedError, struct.error):
                     d = {"media_type": "unknown"}
                 if d.get("media_type") != "image" or d["pixels"].size == 0:
@@ -978,6 +1036,7 @@ def incremental_phash_dedupe(
     max_hamming: int = 6,
     n_blocks: int = 9,
     batch_phashes: DataFrame | None = None,
+    decode_hook: DecodeHook = None,
 ) -> IncrementalPhashResult:
     """Batch-over-batch IMAGE near-dup dedup — the fourth modality of the
     fingerprint-store pattern (exact → lexical → semantic → perceptual).
@@ -1002,7 +1061,9 @@ def incremental_phash_dedupe(
     fp_all = (
         batch_phashes
         if batch_phashes is not None
-        else image_phash_frame(new_batch, binary_col, id_col)
+        else image_phash_frame(
+            new_batch, binary_col, id_col, decode_hook=decode_hook
+        )
     )
     return _incremental_fingerprint_dedupe(
         new_batch, phash_store, fp_all, id_col, "phash",
@@ -1127,7 +1188,10 @@ def _audio_spectral_hash(x, rate: int) -> int | None:
 
 
 def audio_fingerprint_frame(
-    df: DataFrame, binary_col: str = "blob", id_col: str = "media_id"
+    df: DataFrame,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    decode_hook: DecodeHook = None,
 ) -> DataFrame:
     """(id, afp) frame over PCM16 WAV blobs — the audio twin of
     :func:`image_phash_frame`.  Undecodable/too-short blobs yield NULL.
@@ -1141,9 +1205,7 @@ def audio_fingerprint_frame(
             out = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
                 try:
-                    rate, _ch, samples = decode_wav(
-                        bytes(blob) if blob is not None else b""
-                    )
+                    rate, _ch, samples = _decode_audio(blob, decode_hook)
                     x = samples[:, 0].astype(np.float64) / 32768.0
                     out.append((mid, _audio_spectral_hash(x, rate)))
                 except (ValueError, NotImplementedError, struct.error):
@@ -1192,6 +1254,7 @@ def incremental_audio_dedupe(
     max_hamming: int = 8,
     n_blocks: int = 10,
     batch_fingerprints: DataFrame | None = None,
+    decode_hook: DecodeHook = None,
 ) -> IncrementalPhashResult:
     """Batch-over-batch AUDIO near-dup dedup against a carried (id, afp)
     store — same contract and store discipline as
@@ -1201,7 +1264,9 @@ def incremental_audio_dedupe(
     fp_all = (
         batch_fingerprints
         if batch_fingerprints is not None
-        else audio_fingerprint_frame(new_batch, binary_col, id_col)
+        else audio_fingerprint_frame(
+            new_batch, binary_col, id_col, decode_hook=decode_hook
+        )
     )
     return _incremental_fingerprint_dedupe(
         new_batch, afp_store, fp_all, id_col, "afp",
@@ -1221,6 +1286,7 @@ def video_frame_phashes(
     *,
     stride: int = 1,
     max_frames: int | None = None,
+    decode_hook: DecodeHook = None,
 ) -> DataFrame:
     """AVI blobs → one row per SAMPLED frame: (id, frame_idx, phash) —
     the video analogue of :func:`image_phash_frame`.  The container walk
@@ -1229,7 +1295,15 @@ def video_frame_phashes(
     SAMPLE, not the clip length.  MJPEG frames without DHT segments use
     the Annex K defaults (the in-the-wild convention).  Undecodable
     containers emit zero rows; an undecodable individual frame is
-    skipped.  One narrow Arrow pass, no shuffle."""
+    skipped.  One narrow Arrow pass, no shuffle.
+
+    ``decode_hook`` (see :func:`decode_blob`) extends the container walk
+    beyond MJPEG-AVI: a hook that returns a ``media_type='video'`` dict
+    takes the blob — supply ``frame_pixels`` (decoded rasters) for codecs
+    like H.264/VP9, or ``frames`` (per-frame JPEG bytes) to reuse the
+    stdlib frame decode.  Hook-decoded clips flow into the SAME sampled
+    pHash rows, so video_near_dup_pairs / incremental_video_dedupe /
+    refresh_video_batch work over MP4 with no plan change."""
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
     id_dt = df.schema[id_col].dataType.simpleString()
@@ -1245,20 +1319,34 @@ def video_frame_phashes(
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
-                try:
-                    v = decode_avi(bytes(blob) if blob is not None else b"")
-                except (ValueError, struct.error):
-                    continue
+                v = None
+                if decode_hook is not None and blob is not None:
+                    hooked = decode_hook(bytes(blob))
+                    if hooked is not None:
+                        if hooked.get("media_type") != "video":
+                            continue  # hook claimed it; not a video
+                        v = hooked
+                if v is None:
+                    try:
+                        v = decode_avi(
+                            bytes(blob) if blob is not None else b""
+                        )
+                    except (ValueError, struct.error):
+                        continue
+                pxs = v.get("frame_pixels")
                 sel = range(0, v["n_frames"], stride)
                 if max_frames is not None:
                     sel = list(sel)[:max_frames]
                 for fi in sel:
-                    try:
-                        px = decode_jpeg(
-                            v["frames"][fi], default_tables=True
-                        )
-                    except (ValueError, NotImplementedError):
-                        continue
+                    if pxs is not None:
+                        px = pxs[fi]
+                    else:
+                        try:
+                            px = decode_jpeg(
+                                v["frames"][fi], default_tables=True
+                            )
+                        except (ValueError, NotImplementedError):
+                            continue
                     ids.append(mid)
                     idxs.append(fi)
                     hashes.append(_phash64(px))
@@ -1281,6 +1369,7 @@ def video_near_dup_pairs(
     frame_max_hamming: int = 6,
     n_blocks: int = 9,
     min_overlap: float = 0.5,
+    decode_hook: DecodeHook = None,
 ) -> DataFrame:
     """Video near-dup pairs (id_a, id_b, matched_frames, overlap): two
     clips are near-dups when ≥ ``min_overlap`` of the shorter clip's
@@ -1299,7 +1388,8 @@ def video_near_dup_pairs(
     )
 
     fp = video_frame_phashes(
-        df, binary_col, id_col, stride=stride, max_frames=max_frames
+        df, binary_col, id_col,
+        stride=stride, max_frames=max_frames, decode_hook=decode_hook,
     ).persist()
     counts = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nf"))
     combos = lambda c: F.explode(  # noqa: E731
@@ -1349,10 +1439,15 @@ def video_near_dup_pairs(
 
 
 def video_meta_frame(
-    df: DataFrame, binary_col: str = "blob", id_col: str = "media_id"
+    df: DataFrame,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    decode_hook: DecodeHook = None,
 ) -> DataFrame:
     """(id, n_frames, fps, width, height) per AVI blob — container walk
-    only, no frame decode.  Undecodable blobs yield NULL columns."""
+    only, no frame decode.  Undecodable blobs yield NULL columns.
+    ``decode_hook`` (see :func:`decode_blob`) supplies the same fields for
+    foreign containers (MP4/H.264, ...)."""
     id_dt = df.schema[id_col].dataType.simpleString()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1363,14 +1458,28 @@ def video_meta_frame(
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
-                try:
-                    v = decode_avi(bytes(blob) if blob is not None else b"")
-                    rows.append(
-                        (mid, v["n_frames"], v["fps"], v["width"],
-                         v["height"])
+                v = None
+                if decode_hook is not None and blob is not None:
+                    hooked = decode_hook(bytes(blob))
+                    if hooked is not None:
+                        v = (
+                            hooked
+                            if hooked.get("media_type") == "video"
+                            else {}
+                        )
+                if v is None:
+                    try:
+                        v = decode_avi(
+                            bytes(blob) if blob is not None else b""
+                        )
+                    except (ValueError, struct.error):
+                        v = {}
+                rows.append(
+                    (
+                        mid, v.get("n_frames"), v.get("fps"),
+                        v.get("width"), v.get("height"),
                     )
-                except (ValueError, struct.error):
-                    rows.append((mid, None, None, None, None))
+                )
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "n_frames", "fps", "width", "height"],
@@ -1394,6 +1503,7 @@ def incremental_video_dedupe(
     n_blocks: int = 9,
     min_overlap: float = 0.5,
     batch_frame_phashes: DataFrame | None = None,
+    decode_hook: DecodeHook = None,
 ) -> IncrementalPhashResult:
     """Batch-over-batch VIDEO near-dup dedup — the SIXTH modality of the
     fingerprint-store family (exact → lexical → semantic → image → audio
@@ -1423,7 +1533,7 @@ def incremental_video_dedupe(
         if batch_frame_phashes is not None
         else video_frame_phashes(
             new_batch, binary_col, id_col,
-            stride=stride, max_frames=max_frames,
+            stride=stride, max_frames=max_frames, decode_hook=decode_hook,
         )
     )
     # within-batch exact collapse: clips sharing the identical ordered

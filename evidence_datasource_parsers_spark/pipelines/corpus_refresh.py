@@ -236,6 +236,7 @@ def refresh_media_batch(
     decode_stats: bool = True,
     min_width: int | None = None,
     min_height: int | None = None,
+    decode_hook=None,
 ) -> MediaRefreshResult:
     """One media-refresh iteration — the image branch of the crawl loop
     (``warc_media`` batch → perceptual dedup against the carried pHash
@@ -266,11 +267,14 @@ def refresh_media_batch(
         id_col,
         max_hamming=max_hamming,
         n_blocks=n_blocks,
+        decode_hook=decode_hook,
     )
     ready = res.fresh
     have_stats = "width" in ready.columns and "height" in ready.columns
     if decode_stats and not have_stats:
-        stats = decoded_image_stats(ready, binary_col, id_col)
+        stats = decoded_image_stats(
+            ready, binary_col, id_col, decode_hook=decode_hook
+        )
         ready = ready.join(stats, on=id_col, how="left")
         have_stats = True
     if have_stats and (min_width is not None or min_height is not None):
@@ -295,6 +299,7 @@ def refresh_audio_batch(
     max_hamming: int = 8,
     n_blocks: int = 10,
     min_duration_s: float | None = None,
+    decode_hook=None,
 ) -> MediaRefreshResult:
     """Audio twin of :func:`refresh_media_batch`: incremental spectral-
     fingerprint dedup against the carried (id, afp) store, then an
@@ -314,11 +319,14 @@ def refresh_audio_batch(
         id_col,
         max_hamming=max_hamming,
         n_blocks=n_blocks,
+        decode_hook=decode_hook,
     )
     ready = res.fresh
     if min_duration_s is not None:
         if "duration_s" not in ready.columns:
-            feats = audio_features(ready, binary_col, id_col)
+            feats = audio_features(
+                ready, binary_col, id_col, decode_hook=decode_hook
+            )
             ready = ready.join(feats, on=id_col, how="left")
         ready = ready.where(
             F.col("duration_s").isNull()
@@ -340,6 +348,7 @@ def refresh_video_batch(
     min_overlap: float = 0.5,
     frame_max_hamming: int = 6,
     min_n_frames: int | None = None,
+    decode_hook=None,
 ) -> MediaRefreshResult:
     """Video twin of the media branches: clip-level dedup against the
     carried sampled-frame pHash store, then an optional minimum-length
@@ -360,11 +369,14 @@ def refresh_video_batch(
         max_frames=max_frames,
         min_overlap=min_overlap,
         frame_max_hamming=frame_max_hamming,
+        decode_hook=decode_hook,
     )
     ready = res.fresh
     if min_n_frames is not None:
         if "n_frames" not in ready.columns:
-            meta = video_meta_frame(ready, binary_col, id_col)
+            meta = video_meta_frame(
+                ready, binary_col, id_col, decode_hook=decode_hook
+            )
             ready = ready.join(meta, on=id_col, how="left")
         ready = ready.where(
             F.col("n_frames").isNull()

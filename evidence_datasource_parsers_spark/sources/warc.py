@@ -306,6 +306,7 @@ def warc_media(
     max_payload: int = 100 * 1024 * 1024,
     decode_stats: bool = True,
     content_prefix: str = "image/",
+    decode_hook=None,
 ) -> DataFrame:
     """WARC directory → the multimodal media shape: one row per successful
     (2xx) ``image/*`` response — (media_id, url, crawl_ts, content_type,
@@ -335,6 +336,12 @@ def warc_media(
     back to the metadata is id-equi (AQE broadcasts the stats side when
     small).  Set ``decode_stats=False`` to get just the blob rows (e.g.
     to feed ``resize_images`` or an external embedding model).
+
+    ``decode_hook`` (multimodal.decode_blob contract: top-level
+    ``(bytes) -> dict | None``, None defers to the stdlib decoders)
+    extends the stats column to codecs the sandbox cannot parse —
+    a PIL/ffmpeg deployment passes one hook here and MP4/WebP/MP3
+    responses get real stats rows instead of NULLs, same schema.
     """
     from pyspark.sql import functions as F
 
@@ -367,14 +374,18 @@ def warc_media(
             audio_features,
         )
 
-        stats = audio_features(media, "blob", "media_id")
+        stats = audio_features(
+            media, "blob", "media_id", decode_hook=decode_hook
+        )
         return media.join(stats, on="media_id", how="left")
     if content_prefix == "video/":
         from evidence_datasource_parsers_spark.operators.multimodal import (
             video_meta_frame,
         )
 
-        stats = video_meta_frame(media, "blob", "media_id")
+        stats = video_meta_frame(
+            media, "blob", "media_id", decode_hook=decode_hook
+        )
         return media.join(stats, on="media_id", how="left")
     if content_prefix != "image/":
         return media  # no native stats kernel for this modality
@@ -382,5 +393,7 @@ def warc_media(
         decoded_image_stats,
     )
 
-    stats = decoded_image_stats(media, "blob", "media_id")
+    stats = decoded_image_stats(
+        media, "blob", "media_id", decode_hook=decode_hook
+    )
     return media.join(stats, on="media_id", how="left")
