@@ -29,7 +29,7 @@ def highest_priority(
     scored = F.transform(
         items,
         lambda x: F.struct(
-            F.coalesce(rank_map.getItem(x), F.lit(default_rank)).alias("rank"),
+            F.coalesce(rank_map[x], F.lit(default_rank)).alias("rank"),
             x.alias("value"),
         ),
     )

@@ -77,7 +77,7 @@ def rewrite_url_names(df: DataFrame, name_map: dict[str, str]) -> DataFrame:
         F.transform(
             F.col("urls"),
             lambda u: F.struct(
-                F.coalesce(m.getItem(u["niceName"]), u["niceName"]).alias(
+                F.coalesce(m[u["niceName"]], u["niceName"]).alias(
                     "niceName"
                 ),
                 u["url"].alias("url"),

@@ -637,7 +637,7 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
     return r.select(
         "r_regionkey",
         "r_name",
-        F.coalesce(m.getItem(F.col("r_name")), F.lit("XX")).alias("region_code"),
+        F.coalesce(m[F.col("r_name")], F.lit("XX")).alias("region_code"),
     )
 
 
