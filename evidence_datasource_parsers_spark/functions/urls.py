@@ -167,6 +167,104 @@ def filter_urls(
     return df.where(cond)
 
 
+class Rfc9309Matcher:
+    """Minimal RFC 9309 robots.txt evaluator (longest-match semantics).
+
+    Implements the normative matching rules of RFC 9309:
+
+      * **group selection** (§2.2.1): the crawler obeys the group whose
+        ``User-agent`` line is the LONGEST case-insensitive prefix of its
+        product token; ``*`` is the fallback group.  Multiple groups with
+        the same (winning) user-agent value merge their rules.
+      * **rule matching** (§2.2.2): among all ``Allow``/``Disallow``
+        rules whose path pattern matches the URL's path(+query), the rule
+        with the LONGEST pattern (most octets) wins; on a tie, ``Allow``
+        wins.  An empty ``Disallow:`` value matches nothing (allow all).
+      * patterns support the ``*`` wildcard and the ``$`` end anchor
+        (§2.2.3).
+      * a URL with no matching rule is allowed.
+
+    This differs from the stdlib ``urllib.robotparser`` (first-match in
+    file order) exactly where real robots files differ: a broad
+    ``Disallow`` listed before a narrower ``Allow`` blocks under the
+    stdlib but allows under the RFC.  Pure stdlib + ``re``; one compiled
+    rule list per robots body (memoized per worker by the kernel).
+    """
+
+    def __init__(self, text: str, agent: str = "*") -> None:
+        import re as _re
+
+        groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+        uas: list[str] = []
+        rules: list[tuple[bool, str]] = []
+        in_group = False  # saw at least one rule since the last UA line
+        for raw in text.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key = key.strip().lower()
+            val = val.strip()
+            if key == "user-agent":
+                if in_group:
+                    groups.append((uas, rules))
+                    uas, rules, in_group = [], [], False
+                uas.append(val.lower())
+            elif key in ("allow", "disallow"):
+                if not uas:
+                    continue  # rule before any user-agent line: ignored
+                in_group = True
+                if val == "" and key == "disallow":
+                    continue  # empty Disallow matches nothing
+                if val != "":
+                    rules.append((key == "allow", val))
+            # other keys (crawl-delay, sitemap, ...) end nothing per RFC
+        if uas:
+            groups.append((uas, rules))
+
+        tok = agent.lower()
+        best = -1
+        for g_uas, _ in groups:
+            for ua in g_uas:
+                if ua != "*" and tok.startswith(ua) and len(ua) > best:
+                    best = len(ua)
+        selected: list[tuple[bool, str]] = []
+        for g_uas, g_rules in groups:
+            for ua in g_uas:
+                hit = (
+                    (best >= 0 and ua != "*" and tok.startswith(ua)
+                     and len(ua) == best)
+                    or (best < 0 and ua == "*")
+                )
+                if hit:
+                    selected.extend(g_rules)
+                    break
+
+        self._rules: list[tuple[bool, int, object]] = []
+        for is_allow, pat in selected:
+            spec = len(pat.encode("utf-8"))  # octet length = specificity
+            anchored = pat.endswith("$")
+            body = pat[:-1] if anchored else pat
+            rx = ".*".join(_re.escape(p) for p in body.split("*"))
+            rx = "^" + rx + ("$" if anchored else "")
+            try:
+                self._rules.append((is_allow, spec, _re.compile(rx)))
+            except _re.error:
+                continue  # unparseable pattern: skip the rule
+
+    def can_fetch(self, path: str) -> bool:
+        """``path`` is the URL's path plus ``?query`` if any; '' ⇒ '/'."""
+        if not path.startswith("/"):
+            path = "/" + path
+        verdict, best_spec = True, -1
+        for is_allow, spec, rx in self._rules:
+            if rx.match(path) is None:
+                continue
+            if spec > best_spec or (spec == best_spec and is_allow):
+                verdict, best_spec = is_allow, spec
+        return verdict
+
+
 def with_robots_allowed(
     df: DataFrame,
     robots: DataFrame,
@@ -176,16 +274,22 @@ def with_robots_allowed(
     robots_domain_col: str = "domain",
     robots_text_col: str = "robots_txt",
     out_col: str = "robots_allowed",
+    semantics: str = "stdlib",
 ) -> DataFrame:
     """Crawl-politeness gate: evaluate each URL against its domain's
-    robots.txt (via the stdlib ``urllib.robotparser``) and append a
-    boolean ``out_col``.
+    robots.txt and append a boolean ``out_col``.
 
-    Matching semantics are the stdlib's: rules apply FIRST-match in file
-    order within the selected user-agent group (RFC 9309 specifies
-    longest-match; the two agree on the overwhelmingly common
-    Allow-before-Disallow override layout).  Swap the kernel's parser for
-    a strict RFC implementation if a deployment needs exact longest-match.
+    ``semantics`` selects the rule-matching model:
+
+      * ``'stdlib'`` (default) — ``urllib.robotparser``: rules apply
+        FIRST-match in file order within the selected user-agent group.
+      * ``'rfc9309'`` — :class:`Rfc9309Matcher`: LONGEST-match with
+        Allow-wins-ties, ``*``/``$`` pattern support, and
+        longest-prefix user-agent group selection, per RFC 9309.
+
+    The two agree on the overwhelmingly common Allow-before-Disallow
+    override layout; real crawls hitting Allow/Disallow precedence
+    (broad Disallow before narrow Allow) need the rfc9309 mode.
 
     ``robots`` is a ``(domain, robots_txt)`` frame — one row per
     REGISTRABLE domain, as a robots-fetching stage would materialize it.
@@ -205,6 +309,11 @@ def with_robots_allowed(
         broadcast_if_small,
     )
 
+    if semantics not in ("stdlib", "rfc9309"):
+        raise ValueError(
+            f"semantics must be 'stdlib' or 'rfc9309', got {semantics!r}"
+        )
+
     rb = robots.select(
         F.col(robots_domain_col).alias("__rdom"),
         F.col(robots_text_col).alias("__rtxt"),
@@ -216,19 +325,22 @@ def with_robots_allowed(
     ).drop("__rdom")
     id_like = [c for c in df.columns]
 
+    rfc = semantics == "rfc9309"
+
     def kernel(batches):
         import urllib.robotparser
         from urllib.parse import urlsplit
 
-        import pandas as pd
-
-        cache: dict[str, "urllib.robotparser.RobotFileParser"] = {}
+        cache: dict[str, object] = {}
 
         def parser_for(txt: str):
             rp = cache.get(txt)
             if rp is None:
-                rp = urllib.robotparser.RobotFileParser()
-                rp.parse(txt.splitlines())
+                if rfc:
+                    rp = Rfc9309Matcher(txt, agent)
+                else:
+                    rp = urllib.robotparser.RobotFileParser()
+                    rp.parse(txt.splitlines())
                 cache[txt] = rp
             return rp
 
@@ -239,14 +351,19 @@ def with_robots_allowed(
                     allowed.append(True)
                     continue
                 try:
-                    # robotparser matches on the full URL's path+query
+                    # both matchers evaluate the URL's path+query
                     u = urlsplit(str(url))
                     if not u.netloc:
                         allowed.append(True)
                         continue
-                    allowed.append(
-                        bool(parser_for(str(txt)).can_fetch(agent, str(url)))
-                    )
+                    p = parser_for(str(txt))
+                    if rfc:
+                        path = u.path + (f"?{u.query}" if u.query else "")
+                        allowed.append(p.can_fetch(path))
+                    else:
+                        allowed.append(
+                            bool(p.can_fetch(agent, str(url)))
+                        )
                 except Exception:  # noqa: BLE001 — malformed robots ⇒ allow
                     allowed.append(True)
             out = pdf[id_like].copy()

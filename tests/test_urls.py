@@ -208,3 +208,100 @@ def test_robots_gate(spark):
 
     kept = {r["id"] for r in filter_by_robots(urls, robots).collect()}
     assert kept == {1, 3, 5, 6, 7, 8}
+
+
+def test_rfc9309_matcher_rule_matrix():
+    """RFC 9309 §2.2.2-2.2.3 longest-match matrix (no Spark needed):
+    most-octets rule wins, Allow wins ties, * and $ patterns, empty
+    Disallow matches nothing, unruled paths allowed."""
+    from evidence_datasource_parsers_spark.functions.urls import (
+        Rfc9309Matcher,
+    )
+
+    m = Rfc9309Matcher(
+        "User-agent: *\n"
+        "Disallow: /p\n"
+        "Allow: /page\n"       # longer than /p → /page* allowed
+        "Allow: /folder\n"
+        "Disallow: /folder\n"  # tie with Allow: /folder → Allow wins
+        "Disallow: /*.htm\n"   # 6 octets, beats Allow:/page (5) on .htm
+        "Allow: /$\n"
+        "Disallow: /\n"        # root-only allow, everything else blocked
+    )
+    assert m.can_fetch("/page")
+    assert m.can_fetch("/page/sub")
+    assert not m.can_fetch("/px")            # /p matches, nothing longer
+    assert m.can_fetch("/folder/x")          # tie → Allow
+    assert not m.can_fetch("/page.htm")      # /*.htm (6) > /page (5)
+    assert m.can_fetch("/")                  # /$ (2) > / (1)
+
+    anchored = Rfc9309Matcher("User-agent: *\nDisallow: /*.gif$\n")
+    assert not anchored.can_fetch("/img/a.gif")
+    assert anchored.can_fetch("/img/a.gif?x=1")  # $ anchors path+query
+    assert anchored.can_fetch("/img/a.gifx")
+
+    empty = Rfc9309Matcher("User-agent: *\nDisallow:\n")
+    assert empty.can_fetch("/anything")
+
+    norules = Rfc9309Matcher("")
+    assert norules.can_fetch("/x")
+
+
+def test_rfc9309_group_selection():
+    """§2.2.1: longest matching user-agent prefix wins over *; groups
+    sharing the winning UA value merge; rules before any UA line are
+    ignored; matching is case-insensitive."""
+    from evidence_datasource_parsers_spark.functions.urls import (
+        Rfc9309Matcher,
+    )
+
+    txt = (
+        "Disallow: /orphan\n"          # before any UA line: ignored
+        "User-agent: FooBot\n"
+        "Disallow: /foo\n"
+        "User-agent: *\n"
+        "Disallow: /all\n"
+        "User-agent: foobot\n"         # second group, same UA → merged
+        "Disallow: /foo2\n"
+    )
+    foo = Rfc9309Matcher(txt, "FooBot-News/1.0")
+    assert not foo.can_fetch("/foo/x") and not foo.can_fetch("/foo2/x")
+    assert foo.can_fetch("/all/x")     # * group NOT merged with specific
+    assert foo.can_fetch("/orphan")
+
+    other = Rfc9309Matcher(txt, "BarBot")
+    assert not other.can_fetch("/all/x")
+    assert other.can_fetch("/foo/x")
+
+
+def test_robots_gate_rfc9309_vs_stdlib(spark):
+    """The divergence case that motivates the mode: a broad Disallow
+    listed BEFORE a narrower Allow blocks under stdlib first-match but
+    allows under RFC longest-match."""
+    from evidence_datasource_parsers_spark.functions.urls import (
+        with_robots_allowed,
+    )
+
+    robots = spark.createDataFrame(
+        [("d.example",
+          "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "http://d.example/private/ok/page"),
+         (2, "http://d.example/private/secret"),
+         (3, "http://d.example/pub")],
+        "id long, url string",
+    )
+    rfc = {r["id"]: r["robots_allowed"] for r in
+           with_robots_allowed(urls, robots, semantics="rfc9309").collect()}
+    std = {r["id"]: r["robots_allowed"] for r in
+           with_robots_allowed(urls, robots, semantics="stdlib").collect()}
+    assert rfc == {1: True, 2: False, 3: True}
+    assert std[1] is False          # first-match: Disallow seen first
+    assert std[2] is False and std[3] is True
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        with_robots_allowed(urls, robots, semantics="nope")
