@@ -51,13 +51,15 @@ class RefreshResult(NamedTuple):
     ``split``, ``shard``, ``shard_pos`` columns.  ``store``: the updated
     fingerprint store to persist for the next run.  ``span_store``: the
     updated gram-count store when the span stage ran (else None) — persist
-    it alongside ``store``.  ``pinned``: cache handles — call :meth:`done`
-    once every returned frame is materialized."""
+    it alongside ``store``.  ``drop_audit``: the per-drop provenance frame
+    when ``audit_drops=True`` (else None).  ``pinned``: cache handles —
+    call :meth:`done` once every returned frame is materialized."""
 
     ready: DataFrame
     store: DataFrame
     pinned: tuple
     span_store: DataFrame | None = None
+    drop_audit: DataFrame | None = None
 
     def done(self) -> None:
         for p in self.pinned:
@@ -83,6 +85,7 @@ def refresh_corpus_batch(
     span_min_tokens: int | None = None,
     span_store: DataFrame | None = None,
     span_min_occurrences: int = 2,
+    audit_drops: bool = False,
     **dedupe_kwargs,
 ) -> RefreshResult:
     """One refresh-loop iteration.  ``mode``: ``exact`` | ``lsh`` |
@@ -112,6 +115,20 @@ def refresh_corpus_batch(
     same hashing (``quality_buckets`` must match training), same [-1, 1]
     scale, so ``min_quality`` thresholds transfer.
 
+    Production LSH knobs ride ``dedupe_kwargs`` straight through:
+    ``hot_bucket_cap=N`` bounds boilerplate-bucket fan-out in the store
+    join (see ``incremental_lsh_dedupe`` for the recall contract), so a
+    refresh loop enables it without dropping to the operator layer.
+
+    ``audit_drops=True`` (``mode='lsh'`` only) additionally returns the
+    ``lsh_drop_provenance`` frame — ``(batch_id, store_id, est_jaccard,
+    reason)`` for every cross-run drop this batch — as
+    ``RefreshResult.drop_audit``.  It is a second fingerprint pass over
+    the batch (the diagnostic contract of the operator: the production
+    drop path stays a bare anti-join); enable it on sampled or disputed
+    batches, and materialize ``drop_audit`` BEFORE :meth:`RefreshResult.
+    done` like every other returned frame.
+
     ``span_min_tokens`` enables the SUB-document stage: after doc-level
     dedup, token spans whose ``span_min_tokens``-gram content recurred
     across all runs (``span_store`` = the carried gram-count store) are
@@ -123,6 +140,11 @@ def refresh_corpus_batch(
     scoring, so the gates judge the text that would actually ship.  The
     updated gram store returns as ``RefreshResult.span_store``.
     """
+    if audit_drops and mode != "lsh":
+        raise ValueError(
+            "audit_drops requires mode='lsh' (lsh_drop_provenance is the "
+            f"only provenance twin), got mode={mode!r}"
+        )
     fp_col = text_col
     if canonicalize:
         from evidence_datasource_parsers_spark.functions.textnorm import (
@@ -149,6 +171,20 @@ def refresh_corpus_batch(
     else:
         raise ValueError(f"mode must be exact|lsh|simhash, got {mode!r}")
 
+    drop_audit = None
+    if audit_drops and prev_store is not None:
+        from evidence_datasource_parsers_spark.operators.dedupe import (
+            lsh_drop_provenance,
+        )
+
+        audit_keys = ("num_perm", "bands", "k", "mode", "threshold")
+        drop_audit = lsh_drop_provenance(
+            batch,
+            prev_store,
+            fp_col,
+            id_col,
+            **{k: v for k, v in dedupe_kwargs.items() if k in audit_keys},
+        )
     if canonicalize:
         fresh = fresh.drop(fp_col)  # fingerprint policy, not a mutation
     span_store_out = None
@@ -206,7 +242,8 @@ def refresh_corpus_batch(
     )
     ready = assign_shards(split, id_col, num_shards)
     return RefreshResult(
-        ready=ready, store=store, pinned=pinned, span_store=span_store_out
+        ready=ready, store=store, pinned=pinned,
+        span_store=span_store_out, drop_audit=drop_audit,
     )
 
 

@@ -28,6 +28,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def recover_store_dir(store_dir: str) -> bool:
@@ -94,6 +95,7 @@ def incremental_dedupe_sink(
     text_col: str,
     id_col: str,
     mode: str = "exact",
+    provenance_dir: str | None = None,
     **dedupe_opts,
 ):
     """foreachBatch sink: drop every document already in the cross-run
@@ -129,9 +131,18 @@ def incremental_dedupe_sink(
         saturating gram-count store (`span_dedup.incremental_span_dedupe`).
 
     ``dedupe_opts`` pass through to the chosen operator (num_perm/bands/k
-    for lsh; nbits/max_hamming/n_blocks for simhash; threshold).  The LSH
+    for lsh — including the production ``hot_bucket_cap`` guard;
+    nbits/max_hamming/n_blocks for simhash; threshold).  The LSH
     operator's shingle ``mode`` ('char'/'word') is passed as
     ``shingle_mode`` here, since ``mode`` selects the store kind.
+
+    ``provenance_dir`` (``mode='lsh'`` only): per-batch drop audit — the
+    ``lsh_drop_provenance`` frame ``(batch_id, store_id, est_jaccard,
+    reason)`` plus a ``stream_batch_id`` column appends there each
+    micro-batch, written BEFORE the store swap (it reads the pre-update
+    store files).  A second fingerprint pass per batch, per the
+    operator's diagnostic contract — point it at sampled streams when
+    auditing store behavior, leave None in the hot path.
     """
     from evidence_datasource_parsers_spark.operators import dedupe as dd
 
@@ -140,6 +151,11 @@ def incremental_dedupe_sink(
         "span",
     ):
         raise ValueError(f"unknown dedupe mode {mode!r}")
+    if provenance_dir is not None and mode != "lsh":
+        raise ValueError(
+            "provenance_dir requires mode='lsh' (lsh_drop_provenance is "
+            f"the only provenance twin), got mode={mode!r}"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -162,6 +178,14 @@ def incremental_dedupe_sink(
             )
             fresh, new_store = res.fresh, res.store
             fresh = fresh.persist()  # consumed once; pinned fp covers store
+            if provenance_dir is not None and store is not None:
+                audit_keys = ("num_perm", "bands", "k", "mode", "threshold")
+                dd.lsh_drop_provenance(
+                    batch_df, store, text_col, id_col,
+                    **{k: v for k, v in opts.items() if k in audit_keys},
+                ).withColumn(
+                    "stream_batch_id", F.lit(batch_id).cast("long")
+                ).write.mode("append").parquet(provenance_dir)
         elif mode == "simhash":
             res = dd.incremental_simhash_dedupe(
                 batch_df, store, text_col, id_col, **dedupe_opts

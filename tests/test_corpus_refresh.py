@@ -345,3 +345,42 @@ def test_span_stage_off_by_default(spark):
     assert r1.span_store is None
     assert "span_removed_tokens" not in r1.ready.columns
     r1.done()
+
+
+def test_refresh_hot_bucket_cap_and_drop_audit(spark):
+    """Production knobs through the pipeline surface: hot_bucket_cap rides
+    dedupe_kwargs into incremental_lsh_dedupe, and audit_drops=True
+    returns the lsh_drop_provenance frame naming which stored doc killed
+    each re-crawl."""
+    b1 = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely different content about shipping containers"),
+    ])
+    r1 = refresh_corpus_batch(
+        b1, None, mode="lsh", k=3, num_shards=2, hot_bucket_cap=2,
+    )
+    store = r1.store.localCheckpoint(eager=True)
+    r1.done()
+
+    b2 = _docs(spark, [
+        (11, "the quick brown fox jumps over the lazy dog again and again"),
+        (12, "a genuinely new document about distributed query engines"),
+    ])
+    r2 = refresh_corpus_batch(
+        b2, store, mode="lsh", k=3, num_shards=2,
+        hot_bucket_cap=2, audit_drops=True,
+    )
+    assert {r.doc_id for r in r2.ready.select("doc_id").collect()} == {12}
+    audit = r2.drop_audit.collect()
+    r2.done()
+    assert {(r.batch_id, r.store_id) for r in audit} == {(11, 1)}
+    assert all(r.reason in ("exact", "near") for r in audit)
+
+    # run 1 (no store yet) and audit-off runs return no audit frame
+    assert r1.drop_audit is None
+    r3 = refresh_corpus_batch(b2, store, mode="lsh", k=3)
+    assert r3.drop_audit is None
+    r3.done()
+
+    with pytest.raises(ValueError, match="audit_drops"):
+        refresh_corpus_batch(b1, None, mode="exact", audit_drops=True)

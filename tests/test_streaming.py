@@ -648,3 +648,77 @@ def test_incremental_dedupe_sink_span_mode(spark, tmp_path):
     # gram store carries saturating counts, capped at 2
     st = spark.read.parquet(store).collect()
     assert st and max(r.n_seen for r in st) == 2
+
+
+def test_incremental_lsh_sink_provenance_and_cap(spark, tmp_path):
+    """Production knobs through the streaming surface: hot_bucket_cap
+    rides dedupe_opts into incremental_lsh_dedupe, and provenance_dir
+    accumulates the per-batch lsh_drop_provenance audit naming which
+    stored doc killed each streamed re-crawl."""
+    import json as _json
+
+    import pytest
+
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        incremental_dedupe_sink,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    recrawl = base.replace("afternoon", "evening")
+    novel = (
+        "completely unrelated content about distributed query engines "
+        "partitioning shuffle exchanges and adaptive execution plans"
+    )
+    src = tmp_path / "pv_in"
+    src.mkdir()
+    out = str(tmp_path / "pv_out")
+    store = str(tmp_path / "pv_store")
+    prov = str(tmp_path / "pv_audit")
+
+    def doc(i, text):
+        return _json.dumps({"doc_id": i, "text": text})
+
+    (src / "b1.json").write_text(doc(1, base))
+
+    runs = [0]
+
+    def run():
+        runs[0] += 1
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        q = incremental_dedupe_sink(
+            stream, out, store, str(tmp_path / f"pv_ck{runs[0]}"),
+            "text", "doc_id", mode="lsh", shingle_mode="word", k=3,
+            hot_bucket_cap=4, provenance_dir=prov,
+        )
+        q.awaitTermination()
+
+    run()  # first run: no prior store → nothing to audit yet
+    import os
+
+    assert not os.path.isdir(prov)
+
+    (src / "b2.json").write_text(doc(10, recrawl) + "\n" + doc(11, novel))
+    run()
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 11]
+    audit = spark.read.parquet(prov).collect()
+    # fresh checkpoint ⇒ run 2 re-reads b1.json too: doc 1's exact
+    # store-hit is audited alongside doc 10's near-dup drop
+    assert {(r.batch_id, r.store_id, r.reason) for r in audit} == {
+        (10, 1, "near"), (1, 1, "exact"),
+    }
+    assert all(r.stream_batch_id is not None for r in audit)
+
+    with pytest.raises(ValueError, match="provenance_dir"):
+        incremental_dedupe_sink(
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src)),
+            out, store, str(tmp_path / "pv_ck_bad"),
+            "text", "doc_id", mode="exact", provenance_dir=prov,
+        )
