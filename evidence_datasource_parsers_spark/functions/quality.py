@@ -149,6 +149,7 @@ def train_quality_classifier(
     n_buckets: int = 4096,
     salt: str = "quality",
     alpha: float = 1.0,
+    clip_quantile: float | None = None,
 ) -> DataFrame:
     """Train the REAL weight table for :func:`score_with_weight_table`:
     a distributed multinomial Naive Bayes over hashed token buckets — the
@@ -170,6 +171,18 @@ def train_quality_classifier(
     inference (the sparse-export convention of the table tier).
 
     ``label_col``: 1/true = positive ("good") docs, 0/false = negative.
+
+    ``clip_quantile``: robustness guard for the max-|llr| normalizer.  A
+    single extreme rare-token bucket (one token seen only in one class —
+    an adversarial seed doc, or just a unique id string) otherwise OWNS
+    the normalizer and compresses every informative weight toward 0 after
+    integer quantization.  When set (e.g. ``0.999``), |llr| values are
+    clipped at that EXACT per-bucket quantile (≤ n_buckets values — the
+    exact percentile is a cheap 1-row agg, deterministic unlike the
+    sketch-merge approx) and the clip value becomes the normalizer, so
+    outlier buckets saturate at ±WEIGHT_SCALE instead of flattening the
+    rest of the table.  ``None`` (default) preserves the exact max-|llr|
+    scaling the oracle replays.
     """
     from evidence_datasource_parsers_spark.operators.dedupe import (
         normalized_text,
@@ -201,13 +214,27 @@ def train_quality_classifier(
                     / (F.col("__ntot") + F.lit(denom)))
         ),
     )
-    norm = scored.agg(F.max(F.abs(F.col("__llr"))).alias("__m"))
+    if clip_quantile is None:
+        norm = scored.agg(F.max(F.abs(F.col("__llr"))).alias("__m"))
+    else:
+        if not 0.0 < clip_quantile <= 1.0:
+            raise ValueError(
+                f"clip_quantile must be in (0, 1], got {clip_quantile}"
+            )
+        norm = scored.agg(
+            F.percentile(
+                F.abs(F.col("__llr")), F.lit(float(clip_quantile))
+            ).alias("__m")
+        )
+    llr = F.col("__llr")
+    if clip_quantile is not None:
+        llr = F.signum(llr) * F.least(F.abs(llr), F.col("__m"))
     return (
         scored.crossJoin(F.broadcast(norm))
         .select(
             "bucket",
             F.floor(
-                F.col("__llr") / F.col("__m") * F.lit(float(WEIGHT_SCALE))
+                llr / F.col("__m") * F.lit(float(WEIGHT_SCALE))
                 + F.lit(0.5)
             ).cast("long").alias("weight"),
         )

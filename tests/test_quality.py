@@ -220,3 +220,60 @@ def test_train_quality_classifier_deterministic_under_repartition(spark):
           train_quality_classifier(
               train.repartition(7), "text", "label").collect()}
     assert w1 == w2 and w1
+
+
+def test_train_quality_classifier_clip_quantile_survives_poison(spark):
+    """Adversarial seed set: ONE rare token repeated thousands of times in
+    a single positive doc owns the max-|llr| normalizer and compresses
+    every informative weight toward 0 after integer quantization.
+    clip_quantile caps the normalizer at a per-bucket |llr| quantile, so
+    the poison bucket saturates at ±SCALE and held-out separation
+    survives."""
+    import pyspark.sql.functions as F2
+    import pytest
+
+    from evidence_datasource_parsers_spark.functions.quality import (
+        score_with_weight_table,
+        train_quality_classifier,
+    )
+
+    prose = "the quick brown fox jumps over a lazy dog near the river bank"
+    spam = "win free casino bonus click buy cheap pills viagra lottery now"
+    poison = ("qqqpoisonqqq " * 5000).strip()
+    train = spark.createDataFrame(
+        [(i, f"{prose} common words here", 1) for i in range(8)]
+        + [(50, poison, 1)]
+        + [(100 + i, f"{spam} common words here", 0) for i in range(8)],
+        "doc_id long, text string, label int",
+    )
+    held = spark.createDataFrame(
+        [(1, "quick fox jumps over the river dog"),
+         (2, "free casino pills click lottery bonus")],
+        "doc_id long, text string",
+    )
+
+    def sep(weights):
+        out = {r["doc_id"]: r["lexical_score"] for r in
+               score_with_weight_table(held, "text", "doc_id",
+                                       weights).collect()}
+        return out[1] - out[2], out
+
+    plain = train_quality_classifier(train, "text", "label")
+    clipped = train_quality_classifier(
+        train, "text", "label", clip_quantile=0.9
+    )
+    s_plain, _ = sep(plain)
+    s_clip, out = sep(clipped)
+    # poisoned-but-unclipped still orders correctly, yet the margin is
+    # compressed; the clipped table recovers ≥2× the separation and the
+    # held-out docs clear the calibration thresholds the clean-seed test
+    # (above) uses
+    assert s_clip > 2 * s_plain > 0
+    assert out[1] > 0.2 and out[2] < -0.2
+    # weights stay inside the integer scale contract in both modes
+    for w in (plain, clipped):
+        m = w.agg(F2.max(F2.abs(F2.col("weight")))).collect()[0][0]
+        assert m == 1000
+
+    with pytest.raises(ValueError, match="clip_quantile"):
+        train_quality_classifier(train, "text", "label", clip_quantile=1.5)
