@@ -533,6 +533,21 @@ def decode_blob(blob: bytes, decode_hook: DecodeHook = None) -> dict:
             "n_frames": v["n_frames"], "fps": v["fps"],
             "frames": v["frames"],
         }
+    if len(blob) >= 12 and blob[4:8] == b"ftyp":
+        from evidence_datasource_parsers_spark.functions.mp4 import (
+            parse_mp4,
+        )
+
+        m = parse_mp4(blob)  # container walk only — no codec decode
+        return {
+            "media_type": "video", "format": "mp4",
+            "width": m["width"], "height": m["height"],
+            "n_frames": m["n_frames"], "fps": m["fps"],
+            "duration_s": m["duration_s"], "codec": m["video_codec"],
+            # no 'frames'/'frame_pixels': the encoded samples need a real
+            # codec — a decode_hook supplies pixels; the stdlib tier still
+            # gives metadata gates and stream-hash remux dedup real values
+        }
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         rate, ch, samples = decode_wav(blob)
         return {
@@ -1444,23 +1459,29 @@ def video_meta_frame(
     id_col: str = "media_id",
     decode_hook: DecodeHook = None,
 ) -> DataFrame:
-    """(id, n_frames, fps, width, height) per AVI blob — container walk
-    only, no frame decode.  Undecodable blobs yield NULL columns.
-    ``decode_hook`` (see :func:`decode_blob`) supplies the same fields for
-    foreign containers (MP4/H.264, ...)."""
+    """(id, n_frames, fps, width, height) per video blob — container walk
+    only, no frame decode.  Native for MJPEG-AVI and ISO-BMFF/MP4 (the
+    moov sample tables carry everything these columns need, no codec
+    required — see ``functions/mp4.py``); undecodable blobs yield NULL
+    columns.  ``decode_hook`` (see :func:`decode_blob`) supplies the same
+    fields for other containers."""
     id_dt = df.schema[id_col].dataType.simpleString()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from evidence_datasource_parsers_spark.functions.avi import (
             decode_avi,
         )
+        from evidence_datasource_parsers_spark.functions.mp4 import (
+            parse_mp4,
+        )
 
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
                 v = None
+                b = bytes(blob) if blob is not None else b""
                 if decode_hook is not None and blob is not None:
-                    hooked = decode_hook(bytes(blob))
+                    hooked = decode_hook(b)
                     if hooked is not None:
                         v = (
                             hooked
@@ -1469,9 +1490,10 @@ def video_meta_frame(
                         )
                 if v is None:
                     try:
-                        v = decode_avi(
-                            bytes(blob) if blob is not None else b""
-                        )
+                        if len(b) >= 12 and b[4:8] == b"ftyp":
+                            v = parse_mp4(b)
+                        else:
+                            v = decode_avi(b)
                     except (ValueError, struct.error):
                         v = {}
                 rows.append(
@@ -1613,3 +1635,110 @@ def incremental_video_dedupe(
         fp.join(dropped, on=id_col, how="left_anti")
     )
     return IncrementalPhashResult(fresh=fresh, store=new_store, pinned=fp)
+
+
+def video_stream_hash_frame(
+    df: DataFrame,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, container, codec, stream_hash) per video blob: an 8-byte hash
+    of the CONTAINER-INDEPENDENT elementary stream — the concatenated
+    encoded media samples, resolved from the container's own tables
+    (``mp4_sample_ranges`` for ISO-BMFF, the ``movi`` frame chunks for
+    MJPEG-AVI).  A remux — the same encoding repackaged with new
+    ftyp/moov metadata, shuffled box order, edited title, even a
+    DIFFERENT container — hashes identically, which neither a whole-blob
+    hash nor any metadata column can see.  No codec decode: this tier is
+    real for MP4/H.264 in a stdlib-only deployment, where the pixel-level
+    pHash tier needs a ``decode_hook``.
+
+    Unrecognized/malformed containers yield NULL ``stream_hash`` (the
+    undecodable contract: flows fresh through the dedupe tier, never
+    stored).  One narrow Arrow pass, no shuffle; cost is a headers walk
+    plus one hash over the media bytes."""
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from evidence_datasource_parsers_spark.functions.avi import (
+            decode_avi,
+        )
+        from evidence_datasource_parsers_spark.functions.mp4 import (
+            mp4_stream_bytes,
+            parse_mp4,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                container = codec = None
+                h = None
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    if len(b) >= 12 and b[4:8] == b"ftyp":
+                        meta = parse_mp4(b)
+                        container, codec = "mp4", meta["video_codec"]
+                        stream = mp4_stream_bytes(b)
+                    else:
+                        v = decode_avi(b)
+                        container, codec = "avi", "mjpg"
+                        stream = b"".join(v["frames"])
+                    h = int.from_bytes(
+                        hashlib.md5(stream).digest()[:8], "big", signed=True
+                    )
+                except (ValueError, struct.error, KeyError):
+                    container = codec = None
+                    h = None
+                rows.append((mid, container, codec, h))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "container", "codec", "stream_hash"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel,
+        f"{id_col} {id_dt}, container string, codec string, "
+        "stream_hash long",
+    )
+
+
+def incremental_remux_dedupe(
+    new_batch: DataFrame,
+    stream_store: DataFrame | None,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    *,
+    batch_stream_hashes: DataFrame | None = None,
+) -> IncrementalPhashResult:
+    """Batch-over-batch EXACT remux dedup: drop every clip whose
+    elementary-stream hash (:func:`video_stream_hash_frame`) is already
+    in the carried ``(id, stream_hash)`` store.  This is the cheap tier
+    in front of :func:`incremental_video_dedupe` — it catches the
+    overwhelmingly common re-upload (same encoded stream, new container
+    metadata) with 8 bytes of state per clip and an equi-join, leaving
+    only genuinely re-ENCODED copies to the frame-sampling pHash tier —
+    and it is the one video-dedup tier that is fully real for MP4/H.264
+    without a ``decode_hook``.
+
+    Same store contract as every perceptual store: within-batch twins
+    collapse to the min id, NULL-hash (unrecognized container) rows pass
+    fresh and unstored, ``pinned`` releases after materialization.
+
+    ``batch_stream_hashes``: optional precomputed
+    :func:`video_stream_hash_frame` rows (single-walk reuse when the
+    pipeline also keeps container/codec columns)."""
+    fp_all = (
+        batch_stream_hashes
+        if batch_stream_hashes is not None
+        else video_stream_hash_frame(new_batch, binary_col, id_col)
+    )
+    # max_hamming=0, n_blocks=1 ⇒ exactly one combo key carrying the
+    # full hash: the pigeonhole join degenerates to the exact equi-join
+    # this tier wants, verified by bit_count(xor) == 0
+    return _incremental_fingerprint_dedupe(
+        new_batch, stream_store,
+        fp_all.select(id_col, "stream_hash"),
+        id_col, "stream_hash", max_hamming=0, n_blocks=1,
+    )

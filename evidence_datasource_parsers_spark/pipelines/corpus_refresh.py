@@ -250,12 +250,15 @@ def refresh_corpus_batch(
 class MediaRefreshResult(NamedTuple):
     """Media twin of :class:`RefreshResult`.  ``ready``: fresh images that
     survived perceptual dedup (plus decode-stats columns when requested);
-    ``store``: the updated pHash store; ``pinned``: cache handles — call
-    :meth:`done` after materializing both frames."""
+    ``store``: the updated pHash store; ``stream_store``: the updated
+    elementary-stream hash store when the video remux tier ran (else
+    None) — persist it alongside ``store``; ``pinned``: cache handles —
+    call :meth:`done` after materializing every returned frame."""
 
     ready: DataFrame
     store: DataFrame
     pinned: tuple
+    stream_store: DataFrame | None = None
 
     def done(self) -> None:
         for p in self.pinned:
@@ -386,17 +389,38 @@ def refresh_video_batch(
     frame_max_hamming: int = 6,
     min_n_frames: int | None = None,
     decode_hook=None,
+    remux_tier: bool = False,
+    stream_store: DataFrame | None = None,
 ) -> MediaRefreshResult:
     """Video twin of the media branches: clip-level dedup against the
     carried sampled-frame pHash store, then an optional minimum-length
     gate over :func:`video_meta_frame` columns.  Same store semantics:
     gated clips are still SEEN; undecodable containers pass ungated and
-    unstored."""
+    unstored.
+
+    ``remux_tier=True`` runs the exact elementary-stream tier FIRST
+    (``incremental_remux_dedupe`` against the carried ``stream_store``):
+    re-uploads of a stored encoding in a new container die on an 8-byte
+    equi-join before paying frame decode, and — because the stream hash
+    needs no codec — this tier is fully real for MP4/H.264 where the
+    pHash tier needs a ``decode_hook``.  The updated hash store returns
+    as ``MediaRefreshResult.stream_store``; persist it alongside the
+    frame store."""
     from evidence_datasource_parsers_spark.operators.multimodal import (
+        incremental_remux_dedupe,
         incremental_video_dedupe,
         video_meta_frame,
     )
 
+    pinned_extra: tuple = ()
+    stream_store_out = None
+    if remux_tier:
+        rres = incremental_remux_dedupe(
+            batch, stream_store, binary_col, id_col
+        )
+        batch = rres.fresh
+        stream_store_out = rres.store
+        pinned_extra = (rres.pinned,)
     res = incremental_video_dedupe(
         batch,
         frame_store,
@@ -420,7 +444,9 @@ def refresh_video_batch(
             | (F.col("n_frames") >= min_n_frames)
         )
     return MediaRefreshResult(
-        ready=ready, store=res.store, pinned=(res.pinned,)
+        ready=ready, store=res.store,
+        pinned=pinned_extra + (res.pinned,),
+        stream_store=stream_store_out,
     )
 
 

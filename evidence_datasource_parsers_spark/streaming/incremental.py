@@ -125,6 +125,11 @@ def incremental_dedupe_sink(
         stored clips dropped against an (id, frame_idx, phash)
         sampled-frame store (`multimodal.incremental_video_dedupe`);
         ``text_col`` names the binary blob column.
+      * ``'remux'`` — exact elementary-stream dedup: the same encoded
+        video repackaged in a new container dropped against an
+        (id, stream_hash) store (`multimodal.incremental_remux_dedupe`);
+        no codec needed, so this tier is fully real for MP4/H.264;
+        ``text_col`` names the binary blob column.
       * ``'span'`` — exact substring dedup: duplicated token spans are
         EXCISED (documents are rewritten, not dropped — every batch doc is
         appended with clean_text/n_tokens/n_removed_tokens) against a
@@ -148,7 +153,7 @@ def incremental_dedupe_sink(
 
     if mode not in (
         "exact", "lsh", "simhash", "embedding", "phash", "audio", "video",
-        "span",
+        "remux", "span",
     ):
         raise ValueError(f"unknown dedupe mode {mode!r}")
     if provenance_dir is not None and mode != "lsh":
@@ -218,6 +223,16 @@ def incremental_dedupe_sink(
             )
 
             res = incremental_video_dedupe(
+                batch_df, store, text_col, id_col, **dedupe_opts
+            )
+            fresh, new_store = res.fresh, res.store
+            fresh = fresh.persist()
+        elif mode == "remux":
+            from evidence_datasource_parsers_spark.operators.multimodal import (
+                incremental_remux_dedupe,
+            )
+
+            res = incremental_remux_dedupe(
                 batch_df, store, text_col, id_col, **dedupe_opts
             )
             fresh, new_store = res.fresh, res.store

@@ -384,3 +384,48 @@ def test_refresh_hot_bucket_cap_and_drop_audit(spark):
 
     with pytest.raises(ValueError, match="audit_drops"):
         refresh_corpus_batch(b1, None, mode="exact", audit_drops=True)
+
+
+def test_video_refresh_remux_tier(spark):
+    """remux_tier=True: a re-containered copy of a stored clip dies on
+    the 8-byte stream-hash equi-join (no codec, no frame decode), and the
+    updated stream store carries forward alongside the frame store."""
+    from evidence_datasource_parsers_spark.functions.mp4 import encode_mp4
+    from evidence_datasource_parsers_spark.pipelines.corpus_refresh import (
+        refresh_video_batch,
+    )
+
+    samples = [bytes([60 + i]) * (30 + i) for i in range(6)]
+    base = encode_mp4(samples, 64, 48, fps=24.0)
+    remux = encode_mp4(
+        samples, 64, 48, fps=24.0, moov_first=True, free_bytes=32,
+        brand=b"mp42",
+    )
+    other = encode_mp4([b"\x11" * 44] * 4, 32, 32)
+
+    b1 = spark.createDataFrame(
+        [(1, bytearray(base))], "media_id long, blob binary"
+    )
+    r1 = refresh_video_batch(b1, None, remux_tier=True)
+    sstore = r1.stream_store.localCheckpoint(eager=True)
+    fstore = r1.store.localCheckpoint(eager=True)
+    assert sstore.count() == 1
+    r1.done()
+
+    b2 = spark.createDataFrame(
+        [(10, bytearray(remux)), (11, bytearray(other))],
+        "media_id long, blob binary",
+    )
+    r2 = refresh_video_batch(
+        b2, fstore, remux_tier=True, stream_store=sstore
+    )
+    ready = {r.media_id for r in r2.ready.select("media_id").collect()}
+    assert ready == {11}  # remux of clip 1 dropped before frame decode
+    assert {r.media_id for r in
+            r2.stream_store.select("media_id").collect()} == {1, 11}
+    r2.done()
+
+    # tier off: no stream store returned
+    r3 = refresh_video_batch(b1, None)
+    assert r3.stream_store is None
+    r3.done()

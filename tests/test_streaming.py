@@ -722,3 +722,55 @@ def test_incremental_lsh_sink_provenance_and_cap(spark, tmp_path):
             out, store, str(tmp_path / "pv_ck_bad"),
             "text", "doc_id", mode="exact", provenance_dir=prov,
         )
+
+
+def test_incremental_dedupe_sink_remux_mode(spark, tmp_path):
+    """mode='remux': a re-containered copy of a streamed clip is dropped
+    against the persisted (id, stream_hash) store — exact elementary-
+    stream memory that needs no codec (real for MP4/H.264)."""
+    from evidence_datasource_parsers_spark.functions.mp4 import encode_mp4
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        incremental_dedupe_sink,
+    )
+
+    samples = [bytes([70 + i]) * (28 + i) for i in range(5)]
+    base = encode_mp4(samples, 64, 48)
+    remux = encode_mp4(samples, 64, 48, moov_first=True, free_bytes=16)
+    other = encode_mp4([b"\x55" * 33] * 3, 32, 32)
+
+    src = tmp_path / "rm_in"
+    src.mkdir()
+    out = str(tmp_path / "rm_out")
+    store = str(tmp_path / "rm_store")
+
+    def write_batch(name, rows):
+        import pandas as pd
+
+        pd.DataFrame(rows, columns=["media_id", "blob"]).to_parquet(
+            str(src / name)
+        )
+
+    write_batch("b1.parquet", [(1, base)])
+    runs = [0]
+
+    def run():
+        runs[0] += 1
+        stream = (
+            spark.readStream.schema("media_id long, blob binary")
+            .parquet(str(src))
+        )
+        q = incremental_dedupe_sink(
+            stream, out, store, str(tmp_path / f"rm_ck{runs[0]}"),
+            "blob", "media_id", mode="remux",
+        )
+        q.awaitTermination()
+
+    run()
+    assert [r.media_id for r in spark.read.parquet(out).collect()] == [1]
+
+    write_batch("b2.parquet", [(10, remux), (11, other)])
+    run()
+    got = sorted(r.media_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 11]  # 10 = remux of stored stream, dropped
+    assert {r.media_id for r in spark.read.parquet(store).collect()} \
+        == {1, 11}
