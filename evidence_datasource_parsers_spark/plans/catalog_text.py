@@ -1259,6 +1259,14 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
                         THEN 1 ELSE 0 END) AS BIGINT) AS zc
         FROM documents d, range(400) r(k)
         GROUP BY d.doc_id
+    ),
+    mp4 AS (
+        SELECT d.doc_id,
+               CAST(sum(CASE WHEN r.k < d.doc_id % 4 + 2
+                    THEN ((d.doc_id + r.k * 3) % 256) * (20 + r.k)
+                    ELSE 0 END) AS BIGINT) AS ssum
+        FROM documents d, range(6) r(k)
+        GROUP BY d.doc_id
     )
     SELECT d.doc_id AS media_id,
            'image' AS media_type,
@@ -1277,11 +1285,15 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
            w.ssum AS audio_sample_sum,
            w.zc AS audio_zero_crossings,
            CAST((d.doc_id % 5 + 1) * 1000 + d.doc_id % 256 AS BIGINT)
-               AS avi_probe
+               AS avi_probe,
+           CAST((d.doc_id % 4 + 2) * 1000000 + 64 * 1000 + 48 AS BIGINT)
+               AS mp4_probe,
+           m4.ssum AS mp4_stream_sum
     FROM documents d
     JOIN ppm p ON d.doc_id = p.doc_id
     JOIN pal c ON d.doc_id = c.doc_id
     JOIN wav w ON d.doc_id = w.doc_id
+    JOIN mp4 m4 ON d.doc_id = m4.doc_id
     """,
     tags=("multimodal", "mapInPandas"),
 )
@@ -1511,6 +1523,48 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
             out["avi_probe"] = probes
             yield out
 
+    def mp4_stats(batches):
+        """Round-8 ISO-BMFF leg (functions/mp4.py): per document a
+        (doc_id%4+2)-sample MP4 is written in TWO container layouts
+        (mdat-first vs moov-first + free padding + different brand) and
+        parsed by the REAL box walk.  mp4_probe packs n_frames/width/
+        height from the layout-A parse; mp4_stream_sum is the byte sum of
+        the elementary stream extracted from layout B via the sample
+        tables — and is forced to −1 unless BOTH layouts yield identical
+        stream bytes, so the remux-invariance contract itself sits under
+        the value hash (the oracle recomputes the sum arithmetically:
+        sample i = byte (doc_id + 3i) mod 256 repeated 20 + i times)."""
+        from evidence_datasource_parsers_spark.functions.mp4 import (
+            encode_mp4,
+            mp4_stream_bytes,
+            parse_mp4,
+        )
+
+        for pdf in batches:
+            probes, ssums = [], []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                nf = m % 4 + 2
+                samples = [
+                    bytes([(m + i * 3) % 256]) * (20 + i) for i in range(nf)
+                ]
+                a = encode_mp4(samples, 64, 48, fps=24.0)
+                b = encode_mp4(
+                    samples, 64, 48, fps=24.0, moov_first=True,
+                    free_bytes=32, brand=b"mp42",
+                )
+                meta = parse_mp4(a)
+                probes.append(
+                    meta["n_frames"] * 1000000
+                    + meta["width"] * 1000 + meta["height"]
+                )
+                sa, sb = mp4_stream_bytes(a), mp4_stream_bytes(b)
+                ssums.append(sum(sa) if sa == sb else -1)
+            out = pdf.copy()
+            out["mp4_probe"] = probes
+            out["mp4_stream_sum"] = ssums
+            yield out
+
     media = d.mapInPandas(to_blobs, "media_id long, blob binary")
     meta = media.mapInPandas(
         decode,
@@ -1538,7 +1592,7 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         " jpeg_pixel_mean double, pjpeg_pixel_sum long,"
         " gif_pixel_sum long, png_pixel_sum long",
     )
-    return stats.mapInPandas(
+    stats = stats.mapInPandas(
         av_stats,
         "media_id long, media_type string, width int, height int,"
         " depth int, payload_bytes long, ppm_pixel_sum long,"
@@ -1547,6 +1601,16 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         " gif_pixel_sum long, png_pixel_sum long,"
         " audio_sample_sum long, audio_zero_crossings long,"
         " avi_probe long",
+    )
+    return stats.mapInPandas(
+        mp4_stats,
+        "media_id long, media_type string, width int, height int,"
+        " depth int, payload_bytes long, ppm_pixel_sum long,"
+        " ppm_pixel_mean double, jpeg_pixel_sum long,"
+        " jpeg_pixel_mean double, pjpeg_pixel_sum long,"
+        " gif_pixel_sum long, png_pixel_sum long,"
+        " audio_sample_sum long, audio_zero_crossings long,"
+        " avi_probe long, mp4_probe long, mp4_stream_sum long",
     )
 
 
