@@ -554,6 +554,48 @@ def decode_blob(blob: bytes, decode_hook: DecodeHook = None) -> dict:
             "media_type": "audio", "format": "wav",
             "sample_rate": rate, "channels": ch, "samples": samples,
         }
+    if blob[:4] == b"fLaC":
+        from evidence_datasource_parsers_spark.functions.audiometa import (
+            parse_flac,
+        )
+
+        m = parse_flac(blob)  # STREAMINFO only — no frame decode
+        return {
+            "media_type": "audio", "format": "flac",
+            "sample_rate": m["sample_rate"], "channels": m["channels"],
+            "duration_s": m["duration_s"], "pcm_md5": m["pcm_md5"],
+            # no 'samples': compressed audio needs a decode_hook; the
+            # stdlib tier still powers metadata gates and (via the
+            # spec-mandated PCM MD5) exact stream dedup
+        }
+    if blob[:4] == b"OggS":
+        from evidence_datasource_parsers_spark.functions.audiometa import (
+            parse_ogg,
+        )
+
+        m = parse_ogg(blob)
+        return {
+            "media_type": "audio", "format": m["format"],
+            "sample_rate": m["sample_rate"], "channels": m["channels"],
+            "duration_s": m["duration_s"],
+        }
+    if blob[:3] == b"ID3" or (
+        len(blob) >= 2 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0
+    ):
+        from evidence_datasource_parsers_spark.functions.audiometa import (
+            parse_mp3,
+        )
+
+        try:
+            m = parse_mp3(blob)
+        except ValueError:
+            return {"media_type": "unknown"}  # sync-like bytes, not MPEG
+        return {
+            "media_type": "audio", "format": "mp3",
+            "sample_rate": m["sample_rate"], "channels": m["channels"],
+            "duration_s": m["duration_s"], "n_frames": m["n_frames"],
+            "bitrate_kbps": m["bitrate_kbps"],
+        }
     if blob[:4] == MAGIC:
         if len(blob) < 14:
             return {"media_type": "unknown"}
@@ -1286,6 +1328,153 @@ def incremental_audio_dedupe(
     return _incremental_fingerprint_dedupe(
         new_batch, afp_store, fp_all, id_col, "afp",
         max_hamming=max_hamming, n_blocks=n_blocks,
+    )
+
+
+def audio_meta_frame(
+    df: DataFrame,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, format, sample_rate, channels, duration_s, pcm_md5) per audio
+    blob — container walk only, no codec: WAV (RIFF), MP3 (exact frame
+    walk, true VBR duration), FLAC (STREAMINFO, including the
+    spec-mandated PCM MD5), OGG Vorbis/Opus (page walk, last-granule
+    duration).  Unrecognized/malformed blobs yield NULL columns.  This is
+    the audio twin of :func:`video_meta_frame`: real-crawl duration /
+    rate / channel gates work on compressed audio a stdlib deployment
+    cannot decode.  One narrow Arrow pass, headers-only cost."""
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from evidence_datasource_parsers_spark.functions.audiometa import (
+            parse_flac,
+            parse_mp3,
+            parse_ogg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(blob) if blob is not None else b""
+                m = None
+                try:
+                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        rate, ch, samples = decode_wav(b)
+                        m = {
+                            "format": "wav", "sample_rate": rate,
+                            "channels": ch,
+                            "duration_s": samples.shape[0] / rate
+                            if rate else None,
+                            "pcm_md5": None,
+                        }
+                    elif b[:4] == b"fLaC":
+                        m = parse_flac(b)
+                    elif b[:4] == b"OggS":
+                        m = parse_ogg(b)
+                    elif b[:3] == b"ID3" or (
+                        len(b) >= 2
+                        and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+                    ):
+                        m = parse_mp3(b)
+                except (ValueError, struct.error):
+                    m = None
+                m = m or {}
+                rows.append(
+                    (
+                        mid, m.get("format"), m.get("sample_rate"),
+                        m.get("channels"), m.get("duration_s"),
+                        m.get("pcm_md5"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "format", "sample_rate", "channels",
+                    "duration_s", "pcm_md5",
+                ],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel,
+        f"{id_col} {id_dt}, format string, sample_rate int, channels int,"
+        " duration_s double, pcm_md5 string",
+    )
+
+
+def audio_stream_hash_frame(
+    df: DataFrame,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, container, stream_hash) per audio blob: an 8-byte hash of the
+    UNENCODED PCM — md5 over the RIFF ``data`` chunk for WAV, and FLAC's
+    own STREAMINFO MD5 (RFC 9639 mandates it be the md5 of exactly those
+    interleaved little-endian PCM bytes), so **a WAV and any lossless
+    FLAC encode of the same audio hash identically without decoding a
+    single FLAC frame** — cross-container exact dedup the byte-level blob
+    hash cannot see.  Lossy formats (MP3/OGG) yield NULL: their PCM is
+    decoder-dependent, and pretending otherwise would poison the store —
+    they belong to the spectral-fingerprint tier
+    (:func:`incremental_audio_dedupe`, with a decode_hook).
+
+    Feed the result as ``batch_stream_hashes=`` to
+    :func:`incremental_remux_dedupe` for the carried-store dedup loop —
+    the exact-hash core is container-agnostic."""
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from evidence_datasource_parsers_spark.functions.audiometa import (
+            parse_flac,
+        )
+
+        def wav_data_chunk(b: bytes) -> bytes | None:
+            pos = 12
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                sz = struct.unpack_from("<I", b, pos + 4)[0]
+                if cid == b"data":
+                    if pos + 8 + sz > len(b):
+                        return None
+                    return b[pos + 8 : pos + 8 + sz]
+                pos += 8 + sz + (sz & 1)
+            return None
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(blob) if blob is not None else b""
+                container = None
+                h = None
+                try:
+                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        pcm = wav_data_chunk(b)
+                        if pcm is not None:
+                            container = "wav"
+                            h = hashlib.md5(pcm).digest()
+                    elif b[:4] == b"fLaC":
+                        m = parse_flac(b)
+                        if m["pcm_md5"] is not None:
+                            container = "flac"
+                            h = bytes.fromhex(m["pcm_md5"])
+                except (ValueError, struct.error):
+                    container, h = None, None
+                rows.append(
+                    (
+                        mid, container,
+                        int.from_bytes(h[:8], "big", signed=True)
+                        if h is not None else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "container", "stream_hash"]
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel,
+        f"{id_col} {id_dt}, container string, stream_hash long",
     )
 
 

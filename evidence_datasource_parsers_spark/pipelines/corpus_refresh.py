@@ -340,18 +340,41 @@ def refresh_audio_batch(
     n_blocks: int = 10,
     min_duration_s: float | None = None,
     decode_hook=None,
+    stream_tier: bool = False,
+    stream_store: DataFrame | None = None,
 ) -> MediaRefreshResult:
     """Audio twin of :func:`refresh_media_batch`: incremental spectral-
     fingerprint dedup against the carried (id, afp) store, then an
     optional minimum-duration gate over :func:`audio_features` columns
     (re-used when the batch — a ``warc_media(content_prefix='audio/')``
     frame — already carries ``duration_s``).  Same store semantics:
-    gated clips are still SEEN; undecodable blobs pass ungated/unstored."""
+    gated clips are still SEEN; undecodable blobs pass ungated/unstored.
+
+    ``stream_tier=True`` runs the exact PCM-hash tier FIRST
+    (``incremental_remux_dedupe`` over ``audio_stream_hash_frame``
+    against the carried ``stream_store``): WAV re-uploads and lossless
+    FLAC re-encodes of stored audio — which share the PCM MD5 by spec —
+    die on an 8-byte equi-join before any sample decode.  The updated
+    hash store returns as ``MediaRefreshResult.stream_store``."""
     from evidence_datasource_parsers_spark.operators.multimodal import (
         audio_features,
+        audio_stream_hash_frame,
         incremental_audio_dedupe,
+        incremental_remux_dedupe,
     )
 
+    pinned_extra: tuple = ()
+    stream_store_out = None
+    if stream_tier:
+        rres = incremental_remux_dedupe(
+            batch, stream_store, binary_col, id_col,
+            batch_stream_hashes=audio_stream_hash_frame(
+                batch, binary_col, id_col
+            ),
+        )
+        batch = rres.fresh
+        stream_store_out = rres.store
+        pinned_extra = (rres.pinned,)
     res = incremental_audio_dedupe(
         batch,
         afp_store,
@@ -373,7 +396,9 @@ def refresh_audio_batch(
             | (F.col("duration_s") >= min_duration_s)
         )
     return MediaRefreshResult(
-        ready=ready, store=res.store, pinned=(res.pinned,)
+        ready=ready, store=res.store,
+        pinned=pinned_extra + (res.pinned,),
+        stream_store=stream_store_out,
     )
 
 
