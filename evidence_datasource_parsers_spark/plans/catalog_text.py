@@ -1268,6 +1268,13 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
         FROM documents d, range(6) r(k)
         GROUP BY d.doc_id
     )
+    SELECT q.*,
+           CAST((q.media_id % 7 + 3) * 1000000 + 44100 AS BIGINT)
+               AS mp3_probe,
+           CAST((q.media_id % 9 + 1) * 44100 AS BIGINT)
+               AS flac_total_samples,
+           CAST(q.media_id % 6 + 2 AS BIGINT) AS opus_duration_s
+    FROM (
     SELECT d.doc_id AS media_id,
            'image' AS media_type,
            CAST(64 AS INT) AS width,
@@ -1294,6 +1301,7 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
     JOIN pal c ON d.doc_id = c.doc_id
     JOIN wav w ON d.doc_id = w.doc_id
     JOIN mp4 m4 ON d.doc_id = m4.doc_id
+    ) q
     """,
     tags=("multimodal", "mapInPandas"),
 )
@@ -1565,6 +1573,55 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
             out["mp4_stream_sum"] = ssums
             yield out
 
+    def audio_meta_stats(batches):
+        """Round-8 compressed-audio legs (functions/audiometa.py): per
+        document an MP3 frame sequence ((doc_id%7+3) frames at
+        44.1 kHz, behind an ID3v2 shell), a FLAC STREAMINFO
+        ((doc_id%9+1) s at 44.1 kHz) and an Opus OGG ((doc_id%6+2) s of
+        48 kHz granules, zero pre-skip) are written and parsed by the
+        REAL walks — frame-length arithmetic, bit-packed STREAMINFO,
+        page/granule walk — and integer probes emitted; the oracle
+        recomputes each arithmetically, so any drift in the three
+        parsers breaks the value hash."""
+        from evidence_datasource_parsers_spark.functions.audiometa import (
+            encode_flac_header,
+            encode_mp3_frames,
+            encode_ogg,
+            parse_flac,
+            parse_mp3,
+            parse_ogg,
+        )
+
+        for pdf in batches:
+            mp3p, flacs, opusd = [], [], []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                a = parse_mp3(
+                    encode_mp3_frames(
+                        m % 7 + 3, kbps=128, rate=44100, id3_bytes=40
+                    )
+                )
+                mp3p.append(a["n_frames"] * 1000000 + a["sample_rate"])
+                f = parse_flac(
+                    encode_flac_header(
+                        rate=44100, channels=2,
+                        total_samples=(m % 9 + 1) * 44100,
+                    )
+                )
+                flacs.append(f["total_samples"])
+                o = parse_ogg(
+                    encode_ogg(
+                        "opus", channels=1,
+                        total_granules=(m % 6 + 2) * 48000, pre_skip=0,
+                    )
+                )
+                opusd.append(int(o["duration_s"]))
+            out = pdf.copy()
+            out["mp3_probe"] = mp3p
+            out["flac_total_samples"] = flacs
+            out["opus_duration_s"] = opusd
+            yield out
+
     media = d.mapInPandas(to_blobs, "media_id long, blob binary")
     meta = media.mapInPandas(
         decode,
@@ -1602,7 +1659,7 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         " audio_sample_sum long, audio_zero_crossings long,"
         " avi_probe long",
     )
-    return stats.mapInPandas(
+    stats = stats.mapInPandas(
         mp4_stats,
         "media_id long, media_type string, width int, height int,"
         " depth int, payload_bytes long, ppm_pixel_sum long,"
@@ -1611,6 +1668,17 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         " gif_pixel_sum long, png_pixel_sum long,"
         " audio_sample_sum long, audio_zero_crossings long,"
         " avi_probe long, mp4_probe long, mp4_stream_sum long",
+    )
+    return stats.mapInPandas(
+        audio_meta_stats,
+        "media_id long, media_type string, width int, height int,"
+        " depth int, payload_bytes long, ppm_pixel_sum long,"
+        " ppm_pixel_mean double, jpeg_pixel_sum long,"
+        " jpeg_pixel_mean double, pjpeg_pixel_sum long,"
+        " gif_pixel_sum long, png_pixel_sum long,"
+        " audio_sample_sum long, audio_zero_crossings long,"
+        " avi_probe long, mp4_probe long, mp4_stream_sum long,"
+        " mp3_probe long, flac_total_samples long, opus_duration_s long",
     )
 
 
