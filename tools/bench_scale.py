@@ -277,6 +277,63 @@ def incremental_phash_case(spark, materialize, replicas: int):
     return row
 
 
+def incremental_remux_case(spark, materialize, replicas: int):
+    """Round-8 elementary-stream tier: a FIXED batch of clip stream
+    hashes deduped against a (media_id, stream_hash) store at base vs
+    ``replicas``× size.  The container walk + md5 are per-clip and
+    scale-invariant, so the store is synthesized directly; what must
+    stay flat as the clip corpus grows is the single exact equi-join
+    (the fingerprint core at max_hamming=0: ONE combo key = the full
+    hash).  ~5% of the batch is seeded as exact re-uploads of store
+    hashes so the drop path executes."""
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        incremental_remux_dedupe,
+    )
+
+    base_n, batch_n = 20_000, 2_000
+
+    def mk_store(n: int):
+        return spark.range(n).select(
+            F.col("id").alias("media_id"),
+            F.xxhash64(F.col("id")).alias("stream_hash"),
+        )
+
+    batch_fp = spark.range(batch_n).select(
+        (F.col("id") + F.lit(10**9)).alias("media_id"),
+        F.when(
+            F.col("id") % 20 == 0,
+            F.xxhash64((F.col("id") * 7) % F.lit(base_n)),
+        )
+        .otherwise(F.xxhash64(F.col("id") + F.lit(10**9)))
+        .alias("stream_hash"),
+    ).localCheckpoint(eager=True)
+    batch = batch_fp.select(
+        "media_id", F.lit(None).cast("binary").alias("blob")
+    )
+    row: dict = {}
+    for label, n in (("base", base_n), ("scaled", base_n * replicas)):
+        try:
+            store = mk_store(n).localCheckpoint(eager=True)  # build untimed
+            best = -1.0
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                res = incremental_remux_dedupe(
+                    batch, store, batch_stream_hashes=batch_fp
+                )
+                materialize(res.fresh)
+                res.pinned.unpersist()
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+            row[label] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"remux@{label} failed: {exc}", file=sys.stderr)
+            row[label] = -1.0
+    if row.get("base", -1) > 0 and row.get("scaled", -1) > 0:
+        row["factor"] = round(row["scaled"] / row["base"], 2)
+    return row
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -342,6 +399,9 @@ def main() -> None:
     )
     results["incremental_span_refresh"] = incremental_span_case(
         spark, base, out_dir, materialize
+    )
+    results["incremental_remux_refresh"] = incremental_remux_case(
+        spark, materialize, replicas
     )
 
     line = json.dumps(
