@@ -313,12 +313,15 @@ def warc_media(
     blob) — optionally joined with REAL decoded-pixel statistics.
 
     ``content_prefix`` selects the modality: ``"image/"`` (default, stats
-    from :func:`multimodal.decoded_image_stats`), ``"audio/"`` (stats
-    from :func:`multimodal.audio_features` — duration/RMS/ZCR/dominant-Hz
-    for PCM-WAV payloads, NULL rows for compressed codecs this sandbox
-    cannot decode), or ``"video/"`` (:func:`multimodal.video_meta_frame`
-    — n_frames/fps/dims for MJPEG-AVI containers, NULL rows otherwise).
-    Any other prefix returns blob rows only.
+    from :func:`multimodal.decoded_image_stats`), ``"audio/"``
+    (:func:`multimodal.audio_features` — duration/RMS/ZCR/dominant-Hz
+    for PCM-WAV payloads — coalesced with the
+    :func:`multimodal.audio_meta_frame` container tier, so MP3/FLAC/OGG
+    payloads still get rate/channels/duration plus ``audio_format`` and
+    FLAC's ``pcm_md5``; only the sample-derived columns stay NULL), or
+    ``"video/"`` (:func:`multimodal.video_meta_frame` — n_frames/fps/
+    dims for MJPEG-AVI and ISO-BMFF/MP4 containers, NULL rows
+    otherwise).  Any other prefix returns blob rows only.
 
     This closes the crawl→multimodal loop the way ``warc_documents``
     closes crawl→text: the same archives a text pipeline ingests carry the
@@ -372,10 +375,32 @@ def warc_media(
     if content_prefix == "audio/":
         from evidence_datasource_parsers_spark.operators.multimodal import (
             audio_features,
+            audio_meta_frame,
         )
 
         stats = audio_features(
             media, "blob", "media_id", decode_hook=decode_hook
+        )
+        # container tier (functions/audiometa.py): rate/channels/duration
+        # for the compressed codecs (MP3/FLAC/OGG) the sample decoder
+        # reports NULL on, plus format and FLAC's PCM MD5.  The decoded
+        # values win the coalesce; the meta walk is headers-only cost.
+        meta = audio_meta_frame(media, "blob", "media_id").select(
+            "media_id",
+            F.col("format").alias("audio_format"),
+            F.col("sample_rate").alias("__m_sr"),
+            F.col("channels").alias("__m_ch"),
+            F.col("duration_s").alias("__m_dur"),
+            "pcm_md5",
+        )
+        stats = stats.join(meta, on="media_id", how="left").select(
+            "media_id",
+            F.coalesce("sample_rate", "__m_sr").alias("sample_rate"),
+            F.coalesce("channels", "__m_ch").alias("channels"),
+            "n_frames",
+            F.coalesce("duration_s", "__m_dur").alias("duration_s"),
+            "rms", "zero_crossing_rate", "dominant_hz",
+            "audio_format", "pcm_md5",
         )
         return media.join(stats, on="media_id", how="left")
     if content_prefix == "video/":
