@@ -533,11 +533,36 @@ def decode_blob(blob: bytes, decode_hook: DecodeHook = None) -> dict:
             "n_frames": v["n_frames"], "fps": v["fps"],
             "frames": v["frames"],
         }
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        from evidence_datasource_parsers_spark.functions.imagemeta import (
+            parse_webp,
+        )
+
+        m = parse_webp(blob)  # container dims only — no VP8/VP8L decode
+        return {
+            "media_type": "image", "format": m["format"],
+            "width": m["width"], "height": m["height"],
+            "channels": 4 if m["has_alpha"] else 3,
+            "animated": m["animated"],
+            # no 'pixels': the codec needs a decode_hook; the stdlib
+            # tier still powers dimension/aspect gates
+        }
     if len(blob) >= 12 and blob[4:8] == b"ftyp":
+        from evidence_datasource_parsers_spark.functions.imagemeta import (
+            is_still_image_brand,
+            parse_avif,
+        )
         from evidence_datasource_parsers_spark.functions.mp4 import (
             parse_mp4,
         )
 
+        if is_still_image_brand(blob):
+            m = parse_avif(blob)
+            return {
+                "media_type": "image", "format": m["format"],
+                "width": m["width"], "height": m["height"],
+                "channels": None,
+            }
         m = parse_mp4(blob)  # container walk only — no codec decode
         return {
             "media_type": "video", "format": "mp4",
@@ -717,7 +742,10 @@ def resize_images(
                 except (ValueError, NotImplementedError, struct.error):
                     out.append(None)
                     continue
-                if decoded["media_type"] != "image":
+                if (
+                    decoded["media_type"] != "image"
+                    or decoded.get("pixels") is None  # meta-only tier
+                ):
                     out.append(None)
                     continue
                 px = decoded["pixels"]
@@ -773,7 +801,19 @@ def decoded_image_stats(
                     )
                 except (ValueError, NotImplementedError, struct.error):
                     d = {"media_type": "unknown"}
-                if d["media_type"] != "image" or d["pixels"].size == 0:
+                if d["media_type"] != "image":
+                    rows.append((mid, None, None, None, None, None, None,
+                                 None, None, None))
+                    continue
+                if d.get("pixels") is None:
+                    # container-meta tier (WebP/AVIF/HEIC): dimensions
+                    # are real, pixel stats honestly NULL — gates on
+                    # width/height work, stats-dependent paths skip
+                    rows.append((mid, d["format"], d.get("width"),
+                                 d.get("height"), d.get("channels"),
+                                 None, None, None, None, None))
+                    continue
+                if d["pixels"].size == 0:  # degenerate raster: null row
                     rows.append((mid, None, None, None, None, None, None,
                                  None, None, None))
                     continue
@@ -1033,7 +1073,11 @@ def image_phash_frame(
                     )
                 except (ValueError, NotImplementedError, struct.error):
                     d = {"media_type": "unknown"}
-                if d.get("media_type") != "image" or d["pixels"].size == 0:
+                if (
+                    d.get("media_type") != "image"
+                    or d.get("pixels") is None  # container-meta tier
+                    or d["pixels"].size == 0
+                ):
                     out.append((mid, None))
                     continue
                 out.append((mid, _phash64(d["pixels"])))
