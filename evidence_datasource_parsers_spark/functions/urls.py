@@ -167,6 +167,86 @@ def filter_urls(
     return df.where(cond)
 
 
+def _parse_robots_groups(text: str):
+    """robots.txt line walk shared by the RFC matcher and the directives
+    extractor.  Returns ``(groups, sitemaps)`` where each group is
+    ``{"uas": [lowercased UA values], "rules": [(is_allow, pattern)],
+    "crawl_delay": float | None}`` and ``sitemaps`` is the file-global
+    Sitemap list (not group-scoped, per the de-facto convention)."""
+    groups: list[dict] = []
+    uas: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    delay: float | None = None
+    sitemaps: list[str] = []
+    in_group = False  # saw at least one rule since the last UA line
+
+    def close():
+        nonlocal uas, rules, delay, in_group
+        if uas:
+            groups.append(
+                {"uas": uas, "rules": rules, "crawl_delay": delay}
+            )
+        uas, rules, delay, in_group = [], [], None, False
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group:
+                close()
+            uas.append(val.lower())
+        elif key in ("allow", "disallow"):
+            if not uas:
+                continue  # rule before any user-agent line: ignored
+            in_group = True
+            if val == "" and key == "disallow":
+                continue  # empty Disallow matches nothing
+            if val != "":
+                rules.append((key == "allow", val))
+        elif key == "crawl-delay":
+            if not uas:
+                continue
+            in_group = True
+            try:
+                delay = float(val)
+            except ValueError:
+                pass
+        elif key == "sitemap":
+            if val:
+                sitemaps.append(val)
+        # other keys end nothing per RFC
+    close()
+    return groups, sitemaps
+
+
+def _select_robots_groups(groups: list[dict], agent: str) -> list[dict]:
+    """RFC 9309 §2.2.1 group selection: all groups whose UA value is the
+    LONGEST case-insensitive prefix of the agent's product token (they
+    merge); the ``*`` groups when no specific UA matches."""
+    tok = agent.lower()
+    best = -1
+    for g in groups:
+        for ua in g["uas"]:
+            if ua != "*" and tok.startswith(ua) and len(ua) > best:
+                best = len(ua)
+    selected = []
+    for g in groups:
+        for ua in g["uas"]:
+            hit = (
+                (best >= 0 and ua != "*" and tok.startswith(ua)
+                 and len(ua) == best)
+                or (best < 0 and ua == "*")
+            )
+            if hit:
+                selected.append(g)
+                break
+    return selected
+
+
 class Rfc9309Matcher:
     """Minimal RFC 9309 robots.txt evaluator (longest-match semantics).
 
@@ -194,54 +274,12 @@ class Rfc9309Matcher:
     def __init__(self, text: str, agent: str = "*") -> None:
         import re as _re
 
-        groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
-        uas: list[str] = []
-        rules: list[tuple[bool, str]] = []
-        in_group = False  # saw at least one rule since the last UA line
-        for raw in text.splitlines():
-            line = raw.split("#", 1)[0].strip()
-            if not line or ":" not in line:
-                continue
-            key, _, val = line.partition(":")
-            key = key.strip().lower()
-            val = val.strip()
-            if key == "user-agent":
-                if in_group:
-                    groups.append((uas, rules))
-                    uas, rules, in_group = [], [], False
-                uas.append(val.lower())
-            elif key in ("allow", "disallow"):
-                if not uas:
-                    continue  # rule before any user-agent line: ignored
-                in_group = True
-                if val == "" and key == "disallow":
-                    continue  # empty Disallow matches nothing
-                if val != "":
-                    rules.append((key == "allow", val))
-            # other keys (crawl-delay, sitemap, ...) end nothing per RFC
-        if uas:
-            groups.append((uas, rules))
-
-        tok = agent.lower()
-        best = -1
-        for g_uas, _ in groups:
-            for ua in g_uas:
-                if ua != "*" and tok.startswith(ua) and len(ua) > best:
-                    best = len(ua)
-        selected: list[tuple[bool, str]] = []
-        for g_uas, g_rules in groups:
-            for ua in g_uas:
-                hit = (
-                    (best >= 0 and ua != "*" and tok.startswith(ua)
-                     and len(ua) == best)
-                    or (best < 0 and ua == "*")
-                )
-                if hit:
-                    selected.extend(g_rules)
-                    break
-
+        groups, _sitemaps = _parse_robots_groups(text)
+        selected = _select_robots_groups(groups, agent)
         self._rules: list[tuple[bool, int, object]] = []
-        for is_allow, pat in selected:
+        for is_allow, pat in (
+            r for g in selected for r in g["rules"]
+        ):
             spec = len(pat.encode("utf-8"))  # octet length = specificity
             anchored = pat.endswith("$")
             body = pat[:-1] if anchored else pat
@@ -387,3 +425,135 @@ def filter_by_robots(
     filter, dropping the audit column."""
     flagged = with_robots_allowed(df, robots, url_col, agent, **kwargs)
     return flagged.where(F.col("robots_allowed")).drop("robots_allowed")
+
+
+def robots_directives(
+    robots: DataFrame,
+    agent: str = "*",
+    *,
+    robots_domain_col: str = "domain",
+    robots_text_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-domain scheduling directives from a ``(domain, robots_txt)``
+    frame: ``(domain, crawl_delay, sitemaps)``.
+
+    ``crawl_delay`` is the selected user-agent group's ``Crawl-delay``
+    (RFC 9309 group selection — longest-prefix UA, ``*`` fallback; the
+    directive itself is the de-facto extension every major crawler
+    honors), NULL when absent/unparseable — the politeness SCHEDULER's
+    input, where :func:`with_robots_allowed` is the per-URL GATE.
+    ``sitemaps`` is the file-global Sitemap list (not group-scoped, per
+    the sitemaps.org convention) — the crawl-discovery frontier's seed,
+    feed the fetched bodies to :func:`parse_sitemaps`.
+
+    One Arrow pass over the domains-sized frame; no shuffle."""
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            doms, delays, maps = [], [], []
+            for dom, txt in zip(
+                pdf[robots_domain_col], pdf[robots_text_col]
+            ):
+                delay, sm = None, []
+                if txt is not None and str(txt).strip():
+                    try:
+                        groups, sm = _parse_robots_groups(str(txt))
+                        for g in _select_robots_groups(groups, agent):
+                            if g["crawl_delay"] is not None:
+                                delay = g["crawl_delay"]
+                                break
+                    except Exception:  # noqa: BLE001 — malformed ⇒ NULLs
+                        delay, sm = None, []
+                doms.append(dom)
+                delays.append(delay)
+                maps.append(sm)
+            yield pd.DataFrame(
+                {
+                    robots_domain_col: doms,
+                    "crawl_delay": delays,
+                    "sitemaps": maps,
+                }
+            )
+
+    return robots.select(robots_domain_col, robots_text_col).mapInPandas(
+        kernel,
+        f"{robots_domain_col} string, crawl_delay double,"
+        " sitemaps array<string>",
+    )
+
+
+def parse_sitemaps(
+    df: DataFrame,
+    xml_col: str = "body",
+    url_col: str = "sitemap_url",
+) -> DataFrame:
+    """Fetched sitemap XML bodies → one row per entry:
+    ``(sitemap_url, kind, loc, lastmod, changefreq, priority)`` with
+    ``kind`` = ``'url'`` (a ``<urlset>`` page entry) or ``'sitemap'`` (a
+    ``<sitemapindex>`` child to fetch next — the caller loops until no
+    ``'sitemap'`` rows remain; index recursion is I/O, not a plan
+    shape).  Namespace-agnostic local-name matching (real sitemaps mix
+    default/prefixed/absent namespaces); unparseable bodies and
+    entries without ``<loc>`` yield no rows.  One Arrow pass via stdlib
+    ElementTree; at crawl scale the frame is sitemaps-sized (≪ URLs)
+    and the parse distributes per-row with no shuffle."""
+    def kernel(batches):
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        def local(tag: str) -> str:
+            return tag.rsplit("}", 1)[-1].lower()
+
+        for pdf in batches:
+            rows = []
+            for src, body in zip(pdf[url_col], pdf[xml_col]):
+                if body is None:
+                    continue
+                try:
+                    root = ET.fromstring(str(body))
+                except ET.ParseError:
+                    continue
+                root_kind = {
+                    "urlset": "url", "sitemapindex": "sitemap"
+                }.get(local(root.tag))
+                if root_kind is None:
+                    continue
+                for entry in root:
+                    if local(entry.tag) not in ("url", "sitemap"):
+                        continue
+                    fields = {
+                        local(ch.tag): (ch.text or "").strip()
+                        for ch in entry
+                    }
+                    loc = fields.get("loc")
+                    if not loc:
+                        continue
+                    prio = None
+                    try:
+                        if fields.get("priority"):
+                            prio = float(fields["priority"])
+                    except ValueError:
+                        prio = None
+                    rows.append(
+                        (
+                            src, root_kind, loc,
+                            fields.get("lastmod") or None,
+                            fields.get("changefreq") or None,
+                            prio,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    url_col, "kind", "loc", "lastmod", "changefreq",
+                    "priority",
+                ],
+            )
+
+    return df.select(url_col, xml_col).mapInPandas(
+        kernel,
+        f"{url_col} string, kind string, loc string, lastmod string,"
+        " changefreq string, priority double",
+    )

@@ -305,3 +305,80 @@ def test_robots_gate_rfc9309_vs_stdlib(spark):
 
     with pytest.raises(ValueError):
         with_robots_allowed(urls, robots, semantics="nope")
+
+
+def test_robots_directives_delay_and_sitemaps(spark):
+    """Scheduler inputs: Crawl-delay follows RFC group selection
+    (specific UA beats *), Sitemap lines are file-global, malformed
+    values go NULL instead of failing."""
+    from evidence_datasource_parsers_spark.functions.urls import (
+        robots_directives,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.example",
+             "User-agent: trainingbot\nCrawl-delay: 2.5\nDisallow: /x\n"
+             "User-agent: *\nCrawl-delay: 10\nDisallow:\n"
+             "Sitemap: https://a.example/sm1.xml\n"
+             "Sitemap: https://a.example/sm2.xml\n"),
+            ("b.example", "User-agent: *\nDisallow: /\n"),
+            ("c.example", "User-agent: *\nCrawl-delay: soon\n"),
+            ("d.example", None),
+        ],
+        "domain string, robots_txt string",
+    )
+    star = {r.domain: r for r in robots_directives(robots).collect()}
+    assert star["a.example"].crawl_delay == 10.0
+    assert star["a.example"].sitemaps == [
+        "https://a.example/sm1.xml", "https://a.example/sm2.xml",
+    ]
+    assert star["b.example"].crawl_delay is None
+    assert star["c.example"].crawl_delay is None  # malformed → NULL
+    assert star["d.example"].crawl_delay is None
+
+    bot = {r.domain: r for r in
+           robots_directives(robots, agent="trainingbot/1.0").collect()}
+    assert bot["a.example"].crawl_delay == 2.5  # specific group wins
+
+
+def test_parse_sitemaps_urlset_and_index(spark):
+    from evidence_datasource_parsers_spark.functions.urls import (
+        parse_sitemaps,
+    )
+
+    urlset = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://s/p1</loc><lastmod>2024-01-01</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>https://s/p2</loc></url>"
+        "<url><priority>0.5</priority></url>"          # no loc → dropped
+        "<url><loc>https://s/p3</loc>"
+        "<priority>high</priority></url>"              # bad prio → NULL
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://s/child1.xml</loc></sitemap>"
+        "<sitemap><loc>https://s/child2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("https://s/sm.xml", urlset),
+         ("https://s/index.xml", index),
+         ("https://s/broken.xml", "<urlset><url>"),
+         ("https://s/null.xml", None)],
+        "sitemap_url string, body string",
+    )
+    rows = parse_sitemaps(df).collect()
+    by_loc = {r.loc: r for r in rows}
+    assert len(rows) == 5
+    p1 = by_loc["https://s/p1"]
+    assert p1.kind == "url" and p1.lastmod == "2024-01-01"
+    assert p1.changefreq == "daily" and p1.priority == 0.8
+    assert by_loc["https://s/p2"].priority is None
+    assert by_loc["https://s/p3"].priority is None
+    assert by_loc["https://s/child1.xml"].kind == "sitemap"
+    assert by_loc["https://s/child2.xml"].sitemap_url == \
+        "https://s/index.xml"
