@@ -557,3 +557,72 @@ def parse_sitemaps(
         f"{url_col} string, kind string, loc string, lastmod string,"
         " changefreq string, priority double",
     )
+
+
+def schedule_fetches(
+    df: DataFrame,
+    directives: DataFrame | None = None,
+    url_col: str = "url",
+    *,
+    default_delay: float = 1.0,
+    delay_cap: float = 60.0,
+    max_urls_per_domain: int | None = None,
+) -> DataFrame:
+    """Per-domain politeness schedule — the consumer of
+    :func:`robots_directives`: append ``domain``, ``crawl_delay`` (the
+    domain's directive, defaulted to ``default_delay``, capped at
+    ``delay_cap`` — a hostile 86400-second directive must not park a
+    domain for a day) and ``fetch_offset_s`` = (per-domain rank − 1) ×
+    delay, so a fetcher draining the frame in offset order never hits
+    one domain faster than its delay.  Rank order is the canonical URL —
+    deterministic across runs, so re-planning the same frontier yields
+    the same schedule.
+
+    ``max_urls_per_domain`` truncates each domain's schedule (frontier
+    budgeting).  NULL-domain rows keep NULL offsets (unscheduled; gate
+    them with :func:`filter_urls`).
+
+    Scale shape: one broadcast-size join (directives are domains-sized)
+    plus ONE window partitioned by registrable domain — the natural
+    shape, since a schedule is inherently sequential within a domain.
+    The skew hazard is therefore per-domain row count, not the plan:
+    a 10⁷-URL domain makes a 10⁷-row window partition.  Set
+    ``max_urls_per_domain`` in frontier planning (every real crawler
+    budgets per-domain anyway); the rank still computes before the
+    truncation, so the cap does not change surviving offsets.
+    """
+    from pyspark.sql import Window
+
+    from evidence_datasource_parsers_spark.operators.joins import (
+        broadcast_if_small,
+    )
+
+    out = df.withColumn("domain", registrable_domain(F.col(url_col)))
+    if directives is not None:
+        dirs = directives.select(
+            F.col("domain"), F.col("crawl_delay").alias("__cd")
+        )
+        out = out.join(broadcast_if_small(dirs), on="domain", how="left")
+    else:
+        out = out.withColumn("__cd", F.lit(None).cast("double"))
+    delay = F.least(
+        F.coalesce(F.col("__cd"), F.lit(float(default_delay))),
+        F.lit(float(delay_cap)),
+    )
+    w = Window.partitionBy("domain").orderBy(
+        canonicalize_url(F.col(url_col)), F.col(url_col)
+    )
+    out = (
+        out.withColumn("crawl_delay", delay)
+        .withColumn("__rk", F.row_number().over(w))
+        .drop("__cd")
+    )
+    if max_urls_per_domain is not None:
+        out = out.where(F.col("__rk") <= max_urls_per_domain)
+    return out.withColumn(
+        "fetch_offset_s",
+        F.when(
+            F.col("domain").isNotNull(),
+            (F.col("__rk") - 1) * F.col("crawl_delay"),
+        ),
+    ).drop("__rk")

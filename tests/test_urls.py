@@ -382,3 +382,49 @@ def test_parse_sitemaps_urlset_and_index(spark):
     assert by_loc["https://s/child1.xml"].kind == "sitemap"
     assert by_loc["https://s/child2.xml"].sitemap_url == \
         "https://s/index.xml"
+
+
+def test_schedule_fetches_politeness(spark):
+    """Offsets step by the domain's crawl_delay (defaulted + capped),
+    rank order is the canonical URL (deterministic), per-domain budget
+    truncates, NULL domains stay unscheduled."""
+    from evidence_datasource_parsers_spark.functions.urls import (
+        robots_directives,
+        schedule_fetches,
+    )
+
+    robots = spark.createDataFrame(
+        [("slow.example", "User-agent: *\nCrawl-delay: 5\nDisallow:\n"),
+         ("hostile.example",
+          "User-agent: *\nCrawl-delay: 86400\nDisallow:\n")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "http://slow.example/b"), (2, "http://slow.example/a"),
+         (3, "http://fast.example/x"), (4, "http://fast.example/y"),
+         (5, "http://hostile.example/z"), (6, "not a url")],
+        "id long, url string",
+    )
+    rows = {r.id: r for r in
+            schedule_fetches(urls, robots_directives(robots)).collect()}
+    # canonical order: /a before /b → id 2 fetches first
+    assert rows[2].fetch_offset_s == 0.0 and rows[1].fetch_offset_s == 5.0
+    assert rows[3].crawl_delay == 1.0  # default
+    assert {rows[3].fetch_offset_s, rows[4].fetch_offset_s} == {0.0, 1.0}
+    assert rows[5].crawl_delay == 60.0  # hostile directive capped
+    assert rows[6].domain is None and rows[6].fetch_offset_s is None
+
+    capped = schedule_fetches(
+        urls, robots_directives(robots), max_urls_per_domain=1
+    )
+    per_dom = {r.domain for r in capped.collect() if r.domain}
+    got = [r.id for r in capped.collect()]
+    assert len([i for i in got if i in (1, 2)]) == 1
+    assert len(per_dom) == 3
+
+    # determinism across runs
+    a = sorted((r.id, r.fetch_offset_s) for r in
+               schedule_fetches(urls, robots_directives(robots)).collect())
+    b = sorted((r.id, r.fetch_offset_s) for r in
+               schedule_fetches(urls, robots_directives(robots)).collect())
+    assert a == b
