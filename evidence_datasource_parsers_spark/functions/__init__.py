@@ -28,7 +28,24 @@ from evidence_datasource_parsers_spark.functions.quality import (  # noqa: F401
 from evidence_datasource_parsers_spark.functions.urls import (  # noqa: F401
     canonicalize_url,
     dedupe_by_url,
+    parse_sitemaps,
     registrable_domain,
+    robots_directives,
+    schedule_fetches,
+)
+from evidence_datasource_parsers_spark.functions.mp4 import (  # noqa: F401
+    mp4_sample_ranges,
+    mp4_stream_bytes,
+    parse_mp4,
+)
+from evidence_datasource_parsers_spark.functions.audiometa import (  # noqa: F401
+    parse_flac,
+    parse_mp3,
+    parse_ogg,
+)
+from evidence_datasource_parsers_spark.functions.imagemeta import (  # noqa: F401
+    parse_avif,
+    parse_webp,
 )
 from evidence_datasource_parsers_spark.functions.html import (  # noqa: F401
     extract_links,

@@ -20,3 +20,8 @@ from evidence_datasource_parsers_spark.sources.warc import (  # noqa: F401
     iter_warc_records,
     read_warc,
 )
+from evidence_datasource_parsers_spark.sources.webdataset import (  # noqa: F401
+    group_samples,
+    read_webdataset,
+    write_webdataset,
+)
