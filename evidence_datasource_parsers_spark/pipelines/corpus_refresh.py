@@ -358,6 +358,7 @@ def refresh_audio_batch(
     hash store returns as ``MediaRefreshResult.stream_store``."""
     from evidence_datasource_parsers_spark.operators.multimodal import (
         audio_features,
+        audio_meta_frame,
         audio_stream_hash_frame,
         incremental_audio_dedupe,
         incremental_remux_dedupe,
@@ -390,7 +391,21 @@ def refresh_audio_batch(
             feats = audio_features(
                 ready, binary_col, id_col, decode_hook=decode_hook
             )
-            ready = ready.join(feats, on=id_col, how="left")
+            # container tier fills duration for compressed codecs the
+            # sample decoder reports NULL on (MP3/FLAC/OGG), so the gate
+            # applies to them too; decoded values win the coalesce
+            meta = audio_meta_frame(ready, binary_col, id_col).select(
+                id_col, F.col("duration_s").alias("__m_dur")
+            )
+            ready = (
+                ready.join(feats, on=id_col, how="left")
+                .join(meta, on=id_col, how="left")
+                .withColumn(
+                    "duration_s",
+                    F.coalesce(F.col("duration_s"), F.col("__m_dur")),
+                )
+                .drop("__m_dur")
+            )
         ready = ready.where(
             F.col("duration_s").isNull()
             | (F.col("duration_s") >= min_duration_s)

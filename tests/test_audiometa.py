@@ -264,3 +264,25 @@ def test_warc_media_audio_container_tier(spark, tmp_path):
     mp3 = rows["c.mp3"]
     assert mp3.audio_format == "mp3" and mp3.sample_rate == 44100
     assert mp3.duration_s == pytest.approx(30 * 1152 / 44100)
+
+
+def test_audio_refresh_duration_gate_sees_compressed(spark):
+    """min_duration_s applies to MP3/FLAC via the container tier: a
+    short FLAC is gated out (but still SEEN by the spectral store path),
+    a long MP3 passes, WAV keeps decoded behavior."""
+    from evidence_datasource_parsers_spark.pipelines.corpus_refresh import (
+        refresh_audio_batch,
+    )
+
+    pcm = ((np.arange(32000) * 7) % 2001 - 1000).astype("<i2")
+    b = spark.createDataFrame(
+        [(1, bytearray(_wav(pcm, rate=8000))),                 # 4 s wav
+         (2, bytearray(encode_flac_header(
+             rate=44100, channels=1, total_samples=44100))),   # 1 s flac
+         (3, bytearray(encode_mp3_frames(200)))],              # ~5.2 s mp3
+        "media_id long, blob binary",
+    )
+    r = refresh_audio_batch(b, None, min_duration_s=2.0)
+    ready = {x.media_id for x in r.ready.select("media_id").collect()}
+    assert ready == {1, 3}  # short flac gated out on container duration
+    r.done()
