@@ -263,12 +263,19 @@ def parse_ogg(blob: bytes) -> dict:
         raise ValueError("truncated first OGG page")
     _, _, _, body, blen = first
     pkt = blob[body : body + blen]
+    # the slice silently truncates when the blob ends mid-body — the id
+    # magic can still match, so every fixed-offset read below needs the
+    # packet to really be there (fuzz contract: ValueError, never Index)
     fmt, rate, channels, pre_skip = "ogg", None, None, 0
     if pkt[:7] == b"\x01vorbis":
+        if len(pkt) < 16:
+            raise ValueError("truncated Vorbis id header")
         fmt = "ogg_vorbis"
         channels = pkt[11]
         rate = struct.unpack_from("<I", pkt, 12)[0]
     elif pkt[:8] == b"OpusHead":
+        if len(pkt) < 12:
+            raise ValueError("truncated OpusHead")
         fmt = "ogg_opus"
         channels = pkt[9]
         pre_skip = struct.unpack_from("<H", pkt, 10)[0]
