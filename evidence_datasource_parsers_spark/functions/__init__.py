@@ -47,6 +47,12 @@ from evidence_datasource_parsers_spark.functions.imagemeta import (  # noqa: F40
     parse_avif,
     parse_webp,
 )
+from evidence_datasource_parsers_spark.functions.charset import (  # noqa: F401
+    decode_payload,
+    decode_text_frame,
+    repair_mojibake,
+    sniff_charset,
+)
 from evidence_datasource_parsers_spark.functions.html import (  # noqa: F401
     extract_links,
     looks_like_html,

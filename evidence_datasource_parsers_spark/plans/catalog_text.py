@@ -1233,6 +1233,19 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# q62 charset leg: one suffix per detection branch (media_id % 5) — each
+# contains non-ASCII so the mojibake twin always triggers the repair
+# trigger rule; branches 2 and 4 are cp1252-encodable by construction.
+# The oracle SQL embeds the same literals.
+_CHARSET_SUFFIXES = (
+    "São Paulo — café №42",  # 0: UTF-8 + HTTP charset header
+    "déjà vu — naïve ünïcode",  # 1: UTF-16-LE BOM
+    "São café déjà €99",  # 2: cp1252 behind <meta charset=iso-8859-1>
+    "東京 データ 図書館",  # 3: bare UTF-8 (content heuristic)
+    "“smart quotes” …",  # 4: cp1252 fallback (invalid UTF-8, undeclared)
+)
+
+
 @register(
     "q62_multimodal_meta",
     """
@@ -1273,7 +1286,31 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
                AS mp3_probe,
            CAST((q.media_id % 9 + 1) * 44100 AS BIGINT)
                AS flac_total_samples,
-           CAST(q.media_id % 6 + 2 AS BIGINT) AS opus_duration_s
+           CAST(q.media_id % 6 + 2 AS BIGINT) AS opus_duration_s,
+           (CASE WHEN q.media_id % 5 = 2
+                 THEN '<meta charset=iso-8859-1>' ELSE '' END)
+             || 'doc ' || CAST(q.media_id AS VARCHAR) || ' '
+             || CASE q.media_id % 5
+                WHEN 0 THEN 'São Paulo — café №42'
+                WHEN 1 THEN 'déjà vu — naïve ünïcode'
+                WHEN 2 THEN 'São café déjà €99'
+                WHEN 3 THEN '東京 データ 図書館'
+                ELSE '“smart quotes” …' END AS decoded_text,
+           CASE q.media_id % 5
+                WHEN 1 THEN 'utf-16-le'
+                WHEN 2 THEN 'cp1252'
+                WHEN 4 THEN 'cp1252'
+                ELSE 'utf-8' END AS charset,
+           CASE q.media_id % 5
+                WHEN 0 THEN 'http' WHEN 1 THEN 'bom' WHEN 2 THEN 'meta'
+                WHEN 3 THEN 'utf8' ELSE 'fallback' END AS charset_source,
+           'doc ' || CAST(q.media_id AS VARCHAR) || ' '
+             || CASE q.media_id % 5
+                WHEN 0 THEN 'São Paulo — café №42'
+                WHEN 1 THEN 'déjà vu — naïve ünïcode'
+                WHEN 2 THEN 'São café déjà €99'
+                WHEN 3 THEN '東京 データ 図書館'
+                ELSE '“smart quotes” …' END AS repaired_text
     FROM (
     SELECT d.doc_id AS media_id,
            'image' AS media_type,
@@ -1669,7 +1706,62 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         " audio_sample_sum long, audio_zero_crossings long,"
         " avi_probe long, mp4_probe long, mp4_stream_sum long",
     )
-    return stats.mapInPandas(
+    def charset_stats(batches):
+        """Round-8 charset tier (functions/charset.py): per document a
+        payload is byte-encoded through one of five real charset/
+        declaration channels (keyed media_id % 5 — HTTP-declared UTF-8,
+        UTF-16-LE BOM, cp1252 behind an iso-8859-1 <meta> alias, bare
+        UTF-8 content heuristic, cp1252 fallback on invalid UTF-8) and
+        pushed through the REAL HTML5-order sniff + decode kernel; a
+        latin-1-mojibake'd twin of the same text goes through the strict
+        repair round-trip.  The oracle constructs the expected decoded/
+        repaired strings independently, so detection order, the WHATWG
+        alias table, BOM stripping, and the repair trigger are all under
+        the value hash."""
+        import codecs as _codecs
+
+        from evidence_datasource_parsers_spark.functions.charset import (
+            _repair_value,
+            decode_payload,
+        )
+
+        for pdf in batches:
+            texts, charsets, srcs, reps = [], [], [], []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                base = f"doc {m} {_CHARSET_SUFFIXES[m % 5]}"
+                ctype = None
+                br = m % 5
+                if br == 0:
+                    payload = base.encode("utf-8")
+                    ctype = "text/html; charset=UTF-8"
+                elif br == 1:
+                    payload = _codecs.BOM_UTF16_LE + base.encode(
+                        "utf-16-le"
+                    )
+                elif br == 2:
+                    payload = b"<meta charset=iso-8859-1>" + base.encode(
+                        "cp1252"
+                    )
+                elif br == 3:
+                    payload = base.encode("utf-8")
+                else:  # cp1252 bytes, no declaration: invalid UTF-8
+                    payload = base.encode("cp1252")
+                t, c, s = decode_payload(payload, ctype)
+                texts.append(t)
+                charsets.append(c)
+                srcs.append(s)
+                reps.append(
+                    _repair_value(base.encode("utf-8").decode("latin-1"))
+                )
+            out = pdf.copy()
+            out["decoded_text"] = texts
+            out["charset"] = charsets
+            out["charset_source"] = srcs
+            out["repaired_text"] = reps
+            yield out
+
+    stats = stats.mapInPandas(
         audio_meta_stats,
         "media_id long, media_type string, width int, height int,"
         " depth int, payload_bytes long, ppm_pixel_sum long,"
@@ -1679,6 +1771,19 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         " audio_sample_sum long, audio_zero_crossings long,"
         " avi_probe long, mp4_probe long, mp4_stream_sum long,"
         " mp3_probe long, flac_total_samples long, opus_duration_s long",
+    )
+    return stats.mapInPandas(
+        charset_stats,
+        "media_id long, media_type string, width int, height int,"
+        " depth int, payload_bytes long, ppm_pixel_sum long,"
+        " ppm_pixel_mean double, jpeg_pixel_sum long,"
+        " jpeg_pixel_mean double, pjpeg_pixel_sum long,"
+        " gif_pixel_sum long, png_pixel_sum long,"
+        " audio_sample_sum long, audio_zero_crossings long,"
+        " avi_probe long, mp4_probe long, mp4_stream_sum long,"
+        " mp3_probe long, flac_total_samples long, opus_duration_s long,"
+        " decoded_text string, charset string, charset_source string,"
+        " repaired_text string",
     )
 
 

@@ -225,6 +225,7 @@ def warc_documents(
     path: str,
     max_payload: int = 100 * 1024 * 1024,
     main_content: bool = False,
+    charset: str = "utf8",
 ) -> DataFrame:
     """WARC directory → the engine's documents shape:
     (doc_id, url, crawl_ts, text).
@@ -245,6 +246,15 @@ def warc_documents(
     whose every block is chrome get NULL text (gate or drop them
     downstream).  Non-HTML text/* bodies pass through unchanged either
     way.
+
+    ``charset`` picks the byte→text tier: ``"utf8"`` (default) is the
+    zero-cost JVM ``CAST(payload AS STRING)`` — correct for the ~90% of
+    the web that is UTF-8, replacement-soup for the rest; ``"sniff"``
+    routes through :func:`functions.charset.decode_text_frame` (HTML5
+    sniff order: BOM > Content-Type > <meta> > UTF-8 validation >
+    cp1252 fallback) in one Arrow ``mapInPandas`` pass and adds
+    ``charset``/``charset_source`` provenance columns.  Same partition
+    count either way — the decode rides the WARC scan's parallelism.
     """
     from pyspark.sql import functions as F
 
@@ -266,7 +276,29 @@ def warc_documents(
             | F.col("http_content_type").isNull()
         )
     )
-    body = F.col("payload").cast("string")
+    if charset == "sniff":
+        from evidence_datasource_parsers_spark.functions.charset import (
+            decode_text_frame,
+        )
+
+        textual = decode_text_frame(
+            textual.select(
+                "record_id", "url", "warc_date", "http_content_type",
+                "payload",
+            ),
+            "payload",
+            "http_content_type",
+            text_col="__body_text",
+        )
+        body = F.col("__body_text")
+        extra = ["charset", "charset_source"]
+    elif charset == "utf8":
+        body = F.col("payload").cast("string")
+        extra = []
+    else:
+        raise ValueError(
+            f"charset must be 'utf8' or 'sniff', got {charset!r}"
+        )
     base = textual.select(
         portable_hash(F.col("record_id")).alias("doc_id"),
         canonicalize_url(F.col("url")).alias("url"),
@@ -276,6 +308,7 @@ def warc_documents(
         ).alias("crawl_ts"),
         F.col("http_content_type").startswith("text/html").alias("__html"),
         body.alias("__body"),
+        *extra,
     )
     if not main_content:
         return base.select(
@@ -283,6 +316,7 @@ def warc_documents(
             F.when(F.col("__html"), strip_html(F.col("__body")))
             .otherwise(F.col("__body"))
             .alias("text"),
+            *extra,
         )
     from evidence_datasource_parsers_spark.functions.html import (
         extract_main_text_frame,
@@ -297,6 +331,7 @@ def warc_documents(
         .otherwise(F.col("__body"))
         .alias("text"),
         "title", "n_blocks_kept", "n_blocks_total",
+        *extra,
     )
 
 
