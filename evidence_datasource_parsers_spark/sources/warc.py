@@ -139,9 +139,42 @@ def iter_warc_records(
         }
 
 
+def _dechunk(body: bytes) -> bytes | None:
+    """Reassemble a Transfer-Encoding: chunked body, or None if the
+    framing is broken/truncated (crawl archives hold plenty of both —
+    the caller falls back to the raw bytes, never fails the task)."""
+    out = []
+    i = 0
+    while True:
+        j = body.find(b"\r\n", i)
+        if j < 0:
+            return None
+        size_tok = body[i:j].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        if size == 0:
+            return b"".join(out)
+        start, end = j + 2, j + 2 + size
+        if end > len(body) or body[end:end + 2] != b"\r\n":
+            return None
+        out.append(body[start:end])
+        i = end + 2
+
+
 def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
     """(status, content_type, body) from an HTTP response envelope; a
-    payload that isn't HTTP comes back (None, None, payload)."""
+    payload that isn't HTTP comes back (None, None, payload).
+
+    The body is TRANSFER- and CONTENT-decoded the way a browser sees it:
+    chunked framing reassembled, then gzip/x-gzip/deflate bodies
+    decompressed (both zlib-wrapped and raw-deflate flavors — real
+    servers ship both under the same label).  Anything that doesn't
+    decode cleanly (truncated capture, unknown coding like br/zstd
+    without the lib) keeps its raw bytes — a crawl parse must degrade,
+    not fail, and downstream sniffers see the same bytes a replay proxy
+    would store."""
     if not payload.startswith(b"HTTP/"):
         return None, None, payload
     head, sep, body = payload.partition(b"\r\n\r\n")
@@ -149,14 +182,38 @@ def split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
         head, sep, body = payload.partition(b"\n\n")
     status: int | None = None
     ctype: str | None = None
+    cenc = tenc = ""
     lines = head.split(b"\r\n") if b"\r\n" in head else head.split(b"\n")
     parts = lines[0].split()
     if len(parts) >= 2 and parts[1].isdigit():
         status = int(parts[1])
     for ln in lines[1:]:
-        if ln.lower().startswith(b"content-type:"):
+        low = ln.lower()
+        if ctype is None and low.startswith(b"content-type:"):
             ctype = ln.split(b":", 1)[1].strip().decode("utf-8", "replace")
-            break
+        elif low.startswith(b"content-encoding:"):
+            cenc = low.split(b":", 1)[1].strip().decode("ascii", "replace")
+        elif low.startswith(b"transfer-encoding:"):
+            tenc = low.split(b":", 1)[1].strip().decode("ascii", "replace")
+    if "chunked" in tenc:
+        dechunked = _dechunk(body)
+        if dechunked is not None:
+            body = dechunked
+    if cenc in ("gzip", "x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except Exception:  # noqa: BLE001 — truncated/lying capture
+            pass
+    elif cenc == "deflate":
+        import zlib
+
+        try:
+            body = zlib.decompress(body)
+        except Exception:  # noqa: BLE001
+            try:  # raw deflate: the OTHER thing servers call "deflate"
+                body = zlib.decompress(body, -15)
+            except Exception:  # noqa: BLE001
+                pass
     return status, ctype, body
 
 

@@ -74,6 +74,70 @@ def test_split_http_payload():
     assert split_http_payload(b"not http") == (None, None, b"not http")
 
 
+def _http_enc(body: bytes, extra_headers: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        + extra_headers
+        + b"\r\n"
+        + body
+    )
+
+
+def test_split_http_gzip_body():
+    raw = _http_enc(
+        gzip.compress(b"compressed page"),
+        b"Content-Encoding: gzip\r\n",
+    )
+    assert split_http_payload(raw)[2] == b"compressed page"
+
+
+def test_split_http_deflate_both_flavors():
+    import zlib
+
+    zlib_wrapped = _http_enc(
+        zlib.compress(b"zlib flavor"), b"Content-Encoding: deflate\r\n"
+    )
+    assert split_http_payload(zlib_wrapped)[2] == b"zlib flavor"
+    co = zlib.compressobj(wbits=-15)
+    raw_deflate = _http_enc(
+        co.compress(b"raw flavor") + co.flush(),
+        b"Content-Encoding: deflate\r\n",
+    )
+    assert split_http_payload(raw_deflate)[2] == b"raw flavor"
+
+
+def test_split_http_chunked():
+    chunked = b"7\r\nchunked\r\n5\r\n body\r\n0\r\n\r\n"
+    raw = _http_enc(chunked, b"Transfer-Encoding: chunked\r\n")
+    assert split_http_payload(raw)[2] == b"chunked body"
+
+
+def test_split_http_chunked_then_gzip():
+    gz = gzip.compress(b"both codings")
+    chunked = (
+        f"{len(gz):x}\r\n".encode() + gz + b"\r\n0\r\n\r\n"
+    )
+    raw = _http_enc(
+        chunked,
+        b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+    )
+    assert split_http_payload(raw)[2] == b"both codings"
+
+
+def test_split_http_broken_codings_keep_raw_bytes():
+    # truncated gzip: raw bytes survive, task does not fail
+    gz = gzip.compress(b"x" * 100)[:20]
+    raw = _http_enc(gz, b"Content-Encoding: gzip\r\n")
+    assert split_http_payload(raw)[2] == gz
+    # broken chunk framing: raw bytes survive
+    bad = b"ZZ\r\nnot a chunk"
+    raw = _http_enc(bad, b"Transfer-Encoding: chunked\r\n")
+    assert split_http_payload(raw)[2] == bad
+    # unknown coding (no brotli in the sandbox): raw bytes survive
+    raw = _http_enc(b"\x1b?br?", b"Content-Encoding: br\r\n")
+    assert split_http_payload(raw)[2] == b"\x1b?br?"
+
+
 def test_truncation_guard():
     big = _record("response", _http(b"x" * 1000), "http://big/") + _record(
         "response", _http(b"after"), "http://after/"
