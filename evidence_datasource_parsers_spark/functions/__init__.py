@@ -58,6 +58,11 @@ from evidence_datasource_parsers_spark.functions.html import (  # noqa: F401
     looks_like_html,
     strip_html,
 )
+from evidence_datasource_parsers_spark.functions.pdf import (  # noqa: F401
+    encode_pdf,
+    parse_pdf,
+    pdf_text_frame,
+)
 from evidence_datasource_parsers_spark.functions.tfidf import (  # noqa: F401
     bm25_query_scores,
     term_relevance,

@@ -1280,6 +1280,16 @@ _CHARSET_SUFFIXES = (
                     ELSE 0 END) AS BIGINT) AS ssum
         FROM documents d, range(6) r(k)
         GROUP BY d.doc_id
+    ),
+    pdftxt AS (
+        SELECT d.doc_id,
+               string_agg('pdf doc ' || CAST(d.doc_id AS VARCHAR)
+                          || ' page ' || CAST(r.k AS VARCHAR),
+                          chr(10) ORDER BY r.k) AS t,
+               CAST(count(*) AS INT) AS np
+        FROM documents d, range(3) r(k)
+        WHERE r.k < d.doc_id % 3 + 1
+        GROUP BY d.doc_id
     )
     SELECT q.*,
            CAST((q.media_id % 7 + 3) * 1000000 + 44100 AS BIGINT)
@@ -1310,7 +1320,9 @@ _CHARSET_SUFFIXES = (
                 WHEN 1 THEN 'déjà vu — naïve ünïcode'
                 WHEN 2 THEN 'São café déjà €99'
                 WHEN 3 THEN '東京 データ 図書館'
-                ELSE '“smart quotes” …' END AS repaired_text
+                ELSE '“smart quotes” …' END AS repaired_text,
+           pf.t AS pdf_text,
+           pf.np AS pdf_pages
     FROM (
     SELECT d.doc_id AS media_id,
            'image' AS media_type,
@@ -1339,6 +1351,7 @@ _CHARSET_SUFFIXES = (
     JOIN wav w ON d.doc_id = w.doc_id
     JOIN mp4 m4 ON d.doc_id = m4.doc_id
     ) q
+    JOIN pdftxt pf ON q.media_id = pf.doc_id
     """,
     tags=("multimodal", "mapInPandas"),
 )
@@ -1761,6 +1774,44 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
             out["repaired_text"] = reps
             yield out
 
+    def pdf_stats(batches):
+        """Round-8 PDF leg (functions/pdf.py): per document a
+        (media_id mod 3 + 1)-page PDF — FlateDecode on even ids, raw
+        streams on odd — is written by the standards-valid encoder and
+        read back by the REAL tolerant extractor (object scan, stream
+        inflate, Tj operator walk, literal-string unescape); the
+        extracted text and page count go under the value hash against
+        an oracle that constructs the expected strings arithmetically,
+        so a parser regression in any link of that chain breaks q62."""
+        from evidence_datasource_parsers_spark.functions.pdf import (
+            encode_pdf,
+            parse_pdf,
+        )
+
+        for pdf in batches:
+            texts, npages = [], []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                blob = encode_pdf(
+                    [
+                        [f"pdf doc {m} page {k}"]
+                        for k in range(m % 3 + 1)
+                    ],
+                    flate=(m % 2 == 0),
+                )
+                meta = parse_pdf(blob)
+                texts.append(meta["text"])
+                npages.append(meta["n_pages"])
+            out = pdf.copy()
+            out["pdf_text"] = texts
+            out["pdf_pages"] = _pd_int32(npages)
+            yield out
+
+    def _pd_int32(vals):
+        import pandas as _pd
+
+        return _pd.array(vals, dtype="int32")
+
     stats = stats.mapInPandas(
         audio_meta_stats,
         "media_id long, media_type string, width int, height int,"
@@ -1772,7 +1823,7 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         " avi_probe long, mp4_probe long, mp4_stream_sum long,"
         " mp3_probe long, flac_total_samples long, opus_duration_s long",
     )
-    return stats.mapInPandas(
+    stats = stats.mapInPandas(
         charset_stats,
         "media_id long, media_type string, width int, height int,"
         " depth int, payload_bytes long, ppm_pixel_sum long,"
@@ -1784,6 +1835,19 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         " mp3_probe long, flac_total_samples long, opus_duration_s long,"
         " decoded_text string, charset string, charset_source string,"
         " repaired_text string",
+    )
+    return stats.mapInPandas(
+        pdf_stats,
+        "media_id long, media_type string, width int, height int,"
+        " depth int, payload_bytes long, ppm_pixel_sum long,"
+        " ppm_pixel_mean double, jpeg_pixel_sum long,"
+        " jpeg_pixel_mean double, pjpeg_pixel_sum long,"
+        " gif_pixel_sum long, png_pixel_sum long,"
+        " audio_sample_sum long, audio_zero_crossings long,"
+        " avi_probe long, mp4_probe long, mp4_stream_sum long,"
+        " mp3_probe long, flac_total_samples long, opus_duration_s long,"
+        " decoded_text string, charset string, charset_source string,"
+        " repaired_text string, pdf_text string, pdf_pages int",
     )
 
 

@@ -283,6 +283,7 @@ def warc_documents(
     max_payload: int = 100 * 1024 * 1024,
     main_content: bool = False,
     charset: str = "utf8",
+    include_pdf: bool = False,
 ) -> DataFrame:
     """WARC directory → the engine's documents shape:
     (doc_id, url, crawl_ts, text).
@@ -312,6 +313,13 @@ def warc_documents(
     cp1252 fallback) in one Arrow ``mapInPandas`` pass and adds
     ``charset``/``charset_source`` provenance columns.  Same partition
     count either way — the decode rides the WARC scan's parallelism.
+
+    ``include_pdf=True`` adds a row per successful ``application/pdf``
+    response with ``text`` extracted by the tolerant stdlib PDF tier
+    (:func:`functions.pdf.pdf_text_frame`); unparseable PDFs arrive
+    with NULL text for downstream gating.  PDF rows carry NULL in the
+    charset provenance columns (they are not charset-sniffed) and, under
+    ``main_content=True``, the PDF /Title as ``title``.
     """
     from pyspark.sql import functions as F
 
@@ -368,28 +376,49 @@ def warc_documents(
         *extra,
     )
     if not main_content:
-        return base.select(
+        docs = base.select(
             "doc_id", "url", "crawl_ts",
             F.when(F.col("__html"), strip_html(F.col("__body")))
             .otherwise(F.col("__body"))
             .alias("text"),
             *extra,
         )
-    from evidence_datasource_parsers_spark.functions.html import (
-        extract_main_text_frame,
+    else:
+        from evidence_datasource_parsers_spark.functions.html import (
+            extract_main_text_frame,
+        )
+
+        main = extract_main_text_frame(
+            base.where(F.col("__html")), "__body", "doc_id"
+        )
+        docs = base.join(main, on="doc_id", how="left").select(
+            "doc_id", "url", "crawl_ts",
+            F.when(F.col("__html"), F.col("main_text"))
+            .otherwise(F.col("__body"))
+            .alias("text"),
+            "title", "n_blocks_kept", "n_blocks_total",
+            *extra,
+        )
+    if not include_pdf:
+        return docs
+    from evidence_datasource_parsers_spark.functions.pdf import (
+        pdf_text_frame,
     )
 
-    main = extract_main_text_frame(
-        base.where(F.col("__html")), "__body", "doc_id"
+    pdfs = recs.where(
+        F.col("http_status").between(200, 299)
+        & F.col("http_content_type").startswith("application/pdf")
+    ).select("record_id", "url", "warc_date", "payload")
+    pdf_docs = pdf_text_frame(pdfs, "payload", text_col="__pdf_text").select(
+        portable_hash(F.col("record_id")).alias("doc_id"),
+        canonicalize_url(F.col("url")).alias("url"),
+        F.to_timestamp(
+            F.regexp_replace(F.col("warc_date"), "Z$", "+00:00")
+        ).alias("crawl_ts"),
+        F.col("__pdf_text").alias("text"),
+        *([F.col("pdf_title").alias("title")] if main_content else []),
     )
-    return base.join(main, on="doc_id", how="left").select(
-        "doc_id", "url", "crawl_ts",
-        F.when(F.col("__html"), F.col("main_text"))
-        .otherwise(F.col("__body"))
-        .alias("text"),
-        "title", "n_blocks_kept", "n_blocks_total",
-        *extra,
-    )
+    return docs.unionByName(pdf_docs, allowMissingColumns=True)
 
 
 def warc_media(

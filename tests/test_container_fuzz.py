@@ -37,12 +37,16 @@ from evidence_datasource_parsers_spark.functions.mp4 import (
     mp4_sample_ranges,
     parse_mp4,
 )
+from evidence_datasource_parsers_spark.functions.pdf import (
+    encode_pdf,
+    parse_pdf,
+)
 
 ALLOWED = (ValueError, struct.error)
 
 PARSERS = [
     parse_mp3, parse_flac, parse_ogg, parse_webp, parse_avif,
-    parse_mp4, mp4_sample_ranges, decode_avi,
+    parse_mp4, mp4_sample_ranges, decode_avi, parse_pdf,
 ]
 
 FIXTURES = [
@@ -55,6 +59,8 @@ FIXTURES = [
     encode_avif_shell(32, 32),
     encode_mp4([b"\x01" * 20] * 4, 64, 48, keyframes=[0, 2]),
     encode_mp4([b"\x02" * 20] * 4, 64, 48, moov_first=True),
+    encode_pdf([["fuzz page one"], ["fuzz page two"]], flate=True),
+    encode_pdf([["plain stream"]], flate=False, title="t"),
 ]
 
 

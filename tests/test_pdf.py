@@ -1,0 +1,247 @@
+"""PDF text-extraction tier (functions/pdf.py): writer/parser roundtrip,
+damage tolerance, the Spark frame surface, and the WARC documents wiring."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from evidence_datasource_parsers_spark.functions.pdf import (
+    encode_pdf,
+    parse_pdf,
+    pdf_text_frame,
+)
+
+# ---------------------------------------------------------------------------
+# roundtrip
+
+
+def test_roundtrip_multipage_flate():
+    b = encode_pdf(
+        [["page one line one", "page one line two"], ["page two"]],
+        flate=True,
+        title="My Title",
+        producer="unit",
+    )
+    m = parse_pdf(b)
+    assert m["version"] == "1.4"
+    assert m["n_pages"] == 2
+    assert m["title"] == "My Title"
+    assert m["producer"] == "unit"
+    assert m["text"] == "page one line one\npage one line two\npage two"
+
+
+def test_roundtrip_uncompressed():
+    m = parse_pdf(encode_pdf([["raw stream text"]], flate=False))
+    assert m["n_pages"] == 1
+    assert m["text"] == "raw stream text"
+
+
+def test_roundtrip_escapes_and_nesting():
+    lines = ["parens (nested (deep)) kept", "back\\slash", "tab\tchar"]
+    m = parse_pdf(encode_pdf([lines]))
+    assert m["text"] == "\n".join(lines)
+
+
+def test_roundtrip_unicode_via_utf16_hex():
+    # non-cp1252 text rides the writer's UTF-16BE hex-string path —
+    # exercising the parser's §7.9.2.2 BOM branch
+    lines = ["東京 データ 図書館", "ascii again"]
+    m = parse_pdf(encode_pdf([lines], title="日本語"))
+    assert m["text"] == "\n".join(lines)
+    assert m["title"] == "日本語"
+
+
+def test_cp1252_literal_text():
+    m = parse_pdf(encode_pdf([["café — déjà €99"]]))
+    assert m["text"] == "café — déjà €99"
+
+
+def test_tj_array_and_quote_operators():
+    # hand-built content stream: TJ array with kerning numbers, and the
+    # ' next-line-show operator
+    content = (
+        b"BT /F1 12 Tf 72 720 Td"
+        b" [(Hel) -20 (lo) 15 ( world)] TJ"
+        b" (next line) ' ET"
+    )
+    length_line = b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+    body = (
+        b"%PDF-1.7\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + length_line
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    m = parse_pdf(body)
+    assert m["version"] == "1.7"
+    assert m["text"] == "Hello world\nnext line"
+
+
+# ---------------------------------------------------------------------------
+# degradation (crawl tail)
+
+
+def test_not_a_pdf_raises_valueerror():
+    with pytest.raises(ValueError):
+        parse_pdf(b"%PNG not a pdf")
+    with pytest.raises(ValueError):
+        parse_pdf(b"")
+
+
+def test_broken_xref_is_ignored():
+    b = bytearray(encode_pdf([["survives broken xref"]]))
+    at = bytes(b).rfind(b"startxref")
+    b[at:] = b"startxref\n999999\n%%EOF\n"
+    assert parse_pdf(bytes(b))["text"] == "survives broken xref"
+
+
+def test_truncated_stream_degrades_to_empty_page():
+    full = encode_pdf([["long " * 200]], flate=True)
+    cut = full[: len(full) // 2]
+    if not cut.startswith(b"%PDF-"):
+        pytest.skip("truncation removed header")
+    m = parse_pdf(cut)  # must not raise anything but ValueError
+    assert isinstance(m["text"], str)
+
+
+def test_foreign_filter_skipped():
+    # a DCTDecode (JPEG) content stream yields no text, not a crash
+    content = b"\xff\xd8\xff\xe0 jpeg bytes"
+    length_line = (
+        b"4 0 obj\n<< /Length %d /Filter /DCTDecode >>\nstream\n"
+        % len(content)
+    )
+    body = (
+        b"%PDF-1.4\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        + length_line
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    m = parse_pdf(body)
+    assert m["n_pages"] == 1
+    assert m["text"] == ""
+
+
+def test_corrupt_flate_skipped():
+    content = b"not actually deflate"
+    length_line = (
+        b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % len(content)
+    )
+    body = (
+        b"%PDF-1.4\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        + length_line
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    assert parse_pdf(body)["text"] == ""
+
+
+def test_endobj_inside_stream_bytes():
+    # flate bytes that happen to contain 'endobj' must not split the span
+    payload = zlib.compress(b"BT (tricky) Tj ET")
+    # splice 'endobj' into the middle of a COPY that still inflates:
+    # instead, build a raw stream containing the marker
+    content = b"BT (before) Tj ET endobj BT (after) Tj ET"
+    length_line = b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+    body = (
+        b"%PDF-1.4\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        + length_line
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    m = parse_pdf(body)
+    assert "before" in m["text"] and "after" in m["text"]
+    assert payload  # silence unused warning
+
+
+# ---------------------------------------------------------------------------
+# Spark surfaces
+
+
+def test_pdf_text_frame(spark):
+    rows = [
+        (1, encode_pdf([["doc one"]], title="T1")),
+        (2, encode_pdf([["doc two p1"], ["doc two p2"]], flate=False)),
+        (3, b"not a pdf at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in pdf_text_frame(df, "payload").collect()
+    }
+    assert got[1]["pdf_text"] == "doc one"
+    assert got[1]["pdf_pages"] == 1
+    assert got[1]["pdf_title"] == "T1"
+    assert got[2]["pdf_text"] == "doc two p1\ndoc two p2"
+    assert got[2]["pdf_pages"] == 2
+    assert got[3]["pdf_text"] is None
+    assert got[4]["pdf_text"] is None
+
+
+def test_pdf_text_frame_no_shuffle(spark):
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    plan = (
+        pdf_text_frame(df, "payload")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_warc_documents_include_pdf(spark, tmp_path):
+    from evidence_datasource_parsers_spark.sources.warc import (
+        warc_documents,
+    )
+
+    def record(rid, url, body, ctype):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n"
+            + body
+        )
+        hdr = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode()
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            + b"Content-Type: application/http; msgtype=response\r\n"
+            + f"Content-Length: {len(http)}\r\n".encode()
+            + b"\r\n"
+        )
+        return hdr + http + b"\r\n\r\n"
+
+    warc = record(
+        "h1", "http://a.example/page", b"<p>html text</p>",
+        b"text/html",
+    ) + record(
+        "p1", "http://a.example/report.pdf",
+        encode_pdf([["pdf report text"]], title="Report"),
+        b"application/pdf",
+    )
+    (tmp_path / "t.warc").write_bytes(warc)
+
+    out = warc_documents(spark, str(tmp_path), include_pdf=True)
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["http://a.example/page"]["text"] == "html text"
+    assert rows["http://a.example/report.pdf"]["text"] == (
+        "pdf report text"
+    )
+    # default path excludes PDFs
+    out2 = warc_documents(spark, str(tmp_path))
+    assert out2.count() == 1
+    # main_content=True carries the PDF /Title through the title column
+    out3 = warc_documents(
+        spark, str(tmp_path), include_pdf=True, main_content=True
+    )
+    rows3 = {r["url"]: r for r in out3.collect()}
+    assert rows3["http://a.example/report.pdf"]["title"] == "Report"
