@@ -16,6 +16,11 @@ from evidence_datasource_parsers_spark.sources.sinks import (  # noqa: F401
     write_output,
     write_with_manifest,
 )
+from evidence_datasource_parsers_spark.sources.cdx import (  # noqa: F401
+    best_capture_per_digest,
+    surt_key,
+    warc_cdx,
+)
 from evidence_datasource_parsers_spark.sources.warc import (  # noqa: F401
     iter_warc_records,
     read_warc,

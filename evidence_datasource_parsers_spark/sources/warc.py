@@ -136,6 +136,10 @@ def iter_warc_records(
             "content_type": headers.get("content-type"),
             "payload": payload,
             "payload_truncated": truncated,
+            # carried for the CDX tier (sources/cdx.py): revisit records
+            # declare the original body's digest here instead of carrying
+            # the body
+            "payload_digest": headers.get("warc-payload-digest"),
         }
 
 

@@ -185,3 +185,50 @@ def test_full_crawl_two_runs_all_modalities(spark, tmp_path):
     assert res2.audio.store.count() == 2
     assert res2.video.store.count() == 12  # 6 sampled frames x 2 clips
     res2.done()
+
+
+def test_pdf_and_charset_docs_through_refresh(spark, tmp_path):
+    """Round-8 ingestion tiers end-to-end: a cp1252-declared page goes
+    through charset sniffing and a PDF response through the extraction
+    tier, and BOTH land in the documents shape that feeds the text
+    dedupe loop (refresh_corpus_batch)."""
+    from evidence_datasource_parsers_spark.functions.pdf import encode_pdf
+    from evidence_datasource_parsers_spark.pipelines.corpus_refresh import (
+        refresh_corpus_batch,
+    )
+
+    crawl = _write_warc(tmp_path, "crawlpdf", [
+        _record(
+            "<p>São Paulo — relatório de logística portuária e "
+            "comércio marítimo</p>".encode("cp1252"),
+            b"text/html; charset=iso-8859-1", "http://site/latin",
+        ),
+        _record(
+            encode_pdf(
+                [["a pdf report about maritime freight rates and "
+                  "container economics"]],
+                title="Freight",
+            ),
+            b"application/pdf", "http://site/r.pdf",
+        ),
+    ])
+    docs = warc_documents(
+        spark, crawl, charset="sniff", include_pdf=True
+    )
+    rows = {r["url"]: r for r in docs.collect()}
+    assert rows["http://site/latin"]["text"] == (
+        "São Paulo — relatório de logística portuária e comércio marítimo"
+    )
+    assert rows["http://site/latin"]["charset"] == "cp1252"
+    assert rows["http://site/latin"]["charset_source"] == "http"
+    assert rows["http://site/r.pdf"]["text"].startswith("a pdf report")
+    assert rows["http://site/r.pdf"]["charset"] is None  # not sniffed
+
+    res = refresh_corpus_batch(
+        docs.select("doc_id", "url", "crawl_ts", "text"),
+        None,
+        mode="lsh", k=3, num_shards=2, id_col="doc_id",
+    )
+    assert res.ready.count() == 2  # both documents survive the first pass
+    assert res.store.count() > 0
+    res.done()
