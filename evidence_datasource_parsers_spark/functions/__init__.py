@@ -12,9 +12,11 @@ from evidence_datasource_parsers_spark.functions.pvalues import (  # noqa: F401
     pvalue_mantissa_exponent,
 )
 from evidence_datasource_parsers_spark.functions.textstats import (  # noqa: F401
+    dominant_script,
     duplicate_line_fraction,
     punct_ratio,
     repetition_signals,
+    script_count,
     stopword_ratio,
     token_count,
     tokens,

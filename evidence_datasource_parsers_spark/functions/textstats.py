@@ -95,6 +95,53 @@ def lang_guess(text: Column | str) -> Column:
     return F.array_max(scored)["code"]
 
 
+# --- Unicode-script language ID ---------------------------------------------
+
+# The stopword tier above separates LANGUAGES that share the Latin script;
+# a real multilingual crawl first needs the SCRIPT decided (CJK, Cyrillic,
+# Arabic, …) — stopword lists are meaningless across scripts.  Names are
+# Unicode Script property values; Java regex spells them \p{IsXxx}, RE2
+# (the DuckDB oracle) \p{Xxx} — both implement the same Unicode tables.
+UNICODE_SCRIPTS: tuple[str, ...] = (
+    "arabic", "cyrillic", "devanagari", "greek", "han", "hangul",
+    "hebrew", "hiragana", "katakana", "latin", "thai",
+)
+
+
+def script_count(text: Column | str, script: str) -> Column:
+    """Count of characters whose Unicode Script property is ``script`` —
+    one JVM ``regexp_count`` pass, no Python."""
+    if script not in UNICODE_SCRIPTS:
+        raise ValueError(f"unknown script {script!r}")
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(rf"\p{{Is{script.capitalize()}}}"))
+
+
+def dominant_script(
+    text: Column | str, scripts: tuple[str, ...] = UNICODE_SCRIPTS
+) -> Column:
+    """Argmax-of-character-counts script guess, ``'none'`` when no listed
+    script appears.  Ties break by script name DESCENDING (struct max:
+    highest count, then lexicographically greatest name) — deterministic
+    and replayable in the oracle as ``list_max`` over the same structs.
+
+    Cost: one regexp pass per candidate script.  For corpus-scale use,
+    gate on a cheap non-ASCII test first (pure-ASCII text is Latin by
+    construction) or narrow ``scripts`` to the deployment's candidates.
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                script_count(text, s).alias("n"),
+                F.lit(s).alias("script"),
+            )
+            for s in scripts
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["n"] > 0, best["script"]).otherwise(F.lit("none"))
+
+
 # --- PII scrubbing -----------------------------------------------------------
 
 # Conservative ASCII patterns: corpus cleaning wants high precision (a false

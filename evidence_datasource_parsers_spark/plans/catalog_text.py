@@ -1246,9 +1246,21 @@ _CHARSET_SUFFIXES = (
 )
 
 
+# the q62 script-ID leg replays dominant_script's argmax as list_max over
+# the same (count, name) structs — RE2 spells script classes \p{Xxx}
+_SCRIPT_STRUCTS_SQL = ", ".join(
+    "{'n': len(regexp_extract_all(z.decoded_text, '\\p{%s}')),"
+    " 'script': '%s'}" % (s.capitalize(), s)
+    for s in (
+        "arabic", "cyrillic", "devanagari", "greek", "han", "hangul",
+        "hebrew", "hiragana", "katakana", "latin", "thai",
+    )
+)
+
+
 @register(
     "q62_multimodal_meta",
-    """
+    f"""
     WITH ppm AS (
         SELECT d.doc_id,
                CAST(sum((d.doc_id * 31 + r.k * 7) % 256) AS BIGINT) AS s
@@ -1291,6 +1303,19 @@ _CHARSET_SUFFIXES = (
         WHERE r.k < d.doc_id % 3 + 1
         GROUP BY d.doc_id
     )
+    SELECT z.*,
+           CAST(len(regexp_extract_all(z.decoded_text, '\\p{{Latin}}'))
+                AS INT) AS latin_chars,
+           CAST(len(regexp_extract_all(z.decoded_text, '\\p{{Han}}'))
+                AS INT) AS han_chars,
+           CAST(len(regexp_extract_all(z.decoded_text, '\\p{{Katakana}}'))
+                AS INT) AS kata_chars,
+           CAST(len(regexp_extract_all(z.decoded_text, '\\p{{Cyrillic}}'))
+                AS INT) AS cyr_chars,
+           CASE WHEN list_max([{_SCRIPT_STRUCTS_SQL}]).n > 0
+                THEN list_max([{_SCRIPT_STRUCTS_SQL}]).script
+                ELSE 'none' END AS script_guess
+    FROM (
     SELECT q.*,
            CAST((q.media_id % 7 + 3) * 1000000 + 44100 AS BIGINT)
                AS mp3_probe,
@@ -1352,6 +1377,7 @@ _CHARSET_SUFFIXES = (
     JOIN mp4 m4 ON d.doc_id = m4.doc_id
     ) q
     JOIN pdftxt pf ON q.media_id = pf.doc_id
+    ) z
     """,
     tags=("multimodal", "mapInPandas"),
 )
@@ -1836,7 +1862,7 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         " decoded_text string, charset string, charset_source string,"
         " repaired_text string",
     )
-    return stats.mapInPandas(
+    out = stats.mapInPandas(
         pdf_stats,
         "media_id long, media_type string, width int, height int,"
         " depth int, payload_bytes long, ppm_pixel_sum long,"
@@ -1848,6 +1874,23 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         " mp3_probe long, flac_total_samples long, opus_duration_s long,"
         " decoded_text string, charset string, charset_source string,"
         " repaired_text string, pdf_text string, pdf_pages int",
+    )
+    # script-ID leg (functions/textstats.py): JVM regexp passes over the
+    # kernel-decoded multilingual strings — the oracle replays both the
+    # per-script counts and the argmax (list_max over identical structs)
+    from evidence_datasource_parsers_spark.functions.textstats import (
+        dominant_script,
+        script_count,
+    )
+
+    dt = F.col("decoded_text")
+    return out.select(
+        "*",
+        script_count(dt, "latin").cast("int").alias("latin_chars"),
+        script_count(dt, "han").cast("int").alias("han_chars"),
+        script_count(dt, "katakana").cast("int").alias("kata_chars"),
+        script_count(dt, "cyrillic").cast("int").alias("cyr_chars"),
+        dominant_script(dt).alias("script_guess"),
     )
 
 
