@@ -63,12 +63,43 @@ def main(argv: list[str] | None = None) -> int:
     media.add_argument("--min-width", type=int, default=None)
     media.add_argument("--min-height", type=int, default=None)
 
+    ingest = sub.add_parser(
+        "ingest",
+        help="WARC archives → documents parquet (html stripped, urls "
+        "canonical, portable ids) ready for `refresh`",
+    )
+    ingest.add_argument("--warc", required=True, help="WARC dir/glob")
+    ingest.add_argument("--out", required=True, help="documents output dir")
+    ingest.add_argument("--charset", default="utf8",
+                        choices=["utf8", "sniff"],
+                        help="'sniff' decodes the non-UTF-8 tail "
+                        "(HTML5 order) and adds provenance columns")
+    ingest.add_argument("--include-pdf", action="store_true",
+                        help="extract text from application/pdf responses")
+    ingest.add_argument("--main-content", action="store_true",
+                        help="readability extraction instead of tag strip")
+
+    cdx = sub.add_parser(
+        "cdx",
+        help="WARC archives → CDX capture index parquet (SURT urlkey, "
+        "digest, seekable offset/length)",
+    )
+    cdx.add_argument("--warc", required=True, help="WARC dir/glob")
+    cdx.add_argument("--out", required=True, help="index output dir")
+    cdx.add_argument("--digest-map",
+                     help="also write best_capture_per_digest here "
+                     "(the at-crawl revisit dedupe map)")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "refresh":
         return _refresh(args)
     if args.cmd == "refresh-media":
         return _refresh_media(args)
+    if args.cmd == "ingest":
+        return _ingest(args)
+    if args.cmd == "cdx":
+        return _cdx(args)
 
     from evidence_datasource_parsers_spark.plans import CATALOG
 
@@ -200,6 +231,52 @@ def _refresh_media(args) -> int:
         )
     finally:
         res.done()
+    return 0
+
+
+def _ingest(args) -> int:
+    """WARC → documents parquet: the front door of the crawl loop
+    (`ingest` then `refresh` is the two-command production cycle)."""
+    from evidence_datasource_parsers_spark.session import get_spark
+    from evidence_datasource_parsers_spark.sources.warc import (
+        warc_documents,
+    )
+
+    spark = get_spark("ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = warc_documents(
+        spark,
+        args.warc,
+        main_content=args.main_content,
+        charset=args.charset,
+        include_pdf=args.include_pdf,
+    )
+    docs.write.mode("append").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"ingest: documents → {args.out} (now {n} rows)")
+    return 0
+
+
+def _cdx(args) -> int:
+    """WARC → capture index parquet (+ optional digest dedupe map)."""
+    from evidence_datasource_parsers_spark.session import get_spark
+    from evidence_datasource_parsers_spark.sources.cdx import (
+        best_capture_per_digest,
+        warc_cdx,
+    )
+
+    spark = get_spark("cdx")
+    spark.sparkContext.setLogLevel("ERROR")
+    cdx = warc_cdx(spark, args.warc)
+    if args.digest_map:
+        # ONE archive pass serves both writes
+        cdx = cdx.localCheckpoint(eager=True)
+    cdx.write.mode("append").parquet(args.out)
+    print(f"cdx: {cdx.count()} captures → {args.out}")
+    if args.digest_map:
+        best = best_capture_per_digest(cdx)
+        best.write.mode("overwrite").parquet(args.digest_map)
+        print(f"cdx: {best.count()} distinct digests → {args.digest_map}")
     return 0
 
 

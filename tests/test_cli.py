@@ -80,3 +80,56 @@ def test_refresh_media_cli_two_runs(spark, tmp_path, capsys):
     assert ready == {1, 11}
     stored = {r["media_id"] for r in spark.read.parquet(store).collect()}
     assert stored == {1, 11}
+
+
+def test_ingest_and_cdx_cli(spark, tmp_path, capsys):
+    """The two new crawl-front-door commands: `ingest` writes the
+    documents shape (with sniffed charset + PDF rows) and `cdx` writes
+    the capture index plus the digest dedupe map."""
+    import gzip as _gzip
+
+    from evidence_datasource_parsers_spark.functions.pdf import encode_pdf
+
+    def record(rid, url, body, ctype):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n"
+            + body
+        )
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode()
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + b"WARC-Date: 2026-02-02T00:00:00Z\r\n"
+            + b"Content-Type: application/http; msgtype=response\r\n"
+            + f"Content-Length: {len(http)}\r\n".encode() + b"\r\n"
+        )
+        return hdr + http + b"\r\n\r\n"
+
+    warc_dir = tmp_path / "warc"
+    warc_dir.mkdir()
+    (warc_dir / "a.warc.gz").write_bytes(_gzip.compress(
+        record("c1", "http://site.example/p",
+               "<p>página São</p>".encode("cp1252"),
+               b"text/html; charset=iso-8859-1")
+        + record("c2", "http://site.example/r.pdf",
+                 encode_pdf([["pdf body text"]]), b"application/pdf")
+    ))
+
+    docs_out = str(tmp_path / "docs")
+    assert main(["ingest", "--warc", str(warc_dir), "--out", docs_out,
+                 "--charset", "sniff", "--include-pdf"]) == 0
+    docs = {r["url"]: r for r in spark.read.parquet(docs_out).collect()}
+    assert docs["http://site.example/p"]["text"] == "página São"
+    assert docs["http://site.example/p"]["charset"] == "cp1252"
+    assert docs["http://site.example/r.pdf"]["text"] == "pdf body text"
+
+    cdx_out = str(tmp_path / "cdx")
+    dmap_out = str(tmp_path / "dmap")
+    assert main(["cdx", "--warc", str(warc_dir), "--out", cdx_out,
+                 "--digest-map", dmap_out]) == 0
+    idx = spark.read.parquet(cdx_out)
+    assert idx.count() == 2
+    assert {r["urlkey"] for r in idx.collect()} == {
+        "example,site)/p", "example,site)/r.pdf"
+    }
+    assert spark.read.parquet(dmap_out).count() == 2
