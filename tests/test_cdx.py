@@ -164,3 +164,34 @@ def test_best_capture_per_digest(spark, tmp_path):
     assert dup["url"] == "http://b.example/"
     assert dup["n_captures"] == 2  # revisit row excluded
     assert got[_digest(b"unique")]["n_captures"] == 1
+
+
+# ---------------------------------------------------------------------------
+# robustness: index building over garbage archives must not raise
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from evidence_datasource_parsers_spark.sources.cdx import _ts14
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=512))
+def test_build_cdx_never_raises_on_garbage(raw):
+    rows = build_cdx_records(raw, "g.warc")
+    assert isinstance(rows, list)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=2, max_size=512).map(lambda b: b"\x1f\x8b" + b))
+def test_member_walk_never_raises_on_garbage_gzip(raw):
+    assert isinstance(list(iter_warc_members(raw)), list)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=80))
+def test_surt_and_ts_never_raise(s):
+    k = surt_key(s)
+    assert k is None or isinstance(k, str)
+    t = _ts14(s)
+    assert t is None or (len(t) == 14 and t.isdigit())

@@ -284,3 +284,44 @@ def test_warc_documents_charset_sniff(spark, tmp_path):
     assert "東京" in rows["http://b.example/y"]["text"]
     assert rows["http://b.example/y"]["charset"] == "shift_jis"
     assert rows["http://b.example/y"]["charset_source"] == "meta"
+
+
+# ---------------------------------------------------------------------------
+# robustness: the decode/repair kernels must NEVER raise — a poisoned
+# payload must yield replacement text, not a dead Spark task
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    payload=st.binary(max_size=256),
+    ctype=st.one_of(
+        st.none(),
+        st.text(max_size=40),
+        st.sampled_from([
+            "text/html; charset=utf-16",
+            "text/html; charset=gb2312",
+            "text/html; charset==broken=",
+            "text/html; charset=",
+        ]),
+    ),
+)
+def test_decode_payload_never_raises(payload, ctype):
+    text, codec, source = decode_payload(payload, ctype)
+    assert isinstance(text, str)
+    assert source in ("bom", "http", "meta", "utf8", "fallback")
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=128))
+def test_repair_never_raises_and_is_conservative(s):
+    from evidence_datasource_parsers_spark.functions.charset import (
+        _repair_value,
+    )
+
+    out = _repair_value(s)
+    assert isinstance(out, str)
+    # repair either leaves text alone or strictly shrinks it
+    assert out == s or len(out) < len(s)
