@@ -24,6 +24,9 @@ from evidence_datasource_parsers_spark.sources.cdx import (  # noqa: F401
 from evidence_datasource_parsers_spark.sources.warc import (  # noqa: F401
     iter_warc_records,
     read_warc,
+    stream_warc_documents,
+    warc_documents,
+    warc_media,
 )
 from evidence_datasource_parsers_spark.sources.webdataset import (  # noqa: F401
     group_samples,

@@ -237,11 +237,22 @@ def read_warc(
     filtered by ``responses_only=True`` (they are not responses), so audit
     them with ``responses_only=False``.
     """
-    import pandas as pd
-
     files = spark.read.format("binaryFile").load(path).select(
         "path", "content"
     )
+    return _records_from_files(files, responses_only, max_payload, mode)
+
+
+def _records_from_files(
+    files: DataFrame,
+    responses_only: bool,
+    max_payload: int,
+    mode: str,
+) -> DataFrame:
+    """(path, content) archive rows → WARC_SCHEMA record rows — the shared
+    kernel behind the batch reader and the streaming source (mapInPandas
+    is stateless, so the same pass serves both)."""
+    import pandas as pd
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -325,6 +336,65 @@ def warc_documents(
     charset provenance columns (they are not charset-sniffed) and, under
     ``main_content=True``, the PDF /Title as ``title``.
     """
+    recs = read_warc(
+        spark, path, responses_only=True, max_payload=max_payload
+    )
+    return _documents_from_records(
+        recs,
+        main_content=main_content,
+        charset=charset,
+        include_pdf=include_pdf,
+    )
+
+
+def stream_warc_documents(
+    spark: SparkSession,
+    path: str,
+    max_payload: int = 100 * 1024 * 1024,
+    charset: str = "utf8",
+    include_pdf: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING twin of :func:`warc_documents`: watch ``path`` for new
+    WARC archives and emit documents-shaped rows per micro-batch — feed
+    straight into ``streaming.incremental.incremental_dedupe_sink`` so a
+    live crawl dedupes against the same cross-run store the nightly
+    batch refreshes maintain.
+
+    The whole chain is stateless narrow work (binaryFile file source →
+    the shared record/documents kernels), so it streams without
+    watermarks or state stores; per-trigger cost is the new archives'
+    scan.  ``main_content`` is not offered here: the readability tier
+    join-backs the same stream (a streaming self-join) — run it on the
+    sink's output instead.  ``max_files_per_trigger`` bounds a backlog
+    catch-up batch (archives are ~1 GB each; 1000 executors digest ~2k
+    files per wave comfortably)."""
+    reader = spark.readStream.format("binaryFile")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.schema(
+        "path string, modificationTime timestamp, length long,"
+        " content binary"
+    ).load(path).select("path", "content")
+    recs = _records_from_files(
+        files, True, max_payload, "PERMISSIVE"
+    )
+    return _documents_from_records(
+        recs, main_content=False, charset=charset, include_pdf=include_pdf
+    )
+
+
+def _documents_from_records(
+    recs: DataFrame,
+    *,
+    main_content: bool,
+    charset: str,
+    include_pdf: bool,
+) -> DataFrame:
+    """WARC record rows → documents rows — shared by the batch reader and
+    the streaming source (every step is a narrow deterministic
+    transformation, except main_content's bounded join-back, which the
+    streaming path excludes)."""
     from pyspark.sql import functions as F
 
     from evidence_datasource_parsers_spark.functions.hashing import (
@@ -335,9 +405,6 @@ def warc_documents(
         canonicalize_url,
     )
 
-    recs = read_warc(
-        spark, path, responses_only=True, max_payload=max_payload
-    )
     textual = recs.where(
         F.col("http_status").between(200, 299)
         & (
