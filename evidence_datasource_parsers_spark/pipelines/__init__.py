@@ -14,3 +14,7 @@ from evidence_datasource_parsers_spark.pipelines.corpus_refresh import (  # noqa
     RefreshResult,
     refresh_corpus_batch,
 )
+from evidence_datasource_parsers_spark.pipelines.crawl_frontier import (  # noqa: F401
+    FrontierResult,
+    plan_fetch_batch,
+)
