@@ -90,6 +90,27 @@ def main(argv: list[str] | None = None) -> int:
                      help="also write best_capture_per_digest here "
                      "(the at-crawl revisit dedupe map)")
 
+    frontier = sub.add_parser(
+        "frontier",
+        help="one frontier round: discovered URLs → deduped, gated, "
+        "politely scheduled fetch list; advance the seen-URL store",
+    )
+    frontier.add_argument("--candidates", required=True,
+                          help="parquet of discovered urls (url column)")
+    frontier.add_argument("--store", required=True,
+                          help="seen-URL store dir (created on first run)")
+    frontier.add_argument("--out", required=True,
+                          help="fetch-list output dir")
+    frontier.add_argument("--robots",
+                          help="parquet (domain, robots_txt) frame")
+    frontier.add_argument("--url-col", default="url")
+    frontier.add_argument("--agent", default="*")
+    frontier.add_argument("--block-domains", default=None,
+                          help="comma-separated registrable domains")
+    frontier.add_argument("--budget", type=int, default=1000,
+                          help="max urls per domain per round")
+    frontier.add_argument("--default-delay", type=float, default=1.0)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "refresh":
@@ -100,6 +121,8 @@ def main(argv: list[str] | None = None) -> int:
         return _ingest(args)
     if args.cmd == "cdx":
         return _cdx(args)
+    if args.cmd == "frontier":
+        return _frontier(args)
 
     from evidence_datasource_parsers_spark.plans import CATALOG
 
@@ -254,6 +277,57 @@ def _ingest(args) -> int:
     docs.write.mode("append").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(f"ingest: documents → {args.out} (now {n} rows)")
+    return 0
+
+
+def _frontier(args) -> int:
+    """One frontier round as an operation — same swap-safe store
+    discipline as `refresh`; the fetch list materializes BEFORE the store
+    swap, so a crash never records urls as seen without queueing them."""
+    import os
+    import uuid
+
+    from evidence_datasource_parsers_spark.pipelines.crawl_frontier import (
+        plan_fetch_batch,
+    )
+    from evidence_datasource_parsers_spark.session import get_spark
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        recover_store_dir,
+        swap_store_dir,
+    )
+
+    spark = get_spark("frontier")
+    spark.sparkContext.setLogLevel("ERROR")
+    candidates = spark.read.parquet(args.candidates)
+    robots = spark.read.parquet(args.robots) if args.robots else None
+    if recover_store_dir(args.store):
+        print(f"frontier: recovered {args.store} from interrupted swap")
+    seen = (
+        spark.read.parquet(args.store)
+        if os.path.isdir(args.store)
+        else None
+    )
+    res = plan_fetch_batch(
+        candidates,
+        seen,
+        robots,
+        url_col=args.url_col,
+        agent=args.agent,
+        block_domains=(
+            args.block_domains.split(",") if args.block_domains else None
+        ),
+        max_urls_per_domain=args.budget,
+        default_delay=args.default_delay,
+    )
+    ready = res.ready.localCheckpoint(eager=True)
+    ready.write.mode("append").parquet(args.out)
+    tmp = f"{args.store}__swap_{uuid.uuid4().hex[:8]}"
+    res.store.write.mode("overwrite").parquet(tmp)
+    swap_store_dir(args.store, tmp)
+    print(
+        f"frontier: {ready.count()} urls scheduled → {args.out}; "
+        f"seen store → {args.store}"
+    )
     return 0
 
 

@@ -133,3 +133,34 @@ def test_ingest_and_cdx_cli(spark, tmp_path, capsys):
         "example,site)/p", "example,site)/r.pdf"
     }
     assert spark.read.parquet(dmap_out).count() == 2
+
+
+def test_frontier_cli_two_rounds(spark, tmp_path, capsys):
+    """The frontier as an operation: round 1 schedules and seeds the
+    seen store; round 2 drops re-discoveries against it and schedules
+    only the new url."""
+    c1 = str(tmp_path / "cand1")
+    spark.createDataFrame(
+        [("http://site.example/a?utm_source=x",),
+         ("http://site.example/a",),
+         ("http://site.example/b",)],
+        "url string",
+    ).write.parquet(c1)
+    store = str(tmp_path / "seen")
+    out = str(tmp_path / "fetch")
+    assert main(["frontier", "--candidates", c1, "--store", store,
+                 "--out", out]) == 0
+    urls1 = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert urls1 == {"http://site.example/a", "http://site.example/b"}
+    assert spark.read.parquet(store).count() == 2
+
+    c2 = str(tmp_path / "cand2")
+    spark.createDataFrame(
+        [("http://site.example/b",), ("http://site.example/c",)],
+        "url string",
+    ).write.parquet(c2)
+    assert main(["frontier", "--candidates", c2, "--store", store,
+                 "--out", out]) == 0
+    urls2 = {r["url"] for r in spark.read.parquet(out).collect()}
+    assert urls2 == urls1 | {"http://site.example/c"}
+    assert spark.read.parquet(store).count() == 3
