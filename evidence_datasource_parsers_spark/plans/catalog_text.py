@@ -1397,6 +1397,16 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
     The MM01 kernels are SELF-CONTAINED closures (cloudpickle by value);
     the PPM leg references the package decoder on purpose — q37/q39 proved
     package-referencing kernels resolve under the correctness driver.
+
+    q62 is the designated gating host for Python-kernel decode tiers (the
+    catalog is capped at the driver's 50-query window, so new kernels ride
+    as legs): JPEG baseline+progressive, GIF, PNG, WAV, MJPEG-AVI, the MP4
+    box walk + remux-invariant stream sum, MP3/FLAC/Opus container probes,
+    the round-8 charset tier (five detection branches + a mojibake'd twin
+    through the strict repair), the PDF extractor (multi-page Flate/raw
+    write→re-extract), and the Unicode-script ID legs (JVM regexp counts +
+    argmax over the kernel-decoded multilingual strings, replayed in the
+    oracle as RE2 counts + ``list_max`` over identical structs).
     """
     from evidence_datasource_parsers_spark.operators.multimodal import (
         decode_ppm,

@@ -277,6 +277,71 @@ def incremental_phash_case(spark, materialize, replicas: int):
     return row
 
 
+def frontier_store_case(spark, materialize, replicas: int):
+    """Frontier twin of the incremental-store cases: a FIXED batch of
+    discovered URLs planned against a seen-URL store at base vs
+    ``replicas``× size.  The cost that must stay flat as the crawl
+    history grows is the anti-join against the carried store (the
+    dedup/gate/schedule stages are batch-sized).  10% of the batch
+    collides with stored hashes so the drop path executes; 1000 domains
+    keep the schedule window honest."""
+    from evidence_datasource_parsers_spark.functions.hashing import (
+        portable_hash,
+    )
+    from evidence_datasource_parsers_spark.functions.urls import (
+        canonicalize_url,
+    )
+    from evidence_datasource_parsers_spark.pipelines.crawl_frontier import (
+        plan_fetch_batch,
+    )
+
+    base_n, batch_n = 200_000, 20_000
+
+    def url_of(col):
+        return F.concat(
+            F.lit("http://d"), (col % 1000).cast("string"),
+            F.lit(".example/p"), col.cast("string"),
+        )
+
+    def mk_store(n: int):
+        return spark.range(n).select(
+            portable_hash(
+                canonicalize_url(url_of(F.col("id")))
+            ).alias("url_hash")
+        )
+
+    batch = spark.range(batch_n).select(
+        F.when(
+            F.col("id") % 10 == 0,
+            url_of(F.col("id") * 7 % F.lit(base_n)),  # re-discovery
+        )
+        .otherwise(url_of(F.col("id") + F.lit(10**9)))
+        .alias("url")
+    ).localCheckpoint(eager=True)
+
+    row: dict = {}
+    for label, n in (("base", base_n), ("scaled", base_n * replicas)):
+        try:
+            store = mk_store(n).localCheckpoint(eager=True)  # untimed
+            best = -1.0
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                res = plan_fetch_batch(
+                    batch, store, None, max_urls_per_domain=100
+                )
+                materialize(res.ready)
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+            row[label] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"frontier@{label} failed: {exc}", file=sys.stderr)
+            row[label] = -1.0
+    if row.get("base", -1) > 0 and row.get("scaled", -1) > 0:
+        row["factor"] = round(row["scaled"] / row["base"], 2)
+    return row
+
+
 def incremental_remux_case(spark, materialize, replicas: int):
     """Round-8 elementary-stream tier: a FIXED batch of clip stream
     hashes deduped against a (media_id, stream_hash) store at base vs
@@ -401,6 +466,9 @@ def main() -> None:
         spark, base, out_dir, materialize
     )
     results["incremental_remux_refresh"] = incremental_remux_case(
+        spark, materialize, replicas
+    )
+    results["frontier_seen_store"] = frontier_store_case(
         spark, materialize, replicas
     )
 
