@@ -320,9 +320,17 @@ def _frontier(args) -> int:
         default_delay=args.default_delay,
     )
     ready = res.ready.localCheckpoint(eager=True)
-    ready.write.mode("append").parquet(args.out)
+    ready.drop("url_hash").write.mode("append").parquet(args.out)
+    # advance the store from the MATERIALIZED fetch list — writing
+    # res.store directly would re-run the whole dedup/gate/schedule plan
+    new_hashes = ready.select("url_hash").distinct()
+    store = (
+        seen.select("url_hash").unionByName(new_hashes).distinct()
+        if seen is not None
+        else new_hashes
+    )
     tmp = f"{args.store}__swap_{uuid.uuid4().hex[:8]}"
-    res.store.write.mode("overwrite").parquet(tmp)
+    store.write.mode("overwrite").parquet(tmp)
     swap_store_dir(args.store, tmp)
     print(
         f"frontier: {ready.count()} urls scheduled → {args.out}; "
@@ -342,13 +350,13 @@ def _cdx(args) -> int:
     spark = get_spark("cdx")
     spark.sparkContext.setLogLevel("ERROR")
     cdx = warc_cdx(spark, args.warc)
-    if args.digest_map:
-        # ONE archive pass serves both writes
-        cdx = cdx.localCheckpoint(eager=True)
     cdx.write.mode("append").parquet(args.out)
-    print(f"cdx: {cdx.count()} captures → {args.out}")
+    print(f"cdx: indexed {args.warc} → {args.out}")
     if args.digest_map:
-        best = best_capture_per_digest(cdx)
+        # the dedupe map must cover the FULL accumulated index (the
+        # index dir appends across runs) — rebuilding it from only this
+        # run's captures would silently drop earlier crawls' digests
+        best = best_capture_per_digest(spark.read.parquet(args.out))
         best.write.mode("overwrite").parquet(args.digest_map)
         print(f"cdx: {best.count()} distinct digests → {args.digest_map}")
     return 0

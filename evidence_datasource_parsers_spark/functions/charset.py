@@ -222,7 +222,9 @@ def decode_text_frame(
         f"{keep_ddl}, {text_col} string, charset string,"
         " charset_source string"
     )
-    ct = content_type_col
+    # validate at PLAN time: a missing content-type column must not
+    # surface as an executor-side KeyError ("decode never fails a task")
+    ct = content_type_col if content_type_col in df.columns else None
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

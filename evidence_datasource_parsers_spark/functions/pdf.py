@@ -277,11 +277,20 @@ def parse_pdf(blob: bytes) -> dict:
         raise ValueError("not a PDF (missing %PDF- header)")
     version = blob[5:8].decode("ascii", "replace")
 
-    # object scan — resilient to broken xref; stream bodies may contain
-    # 'endobj' by chance, so a stream keyword without its endstream
-    # extends the span to the next endobj
+    # object scan — resilient to broken xref.  The walk is SEQUENTIAL:
+    # after each object's span (extended past chance 'endobj' bytes
+    # inside its stream) the cursor jumps to the span end, so byte
+    # patterns that look like object headers INSIDE stream data are
+    # never scanned.  A redefined object number keeps the LATER
+    # definition — incremental-update files append the replacement and
+    # the spec says the newest wins.
     objects: dict[int, bytes] = {}
-    for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b", blob):
+    hdr_re = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+    pos = 0
+    while True:
+        m = hdr_re.search(blob, pos)
+        if m is None:
+            break
         num = int(m.group(1))
         start = m.end()
         end = blob.find(b"endobj", start)
@@ -292,21 +301,38 @@ def parse_pdf(blob: bytes) -> dict:
                 break
             end = blob.find(b"endobj", end + 6)
         if end < 0:
-            continue
-        if num not in objects:  # first definition wins (document order)
-            objects[num] = blob[start:end]
+            break  # unterminated final object (truncated capture)
+        objects[num] = blob[start:end]
+        pos = end + 6
+
+    def _direct_length(head: bytes) -> int | None:
+        """/Length as an int: direct value, or resolved through an
+        indirect ref (the common real-world layout — writers stream
+        first and backfill the length object).  The (?!\\d) guard stops
+        the regex backtracking '/Length 15 0 R' into a bogus direct 1."""
+        lm = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", head)
+        if lm:
+            return int(lm.group(1))
+        ir = re.search(rb"/Length\s+(\d+)\s+\d+\s+R", head)
+        if ir:
+            target = objects.get(int(ir.group(1)))
+            if target is not None:
+                vm = re.search(rb"(\d+)", target)
+                if vm:
+                    return int(vm.group(1))
+        return None
 
     def stream_bytes(body: bytes) -> bytes | None:
         m = re.search(rb"\bstream\r?\n", body)
         if not m:
             return None
         data = body[m.end() :]
-        # a direct /Length is authoritative — binary stream data can
+        # a resolvable /Length is authoritative — binary stream data can
         # legitimately END in EOL bytes, so trimming by delimiter alone
         # would eat them (found the hard way: deflate output ending 0x0A)
-        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", body[: m.start()])
-        if lm and int(lm.group(1)) <= len(data):
-            return_data = data[: int(lm.group(1))]
+        length = _direct_length(body[: m.start()])
+        if length is not None and length <= len(data):
+            return_data = data[:length]
             if b"/FlateDecode" in body[: m.start()]:
                 try:
                     return zlib.decompress(return_data)
@@ -354,14 +380,33 @@ def parse_pdf(blob: bytes) -> dict:
                 page_lines.extend(_extract_stream_text(data))
         pages.append("\n".join(page_lines))
 
+    # document metadata: the trailer's /Info ref is authoritative;
+    # without one (broken trailer), fall back to the first /Type-free
+    # dict carrying the keys — annotations/outlines also use /Title but
+    # always carry a /Type, the Info dict never does
     title = producer = None
-    for body in objects.values():
-        if b"/Producer" in body or b"/Title" in body:
-            t = _info_string(body, b"/Title")
-            p = _info_string(body, b"/Producer")
-            if t is not None or p is not None:
-                title = t if t is not None else title
-                producer = p if p is not None else producer
+    info_bodies: list[bytes] = []
+    im = None
+    for im in re.finditer(rb"/Info\s+(\d+)\s+\d+\s+R", blob):
+        pass  # last trailer wins (incremental updates append trailers)
+    if im is not None and int(im.group(1)) in objects:
+        info_bodies = [objects[int(im.group(1))]]
+    else:
+        info_bodies = [
+            b
+            for b in objects.values()
+            if (b"/Producer" in b or b"/Title" in b)
+            and b"/Type" not in b.split(b"stream", 1)[0]
+        ]
+    for body in info_bodies:
+        t = _info_string(body, b"/Title")
+        p = _info_string(body, b"/Producer")
+        if title is None:
+            title = t
+        if producer is None:
+            producer = p
+        if title is not None and producer is not None:
+            break
     return {
         "version": version,
         "n_pages": n_pages,

@@ -58,12 +58,15 @@ __all__ = ["FrontierResult", "plan_fetch_batch"]
 @dataclass
 class FrontierResult:
     """``ready`` is the scheduled fetch list (canonical ``url``,
-    ``domain``, ``crawl_delay``, ``fetch_offset_s`` + passthrough
-    columns); ``store`` the advanced seen-URL store (``url_hash``).
-    ``store`` derives from ``ready`` — materialize ``ready`` (write or
-    localCheckpoint) BEFORE writing the store so a crash between the two
-    writes loses the batch's fetch list but never records urls as seen
-    without queueing them (same ordering argument as the dedup sinks)."""
+    ``url_hash``, ``domain``, ``crawl_delay``, ``fetch_offset_s`` +
+    passthrough columns); ``store`` the advanced seen-URL store
+    (``url_hash``).  ``store`` derives from ``ready`` — materialize
+    ``ready`` (write or localCheckpoint) BEFORE writing the store so a
+    crash between the two writes loses the batch's fetch list but never
+    records urls as seen without queueing them (same ordering argument
+    as the dedup sinks); then advance the store from the MATERIALIZED
+    frame's ``url_hash`` column rather than writing ``store`` directly,
+    which would re-run the whole plan."""
 
     ready: DataFrame
     store: DataFrame
@@ -139,4 +142,9 @@ def plan_fetch_batch(
         if seen_store is not None
         else new_hashes
     )
-    return FrontierResult(ready=ready.drop("url_hash"), store=store)
+    # ready KEEPS url_hash: a caller that materializes the fetch list can
+    # advance the store from the materialized frame (seen ∪
+    # ready.select('url_hash')) instead of re-running the whole
+    # dedup/gate/schedule lineage that `store` otherwise recomputes —
+    # the CLI `frontier` command does exactly that
+    return FrontierResult(ready=ready, store=store)

@@ -103,6 +103,19 @@ def _b32_sha1(body: bytes) -> str:
     return base64.b32encode(hashlib.sha1(body).digest()).decode("ascii")
 
 
+def _raw_body(payload: bytes) -> bytes:
+    """The HTTP body AS STORED — no transfer/content decoding.  The CDX
+    digest must hash the stored bytes (that is what crawlers write into
+    WARC-Payload-Digest and what revisit records declare), NOT the
+    browser-visible body ``split_http_payload`` now produces."""
+    if not payload.startswith(b"HTTP/"):
+        return payload
+    _, sep, body = payload.partition(b"\r\n\r\n")
+    if not sep:
+        _, _, body = payload.partition(b"\n\n")
+    return body
+
+
 def iter_warc_members(
     raw: bytes, chunk: int = 1 << 20
 ) -> Iterator[tuple[int, int, bytes]]:
@@ -180,14 +193,19 @@ def build_cdx_records(
                             (bounds[k], bounds[k + 1] - bounds[k])
                         )
         for k, rec in enumerate(recs):
-            status, mime, body = split_http_payload(rec["payload"])
+            status, mime, _ = split_http_payload(rec["payload"])
             if mime is None:
                 mime = rec["content_type"]
             if rec["warc_type"] == "revisit":
                 declared = rec.get("payload_digest") or ""
                 digest = declared.split(":", 1)[-1] or None
+            elif rec["payload_truncated"]:
+                # hashing a partial body would mint a digest matching
+                # NOTHING (not the real payload, not other captures) —
+                # NULL is the honest value; gate on it downstream
+                digest = None
             else:
-                digest = _b32_sha1(body)
+                digest = _b32_sha1(_raw_body(rec["payload"]))
             off, ln = (m_off, m_len)
             if spans is not None:
                 off, ln = spans[k]

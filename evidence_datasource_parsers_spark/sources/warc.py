@@ -335,6 +335,14 @@ def warc_documents(
     with NULL text for downstream gating.  PDF rows carry NULL in the
     charset provenance columns (they are not charset-sniffed) and, under
     ``main_content=True``, the PDF /Title as ``title``.
+
+    Cost note: the PDF branch is a second subtree over the same record
+    lineage, so one action scans + record-parses the archives twice
+    (Spark does not share subplans across a union without caching).
+    Persisting 100 TB of parsed records is not the answer; if the double
+    parse matters for a one-shot job, run the two branches as separate
+    writes over a cached ``read_warc`` frame sized to fit, or accept the
+    second scan — it is embarrassingly parallel and I/O-bound.
     """
     recs = read_warc(
         spark, path, responses_only=True, max_payload=max_payload

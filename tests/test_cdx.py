@@ -195,3 +195,41 @@ def test_surt_and_ts_never_raise(s):
     assert k is None or isinstance(k, str)
     t = _ts14(s)
     assert t is None or (len(t) == 14 and t.isdigit())
+
+
+# ---------------------------------------------------------------------------
+# review regressions (round 8): digests hash STORED bytes, truncation
+# yields NULL
+
+
+def test_digest_is_over_stored_bytes_not_decoded():
+    stored = gzip.compress(b"the page content")
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + stored
+    )
+    hdr = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:enc1>\r\n"
+        b"WARC-Target-URI: http://enc.example/\r\n"
+        b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+    )
+    raw = hdr + http + b"\r\n\r\n"
+    # a crawler's revisit record declares sha1 over the STORED body
+    revisit = _record(
+        b"enc2", b"http://mirror.example/", b"", wtype=b"revisit",
+        extra=b"WARC-Payload-Digest: sha1:" + _digest(stored).encode()
+        + b"\r\n",
+    )
+    rows = build_cdx_records(raw + revisit, "f.warc")
+    resp, rev = rows
+    assert resp["digest"] == _digest(stored)  # stored bytes, not decoded
+    assert resp["digest"] == rev["digest"]  # revisit resolves
+
+
+def test_truncated_payload_gets_null_digest():
+    raw = _record(b"big1", b"http://big.example/", b"x" * 1000)
+    rows = build_cdx_records(raw, "f.warc", max_payload=100)
+    assert rows[0]["digest"] is None  # partial-body hash would match nothing

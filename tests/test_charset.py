@@ -325,3 +325,14 @@ def test_repair_never_raises_and_is_conservative(s):
     assert isinstance(out, str)
     # repair either leaves text alone or strictly shrinks it
     assert out == s or len(out) < len(s)
+
+
+def test_decode_text_frame_without_content_type_column(spark):
+    # a frame lacking the default content-type column must decode via
+    # the content heuristic, not die with an executor-side KeyError
+    df = spark.createDataFrame(
+        [(1, "café".encode())], "doc_id long, payload binary"
+    )
+    row = decode_text_frame(df, "payload").collect()[0]
+    assert row["text"] == "café"
+    assert row["charset_source"] == "utf8"

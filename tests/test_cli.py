@@ -164,3 +164,41 @@ def test_frontier_cli_two_rounds(spark, tmp_path, capsys):
     urls2 = {r["url"] for r in spark.read.parquet(out).collect()}
     assert urls2 == urls1 | {"http://site.example/c"}
     assert spark.read.parquet(store).count() == 3
+
+
+def test_cdx_cli_digest_map_accumulates(spark, tmp_path):
+    """Review regression: the digest map must cover the FULL accumulated
+    index, not just the latest run's captures."""
+    import gzip as _gzip
+
+    def rec(rid, url, body):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n".encode()
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + b"WARC-Date: 2026-02-02T00:00:00Z\r\n"
+            + b"Content-Type: application/http; msgtype=response\r\n"
+            + f"Content-Length: {len(http)}\r\n".encode() + b"\r\n"
+            + http + b"\r\n\r\n"
+        )
+
+    w1 = tmp_path / "w1"
+    w1.mkdir()
+    (w1 / "a.warc.gz").write_bytes(
+        _gzip.compress(rec("b1", "http://one.example/", b"batch one body"))
+    )
+    w2 = tmp_path / "w2"
+    w2.mkdir()
+    (w2 / "b.warc.gz").write_bytes(
+        _gzip.compress(rec("b2", "http://two.example/", b"batch two body"))
+    )
+    out, dmap = str(tmp_path / "idx"), str(tmp_path / "dmap")
+    assert main(["cdx", "--warc", str(w1), "--out", out,
+                 "--digest-map", dmap]) == 0
+    assert main(["cdx", "--warc", str(w2), "--out", out,
+                 "--digest-map", dmap]) == 0
+    urls = {r["url"] for r in spark.read.parquet(dmap).collect()}
+    assert urls == {"http://one.example/", "http://two.example/"}

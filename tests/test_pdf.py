@@ -245,3 +245,87 @@ def test_warc_documents_include_pdf(spark, tmp_path):
     )
     rows3 = {r["url"]: r for r in out3.collect()}
     assert rows3["http://a.example/report.pdf"]["title"] == "Report"
+
+
+# ---------------------------------------------------------------------------
+# review regressions (round 8): indirect /Length, incremental updates,
+# Info-vs-annotation titles
+
+
+def test_indirect_length_resolved():
+    # the common real-world layout: stream first, length backfilled as an
+    # indirect object with a MULTI-digit number (regex backtracking trap)
+    content = zlib.compress(b"BT (via indirect length) Tj ET")
+    stream_obj = (
+        b"4 0 obj\n<< /Length 15 0 R /Filter /FlateDecode >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    len_obj = b"15 0 obj\n" + str(len(content)).encode() + b"\nendobj\n"
+    body = (
+        b"%PDF-1.4\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        + stream_obj
+        + len_obj
+    )
+    assert parse_pdf(body)["text"] == "via indirect length"
+
+
+def test_incremental_update_latest_object_wins():
+    old = b"BT (stale content) Tj ET"
+    new = b"BT (updated content) Tj ET"
+    old_obj = (
+        b"4 0 obj\n<< /Length " + str(len(old)).encode()
+        + b" >>\nstream\n" + old + b"\nendstream\nendobj\n"
+    )
+    new_obj = (
+        b"4 0 obj\n<< /Length " + str(len(new)).encode()
+        + b" >>\nstream\n" + new + b"\nendstream\nendobj\n"
+    )
+    body = (
+        b"%PDF-1.4\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        + old_obj
+        + new_obj  # incremental update appends the replacement
+    )
+    assert parse_pdf(body)["text"] == "updated content"
+
+
+def test_fake_object_header_inside_stream_ignored():
+    # stream bytes containing '7 0 obj' must not shadow the real object 7
+    content = b"BT (before) Tj ET 7 0 obj garbage BT (x) Tj"
+    page = (
+        b"3 0 obj\n<< /Type /Page /Contents 7 0 R >>\nendobj\n"
+    )
+    stream_obj = (
+        b"4 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+    real7 = (
+        b"7 0 obj\n<< /Length 17 >>\nstream\nBT (real text) Tj\nendstream"
+        b"\nendobj\n"
+    )
+    m = parse_pdf(b"%PDF-1.4\n" + page + stream_obj + real7)
+    assert m["text"] == "real text"
+
+
+def test_annotation_title_does_not_override_info():
+    base = encode_pdf([["body"]], title="Real Title")
+    annot = (
+        b"99 0 obj\n<< /Type /Annot /Subtype /Link"
+        b" /Title (click here) >>\nendobj\n"
+    )
+    m = parse_pdf(base + annot)
+    assert m["title"] == "Real Title"
+
+
+def test_title_fallback_skips_typed_dicts_without_trailer():
+    # no trailer /Info at all: the fallback must skip /Type-carrying
+    # dicts and take the bare Info-shaped one
+    body = (
+        b"%PDF-1.4\n"
+        b"5 0 obj\n<< /Type /Annot /Title (nope) >>\nendobj\n"
+        b"6 0 obj\n<< /Title (yes) /Producer (p) >>\nendobj\n"
+    )
+    m = parse_pdf(body)
+    assert m["title"] == "yes" and m["producer"] == "p"
