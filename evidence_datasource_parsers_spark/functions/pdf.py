@@ -358,6 +358,34 @@ def parse_pdf(blob: bytes) -> dict:
             return None  # non-Flate filter (DCT, LZW, …): skip
         return data
 
+    # object streams (PDF 1.5+, /Type /ObjStm): most modern PDFs pack
+    # their dicts — page objects included — into Flate-compressed object
+    # streams, so skipping them would blind the extractor to the modern
+    # web's PDFs.  Layout per §7.5.7: /N pairs of "objnum offset" ints in
+    # the first /First bytes, then the concatenated objects.  Embedded
+    # objects never shadow a top-level (re)definition: top-level wins ties
+    # (incremental updates rewrite top level).
+    for body in list(objects.values()):
+        head = body.split(b"stream", 1)[0]
+        if not re.search(rb"/Type\s*/ObjStm\b", head):
+            continue
+        data = stream_bytes(body)
+        nm = re.search(rb"/N\s+(\d+)", head)
+        fm = re.search(rb"/First\s+(\d+)", head)
+        if data is None or nm is None or fm is None:
+            continue
+        first = int(fm.group(1))
+        try:
+            ints = [int(t) for t in data[:first].split()]
+        except ValueError:
+            continue
+        pairs = list(zip(ints[0::2], ints[1::2]))[: int(nm.group(1))]
+        for i, (num, off) in enumerate(pairs):
+            end_off = (
+                pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+            )
+            objects.setdefault(num, data[first + off : first + end_off])
+
     pages: list[str] = []
     n_pages = 0
     for num in objects:

@@ -329,3 +329,55 @@ def test_title_fallback_skips_typed_dicts_without_trailer():
     )
     m = parse_pdf(body)
     assert m["title"] == "yes" and m["producer"] == "p"
+
+
+def test_object_stream_packed_page():
+    """PDF 1.5+ object streams: the page dict and Info live INSIDE a
+    Flate-compressed /ObjStm; the content stream stays top-level (streams
+    cannot be packed).  Most modern PDFs use this layout."""
+    content = b"BT (objstm packed page) Tj ET"
+    page_dict = b"<< /Type /Page /Contents 4 0 R >>"
+    info_dict = b"<< /Title (Packed Title) >>"
+    packed = page_dict + b" " + info_dict
+    header = b"3 0 9 " + str(len(page_dict) + 1).encode() + b" "
+    objstm_data = zlib.compress(header + packed)
+    objstm = (
+        b"2 0 obj\n<< /Type /ObjStm /N 2 /First "
+        + str(len(header)).encode()
+        + b" /Length " + str(len(objstm_data)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + objstm_data
+        + b"\nendstream\nendobj\n"
+    )
+    content_obj = (
+        b"4 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+    trailer = b"trailer\n<< /Size 10 /Info 9 0 R >>\n"
+    m = parse_pdf(b"%PDF-1.5\n" + objstm + content_obj + trailer)
+    assert m["n_pages"] == 1
+    assert m["text"] == "objstm packed page"
+    assert m["title"] == "Packed Title"
+
+
+def test_objstm_never_shadows_toplevel():
+    # a top-level (newer-revision) object 3 wins over the packed copy
+    stale_page = b"<< /Type /Page /Contents 4 0 R >>"
+    header = b"3 0 "
+    data = zlib.compress(header + stale_page)
+    objstm = (
+        b"2 0 obj\n<< /Type /ObjStm /N 1 /First "
+        + str(len(header)).encode()
+        + b" /Length " + str(len(data)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + data + b"\nendstream\nendobj\n"
+    )
+    content = b"BT (top level wins) Tj ET"
+    top = (
+        b"3 0 obj\n<< /Type /Page /Contents 5 0 R >>\nendobj\n"
+        b"5 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+    m = parse_pdf(b"%PDF-1.5\n" + objstm + top)
+    assert m["text"] == "top level wins"
+    assert m["n_pages"] == 1
