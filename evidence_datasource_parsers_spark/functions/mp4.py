@@ -69,7 +69,12 @@ def _child(buf: bytes, start: int, end: int, btype: bytes):
 
 
 def _fullbox(buf: bytes, start: int) -> tuple[int, int]:
-    """(version, payload_start_after_version_flags)."""
+    """(version, payload_start_after_version_flags).  Raises ValueError on
+    a zero-payload fullbox at EOF — ``buf[start]`` would IndexError, which
+    escapes the (ValueError, struct.error) kernel contract and kills the
+    task instead of yielding a NULL row."""
+    if start >= len(buf):
+        raise ValueError("truncated fullbox header")
     return buf[start], start + 4
 
 
@@ -133,6 +138,13 @@ def _stss_samples(buf: bytes, s: int, e: int) -> list[int]:
 def _stsz_sizes(buf: bytes, s: int, e: int) -> list[int]:
     _, p = _fullbox(buf, s)
     fixed, count = struct.unpack_from(">II", buf, p)
+    # the variable-size path is buffer-bounded (struct.error on a short
+    # box), but the fixed-size path carries NO per-sample data, so a
+    # 16-byte hostile box could demand a 4-billion-entry list — cap the
+    # count (2^24 samples ≈ 77 h at 60 fps) per the fuzz contract's
+    # absurd-count clause
+    if count > (1 << 24):
+        raise ValueError(f"absurd stsz sample count {count}")
     if fixed:
         return [fixed] * count
     return list(struct.unpack_from(f">{count}I", buf, p + 8))

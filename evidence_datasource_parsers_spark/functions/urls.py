@@ -618,7 +618,12 @@ def schedule_fetches(
         .drop("__cd")
     )
     if max_urls_per_domain is not None:
-        out = out.where(F.col("__rk") <= max_urls_per_domain)
+        # NULL-domain rows are documented passthrough (unscheduled) — the
+        # budget must not silently delete them past the cap
+        out = out.where(
+            (F.col("__rk") <= max_urls_per_domain)
+            | F.col("domain").isNull()
+        )
     return out.withColumn(
         "fetch_offset_s",
         F.when(

@@ -893,6 +893,10 @@ def _decode_audio(blob: bytes | None, decode_hook: DecodeHook):
         if hooked is not None:
             if hooked.get("media_type") != "audio":
                 raise ValueError("decode_hook: blob is not audio")
+            if "samples" not in hooked or hooked.get("sample_rate") is None:
+                # meta-only audio dicts (decode_blob's own FLAC/OGG/MP3
+                # shape) carry no PCM — NULL-row, don't KeyError the task
+                raise ValueError("decode_hook: audio dict has no PCM samples")
             return (
                 hooked["sample_rate"],
                 hooked.get("channels", 1),
@@ -1404,14 +1408,34 @@ def audio_meta_frame(
                 m = None
                 try:
                     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                        rate, ch, samples = decode_wav(b)
-                        m = {
-                            "format": "wav", "sample_rate": rate,
-                            "channels": ch,
-                            "duration_s": samples.shape[0] / rate
-                            if rate else None,
-                            "pcm_md5": None,
-                        }
+                        # header-only RIFF walk: duration comes from the
+                        # data-chunk SIZE (size / block_align / rate) —
+                        # decoding the full PCM array just to read its
+                        # length would double this frame's cost over a
+                        # 100 TB audio corpus (audio_features decodes
+                        # the samples again for the feature columns)
+                        rate = ch = block_align = None
+                        data_size = 0
+                        pos = 12
+                        while pos + 8 <= len(b):
+                            cid = b[pos : pos + 4]
+                            csz = struct.unpack_from("<I", b, pos + 4)[0]
+                            if cid == b"fmt " and pos + 24 <= len(b):
+                                (_, ch, rate, _, block_align, _) = (
+                                    struct.unpack_from("<HHIIHH", b, pos + 8)
+                                )
+                            elif cid == b"data":
+                                # truncated captures: clamp to real bytes
+                                data_size = min(csz, len(b) - pos - 8)
+                            pos += 8 + csz + (csz & 1)
+                        if rate and block_align:
+                            m = {
+                                "format": "wav", "sample_rate": rate,
+                                "channels": ch,
+                                "duration_s": data_size
+                                / block_align / rate,
+                                "pcm_md5": None,
+                            }
                     elif b[:4] == b"fLaC":
                         m = parse_flac(b)
                     elif b[:4] == b"OggS":
@@ -1582,16 +1606,27 @@ def video_frame_phashes(
                     except (ValueError, struct.error):
                         continue
                 pxs = v.get("frame_pixels")
-                sel = range(0, v["n_frames"], stride)
+                frames = v.get("frames")
+                n_frames = v.get("n_frames")
+                # a hook may return a metadata-only video dict (decode_blob's
+                # own MP4 shape: n_frames but no frames/pixels, or no frame
+                # count at all) — skip it, don't KeyError/TypeError the task
+                if n_frames is None or (pxs is None and frames is None):
+                    continue
+                sel = range(0, n_frames, stride)
                 if max_frames is not None:
                     sel = list(sel)[:max_frames]
                 for fi in sel:
                     if pxs is not None:
+                        if fi >= len(pxs):
+                            continue
                         px = pxs[fi]
                     else:
+                        if fi >= len(frames):
+                            continue
                         try:
                             px = decode_jpeg(
-                                v["frames"][fi], default_tables=True
+                                frames[fi], default_tables=True
                             )
                         except (ValueError, NotImplementedError):
                             continue

@@ -123,16 +123,22 @@ def read_webdataset(
 def group_samples(members: DataFrame) -> DataFrame:
     """Member rows → one row per sample: ``(shard, key, parts)`` where
     ``parts`` maps ext → bytes.  One shuffle keyed on (shard, key);
-    sample sizes bound the map, never shard sizes."""
+    sample sizes bound the map, never shard sizes.
+
+    Duplicate extensions within a sample (tar-append updates, repeated
+    member names) keep the LAST sorted entry instead of detonating the
+    whole job on ``DUPLICATED_MAP_KEY`` (Spark's default map-key policy
+    is EXCEPTION): entries sort by (ext, data), so the survivor is the
+    lexicographically greatest payload — deterministic across runs."""
+    entries = F.array_sort(F.collect_list(F.struct("ext", "data")))
+    deduped = F.filter(
+        entries,
+        lambda e, i: (i == F.size(entries) - 1)
+        | (e["ext"] != F.element_at(entries, (i + 2).cast("int"))["ext"]),
+    )
     return (
         members.groupBy("shard", "key")
-        .agg(
-            F.map_from_entries(
-                F.array_sort(
-                    F.collect_list(F.struct("ext", "data"))
-                )
-            ).alias("parts")
-        )
+        .agg(F.map_from_entries(deduped).alias("parts"))
     )
 
 

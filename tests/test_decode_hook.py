@@ -221,3 +221,41 @@ def test_refresh_media_batch_with_hook(spark):
     # gated image 12 was still SEEN — its pHash persists in the store
     assert {r["media_id"] for r in r2.store.collect()} == {1, 11, 12}
     r2.done()
+
+
+def test_meta_only_audio_hook_yields_null_row(spark):
+    """decode_blob's own FLAC shape (audio dict, no PCM samples) through
+    audio_features as the hook: NULL row, not a KeyError task death."""
+    from evidence_datasource_parsers_spark.functions.audiometa import (
+        encode_flac_header,
+    )
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        audio_features,
+        decode_blob,
+    )
+
+    df = spark.createDataFrame(
+        [(1, encode_flac_header(rate=44100, channels=2,
+                                total_samples=44100))],
+        "media_id long, blob binary",
+    )
+    row = audio_features(df, decode_hook=decode_blob).collect()[0]
+    assert row["duration_s"] is None  # NULL row, task survived
+
+
+def test_metadata_only_video_hook_skips_not_crashes(spark):
+    """decode_blob's MP4 shape (n_frames, no frames/pixels) through
+    video_frame_phashes as the hook: zero rows, not a KeyError."""
+    from evidence_datasource_parsers_spark.functions.mp4 import encode_mp4
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        decode_blob,
+        video_frame_phashes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, encode_mp4([b"\x01" * 20] * 4, 64, 48))],
+        "media_id long, blob binary",
+    )
+    assert video_frame_phashes(
+        df, decode_hook=decode_blob
+    ).count() == 0

@@ -169,3 +169,32 @@ def test_stream_hash_and_remux_dedupe(spark):
     r2.pinned.unpersist()
     assert {r.media_id for r in new_store.select("media_id").collect()} \
         == {1, 2, 12}
+
+
+# --- review regressions (round 8): kernel exception contract ---------------
+
+
+def test_empty_fullbox_at_eof_raises_valueerror():
+    import struct as _s
+
+    import pytest as _pytest
+
+    from evidence_datasource_parsers_spark.functions.mp4 import parse_mp4
+
+    ftyp = _s.pack(">I", 16) + b"ftyp" + b"mp42" + b"\0\0\0\0"
+    mvhd = _s.pack(">I", 8) + b"mvhd"  # zero-payload fullbox at EOF
+    moov = _s.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    with _pytest.raises(ValueError):
+        parse_mp4(ftyp + moov)  # was IndexError: task death
+
+
+def test_absurd_stsz_count_raises_before_allocating():
+    import struct as _s
+
+    import pytest as _pytest
+
+    from evidence_datasource_parsers_spark.functions.mp4 import _stsz_sizes
+
+    buf = b"\0\0\0\0" + _s.pack(">II", 1, 0xFFFFFFFF)
+    with _pytest.raises(ValueError):
+        _stsz_sizes(buf, 0, len(buf))  # was a ~34 GB list allocation

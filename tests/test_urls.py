@@ -428,3 +428,22 @@ def test_schedule_fetches_politeness(spark):
     b = sorted((r.id, r.fetch_offset_s) for r in
                schedule_fetches(urls, robots_directives(robots)).collect())
     assert a == b
+
+
+def test_schedule_cap_keeps_null_domain_passthrough(spark):
+    """The per-domain budget must not silently delete NULL-domain rows
+    past the cap — they are documented passthrough (NULL offsets)."""
+    from evidence_datasource_parsers_spark.functions.urls import (
+        schedule_fetches,
+    )
+
+    df = spark.createDataFrame(
+        [("http://d.example/1",), ("http://d.example/2",),
+         ("no host a",), ("no host b",), ("no host c",)],
+        "url string",
+    )
+    out = schedule_fetches(df, None, max_urls_per_domain=1).collect()
+    nulls = [r for r in out if r["domain"] is None]
+    assert len(nulls) == 3  # all retained
+    assert all(r["fetch_offset_s"] is None for r in nulls)
+    assert sum(1 for r in out if r["domain"] is not None) == 1  # cap held

@@ -136,3 +136,23 @@ def test_integrates_with_assign_shards(spark, tmp_path):
     assert len(m) == 4 and sum(r.n_samples for r in m) == 30
     back = group_samples(read_webdataset(spark, out))
     assert back.count() == 30
+
+
+def test_group_samples_duplicate_ext_keeps_last_not_explodes(spark):
+    """Duplicate member names (tar-append updates) must collapse to one
+    deterministic map entry, not kill the job with DUPLICATED_MAP_KEY."""
+    from evidence_datasource_parsers_spark.sources.webdataset import (
+        group_samples,
+    )
+
+    members = spark.createDataFrame(
+        [
+            ("s0.tar", "k1", "jpg", b"old bytes"),
+            ("s0.tar", "k1", "jpg", b"updated bytes"),
+            ("s0.tar", "k1", "txt", b"caption"),
+        ],
+        "shard string, key string, ext string, data binary",
+    )
+    row = group_samples(members).collect()[0]
+    assert set(row["parts"]) == {"jpg", "txt"}
+    assert bytes(row["parts"]["jpg"]) == b"updated bytes"  # max wins
