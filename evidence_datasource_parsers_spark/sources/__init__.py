@@ -18,6 +18,7 @@ from evidence_datasource_parsers_spark.sources.sinks import (  # noqa: F401
 )
 from evidence_datasource_parsers_spark.sources.cdx import (  # noqa: F401
     best_capture_per_digest,
+    fetch_captures,
     surt_key,
     warc_cdx,
 )

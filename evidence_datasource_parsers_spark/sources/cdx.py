@@ -52,6 +52,7 @@ __all__ = [
     "CDX_SCHEMA",
     "best_capture_per_digest",
     "build_cdx_records",
+    "fetch_captures",
     "iter_warc_members",
     "surt_key",
     "warc_cdx",
@@ -277,3 +278,97 @@ def best_capture_per_digest(cdx: DataFrame) -> DataFrame:
         F.col("b.length").alias("length"),
         "n_captures",
     )
+
+
+def fetch_captures(
+    cdx: DataFrame, max_payload: int = 100 * 1024 * 1024
+) -> DataFrame:
+    """Random access THROUGH the index: (filename, offset, length) rows →
+    the referenced WARC records (same schema as ``read_warc``), reading
+    ONLY the indexed byte ranges instead of rescanning archives.  This is
+    the read side of the CDX contract — select captures relationally
+    (by urlkey, digest, time window), then fetch exactly those bytes.
+
+    Scale shape: repartition on filename + an offset-ordered partition
+    sort, so each task reads its archive once, sequentially, with one
+    open handle per run of consecutive rows; per-row cost is the record's
+    own bytes (one gzip member for ``.warc.gz``).  Missing/renamed
+    archives skip their rows (an index is a cache of the store, not a
+    transaction log)."""
+    import re as _re
+
+    import pandas as _pd
+
+    from evidence_datasource_parsers_spark.sources.warc import (
+        WARC_SCHEMA,
+        iter_warc_records,
+        split_http_payload,
+    )
+
+    cols = [
+        "path", "warc_type", "url", "warc_date", "record_id",
+        "content_type", "http_status", "http_content_type", "payload",
+        "payload_truncated",
+    ]
+    sel = (
+        cdx.select("filename", "offset", "length")
+        .where(
+            F.col("filename").isNotNull()
+            & F.col("offset").isNotNull()
+            & F.col("length").isNotNull()
+        )
+        .repartition("filename")
+        .sortWithinPartitions("filename", "offset")
+    )
+
+    def kernel(batches):
+        import gzip as _gz
+
+        cur_path: str | None = None
+        fh = None
+        for pdf in batches:
+            rows = []
+            for fn, off, ln in zip(
+                pdf["filename"], pdf["offset"], pdf["length"]
+            ):
+                path = str(fn)
+                local = _re.sub(r"^file:(//)?", "", path)
+                if local != cur_path:
+                    if fh is not None:
+                        fh.close()
+                    try:
+                        fh = open(local, "rb")
+                    except OSError:
+                        fh = None
+                    cur_path = local
+                if fh is None:
+                    continue
+                fh.seek(int(off))
+                raw = fh.read(int(ln))
+                if raw[:2] == b"\x1f\x8b":
+                    try:
+                        raw = _gz.decompress(raw)
+                    except Exception:  # noqa: BLE001 — rewritten archive
+                        continue
+                for rec in iter_warc_records(
+                    raw, max_payload, "DROPMALFORMED"
+                ):
+                    status, ctype, body = (None, None, rec["payload"])
+                    if rec["warc_type"] == "response":
+                        status, ctype, body = split_http_payload(
+                            rec["payload"]
+                        )
+                    rows.append(
+                        (
+                            path, rec["warc_type"], rec["url"],
+                            rec["warc_date"], rec["record_id"],
+                            rec["content_type"], status, ctype, body,
+                            rec["payload_truncated"],
+                        )
+                    )
+            if fh is not None:
+                fh.close()
+                fh, cur_path = None, None
+            yield _pd.DataFrame(rows, columns=cols)
+
+    return sel.mapInPandas(kernel, WARC_SCHEMA)

@@ -233,3 +233,41 @@ def test_truncated_payload_gets_null_digest():
     raw = _record(b"big1", b"http://big.example/", b"x" * 1000)
     rows = build_cdx_records(raw, "f.warc", max_payload=100)
     assert rows[0]["digest"] is None  # partial-body hash would match nothing
+
+
+def test_fetch_captures_reads_only_indexed_ranges(spark, tmp_path):
+    """The read side of the index contract: select captures relationally,
+    fetch exactly those records by (filename, offset, length) — gz member
+    slices and plain record spans both round-trip."""
+    from evidence_datasource_parsers_spark.sources.cdx import (
+        fetch_captures,
+    )
+
+    (tmp_path / "a.warc.gz").write_bytes(
+        gzip.compress(_record(b"g1", b"http://x.example/keep", b"keep-gz"))
+        + gzip.compress(_record(b"g2", b"http://x.example/skip", b"skip"))
+    )
+    (tmp_path / "b.warc").write_bytes(
+        _record(b"p1", b"http://y.example/keep", b"keep-plain")
+        + _record(b"p2", b"http://y.example/skip", b"skip2")
+    )
+    cdx = warc_cdx(spark, str(tmp_path))
+    wanted = cdx.where(cdx.url.endswith("/keep"))
+    got = {r["record_id"]: r for r in fetch_captures(wanted).collect()}
+    assert set(got) == {"<urn:uuid:g1>", "<urn:uuid:p1>"}
+    assert bytes(got["<urn:uuid:g1>"]["payload"]) == b"keep-gz"
+    assert bytes(got["<urn:uuid:p1>"]["payload"]) == b"keep-plain"
+    assert got["<urn:uuid:g1>"]["http_status"] == 200
+
+
+def test_fetch_captures_missing_archive_skips(spark, tmp_path):
+    from evidence_datasource_parsers_spark.sources.cdx import (
+        fetch_captures,
+    )
+
+    (tmp_path / "a.warc.gz").write_bytes(
+        gzip.compress(_record(b"g1", b"http://x.example/p", b"body"))
+    )
+    cdx = warc_cdx(spark, str(tmp_path)).localCheckpoint(eager=True)
+    (tmp_path / "a.warc.gz").unlink()  # archive gone; index stale
+    assert fetch_captures(cdx).count() == 0  # skip, never fail
