@@ -23,6 +23,7 @@ from evidence_datasource_parsers_spark.operators.dedupe import (  # noqa: F401
     lsh_candidate_pairs,
     lsh_fingerprints,
     simhash_fingerprints,
+    soft_dedupe_weights,
 )
 from evidence_datasource_parsers_spark.operators.decontaminate import (  # noqa: F401
     decontaminate,

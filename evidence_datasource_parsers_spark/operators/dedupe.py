@@ -1108,3 +1108,95 @@ def lsh_drop_provenance(
         )
         .distinct()
     )
+
+
+def soft_dedupe_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    mode: str = "lsh",
+    alpha: float = 1.0,
+    num_perm: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    shingle_mode: str = "char",
+    nbits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SOFT dedup: keep every document, downweight duplicate clusters —
+    append ``dup_cluster_id``, ``dup_cluster_size``, and ``sample_weight
+    = size^-alpha`` (``alpha=1`` is the classic 1/n rule: each cluster
+    contributes ONE document's worth of training signal however many
+    copies the crawl holds; ``alpha=0.5`` is the gentler sqrt
+    downweighting; ``alpha=0`` annotates without reweighting).
+
+    Hard dedup (``exact_dedupe`` / the incremental stores) is the right
+    default for training corpora, but mixture planners often want the
+    duplicates KEPT and counted — boilerplate-heavy domains shrink in
+    effective size rather than losing their best representative, and the
+    weight column feeds straight into weighted samplers and loss
+    weighting.
+
+    ``mode`` selects the notion of "duplicate": ``'exact'`` (content
+    hash), ``'lsh'`` (MinHash-LSH candidates → connected components —
+    near-dups cluster transitively, same machinery as the hard path),
+    ``'simhash'`` (hamming pigeonhole pairs → components).  Singleton
+    documents keep their own id, size 1, weight 1.0.
+
+    Plan shape: the pair/cluster machinery of the hard-dedup path plus
+    ONE size aggregation and one join-back on ``id_col`` — no new
+    shuffle classes; at 100 TB the cluster frame is |clustered docs|
+    rows, which near-dup rates keep well under |corpus|."""
+    if mode == "exact":
+        clusters = (
+            df.select(
+                F.col(id_col), content_hash(text_col).alias("__h")
+            )
+            .groupBy("__h")
+            .agg(
+                F.min(id_col).alias("dup_cluster_id"),
+                F.count(F.lit(1)).alias("dup_cluster_size"),
+                F.collect_list(id_col).alias("__members"),
+            )
+            .select(
+                F.explode("__members").alias(id_col),
+                "dup_cluster_id", "dup_cluster_size",
+            )
+        )
+        labeled = df.join(clusters, on=id_col, how="left")
+    elif mode in ("lsh", "simhash"):
+        if mode == "lsh":
+            pairs = lsh_candidate_pairs(
+                df, text_col, id_col, num_perm, bands, k, shingle_mode
+            )
+        else:
+            fp = df.select(
+                F.col(id_col), simhash(text_col, nbits).alias("__fp")
+            )
+            pairs = hamming_near_dup_pairs(
+                fp, id_col, "__fp", nbits=nbits, max_hamming=max_hamming
+            )
+        comp = duplicate_clusters(pairs, "id_a", "id_b")
+        sizes = comp.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("dup_cluster_size")
+        )
+        clusters = comp.join(sizes, on="cluster_id").select(
+            F.col("doc_id").alias(id_col),
+            F.col("cluster_id").alias("dup_cluster_id"),
+            "dup_cluster_size",
+        )
+        labeled = df.join(clusters, on=id_col, how="left")
+    else:
+        raise ValueError(
+            f"mode must be exact|lsh|simhash, got {mode!r}"
+        )
+    cid = F.coalesce(F.col("dup_cluster_id"), F.col(id_col))
+    size = F.coalesce(F.col("dup_cluster_size"), F.lit(1)).cast("long")
+    return labeled.select(
+        *df.columns,
+        cid.alias("dup_cluster_id"),
+        size.alias("dup_cluster_size"),
+        F.pow(size.cast("double"), F.lit(-float(alpha)))
+        .alias("sample_weight"),
+    )

@@ -1140,3 +1140,79 @@ def test_lsh_drop_provenance(spark):
     dropped = {10, 11, 12} - {x.doc_id for x in r2.fresh.collect()}
     assert dropped == {k[0] for k in rows}
     r2.pinned.unpersist()
+
+
+def test_soft_dedupe_weights_exact(spark):
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        soft_dedupe_weights,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text body"),
+            (2, "same text body"),
+            (3, "same text body"),
+            (4, "a different document"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in soft_dedupe_weights(df, mode="exact").collect()
+    }
+    assert len(got) == 4  # nothing dropped
+    for i in (1, 2, 3):
+        assert got[i]["dup_cluster_id"] == 1
+        assert got[i]["dup_cluster_size"] == 3
+        assert abs(got[i]["sample_weight"] - 1 / 3) < 1e-12
+    assert got[4]["dup_cluster_size"] == 1
+    assert got[4]["sample_weight"] == 1.0
+    # alpha=0.5: sqrt downweighting
+    half = soft_dedupe_weights(df, mode="exact", alpha=0.5)
+    w = {r["doc_id"]: r["sample_weight"] for r in half.collect()}
+    assert abs(w[1] - 3 ** -0.5) < 1e-12
+
+
+def test_soft_dedupe_weights_lsh_near_dups(spark):
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        soft_dedupe_weights,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    df = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base.replace("afternoon", "evening")),  # near-dup of 10
+            (12, "completely unrelated content about query planners "
+                 "partitioning shuffle exchanges and adaptive execution"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in soft_dedupe_weights(df, mode="lsh", k=3).collect()
+    }
+    assert got[10]["dup_cluster_id"] == got[11]["dup_cluster_id"] == 10
+    assert got[10]["dup_cluster_size"] == 2
+    assert abs(got[10]["sample_weight"] - 0.5) < 1e-12
+    assert got[12]["dup_cluster_size"] == 1
+    assert got[12]["sample_weight"] == 1.0
+
+
+def test_soft_dedupe_weights_effective_size_conserved(spark):
+    """alpha=1: every cluster contributes exactly one document's worth of
+    weight — the soft-dedup invariant mixture planners rely on."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        soft_dedupe_weights,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"cluster {i % 3} body") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = soft_dedupe_weights(df, mode="exact")
+    total = out.agg(F.sum("sample_weight")).collect()[0][0]
+    n_clusters = out.select("dup_cluster_id").distinct().count()
+    assert abs(total - n_clusters) < 1e-9
