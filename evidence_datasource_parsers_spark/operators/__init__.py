@@ -53,6 +53,7 @@ from evidence_datasource_parsers_spark.operators.sampling import (  # noqa: F401
     reservoir_per_key,
     split_assign,
     stratified_hash_sample,
+    weighted_hash_sample,
     temporal_split,
 )
 from evidence_datasource_parsers_spark.operators.similarity import (  # noqa: F401

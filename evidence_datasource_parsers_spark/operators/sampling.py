@@ -47,6 +47,40 @@ def hash_sample(
     return df.where(_key_hash(key_col, salt) < int(fraction * _SPACE))
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    key: str | Column,
+    fraction: float,
+    weight_col: str | Column = "sample_weight",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sample: row keep-probability is
+    ``min(1, fraction * weight)`` — the consumer of soft-dedup's
+    ``sample_weight`` column (operators/dedupe.soft_dedupe_weights) and
+    any other per-row weighting (quality scores, mixture multipliers).
+
+    With alpha=1 soft-dedup weights, sampling at ``fraction`` draws each
+    duplicate CLUSTER with total expectation ``fraction`` (cluster members
+    split the chance), so duplicated boilerplate stops dominating the
+    sample without hard-dropping any document.
+
+    Same machinery as :func:`hash_sample`: the keep decision is a pure
+    function of (key, salt), so re-runs and other engines reproduce the
+    sample bit-for-bit; rows with NULL weight count as weight 1.  One
+    whole-stage-codegen filter, no shuffle, no rand()."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    key_col = F.col(key) if isinstance(key, str) else key
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    p = F.least(
+        F.lit(1.0), F.lit(float(fraction)) * F.coalesce(w, F.lit(1.0))
+    )
+    return df.where(
+        _key_hash(key_col, salt)
+        < (p * F.lit(float(_SPACE))).cast("long")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata: str,

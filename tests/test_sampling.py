@@ -397,3 +397,63 @@ def test_quality_binned_sample_degenerate_scores(spark):
         quality_binned_sample(df, "score", "doc_id", [0.0, 1.0, 1.0]).count()
         == 0
     )
+
+
+def test_weighted_hash_sample_determinism_and_rates(spark):
+    """The soft-dedup weight consumer: keep-probability scales with the
+    weight column, the decision is a pure function of (key, salt), and
+    NULL weights count as 1."""
+    from pyspark.sql import functions as F
+
+    from evidence_datasource_parsers_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit(1.0))
+        .otherwise(F.lit(0.25))
+        .alias("sample_weight"),
+    )
+    out = weighted_hash_sample(df, "doc_id", 0.4)
+    rows = out.collect()
+    # determinism: identical plan → identical sample
+    again = {r["doc_id"] for r in weighted_hash_sample(df, "doc_id", 0.4).collect()}
+    assert {r["doc_id"] for r in rows} == again
+    heavy = sum(1 for r in rows if r["sample_weight"] == 1.0)
+    light = sum(1 for r in rows if r["sample_weight"] == 0.25)
+    # expected keep rates 0.4 and 0.1 over 10k rows each (±3σ)
+    assert abs(heavy / (n / 2) - 0.4) < 0.02
+    assert abs(light / (n / 2) - 0.1) < 0.015
+    # weight > 1/fraction clamps at keep-everything
+    boosted = df.withColumn("sample_weight", F.lit(100.0))
+    assert weighted_hash_sample(boosted, "doc_id", 0.4).count() == n
+    # NULL weight behaves as weight 1
+    nw = df.withColumn("sample_weight", F.lit(None).cast("double"))
+    base = weighted_hash_sample(nw, "doc_id", 0.4).count()
+    assert abs(base / n - 0.4) < 0.02
+
+
+def test_weighted_sample_neutralizes_duplicate_mass(spark):
+    """End-to-end with soft_dedupe_weights: a 10x-duplicated boilerplate
+    cluster contributes ~one document's expectation, same as a singleton."""
+    from pyspark.sql import functions as F
+
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        soft_dedupe_weights,
+    )
+    from evidence_datasource_parsers_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    rows = [(i, "the same boilerplate page body") for i in range(500)]
+    rows += [(1000 + i, f"unique document number {i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    weighted = soft_dedupe_weights(df, mode="exact")
+    out = weighted_hash_sample(weighted, "doc_id", 0.5)
+    dup_kept = out.where(F.col("doc_id") < 1000).count()
+    uniq_kept = out.where(F.col("doc_id") >= 1000).count()
+    # boilerplate cluster: 500 docs × (0.5/500) ≈ 0.5 expected keeps
+    assert dup_kept <= 5
+    assert abs(uniq_kept / 500 - 0.5) < 0.07
