@@ -1147,31 +1147,37 @@ def soft_dedupe_weights(
     Plan shape: the pair/cluster machinery of the hard-dedup path plus
     ONE size aggregation and one join-back on ``id_col`` — no new
     shuffle classes; at 100 TB the cluster frame is |clustered docs|
-    rows, which near-dup rates keep well under |corpus|."""
+    rows, which near-dup rates keep well under |corpus|.  NULL-text
+    rows are singletons (they are not duplicates of each other — a
+    NULL-keyed group would zero out every failed extraction).  If the
+    input already carries the three output columns (re-weighting a prior
+    run at a different alpha/mode), they are OVERWRITTEN, not duplicated.
+    """
+    base = df.drop(
+        "dup_cluster_id", "dup_cluster_size", "sample_weight"
+    )
     if mode == "exact":
-        clusters = (
-            df.select(
-                F.col(id_col), content_hash(text_col).alias("__h")
-            )
-            .groupBy("__h")
-            .agg(
-                F.min(id_col).alias("dup_cluster_id"),
-                F.count(F.lit(1)).alias("dup_cluster_size"),
-                F.collect_list(id_col).alias("__members"),
-            )
-            .select(
-                F.explode("__members").alias(id_col),
-                "dup_cluster_id", "dup_cluster_size",
-            )
+        # agg + join-back on the hash — NEVER a per-cluster member
+        # array: a 10⁸-copy boilerplate cluster must not build a
+        # 10⁸-element collect_list row on one task
+        hashed = base.select(
+            F.col(id_col), content_hash(text_col).alias("__h")
+        ).where(F.col("__h").isNotNull())
+        sizes = hashed.groupBy("__h").agg(
+            F.min(id_col).alias("dup_cluster_id"),
+            F.count(F.lit(1)).alias("dup_cluster_size"),
         )
-        labeled = df.join(clusters, on=id_col, how="left")
+        clusters = hashed.join(sizes, on="__h").select(
+            id_col, "dup_cluster_id", "dup_cluster_size"
+        )
+        labeled = base.join(clusters, on=id_col, how="left")
     elif mode in ("lsh", "simhash"):
         if mode == "lsh":
             pairs = lsh_candidate_pairs(
-                df, text_col, id_col, num_perm, bands, k, shingle_mode
+                base, text_col, id_col, num_perm, bands, k, shingle_mode
             )
         else:
-            fp = df.select(
+            fp = base.select(
                 F.col(id_col), simhash(text_col, nbits).alias("__fp")
             )
             pairs = hamming_near_dup_pairs(
@@ -1186,7 +1192,7 @@ def soft_dedupe_weights(
             F.col("cluster_id").alias("dup_cluster_id"),
             "dup_cluster_size",
         )
-        labeled = df.join(clusters, on=id_col, how="left")
+        labeled = base.join(clusters, on=id_col, how="left")
     else:
         raise ValueError(
             f"mode must be exact|lsh|simhash, got {mode!r}"
@@ -1194,7 +1200,8 @@ def soft_dedupe_weights(
     cid = F.coalesce(F.col("dup_cluster_id"), F.col(id_col))
     size = F.coalesce(F.col("dup_cluster_size"), F.lit(1)).cast("long")
     return labeled.select(
-        *df.columns,
+        *[c for c in base.columns if c not in (
+            "dup_cluster_id", "dup_cluster_size", "sample_weight")],
         cid.alias("dup_cluster_id"),
         size.alias("dup_cluster_size"),
         F.pow(size.cast("double"), F.lit(-float(alpha)))

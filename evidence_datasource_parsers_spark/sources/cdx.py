@@ -311,7 +311,7 @@ def fetch_captures(
         "payload_truncated",
     ]
     sel = (
-        cdx.select("filename", "offset", "length")
+        cdx.select("filename", "offset", "length", "record_id")
         .where(
             F.col("filename").isNotNull()
             & F.col("offset").isNotNull()
@@ -328,10 +328,20 @@ def fetch_captures(
         fh = None
         for pdf in batches:
             rows = []
-            for fn, off, ln in zip(
-                pdf["filename"], pdf["offset"], pdf["length"]
+            for fn, off, ln, rid in zip(
+                pdf["filename"], pdf["offset"], pdf["length"],
+                pdf["record_id"],
             ):
                 path = str(fn)
+                scheme = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", path)
+                if scheme and scheme.group(1).lower() != "file":
+                    # a silent empty result would be indistinguishable
+                    # from a stale index — unsupported schemes must FAIL
+                    raise ValueError(
+                        "fetch_captures reads POSIX-visible paths only; "
+                        f"got scheme {scheme.group(1)!r} — mount the "
+                        "store or run where the archive paths resolve"
+                    )
                 local = _re.sub(r"^file:(//)?", "", path)
                 if local != cur_path:
                     if fh is not None:
@@ -353,6 +363,11 @@ def fetch_captures(
                 for rec in iter_warc_records(
                     raw, max_payload, "DROPMALFORMED"
                 ):
+                    # a span can cover several records (whole-file
+                    # fallback spans, multi-record gz members): emit only
+                    # the record THIS index row selected
+                    if rid is not None and rec["record_id"] != rid:
+                        continue
                     status, ctype, body = (None, None, rec["payload"])
                     if rec["warc_type"] == "response":
                         status, ctype, body = split_http_payload(

@@ -271,3 +271,44 @@ def test_fetch_captures_missing_archive_skips(spark, tmp_path):
     cdx = warc_cdx(spark, str(tmp_path)).localCheckpoint(eager=True)
     (tmp_path / "a.warc.gz").unlink()  # archive gone; index stale
     assert fetch_captures(cdx).count() == 0  # skip, never fail
+
+
+def test_fetch_captures_filters_multi_record_spans(spark, tmp_path):
+    """A gz member packing TWO records (non-standard but legal): each
+    index row must fetch back exactly ITS record, not every record in
+    the shared span."""
+    from evidence_datasource_parsers_spark.sources.cdx import (
+        fetch_captures,
+    )
+
+    member = gzip.compress(
+        _record(b"m1", b"http://x.example/a", b"first")
+        + _record(b"m2", b"http://x.example/b", b"second")
+    )
+    (tmp_path / "multi.warc.gz").write_bytes(member)
+    cdx = warc_cdx(spark, str(tmp_path))
+    assert cdx.count() == 2  # two rows sharing one member span
+    got = fetch_captures(cdx).collect()
+    assert len(got) == 2  # NOT 4 (each row re-emitting both records)
+    assert {bytes(r["payload"]) for r in got} == {b"first", b"second"}
+    one = fetch_captures(cdx.where(cdx.url.endswith("/b")))
+    assert [bytes(r["payload"]) for r in one.collect()] == [b"second"]
+
+
+def test_fetch_captures_foreign_scheme_fails_loudly(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from evidence_datasource_parsers_spark.sources.cdx import (
+        fetch_captures,
+    )
+
+    cdx = spark.createDataFrame(
+        [("k", "20240101000000", "http://x/", "text/html", 200, "D",
+          0, 10, "s3a://bucket/a.warc.gz", "<urn:uuid:r>", "response")],
+        "urlkey string, ts string, url string, mime string, status int,"
+        " digest string, offset long, length long, filename string,"
+        " record_id string, warc_type string",
+    )
+    with _pytest.raises(PythonException, match="POSIX-visible"):
+        fetch_captures(cdx).collect()

@@ -1216,3 +1216,44 @@ def test_soft_dedupe_weights_effective_size_conserved(spark):
     total = out.agg(F.sum("sample_weight")).collect()[0][0]
     n_clusters = out.select("dup_cluster_id").distinct().count()
     assert abs(total - n_clusters) < 1e-9
+
+
+def test_soft_dedupe_null_text_rows_are_singletons(spark):
+    """Failed extractions (NULL text) are not duplicates of each other —
+    they must keep weight 1, never collapse into one mega-cluster."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        soft_dedupe_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real body"), (4, "real body")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in soft_dedupe_weights(df, mode="exact").collect()
+    }
+    assert got[1]["dup_cluster_size"] == 1
+    assert got[1]["sample_weight"] == 1.0
+    assert got[1]["dup_cluster_id"] == 1
+    assert got[2]["dup_cluster_id"] == 2  # own id, not a shared NULL group
+    assert got[3]["dup_cluster_size"] == 2
+
+
+def test_soft_dedupe_is_idempotent_on_its_own_output(spark):
+    """Re-weighting a prior run (different alpha) must overwrite the
+    three output columns, not raise AMBIGUOUS_REFERENCE or duplicate
+    them."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        soft_dedupe_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")],
+        "doc_id long, text string",
+    )
+    once = soft_dedupe_weights(df, mode="exact", alpha=1.0)
+    twice = soft_dedupe_weights(once, mode="exact", alpha=0.5)
+    assert twice.columns.count("sample_weight") == 1
+    w = {r["doc_id"]: r["sample_weight"] for r in twice.collect()}
+    assert abs(w[1] - 2 ** -0.5) < 1e-12
