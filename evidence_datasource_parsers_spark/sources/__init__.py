@@ -16,6 +16,11 @@ from evidence_datasource_parsers_spark.sources.sinks import (  # noqa: F401
     write_output,
     write_with_manifest,
 )
+from evidence_datasource_parsers_spark.sources.arc import (  # noqa: F401
+    arc_documents,
+    iter_arc_records,
+    read_arc,
+)
 from evidence_datasource_parsers_spark.sources.cdx import (  # noqa: F401
     best_capture_per_digest,
     fetch_captures,
