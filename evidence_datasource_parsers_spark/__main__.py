@@ -110,6 +110,20 @@ def main(argv: list[str] | None = None) -> int:
     frontier.add_argument("--budget", type=int, default=1000,
                           help="max urls per domain per round")
     frontier.add_argument("--default-delay", type=float, default=1.0)
+    frontier.add_argument("--refresh-after", type=float, default=None,
+                          help="re-admit seen urls older than this many "
+                          "seconds (enables timestamped store rows)")
+    frontier.add_argument("--now", type=float, default=None,
+                          help="epoch-seconds clock for --refresh-after "
+                          "(defaults to wall clock)")
+    frontier.add_argument("--lastmod-col", default=None,
+                          help="epoch-seconds candidates column; a seen "
+                          "url whose lastmod post-dates its last fetch "
+                          "re-admits")
+    frontier.add_argument("--compact", action="store_true",
+                          help="compact the seen store after the round "
+                          "(one row per hash; the only O(store) step — "
+                          "run on a cadence, not every round)")
 
     args = parser.parse_args(argv)
 
@@ -281,19 +295,23 @@ def _ingest(args) -> int:
 
 
 def _frontier(args) -> int:
-    """One frontier round as an operation — same swap-safe store
-    discipline as `refresh`; the fetch list materializes BEFORE the store
-    swap, so a crash never records urls as seen without queueing them."""
+    """One frontier round as an operation.  The fetch list materializes
+    BEFORE the store advance, so a crash never records urls as seen
+    without queueing them (the inverse — queued but not yet recorded —
+    re-schedules the batch later, a duplicate fetch, not a lost one).
+    The advance APPENDS only the batch's rows (advance_seen_store);
+    --compact runs the O(store) collapse on the operator's cadence."""
     import os
-    import uuid
+    import time
 
     from evidence_datasource_parsers_spark.pipelines.crawl_frontier import (
+        advance_seen_store,
+        compact_seen_store,
         plan_fetch_batch,
     )
     from evidence_datasource_parsers_spark.session import get_spark
     from evidence_datasource_parsers_spark.streaming.incremental import (
         recover_store_dir,
-        swap_store_dir,
     )
 
     spark = get_spark("frontier")
@@ -307,6 +325,9 @@ def _frontier(args) -> int:
         if os.path.isdir(args.store)
         else None
     )
+    now_ts = args.now
+    if now_ts is None and args.refresh_after is not None:
+        now_ts = time.time()
     res = plan_fetch_batch(
         candidates,
         seen,
@@ -318,23 +339,23 @@ def _frontier(args) -> int:
         ),
         max_urls_per_domain=args.budget,
         default_delay=args.default_delay,
+        refresh_after=args.refresh_after,
+        now_ts=now_ts,
+        lastmod_col=args.lastmod_col,
     )
     ready = res.ready.localCheckpoint(eager=True)
     ready.drop("url_hash").write.mode("append").parquet(args.out)
-    # advance the store from the MATERIALIZED fetch list — writing
-    # res.store directly would re-run the whole dedup/gate/schedule plan
-    new_hashes = ready.select("url_hash").distinct()
-    store = (
-        seen.select("url_hash").unionByName(new_hashes).distinct()
-        if seen is not None
-        else new_hashes
+    # advance from the MATERIALIZED fetch list — writing res.store would
+    # re-run the whole dedup/gate/schedule plan AND rewrite the store
+    advance_seen_store(ready, args.store, now_ts=now_ts)
+    n_compacted = (
+        compact_seen_store(spark, args.store) if args.compact else None
     )
-    tmp = f"{args.store}__swap_{uuid.uuid4().hex[:8]}"
-    store.write.mode("overwrite").parquet(tmp)
-    swap_store_dir(args.store, tmp)
     print(
         f"frontier: {ready.count()} urls scheduled → {args.out}; "
         f"seen store → {args.store}"
+        + (f" (compacted to {n_compacted} rows)"
+           if n_compacted is not None else "")
     )
     return 0
 
