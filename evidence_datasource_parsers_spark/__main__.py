@@ -170,15 +170,16 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _refresh(args) -> int:
-    """The corpus_refresh pipeline as an operation: swap-safe store update
-    (tmp + rename, same discipline as the streaming sink) so a crash never
-    leaves a half-written store for the next run to read."""
+    """The corpus_refresh pipeline as an operation.  The store advances
+    APPEND-ONLY (the batch's disjoint delta lands beside the carried
+    files — O(batch) I/O regardless of store size); store first, output
+    second, so a crash loses the batch's output but never double-ingests
+    it.  recover_store_dir still runs for stores last written by the old
+    swap discipline."""
     import os
-    import uuid
 
     from evidence_datasource_parsers_spark.streaming.incremental import (
         recover_store_dir,
-        swap_store_dir,
     )
     from evidence_datasource_parsers_spark.pipelines.corpus_refresh import (
         refresh_corpus_batch,
@@ -208,10 +209,12 @@ def _refresh(args) -> int:
         canonicalize=args.canonicalize,
     )
     try:
-        tmp = f"{args.store}__swap_{uuid.uuid4().hex[:8]}"
-        res.store.write.mode("overwrite").parquet(tmp)
+        # checkpoint BEFORE the store append: committing a write to
+        # args.store refreshes that path and invalidates dependent plans,
+        # so a lazy ready would re-evaluate against the advanced store
+        # (its own batch now "seen") and emit nothing
         ready = res.ready.localCheckpoint(eager=True)
-        swap_store_dir(args.store, tmp)
+        res.store_delta.write.mode("append").parquet(args.store)
         ready.write.mode("append").parquet(args.out)
         n = ready.count()
         print(f"refresh: {n} fresh docs → {args.out}; store → {args.store}")
@@ -222,14 +225,12 @@ def _refresh(args) -> int:
 
 def _refresh_media(args) -> int:
     """The media branch of the crawl loop as an operation — identical
-    swap-safe store discipline (recover → read → tmp write → rename) to
-    the text ``refresh``, over the perceptual pHash store."""
+    append-only store discipline to the text ``refresh``, over the
+    perceptual pHash store."""
     import os
-    import uuid
 
     from evidence_datasource_parsers_spark.streaming.incremental import (
         recover_store_dir,
-        swap_store_dir,
     )
     from evidence_datasource_parsers_spark.pipelines.corpus_refresh import (
         refresh_media_batch,
@@ -256,10 +257,9 @@ def _refresh_media(args) -> int:
         min_height=args.min_height,
     )
     try:
-        tmp = f"{args.store}__swap_{uuid.uuid4().hex[:8]}"
-        res.store.write.mode("overwrite").parquet(tmp)
+        # same checkpoint-before-append discipline as `refresh`
         ready = res.ready.localCheckpoint(eager=True)
-        swap_store_dir(args.store, tmp)
+        res.store_delta.write.mode("append").parquet(args.store)
         ready.write.mode("append").parquet(args.out)
         n = ready.count()
         print(

@@ -1,0 +1,180 @@
+"""Trained character-n-gram language identification.
+
+The third and sharpest tier of the lang-ID ladder (above the
+Unicode-script tier and the stopword tier in ``functions/textstats.py``):
+script-ID separates writing systems but every Latin-script language — the
+majority of web text — falls through to six stopword lists.  This tier is
+the standard cheap answer (a fastText/langid.py-style linear model over
+character n-grams): a multinomial Naive Bayes on HASHED char n-grams,
+trained and applied as pure DataFrame aggregation — the multiclass
+sibling of ``functions/quality.train_quality_classifier`` (same
+explode → bucket → groupBy shape, same integer-weight export contract).
+
+Model shape: a DENSE ``(bucket, lang, weight)`` table over every bucket
+seen in training × every training language — at 4096 buckets × 50
+languages that is ~200k rows, a few MB, broadcast at inference.  Dense
+matters for correctness: log-probabilities are NEGATIVE, so a sparse
+table whose missing entries defaulted to 0 would hand every unseen
+(bucket, lang) pair the BEST possible score and wreck the argmax; with
+the dense table an absent bucket (never seen in ANY training language)
+contributes the same smoothed floor to every language and drops out of
+the argmax instead.
+
+Determinism contract (same as the quality tier): weights are integers
+(scaled log-probabilities, half-up-quantized); per-document accumulation
+is an integer sum; ties in the argmax break on the lexicographically
+SMALLEST language code via one ``min_by`` over a (negated-score, lang)
+struct — no floating-point accumulation order anywhere.
+
+Scale shape: training is one explode + one ``groupBy(bucket, lang)``
+shuffle (map-side combined) + a langs-sized broadcast cross join to
+densify + two in-plan 1-row broadcast scalars (class totals ride the
+counts; the integer normalizer is a 1-row agg) — no driver collect.
+Inference is one explode + one broadcast join + one two-stage
+aggregation keyed on the unique document id.  The class prior is
+deliberately omitted: with n-grams per document in the hundreds the
+likelihood term dominates, and dropping the prior keeps the weight table
+the only model state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.functions.hashing import portable_hash
+
+__all__ = [
+    "char_ngrams",
+    "classify_language",
+    "train_langid_classifier",
+]
+
+# integer weight scale — same contract as quality.WEIGHT_SCALE but wider:
+# log-prob RANGES (not ratios) quantize here, so more headroom costs
+# nothing and preserves ordering through long documents (5e5 grams ×
+# 1e4 max weight stays < 2^33, far inside int64)
+LANGID_SCALE = 10_000
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Array of overlapping character ``n``-grams of the normalized text
+    (lowercased, whitespace collapsed to single spaces — word boundaries
+    ARE signal for language ID, so spaces stay in the grams).  Pure
+    column expression: sequence + transform/substr, whole-stage codegen,
+    no UDF.  Shorter-than-``n`` texts yield an empty array."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        normalized_text,
+    )
+
+    t = normalized_text(col)
+    # sequence(1, 0) would DESCEND ([1, 0]); guard short texts explicitly
+    return F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
+            lambda i: t.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_bucket(n_buckets: int, salt: str) -> Column:
+    """Hashing-trick bucket of the exploded ``__gram`` column."""
+    return (
+        portable_hash(F.concat(F.col("__gram"), F.lit(f":{salt}")))
+        % n_buckets
+    ).cast("long")
+
+
+def train_langid_classifier(
+    df: DataFrame,
+    text_col: str,
+    lang_col: str,
+    n: int = 3,
+    n_buckets: int = 4096,
+    salt: str = "langid",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Train the dense ``(bucket, lang, weight)`` table from labelled
+    text (``lang_col`` = language code).  Per (bucket, lang) the weight
+    is the add-``alpha`` smoothed ``log P(bucket | lang)``, rescaled by
+    the table-wide max magnitude to ±LANGID_SCALE and half-up-quantized
+    to an integer — a positive rescale of every log-prob, so the
+    per-document argmax is exactly the NB likelihood argmax.
+
+    Buckets never seen in ANY language are absent (they shift every
+    language equally — argmax-invariant); buckets seen in SOME language
+    get a row for EVERY language (the dense contract the module doc
+    explains).  Training languages are whatever distinct values
+    ``lang_col`` holds — 20 or 200, the shuffle shape is the same."""
+    grams = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("__gram"),
+    ).where(F.length("__gram") == n)
+    counts = grams.groupBy(
+        _gram_bucket(n_buckets, salt).alias("bucket"), "lang"
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    lang_totals = counts.groupBy("lang").agg(F.sum("__c").alias("__tot"))
+    buckets = counts.select("bucket").distinct()
+    dense = (
+        buckets.crossJoin(F.broadcast(lang_totals))
+        .join(counts, on=["bucket", "lang"], how="left")
+        .withColumn(
+            "__logp",
+            F.log(
+                (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(float(alpha)))
+                / (F.col("__tot") + F.lit(float(alpha) * n_buckets))
+            ),
+        )
+    )
+    norm = dense.agg(F.max(F.abs(F.col("__logp"))).alias("__m"))
+    return dense.crossJoin(F.broadcast(norm)).select(
+        "bucket",
+        "lang",
+        F.floor(
+            F.col("__logp") / F.col("__m") * F.lit(float(LANGID_SCALE))
+            + F.lit(0.5)
+        ).cast("long").alias("weight"),
+    )
+
+
+def classify_language(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    n_buckets: int = 4096,
+    salt: str = "langid",
+    out_col: str = "lang",
+) -> DataFrame:
+    """Assign each document the argmax-likelihood training language:
+    explode char n-grams → bucket → broadcast-join the dense weight
+    table → integer sum per (doc, lang) → argmax (ties to the smallest
+    language code).  Documents whose grams hit NO trained bucket (empty
+    text, or fully out-of-distribution) get a NULL ``out_col`` — honest
+    abstention, same convention as the stopword tier.
+
+    The hash parameters (``n``, ``n_buckets``, ``salt``) MUST match
+    training — they are part of the model identity."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("__gram"),
+    ).where(F.length("__gram") == n)
+    bucketed = grams.select(
+        F.col(id_col), _gram_bucket(n_buckets, salt).alias("bucket")
+    )
+    # inner join: untrained buckets contribute the same floor to every
+    # language (see module doc) and can be skipped outright
+    per_lang = (
+        bucketed.join(F.broadcast(weights), on="bucket")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("weight").alias("__s"))
+    )
+    best = per_lang.groupBy(id_col).agg(
+        F.min_by(
+            F.col("lang"), F.struct((-F.col("__s")).alias("ns"), "lang")
+        ).alias(out_col),
+        F.max(F.col("__s")).alias(f"{out_col}_score"),
+    )
+    return df.join(best, on=id_col, how="left")

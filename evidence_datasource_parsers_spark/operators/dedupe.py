@@ -473,29 +473,48 @@ def duplicate_clusters(
         e.unpersist()
 
 
+class IncrementalExactResult(NamedTuple):
+    """Result of :func:`incremental_exact_dedupe`.  ``delta`` is the
+    batch's contribution alone (the store rows NOT already in the carried
+    store) — persist the on-disk store by APPENDING ``delta``, never by
+    rewriting ``store``: the sides are disjoint by construction (the
+    anti-join removed every carried hash from the batch), so append-only
+    advance is exact and O(batch) instead of O(store) per round — the
+    same discipline as the frontier seen store
+    (pipelines/crawl_frontier.advance_seen_store)."""
+
+    fresh: DataFrame
+    store: DataFrame
+    delta: DataFrame
+
+
 def incremental_exact_dedupe(
     new_batch: DataFrame,
     seen_hashes: DataFrame | None,
     text_col: str,
     id_col: str,
-) -> tuple[DataFrame, DataFrame]:
+) -> IncrementalExactResult:
     """Batch-over-batch dedup: drop documents already ingested in ANY prior
     run, using a persisted fingerprint store instead of re-reading the
     historical corpus.
 
     ``seen_hashes`` is the store from previous runs — one ``content_hash``
     column (8 bytes/doc, the only state the pipeline carries forward;
-    pass None on the first run).  Returns ``(fresh, updated_store)``:
+    pass None on the first run).  Returns
+    :class:`IncrementalExactResult` ``(fresh, store, delta)``:
 
       * ``fresh`` — the new batch minus exact dups WITHIN the batch (min
         id kept, same rule as :func:`exact_dedupe`) and minus anything in
         the store (left_anti on the hash: one co-partitioned shuffle, or a
         broadcast when the store is small — AQE's call);
-      * ``updated_store`` — store ∪ new hashes, ready to persist for the
-        next increment.  At 100 TB the store is ~0.1% the corpus size and
-        should be written bucketed by hash so the next run's anti-join is
-        co-located (:func:`write_bucketed_store` + :func:`read_bucketed_store`
-        in sources/sinks.py — plan-proven shuffle-free on the store side).
+      * ``store`` — store ∪ new hashes (in-plan view for the next
+        increment); ``delta`` — the new hashes alone.  At 100 TB the
+        store is ~0.1% the corpus size, written bucketed by hash so the
+        next run's anti-join is co-located (:func:`write_bucketed_store`
+        + :func:`read_bucketed_store` in sources/sinks.py — plan-proven
+        shuffle-free on the store side) and ADVANCED by appending
+        ``delta`` (:func:`sources.sinks.append_bucketed_store`), never by
+        rewriting ``store``.
 
     The returned ``fresh`` frame is persisted (both outputs share its
     lineage); call ``fresh.unpersist()`` after materializing both.
@@ -530,14 +549,15 @@ def incremental_exact_dedupe(
     # normalized text) and cheap relative to the batch scan, so the store
     # still records exactly the docs that were emitted.
     fresh = fresh.drop("__ch").persist()
-    new_store = fresh.select(
+    delta = fresh.select(
         F.coalesce(content_hash(F.col(text_col)), F.lit(-1)).alias(
             "content_hash"
         )
     )
+    new_store = delta
     if seen_hashes is not None:
-        new_store = seen_hashes.select("content_hash").unionByName(new_store)
-    return fresh, new_store
+        new_store = seen_hashes.select("content_hash").unionByName(delta)
+    return IncrementalExactResult(fresh=fresh, store=new_store, delta=delta)
 
 
 # ---------------------------------------------------------------------------
@@ -553,11 +573,17 @@ class IncrementalLshResult(NamedTuple):
     ``pinned`` is the persisted fingerprint frame both outputs derive from;
     call ``pinned.unpersist()`` after materializing ``fresh`` and ``store``
     (returning the handle instead of hiding the persist is what keeps a
-    long-running incremental pipeline from leaking cache blocks)."""
+    long-running incremental pipeline from leaking cache blocks).
+    ``delta`` is the batch's store contribution alone (fingerprints of the
+    retained docs — disjoint from the carried store by construction):
+    advance the on-disk store by APPENDING it
+    (:func:`sources.sinks.append_bucketed_store`), never by rewriting
+    ``store`` — O(batch) I/O per round instead of O(store)."""
 
     fresh: DataFrame
     store: DataFrame
     pinned: DataFrame
+    delta: DataFrame
 
 
 def estimated_jaccard(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
@@ -726,7 +752,9 @@ def incremental_lsh_dedupe(
             surv_ids, on=id_col, how="left_semi"
         ).persist()
     if fingerprint_store is None:
-        return IncrementalLshResult(fresh=survivors, store=fp, pinned=fp)
+        return IncrementalLshResult(
+            fresh=survivors, store=fp, pinned=fp, delta=fp
+        )
     # 3. exact AND near cross-batch dups in ONE band-bucket join.  Identical
     # text produces identical signatures and therefore identical band keys
     # (including the degenerate all-NULL-signature case, whose keys are all
@@ -778,10 +806,11 @@ def incremental_lsh_dedupe(
         ).select(id_col)
         dropped = dropped.unionByName(exact_hit)
     fresh = survivors.join(dropped, on=id_col, how="left_anti")
-    new_store = fingerprint_store.unionByName(
-        fp.join(dropped, on=id_col, how="left_anti")
+    delta = fp.join(dropped, on=id_col, how="left_anti")
+    new_store = fingerprint_store.unionByName(delta)
+    return IncrementalLshResult(
+        fresh=fresh, store=new_store, pinned=fp, delta=delta
     )
-    return IncrementalLshResult(fresh=fresh, store=new_store, pinned=fp)
 
 
 # ---------------------------------------------------------------------------
@@ -852,11 +881,13 @@ def simhash_combo_keys(
 class IncrementalSimhashResult(NamedTuple):
     """Result of :func:`incremental_simhash_dedupe` — same contract as
     :class:`IncrementalLshResult`: ``pinned`` is the persisted fingerprint
-    frame both outputs derive from; unpersist it after materializing."""
+    frame both outputs derive from; unpersist it after materializing;
+    ``delta`` is the batch's store contribution to APPEND on disk."""
 
     fresh: DataFrame
     store: DataFrame
     pinned: DataFrame
+    delta: DataFrame
 
 
 def simhash_fingerprints(
@@ -961,7 +992,9 @@ def incremental_simhash_dedupe(
             surv_ids, on=id_col, how="left_semi"
         ).persist()
     if fingerprint_store is None:
-        return IncrementalSimhashResult(fresh=survivors, store=fp, pinned=fp)
+        return IncrementalSimhashResult(
+            fresh=survivors, store=fp, pinned=fp, delta=fp
+        )
     # Pigeonhole candidate tables: explode both sides on (combo, key).  NO
     # separate exact-hash leg: identical text gives identical fingerprints,
     # so an exact dup is a combo-key mate at hamming 0 — strictly inside
@@ -989,10 +1022,11 @@ def incremental_simhash_dedupe(
         .select(id_col)
     )
     fresh = survivors.join(dropped, on=id_col, how="left_anti")
-    new_store = fingerprint_store.unionByName(
-        fp.join(dropped, on=id_col, how="left_anti")
+    delta = fp.join(dropped, on=id_col, how="left_anti")
+    new_store = fingerprint_store.unionByName(delta)
+    return IncrementalSimhashResult(
+        fresh=fresh, store=new_store, pinned=fp, delta=delta
     )
-    return IncrementalSimhashResult(fresh=fresh, store=new_store, pinned=fp)
 
 
 def hamming_near_dup_pairs(

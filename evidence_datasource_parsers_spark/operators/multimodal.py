@@ -1125,11 +1125,14 @@ def image_near_dup_pairs(
 class IncrementalPhashResult(NamedTuple):
     """Same contract as the text-side incremental results: ``pinned`` is
     the persisted batch pHash frame both outputs derive from; unpersist it
-    after materializing."""
+    after materializing; ``delta`` is the batch's store contribution alone
+    (disjoint from the carried store) — APPEND it to advance the on-disk
+    store in O(batch), never rewrite ``store``."""
 
     fresh: DataFrame
     store: DataFrame
     pinned: DataFrame
+    delta: DataFrame
 
 
 def incremental_phash_dedupe(
@@ -1207,7 +1210,9 @@ def _incremental_fingerprint_dedupe(
     keep_ids = surv_ids.unionByName(null_ids)
     survivors = new_batch.join(keep_ids, on=id_col, how="left_semi")
     if store is None:
-        return IncrementalPhashResult(fresh=survivors, store=fp, pinned=fp)
+        return IncrementalPhashResult(
+            fresh=survivors, store=fp, pinned=fp, delta=fp
+        )
     combos = lambda c: F.explode(  # noqa: E731
         simhash_combo_keys(c, nbits, max_hamming, n_blocks)
     )
@@ -1229,10 +1234,11 @@ def _incremental_fingerprint_dedupe(
         .select(id_col)
     )
     fresh = survivors.join(dropped, on=id_col, how="left_anti")
-    new_store = store.unionByName(
-        fp.join(dropped, on=id_col, how="left_anti")
+    delta = fp.join(dropped, on=id_col, how="left_anti")
+    new_store = store.unionByName(delta)
+    return IncrementalPhashResult(
+        fresh=fresh, store=new_store, pinned=fp, delta=delta
     )
-    return IncrementalPhashResult(fresh=fresh, store=new_store, pinned=fp)
 
 
 # ---------------------------------------------------------------------------
@@ -1856,7 +1862,9 @@ def incremental_video_dedupe(
         surv_ids.select(id_col), on=id_col, how="left_semi"
     ).unionByName(undecodable)
     if frame_store is None:
-        return IncrementalPhashResult(fresh=survivors, store=fp, pinned=fp)
+        return IncrementalPhashResult(
+            fresh=survivors, store=fp, pinned=fp, delta=fp
+        )
 
     combos = lambda c: F.explode(  # noqa: E731
         simhash_combo_keys(c, 63, frame_max_hamming, n_blocks)
@@ -1899,10 +1907,11 @@ def incremental_video_dedupe(
         .distinct()
     )
     fresh = survivors.join(dropped, on=id_col, how="left_anti")
-    new_store = frame_store.unionByName(
-        fp.join(dropped, on=id_col, how="left_anti")
+    delta = fp.join(dropped, on=id_col, how="left_anti")
+    new_store = frame_store.unionByName(delta)
+    return IncrementalPhashResult(
+        fresh=fresh, store=new_store, pinned=fp, delta=delta
     )
-    return IncrementalPhashResult(fresh=fresh, store=new_store, pinned=fp)
 
 
 def video_stream_hash_frame(

@@ -168,10 +168,12 @@ def incremental_embedding_dedupe_quantized(
         res = incremental_embedding_dedupe(
             new_batch, None, vec_col, id_col, **dedupe_kwargs
         )
+        first_q = quantize_vector_store(res.store, vec_col, id_col)
         return IncrementalEmbeddingResult(
             fresh=res.fresh,
-            store=quantize_vector_store(res.store, vec_col, id_col),
+            store=first_q,
             pinned=res.pinned,
+            delta=first_q,
         )
     store_f = dequantize_embeddings(q_store, out_col=vec_col).select(
         id_col, F.col(vec_col).cast("array<double>").alias(vec_col)
@@ -179,15 +181,14 @@ def incremental_embedding_dedupe_quantized(
     res = incremental_embedding_dedupe(
         new_batch, store_f, vec_col, id_col, **dedupe_kwargs
     )
-    new_q_store = q_store.unionByName(
-        quantize_vector_store(
-            res.fresh.select(
-                F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
-            ),
-            vec_col,
-            id_col,
-        )
+    q_delta = quantize_vector_store(
+        res.fresh.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+        ),
+        vec_col,
+        id_col,
     )
+    new_q_store = q_store.unionByName(q_delta)
     return IncrementalEmbeddingResult(
-        fresh=res.fresh, store=new_q_store, pinned=res.pinned
+        fresh=res.fresh, store=new_q_store, pinned=res.pinned, delta=q_delta
     )

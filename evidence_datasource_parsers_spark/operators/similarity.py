@@ -533,11 +533,14 @@ def blocked_cosine_pairs(
 class IncrementalEmbeddingResult(NamedTuple):
     """Result of :func:`incremental_embedding_dedupe` — same contract as the
     text-side incremental operators: ``pinned`` is the persisted batch
-    bucket-row frame; unpersist it after materializing ``fresh``/``store``."""
+    bucket-row frame; unpersist it after materializing ``fresh``/``store``;
+    ``delta`` is the batch's store contribution alone (survivor vectors) —
+    APPEND it to advance the on-disk store in O(batch)."""
 
     fresh: DataFrame
     store: DataFrame
     pinned: DataFrame
+    delta: DataFrame
 
 
 def incremental_embedding_dedupe(
@@ -589,7 +592,8 @@ def incremental_embedding_dedupe(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
         )
         return IncrementalEmbeddingResult(
-            fresh=new_batch, store=first_store, pinned=batch_bk
+            fresh=new_batch, store=first_store, pinned=batch_bk,
+            delta=first_store,
         )
     store_bk = (
         store_bucket_rows.select(
@@ -619,15 +623,14 @@ def incremental_embedding_dedupe(
         score = quantize_col(score, quantize_decimals)
     dropped = cand.filter(score >= F.lit(threshold)).select(id_col)
     fresh = new_batch.join(dropped, on=id_col, how="left_anti")
+    delta = fresh.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
     new_store = vector_store.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
-    ).unionByName(
-        fresh.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
-        )
-    )
+    ).unionByName(delta)
     return IncrementalEmbeddingResult(
-        fresh=fresh, store=new_store, pinned=batch_bk
+        fresh=fresh, store=new_store, pinned=batch_bk, delta=delta
     )
 
 

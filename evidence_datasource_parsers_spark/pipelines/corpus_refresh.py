@@ -49,17 +49,22 @@ from evidence_datasource_parsers_spark.operators.sharding import (
 class RefreshResult(NamedTuple):
     """``ready``: fresh docs that passed every gate, with ``quality``,
     ``split``, ``shard``, ``shard_pos`` columns.  ``store``: the updated
-    fingerprint store to persist for the next run.  ``span_store``: the
-    updated gram-count store when the span stage ran (else None) — persist
-    it alongside ``store``.  ``drop_audit``: the per-drop provenance frame
-    when ``audit_drops=True`` (else None).  ``pinned``: cache handles —
-    call :meth:`done` once every returned frame is materialized."""
+    fingerprint store (in-plan view); ``store_delta``: the batch's
+    disjoint store contribution alone — persist the on-disk store by
+    APPENDING the delta (O(batch) I/O), never by rewriting ``store``.
+    ``span_store``: the updated gram-count store when the span stage ran
+    (else None) — its carried rows genuinely change (saturating counts),
+    so IT persists by rewrite+swap.  ``drop_audit``: the per-drop
+    provenance frame when ``audit_drops=True`` (else None).  ``pinned``:
+    cache handles — call :meth:`done` once every returned frame is
+    materialized."""
 
     ready: DataFrame
     store: DataFrame
     pinned: tuple
     span_store: DataFrame | None = None
     drop_audit: DataFrame | None = None
+    store_delta: DataFrame | None = None
 
     def done(self) -> None:
         for p in self.pinned:
@@ -154,20 +159,25 @@ def refresh_corpus_batch(
         fp_col = "__fp_text"
         batch = batch.withColumn(fp_col, dedup_key(F.col(text_col)))
     if mode == "exact":
-        fresh, store = incremental_exact_dedupe(
+        eres = incremental_exact_dedupe(
             batch, prev_store, fp_col, id_col, **dedupe_kwargs
         )
+        fresh, store, delta = eres.fresh, eres.store, eres.delta
         pinned: tuple = (fresh,)
     elif mode == "lsh":
         res = incremental_lsh_dedupe(
             batch, prev_store, fp_col, id_col, **dedupe_kwargs
         )
-        fresh, store, pinned = res.fresh, res.store, (res.pinned,)
+        fresh, store, delta, pinned = (
+            res.fresh, res.store, res.delta, (res.pinned,)
+        )
     elif mode == "simhash":
         res = incremental_simhash_dedupe(
             batch, prev_store, fp_col, id_col, **dedupe_kwargs
         )
-        fresh, store, pinned = res.fresh, res.store, (res.pinned,)
+        fresh, store, delta, pinned = (
+            res.fresh, res.store, res.delta, (res.pinned,)
+        )
     else:
         raise ValueError(f"mode must be exact|lsh|simhash, got {mode!r}")
 
@@ -244,21 +254,26 @@ def refresh_corpus_batch(
     return RefreshResult(
         ready=ready, store=store, pinned=pinned,
         span_store=span_store_out, drop_audit=drop_audit,
+        store_delta=delta,
     )
 
 
 class MediaRefreshResult(NamedTuple):
     """Media twin of :class:`RefreshResult`.  ``ready``: fresh images that
     survived perceptual dedup (plus decode-stats columns when requested);
-    ``store``: the updated pHash store; ``stream_store``: the updated
-    elementary-stream hash store when the video remux tier ran (else
-    None) — persist it alongside ``store``; ``pinned``: cache handles —
-    call :meth:`done` after materializing every returned frame."""
+    ``store``: the updated pHash store (in-plan view) and
+    ``store_delta`` the batch's disjoint contribution — APPEND the delta
+    to persist, never rewrite; ``stream_store``/``stream_store_delta``:
+    same pair for the elementary-stream hash store when the remux tier
+    ran (else None); ``pinned``: cache handles — call :meth:`done` after
+    materializing every returned frame."""
 
     ready: DataFrame
     store: DataFrame
     pinned: tuple
     stream_store: DataFrame | None = None
+    store_delta: DataFrame | None = None
+    stream_store_delta: DataFrame | None = None
 
     def done(self) -> None:
         for p in self.pinned:
@@ -326,7 +341,8 @@ def refresh_media_batch(
         # NULL dims (undecodable) pass through — see the contract above
         ready = ready.where(F.col("width").isNull() | cond)
     return MediaRefreshResult(
-        ready=ready, store=res.store, pinned=(res.pinned,)
+        ready=ready, store=res.store, pinned=(res.pinned,),
+        store_delta=res.delta,
     )
 
 
@@ -366,6 +382,7 @@ def refresh_audio_batch(
 
     pinned_extra: tuple = ()
     stream_store_out = None
+    stream_delta_out = None
     if stream_tier:
         rres = incremental_remux_dedupe(
             batch, stream_store, binary_col, id_col,
@@ -375,6 +392,7 @@ def refresh_audio_batch(
         )
         batch = rres.fresh
         stream_store_out = rres.store
+        stream_delta_out = rres.delta
         pinned_extra = (rres.pinned,)
     res = incremental_audio_dedupe(
         batch,
@@ -414,6 +432,8 @@ def refresh_audio_batch(
         ready=ready, store=res.store,
         pinned=pinned_extra + (res.pinned,),
         stream_store=stream_store_out,
+        store_delta=res.delta,
+        stream_store_delta=stream_delta_out,
     )
 
 
@@ -454,12 +474,14 @@ def refresh_video_batch(
 
     pinned_extra: tuple = ()
     stream_store_out = None
+    stream_delta_out = None
     if remux_tier:
         rres = incremental_remux_dedupe(
             batch, stream_store, binary_col, id_col
         )
         batch = rres.fresh
         stream_store_out = rres.store
+        stream_delta_out = rres.delta
         pinned_extra = (rres.pinned,)
     res = incremental_video_dedupe(
         batch,
@@ -487,6 +509,8 @@ def refresh_video_batch(
         ready=ready, store=res.store,
         pinned=pinned_extra + (res.pinned,),
         stream_store=stream_store_out,
+        store_delta=res.delta,
+        stream_store_delta=stream_delta_out,
     )
 
 

@@ -218,6 +218,32 @@ def write_bucketed_store(
     )
 
 
+def append_bucketed_store(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+) -> None:
+    """Advance a :func:`write_bucketed_store` store by APPENDING a batch's
+    delta rows — O(batch) I/O regardless of store size, vs the O(store)
+    rewrite of calling :func:`write_bucketed_store` with the unioned
+    store every round.  The bucket spec must match the table's (Spark
+    validates and refuses a mismatch); each append adds one file set per
+    bucket, so schedule an occasional compaction (re-write via
+    :func:`write_bucketed_store`) on an explicit cadence when file counts
+    grow — the same advance/compaction split as the frontier seen store
+    (pipelines/crawl_frontier.py).  Correctness needs the delta to be
+    DISJOINT from the stored rows; every incremental operator's
+    ``delta`` field satisfies that by construction."""
+    (
+        df.write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table)
+    )
+
+
 def read_bucketed_store(spark, table: str) -> DataFrame:
     """Read a store written by :func:`write_bucketed_store` WITH its bucket
     metadata (``spark.read.parquet`` on the path would discard the

@@ -9,12 +9,19 @@ each micro-batch is deduped against the ON-DISK store that batch refreshes
 also maintain, so the live stream and nightly backfills share ONE notion of
 "already ingested" with unbounded memory of the past at ~8 bytes/document.
 
-Delivery semantics: the store is swapped in BEFORE the fresh rows are
+Delivery semantics: the store advances BEFORE the fresh rows are
 appended, so a crash between the two writes loses that batch's output but
 never double-counts it (at-most-once per batch for the sink, exactly-once
 for the store).  Flip the order for at-least-once output and clean up with
 an exact dedup downstream.  True exactly-once needs a transactional table
 format for both writes — the operator shape is unchanged.
+
+Store-advance discipline: every hash-family store (exact/lsh/simhash/
+embedding/phash/audio/video/remux) advances APPEND-ONLY — the operator's
+``delta`` (the batch's disjoint contribution) is appended beside the
+carried files, O(batch) I/O per micro-batch regardless of store size.
+Only the span mode's gram-count store, whose carried rows genuinely
+change (saturating count merge), still rewrites via tmp + swap.
 
 Scale: the per-batch cost is the batch scan + one anti-join against the
 store (AQE broadcast while the store is small; see
@@ -99,8 +106,10 @@ def incremental_dedupe_sink(
     **dedupe_opts,
 ):
     """foreachBatch sink: drop every document already in the cross-run
-    store, append survivors to ``out_dir`` (parquet), swap the updated
-    store into ``store_dir``.  Returns the started StreamingQuery.
+    store, advance the store at ``store_dir`` (append-only for the
+    hash-family modes; tmp+swap for span's merged counts), append
+    survivors to ``out_dir`` (parquet).  Returns the started
+    StreamingQuery.
 
     ``mode`` selects the store semantics — the full incremental triad is
     available to the stream:
@@ -170,10 +179,12 @@ def incremental_dedupe_sink(
             if os.path.isdir(store_dir)
             else None
         )
+        delta = None
         if mode == "exact":
-            fresh, new_store = dd.incremental_exact_dedupe(
+            eres = dd.incremental_exact_dedupe(
                 batch_df, store, text_col, id_col, **dedupe_opts
             )
+            fresh, new_store, delta = eres.fresh, eres.store, eres.delta
         elif mode == "lsh":
             opts = dict(dedupe_opts)
             if "shingle_mode" in opts:
@@ -181,7 +192,7 @@ def incremental_dedupe_sink(
             res = dd.incremental_lsh_dedupe(
                 batch_df, store, text_col, id_col, **opts
             )
-            fresh, new_store = res.fresh, res.store
+            fresh, new_store, delta = res.fresh, res.store, res.delta
             fresh = fresh.persist()  # consumed once; pinned fp covers store
             if provenance_dir is not None and store is not None:
                 audit_keys = ("num_perm", "bands", "k", "mode", "threshold")
@@ -195,7 +206,7 @@ def incremental_dedupe_sink(
             res = dd.incremental_simhash_dedupe(
                 batch_df, store, text_col, id_col, **dedupe_opts
             )
-            fresh, new_store = res.fresh, res.store
+            fresh, new_store, delta = res.fresh, res.store, res.delta
             fresh = fresh.persist()
         elif mode == "phash":
             from evidence_datasource_parsers_spark.operators.multimodal import (
@@ -205,7 +216,7 @@ def incremental_dedupe_sink(
             res = incremental_phash_dedupe(
                 batch_df, store, text_col, id_col, **dedupe_opts
             )
-            fresh, new_store = res.fresh, res.store
+            fresh, new_store, delta = res.fresh, res.store, res.delta
             fresh = fresh.persist()
         elif mode == "audio":
             from evidence_datasource_parsers_spark.operators.multimodal import (
@@ -215,7 +226,7 @@ def incremental_dedupe_sink(
             res = incremental_audio_dedupe(
                 batch_df, store, text_col, id_col, **dedupe_opts
             )
-            fresh, new_store = res.fresh, res.store
+            fresh, new_store, delta = res.fresh, res.store, res.delta
             fresh = fresh.persist()
         elif mode == "video":
             from evidence_datasource_parsers_spark.operators.multimodal import (
@@ -225,7 +236,7 @@ def incremental_dedupe_sink(
             res = incremental_video_dedupe(
                 batch_df, store, text_col, id_col, **dedupe_opts
             )
-            fresh, new_store = res.fresh, res.store
+            fresh, new_store, delta = res.fresh, res.store, res.delta
             fresh = fresh.persist()
         elif mode == "remux":
             from evidence_datasource_parsers_spark.operators.multimodal import (
@@ -235,7 +246,7 @@ def incremental_dedupe_sink(
             res = incremental_remux_dedupe(
                 batch_df, store, text_col, id_col, **dedupe_opts
             )
-            fresh, new_store = res.fresh, res.store
+            fresh, new_store, delta = res.fresh, res.store, res.delta
             fresh = fresh.persist()
         elif mode == "span":
             from evidence_datasource_parsers_spark.operators.span_dedup import (
@@ -257,23 +268,38 @@ def incremental_dedupe_sink(
             res = incremental_embedding_dedupe_quantized(
                 batch_df, store, text_col, id_col, **dedupe_opts
             )
-            fresh, new_store = res.fresh, res.store
+            fresh, new_store, delta = res.fresh, res.store, res.delta
             fresh = fresh.persist()
         try:
-            # 1. materialize the updated store into a tmp dir (it READS
-            # store_dir, so an in-place overwrite would corrupt it);
-            # 2. sever fresh's lineage from the old store files with an
-            # eager checkpoint — the swap below DELETES them, and a lazy
-            # fresh would otherwise fail mid-write on the vanished parts;
-            # 3. swap; 4. append the checkpointed fresh rows.
-            # Crash before the swap: nothing visible changed (stale tmp
-            # dirs are garbage to sweep).  Crash between swap and append:
-            # store updated, output lost — the documented at-most-once.
-            tmp = f"{store_dir}__swap_{uuid.uuid4().hex[:8]}"
-            new_store.write.mode("overwrite").parquet(tmp)
-            fresh_mat = fresh.localCheckpoint(eager=True)
-            swap_store_dir(store_dir, tmp)
-            fresh_mat.write.mode("append").parquet(out_dir)
+            if delta is not None:
+                # Hash-family stores advance APPEND-ONLY: the delta (the
+                # batch's disjoint contribution) lands beside the carried
+                # files — O(batch) I/O per micro-batch regardless of how
+                # much history the store holds.  fresh MUST be eagerly
+                # checkpointed BEFORE the append: committing a write to
+                # store_dir refreshes that path (file listing + dependent
+                # cache invalidation), so a lazy fresh would re-evaluate
+                # against the advanced store — where its own batch is now
+                # "seen" — and emit nothing.  Store first, output second:
+                # crash between the two loses the batch's output, never
+                # double-ingests it — the same at-most-once the swap
+                # discipline gave.
+                fresh_mat = fresh.localCheckpoint(eager=True)
+                delta.write.mode("append").parquet(store_dir)
+                fresh_mat.write.mode("append").parquet(out_dir)
+            else:
+                # span mode: the store is a MERGED gram-count frame (counts
+                # of carried grams change), so the advance genuinely
+                # rewrites — tmp + swap, with an eager checkpoint severing
+                # fresh's lineage from the files the swap deletes.
+                # Crash before the swap: nothing visible changed.  Crash
+                # between swap and append: store updated, output lost —
+                # the documented at-most-once.
+                tmp = f"{store_dir}__swap_{uuid.uuid4().hex[:8]}"
+                new_store.write.mode("overwrite").parquet(tmp)
+                fresh_mat = fresh.localCheckpoint(eager=True)
+                swap_store_dir(store_dir, tmp)
+                fresh_mat.write.mode("append").parquet(out_dir)
         finally:
             fresh.unpersist()
             if mode != "exact":

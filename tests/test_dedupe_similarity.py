@@ -461,7 +461,9 @@ def test_incremental_exact_dedupe_across_batches(spark):
         [(1, "alpha text"), (2, "ALPHA   text"), (3, "beta text")],
         "doc_id long, text string",
     )
-    fresh1, store1 = incremental_exact_dedupe(b1, None, "text", "doc_id")
+    fresh1, store1, _ = incremental_exact_dedupe(
+        b1, None, "text", "doc_id"
+    )
     got1 = {r.doc_id for r in fresh1.collect()}
     assert got1 == {1, 3}  # 2 is an in-batch dup of 1 (normalization)
     assert store1.count() == 2
@@ -470,12 +472,14 @@ def test_incremental_exact_dedupe_across_batches(spark):
         [(10, "beta text"), (11, "gamma text"), (12, "gamma text")],
         "doc_id long, text string",
     )
-    fresh2, store2 = incremental_exact_dedupe(b2, store1, "text", "doc_id")
+    fresh2, store2, _ = incremental_exact_dedupe(
+        b2, store1, "text", "doc_id"
+    )
     got2 = {r.doc_id for r in fresh2.collect()}
     assert got2 == {11}  # 10 seen in batch 1; 12 in-batch dup of 11
     assert store2.count() == 3
     # replay of batch 2 against the updated store yields nothing new
-    fresh3, _ = incremental_exact_dedupe(b2, store2, "text", "doc_id")
+    fresh3 = incremental_exact_dedupe(b2, store2, "text", "doc_id").fresh
     assert fresh3.count() == 0
     # payload columns survive on fresh rows
     assert set(fresh2.columns) == {"doc_id", "text"}
@@ -491,10 +495,14 @@ def test_incremental_exact_dedupe_null_text(spark):
     b1 = spark.createDataFrame(
         [(1, None), (2, None), (3, "real text")], "doc_id long, text string"
     )
-    fresh1, store1 = incremental_exact_dedupe(b1, None, "text", "doc_id")
+    fresh1, store1, _ = incremental_exact_dedupe(
+        b1, None, "text", "doc_id"
+    )
     assert {r.doc_id for r in fresh1.collect()} == {1, 3}
     b2 = spark.createDataFrame([(10, None)], "doc_id long, text string")
-    fresh2, store2 = incremental_exact_dedupe(b2, store1, "text", "doc_id")
+    fresh2, store2, _ = incremental_exact_dedupe(
+        b2, store1, "text", "doc_id"
+    )
     assert fresh2.count() == 0          # NULL text already seen
     assert store2.count() == 2          # no NULL-row accumulation
 

@@ -233,7 +233,9 @@ def test_incremental_exact_outputs_agree(spark):
         [(i, f"text body {i // 2}") for i in range(20)],
         "doc_id long, text string",
     )
-    fresh1, store1 = incremental_exact_dedupe(b1, None, "text", "doc_id")
+    fresh1, store1, _ = incremental_exact_dedupe(
+        b1, None, "text", "doc_id"
+    )
     s1a = _rows(store1)
     f1 = _rows(fresh1)
     s1b = _rows(store1)
