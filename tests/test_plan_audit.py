@@ -132,6 +132,38 @@ def test_global_rank_matches_window_rank(spark):
     assert empty.count() == 0
 
 
+def test_pipeline_sweep_no_red_flags(spark):
+    """The round-9 extension: the auditor walks the PIPELINE surfaces
+    (frontier, refresh modes, incremental dedup, langid) over seeded
+    fixtures — 0 flagged outside the documented ALLOW entries."""
+    from tools.plan_audit import ALLOW, audit_plan, pipeline_plans
+
+    flagged = {}
+    for name, df in sorted(pipeline_plans(spark).items()):
+        qe = df._jdf.queryExecution()
+        flags = audit_plan(
+            qe.executedPlan().toString(), qe.optimizedPlan().toString()
+        )
+        if flags and name not in ALLOW:
+            flagged[name] = flags
+    assert flagged == {}
+
+
+def test_audit_frames_seeded_violation(spark, capsys):
+    """Self-test of the sweeping core: a seeded cartesian in the frame
+    dict is flagged and counted; a clean frame passes."""
+    from tools.plan_audit import audit_frames
+
+    bad = spark.range(5).crossJoin(
+        spark.range(5).withColumnRenamed("id", "id2")
+    )
+    good = spark.range(5).where(F.col("id") > 2)
+    n = audit_frames({"seeded_cartesian": bad, "clean": good})
+    assert n == 1
+    out = capsys.readouterr().out
+    assert "FLAG  seeded_cartesian" in out and "ok    clean" in out
+
+
 def test_catalog_sweep_no_red_flags(spark, sf_dir):
     """Every catalog query's plan stays free of scale red flags — the
     regression guard version of tools/plan_audit.py (same detectors,

@@ -37,6 +37,16 @@ ALLOW = {
         "bounded probe set (vec_id < 5) broadcast by contract — "
         "O(|Q|·|C|) is q37's documented baseline semantics"
     ),
+    "langid_weights": (
+        "dense-table cross joins are MODEL-size-bounded (seen buckets × "
+        "training languages ≤ n_buckets·|langs| rows, corpus-independent) "
+        "— the dense table is what keeps missing log-probs from reading "
+        "as 0 at inference (functions/langid.py module doc)"
+    ),
+    "langid_classify": (
+        "inherits the training plan's model-bounded densification cross "
+        "joins; the per-document path is explode + broadcast equi-join"
+    ),
 }
 
 
@@ -137,20 +147,163 @@ def audit_plan(plan: str, optimized: str = "") -> list[str]:
     return flags
 
 
-def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    from evidence_datasource_parsers_spark.plans import CATALOG
-    from evidence_datasource_parsers_spark.session import get_spark
+def pipeline_plans(spark) -> dict:
+    """Fixture-driven plans for every pipeline surface the catalog sweep
+    cannot reach (frontier, refresh modes, incremental dedup, langid) —
+    the round-8 verdict's item 5.  Frames are tiny but STRUCTURALLY
+    faithful: the audit checks plan shapes (cartesians, row-at-a-time
+    Python, unbounded global sorts/windows), which do not depend on row
+    counts.  Arrow stages (pandas_udf / mapInPandas) render as
+    ArrowEvalPython and pass by design."""
+    from pyspark.sql import functions as F
 
-    spark = get_spark("plan_audit", shuffle_partitions=4)
-    spark.sparkContext.setLogLevel("ERROR")
+    from evidence_datasource_parsers_spark.functions.langid import (
+        classify_language,
+        train_langid_classifier,
+    )
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        incremental_lsh_dedupe,
+        lsh_fingerprints,
+    )
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        incremental_phash_dedupe,
+        incremental_remux_dedupe,
+    )
+    from evidence_datasource_parsers_spark.operators.similarity import (
+        incremental_embedding_dedupe,
+    )
+    from evidence_datasource_parsers_spark.operators.span_dedup import (
+        incremental_span_dedupe,
+    )
+    from evidence_datasource_parsers_spark.pipelines.corpus_refresh import (
+        refresh_corpus_batch,
+    )
+    from evidence_datasource_parsers_spark.pipelines.crawl_frontier import (
+        plan_fetch_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body text number {i % 3} with shared tokens")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    plans: dict = {}
+
+    cands = spark.createDataFrame(
+        [(f"http://d{i % 3}.example/p{i}", float(i))
+         for i in range(6)],
+        "url string, lastmod_ts double",
+    )
+    seen = spark.createDataFrame([(123,)], "url_hash long")
+    seen_ts = spark.createDataFrame(
+        [(123, 100.0)], "url_hash long, last_fetch_ts double"
+    )
+    robots = spark.createDataFrame(
+        [("d0.example", "User-agent: *\nDisallow: /private/")],
+        "domain string, robots_txt string",
+    )
+    fr = plan_fetch_batch(cands, seen, robots)
+    plans["frontier_ready"] = fr.ready
+    plans["frontier_store"] = fr.store
+    frf = plan_fetch_batch(
+        cands, seen_ts, None,
+        refresh_after=500.0, now_ts=1000.0, lastmod_col="lastmod_ts",
+    )
+    plans["frontier_freshness_ready"] = frf.ready
+
+    for mode in ("exact", "lsh", "simhash"):
+        res = refresh_corpus_batch(
+            docs, None, "text", "doc_id", mode=mode, min_quality=None
+        )
+        plans[f"refresh_{mode}_ready"] = res.ready
+        plans[f"refresh_{mode}_delta"] = res.store_delta
+        res.done()
+
+    carried_fp = lsh_fingerprints(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
+    )
+    lres = incremental_lsh_dedupe(
+        docs.filter(F.col("doc_id") % 2 == 1), carried_fp,
+        "text", "doc_id",
+    )
+    plans["incremental_lsh_fresh"] = lres.fresh
+    plans["incremental_lsh_delta"] = lres.delta
+    lres.pinned.unpersist()
+
+    sres = incremental_span_dedupe(docs, None)
+    plans["span_cleaned"] = sres.cleaned
+    plans["span_store"] = sres.store
+    sres.pinned.unpersist()
+    carried_span = sres.store
+    sres2 = incremental_span_dedupe(docs, carried_span)
+    plans["span_cleaned_vs_store"] = sres2.cleaned
+    sres2.pinned.unpersist()
+
+    media = spark.range(4).select(
+        F.col("id").alias("media_id"),
+        F.lit(None).cast("binary").alias("blob"),
+    )
+    phashes = spark.range(4).select(
+        F.col("id").alias("media_id"),
+        F.xxhash64("id").bitwiseAND(F.lit((1 << 63) - 1)).alias("phash"),
+    )
+    phash_store = spark.range(4, 8).select(
+        F.col("id").alias("media_id"),
+        F.xxhash64("id").bitwiseAND(F.lit((1 << 63) - 1)).alias("phash"),
+    )
+    pres = incremental_phash_dedupe(
+        media, phash_store, batch_phashes=phashes
+    )
+    plans["incremental_phash_fresh"] = pres.fresh
+    pres.pinned.unpersist()
+
+    shashes = spark.range(4).select(
+        F.col("id").alias("media_id"), F.xxhash64("id").alias("stream_hash")
+    )
+    shash_store = spark.range(4, 8).select(
+        F.col("id").alias("media_id"), F.xxhash64("id").alias("stream_hash")
+    )
+    rres = incremental_remux_dedupe(
+        media, shash_store, batch_stream_hashes=shashes
+    )
+    plans["incremental_remux_fresh"] = rres.fresh
+    rres.pinned.unpersist()
+
+    vecs = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("double")
+                  for i in range(8)]).alias("embedding"),
+    )
+    vstore = spark.range(4, 8).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 2) % 5).cast("double")
+                  for i in range(8)]).alias("embedding"),
+    )
+    eres = incremental_embedding_dedupe(
+        vecs, vstore, "embedding", "vec_id", dim=8
+    )
+    plans["incremental_embedding_fresh"] = eres.fresh
+    eres.pinned.unpersist()
+
+    langs = spark.createDataFrame(
+        [("aa", "shared token stream alpha beta gamma"),
+         ("bb", "totally different words here entirely")],
+        "lang string, text string",
+    )
+    w = train_langid_classifier(langs, "text", "lang")
+    plans["langid_weights"] = w
+    plans["langid_classify"] = classify_language(
+        docs, w, "text", "doc_id"
+    )
+    return plans
+
+
+def audit_frames(frames: dict) -> int:
+    """Audit a dict of name → DataFrame; print per-plan status, return
+    the number flagged (the self-testable core of the pipeline sweep)."""
     bad = 0
-    for name, q in sorted(CATALOG.items()):
-        if only and name not in only:
-            continue
+    for name, df in sorted(frames.items()):
         try:
-            df = q.builder(spark, sf)
             qe = df._jdf.queryExecution()
             plan = qe.executedPlan().toString()
             optimized = qe.optimizedPlan().toString()
@@ -166,6 +319,31 @@ def main() -> int:
             print(f"FLAG  {name}: {'; '.join(flags)}")
         else:
             print(f"ok    {name}")
+    return bad
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    from evidence_datasource_parsers_spark.plans import CATALOG
+    from evidence_datasource_parsers_spark.session import get_spark
+
+    spark = get_spark("plan_audit", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    frames = {}
+    bad = 0
+    for name, q in sorted(CATALOG.items()):
+        if only and name not in only:
+            continue
+        try:
+            frames[name] = q.builder(spark, sf)
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: {str(e)[:120]}")
+            bad += 1
+    bad += audit_frames(frames)
+    if not only:
+        print("--- pipeline surfaces ---")
+        bad += audit_frames(pipeline_plans(spark))
     print(f"{'FAILED' if bad else 'PASSED'}: {bad} flagged")
     return 1 if bad else 0
 
