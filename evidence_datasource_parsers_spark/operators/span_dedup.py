@@ -292,11 +292,18 @@ class IncrementalSpanResult(NamedTuple):
     ``pinned`` is the persisted anchor frame both outputs derive from; call
     ``pinned.unpersist()`` after materializing ``cleaned`` and ``store``
     (the same no-leaked-cache contract as the LSH/pHash incremental ops).
-    """
+    ``delta`` is the batch's store contribution alone — one
+    ``(gram_hash, n_seen)`` row per batch gram not already saturated in
+    the carried store: APPEND it to advance the on-disk store in
+    O(batch), the same discipline as the hash-family stores.  Duplicate
+    rows per gram across appends are the FORMAT (probes take the capped
+    sum; see the saturation algebra note on the operator) and
+    :func:`compact_gram_store` collapses them on an explicit cadence."""
 
     cleaned: DataFrame
     store: DataFrame
     pinned: DataFrame
+    delta: DataFrame
 
 
 def incremental_span_dedupe(
@@ -312,16 +319,22 @@ def incremental_span_dedupe(
     times across ALL ingested batches, without re-reading the historical
     corpus.
 
-    ``gram_store`` carries one row per distinct gram hash ever seen:
-    ``(gram_hash, n_seen)`` with ``n_seen`` SATURATED at min_occurrences —
-    the marking test only needs "did the cumulative count reach the
-    threshold", so counts never grow past it and the store stays one small
-    integer per distinct gram.  Pass None on the first run.
+    ``gram_store`` carries ``(gram_hash, n_seen)`` rows with ``n_seen``
+    SATURATED at min_occurrences — the marking test only needs "did the
+    cumulative count reach the threshold", so counts never grow past it.
+    The store may hold SEVERAL rows per gram (one per past append —
+    probes take the capped SUM per gram), which is what makes the
+    advance append-only: a compacted store (one row per gram) and a raw
+    append history are both valid inputs.  Pass None on the first run.
 
-    Counting is additive (count over batch ∪ history = batch count + stored
-    count), so a batch-2 document is cleaned exactly as the at-rest
-    operator would clean it over the full union — property-tested.  The
-    usual incremental caveat applies in the other direction: batch-1
+    Saturation algebra (why the capped sum of capped per-batch terms is
+    exact): min(cap, Σ min(bcᵢ, cap)) = min(cap, Σ bcᵢ) — if any term
+    saturated, both sides are cap; otherwise every term is exact.  So
+    appending each batch's saturated counts and capping at probe time
+    matches the single merged saturating counter row for row, and a
+    batch-2 document is cleaned exactly as the at-rest operator would
+    clean it over the full union — property-tested.  The usual
+    incremental caveat applies in the other direction: batch-1
     documents were cleaned with only batch-1 knowledge; a duplicate whose
     second copy arrives later is excised from the LATER copy only (same
     temporal semantics as the LSH/embedding stores, where the FIRST copy is
@@ -330,9 +343,12 @@ def incremental_span_dedupe(
     100 TB shape: the store is O(distinct grams) ≈ O(corpus tokens) rows of
     (8-byte hash, 1-byte count) — the same asymptotic state a suffix array
     carries, but mergeable and bucketable.  Write it bucketed by gram_hash
-    (sources/sinks.py:write_bucketed_store) and the batch-vs-store outer
-    merge is co-located on the store side; the batch side shuffles only
-    (hash, count) pairs, never text.
+    (sources/sinks.py:write_bucketed_store), ADVANCE it by appending
+    ``delta`` (grams already saturated in the store contribute no new
+    row, so the history stops growing for boilerplate grams), and probe
+    it with a store-side semi-join + a batch-bounded capped-sum
+    aggregate — store-sized data is never shuffled per round.  Compact
+    on an explicit cadence with :func:`compact_gram_store`.
     """
     n = min_tokens
     anchors = _anchor_inventory(new_batch, text_col, id_col, n).persist()
@@ -340,21 +356,45 @@ def incremental_span_dedupe(
         F.count(F.lit(1)).alias("__bc")
     )
     if gram_store is not None:
-        merged = batch_counts.join(
-            gram_store.select("gram_hash", "n_seen"), "gram_hash", "full_outer"
-        ).select(
+        # probe: only store rows for grams PRESENT in the batch matter;
+        # the semi-join reads the (bucketed) store in place and the
+        # capped-sum aggregate is batch-bounded
+        hits = (
+            gram_store.select("gram_hash", "n_seen")
+            .join(
+                batch_counts.select("gram_hash"),
+                on="gram_hash",
+                how="left_semi",
+            )
+            .groupBy("gram_hash")
+            .agg(
+                F.least(
+                    F.sum("n_seen"), F.lit(min_occurrences)
+                ).cast("long").alias("__sc")
+            )
+        )
+        merged = batch_counts.join(hits, "gram_hash", "left").select(
             "gram_hash",
-            F.coalesce(F.col("__bc"), F.lit(0)).alias("__bc"),
-            F.coalesce(F.col("n_seen"), F.lit(0)).alias("__sc"),
+            F.col("__bc"),
+            F.coalesce(F.col("__sc"), F.lit(0)).alias("__sc"),
         )
     else:
         merged = batch_counts.select(
             "gram_hash", "__bc", F.lit(0).cast("long").alias("__sc")
         )
     total = F.col("__bc") + F.col("__sc")
-    store = merged.select(
+    # delta: saturated batch counts for grams the store hasn't saturated
+    # yet — appending nothing for already-saturated grams both bounds the
+    # history and keeps the capped-sum algebra exact
+    delta = merged.where(F.col("__sc") < min_occurrences).select(
         "gram_hash",
-        F.least(total, F.lit(min_occurrences)).cast("long").alias("n_seen"),
+        F.least(F.col("__bc"), F.lit(min_occurrences))
+        .cast("long").alias("n_seen"),
+    )
+    store = (
+        gram_store.select("gram_hash", "n_seen").unionByName(delta)
+        if gram_store is not None
+        else delta
     )
     dup = (
         merged.where((total >= min_occurrences) & (F.col("__bc") > 0))
@@ -363,4 +403,20 @@ def incremental_span_dedupe(
     pos = anchors.join(dup, "__gh").select(id_col, "pos")
     spans = _merge_islands(pos, id_col, n)
     cleaned = _excise(new_batch, spans, text_col, id_col)
-    return IncrementalSpanResult(cleaned=cleaned, store=store, pinned=anchors)
+    return IncrementalSpanResult(
+        cleaned=cleaned, store=store, pinned=anchors, delta=delta
+    )
+
+
+def compact_gram_store(
+    gram_store: DataFrame, min_occurrences: int = 2
+) -> DataFrame:
+    """Collapse an append-only gram store to one saturated row per gram —
+    the explicit-cadence O(store) maintenance step (run it every N
+    rounds / when file counts grow, never inside the round).  Exact by
+    the same capped-sum algebra the probe uses; output is a valid
+    ``gram_store`` input."""
+    return gram_store.groupBy("gram_hash").agg(
+        F.least(F.sum("n_seen"), F.lit(min_occurrences))
+        .cast("long").alias("n_seen")
+    )

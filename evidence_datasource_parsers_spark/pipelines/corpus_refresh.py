@@ -52,9 +52,10 @@ class RefreshResult(NamedTuple):
     fingerprint store (in-plan view); ``store_delta``: the batch's
     disjoint store contribution alone — persist the on-disk store by
     APPENDING the delta (O(batch) I/O), never by rewriting ``store``.
-    ``span_store``: the updated gram-count store when the span stage ran
-    (else None) — its carried rows genuinely change (saturating counts),
-    so IT persists by rewrite+swap.  ``drop_audit``: the per-drop
+    ``span_store``/``span_store_delta``: the updated gram-count store
+    view and the batch's capped gram-count contribution when the span
+    stage ran (else None) — the gram store is append-only too (probes
+    take the capped sum per gram; ``compact_gram_store`` on cadence).  ``drop_audit``: the per-drop
     provenance frame when ``audit_drops=True`` (else None).  ``pinned``:
     cache handles — call :meth:`done` once every returned frame is
     materialized."""
@@ -65,6 +66,7 @@ class RefreshResult(NamedTuple):
     span_store: DataFrame | None = None
     drop_audit: DataFrame | None = None
     store_delta: DataFrame | None = None
+    span_store_delta: DataFrame | None = None
 
     def done(self) -> None:
         for p in self.pinned:
@@ -198,6 +200,7 @@ def refresh_corpus_batch(
     if canonicalize:
         fresh = fresh.drop(fp_col)  # fingerprint policy, not a mutation
     span_store_out = None
+    span_delta_out = None
     if span_min_tokens is not None:
         from evidence_datasource_parsers_spark.operators.span_dedup import (
             incremental_span_dedupe,
@@ -217,6 +220,7 @@ def refresh_corpus_batch(
             .drop("clean_text", "n_tokens")
         )
         span_store_out = sres.store
+        span_delta_out = sres.delta
         pinned = pinned + (sres.pinned,)
     if quality_weights is not None:
         from evidence_datasource_parsers_spark.functions.quality import (
@@ -254,7 +258,7 @@ def refresh_corpus_batch(
     return RefreshResult(
         ready=ready, store=store, pinned=pinned,
         span_store=span_store_out, drop_audit=drop_audit,
-        store_delta=delta,
+        store_delta=delta, span_store_delta=span_delta_out,
     )
 
 

@@ -16,12 +16,15 @@ for the store).  Flip the order for at-least-once output and clean up with
 an exact dedup downstream.  True exactly-once needs a transactional table
 format for both writes — the operator shape is unchanged.
 
-Store-advance discipline: every hash-family store (exact/lsh/simhash/
-embedding/phash/audio/video/remux) advances APPEND-ONLY — the operator's
-``delta`` (the batch's disjoint contribution) is appended beside the
+Store-advance discipline: every DEDUP store advances APPEND-ONLY — the
+operator's ``delta`` (the batch's contribution: disjoint fingerprint
+rows for the hash families, capped per-batch gram counts for span,
+whose probes take the capped sum per gram) is appended beside the
 carried files, O(batch) I/O per micro-batch regardless of store size.
-Only the span mode's gram-count store, whose carried rows genuinely
-change (saturating count merge), still rewrites via tmp + swap.
+Compaction (``compact_gram_store``, ``compact_seen_store``, a bucketed
+rewrite) is an explicit-cadence operation, never a per-batch one.  The
+one per-batch rewrite left is the HLL sketch store (register maxima
+genuinely mutate carried rows), which stays tmp+swap.
 
 Scale: the per-batch cost is the batch scan + one anti-join against the
 store (AQE broadcast while the store is small; see
@@ -106,10 +109,9 @@ def incremental_dedupe_sink(
     **dedupe_opts,
 ):
     """foreachBatch sink: drop every document already in the cross-run
-    store, advance the store at ``store_dir`` (append-only for the
-    hash-family modes; tmp+swap for span's merged counts), append
-    survivors to ``out_dir`` (parquet).  Returns the started
-    StreamingQuery.
+    store, advance the store at ``store_dir`` append-only (the
+    operator's delta), append survivors to ``out_dir`` (parquet).
+    Returns the started StreamingQuery.
 
     ``mode`` selects the store semantics — the full incremental triad is
     available to the stream:
@@ -179,7 +181,6 @@ def incremental_dedupe_sink(
             if os.path.isdir(store_dir)
             else None
         )
-        delta = None
         if mode == "exact":
             eres = dd.incremental_exact_dedupe(
                 batch_df, store, text_col, id_col, **dedupe_opts
@@ -257,8 +258,10 @@ def incremental_dedupe_sink(
                 batch_df, store, text_col, id_col, **dedupe_opts
             )
             # "fresh" here is the batch REWRITTEN (spans excised), not a
-            # survivor subset — the swap/append discipline is identical
-            fresh, new_store = res.cleaned, res.store
+            # survivor subset — the advance discipline is identical: the
+            # gram store is append-only too (probes take the capped sum
+            # per gram; compact_gram_store on an explicit cadence)
+            fresh, new_store, delta = res.cleaned, res.store, res.delta
             fresh = fresh.persist()
         else:  # embedding
             from evidence_datasource_parsers_spark.operators.quantize import (
@@ -271,35 +274,22 @@ def incremental_dedupe_sink(
             fresh, new_store, delta = res.fresh, res.store, res.delta
             fresh = fresh.persist()
         try:
-            if delta is not None:
-                # Hash-family stores advance APPEND-ONLY: the delta (the
-                # batch's disjoint contribution) lands beside the carried
-                # files — O(batch) I/O per micro-batch regardless of how
-                # much history the store holds.  fresh MUST be eagerly
-                # checkpointed BEFORE the append: committing a write to
-                # store_dir refreshes that path (file listing + dependent
-                # cache invalidation), so a lazy fresh would re-evaluate
-                # against the advanced store — where its own batch is now
-                # "seen" — and emit nothing.  Store first, output second:
-                # crash between the two loses the batch's output, never
-                # double-ingests it — the same at-most-once the swap
-                # discipline gave.
-                fresh_mat = fresh.localCheckpoint(eager=True)
-                delta.write.mode("append").parquet(store_dir)
-                fresh_mat.write.mode("append").parquet(out_dir)
-            else:
-                # span mode: the store is a MERGED gram-count frame (counts
-                # of carried grams change), so the advance genuinely
-                # rewrites — tmp + swap, with an eager checkpoint severing
-                # fresh's lineage from the files the swap deletes.
-                # Crash before the swap: nothing visible changed.  Crash
-                # between swap and append: store updated, output lost —
-                # the documented at-most-once.
-                tmp = f"{store_dir}__swap_{uuid.uuid4().hex[:8]}"
-                new_store.write.mode("overwrite").parquet(tmp)
-                fresh_mat = fresh.localCheckpoint(eager=True)
-                swap_store_dir(store_dir, tmp)
-                fresh_mat.write.mode("append").parquet(out_dir)
+            # Every store advances APPEND-ONLY: the delta (the batch's
+            # contribution — disjoint rows for the hash families, capped
+            # per-batch gram counts for span) lands beside the carried
+            # files — O(batch) I/O per micro-batch regardless of how
+            # much history the store holds.  fresh MUST be eagerly
+            # checkpointed BEFORE the append: committing a write to
+            # store_dir refreshes that path (file listing + dependent
+            # cache invalidation), so a lazy fresh would re-evaluate
+            # against the advanced store — where its own batch is now
+            # "seen" — and emit nothing.  Store first, output second:
+            # crash between the two loses the batch's output, never
+            # double-ingests it — the same at-most-once the swap
+            # discipline gave.
+            fresh_mat = fresh.localCheckpoint(eager=True)
+            delta.write.mode("append").parquet(store_dir)
+            fresh_mat.write.mode("append").parquet(out_dir)
         finally:
             fresh.unpersist()
             if mode != "exact":

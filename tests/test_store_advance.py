@@ -161,3 +161,83 @@ def test_refresh_store_delta_matches_store(spark):
     assert r2.ready.where(F.col("doc_id") == 11).count() == 0
     assert len(rows(r2.store_delta)) == 1
     r2.done()
+
+
+def test_span_delta_append_advance_equivalence(spark, tmp_path):
+    """The gram store is append-only too: three batches advanced by
+    appending deltas to a dir clean documents exactly as carrying the
+    in-plan merged store would, saturated grams stop contributing delta
+    rows, and compaction mid-stream changes nothing."""
+    from evidence_datasource_parsers_spark.operators.span_dedup import (
+        compact_gram_store,
+        incremental_span_dedupe,
+    )
+
+    shared = "s1 s2 s3 s4"
+    batches = [
+        _docs(spark, [(1, f"f1 f2 f3 f4 f5 {shared}")]),
+        _docs(spark, [(2, f"{shared} g1 g2 g3 g4 g5")]),
+        _docs(spark, [(3, f"h1 h2 h3 h4 {shared} h5 h6 h7 h8")]),
+    ]
+    store_dir = str(tmp_path / "grams")
+
+    # path A: on-disk append-only advance
+    disk_cleaned = []
+    for b in batches:
+        carried = (
+            spark.read.parquet(store_dir)
+            if os.path.exists(store_dir) else None
+        )
+        res = incremental_span_dedupe(b, carried, min_tokens=4)
+        disk_cleaned.append(
+            {(r["doc_id"], r["clean_text"], r["n_removed_tokens"])
+             for r in res.cleaned.collect()}
+        )
+        res.delta.write.mode("append").parquet(store_dir)
+        res.pinned.unpersist()
+
+    # path B: in-plan carried store (the pre-round-9 usage)
+    mem_cleaned, carried = [], None
+    for b in batches:
+        res = incremental_span_dedupe(b, carried, min_tokens=4)
+        mem_cleaned.append(
+            {(r["doc_id"], r["clean_text"], r["n_removed_tokens"])
+             for r in res.cleaned.collect()}
+        )
+        carried = res.store.localCheckpoint(eager=True)
+        res.pinned.unpersist()
+
+    assert disk_cleaned == mem_cleaned
+    # batch 1 saw the span once (unique), batches 2 and 3 excise it
+    assert all(n == 0 for _, _, n in disk_cleaned[0])
+    assert all(n == 4 for _, _, n in disk_cleaned[1])
+    assert all(n == 4 for _, _, n in disk_cleaned[2])
+
+    # saturation bounds the history: the SHARED grams (present in both
+    # batch 1 and batch 2) reached the threshold in batch 2, so batch 3
+    # appended NO rows for them — grams unique to one batch don't count
+    store = spark.read.parquet(store_dir)
+    gram_sets = []
+    for b in batches[:2]:
+        r = incremental_span_dedupe(b, None, min_tokens=4)
+        gram_sets.append({x["gram_hash"] for x in r.delta.collect()})
+        r.pinned.unpersist()
+    shared_hashes = gram_sets[0] & gram_sets[1]
+    assert shared_hashes  # the s1..s4 gram at minimum
+    per_gram = {
+        r["gram_hash"]: r["cnt"]
+        for r in store.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert all(per_gram[h] == 2 for h in shared_hashes)  # b1 + b2 only
+
+    # compaction is exact: decisions after compacting == raw history
+    compacted = compact_gram_store(store, 2).localCheckpoint(eager=True)
+    b4 = _docs(spark, [(4, f"g1 g2 g3 g4 z1 z2 z3 z4")])
+    r_raw = incremental_span_dedupe(b4, store, min_tokens=4)
+    r_cmp = incremental_span_dedupe(b4, compacted, min_tokens=4)
+    raw = {(r["doc_id"], r["clean_text"]) for r in r_raw.cleaned.collect()}
+    cmp_ = {(r["doc_id"], r["clean_text"]) for r in r_cmp.cleaned.collect()}
+    assert raw == cmp_
+    r_raw.pinned.unpersist()
+    r_cmp.pinned.unpersist()

@@ -246,25 +246,16 @@ def incremental_span_case(spark, base, out_dir, materialize):
                 dt = time.perf_counter() - t0
                 best = dt if best < 0 else min(best, dt)
             row[label] = round(best, 3)
-            # ADVANCE: the gram-count store is a saturating MERGE (carried
-            # counts change), so its advance is the honest O(store)
-            # rewrite — recorded as-is; a growing factor here is the
-            # store's documented maintenance cost, paid per batch
+            # ADVANCE: the gram store is append-only too (capped
+            # per-batch counts; probes take the capped sum per gram)
             res = incremental_span_dedupe(
                 batch, read_bucketed_store(spark, table)
             )
-            adir = tempfile.mkdtemp(prefix=f"span_adv_{label}_")
-            try:
-                t0 = time.perf_counter()
-                res.store.write.mode("overwrite").parquet(
-                    os.path.join(adir, "store")
-                )
-                row[f"advance_{label}"] = round(
-                    time.perf_counter() - t0, 3
-                )
-            finally:
-                shutil.rmtree(adir, ignore_errors=True)
-                res.pinned.unpersist()
+            time_delta_advance(
+                res.delta, read_bucketed_store(spark, table),
+                label, row, "span",
+            )
+            res.pinned.unpersist()
         except Exception as exc:  # noqa: BLE001
             print(f"span@{label} failed: {exc}", file=sys.stderr)
             row[label] = -1.0
