@@ -18,6 +18,16 @@ composite one).
 Store contract (mirrors the dedup fingerprint stores): a plain DataFrame
 ``(group_cols…, sketch binary)`` — persistable with write_bucketed_store,
 readable by any Spark job, no driver state.
+
+Advance discipline (same as every dedup store): because the sketches are
+mergeable, an append HISTORY — several sketch rows per group, one per
+past batch — is a valid store: probes merge per group on read
+(:func:`sketch_store_estimates`), so the on-disk advance is appending
+the batch's own ``hll_store`` output, O(batch) I/O at any store size,
+and a replayed batch appends a redundant sketch that the register-maxima
+merge absorbs (idempotent under at-least-once).
+:func:`compact_sketch_store` collapses the history to one row per group
+on an explicit cadence.
 """
 
 from __future__ import annotations
@@ -64,9 +74,42 @@ def hll_estimates(
     sketch_col: str = "sketch",
     out_col: str = "approx_distinct",
 ) -> DataFrame:
-    """Read side: the store with its cardinality estimates (narrow)."""
+    """Read side: the store with its cardinality estimates (narrow).
+    Assumes one sketch row per group — reading an append HISTORY, go
+    through :func:`sketch_store_estimates` (which merges first)."""
     return store.withColumn(
         out_col, F.hll_sketch_estimate(F.col(sketch_col))
+    )
+
+
+def compact_sketch_store(
+    store: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Collapse an append-only sketch history to one merged row per
+    group — the explicit-cadence O(store) maintenance step (run it when
+    file counts grow, never per batch).  Output is a valid store: the
+    union gadget is associative/commutative, so estimates after
+    compaction match probing the raw history (same single groupBy
+    merge)."""
+    return hll_merge_stores([store], group_cols, sketch_col)
+
+
+def sketch_store_estimates(
+    store: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "sketch",
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Probe an append-only sketch history: merge per group (one shuffle
+    on the group key, map-side combined), then estimate.  Identical to
+    ``hll_estimates(compact_sketch_store(...))`` — compaction merely
+    persists this collapse."""
+    return hll_estimates(
+        compact_sketch_store(store, group_cols, sketch_col),
+        sketch_col,
+        out_col,
     )
 
 

@@ -21,10 +21,10 @@ operator's ``delta`` (the batch's contribution: disjoint fingerprint
 rows for the hash families, capped per-batch gram counts for span,
 whose probes take the capped sum per gram) is appended beside the
 carried files, O(batch) I/O per micro-batch regardless of store size.
-Compaction (``compact_gram_store``, ``compact_seen_store``, a bucketed
-rewrite) is an explicit-cadence operation, never a per-batch one.  The
-one per-batch rewrite left is the HLL sketch store (register maxima
-genuinely mutate carried rows), which stays tmp+swap.
+The HLL sketch store advances the same way (mergeable sketches: the
+batch's own sketch rows append; probes merge per group).  Compaction
+(``compact_gram_store``, ``compact_seen_store``, ``compact_sketch_store``,
+a bucketed rewrite) is an explicit-cadence operation, never per-batch.
 
 Scale: the per-batch cost is the batch scan + one anti-join against the
 store (AQE broadcast while the store is small; see
@@ -312,37 +312,31 @@ def streaming_distinct_count_sink(
     lgk: int = 12,
 ):
     """foreachBatch sink maintaining the mergeable HLL sketch store
-    (operators/sketches.py) across micro-batches AND runs: per batch, fold
-    the batch's sketches into the on-disk store and swap (tmp + two
-    renames — not atomic; the crash window between the renames is closed
-    by :func:`recover_store_dir` at the start of the next batch).
+    (operators/sketches.py) across micro-batches AND runs: per batch,
+    APPEND the batch's own sketches beside the carried history — the
+    sketches are mergeable, so a multi-row-per-group append history is a
+    valid store and the advance never reads or rewrites it (O(batch) I/O
+    at any store size, the same delta discipline as the dedup sinks).
 
     The store IS the output — distinct-count dashboards read it with
-    ``hll_estimates`` at any time; re-ingested values cannot inflate it
-    (HLL registers take maxima).  Exactly-once for the store by the same
-    tmp+swap discipline as :func:`incremental_dedupe_sink`; a replayed
-    batch merges idempotently rather than double-counting — the property
-    that makes sketch stores SAFER under at-least-once delivery than
-    exact counters.
+    ``sketch_store_estimates`` (merge per group, then estimate) at any
+    time; re-ingested values cannot inflate it (HLL registers take
+    maxima), and a REPLAYED batch appends a redundant sketch the
+    register-maxima merge absorbs — idempotent under at-least-once, the
+    property that makes sketch stores SAFER than exact counters.
+    Collapse the history with ``compact_sketch_store`` on an explicit
+    cadence.  :func:`recover_store_dir` still runs first so a store left
+    mid-swap by an older-version crash (or by a compaction) recovers.
     """
     from evidence_datasource_parsers_spark.operators.sketches import (
-        incremental_distinct_count,
+        hll_store,
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         recover_store_dir(store_dir)
-        store = (
-            spark.read.parquet(store_dir)
-            if os.path.isdir(store_dir)
-            else None
-        )
-        updated = incremental_distinct_count(
-            store, batch_df, group_cols, value_col, lgk
-        )
-        tmp = f"{store_dir}__swap_{uuid.uuid4().hex[:8]}"
-        updated.write.mode("overwrite").parquet(tmp)
-        swap_store_dir(store_dir, tmp)
+        hll_store(batch_df, group_cols, value_col, lgk).write.mode(
+            "append"
+        ).parquet(store_dir)
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -95,6 +95,65 @@ def test_empty_store_list_raises(spark):
         hll_merge_stores([], ["domain"])
 
 
+def test_sketch_append_advance_equivalence(spark, tmp_path):
+    """The sketch store is append-only like the dedup stores: advancing
+    an on-disk dir by appending each batch's own sketches and probing
+    the raw history (merge per group on read) estimates the same
+    cardinalities as the in-plan merged fold, and compaction collapses
+    the history without changing estimates."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        compact_sketch_store,
+        sketch_store_estimates,
+    )
+
+    batches = [
+        _batch(spark, "a", 0, 400),
+        _batch(spark, "a", 300, 700).union(_batch(spark, "b", 0, 40)),
+        _batch(spark, "a", 650, 900),
+    ]
+    path = str(tmp_path / "hll_history")
+
+    merged = None
+    for b in batches:
+        hll_store(b, ["domain"], "url").write.mode("append").parquet(path)
+        merged = incremental_distinct_count(merged, b, ["domain"], "url")
+
+    history = spark.read.parquet(path)
+    # raw history: one row per (group, batch)
+    assert history.count() == 4  # a×3 + b×1
+    probed = {
+        r.domain: r.approx_distinct
+        for r in sketch_store_estimates(history, ["domain"]).collect()
+    }
+    folded = _est(merged)
+    for k in folded:
+        assert probed[k] == pytest.approx(folded[k], rel=0.02)
+    assert probed["a"] == pytest.approx(900, rel=0.05)
+    assert probed["b"] == pytest.approx(40, rel=0.05)
+
+    # compaction: one row per group, estimates unchanged (same single
+    # groupBy merge the probe runs)
+    compacted = compact_sketch_store(history, ["domain"])
+    assert compacted.count() == 2
+    assert {
+        r.domain: r.approx_distinct
+        for r in hll_estimates(compacted).collect()
+    } == probed
+    # a compacted store is a valid input to further appends
+    compacted.write.mode("overwrite").parquet(str(tmp_path / "c"))
+    hll_store(
+        _batch(spark, "b", 30, 100), ["domain"], "url"
+    ).write.mode("append").parquet(str(tmp_path / "c"))
+    est2 = {
+        r.domain: r.approx_distinct
+        for r in sketch_store_estimates(
+            spark.read.parquet(str(tmp_path / "c")), ["domain"]
+        ).collect()
+    }
+    assert est2["b"] == pytest.approx(100, rel=0.05)
+    assert est2["a"] == pytest.approx(900, rel=0.05)
+
+
 def test_histogram_store_and_exact_merge(spark):
     """Fixed-edge histograms merge EXACTLY: split-then-merge must equal the
     one-shot histogram bin-for-bin, regardless of merge order."""

@@ -339,7 +339,7 @@ def test_streaming_distinct_count_sink(spark, tmp_path):
     import pytest
 
     from evidence_datasource_parsers_spark.operators.sketches import (
-        hll_estimates,
+        sketch_store_estimates,
     )
     from evidence_datasource_parsers_spark.streaming.incremental import (
         streaming_distinct_count_sink,
@@ -368,18 +368,29 @@ def test_streaming_distinct_count_sink(spark, tmp_path):
         )
         q.awaitTermination()
 
-    run()
-    est1 = {r.domain: r.approx_distinct
-            for r in hll_estimates(spark.read.parquet(store)).collect()}
-    assert est1["a"] == pytest.approx(100, rel=0.05)
+    def probe():
+        return {
+            r.domain: r.approx_distinct
+            for r in sketch_store_estimates(
+                spark.read.parquet(store), ["domain"]
+            ).collect()
+        }
 
-    # run 2 replays b1 (fresh checkpoint) + 50 genuinely new urls
+    run()
+    assert probe()["a"] == pytest.approx(100, rel=0.05)
+
+    # run 2 replays b1 (fresh checkpoint) + 50 genuinely new urls — the
+    # replay APPENDS a redundant sketch row that the register-maxima
+    # merge absorbs
     (src / "b2.json").write_text(rows(100, 150))
     run()
-    est2 = {r.domain: r.approx_distinct
-            for r in hll_estimates(spark.read.parquet(store)).collect()}
+    est2 = probe()
     assert est2["a"] == pytest.approx(150, rel=0.05)
     assert est2["a"] < 220  # replay did NOT double-count
+    # advance was append-only: the raw history holds one sketch row per
+    # (group, processed micro-batch) — at least run 1's plus run 2's
+    # (run 2 may fold b1+b2 into one micro-batch under availableNow)
+    assert spark.read.parquet(store).count() >= 2
 
 
 def test_incremental_dedupe_sink_embedding_mode(spark, tmp_path):
