@@ -125,8 +125,38 @@ def main(argv: list[str] | None = None) -> int:
                           "(one row per hash; the only O(store) step — "
                           "run on a cadence, not every round)")
 
+    compact = sub.add_parser(
+        "compact",
+        help="collapse an append-only store history in place — the "
+        "explicit-cadence O(store) maintenance step every per-round "
+        "advance defers (run when file counts grow, never per round)",
+    )
+    compact.add_argument("--store", required=True, help="store dir")
+    compact.add_argument(
+        "--kind", required=True,
+        choices=["seen", "gram", "sketch", "histogram", "fingerprint"],
+        help="seen: frontier URL hashes (max last_fetch_ts per hash); "
+        "gram: span-dedup counts (capped sum per gram); sketch: HLL "
+        "(register-maxima merge per group); histogram: exact bin adds "
+        "per group; fingerprint: rows are already disjoint — rewrite "
+        "consolidates small append files (optionally bucketed)",
+    )
+    compact.add_argument("--group-cols", default=None,
+                         help="comma-separated group columns "
+                         "(sketch/histogram kinds)")
+    compact.add_argument("--min-occurrences", type=int, default=2,
+                         help="gram kind: the span threshold the counts "
+                         "saturate at (must match the operator's)")
+    compact.add_argument("--buckets", type=int, default=None,
+                         help="fingerprint kind: rewrite into this many "
+                         "buckets via write_bucketed_store")
+    compact.add_argument("--bucket-col", default=None,
+                         help="fingerprint kind: bucket key column")
+
     args = parser.parse_args(argv)
 
+    if args.cmd == "compact":
+        return _compact(args)
     if args.cmd == "refresh":
         return _refresh(args)
     if args.cmd == "refresh-media":
@@ -166,6 +196,81 @@ def main(argv: list[str] | None = None) -> int:
         print(f"wrote {args.output}")
     else:
         df.show(args.limit, truncate=False)
+    return 0
+
+
+def _compact(args) -> int:
+    """The explicit-cadence maintenance half of the append-only advance
+    discipline: every per-round store advance is an O(batch) append;
+    this command is where the deferred O(store) collapse actually runs.
+    Swap-safe (tmp + rename with recover_store_dir), so a crash
+    mid-compaction leaves the store readable."""
+    import uuid as _uuid
+
+    from evidence_datasource_parsers_spark.session import get_spark
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        recover_store_dir,
+        swap_store_dir,
+    )
+
+    spark = get_spark("compact")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.kind == "seen":
+        from evidence_datasource_parsers_spark.pipelines.crawl_frontier import (  # noqa: E501
+            compact_seen_store,
+        )
+
+        n = compact_seen_store(spark, args.store)
+        print(f"compact: seen store {args.store} → {n} rows")
+        return 0
+
+    recover_store_dir(args.store)
+    df = spark.read.parquet(args.store)
+    group_cols = (
+        [c.strip() for c in args.group_cols.split(",") if c.strip()]
+        if args.group_cols
+        else None
+    )
+    if args.kind == "gram":
+        from evidence_datasource_parsers_spark.operators.span_dedup import (
+            compact_gram_store,
+        )
+
+        out = compact_gram_store(df, args.min_occurrences)
+    elif args.kind == "sketch":
+        from evidence_datasource_parsers_spark.operators.sketches import (
+            compact_sketch_store,
+        )
+
+        if not group_cols:
+            print("compact: --kind sketch needs --group-cols",
+                  file=sys.stderr)
+            return 2
+        out = compact_sketch_store(df, group_cols)
+    elif args.kind == "histogram":
+        from evidence_datasource_parsers_spark.operators.sketches import (
+            compact_histogram_store,
+        )
+
+        if not group_cols:
+            print("compact: --kind histogram needs --group-cols",
+                  file=sys.stderr)
+            return 2
+        out = compact_histogram_store(df, group_cols)
+    else:  # fingerprint: rows already disjoint — consolidate files
+        out = df
+        if args.bucket_col:
+            out = out.repartition(
+                args.buckets or 64, args.bucket_col
+            )
+
+    out = out.localCheckpoint(eager=True)
+    n = out.count()
+    tmp = f"{args.store}__swap_{_uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    swap_store_dir(args.store, tmp)
+    print(f"compact: {args.kind} store {args.store} → {n} rows")
     return 0
 
 

@@ -94,10 +94,14 @@ from evidence_datasource_parsers_spark.operators.semdedup import (  # noqa: F401
     semantic_dupe_groups,
 )
 from evidence_datasource_parsers_spark.operators.sketches import (  # noqa: F401
+    compact_histogram_store,
+    compact_sketch_store,
+    histogram_store_percentiles,
     hll_estimates,
     hll_merge_stores,
     hll_store,
     incremental_distinct_count,
+    sketch_store_estimates,
 )
 from evidence_datasource_parsers_spark.operators.zorder import (  # noqa: F401
     morton_key,

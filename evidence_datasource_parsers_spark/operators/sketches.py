@@ -287,3 +287,37 @@ def incremental_histogram(
     if prev_store is None:
         return b
     return histogram_merge_stores([prev_store, b], group_cols, counts_col)
+
+
+def compact_histogram_store(
+    store: DataFrame,
+    group_cols: list[str],
+    counts_col: str = "counts",
+) -> DataFrame:
+    """Collapse an append-only histogram history (several counts rows
+    per group, one per past batch append) to one row per group — counts
+    add elementwise, so this is EXACT, and the output is a valid store.
+    The histogram analogue of :func:`compact_sketch_store`: advance the
+    on-disk store by appending each batch's own ``histogram_store``
+    output (O(batch) I/O), compact on an explicit cadence."""
+    return histogram_merge_stores([store], group_cols, counts_col)
+
+
+def histogram_store_percentiles(
+    store: DataFrame,
+    edges: list[float],
+    percentiles: list[float],
+    group_cols: list[str],
+    counts_col: str = "counts",
+) -> DataFrame:
+    """Probe an append-only histogram history: collapse per group (one
+    shuffle), then interpolate.  :func:`histogram_percentiles` itself
+    assumes ONE counts row per group — duplicate bins from a raw history
+    would satisfy percentile targets at partial cumulative sums."""
+    return histogram_percentiles(
+        compact_histogram_store(store, group_cols, counts_col),
+        edges,
+        percentiles,
+        group_cols,
+        counts_col,
+    )

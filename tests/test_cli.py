@@ -202,3 +202,72 @@ def test_cdx_cli_digest_map_accumulates(spark, tmp_path):
                  "--digest-map", dmap]) == 0
     urls = {r["url"] for r in spark.read.parquet(dmap).collect()}
     assert urls == {"http://one.example/", "http://two.example/"}
+
+
+def test_compact_cli_all_kinds(spark, tmp_path, capsys):
+    """`compact` collapses each append-only store kind in place and the
+    compacted dir still answers probes identically."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        hll_store,
+        sketch_store_estimates,
+    )
+
+    # gram: two appended capped-count rows for one gram → one row of 2
+    gram = str(tmp_path / "gram")
+    spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 2)], "gram_hash long, n_seen long"
+    ).write.parquet(gram)
+    assert main(["compact", "--store", gram, "--kind", "gram",
+                 "--min-occurrences", "2"]) == 0
+    rows = {
+        (r.gram_hash, r.n_seen)
+        for r in spark.read.parquet(gram).collect()
+    }
+    assert rows == {(1, 2), (2, 2)}
+
+    # sketch: three appended batch sketches → one row per group,
+    # estimates unchanged
+    sk = str(tmp_path / "sk")
+    for lo, hi in [(0, 60), (40, 120), (100, 150)]:
+        batch = spark.createDataFrame(
+            [("a", f"u{i}") for i in range(lo, hi)],
+            "domain string, url string",
+        )
+        hll_store(batch, ["domain"], "url").write.mode(
+            "append"
+        ).parquet(sk)
+    before = sketch_store_estimates(
+        spark.read.parquet(sk), ["domain"]
+    ).collect()[0].approx_distinct
+    assert main(["compact", "--store", sk, "--kind", "sketch",
+                 "--group-cols", "domain"]) == 0
+    after_df = spark.read.parquet(sk)
+    assert after_df.count() == 1
+    assert sketch_store_estimates(after_df, ["domain"]).collect()[0] \
+        .approx_distinct == before
+
+    # histogram: appended bin counts add exactly
+    hist = str(tmp_path / "hist")
+    spark.createDataFrame(
+        [("g", [1, 0, 2]), ("g", [0, 3, 1])],
+        "g string, counts array<long>",
+    ).write.parquet(hist)
+    assert main(["compact", "--store", hist, "--kind", "histogram",
+                 "--group-cols", "g"]) == 0
+    assert spark.read.parquet(hist).collect()[0].counts == [1, 3, 3]
+
+    # fingerprint: disjoint rows — a bucket-keyed rewrite consolidates
+    # the file sets without changing contents
+    fp = str(tmp_path / "fp")
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j,) for j in range(4)], "content_hash long"
+        ).write.mode("append").parquet(fp)
+    assert main(["compact", "--store", fp, "--kind", "fingerprint",
+                 "--buckets", "4", "--bucket-col", "content_hash"]) == 0
+    got = sorted(r.content_hash for r in spark.read.parquet(fp).collect())
+    assert got == sorted(i * 10 + j for i in range(3) for j in range(4))
+
+    # missing --group-cols is a usage error, not a crash
+    assert main(["compact", "--store", sk, "--kind", "sketch"]) == 2
+    capsys.readouterr()

@@ -217,6 +217,70 @@ def test_histogram_percentiles_interpolation(spark):
     assert out2["p50"] == pytest.approx(30.0)
 
 
+def test_histogram_append_advance_equivalence(spark, tmp_path):
+    """The histogram store is append-only like every other store — and
+    EXACTLY so (integer bin adds): appending each batch's own histogram
+    to a dir and compacting the history matches the in-plan fold
+    bin-for-bin, and percentile probes over the raw history go through
+    the compacting probe."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        compact_histogram_store,
+        histogram_store,
+        histogram_store_percentiles,
+        incremental_histogram,
+    )
+
+    edges = [10.0, 100.0, 1000.0]
+    rows = [("a", float(v)) for v in [1, 5, 10, 50, 99, 100, 500, 5000]]
+    rows += [("b", float(v)) for v in [200, 300]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    batches = [
+        df.where("v < 60"),
+        df.where("v >= 60 and v < 400"),
+        df.where("v >= 400"),
+    ]
+    path = str(tmp_path / "hist_history")
+
+    folded = None
+    for b in batches:
+        histogram_store(b, ["g"], "v", edges).write.mode(
+            "append"
+        ).parquet(path)
+        folded = incremental_histogram(folded, b, ["g"], "v", edges)
+
+    history = spark.read.parquet(path)
+    assert history.count() > 2  # raw history: one row per (group, batch)
+    compacted = {
+        r["g"]: r["counts"]
+        for r in compact_histogram_store(history, ["g"]).collect()
+    }
+    assert compacted == {
+        r["g"]: r["counts"] for r in folded.collect()
+    }
+    assert compacted["a"] == [2, 3, 2, 1]
+    assert compacted["b"] == [0, 0, 2, 0]
+
+    # percentile probe over the raw history collapses first — identical
+    # to percentiles over the compacted store
+    p_hist = {
+        r["g"]: r["p50"]
+        for r in histogram_store_percentiles(
+            history, edges, [0.5], ["g"]
+        ).collect()
+    }
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        histogram_percentiles,
+    )
+
+    p_cmp = {
+        r["g"]: r["p50"]
+        for r in histogram_percentiles(
+            compact_histogram_store(history, ["g"]), edges, [0.5], ["g"]
+        ).collect()
+    }
+    assert p_hist == p_cmp
+
+
 def test_histogram_store_rejects_bad_edges(spark):
     from evidence_datasource_parsers_spark.operators.sketches import (
         histogram_store,
