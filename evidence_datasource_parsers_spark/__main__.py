@@ -138,8 +138,11 @@ def main(argv: list[str] | None = None) -> int:
         help="seen: frontier URL hashes (max last_fetch_ts per hash); "
         "gram: span-dedup counts (capped sum per gram); sketch: HLL "
         "(register-maxima merge per group); histogram: exact bin adds "
-        "per group; fingerprint: rows are already disjoint — rewrite "
-        "consolidates small append files (optionally bucketed)",
+        "per group; fingerprint: rows are already disjoint — the rewrite "
+        "consolidates small append files in a PLAIN parquet dir "
+        "(--bucket-col partitions the files by hash for locality; a "
+        "metastore-bucketed saveAsTable store compacts via "
+        "write_bucketed_store instead, not this command)",
     )
     compact.add_argument("--group-cols", default=None,
                          help="comma-separated group columns "
@@ -205,12 +208,10 @@ def _compact(args) -> int:
     this command is where the deferred O(store) collapse actually runs.
     Swap-safe (tmp + rename with recover_store_dir), so a crash
     mid-compaction leaves the store readable."""
-    import uuid as _uuid
-
     from evidence_datasource_parsers_spark.session import get_spark
     from evidence_datasource_parsers_spark.streaming.incremental import (
         recover_store_dir,
-        swap_store_dir,
+        rewrite_store_dir,
     )
 
     spark = get_spark("compact")
@@ -265,11 +266,7 @@ def _compact(args) -> int:
                 args.buckets or 64, args.bucket_col
             )
 
-    out = out.localCheckpoint(eager=True)
-    n = out.count()
-    tmp = f"{args.store}__swap_{_uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").parquet(tmp)
-    swap_store_dir(args.store, tmp)
+    n = rewrite_store_dir(args.store, out)
     print(f"compact: {args.kind} store {args.store} → {n} rows")
     return 0
 
@@ -413,6 +410,7 @@ def _frontier(args) -> int:
         advance_seen_store,
         compact_seen_store,
         plan_fetch_batch,
+        read_seen_store,
     )
     from evidence_datasource_parsers_spark.session import get_spark
     from evidence_datasource_parsers_spark.streaming.incremental import (
@@ -426,12 +424,17 @@ def _frontier(args) -> int:
     if recover_store_dir(args.store):
         print(f"frontier: recovered {args.store} from interrupted swap")
     seen = (
-        spark.read.parquet(args.store)
+        read_seen_store(spark, args.store)  # mergeSchema: mixed layouts
         if os.path.isdir(args.store)
         else None
     )
     now_ts = args.now
-    if now_ts is None and args.refresh_after is not None:
+    if now_ts is None and (
+        args.refresh_after is not None or args.lastmod_col is not None
+    ):
+        # either freshness rule needs the advance to RECORD a fetch time
+        # (a lastmod re-admission advanced as a bare hash would re-queue
+        # the same URL every round)
         now_ts = time.time()
     res = plan_fetch_batch(
         candidates,

@@ -12,13 +12,20 @@ explode → bucket → groupBy shape, same integer-weight export contract).
 
 Model shape: a DENSE ``(bucket, lang, weight)`` table over every bucket
 seen in training × every training language — at 4096 buckets × 50
-languages that is ~200k rows, a few MB, broadcast at inference.  Dense
+languages that is ~200k rows, a few MB, broadcast at inference — plus
+one FLOOR row per language at the sentinel ``bucket = -1`` (real
+buckets are non-negative) carrying the smoothed out-of-vocabulary
+log-probability ``log(alpha / (tot_lang + alpha·n_buckets))``.  Dense
 matters for correctness: log-probabilities are NEGATIVE, so a sparse
 table whose missing entries defaulted to 0 would hand every unseen
-(bucket, lang) pair the BEST possible score and wreck the argmax; with
-the dense table an absent bucket (never seen in ANY training language)
-contributes the same smoothed floor to every language and drops out of
-the argmax instead.
+(bucket, lang) pair the BEST possible score and wreck the argmax.  The
+floor rows matter for the same reason one level up: a bucket absent
+from the table is NOT language-neutral — its true NB contribution is
+the per-language floor, which depends on the language's training-corpus
+size (for a 10M-gram vs a 100k-gram language the floors differ by
+~log(100)) — so inference scores every unmatched gram with the floor
+instead of skipping it.  (A floor-less legacy table degrades to the old
+skip behavior.)
 
 Determinism contract (same as the quality tier): weights are integers
 (scaled log-probabilities, half-up-quantized); per-document accumulation
@@ -102,10 +109,13 @@ def train_langid_classifier(
     to an integer — a positive rescale of every log-prob, so the
     per-document argmax is exactly the NB likelihood argmax.
 
-    Buckets never seen in ANY language are absent (they shift every
-    language equally — argmax-invariant); buckets seen in SOME language
-    get a row for EVERY language (the dense contract the module doc
-    explains).  Training languages are whatever distinct values
+    Buckets seen in SOME language get a row for EVERY language (the
+    dense contract the module doc explains); buckets never seen in ANY
+    language are scored at inference with the per-language FLOOR rows
+    this table carries at ``bucket = -1`` — the floor is the add-alpha
+    zero-count log-probability, which differs across languages with
+    different corpus sizes, so skipping unseen buckets would NOT be
+    argmax-invariant.  Training languages are whatever distinct values
     ``lang_col`` holds — 20 or 200, the shuffle shape is the same."""
     grams = df.select(
         F.col(lang_col).alias("lang"),
@@ -116,19 +126,25 @@ def train_langid_classifier(
     ).agg(F.count(F.lit(1)).alias("__c"))
     lang_totals = counts.groupBy("lang").agg(F.sum("__c").alias("__tot"))
     buckets = counts.select("bucket").distinct()
+    logp_of = F.log(
+        (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(float(alpha)))
+        / (F.col("__tot") + F.lit(float(alpha) * n_buckets))
+    )
     dense = (
         buckets.crossJoin(F.broadcast(lang_totals))
         .join(counts, on=["bucket", "lang"], how="left")
-        .withColumn(
-            "__logp",
-            F.log(
-                (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(float(alpha)))
-                / (F.col("__tot") + F.lit(float(alpha) * n_buckets))
-            ),
-        )
+        .select("bucket", "lang", logp_of.alias("__logp"))
     )
-    norm = dense.agg(F.max(F.abs(F.col("__logp"))).alias("__m"))
-    return dense.crossJoin(F.broadcast(norm)).select(
+    floors = (
+        lang_totals.withColumn("__c", F.lit(None).cast("long"))
+        .withColumn("bucket", F.lit(-1).cast("long"))
+        .select("bucket", "lang", logp_of.alias("__logp"))
+    )
+    allrows = dense.unionByName(floors)
+    # normalizer over dense AND floor rows: a floor can exceed every
+    # in-table magnitude when no trained bucket has a zero count
+    norm = allrows.agg(F.max(F.abs(F.col("__logp"))).alias("__m"))
+    return allrows.crossJoin(F.broadcast(norm)).select(
         "bucket",
         "lang",
         F.floor(
@@ -150,10 +166,17 @@ def classify_language(
 ) -> DataFrame:
     """Assign each document the argmax-likelihood training language:
     explode char n-grams → bucket → broadcast-join the dense weight
-    table → integer sum per (doc, lang) → argmax (ties to the smallest
-    language code).  Documents whose grams hit NO trained bucket (empty
-    text, or fully out-of-distribution) get a NULL ``out_col`` — honest
-    abstention, same convention as the stopword tier.
+    table → integer sum per (doc, lang), PLUS the per-language floor
+    weight (the table's ``bucket = -1`` rows) for every gram whose
+    bucket the table lacks — true NB scores out-of-vocabulary grams
+    with the language's own zero-count floor, which differs across
+    languages with unequal corpus sizes — → argmax (ties to the
+    smallest language code).  Documents whose grams hit NO trained
+    bucket (empty text, or fully out-of-distribution) get a NULL
+    ``out_col`` — honest abstention, same convention as the stopword
+    tier: all-floor scores would just crown the smallest training
+    corpus.  A legacy floor-less table degrades to the pre-floor
+    skip-unmatched behavior (floor weight coalesces to 0).
 
     The hash parameters (``n``, ``n_buckets``, ``salt``) MUST match
     training — they are part of the model identity."""
@@ -164,14 +187,37 @@ def classify_language(
     bucketed = grams.select(
         F.col(id_col), _gram_bucket(n_buckets, salt).alias("bucket")
     )
-    # inner join: untrained buckets contribute the same floor to every
-    # language (see module doc) and can be skipped outright
-    per_lang = (
-        bucketed.join(F.broadcast(weights), on="bucket")
-        .groupBy(id_col, "lang")
-        .agg(F.sum("weight").alias("__s"))
+    floors = weights.where(F.col("bucket") == -1).select(
+        "lang", F.col("weight").alias("__fw")
     )
-    best = per_lang.groupBy(id_col).agg(
+    table = weights.where(F.col("bucket") >= 0)
+    # __m counts matched grams — identical across languages (the table
+    # is dense), so __g - __m is the doc's out-of-vocabulary gram count
+    per_lang = (
+        bucketed.join(F.broadcast(table), on="bucket")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum("weight").alias("__s"),
+            F.count(F.lit(1)).alias("__m"),
+        )
+    )
+    doc_grams = bucketed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__g")
+    )
+    scored = (
+        per_lang.join(doc_grams, on=id_col)
+        .join(F.broadcast(floors), on="lang", how="left")
+        .select(
+            F.col(id_col),
+            "lang",
+            (
+                F.col("__s")
+                + (F.col("__g") - F.col("__m"))
+                * F.coalesce(F.col("__fw"), F.lit(0))
+            ).alias("__s"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
         F.min_by(
             F.col("lang"), F.struct((-F.col("__s")).alias("ns"), "lang")
         ).alias(out_col),

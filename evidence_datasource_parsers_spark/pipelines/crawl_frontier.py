@@ -57,7 +57,6 @@ the only Arrow kernel is the domains-sized robots-directive parse.
 
 from __future__ import annotations
 
-import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,6 +76,7 @@ __all__ = [
     "advance_seen_store",
     "compact_seen_store",
     "plan_fetch_batch",
+    "read_seen_store",
     "sitemap_candidates",
 ]
 
@@ -182,9 +182,19 @@ def plan_fetch_batch(
     ``lastmod_col`` names an epoch-seconds column on ``candidates``
     (see :func:`sitemap_candidates`); a seen URL whose ``lastmod``
     post-dates its last fetch re-admits regardless of TTL.  Bare-hash
-    legacy stores never expire under either rule."""
-    if refresh_after is not None and now_ts is None:
-        raise ValueError("refresh_after requires an explicit now_ts")
+    legacy stores never expire under either rule.
+
+    Both freshness rules require ``now_ts``: re-admission only
+    terminates if the round RECORDS a fetch timestamp — a lastmod
+    re-admission advanced as a bare hash would compare against the old
+    max forever and re-queue the same URL every round."""
+    if (refresh_after is not None or lastmod_col is not None) \
+            and now_ts is None:
+        raise ValueError(
+            "freshness re-admission (refresh_after/lastmod_col) requires "
+            "an explicit now_ts — the advance must record the fetch time "
+            "or re-admitted urls re-queue every round"
+        )
     if lastmod_col is not None and lastmod_col not in candidates.columns:
         raise ValueError(f"lastmod_col {lastmod_col!r} not in candidates")
     canon = canonicalize_url(F.col(url_col))
@@ -294,6 +304,19 @@ def advance_seen_store(
     _batch_store_rows(ready, now_ts).write.mode("append").parquet(store_dir)
 
 
+def read_seen_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Read an on-disk seen store WITH schema merging.  A store that
+    predates freshness holds bare-hash files; timestamped appends land
+    beside them, and plain ``spark.read.parquet`` infers the schema from
+    ONE arbitrary file — if a legacy file wins, ``last_fetch_ts``
+    vanishes from the frame, silently disabling every freshness rule
+    (and a compaction of that frame would DELETE the history's
+    timestamps).  mergeSchema makes mixed layouts deterministic: bare
+    rows surface as null ts (never expiring), timestamped rows keep
+    theirs."""
+    return spark.read.option("mergeSchema", "true").parquet(store_dir)
+
+
 def compact_seen_store(spark: SparkSession, store_dir: str) -> int:
     """Collapse an append-only seen store to one row per hash (max
     ``last_fetch_ts``), swap-safe.  This is the ONLY O(store) frontier
@@ -303,21 +326,18 @@ def compact_seen_store(spark: SparkSession, store_dir: str) -> int:
     compaction cost is scheduled.  Returns the compacted row count."""
     from evidence_datasource_parsers_spark.streaming.incremental import (
         recover_store_dir,
-        swap_store_dir,
+        rewrite_store_dir,
     )
 
     recover_store_dir(store_dir)
-    df = spark.read.parquet(store_dir)
+    df = read_seen_store(spark, store_dir)
     if TS_COL in df.columns:
+        # max over (null, ts) is ts: one timestamped fetch upgrades a
+        # legacy row; an all-null hash stays null (never expires)
         out = df.groupBy("url_hash").agg(F.max(TS_COL).alias(TS_COL))
     else:
         out = df.distinct()
-    out = out.localCheckpoint(eager=True)
-    n = out.count()
-    tmp = f"{store_dir}__swap_{uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").parquet(tmp)
-    swap_store_dir(store_dir, tmp)
-    return n
+    return rewrite_store_dir(store_dir, out)
 
 
 def sitemap_candidates(
@@ -326,17 +346,22 @@ def sitemap_candidates(
     """Adapt ``parse_sitemaps`` page entries (kind='url') into a
     frontier ``candidates`` frame: ``(url, lastmod_ts, changefreq,
     priority)`` with ``lastmod_ts`` as epoch seconds (double), parsed
-    from the W3C-datetime forms real sitemaps use (date-only, seconds,
-    fractional seconds, each with or without a zone offset).
+    from the W3C-datetime forms real sitemaps use (date-only, minutes,
+    seconds, fractional seconds, each with or without a zone offset).
     Unparseable ``lastmod`` values become null — the URL still
     schedules as a normal discovery; it just can't trigger
     lastmod-beats-last-fetch re-admission.  Feed the result to
     :func:`plan_fetch_batch` as ``lastmod_col='lastmod_ts'``."""
     lastmod = F.col("lastmod")
+    # W3C-datetime (sitemaps.org lastmod) precisions: date-only,
+    # MINUTES ("YYYY-MM-DDThh:mmTZD" — common in real sitemaps),
+    # seconds, fractional seconds — each with or without a zone offset
     ts = F.coalesce(
         F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
         F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mmXXX")),
         F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm")),
         F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd")),
     )
     return entries.where(F.col("kind") == "url").select(

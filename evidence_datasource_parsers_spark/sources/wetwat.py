@@ -82,13 +82,22 @@ def _warcinfo(software: str, fname: str) -> bytes:
 
 def _ts_col(df: DataFrame, ts_col: str) -> Column:
     """WARC-Date string from either a timestamp or a preformatted
-    string column (UTC, second precision — the CC convention)."""
+    string column (UTC, second precision — the CC convention).
+
+    ``date_format`` renders in the SESSION timezone, so the instant is
+    first shifted by ``to_utc_timestamp(c, current_timezone())`` — the
+    composition whose rendering equals the UTC wall clock in ANY
+    session (this repo's ``get_spark`` pins UTC, where the shift is the
+    identity; a caller on a foreign session would otherwise emit local
+    wall time mislabeled with the 'Z' suffix and break byte-determinism
+    across environments)."""
     dt = df.schema[ts_col].dataType.simpleString()
     c = F.col(ts_col)
     if dt == "string":
         return c
     return F.date_format(
-        F.to_utc_timestamp(c, "UTC"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        F.to_utc_timestamp(c, F.current_timezone()),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
     )
 
 

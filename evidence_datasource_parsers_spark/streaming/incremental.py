@@ -97,6 +97,20 @@ def swap_store_dir(store_dir: str, tmp: str) -> None:
         os.rename(tmp, store_dir)
 
 
+def rewrite_store_dir(store_dir: str, df: DataFrame) -> int:
+    """The full swap-safe rewrite sequence every compaction shares:
+    eagerly checkpoint ``df`` (severing its lineage from the files the
+    swap deletes), write to a tmp sibling, swap into place.  Returns the
+    rewritten row count.  Callers run :func:`recover_store_dir` BEFORE
+    reading the store they derive ``df`` from."""
+    out = df.localCheckpoint(eager=True)
+    n = out.count()
+    tmp = f"{store_dir}__swap_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    swap_store_dir(store_dir, tmp)
+    return n
+
+
 def incremental_dedupe_sink(
     stream: DataFrame,
     out_dir: str,

@@ -14,6 +14,7 @@ from evidence_datasource_parsers_spark.pipelines.crawl_frontier import (
     advance_seen_store,
     compact_seen_store,
     plan_fetch_batch,
+    read_seen_store,
     sitemap_candidates,
 )
 
@@ -307,11 +308,24 @@ def test_sitemap_lastmod_readmits(spark):
         "url_hash long, last_fetch_ts double",
     )
     res = plan_fetch_batch(
-        cands, seen, None, lastmod_col="lastmod_ts"
+        cands, seen, None, lastmod_col="lastmod_ts", now_ts=1.1e9
     )
     assert {r["url"] for r in res.ready.collect()} == {
         "http://s.example/updated", "http://s.example/brand-new",
     }
+    # the advance RECORDS the fetch clock, so a second round with the
+    # SAME sitemap does not re-admit 'updated' again (lastmod 1000000200
+    # no longer beats its recorded fetch at 1.1e9) — the termination
+    # property the now_ts requirement exists for
+    res2 = plan_fetch_batch(
+        cands, res.store, None, lastmod_col="lastmod_ts", now_ts=1.2e9
+    )
+    assert res2.ready.count() == 0
+
+    # lastmod re-admission without a clock is the non-terminating
+    # configuration — rejected up front
+    with pytest.raises(ValueError, match="now_ts"):
+        plan_fetch_batch(cands, seen, None, lastmod_col="lastmod_ts")
 
 
 def test_lastmod_dedup_keeps_newest_across_referrers(spark):
@@ -327,5 +341,69 @@ def test_lastmod_dedup_keeps_newest_across_referrers(spark):
         # canonicalization collapses both; max(lastmod) must survive
         "url string, lastmod_ts double",
     )
-    res = plan_fetch_batch(cands, seen, None, lastmod_col="lastmod_ts")
+    res = plan_fetch_batch(
+        cands, seen, None, lastmod_col="lastmod_ts", now_ts=600.0
+    )
     assert res.ready.count() == 1  # 500 > 100 re-admits
+
+
+def test_mixed_layout_store_reads_merge_schema(spark, tmp_path):
+    """A legacy bare-hash file beside timestamped appends must surface
+    last_fetch_ts deterministically: plain spark.read.parquet infers the
+    schema from ONE arbitrary file (a legacy winner silently disables
+    freshness AND a compaction would delete every timestamp);
+    read_seen_store merges, so probes see nulls-for-legacy and
+    compaction keeps the history."""
+    store = str(tmp_path / "seen")
+    # legacy round: bare hashes (pre-freshness layout)
+    spark.createDataFrame(
+        [(1,), (2,)], "url_hash long"
+    ).write.mode("append").parquet(store)
+    # timestamped round appends beside it
+    spark.createDataFrame(
+        [(3, 1000.0)], "url_hash long, last_fetch_ts double"
+    ).write.mode("append").parquet(store)
+
+    df = read_seen_store(spark, store)
+    assert "last_fetch_ts" in df.columns
+    rows = {r.url_hash: r.last_fetch_ts for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: 1000.0}
+
+    # compaction over the merged view keeps the timestamp and the
+    # never-expiring nulls
+    n = compact_seen_store(spark, store)
+    assert n == 3
+    after = {r.url_hash: r.last_fetch_ts
+             for r in read_seen_store(spark, store).collect()}
+    assert after == {1: None, 2: None, 3: 1000.0}
+    # one timestamped fetch upgrades a legacy hash on the next compact
+    spark.createDataFrame(
+        [(1, 2000.0)], "url_hash long, last_fetch_ts double"
+    ).write.mode("append").parquet(store)
+    compact_seen_store(spark, store)
+    upgraded = {r.url_hash: r.last_fetch_ts
+                for r in read_seen_store(spark, store).collect()}
+    assert upgraded == {1: 2000.0, 2: None, 3: 1000.0}
+
+
+def test_sitemap_minutes_precision_lastmod(spark):
+    """W3C-datetime allows minutes precision (YYYY-MM-DDThh:mmTZD) —
+    a real and common sitemap form; it must parse, not silently null
+    out re-admission."""
+    entries = spark.createDataFrame(
+        [
+            ("url", "http://s.example/m-zone", "2001-09-09T01:50+00:00",
+             None, None),
+            ("url", "http://s.example/m-naive", "2001-09-09T01:50",
+             None, None),
+            ("url", "http://s.example/sec", "2001-09-09T01:50:00Z",
+             None, None),
+        ],
+        "kind string, loc string, lastmod string, "
+        "changefreq string, priority string",
+    )
+    got = {r["url"]: r["lastmod_ts"]
+           for r in sitemap_candidates(entries).collect()}
+    assert got["http://s.example/m-zone"] == 1000000200.0
+    assert got["http://s.example/m-naive"] == 1000000200.0  # UTC session
+    assert got["http://s.example/sec"] == 1000000200.0

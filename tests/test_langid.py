@@ -191,3 +191,63 @@ def test_classify_plan_is_native(spark):
     out = classify_language(test, weights, "text", "doc_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_oov_floor_scoring_matches_true_nb(spark):
+    """Out-of-vocabulary grams are scored with the per-language FLOOR
+    (the bucket=-1 rows), not skipped: the floor differs across
+    languages with unequal corpus sizes, so skipping would shift the
+    argmax away from NB-likelihood semantics.  Recomputes the winning
+    score by hand from the exported table."""
+    from evidence_datasource_parsers_spark.functions.langid import (
+        _gram_bucket,
+    )
+
+    # 'big' trains on 20x the grams of 'sml'
+    train = spark.createDataFrame(
+        [("big", _doc(0, j, n_tokens=60)) for j in range(20)]
+        + [("sml", _doc(1, 0, n_tokens=60))],
+        "lang string, text string",
+    )
+    weights = train_langid_classifier(
+        train, "text", "lang"
+    ).localCheckpoint(eager=True)
+    wrows = weights.collect()
+    floors = {r.lang: r.weight for r in wrows if r.bucket == -1}
+    table = {
+        (r.bucket, r.lang): r.weight for r in wrows if r.bucket >= 0
+    }
+    # one floor row per language; the bigger corpus has the MORE
+    # NEGATIVE floor (log(alpha / (tot + alpha*B)) falls with tot)
+    assert set(floors) == {"big", "sml"}
+    assert floors["big"] < floors["sml"]
+
+    # a doc mixing trained text with OOV junk exercises both paths
+    doc = _doc(0, 99, n_tokens=6) + " qxq wvw zjz qzv xwx"
+    test = spark.createDataFrame(
+        [(1, doc)], "doc_id long, text string"
+    )
+    got = classify_language(test, weights, "text", "doc_id").collect()[0]
+
+    buckets = [
+        r.b
+        for r in test.select(
+            F.explode(char_ngrams(F.col("text"), 3)).alias("__gram")
+        )
+        .where(F.length("__gram") == 3)
+        .select(_gram_bucket(4096, "langid").alias("b"))
+        .collect()
+    ]
+    trained_buckets = {b for (b, _) in table}
+    n_oov = sum(1 for b in buckets if b not in trained_buckets)
+    assert n_oov > 0  # the junk tail must actually miss the table
+    expected = {
+        lang: sum(
+            table[(b, lang)] for b in buckets if b in trained_buckets
+        )
+        + n_oov * floors[lang]
+        for lang in ("big", "sml")
+    }
+    win = max(sorted(expected), key=lambda k: expected[k])
+    assert got["lang"] == win
+    assert got["lang_score"] == expected[win]

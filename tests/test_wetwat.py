@@ -177,3 +177,26 @@ def test_null_text_rows_skipped(spark, tmp_path):
     out = str(tmp_path / "wet")
     manifest = write_wet(docs, out, n_shards=1).collect()
     assert sum(m["n_records"] for m in manifest) == 1
+
+
+def test_warc_date_is_utc_in_any_session_timezone(spark):
+    """WARC-Date carries a 'Z' suffix, so the rendering must be the UTC
+    wall clock regardless of spark.sql.session.timeZone (date_format
+    renders in session tz; the to_utc_timestamp(current_timezone())
+    shift compensates).  Regression: to_utc_timestamp(c, 'UTC') is an
+    identity, which emitted LOCAL wall time mislabeled 'Z' on non-UTC
+    sessions."""
+    from evidence_datasource_parsers_spark.sources.wetwat import _ts_col
+
+    inst = spark.range(1).select(
+        F.timestamp_seconds(F.lit(1000000200)).alias("crawl_ts")
+    )
+    try:
+        for tz in ["UTC", "America/Los_Angeles", "Asia/Tokyo"]:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = inst.select(
+                _ts_col(inst, "crawl_ts").alias("d")
+            ).collect()[0].d
+            assert got == "2001-09-09T01:50:00Z", (tz, got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -404,16 +404,14 @@ def frontier_store_case(spark, materialize, replicas: int):
                 store_dir = os.path.join(adir, "seen")
                 store.write.mode("overwrite").parquet(store_dir)
                 ready = res.ready.localCheckpoint(eager=True)
-                best_a = -1.0
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    advance_seen_store(ready, store_dir)
-                    best_a = (
-                        time.perf_counter() - t0
-                        if best_a < 0
-                        else min(best_a, time.perf_counter() - t0)
-                    )
-                row[f"advance_{label}"] = round(best_a, 3)
+                # ONE-SHOT, like time_delta_advance: appends mutate the
+                # store, so a second sample would append into a dir
+                # already holding the first append — not comparable
+                t0 = time.perf_counter()
+                advance_seen_store(ready, store_dir)
+                row[f"advance_{label}"] = round(
+                    time.perf_counter() - t0, 3
+                )
             finally:
                 shutil.rmtree(adir, ignore_errors=True)
         except Exception as exc:  # noqa: BLE001
