@@ -295,6 +295,30 @@ def pipeline_plans(spark) -> dict:
     plans["langid_classify"] = classify_language(
         docs, w, "text", "doc_id"
     )
+
+    # counter stores: the append-history probe/compaction plans
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        compact_histogram_store,
+        compact_sketch_store,
+        hll_store,
+        sketch_store_estimates,
+    )
+
+    urls = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(6)], "domain string, url string"
+    )
+    sk_history = hll_store(urls, ["domain"], "url").unionByName(
+        hll_store(urls.limit(3), ["domain"], "url")
+    )
+    plans["sketch_probe"] = sketch_store_estimates(sk_history, ["domain"])
+    plans["sketch_compact"] = compact_sketch_store(sk_history, ["domain"])
+    hist_history = spark.createDataFrame(
+        [("g", [1, 0, 2]), ("g", [0, 3, 1])],
+        "g string, counts array<long>",
+    )
+    plans["histogram_compact"] = compact_histogram_store(
+        hist_history, ["g"]
+    )
     return plans
 
 
