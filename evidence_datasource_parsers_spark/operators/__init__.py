@@ -94,8 +94,13 @@ from evidence_datasource_parsers_spark.operators.semdedup import (  # noqa: F401
     semantic_dupe_groups,
 )
 from evidence_datasource_parsers_spark.operators.sketches import (  # noqa: F401
+    cms_estimate,
+    cms_merge_stores,
+    cms_store,
+    compact_cms_store,
     compact_histogram_store,
     compact_sketch_store,
+    frequent_items,
     histogram_store_percentiles,
     hll_estimates,
     hll_merge_stores,

@@ -32,8 +32,10 @@ on an explicit cadence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.functions.hashing import portable_hash
 
 
 def hll_store(
@@ -320,4 +322,175 @@ def histogram_store_percentiles(
         percentiles,
         group_cols,
         counts_col,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable count-min sketches — the FREQUENCY analogue, completing the
+# counter-store family: distinct counts (HLL), quantiles (histogram),
+# and now per-item frequencies, each with the same contract: a plain
+# persistable frame, exact-or-estimator merge by one groupBy, append-only
+# on-disk advance, explicit-cadence compaction.
+#
+# "How often has token/domain/url-pattern X appeared across the whole
+# corpus" cannot be answered by an exact counter store at 100 TB without
+# carrying one row per distinct item; the CMS carries depth × width
+# integer cells per group (bounded, chosen up front) and answers with an
+# OVERestimate bounded by ~2·N/width at the standard depth=4 (never an
+# underestimate — the min over depth rows of additive counters).
+#
+# Store contract: sparse rows ``(group_cols…, __d, __bucket, n)`` — only
+# touched cells materialize; an absent cell is an exact zero.  Counts add
+# elementwise like histogram bins, so merging is EXACT (the estimator
+# error comes from hash collisions within a cell, which merging neither
+# adds nor removes).  Heavy-hitter reads join a CANDIDATE set (each
+# batch's exact top-k, a batch-bounded frame) against the store — the
+# standard split: the sketch answers "how frequent", candidates answer
+# "which items are worth asking about".
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(value: Column, d: int, width: int, salt: str) -> Column:
+    """Row ``d``'s bucket for ``value`` — the depth index rides in the
+    hashed salt so the depth rows are independent hash functions."""
+    return (
+        portable_hash(
+            F.concat(value.cast("string"), F.lit(f":cms{d}:{salt}"))
+        )
+        % width
+    ).cast("long")
+
+
+def cms_store(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """One count-min sketch of ``value_col`` per group — a batch's
+    summary: ``(group_cols…, __d, __bucket, n)`` with one row per
+    TOUCHED cell.  NULL values are not counted (count-distinct/HLL
+    convention).  One explode over ``depth`` rows + one map-side-combined
+    aggregation; the hash parameters (``depth``, ``width``, ``salt``)
+    are part of the sketch identity and must match across every store
+    that will ever merge."""
+    v = F.col(value_col)
+    cells = df.where(v.isNotNull()).select(
+        *group_cols,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).cast("long").alias("__d"),
+                    _cms_bucket(v, d, width, salt).alias("__bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("__cell"),
+    )
+    return cells.groupBy(
+        *group_cols, F.col("__cell.__d").alias("__d"),
+        F.col("__cell.__bucket").alias("__bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_merge_stores(
+    stores: list[DataFrame],
+    group_cols: list[str],
+) -> DataFrame:
+    """Union N sketch stores: cell counts add EXACTLY (same guarantee as
+    the histogram store).  ONE shuffle on (group, depth, bucket)."""
+    if not stores:
+        raise ValueError("need at least one store")
+    unioned = stores[0]
+    for s in stores[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(*group_cols, "__d", "__bucket").agg(
+        F.sum("n").alias("n")
+    )
+
+
+def compact_cms_store(
+    store: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Collapse an append-only CMS history (one row set per past batch)
+    to one row per touched cell — EXACT, output is a valid store; the
+    explicit-cadence sibling of :func:`compact_histogram_store`."""
+    return cms_merge_stores([store], group_cols)
+
+
+def cms_estimate(
+    store: DataFrame,
+    items: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Frequency estimates for ``items`` (``group_cols… + value_col``
+    rows): min over the depth rows of the matching cell counts — ≥ the
+    true count always, = it when no heavier item shares all ``depth``
+    cells.  Reads an append HISTORY directly (the per-cell sum happens
+    in the aggregate).  The probe explodes items × depth (item-bounded),
+    joins the store on (group, depth, bucket) — broadcast while the
+    store is small, bucket-keyed at scale — and never shuffles more
+    than the probe side."""
+    probes = items.select(
+        *group_cols,
+        F.col(value_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).cast("long").alias("__d"),
+                    _cms_bucket(F.col(value_col), d, width, salt)
+                    .alias("__bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("__cell"),
+    ).select(
+        *group_cols, value_col,
+        F.col("__cell.__d").alias("__d"),
+        F.col("__cell.__bucket").alias("__bucket"),
+    )
+    joined = probes.join(
+        store, on=[*group_cols, "__d", "__bucket"], how="left"
+    )
+    # per (item, depth): sum the history's rows for that cell (absent =
+    # exact 0), THEN min across depths — two-stage agg, item-bounded
+    per_depth = joined.groupBy(*group_cols, value_col, "__d").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("__cn")
+    )
+    return per_depth.groupBy(*group_cols, value_col).agg(
+        F.min("__cn").alias(out_col)
+    )
+
+
+def frequent_items(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """A batch's EXACT per-group top-``k`` items by count — the
+    candidate generator for cross-batch heavy hitters: union each
+    batch's candidates (k·batches rows, tiny), estimate against the
+    carried CMS store with :func:`cms_estimate`, rank on the estimate.
+    Group-bounded window (never a global sort)."""
+    from pyspark.sql import Window
+
+    counts = df.where(F.col(value_col).isNotNull()).groupBy(
+        *group_cols, value_col
+    ).agg(F.count(F.lit(1)).alias("batch_count"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("batch_count").desc(), F.col(value_col)
+    )
+    return (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
     )

@@ -268,6 +268,22 @@ def test_compact_cli_all_kinds(spark, tmp_path, capsys):
     got = sorted(r.content_hash for r in spark.read.parquet(fp).collect())
     assert got == sorted(i * 10 + j for i in range(3) for j in range(4))
 
+    # seen: the frontier store collapses to max-ts per hash through the
+    # same CLI entry (mixed legacy layout handled by read_seen_store)
+    seen = str(tmp_path / "seen")
+    spark.createDataFrame([(7,)], "url_hash long").write.mode(
+        "append"
+    ).parquet(seen)
+    spark.createDataFrame(
+        [(7, 5.0), (8, 9.0)], "url_hash long, last_fetch_ts double"
+    ).write.mode("append").parquet(seen)
+    assert main(["compact", "--store", seen, "--kind", "seen"]) == 0
+    got_seen = {
+        r.url_hash: r.last_fetch_ts
+        for r in spark.read.parquet(seen).collect()
+    }
+    assert got_seen == {7: 5.0, 8: 9.0}
+
     # missing --group-cols is a usage error, not a crash
     assert main(["compact", "--store", sk, "--kind", "sketch"]) == 2
     capsys.readouterr()

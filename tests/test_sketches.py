@@ -289,3 +289,123 @@ def test_histogram_store_rejects_bad_edges(spark):
     df = spark.createDataFrame([("g", 1.0)], "g string, v double")
     with pytest.raises(ValueError, match="strictly increasing"):
         histogram_store(df, ["g"], "v", [1.0, 1.0, 2.0])
+
+
+def test_cms_store_estimates_and_exact_merge(spark):
+    """CMS estimates never underestimate, equal the true count on sparse
+    data, ignore NULLs, and split-then-merge equals the one-shot sketch
+    cell-for-cell (exact integer adds)."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge_stores,
+        cms_store,
+    )
+
+    rows = (
+        [("a", "x")] * 5 + [("a", "y")] * 3 + [("a", "z")]
+        + [("b", "x")] * 2 + [("a", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    store = cms_store(df, ["g"], "v")
+
+    items = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", "z"), ("a", "w"), ("b", "x"),
+         ("b", "y")],
+        "g string, v string",
+    )
+    est = {
+        (r.g, r.v): r.est_count
+        for r in cms_estimate(store, items, ["g"], "v").collect()
+    }
+    true = {("a", "x"): 5, ("a", "y"): 3, ("a", "z"): 1, ("a", "w"): 0,
+            ("b", "x"): 2, ("b", "y"): 0}
+    for k, t in true.items():
+        assert est[k] >= t  # CMS guarantee
+    # at 9 items in 4×1024 cells collisions are absent: estimates exact
+    assert est == true
+
+    odd = df.where("v is null or length(v) >= 0 and hash(v) % 2 = 1")
+    even = df.exceptAll(odd)
+    merged = cms_merge_stores(
+        [cms_store(odd, ["g"], "v"), cms_store(even, ["g"], "v")],
+        ["g"],
+    )
+    one_shot = {tuple(r) for r in store.collect()}
+    assert {tuple(r) for r in merged.collect()} == one_shot
+
+
+def test_cms_append_advance_equivalence(spark, tmp_path):
+    """The CMS store is append-only like its siblings: appending each
+    batch's own sketch rows, probing the raw history, and compacting all
+    agree — exactly (integer adds)."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        cms_estimate,
+        cms_store,
+        compact_cms_store,
+    )
+
+    batches = [
+        spark.createDataFrame(
+            [("a", f"t{i % 4}") for i in range(8)], "g string, v string"
+        ),
+        spark.createDataFrame(
+            [("a", f"t{i % 2}") for i in range(6)], "g string, v string"
+        ),
+    ]
+    path = str(tmp_path / "cms_history")
+    for b in batches:
+        cms_store(b, ["g"], "v").write.mode("append").parquet(path)
+
+    history = spark.read.parquet(path)
+    items = spark.createDataFrame(
+        [("a", "t0"), ("a", "t1"), ("a", "t2"), ("a", "t3")],
+        "g string, v string",
+    )
+    # true: t0 = 2+3, t1 = 2+3, t2 = 2, t3 = 2
+    est_raw = {
+        r.v: r.est_count
+        for r in cms_estimate(history, items, ["g"], "v").collect()
+    }
+    assert est_raw == {"t0": 5, "t1": 5, "t2": 2, "t3": 2}
+
+    compacted = compact_cms_store(history, ["g"])
+    assert compacted.count() < history.count()  # shared cells collapsed
+    est_cmp = {
+        r.v: r.est_count
+        for r in cms_estimate(compacted, items, ["g"], "v").collect()
+    }
+    assert est_cmp == est_raw
+
+
+def test_cms_heavy_hitters_pipeline(spark):
+    """The cross-batch heavy-hitter read: per-batch exact candidates
+    (frequent_items) unioned, estimated against the accumulated CMS, and
+    ranked — finds the GLOBAL top item even when it never tops any one
+    batch."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge_stores,
+        cms_store,
+        frequent_items,
+    )
+
+    # 'steady' is #2 in each batch but #1 overall
+    b1 = spark.createDataFrame(
+        [("a", "burst1")] * 6 + [("a", "steady")] * 5,
+        "g string, v string",
+    )
+    b2 = spark.createDataFrame(
+        [("a", "burst2")] * 6 + [("a", "steady")] * 5,
+        "g string, v string",
+    )
+    store = cms_merge_stores(
+        [cms_store(b, ["g"], "v") for b in (b1, b2)], ["g"]
+    )
+    cands = frequent_items(b1, ["g"], "v", k=2).unionByName(
+        frequent_items(b2, ["g"], "v", k=2)
+    ).select("g", "v").distinct()
+    ranked = cms_estimate(store, cands, ["g"], "v").orderBy(
+        F.desc("est_count"), "v"
+    ).collect()
+    assert [r.v for r in ranked] == ["steady", "burst1", "burst2"]
+    assert ranked[0].est_count == 10

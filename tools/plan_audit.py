@@ -298,8 +298,12 @@ def pipeline_plans(spark) -> dict:
 
     # counter stores: the append-history probe/compaction plans
     from evidence_datasource_parsers_spark.operators.sketches import (
+        cms_estimate,
+        cms_store,
+        compact_cms_store,
         compact_histogram_store,
         compact_sketch_store,
+        frequent_items,
         hll_store,
         sketch_store_estimates,
     )
@@ -318,6 +322,14 @@ def pipeline_plans(spark) -> dict:
     )
     plans["histogram_compact"] = compact_histogram_store(
         hist_history, ["g"]
+    )
+    cms_history = cms_store(urls, ["domain"], "url").unionByName(
+        cms_store(urls.limit(3), ["domain"], "url")
+    )
+    plans["cms_compact"] = compact_cms_store(cms_history, ["domain"])
+    plans["cms_probe"] = cms_estimate(
+        cms_history, frequent_items(urls, ["domain"], "url", k=3),
+        ["domain"], "url",
     )
     return plans
 
