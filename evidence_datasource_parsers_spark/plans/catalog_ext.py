@@ -12,8 +12,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from evidence_datasource_parsers_spark.functions.hashing import portable_hash_sql
 from evidence_datasource_parsers_spark.operators.joins import broadcast_if_small
 from evidence_datasource_parsers_spark.plans.catalog import _c, cents, load, register
+
+
+def _cms_status_sql(depth: int = 4, width: int = 1024) -> str:
+    """DuckDB replay of the count-min estimate for item 'O' over
+    ``l_linestatus`` (operators/sketches.py:cms_store/cms_estimate): per
+    depth row, count the group's rows whose bucket collides with
+    'O''s bucket, then take the min — the exact same arithmetic,
+    collisions included, so the leg is value-hash gated."""
+    terms = []
+    for d in range(depth):
+        lhs = portable_hash_sql(f"l_linestatus || ':cms{d}:cms'")
+        rhs = portable_hash_sql(f"'O:cms{d}:cms'")
+        terms.append(
+            f"SUM(CASE WHEN ({lhs} % {width}) = ({rhs} % {width}) "
+            "THEN 1 ELSE 0 END)"
+        )
+    return "LEAST(" + ", ".join(terms) + ")"
 
 
 @register(
@@ -107,7 +125,7 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q42_percentiles",
-    """
+    f"""
     SELECT l_returnflag,
            quantile_cont(CAST(round(l_quantity * 100) AS BIGINT), 0.5)
                AS median_qty_c,
@@ -130,7 +148,8 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
                       THEN 1 ELSE 0 END) AS VARCHAR),
              CAST(SUM(CASE WHEN CAST(round(l_quantity*100) AS BIGINT) >= 4000
                       THEN 1 ELSE 0 END) AS VARCHAR)
-           ) AS hist_qty_c
+           ) AS hist_qty_c,
+           {_cms_status_sql()} AS cms_status_o_c
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("percentile", "approx", "sketch"),
@@ -155,8 +174,17 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     same way (parity-split batches folded via incremental_histogram) but
     with an EXACT oracle: unlike HLL, histogram merges are integer adds,
     so DuckDB recomputes every bin count and any drift in binning,
-    merging, or bin order breaks the value hash."""
+    merging, or bin order breaks the value hash.
+
+    ``cms_status_o_c`` exercises the COUNT-MIN frequency store the same way
+    again, including the APPEND-HISTORY probe path: each parity batch's
+    ``cms_store`` rows are unioned (never merged — the raw on-disk
+    layout), ``cms_estimate`` sums per cell then mins across the depth
+    rows, and DuckDB replays the identical bucket arithmetic
+    (collisions included), so the leg is exact under the value hash."""
     from evidence_datasource_parsers_spark.operators.sketches import (
+        cms_estimate,
+        cms_store,
         hll_estimates,
         incremental_distinct_count,
         incremental_histogram,
@@ -165,6 +193,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     l = load(spark, sf, "lineitem")
     store = None
     hstore = None
+    chistory = None
     hedges = [1000.0, 2500.0, 4000.0]  # quantity cents; mirrored in SQL
     for parity in (0, 1):
         batch = l.where(F.col("l_orderkey") % 2 == parity)
@@ -180,6 +209,14 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
             "__qc",
             hedges,
         )
+        piece = cms_store(
+            batch.select("l_returnflag", "l_linestatus"),
+            ["l_returnflag"],
+            "l_linestatus",
+        )
+        chistory = (
+            piece if chistory is None else chistory.unionByName(piece)
+        )
     merged = hll_estimates(store).select(
         "l_returnflag", F.col("approx_distinct").alias("__mest")
     )
@@ -188,6 +225,15 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         F.concat_ws(
             ",", F.transform(F.col("counts"), lambda c: c.cast("string"))
         ).alias("hist_qty_c"),
+    )
+    items = l.select("l_returnflag").distinct().withColumn(
+        "__st", F.lit("O")
+    )
+    cms_status = cms_estimate(
+        chistory, items, ["l_returnflag"], "__st"
+    ).select(
+        "l_returnflag",
+        F.col("est_count").cast("long").alias("cms_status_o_c"),
     )
     qty_c = cents(F.col("l_quantity"))
     price_c = cents(F.col("l_extendedprice"))
@@ -217,6 +263,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     return (
         agg.join(F.broadcast(merged), on="l_returnflag")
         .join(F.broadcast(hist), on="l_returnflag")
+        .join(F.broadcast(cms_status), on="l_returnflag")
         .select(
             agg["*"],
             (
@@ -225,6 +272,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
                 < 0.05
             ).alias("merged_hll_within_5pct"),
             "hist_qty_c",
+            "cms_status_o_c",
         )
     )
 
