@@ -346,11 +346,77 @@ def streaming_distinct_count_sink(
         hll_store,
     )
 
+    return _append_summary_sink(
+        stream, store_dir, checkpoint,
+        lambda b: hll_store(b, group_cols, value_col, lgk),
+    )
+
+
+def streaming_histogram_sink(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    group_cols: list[str],
+    value_col: str,
+    edges: list[float],
+):
+    """foreachBatch sink for the mergeable fixed-edge HISTOGRAM store —
+    identical append-history discipline to the HLL sink (one counts row
+    per group per micro-batch; bin adds are exact, so probes through
+    ``compact_histogram_store``/``histogram_store_percentiles`` match
+    the one-shot histogram bin-for-bin).  ``edges`` are part of the
+    store identity and must match every writer that ever appends.  NOT
+    replay-idempotent (counts add, unlike HLL register maxima): a
+    replayed batch double-counts its rows — the standard exact-counter
+    caveat, stated honestly; the streaming checkpoint prevents replays
+    in normal operation."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        histogram_store,
+    )
+
+    return _append_summary_sink(
+        stream, store_dir, checkpoint,
+        lambda b: histogram_store(b, group_cols, value_col, edges),
+    )
+
+
+def streaming_frequency_sink(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+):
+    """foreachBatch sink for the COUNT-MIN frequency store — the third
+    counter-store streaming surface: per micro-batch, append the batch's
+    own sparse sketch cells; probe anytime with ``cms_estimate`` (which
+    reads the raw history directly).  Hash parameters are part of the
+    store identity.  Same replay caveat as the histogram sink (cell
+    counts add)."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        cms_store,
+    )
+
+    return _append_summary_sink(
+        stream, store_dir, checkpoint,
+        lambda b: cms_store(b, group_cols, value_col, depth, width, salt),
+    )
+
+
+def _append_summary_sink(stream, store_dir, checkpoint, summarize):
+    """Shared shape of the counter-store sinks: summarize the batch into
+    its own mergeable rows, append them beside the carried history —
+    O(batch) I/O per micro-batch; compaction is an explicit-cadence
+    operation (`compact_sketch_store` / `compact_histogram_store` /
+    `compact_cms_store`).  recover_store_dir runs first so a store left
+    mid-swap by a compaction (or an older-version crash) recovers."""
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         recover_store_dir(store_dir)
-        hll_store(batch_df, group_cols, value_col, lgk).write.mode(
-            "append"
-        ).parquet(store_dir)
+        summarize(batch_df).write.mode("append").parquet(store_dir)
 
     return (
         stream.writeStream.foreachBatch(process)
