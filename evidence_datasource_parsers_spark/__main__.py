@@ -151,8 +151,9 @@ def main(argv: list[str] | None = None) -> int:
                          help="gram kind: the span threshold the counts "
                          "saturate at (must match the operator's)")
     compact.add_argument("--buckets", type=int, default=None,
-                         help="fingerprint kind: rewrite into this many "
-                         "buckets via write_bucketed_store")
+                         help="fingerprint kind: hash-partition the "
+                         "rewrite into this many file sets on "
+                         "--bucket-col (requires --bucket-col)")
     compact.add_argument("--bucket-col", default=None,
                          help="fingerprint kind: bucket key column")
 
@@ -260,6 +261,13 @@ def _compact(args) -> int:
             return 2
         out = compact_histogram_store(df, group_cols)
     else:  # fingerprint: rows already disjoint — consolidate files
+        if args.buckets and not args.bucket_col:
+            print(
+                "compact: --buckets needs --bucket-col (a bucket count "
+                "without a key would silently rewrite unbucketed)",
+                file=sys.stderr,
+            )
+            return 2
         out = df
         if args.bucket_col:
             out = out.repartition(
@@ -428,14 +436,12 @@ def _frontier(args) -> int:
         if os.path.isdir(args.store)
         else None
     )
-    now_ts = args.now
-    if now_ts is None and (
-        args.refresh_after is not None or args.lastmod_col is not None
-    ):
-        # either freshness rule needs the advance to RECORD a fetch time
-        # (a lastmod re-admission advanced as a bare hash would re-queue
-        # the same URL every round)
-        now_ts = time.time()
+    # ALWAYS record a fetch timestamp (override with --now): a round run
+    # without a clock mints bare-hash rows that no later-enabled
+    # --refresh-after can ever expire — the legacy never-expires
+    # semantics are for stores written before freshness existed, not a
+    # default to keep minting
+    now_ts = args.now if args.now is not None else time.time()
     res = plan_fetch_batch(
         candidates,
         seen,

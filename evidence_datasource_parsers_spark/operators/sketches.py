@@ -438,7 +438,12 @@ def cms_estimate(
     in the aggregate).  The probe explodes items × depth (item-bounded),
     joins the store on (group, depth, bucket) — broadcast while the
     store is small, bucket-keyed at scale — and never shuffles more
-    than the probe side."""
+    than the probe side.  ``items`` is deduplicated on (group, value)
+    first: the documented heavy-hitter pattern unions per-batch
+    candidate lists, and a duplicate probe row would double every cell
+    it matches before the per-depth sum — inflating exactly the repeat
+    candidates the read exists to rank."""
+    items = items.dropDuplicates([*group_cols, value_col])
     probes = items.select(
         *group_cols,
         F.col(value_col),

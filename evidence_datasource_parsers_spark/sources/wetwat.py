@@ -81,23 +81,42 @@ def _warcinfo(software: str, fname: str) -> bytes:
 
 
 def _ts_col(df: DataFrame, ts_col: str) -> Column:
-    """WARC-Date string from either a timestamp or a preformatted
+    """WARC-Date string from either a timestamp (LTZ) or a preformatted
     string column (UTC, second precision — the CC convention).
 
-    ``date_format`` renders in the SESSION timezone, so the instant is
-    first shifted by ``to_utc_timestamp(c, current_timezone())`` — the
-    composition whose rendering equals the UTC wall clock in ANY
-    session (this repo's ``get_spark`` pins UTC, where the shift is the
-    identity; a caller on a foreign session would otherwise emit local
-    wall time mislabeled with the 'Z' suffix and break byte-determinism
-    across environments)."""
+    Rendered by PURE EPOCH ARITHMETIC, never a timezone function: a
+    TIMESTAMP is an instant, ``unix_timestamp`` reads its epoch seconds
+    session-independently, and days/hh/mm/ss derive by integer math
+    over a tz-free DateType.  ``date_format`` alone renders in the
+    SESSION zone (local wall time mislabeled 'Z' on foreign sessions),
+    and the tempting ``to_utc_timestamp(c, current_timezone())``
+    counter-shift re-interprets an AMBIGUOUS wall time during the DST
+    fall-back hour — one wrong hour per year per zone.  This form is
+    byte-identical in any session, transition instants included
+    (tested)."""
     dt = df.schema[ts_col].dataType.simpleString()
     c = F.col(ts_col)
     if dt == "string":
         return c
-    return F.date_format(
-        F.to_utc_timestamp(c, F.current_timezone()),
-        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    e = F.unix_timestamp(c)
+    days = F.floor(e / F.lit(86400)).cast("long")
+    secs = (e - days * F.lit(86400)).cast("long")
+
+    def two(x: Column) -> Column:
+        return F.lpad(x.cast("long").cast("string"), 2, "0")
+
+    return F.concat(
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1970-01-01")), days.cast("int")),
+            "yyyy-MM-dd",
+        ),
+        F.lit("T"),
+        two(F.floor(secs / F.lit(3600))),
+        F.lit(":"),
+        two(F.floor((secs % F.lit(3600)) / F.lit(60))),
+        F.lit(":"),
+        two(secs % F.lit(60)),
+        F.lit("Z"),
     )
 
 

@@ -163,7 +163,12 @@ def test_frontier_cli_two_rounds(spark, tmp_path, capsys):
                  "--out", out]) == 0
     urls2 = {r["url"] for r in spark.read.parquet(out).collect()}
     assert urls2 == urls1 | {"http://site.example/c"}
-    assert spark.read.parquet(store).count() == 3
+    st = spark.read.parquet(store)
+    assert st.count() == 3
+    # the CLI records the fetch clock by default — rounds run before an
+    # operator enables --refresh-after must still be expirable later
+    assert "last_fetch_ts" in st.columns
+    assert st.where("last_fetch_ts IS NULL").count() == 0
 
 
 def test_cdx_cli_digest_map_accumulates(spark, tmp_path):

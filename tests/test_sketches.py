@@ -401,9 +401,12 @@ def test_cms_heavy_hitters_pipeline(spark):
     store = cms_merge_stores(
         [cms_store(b, ["g"], "v") for b in (b1, b2)], ["g"]
     )
+    # NO distinct: 'steady' appears in both batches' candidate lists,
+    # and cms_estimate must dedup the probe side itself (a duplicate
+    # probe row would double-count every matched cell)
     cands = frequent_items(b1, ["g"], "v", k=2).unionByName(
         frequent_items(b2, ["g"], "v", k=2)
-    ).select("g", "v").distinct()
+    ).select("g", "v")
     ranked = cms_estimate(store, cands, ["g"], "v").orderBy(
         F.desc("est_count"), "v"
     ).collect()

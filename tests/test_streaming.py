@@ -893,41 +893,26 @@ def test_streaming_histogram_and_frequency_sinks(spark, tmp_path):
             )
         )
 
-    def run(n):
+    def run():
+        # REUSED checkpoint dirs: run 2 processes only the new file —
+        # the cross-run incremental behavior under test
         stream = spark.readStream.schema(
             "g string, v double, tok string"
         ).json(str(src))
-        qh = streaming_histogram_sink(
-            stream, hstore, str(tmp_path / f"ckh{n}"), ["g"], "v", edges
-        )
-        qh.awaitTermination()
+        streaming_histogram_sink(
+            stream, hstore, str(tmp_path / "ckh"), ["g"], "v", edges
+        ).awaitTermination()
         stream2 = spark.readStream.schema(
             "g string, v double, tok string"
         ).json(str(src))
-        qc = streaming_frequency_sink(
-            stream2, cstore, str(tmp_path / f"ckc{n}"), ["g"], "tok"
-        )
-        qc.awaitTermination()
+        streaming_frequency_sink(
+            stream2, cstore, str(tmp_path / "ckc"), ["g"], "tok"
+        ).awaitTermination()
 
     write_batch("b1.json", [(5.0, "x"), (15.0, "x"), (25.0, "y")])
-    run(1)
-    # run 2 sees only the NEW file thanks to... fresh checkpoints re-read
-    # everything, so use incremental checkpoints per sink: same ck dir
+    run()
     write_batch("b2.json", [(15.0, "x"), (15.0, "z")])
-    stream = spark.readStream.schema(
-        "g string, v double, tok string"
-    ).json(str(src))
-    qh = streaming_histogram_sink(
-        stream, hstore, str(tmp_path / "ckh1"), ["g"], "v", edges
-    )
-    qh.awaitTermination()
-    stream2 = spark.readStream.schema(
-        "g string, v double, tok string"
-    ).json(str(src))
-    qc = streaming_frequency_sink(
-        stream2, cstore, str(tmp_path / "ckc1"), ["g"], "tok"
-    )
-    qc.awaitTermination()
+    run()
 
     hist = {
         r["g"]: r["counts"]

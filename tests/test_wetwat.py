@@ -188,15 +188,30 @@ def test_warc_date_is_utc_in_any_session_timezone(spark):
     sessions."""
     from evidence_datasource_parsers_spark.sources.wetwat import _ts_col
 
-    inst = spark.range(1).select(
-        F.timestamp_seconds(F.lit(1000000200)).alias("crawl_ts")
-    )
+    import calendar
+
+    # include the DST fall-back hour: 2026-11-01 01:30 local occurs
+    # TWICE in America/Los_Angeles (08:30Z as PDT, 09:30Z as PST) — a
+    # tz-function round-trip resolves the ambiguous wall time to one
+    # offset and mis-renders the other instant by an hour; the epoch
+    # arithmetic cannot be ambiguous
+    cases = [
+        (1000000200, "2001-09-09T01:50:00Z"),
+        (calendar.timegm((2026, 11, 1, 8, 30, 0)),
+         "2026-11-01T08:30:00Z"),
+        (calendar.timegm((2026, 11, 1, 9, 30, 0)),
+         "2026-11-01T09:30:00Z"),
+    ]
     try:
         for tz in ["UTC", "America/Los_Angeles", "Asia/Tokyo"]:
             spark.conf.set("spark.sql.session.timeZone", tz)
-            got = inst.select(
-                _ts_col(inst, "crawl_ts").alias("d")
-            ).collect()[0].d
-            assert got == "2001-09-09T01:50:00Z", (tz, got)
+            for epoch, want in cases:
+                inst = spark.range(1).select(
+                    F.timestamp_seconds(F.lit(epoch)).alias("crawl_ts")
+                )
+                got = inst.select(
+                    _ts_col(inst, "crawl_ts").alias("d")
+                ).collect()[0].d
+                assert got == want, (tz, epoch, got)
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
