@@ -248,3 +248,78 @@ def test_incremental_store_grams_survive_absence(spark):
     assert set(r.gram_hash for r in store1) <= set(
         r.gram_hash for r in store2
     )
+
+
+def test_property_multibatch_delta_history_additivity(spark):
+    """Hypothesis sweep of the capped-sum algebra under arbitrary batch
+    splits: random docs over a tiny vocabulary (duplicates guaranteed)
+    are partitioned into up to three batches and carried BOTH ways —
+    the in-plan merged store and the raw delta-append history.  For
+    every split, (a) the two carries clean every batch identically,
+    and (b) the FINAL batch is cleaned exactly as the at-rest operator
+    over the full union cleans those docs (earlier batches only have
+    earlier knowledge — the documented temporal semantics)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from evidence_datasource_parsers_spark.operators.span_dedup import (
+        incremental_span_dedupe,
+    )
+
+    token = st.sampled_from([f"t{i}" for i in range(6)])
+    doc = st.lists(token, min_size=4, max_size=10).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        docs=st.lists(doc, min_size=2, max_size=7),
+        cuts=st.lists(st.integers(0, 6), min_size=0, max_size=2),
+    )
+    def check(docs, cuts):
+        rows = list(enumerate(docs))
+        bounds = sorted({min(c, len(rows)) for c in cuts})
+        batches, prev = [], 0
+        for b in bounds + [len(rows)]:
+            if b > prev:
+                batches.append(rows[prev:b])
+                prev = b
+        if not batches:
+            return
+
+        mem_store, hist_store = None, None
+        mem_clean, hist_clean = [], []
+        for batch_rows in batches:
+            b = _docs(spark, batch_rows)
+            rm = incremental_span_dedupe(b, mem_store, min_tokens=4)
+            mem_clean.append({
+                (r.doc_id, r.clean_text, r.n_removed_tokens)
+                for r in rm.cleaned.collect()
+            })
+            mem_store = rm.store.localCheckpoint(eager=True)
+            rm.pinned.unpersist()
+
+            rh = incremental_span_dedupe(b, hist_store, min_tokens=4)
+            hist_clean.append({
+                (r.doc_id, r.clean_text, r.n_removed_tokens)
+                for r in rh.cleaned.collect()
+            })
+            delta = rh.delta.localCheckpoint(eager=True)
+            hist_store = (
+                delta if hist_store is None
+                else hist_store.unionByName(delta)
+            )
+            rh.pinned.unpersist()
+
+        assert mem_clean == hist_clean  # (a) carry equivalence
+
+        # (b) final batch == at-rest over the union, restricted
+        last_ids = {i for i, _ in batches[-1]}
+        at_rest = {
+            (r.doc_id, r.clean_text, r.n_removed_tokens)
+            for r in remove_duplicated_spans(
+                _docs(spark, rows), min_tokens=4
+            ).collect()
+            if r.doc_id in last_ids
+        }
+        assert mem_clean[-1] == at_rest
+
+    check()
