@@ -499,3 +499,21 @@ def frequent_items(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def cms_params(epsilon: float, delta: float) -> tuple[int, int]:
+    """Standard count-min sizing: ``(depth, width)`` such that the
+    estimate exceeds the true count by more than ``epsilon·N`` (N =
+    total counted items in the group) with probability at most
+    ``delta`` — width = ⌈e/ε⌉, depth = ⌈ln(1/δ)⌉ (Cormode &
+    Muthukrishnan 2005).  e.g. ``cms_params(0.001, 0.01)`` → (5, 2719):
+    ~109 KB of longs per group for 0.1%-of-corpus accuracy at 99%
+    confidence."""
+    import math
+
+    if not (0 < epsilon < 1) or not (0 < delta < 1):
+        raise ValueError("epsilon and delta must be in (0, 1)")
+    return (
+        max(1, math.ceil(math.log(1.0 / delta))),
+        max(1, math.ceil(math.e / epsilon)),
+    )

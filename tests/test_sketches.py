@@ -412,3 +412,20 @@ def test_cms_heavy_hitters_pipeline(spark):
     ).collect()
     assert [r.v for r in ranked] == ["steady", "burst1", "burst2"]
     assert ranked[0].est_count == 10
+
+
+def test_cms_params_sizing():
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        cms_params,
+    )
+
+    import pytest as _pytest
+
+    assert cms_params(0.001, 0.01) == (5, 2719)
+    assert cms_params(0.01, 0.05) == (3, 272)
+    d, w = cms_params(0.9, 0.9)
+    assert d >= 1 and w >= 1
+    with _pytest.raises(ValueError):
+        cms_params(0.0, 0.5)
+    with _pytest.raises(ValueError):
+        cms_params(0.5, 1.0)
