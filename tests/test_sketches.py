@@ -429,3 +429,53 @@ def test_cms_params_sizing():
         cms_params(0.0, 0.5)
     with _pytest.raises(ValueError):
         cms_params(0.5, 1.0)
+
+
+def test_windowed_counter_probe_by_partition_pruning(spark, tmp_path):
+    """Time-windowed counts fall out of the append-only layout for
+    free: append each day's sketch rows under a day= partition and a
+    windowed probe is a partition-pruned read of the history — no
+    decay machinery, no rewrite.  Works identically for all three
+    counter stores; shown here on CMS."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        cms_estimate,
+        cms_store,
+    )
+
+    path = str(tmp_path / "daily_cms")
+    days = {
+        "2026-08-13": [("a", "x")] * 4 + [("a", "y")],
+        "2026-08-14": [("a", "x")] * 2,
+        "2026-08-15": [("a", "y")] * 3,
+    }
+    for day, rows in days.items():
+        df = spark.createDataFrame(rows, "g string, v string")
+        cms_store(df, ["g"], "v").withColumn(
+            "day", F.lit(day)
+        ).write.mode("append").partitionBy("day").parquet(path)
+
+    items = spark.createDataFrame(
+        [("a", "x"), ("a", "y")], "g string, v string"
+    )
+    history = spark.read.parquet(path)
+
+    full = {
+        r.v: r.est_count
+        for r in cms_estimate(
+            history.drop("day"), items, ["g"], "v"
+        ).collect()
+    }
+    assert full == {"x": 6, "y": 4}
+
+    last2 = history.where(F.col("day") >= "2026-08-14")
+    windowed = {
+        r.v: r.est_count
+        for r in cms_estimate(
+            last2.drop("day"), items, ["g"], "v"
+        ).collect()
+    }
+    assert windowed == {"x": 2, "y": 3}
+    # the window is partition pruning, not a scan-and-filter: the
+    # pushed filter appears against the partition column
+    plan = last2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
