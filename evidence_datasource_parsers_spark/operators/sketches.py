@@ -32,6 +32,8 @@ on an explicit cadence.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -509,8 +511,6 @@ def cms_params(epsilon: float, delta: float) -> tuple[int, int]:
     Muthukrishnan 2005).  e.g. ``cms_params(0.001, 0.01)`` → (5, 2719):
     ~109 KB of longs per group for 0.1%-of-corpus accuracy at 99%
     confidence."""
-    import math
-
     if not (0 < epsilon < 1) or not (0 < delta < 1):
         raise ValueError("epsilon and delta must be in (0, 1)")
     return (

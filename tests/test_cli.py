@@ -273,6 +273,20 @@ def test_compact_cli_all_kinds(spark, tmp_path, capsys):
     got = sorted(r.content_hash for r in spark.read.parquet(fp).collect())
     assert got == sorted(i * 10 + j for i in range(3) for j in range(4))
 
+    # cms: appended cell histories sum exactly
+    cms = str(tmp_path / "cms")
+    spark.createDataFrame(
+        [("a", 0, 5, 2), ("a", 0, 5, 3), ("a", 1, 9, 2)],
+        "g string, __d long, __bucket long, n long",
+    ).write.parquet(cms)
+    assert main(["compact", "--store", cms, "--kind", "cms",
+                 "--group-cols", "g"]) == 0
+    cms_rows = {
+        (r["g"], r["__d"], r["__bucket"], r["n"])
+        for r in spark.read.parquet(cms).collect()
+    }
+    assert cms_rows == {("a", 0, 5, 5), ("a", 1, 9, 2)}
+
     # seen: the frontier store collapses to max-ts per hash through the
     # same CLI entry (mixed legacy layout handled by read_seen_store)
     seen = str(tmp_path / "seen")
