@@ -37,7 +37,14 @@ TABLES = [
 
 
 def canon_value(v) -> str:
-    """Driver-replica canonicalization of one cell (full float precision)."""
+    """Driver-replica canonicalization of one cell (full float precision).
+
+    Accepts both plain-Python values (``collect()``/``fetchall()``) and the
+    numpy/pandas scalars a ``toPandas()``/``rel.df()`` row yields — np.float64
+    (a float subclass, normalized through ``float()``), np.bool_ (NOT a bool
+    subclass), pd.Timestamp (a datetime subclass) and pd.NaT (a datetime
+    subclass that is != itself).
+    """
     import datetime
 
     if v is None:
@@ -45,12 +52,14 @@ def canon_value(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return repr(v)
+        return repr(float(v))
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(canon_value(x) for x in v) + "]"
     if isinstance(v, datetime.datetime):
+        if v != v:  # pandas NaT
+            return "nan"
         return v.strftime("%Y-%m-%d %H:%M:%S")
-    if isinstance(v, bool):
+    if isinstance(v, bool) or type(v).__name__ == "bool_":
         return "true" if v else "false"
     return str(v)
 
@@ -60,6 +69,46 @@ def canon_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(canon_value(r[i]) for i in order) for r in rows]
     return sorted(cols), sorted(out)
+
+
+def canon_pandas(pdf):
+    """Canonicalize a pandas DataFrame — the DRIVER-FAITHFUL path.
+
+    The correctness driver compares Spark ``df.toPandas()`` against DuckDB
+    ``rel.df()``; dtype coercions are visible only on this path and invisible
+    to ``collect()``/``fetchall()``:
+
+    * DuckDB HUGEINT / DECIMAL → float64 (round 9's q42 red: ``10025.0`` vs
+      Spark's long ``10025`` on equal values);
+    * nullable INT/BIGINT → float64 with NaN on BOTH engines (symmetric, so
+      q40's rollup null super-aggregates stay green — but only because both
+      sides coerce identically).
+    """
+    cols = list(pdf.columns)
+    rows = list(pdf.itertuples(index=False, name=None))
+    return canon_rows(cols, rows)
+
+
+# DuckDB result types whose pandas rendering diverges from Spark's for the
+# same values: HUGEINT/DECIMAL coerce to float64 (Spark emits int64), DATE
+# becomes a midnight Timestamp (Spark ``toPandas`` yields datetime.date).
+_COERCING_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "DATE")
+
+
+def oracle_type_offenders(rel) -> list:
+    """Columns of a DuckDB relation whose type the driver's pandas
+    canonicalizer renders differently from Spark's (see
+    ``_COERCING_ORACLE_TYPES``).  DATE is flagged even though TIMESTAMP is
+    not: both engines render TIMESTAMP identically, but a DuckDB DATE turns
+    into a midnight Timestamp while Spark keeps ``datetime.date``."""
+    out = []
+    for col, ty in zip(rel.columns, rel.types):
+        ts = str(ty).upper()
+        if ts == "TIMESTAMP":
+            continue
+        if any(k in ts for k in _COERCING_ORACLE_TYPES):
+            out.append((col, str(ty)))
+    return out
 
 
 def _env_info() -> dict:
@@ -94,18 +143,21 @@ def _write_status(name: str, status: dict) -> None:
     print(line, flush=True)
 
 
-def result_hash(cols, rows) -> str:
-    """Canonical sha256 of a (cols, rows) result — same canonicalization as
-    the driver replica, so two sides that hash equal here hash equal there."""
+def _hash_canon(sc, sr) -> str:
     import hashlib
 
-    sc, sr = canon_rows(cols, rows)
     h = hashlib.sha256()
     h.update("|".join(sc).encode())
     for r in sr:
         h.update("\x1f".join(r).encode("utf-8", "replace"))
         h.update(b"\x1e")
     return h.hexdigest()[:16]
+
+
+def result_hash(cols, rows) -> str:
+    """Canonical sha256 of a (cols, rows) result — same canonicalization as
+    the driver replica, so two sides that hash equal here hash equal there."""
+    return _hash_canon(*canon_rows(cols, rows))
 
 
 def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
@@ -126,8 +178,9 @@ def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
     try:
         import duckdb
 
-        s_cols = df.columns
-        s_rows = [tuple(r) for r in df.collect()]
+        # Driver-faithful extraction: Spark toPandas vs DuckDB rel.df()
+        # (round 9: collect()/fetchall() hid a HUGEINT→float64 coercion).
+        s_pdf = df.toPandas()
         con = duckdb.connect()
         try:
             for t in TABLES:
@@ -135,14 +188,25 @@ def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
                     f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
                 )
             rel = con.sql(oracle)
-            d_cols = list(rel.columns)
-            d_rows = rel.fetchall()
+            type_offenders = oracle_type_offenders(rel)
+            d_pdf = rel.df()
         finally:
             con.close()
-        sc, sr = canon_rows(s_cols, s_rows)
-        dc, dr = canon_rows(d_cols, d_rows)
-        s_hash = result_hash(s_cols, s_rows)
-        d_hash = result_hash(d_cols, d_rows)
+        sc, sr = canon_pandas(s_pdf)
+        dc, dr = canon_pandas(d_pdf)
+        s_hash = _hash_canon(sc, sr)
+        d_hash = _hash_canon(dc, dr)
+        if type_offenders:
+            _write_status(name, {
+                "status": "mismatch",
+                "reason": f"oracle type coercion risk: {type_offenders}",
+                "result_hash": s_hash,
+                "oracle_hash": d_hash,
+                "rows_spark": len(sr),
+                "rows_oracle": len(dr),
+                "sf_dir": sf_dir,
+            })
+            return
         if sc == dc and sr == dr:
             if os.path.exists(diff_path):
                 os.remove(diff_path)

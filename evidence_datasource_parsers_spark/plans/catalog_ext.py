@@ -31,7 +31,11 @@ def _cms_status_sql(depth: int = 4, width: int = 1024) -> str:
             f"SUM(CASE WHEN ({lhs} % {width}) = ({rhs} % {width}) "
             "THEN 1 ELSE 0 END)"
         )
-    return "LEAST(" + ", ".join(terms) + ")"
+    # CAST to BIGINT: DuckDB types SUM(int) as HUGEINT and LEAST(HUGEINT...)
+    # stays HUGEINT, which the driver's pandas canonicalizer renders as
+    # float64 (10025.0 vs Spark's long 10025) — hash mismatch on equal
+    # values.  Same convention as q40/q41's SUM casts.
+    return "CAST(LEAST(" + ", ".join(terms) + ") AS BIGINT)"
 
 
 @register(

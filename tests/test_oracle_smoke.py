@@ -11,7 +11,7 @@ import pytest
 
 sys.path.insert(0, "/root/repo")
 
-from tools.verify_local import TABLES, canon_rows
+from tools.verify_local import TABLES, canon_pandas, canon_rows
 
 from evidence_datasource_parsers_spark.plans import CATALOG
 
@@ -44,3 +44,9 @@ def test_oracle_smoke(spark, sf_dir, oracle, name):
     d_cols, d_rows = canon_rows(list(rel.columns), rel.fetchall())
     assert s_cols == d_cols
     assert s_rows == d_rows
+    # Driver-faithful path: toPandas vs rel.df() — catches dtype coercions
+    # (HUGEINT/DECIMAL → float64) that collect/fetchall hide (round-9 q42).
+    ps_cols, ps_rows = canon_pandas(sdf.toPandas())
+    pd_cols, pd_rows = canon_pandas(oracle.sql(q.oracle).df())
+    assert ps_cols == pd_cols
+    assert ps_rows == pd_rows

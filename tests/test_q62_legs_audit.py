@@ -1,0 +1,94 @@
+"""Per-leg hash forensics for q62 (plans/q62_audit.py, round-9 verdict #4).
+
+q62's single value hash covers ~8 kernel modules; the leg audit must (a)
+cover every result column, (b) report all-green on the real query, and (c)
+when a kernel is seeded with a fault, flip EXACTLY that kernel's leg —
+otherwise a red q62 still means a 20-kernel bisection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pytest
+
+from evidence_datasource_parsers_spark import forensics
+from evidence_datasource_parsers_spark.plans import CATALOG
+from evidence_datasource_parsers_spark.plans import q62_legs as L
+from evidence_datasource_parsers_spark.plans.q62_audit import (
+    LEG_COLUMNS,
+    audit_q62_legs,
+)
+
+NAME = "q62_multimodal_meta"
+
+
+@pytest.fixture(scope="module")
+def frames(spark, sf_dir):
+    q = CATALOG[NAME]
+    s_pdf = q.builder(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in forensics.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    d_pdf = con.sql(q.oracle).df()
+    con.close()
+    return s_pdf, d_pdf
+
+
+def test_legs_cover_all_columns_and_match(frames, tmp_path, monkeypatch):
+    s_pdf, d_pdf = frames
+    monkeypatch.setattr(forensics, "ARTIFACT_DIR", str(tmp_path))
+    audit = audit_q62_legs(s_pdf, d_pdf, sf_dir="sf-test")
+    assert audit["unmapped_columns"] == []
+    assert audit["failing_legs"] == []
+    assert audit["status"] == "match"
+    assert set(audit["legs"]) == set(LEG_COLUMNS)
+    on_disk = json.load(open(os.path.join(tmp_path, "Q62_LEGS_AUDIT.json")))
+    assert on_disk["status"] == "match"
+    assert on_disk["rows_spark"] == len(s_pdf)
+
+
+def test_frame_perturbation_flips_exactly_one_leg(frames):
+    s_pdf, d_pdf = frames
+    bad = s_pdf.copy()
+    bad.loc[bad.index[0], "gif_pixel_sum"] += 1
+    audit = audit_q62_legs(bad, d_pdf, write=False)
+    assert audit["failing_legs"] == ["codec_pjpeg_gif_png"]
+
+
+def test_new_unmapped_column_is_flagged(frames):
+    s_pdf, d_pdf = frames
+    grown = s_pdf.copy()
+    grown["new_kernel_stat"] = 0
+    audit = audit_q62_legs(grown, d_pdf.assign(new_kernel_stat=0), write=False)
+    assert audit["unmapped_columns"] == ["new_kernel_stat"]
+    assert audit["status"] == "unmapped-columns"
+
+
+def test_seeded_kernel_fault_flips_own_leg(spark, sf_dir, frames, monkeypatch):
+    """Seed a real fault INSIDE the jpeg kernel (off-by-one pixel sum) and
+    re-run the registered query: only the jpeg leg may go red."""
+    _, d_pdf = frames
+    orig = L.jpeg_stats
+
+    def faulty_jpeg(batches):
+        for pdf in orig(batches):
+            pdf = pdf.copy()
+            pdf["jpeg_pixel_sum"] = pdf["jpeg_pixel_sum"] + 1
+            yield pdf
+
+    idx = next(
+        i for i, (k, _) in enumerate(L.STATS_LEGS) if k is L.jpeg_stats
+    )
+    saved = L.STATS_LEGS[idx]
+    L.STATS_LEGS[idx] = (faulty_jpeg, saved[1])
+    try:
+        s_bad = CATALOG[NAME].builder(spark, sf_dir).toPandas()
+    finally:
+        L.STATS_LEGS[idx] = saved
+    audit = audit_q62_legs(s_bad, d_pdf, write=False)
+    assert audit["failing_legs"] == ["jpeg"]
+    for leg, entry in audit["legs"].items():
+        assert entry["match"] == (leg != "jpeg")

@@ -1,8 +1,19 @@
 """Local stand-in for the driver's correctness gate.
 
 Runs every catalog query through Spark AND its DuckDB oracle at a given scale
-factor, canonicalizes both results (sort columns by name, stringify values,
-sort rows), and reports row-count/schema/value mismatches with a sample diff.
+factor, canonicalizes both results EXACTLY like the driver does — Spark side
+via ``df.toPandas()``, oracle side via ``rel.df()`` (pandas) — and reports
+row-count/schema/value mismatches with a sample diff.
+
+Round 9 lesson: the old ``collect()``/``fetchall()`` comparison was blind to
+dtype-level divergence (DuckDB typed an uncast ``LEAST(SUM(...))`` as HUGEINT,
+pandas rendered it float64, the driver hashed ``10025.0`` vs Spark's
+``10025`` — q42 red at the gate while this tool said green).  The pandas path
+is now the PRIMARY gate; on mismatch the legacy plain-Python extraction is
+re-run as a second opinion so the failure message says whether values differ
+or only dtypes do.  A static pre-pass additionally fails any query whose
+oracle result carries a type the driver's canonicalizer coerces
+(HUGEINT/DECIMAL/DATE — see ``forensics.oracle_type_offenders``).
 
 Usage:  python tools/verify_local.py [--vanilla] [sf_dir] [query ...]
 
@@ -20,7 +31,9 @@ sys.path.insert(0, "/root/repo")
 
 from evidence_datasource_parsers_spark.forensics import (  # noqa: E402
     TABLES,
+    canon_pandas,
     canon_rows,
+    oracle_type_offenders,
 )
 
 
@@ -50,6 +63,30 @@ def run(sf_dir: str, only: list[str], vanilla: bool = False) -> int:
     qs, oracles = queries(), oracle_sql()
     names = only or list(qs)
     failures = 0
+
+    # Static pre-pass: any oracle result column typed so that the driver's
+    # pandas canonicalizer renders it differently from Spark (HUGEINT /
+    # DECIMAL → float64, DATE → midnight Timestamp) fails BEFORE Spark runs.
+    for name in names:
+        if name not in oracles:
+            continue
+        try:
+            offenders = oracle_type_offenders(con.sql(oracles[name]))
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle error in type sweep: {exc}")
+            failures += 1
+            continue
+        if offenders:
+            print(
+                f"FAIL  {name}: oracle columns with driver-coercing types "
+                f"{offenders} — CAST them (BIGINT/DOUBLE/VARCHAR) in the "
+                "oracle SQL"
+            )
+            failures += 1
+    if failures:
+        print(f"\ntype sweep failed ({failures}) — fix oracles first")
+        return 1
+
     for name in names:
         try:
             sdf = qs[name](spark, sf_dir)
@@ -64,24 +101,40 @@ def run(sf_dir: str, only: list[str], vanilla: bool = False) -> int:
                     print(f"FAIL  {name}: driver-unsortable columns {bad}")
                     failures += 1
                     continue
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"OK?   {name}: rows={len(s_rows)} (no oracle — rows-only)")
+            print(f"OK?   {name}: rows={len(s_pdf)} (no oracle — rows-only)")
             continue
         try:
             rel = con.sql(oracles[name])
-            d_cols = list(rel.columns)
-            d_rows = rel.fetchall()
+            d_pdf = rel.df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {exc}")
             failures += 1
             continue
-        sc, sr = canon_rows(s_cols, s_rows)
-        dc, dr = canon_rows(d_cols, d_rows)
+        if name == "q62_multimodal_meta":
+            # Per-leg hash forensics (free: reuses the frames already in
+            # hand) — when q62 goes red the failing KERNEL is named in
+            # Q62_LEGS_AUDIT.json instead of bisecting ~20 decode paths.
+            from evidence_datasource_parsers_spark.plans.q62_audit import (
+                audit_q62_legs,
+            )
+
+            leg_audit = audit_q62_legs(s_pdf, d_pdf, sf_dir=sf_dir)
+            print(
+                f"      q62 leg audit: {leg_audit['status']}"
+                + (
+                    f" failing={leg_audit['failing_legs']}"
+                    if leg_audit["failing_legs"]
+                    else ""
+                )
+            )
+        sc, sr = canon_pandas(s_pdf)
+        dc, dr = canon_pandas(d_pdf)
         if sc != dc:
             print(f"FAIL  {name}: schema {sc} vs oracle {dc}")
             failures += 1
@@ -92,7 +145,25 @@ def run(sf_dir: str, only: list[str], vanilla: bool = False) -> int:
             continue
         if sr != dr:
             diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
-            print(f"FAIL  {name}: value mismatch; first diffs: {diffs}")
+            # Second opinion: the legacy plain-Python extraction.  If IT
+            # matches, the values are equal and only a dtype rendering
+            # diverged — name the class so the fix is obvious.
+            verdict = "value mismatch"
+            try:
+                _, sr2 = canon_rows(
+                    s_cols, [tuple(r) for r in qs[name](spark, sf_dir).collect()]
+                )
+                _, dr2 = canon_rows(
+                    list(rel.columns), con.sql(oracles[name]).fetchall()
+                )
+                if sr2 == dr2:
+                    verdict = (
+                        "DTYPE-ONLY mismatch (values equal via "
+                        "collect/fetchall; pandas rendering diverges)"
+                    )
+            except Exception:  # noqa: BLE001
+                pass
+            print(f"FAIL  {name}: {verdict}; first diffs: {diffs}")
             failures += 1
             continue
         print(f"OK    {name}: rows={len(sr)}")
