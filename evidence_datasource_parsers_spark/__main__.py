@@ -149,9 +149,11 @@ def main(argv: list[str] | None = None) -> int:
     compact.add_argument("--group-cols", default=None,
                          help="comma-separated group columns "
                          "(sketch/histogram kinds)")
-    compact.add_argument("--min-occurrences", type=int, default=2,
+    compact.add_argument("--min-occurrences", type=int, default=None,
                          help="gram kind: the span threshold the counts "
-                         "saturate at (must match the operator's)")
+                         "saturate at (must match the operator's; read "
+                         "from the store's _span_gram_meta.json sidecar "
+                         "when omitted)")
     compact.add_argument("--buckets", type=int, default=None,
                          help="fingerprint kind: hash-partition the "
                          "rewrite into this many file sets on "
@@ -239,9 +241,31 @@ def _compact(args) -> int:
     if args.kind == "gram":
         from evidence_datasource_parsers_spark.operators.span_dedup import (
             compact_gram_store,
+            read_gram_store_meta,
         )
 
-        out = compact_gram_store(df, args.min_occurrences)
+        # The cap is store identity: compacting below the cap the counts
+        # were saturated at silently truncates them and later probes
+        # under-count.  Prefer the sidecar; a flag may only confirm it.
+        meta_cap = read_gram_store_meta(args.store)
+        cap = args.min_occurrences
+        if meta_cap is not None and cap is not None and cap != meta_cap:
+            print(
+                f"compact: --min-occurrences {cap} conflicts with the "
+                f"store's recorded cap {meta_cap} "
+                f"(_span_gram_meta.json); refusing",
+                file=sys.stderr,
+            )
+            return 2
+        cap = meta_cap if meta_cap is not None else cap
+        if cap is None:
+            print(
+                "compact: --kind gram needs --min-occurrences (store has "
+                "no _span_gram_meta.json sidecar to read the cap from)",
+                file=sys.stderr,
+            )
+            return 2
+        out = compact_gram_store(df, cap)
     elif args.kind == "sketch":
         from evidence_datasource_parsers_spark.operators.sketches import (
             compact_sketch_store,
@@ -287,6 +311,14 @@ def _compact(args) -> int:
             )
 
     n = rewrite_store_dir(args.store, out)
+    if args.kind == "gram":
+        # the swap replaced the dir — re-record the cap sidecar so the
+        # NEXT compaction/advance can read it back
+        from evidence_datasource_parsers_spark.operators.span_dedup import (
+            write_gram_store_meta,
+        )
+
+        write_gram_store_meta(args.store, cap)
     print(f"compact: {args.kind} store {args.store} → {n} rows")
     return 0
 

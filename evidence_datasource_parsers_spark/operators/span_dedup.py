@@ -408,6 +408,46 @@ def incremental_span_dedupe(
     )
 
 
+#: sidecar recording the saturation cap a gram store was built under.
+#: Underscore-prefixed so Spark's parquet listing ignores it (like
+#: ``_SUCCESS``).  The cap is part of the store's IDENTITY: compacting with
+#: a smaller cap silently truncates saturated counts, and a later probe at
+#: the real threshold under-counts grams and misses duplicate spans.
+GRAM_META_FILE = "_span_gram_meta.json"
+
+
+def read_gram_store_meta(store_dir: str) -> int | None:
+    """The ``min_occurrences`` cap recorded beside a gram store dir, or
+    None for stores written before the sidecar existed."""
+    import json
+    import os
+
+    path = os.path.join(store_dir, GRAM_META_FILE)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as fh:
+        return int(json.load(fh)["min_occurrences"])
+
+
+def write_gram_store_meta(store_dir: str, min_occurrences: int) -> None:
+    """Persist the saturation cap beside the store.  Raises ``ValueError``
+    if the dir already records a DIFFERENT cap — mixing caps corrupts the
+    capped-sum algebra (a store capped at 2 probed at 3 under-counts)."""
+    import json
+    import os
+
+    existing = read_gram_store_meta(store_dir)
+    if existing is not None and existing != min_occurrences:
+        raise ValueError(
+            f"gram store {store_dir} was built with min_occurrences="
+            f"{existing}; refusing to advance/compact it with "
+            f"{min_occurrences} — the capped counts are not comparable"
+        )
+    os.makedirs(store_dir, exist_ok=True)
+    with open(os.path.join(store_dir, GRAM_META_FILE), "w") as fh:
+        json.dump({"min_occurrences": int(min_occurrences)}, fh)
+
+
 def compact_gram_store(
     gram_store: DataFrame, min_occurrences: int = 2
 ) -> DataFrame:

@@ -352,17 +352,34 @@ def sitemap_candidates(
     schedules as a normal discovery; it just can't trigger
     lastmod-beats-last-fetch re-admission.  Feed the result to
     :func:`plan_fetch_batch` as ``lastmod_col='lastmod_ts'``."""
-    lastmod = F.col("lastmod")
     # W3C-datetime (sitemaps.org lastmod) precisions: date-only,
     # MINUTES ("YYYY-MM-DDThh:mmTZD" — common in real sitemaps),
-    # seconds, fractional seconds — each with or without a zone offset
+    # seconds, fractional seconds — each with or without a zone offset.
+    # Fractional seconds (ANY digit count, 1..9) are stripped up front:
+    # lastmod_ts is whole epoch seconds, so the fraction only matters for
+    # parseability, and one regexp beats a pattern per digit count.
+    norm = F.regexp_replace(F.col("lastmod"), r"\.\d+", "")
+    # Zone-less forms are pinned to UTC by appending 'Z' BEFORE parsing —
+    # try_to_timestamp reads bare wall-clock strings in the SESSION
+    # timezone, which would make the same sitemap produce different epoch
+    # seconds on differently-configured clusters (the WARC-Date epoch
+    # discipline, applied here; note to_utc_timestamp(c,'UTC') is an
+    # identity no-op, not a fix).  A string that already carries an
+    # offset fails the concat'd pattern and coalesces to the zoned
+    # branches above it.
     ts = F.coalesce(
-        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
-        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mmXXX")),
-        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
-        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm")),
-        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(norm, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(norm, F.lit("yyyy-MM-dd'T'HH:mmXXX")),
+        F.try_to_timestamp(
+            F.concat(norm, F.lit("Z")), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")
+        ),
+        F.try_to_timestamp(
+            F.concat(norm, F.lit("Z")), F.lit("yyyy-MM-dd'T'HH:mmXXX")
+        ),
+        F.try_to_timestamp(
+            F.concat(norm, F.lit("T00:00:00Z")),
+            F.lit("yyyy-MM-dd'T'HH:mm:ssXXX"),
+        ),
     )
     return entries.where(F.col("kind") == "url").select(
         F.col("loc").alias(url_col),

@@ -266,8 +266,19 @@ def incremental_dedupe_sink(
         elif mode == "span":
             from evidence_datasource_parsers_spark.operators.span_dedup import (
                 incremental_span_dedupe,
+                write_gram_store_meta,
             )
 
+            # The saturation cap is part of the store's identity — FAIL
+            # the batch BEFORE probing if the dir's sidecar disagrees
+            # (probing a cap-2 store at threshold 3 under-counts and
+            # silently misses duplicate spans).  The sidecar itself is
+            # (re)written after the append so a first-batch crash never
+            # leaves a parquet-less dir.
+            if os.path.isdir(store_dir):
+                write_gram_store_meta(
+                    store_dir, dedupe_opts.get("min_occurrences", 2)
+                )
             res = incremental_span_dedupe(
                 batch_df, store, text_col, id_col, **dedupe_opts
             )
@@ -303,6 +314,14 @@ def incremental_dedupe_sink(
             # discipline gave.
             fresh_mat = fresh.localCheckpoint(eager=True)
             delta.write.mode("append").parquet(store_dir)
+            if mode == "span":
+                from evidence_datasource_parsers_spark.operators.span_dedup import (  # noqa: E501
+                    write_gram_store_meta,
+                )
+
+                write_gram_store_meta(
+                    store_dir, dedupe_opts.get("min_occurrences", 2)
+                )
             fresh_mat.write.mode("append").parquet(out_dir)
         finally:
             fresh.unpersist()
@@ -365,11 +384,11 @@ def streaming_histogram_sink(
     per group per micro-batch; bin adds are exact, so probes through
     ``compact_histogram_store``/``histogram_store_percentiles`` match
     the one-shot histogram bin-for-bin).  ``edges`` are part of the
-    store identity and must match every writer that ever appends.  NOT
-    replay-idempotent (counts add, unlike HLL register maxima): a
-    replayed batch double-counts its rows — the standard exact-counter
-    caveat, stated honestly; the streaming checkpoint prevents replays
-    in normal operation."""
+    store identity and must match every writer that ever appends.
+    Replay-IDEMPOTENT despite counts adding (unlike HLL register maxima,
+    adds have no natural absorption): each batch lands as one
+    deterministically named file a replay overwrites, not re-appends —
+    see ``_append_summary_sink``."""
     from evidence_datasource_parsers_spark.operators.sketches import (
         histogram_store,
     )
@@ -394,8 +413,9 @@ def streaming_frequency_sink(
     counter-store streaming surface: per micro-batch, append the batch's
     own sparse sketch cells; probe anytime with ``cms_estimate`` (which
     reads the raw history directly).  Hash parameters are part of the
-    store identity.  Same replay caveat as the histogram sink (cell
-    counts add)."""
+    store identity.  Replay-idempotent the same way the histogram sink
+    is: one deterministically named file per batch (cell counts add, so
+    overwrite-not-append is what makes replays safe)."""
     from evidence_datasource_parsers_spark.operators.sketches import (
         cms_store,
     )
@@ -406,17 +426,69 @@ def streaming_frequency_sink(
     )
 
 
+def write_batch_summary(
+    summary: DataFrame, store_dir: str, token: str, batch_id: int
+) -> None:
+    """Land one micro-batch's summary rows as ONE deterministically named
+    file — ``batch-{token}-{batch_id}.parquet`` via staging dir + atomic
+    ``os.replace`` — so a replayed batch overwrites its earlier file
+    instead of double-appending it.  The exactly-once primitive under the
+    counter-store sinks; safe because counter summaries are aggregates
+    bounded by the group/cell space, never the batch's row count."""
+    import shutil
+    import uuid as _uuid
+
+    staging = f"{store_dir}__stage_{_uuid.uuid4().hex[:8]}"
+    try:
+        summary.coalesce(1).write.mode("overwrite").parquet(staging)
+        parts = [
+            f for f in os.listdir(staging)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        if not parts:  # empty batch — nothing to record
+            return
+        if len(parts) > 1:  # pragma: no cover — coalesce(1) contract
+            raise RuntimeError(
+                f"expected one part file in {staging}, got {parts}"
+            )
+        os.makedirs(store_dir, exist_ok=True)
+        os.replace(
+            os.path.join(staging, parts[0]),
+            os.path.join(store_dir, f"batch-{token}-{batch_id}.parquet"),
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def _append_summary_sink(stream, store_dir, checkpoint, summarize):
     """Shared shape of the counter-store sinks: summarize the batch into
     its own mergeable rows, append them beside the carried history —
     O(batch) I/O per micro-batch; compaction is an explicit-cadence
     operation (`compact_sketch_store` / `compact_histogram_store` /
     `compact_cms_store`).  recover_store_dir runs first so a store left
-    mid-swap by a compaction (or an older-version crash) recovers."""
+    mid-swap by a compaction (or an older-version crash) recovers.
+
+    REPLAY-IDEMPOTENT: each micro-batch lands as ONE deterministically
+    named file (``batch-{stream token}-{batch_id}.parquet``, atomic
+    ``os.replace`` from a staging dir), so a foreachBatch replay — a crash
+    between the append and the checkpoint commit — overwrites its own
+    earlier file instead of double-appending it.  That upgrades the exact
+    counters (histogram/CMS, where cell counts ADD) from at-least-once to
+    effectively-once; single-file-per-batch is safe because the summaries
+    are aggregates bounded by the group/cell space, never the batch's
+    rows.  The stream token (a hash of the checkpoint path) keeps two
+    different streams appending to one store from clobbering each other's
+    batch files.  One caveat remains: do not run compaction while a
+    stream is mid-crash — a replay after its history was collapsed would
+    re-add the batch.
+    """
+    import hashlib
+
+    token = hashlib.md5(checkpoint.encode()).hexdigest()[:8]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         recover_store_dir(store_dir)
-        summarize(batch_df).write.mode("append").parquet(store_dir)
+        write_batch_summary(summarize(batch_df), store_dir, token, batch_id)
 
     return (
         stream.writeStream.foreachBatch(process)

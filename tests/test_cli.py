@@ -229,6 +229,24 @@ def test_compact_cli_all_kinds(spark, tmp_path, capsys):
         for r in spark.read.parquet(gram).collect()
     }
     assert rows == {(1, 2), (2, 2)}
+    # compaction recorded the cap sidecar — the next run needs no flag,
+    # and a CONFLICTING flag is refused (compacting below the cap the
+    # counts saturated at silently truncates them)
+    from evidence_datasource_parsers_spark.operators.span_dedup import (
+        read_gram_store_meta,
+    )
+
+    assert read_gram_store_meta(gram) == 2
+    assert main(["compact", "--store", gram, "--kind", "gram"]) == 0
+    assert main(["compact", "--store", gram, "--kind", "gram",
+                 "--min-occurrences", "3"]) == 2
+    assert read_gram_store_meta(gram) == 2
+    # a pre-sidecar store with no flag: refuse rather than trust a default
+    legacy = str(tmp_path / "gram_legacy")
+    spark.createDataFrame(
+        [(1, 1)], "gram_hash long, n_seen long"
+    ).write.parquet(legacy)
+    assert main(["compact", "--store", legacy, "--kind", "gram"]) == 2
 
     # sketch: three appended batch sketches → one row per group,
     # estimates unchanged

@@ -270,6 +270,43 @@ def test_refresh_after_requires_now(spark):
         )
 
 
+def test_sitemap_lastmod_zoneless_forms_pin_utc(spark):
+    """Zone-less W3C-datetime forms must parse as UTC regardless of the
+    cluster's session timezone (the WARC-Date epoch discipline): the same
+    sitemap may not yield different lastmod_ts on differently-configured
+    clusters.  Fractional seconds with ANY digit count parse too."""
+    forms = [
+        ("2001-09-09T01:46:40Z", 1000000000.0),          # zoned seconds
+        ("2001-09-09T03:46:40+02:00", 1000000000.0),     # offset seconds
+        ("2001-09-09T01:46:40", 1000000000.0),           # zoneless seconds
+        ("2001-09-09T01:46", 999999960.0),               # zoneless minutes
+        ("2001-09-09T03:46+02:00", 999999960.0),         # offset minutes
+        ("2001-09-09", 999993600.0),                     # date-only (UTC 00:00)
+        ("2001-09-09T01:46:40.5", 1000000000.0),         # fraction, no zone
+        ("2001-09-09T01:46:40.123456789Z", 1000000000.0),  # long fraction
+        ("2001-09-09T03:46:40.123+02:00", 1000000000.0),  # fraction+offset
+        ("not a date", None),
+    ]
+    entries = spark.createDataFrame(
+        [(f"http://z.example/{i}", "url", v, None, None)
+         for i, (v, _) in enumerate(forms)],
+        "loc string, kind string, lastmod string, changefreq string, "
+        "priority double",
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = {
+                r["url"]: r["lastmod_ts"]
+                for r in sitemap_candidates(entries).collect()
+            }
+            for i, (v, want) in enumerate(forms):
+                assert got[f"http://z.example/{i}"] == want, (tz, v)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def test_sitemap_lastmod_readmits(spark):
     """The verdict's done-criterion: an UPDATED seen URL (sitemap
     lastmod after its last fetch) re-schedules while a fresh seen URL

@@ -659,6 +659,27 @@ def test_incremental_dedupe_sink_span_mode(spark, tmp_path):
     # gram store carries saturating counts, capped at 2
     st = spark.read.parquet(store).collect()
     assert st and max(r.n_seen for r in st) == 2
+    # the sink recorded the cap sidecar, and a later run configured with a
+    # DIFFERENT threshold fails loudly before touching the store
+    from evidence_datasource_parsers_spark.operators.span_dedup import (
+        read_gram_store_meta,
+    )
+
+    assert read_gram_store_meta(store) == 2
+    (src / "b3.json").write_text(doc(3, "unrelated words only here"))
+    stream3 = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    q3 = incremental_dedupe_sink(
+        stream3, out, store, str(tmp_path / "span_ck_conflict"),
+        "text", "doc_id", mode="span", min_tokens=4, min_occurrences=3,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="min_occurrences"):
+        q3.awaitTermination()
+    assert read_gram_store_meta(store) == 2  # sidecar untouched
 
 
 def test_incremental_lsh_sink_provenance_and_cap(spark, tmp_path):
@@ -934,3 +955,50 @@ def test_streaming_histogram_and_frequency_sinks(spark, tmp_path):
     assert est == {"x": 3, "y": 1, "z": 1, "w": 0}
     # append-only history: run 2 added rows beside run 1's
     assert spark.read.parquet(hstore).count() == 2  # one counts row/run
+
+
+def test_counter_sink_replay_is_idempotent(spark, tmp_path):
+    """A foreachBatch replay (crash between the append and the checkpoint
+    commit) must NOT double-count: each batch lands as one
+    deterministically named file that a replay overwrites
+    (write_batch_summary, the primitive under all three counter sinks)."""
+    import os
+
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        compact_histogram_store,
+        histogram_store,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        write_batch_summary,
+    )
+
+    store = str(tmp_path / "hstore")
+    batch = spark.createDataFrame(
+        [("a", 5.0), ("a", 15.0)], "g string, v double"
+    )
+    summary = histogram_store(batch, ["g"], "v", [10.0, 20.0])
+    write_batch_summary(summary, store, "tok1", 0)
+    write_batch_summary(summary, store, "tok1", 0)  # replay of batch 0
+    hist = {
+        r["g"]: r["counts"]
+        for r in compact_histogram_store(
+            spark.read.parquet(store), ["g"]
+        ).collect()
+    }
+    assert hist["a"] == [1, 1, 0]  # counted once, not twice
+    # a genuinely NEW batch (same stream) adds; a different stream's
+    # batch 0 does not clobber this stream's batch 0
+    write_batch_summary(summary, store, "tok1", 1)
+    write_batch_summary(summary, store, "tok2", 0)
+    hist = {
+        r["g"]: r["counts"]
+        for r in compact_histogram_store(
+            spark.read.parquet(store), ["g"]
+        ).collect()
+    }
+    assert hist["a"] == [3, 3, 0]
+    names = sorted(os.listdir(store))
+    assert names == [
+        "batch-tok1-0.parquet", "batch-tok1-1.parquet",
+        "batch-tok2-0.parquet",
+    ]
