@@ -116,6 +116,11 @@ def main(argv: list[str] | None = None) -> int:
     frontier.add_argument("--now", type=float, default=None,
                           help="epoch-seconds clock for --refresh-after "
                           "(defaults to wall clock)")
+    frontier.add_argument("--recrawl-share", type=float, default=None,
+                          help="cap re-admitted (re-crawl) urls at this "
+                          "fraction of each domain's --budget; new "
+                          "discoveries get the rest (either side may "
+                          "borrow unused slots)")
     frontier.add_argument("--lastmod-col", default=None,
                           help="epoch-seconds candidates column; a seen "
                           "url whose lastmod post-dates its last fetch "
@@ -500,6 +505,7 @@ def _frontier(args) -> int:
         refresh_after=args.refresh_after,
         now_ts=now_ts,
         lastmod_col=args.lastmod_col,
+        recrawl_share=args.recrawl_share,
     )
     ready = res.ready.localCheckpoint(eager=True)
     ready.drop("url_hash").write.mode("append").parquet(args.out)

@@ -93,6 +93,43 @@ def _gram_bucket(n_buckets: int, salt: str) -> Column:
     ).cast("long")
 
 
+def _ns_tuple(n) -> tuple:
+    return (n,) if isinstance(n, int) else tuple(n)
+
+
+def _gram_frame(df, text_col, keep_cols, ns, n_buckets, salt):
+    """Exploded (keep_cols..., bucket, __fb) frame over the union of the
+    requested gram orders.  Multi-n models give each order its own
+    DISJOINT bucket range (``n·n_buckets + hash``) — bucketing conflates
+    gram identity, so without the offset a 2-gram and a 3-gram landing in
+    one bucket would pool their counts — and its own floor sentinel
+    ``__fb = -n`` (single-n keeps the legacy ``[0, n_buckets)`` range and
+    ``-1`` sentinel, so existing trained tables stay valid)."""
+    multi = len(ns) > 1
+    frames = []
+    for n in ns:
+        b = _gram_bucket(n_buckets, salt)
+        if multi:
+            b = b + F.lit(n * n_buckets)
+        fb = -n if multi else -1
+        frames.append(
+            df.select(
+                *keep_cols,
+                F.explode(char_ngrams(F.col(text_col), n)).alias("__gram"),
+            )
+            .where(F.length("__gram") == n)
+            .select(
+                *keep_cols,
+                b.alias("bucket"),
+                F.lit(fb).cast("long").alias("__fb"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def train_langid_classifier(
     df: DataFrame,
     text_col: str,
@@ -116,28 +153,41 @@ def train_langid_classifier(
     zero-count log-probability, which differs across languages with
     different corpus sizes, so skipping unseen buckets would NOT be
     argmax-invariant.  Training languages are whatever distinct values
-    ``lang_col`` holds — 20 or 200, the shuffle shape is the same."""
-    grams = df.select(
-        F.col(lang_col).alias("lang"),
-        F.explode(char_ngrams(F.col(text_col), n)).alias("__gram"),
-    ).where(F.length("__gram") == n)
-    counts = grams.groupBy(
-        _gram_bucket(n_buckets, salt).alias("bucket"), "lang"
-    ).agg(F.count(F.lit(1)).alias("__c"))
-    lang_totals = counts.groupBy("lang").agg(F.sum("__c").alias("__tot"))
-    buckets = counts.select("bucket").distinct()
+    ``lang_col`` holds — 20 or 200, the shuffle shape is the same.
+
+    ``n`` may be a tuple (e.g. ``(2, 3)``): the model becomes a union of
+    per-order NB likelihoods — each order gets a disjoint bucket range
+    and its OWN floor row (sentinel ``bucket = -n``), because the
+    zero-count log-probability depends on that order's per-language gram
+    totals.  Bigrams generalize where trigram evidence is thin (short or
+    code-switched text); the table contract is unchanged —
+    ``(bucket, lang, weight)`` plus negative-bucket floors."""
+    ns = _ns_tuple(n)
+    grams = _gram_frame(
+        df.select(F.col(lang_col).alias("lang"), F.col(text_col)),
+        text_col, [F.col("lang")], ns, n_buckets, salt,
+    )
+    counts = grams.groupBy("bucket", "__fb", "lang").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    # NB denominators are PER ORDER: each order's per-language gram
+    # total (+ alpha · its own bucket-space size)
+    lang_totals = counts.groupBy("lang", "__fb").agg(
+        F.sum("__c").alias("__tot")
+    )
+    buckets = counts.select("bucket", "__fb").distinct()
     logp_of = F.log(
         (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(float(alpha)))
         / (F.col("__tot") + F.lit(float(alpha) * n_buckets))
     )
     dense = (
-        buckets.crossJoin(F.broadcast(lang_totals))
-        .join(counts, on=["bucket", "lang"], how="left")
+        buckets.join(F.broadcast(lang_totals), on="__fb")
+        .join(counts, on=["bucket", "__fb", "lang"], how="left")
         .select("bucket", "lang", logp_of.alias("__logp"))
     )
     floors = (
         lang_totals.withColumn("__c", F.lit(None).cast("long"))
-        .withColumn("bucket", F.lit(-1).cast("long"))
+        .withColumn("bucket", F.col("__fb"))
         .select("bucket", "lang", logp_of.alias("__logp"))
     )
     allrows = dense.unionByName(floors)
@@ -179,43 +229,64 @@ def classify_language(
     skip-unmatched behavior (floor weight coalesces to 0).
 
     The hash parameters (``n``, ``n_buckets``, ``salt``) MUST match
-    training — they are part of the model identity."""
-    grams = df.select(
-        F.col(id_col),
-        F.explode(char_ngrams(F.col(text_col), n)).alias("__gram"),
-    ).where(F.length("__gram") == n)
-    bucketed = grams.select(
-        F.col(id_col), _gram_bucket(n_buckets, salt).alias("bucket")
+    training — they are part of the model identity (including tuple
+    ``n`` for multi-order models, whose floors live at ``bucket = -n``
+    per order)."""
+    ns = _ns_tuple(n)
+    bucketed = _gram_frame(
+        df.select(F.col(id_col), F.col(text_col)),
+        text_col, [F.col(id_col)], ns, n_buckets, salt,
     )
-    floors = weights.where(F.col("bucket") == -1).select(
-        "lang", F.col("weight").alias("__fw")
+    floors = weights.where(F.col("bucket") < 0).select(
+        F.col("bucket").alias("__fb"), "lang",
+        F.col("weight").alias("__fw"),
     )
     table = weights.where(F.col("bucket") >= 0)
-    # __m counts matched grams — identical across languages (the table
-    # is dense), so __g - __m is the doc's out-of-vocabulary gram count
+    # __m counts matched grams per order — identical across languages
+    # (the table is dense per order), so __g − __m is the doc's
+    # out-of-vocabulary gram count in that order's space
     per_lang = (
         bucketed.join(F.broadcast(table), on="bucket")
-        .groupBy(id_col, "lang")
+        .groupBy(id_col, "__fb", "lang")
         .agg(
             F.sum("weight").alias("__s"),
             F.count(F.lit(1)).alias("__m"),
         )
     )
-    doc_grams = bucketed.groupBy(id_col).agg(
+    doc_grams = bucketed.groupBy(id_col, "__fb").agg(
         F.count(F.lit(1)).alias("__g")
     )
+    # scaffold = (doc × lang × order): a doc that matched ANY order must
+    # still pay every language's OOV floor in the orders it matched
+    # nothing in — skipping those rows would drop a language-dependent
+    # term from the NB sum.  Orders are plan-time literals, so the
+    # scaffold is one generator expression, not a join.
+    fbs = [-n_ for n_ in ns] if len(ns) > 1 else [-1]
+    cand = per_lang.select(id_col, "lang").distinct()
+    scaffold = cand.select(
+        F.col(id_col), "lang",
+        F.explode(
+            F.array(*[F.lit(fb).cast("long") for fb in fbs])
+        ).alias("__fb"),
+    )
     scored = (
-        per_lang.join(doc_grams, on=id_col)
-        .join(F.broadcast(floors), on="lang", how="left")
+        scaffold.join(per_lang, on=[id_col, "lang", "__fb"], how="left")
+        .join(doc_grams, on=[id_col, "__fb"], how="left")
+        .join(F.broadcast(floors), on=["lang", "__fb"], how="left")
         .select(
             F.col(id_col),
             "lang",
             (
-                F.col("__s")
-                + (F.col("__g") - F.col("__m"))
+                F.coalesce(F.col("__s"), F.lit(0))
+                + (
+                    F.coalesce(F.col("__g"), F.lit(0))
+                    - F.coalesce(F.col("__m"), F.lit(0))
+                )
                 * F.coalesce(F.col("__fw"), F.lit(0))
             ).alias("__s"),
         )
+        .groupBy(id_col, "lang")
+        .agg(F.sum("__s").alias("__s"))
     )
     best = scored.groupBy(id_col).agg(
         F.min_by(

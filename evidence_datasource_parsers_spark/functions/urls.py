@@ -567,6 +567,7 @@ def schedule_fetches(
     default_delay: float = 1.0,
     delay_cap: float = 60.0,
     max_urls_per_domain: int | None = None,
+    recrawl_share: float | None = None,
 ) -> DataFrame:
     """Per-domain politeness schedule — the consumer of
     :func:`robots_directives`: append ``domain``, ``crawl_delay`` (the
@@ -581,6 +582,16 @@ def schedule_fetches(
     ``max_urls_per_domain`` truncates each domain's schedule (frontier
     budgeting).  NULL-domain rows keep NULL offsets (unscheduled; gate
     them with :func:`filter_urls`).
+
+    ``recrawl_share`` (requires ``max_urls_per_domain`` and a boolean
+    ``is_recrawl`` column, see ``plan_fetch_batch``'s freshness probe)
+    splits each domain's budget: re-crawls get at most
+    ``floor(share × max)`` slots and new URLs the rest, with either class
+    borrowing slots the other leaves unfilled — so a burst of TTL
+    re-admissions can never starve new discoveries past the configured
+    share, and a quiet re-crawl day does not idle the budget.  Offsets
+    are then re-ranked over the survivors so the drained schedule stays
+    gap-free.
 
     Scale shape: one broadcast-size join (directives are domains-sized)
     plus ONE window partitioned by registrable domain — the natural
@@ -617,7 +628,50 @@ def schedule_fetches(
         .withColumn("__rk", F.row_number().over(w))
         .drop("__cd")
     )
-    if max_urls_per_domain is not None:
+    if recrawl_share is not None:
+        if max_urls_per_domain is None:
+            raise ValueError("recrawl_share requires max_urls_per_domain")
+        if "is_recrawl" not in out.columns:
+            raise ValueError(
+                "recrawl_share needs an is_recrawl column (produced by "
+                "plan_fetch_batch's freshness probe)"
+            )
+        r_cap = int(float(recrawl_share) * max_urls_per_domain)
+        n_cap = max_urls_per_domain - r_cap
+        # per-class rank + per-domain class counts: each class holds its
+        # reserved slots and borrows whatever the other leaves unfilled.
+        # Same partition key as the schedule window — one Exchange total.
+        w_class = Window.partitionBy("domain", "is_recrawl").orderBy(
+            canonicalize_url(F.col(url_col)), F.col(url_col)
+        )
+        w_dom = Window.partitionBy("domain")
+        is_re = F.col("is_recrawl")
+        out = (
+            out.withColumn("__crk", F.row_number().over(w_class))
+            .withColumn(
+                "__n_new",
+                F.sum(F.when(~is_re, 1).otherwise(0)).over(w_dom),
+            )
+            .withColumn(
+                "__n_re", F.sum(F.when(is_re, 1).otherwise(0)).over(w_dom)
+            )
+        )
+        r_allow = F.lit(r_cap) + F.greatest(
+            F.lit(0), F.lit(n_cap) - F.col("__n_new")
+        )
+        n_allow = F.lit(n_cap) + F.greatest(
+            F.lit(0), F.lit(r_cap) - F.col("__n_re")
+        )
+        out = out.where(
+            F.col("domain").isNull()
+            | F.when(is_re, F.col("__crk") <= r_allow).otherwise(
+                F.col("__crk") <= n_allow
+            )
+        ).drop("__crk", "__n_new", "__n_re")
+        # re-rank the survivors so offsets stay gap-free (the class split
+        # leaves holes in the combined rank)
+        out = out.withColumn("__rk", F.row_number().over(w))
+    elif max_urls_per_domain is not None:
         # NULL-domain rows are documented passthrough (unscheduled) — the
         # budget must not silently delete them past the cap
         out = out.where(

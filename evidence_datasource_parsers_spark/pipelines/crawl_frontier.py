@@ -145,7 +145,13 @@ def _freshness_probe(
         keep = keep | F.coalesce(
             F.col(lastmod_col) > F.col("__last_fetch"), F.lit(False)
         )
-    return joined.where(keep).drop("__seen", "__last_fetch")
+    # surviving rows the store REMEMBERS are re-admissions (TTL/lastmod
+    # re-crawls) — tag them so budgeting can cap their share per domain
+    return (
+        joined.where(keep)
+        .withColumn("is_recrawl", F.col("__seen").isNotNull())
+        .drop("__seen", "__last_fetch")
+    )
 
 
 def plan_fetch_batch(
@@ -165,6 +171,7 @@ def plan_fetch_batch(
     refresh_after: float | None = None,
     now_ts: float | None = None,
     lastmod_col: str | None = None,
+    recrawl_share: float | None = None,
 ) -> FrontierResult:
     """One frontier round — see the module doc for the stage order and
     the store-advancement contract.
@@ -187,7 +194,19 @@ def plan_fetch_batch(
     Both freshness rules require ``now_ts``: re-admission only
     terminates if the round RECORDS a fetch timestamp — a lastmod
     re-admission advanced as a bare hash would compare against the old
-    max forever and re-queue the same URL every round."""
+    max forever and re-queue the same URL every round.
+
+    Re-crawl budgeting: with freshness on, re-admitted URLs compete with
+    NEW discoveries for the per-domain budget; ``recrawl_share`` caps the
+    re-crawl fraction of ``max_urls_per_domain`` (e.g. ``0.3`` reserves
+    70% of each domain's slots for new URLs — either class may borrow
+    slots the other leaves unused).  Every ready row carries an
+    ``is_recrawl`` flag either way.  Requires ``max_urls_per_domain``."""
+    if recrawl_share is not None and max_urls_per_domain is None:
+        raise ValueError(
+            "recrawl_share caps a fraction of max_urls_per_domain — set "
+            "a per-domain budget for it to apply to"
+        )
     if (refresh_after is not None or lastmod_col is not None) \
             and now_ts is None:
         raise ValueError(
@@ -228,10 +247,11 @@ def plan_fetch_batch(
     hashed = uniq.withColumn("url_hash", portable_hash(F.col(url_col)))
     if seen_store is not None:
         if refresh_after is None and lastmod_col is None:
-            # fast path: pure membership, no timestamps involved
+            # fast path: pure membership, no timestamps involved —
+            # every survivor is by construction NEW
             hashed = hashed.join(
                 seen_store.select("url_hash"), on="url_hash", how="left_anti"
-            )
+            ).withColumn("is_recrawl", F.lit(False))
         else:
             hashed = _freshness_probe(
                 hashed,
@@ -240,6 +260,8 @@ def plan_fetch_batch(
                 now_ts=now_ts,
                 lastmod_col=lastmod_col,
             )
+    else:
+        hashed = hashed.withColumn("is_recrawl", F.lit(False))
     # curation gates: blocklist/allowlist/patterns, then robots
     gated = filter_urls(
         hashed,
@@ -261,6 +283,7 @@ def plan_fetch_batch(
         default_delay=default_delay,
         delay_cap=delay_cap,
         max_urls_per_domain=max_urls_per_domain,
+        recrawl_share=recrawl_share,
     )
     # ready carries ONE row per canonical URL (the batch dedup above), and
     # every ready hash was just probed out of the store — the two sides

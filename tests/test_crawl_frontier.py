@@ -233,6 +233,77 @@ def test_refresh_after_readmits_stale(spark):
     assert (stale, 1000.0) in rows and (stale, 100.0) in rows
 
 
+def test_recrawl_share_cannot_starve_new_urls(spark):
+    """Two rounds: TTL re-admissions sort FIRST alphabetically, so
+    without budgeting they would take every budget slot; recrawl_share
+    caps them and new discoveries keep their reserve.  A domain with no
+    new URLs borrows the unused new slots (no idle budget)."""
+    r1 = plan_fetch_batch(
+        _cands(spark, [f"http://d.example/a{i}" for i in range(1, 7)]),
+        None, None, max_urls_per_domain=4, now_ts=100.0,
+    )
+    fetched = sorted(r["url"] for r in r1.ready.collect())
+    assert fetched == [f"http://d.example/a{i}" for i in range(1, 5)]
+    assert all(r["is_recrawl"] is False for r in r1.ready.collect())
+    store = r1.store.localCheckpoint(eager=True)
+
+    # round 2: the 4 fetched urls are stale (TTL) + 5 genuinely new urls
+    cands2 = _cands(
+        spark,
+        [f"http://d.example/a{i}" for i in range(1, 7)]
+        + ["http://d.example/z1", "http://d.example/z2",
+           "http://d.example/z3"]
+        + ["http://only-re.example/a1"],
+    )
+    store2 = store.unionByName(
+        spark.createDataFrame(
+            [(_hash_of(spark, "http://only-re.example/a1"), 100.0)],
+            "url_hash long, last_fetch_ts double",
+        )
+    )
+    # WITHOUT the share: the re-crawls (a1..a4) fill all 4 slots
+    res_no = plan_fetch_batch(
+        cands2, store2, None, max_urls_per_domain=4,
+        refresh_after=500.0, now_ts=1000.0,
+    )
+    got_no = sorted(
+        r["url"] for r in res_no.ready.collect()
+        if r["url"].startswith("http://d.example/")
+    )
+    assert got_no == [f"http://d.example/a{i}" for i in range(1, 5)]
+    # WITH recrawl_share=0.5: 2 re-crawl slots + 2 new slots
+    res = plan_fetch_batch(
+        cands2, store2, None, max_urls_per_domain=4,
+        refresh_after=500.0, now_ts=1000.0, recrawl_share=0.5,
+    )
+    rows = {
+        r["url"]: r["is_recrawl"] for r in res.ready.collect()
+    }
+    assert {u for u in rows if u.startswith("http://d.example/")} == {
+        "http://d.example/a1", "http://d.example/a2",  # capped re-crawls
+        "http://d.example/a5", "http://d.example/a6",  # new keep reserve
+    }
+    assert rows["http://d.example/a1"] and not rows["http://d.example/a5"]
+    # the re-crawl-only domain borrows the idle new slots
+    assert rows["http://only-re.example/a1"] is True
+    # offsets re-rank gap-free: 0,1,2,3 × delay within d.example
+    offs = sorted(
+        r["fetch_offset_s"] for r in res.ready.collect()
+        if r["url"].startswith("http://d.example/")
+    )
+    assert offs == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_recrawl_share_requires_budget(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="max_urls_per_domain"):
+        plan_fetch_batch(
+            _cands(spark, ["http://a.example/x"]), None, None,
+            max_urls_per_domain=None, recrawl_share=0.5,
+        )
+
+
 def test_refresh_uses_latest_fetch_of_history(spark):
     """An append-only store holds one row per PAST fetch; freshness must
     key off the max, not any row."""
