@@ -139,13 +139,14 @@ def main(argv: list[str] | None = None) -> int:
     compact.add_argument("--store", required=True, help="store dir")
     compact.add_argument(
         "--kind", required=True,
-        choices=["seen", "gram", "sketch", "histogram", "cms",
+        choices=["seen", "gram", "sketch", "histogram", "cms", "bloom",
                  "fingerprint"],
         help="seen: frontier URL hashes (max last_fetch_ts per hash); "
         "gram: span-dedup counts (capped sum per gram); sketch: HLL "
         "(register-maxima merge per group); histogram: exact bin adds "
         "per group; cms: count-min cell adds per (group, depth, "
-        "bucket); fingerprint: rows are already disjoint — the rewrite "
+        "bucket); bloom: membership word ORs per (group, word); "
+        "fingerprint: rows are already disjoint — the rewrite "
         "consolidates small append files in a PLAIN parquet dir "
         "(--bucket-col partitions the files by hash for locality; a "
         "metastore-bucketed saveAsTable store compacts via "
@@ -301,6 +302,16 @@ def _compact(args) -> int:
                   file=sys.stderr)
             return 2
         out = compact_cms_store(df, group_cols)
+    elif args.kind == "bloom":
+        from evidence_datasource_parsers_spark.operators.sketches import (
+            compact_bloom_store,
+        )
+
+        if not group_cols:
+            print("compact: --kind bloom needs --group-cols",
+                  file=sys.stderr)
+            return 2
+        out = compact_bloom_store(df, group_cols)
     else:  # fingerprint: rows already disjoint — consolidate files
         if args.buckets and not args.bucket_col:
             print(

@@ -503,6 +503,154 @@ def frequent_items(
     )
 
 
+def _bloom_bit(value: Column, d: int, m_bits: int, salt: str) -> Column:
+    """Hash ``d``'s bit position for ``value`` — the hash index rides in
+    the salt, same independence trick as :func:`_cms_bucket`."""
+    return (
+        portable_hash(
+            F.concat(value.cast("string"), F.lit(f":bf{d}:{salt}"))
+        )
+        % m_bits
+    ).cast("long")
+
+
+def bloom_store(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 4,
+    m_bits: int = 65536,
+    salt: str = "bloom",
+) -> DataFrame:
+    """One Bloom filter of ``value_col`` per group — a batch's summary:
+    ``(group_cols…, __w, bits)`` with one row per TOUCHED 64-bit word
+    (``__w`` = word index, ``bits`` = the word's set bits as a long).
+    The membership member of the mergeable counter-store family (HLL =
+    distinct, histogram = distribution, CMS = frequency, Bloom =
+    membership): merging is ``bit_or`` — associative, commutative AND
+    idempotent, so like HLL (and unlike the exact counters) a replayed
+    batch's redundant rows are absorbed by the merge itself.
+
+    NULL values are ignored (the family's convention).  ``k``/``m_bits``/
+    ``salt`` are the filter identity and must match across every store
+    that will ever merge; size with :func:`bloom_params`.  One explode
+    over ``k`` rows + one map-side-combined aggregation; the store is at
+    most ``#groups · m_bits/64`` rows and usually far fewer (only touched
+    words materialize)."""
+    v = F.col(value_col)
+    bits = df.where(v.isNotNull()).select(
+        *group_cols,
+        F.explode(
+            F.array(*[
+                _bloom_bit(v, d, m_bits, salt) for d in range(k)
+            ])
+        ).alias("__bit"),
+    )
+    return (
+        bits.select(
+            *group_cols,
+            (F.col("__bit") / 64).cast("long").alias("__w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__bit % 64 AS INT))"
+            ).alias("__mask"),
+        )
+        .groupBy(*group_cols, "__w")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def bloom_merge_stores(
+    stores: list[DataFrame],
+    group_cols: list[str],
+) -> DataFrame:
+    """Union N Bloom stores: words OR together — one shuffle on
+    (group, word), and the OR is idempotent so duplicate history rows
+    (at-least-once replays) change nothing."""
+    if not stores:
+        raise ValueError("need at least one store")
+    unioned = stores[0]
+    for s in stores[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned.groupBy(*group_cols, "__w").agg(
+        F.bit_or("bits").alias("bits")
+    )
+
+
+def compact_bloom_store(
+    store: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Collapse an append-only Bloom history to one row per touched word
+    — EXACT (OR is idempotent), output is a valid store."""
+    return bloom_merge_stores([store], group_cols)
+
+
+def bloom_member(
+    store: DataFrame,
+    items: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 4,
+    m_bits: int = 65536,
+    salt: str = "bloom",
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Membership probe: for each ``items`` row, true iff ALL ``k`` of
+    its bits are set in the group's filter — no false negatives; false
+    positives at the filter's design rate (:func:`bloom_params`).  Reads
+    an append HISTORY directly: the per-word OR happens in the
+    aggregate, exactly like :func:`cms_estimate` sums cells.  The probe
+    explodes items × k (item-bounded), joins the store on (group, word)
+    — broadcast while the store is small, word-keyed at scale — and
+    never shuffles more than the probe side."""
+    items = items.dropDuplicates([*group_cols, value_col])
+    probes = items.select(
+        *group_cols,
+        F.col(value_col),
+        F.explode(
+            F.array(*[
+                _bloom_bit(F.col(value_col), d, m_bits, salt)
+                for d in range(k)
+            ])
+        ).alias("__bit"),
+    ).select(
+        *group_cols, value_col, "__bit",
+        (F.col("__bit") / 64).cast("long").alias("__w"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(__bit % 64 AS INT))"
+        ).alias("__mask"),
+    )
+    joined = probes.join(store, on=[*group_cols, "__w"], how="left")
+    # per (item, bit): OR the history's rows for that word (absent word
+    # = no bits), then test the mask; membership = every bit hit
+    per_bit = joined.groupBy(*group_cols, value_col, "__bit").agg(
+        (
+            F.bit_or(F.coalesce(F.col("bits"), F.lit(0)))
+            .bitwiseAND(F.first("__mask"))
+            != 0
+        ).alias("__hit")
+    )
+    return per_bit.groupBy(*group_cols, value_col).agg(
+        F.bool_and("__hit").alias(out_col)
+    )
+
+
+def bloom_params(n_items: int, fpr: float) -> tuple[int, int]:
+    """Standard Bloom sizing: ``(k, m_bits)`` for ``n_items`` expected
+    insertions at false-positive rate ``fpr`` — m = ⌈−n·ln p / (ln 2)²⌉,
+    k = ⌈(m/n)·ln 2⌉.  e.g. ``bloom_params(10_000_000, 0.01)`` →
+    (7, 95 850 584): ~11.4 MB of words per group for 1% FPR over 10M
+    URLs — the bounded-memory alternative to the exact seen-store
+    anti-join."""
+    if n_items < 1:
+        raise ValueError("n_items must be >= 1")
+    if not (0 < fpr < 1):
+        raise ValueError("fpr must be in (0, 1)")
+    m = max(64, math.ceil(-n_items * math.log(fpr) / (math.log(2) ** 2)))
+    k = max(1, math.ceil(m / n_items * math.log(2)))
+    return (k, m)
+
+
 def cms_params(epsilon: float, delta: float) -> tuple[int, int]:
     """Standard count-min sizing: ``(depth, width)`` such that the
     estimate exceeds the true count by more than ``epsilon·N`` (N =

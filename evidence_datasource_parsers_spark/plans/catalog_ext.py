@@ -38,6 +38,29 @@ def _cms_status_sql(depth: int = 4, width: int = 1024) -> str:
     return "CAST(LEAST(" + ", ".join(terms) + ") AS BIGINT)"
 
 
+def _bloom_member_sql(probe: str, k: int = 4, m_bits: int = 1024) -> str:
+    """DuckDB replay of the Bloom membership probe for ``probe`` over
+    ``l_linestatus`` (operators/sketches.py:bloom_store/bloom_member):
+    probe bit ``d`` is set iff ANY row's ANY of the ``k`` hashes lands on
+    it — MAX(CASE) per probe bit, LEAST across the ``k`` probe bits —
+    the identical bit arithmetic, false positives included, so the leg
+    is value-hash gated.  MAX (not SUM) keeps the type INTEGER — no
+    HUGEINT coercion (the round-9 q42 lesson)."""
+    row_hashes = []
+    for j in range(k):
+        expr = f"l_linestatus || ':bf{j}:bloom'"
+        row_hashes.append(f"({portable_hash_sql(expr)} % {m_bits})")
+    terms = []
+    for d in range(k):
+        probe_bit = (
+            f"({portable_hash_sql(repr(probe + f':bf{d}:bloom'))}"
+            f" % {m_bits})"
+        )
+        hits = " OR ".join(f"{h} = {probe_bit}" for h in row_hashes)
+        terms.append(f"MAX(CASE WHEN {hits} THEN 1 ELSE 0 END)")
+    return "(LEAST(" + ", ".join(terms) + ") = 1)"
+
+
 @register(
     "q40_rollup",
     """
@@ -153,7 +176,9 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
              CAST(SUM(CASE WHEN CAST(round(l_quantity*100) AS BIGINT) >= 4000
                       THEN 1 ELSE 0 END) AS VARCHAR)
            ) AS hist_qty_c,
-           {_cms_status_sql()} AS cms_status_o_c
+           {_cms_status_sql()} AS cms_status_o_c,
+           {_bloom_member_sql("O")} AS bloom_status_o,
+           {_bloom_member_sql("ZZ")} AS bloom_status_zz
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("percentile", "approx", "sketch"),
@@ -185,8 +210,18 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     ``cms_store`` rows are unioned (never merged — the raw on-disk
     layout), ``cms_estimate`` sums per cell then mins across the depth
     rows, and DuckDB replays the identical bucket arithmetic
-    (collisions included), so the leg is exact under the value hash."""
+    (collisions included), so the leg is exact under the value hash.
+
+    ``bloom_status_o``/``bloom_status_zz`` exercise the BLOOM membership
+    store (the family's fourth member) through the same parity-split
+    append history: each batch's ``bloom_store`` words are unioned raw,
+    ``bloom_member`` ORs per word then ANDs across the k probe bits, and
+    DuckDB replays the identical bit arithmetic — a present status must
+    probe true, an absent one false (or a replayed false positive — the
+    oracle computes the same bits either way)."""
     from evidence_datasource_parsers_spark.operators.sketches import (
+        bloom_member,
+        bloom_store,
         cms_estimate,
         cms_store,
         hll_estimates,
@@ -198,6 +233,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     store = None
     hstore = None
     chistory = None
+    bhistory = None
     hedges = [1000.0, 2500.0, 4000.0]  # quantity cents; mirrored in SQL
     for parity in (0, 1):
         batch = l.where(F.col("l_orderkey") % 2 == parity)
@@ -221,6 +257,16 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         chistory = (
             piece if chistory is None else chistory.unionByName(piece)
         )
+        bpiece = bloom_store(
+            batch.select("l_returnflag", "l_linestatus"),
+            ["l_returnflag"],
+            "l_linestatus",
+            k=4,
+            m_bits=1024,
+        )
+        bhistory = (
+            bpiece if bhistory is None else bhistory.unionByName(bpiece)
+        )
     merged = hll_estimates(store).select(
         "l_returnflag", F.col("approx_distinct").alias("__mest")
     )
@@ -239,6 +285,17 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         "l_returnflag",
         F.col("est_count").cast("long").alias("cms_status_o_c"),
     )
+
+    def _bloom_leg(probe: str, out: str):
+        bitems = l.select("l_returnflag").distinct().withColumn(
+            "__bv", F.lit(probe)
+        )
+        return bloom_member(
+            bhistory, bitems, ["l_returnflag"], "__bv", k=4, m_bits=1024
+        ).select("l_returnflag", F.col("maybe_member").alias(out))
+
+    bloom_o = _bloom_leg("O", "bloom_status_o")
+    bloom_zz = _bloom_leg("ZZ", "bloom_status_zz")
     qty_c = cents(F.col("l_quantity"))
     price_c = cents(F.col("l_extendedprice"))
     agg = l.groupBy("l_returnflag").agg(
@@ -268,6 +325,8 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         agg.join(F.broadcast(merged), on="l_returnflag")
         .join(F.broadcast(hist), on="l_returnflag")
         .join(F.broadcast(cms_status), on="l_returnflag")
+        .join(F.broadcast(bloom_o), on="l_returnflag")
+        .join(F.broadcast(bloom_zz), on="l_returnflag")
         .select(
             agg["*"],
             (
@@ -277,6 +336,8 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("merged_hll_within_5pct"),
             "hist_qty_c",
             "cms_status_o_c",
+            "bloom_status_o",
+            "bloom_status_zz",
         )
     )
 

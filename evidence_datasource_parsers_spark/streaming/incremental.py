@@ -426,6 +426,33 @@ def streaming_frequency_sink(
     )
 
 
+def streaming_membership_sink(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 4,
+    m_bits: int = 65536,
+    salt: str = "bloom",
+):
+    """foreachBatch sink for the BLOOM membership store — the fourth
+    counter-store streaming surface: per micro-batch, append the batch's
+    own touched-word rows; probe anytime with ``bloom_member`` (which
+    ORs the raw history directly).  ``k``/``m_bits``/``salt`` are the
+    filter identity.  Doubly replay-safe: the per-batch file overwrite
+    (``write_batch_summary``) AND the OR-merge's idempotence each absorb
+    a replay on their own."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        bloom_store,
+    )
+
+    return _append_summary_sink(
+        stream, store_dir, checkpoint,
+        lambda b: bloom_store(b, group_cols, value_col, k, m_bits, salt),
+    )
+
+
 def write_batch_summary(
     summary: DataFrame, store_dir: str, token: str, batch_id: int
 ) -> None:

@@ -305,6 +305,21 @@ def test_compact_cli_all_kinds(spark, tmp_path, capsys):
     }
     assert cms_rows == {("a", 0, 5, 5), ("a", 1, 9, 2)}
 
+    # bloom: appended word histories OR together (idempotent — the
+    # duplicate row collapses without changing any bit)
+    bloom = str(tmp_path / "bloom")
+    spark.createDataFrame(
+        [("a", 3, 5), ("a", 3, 5), ("a", 3, 2), ("a", 7, 1)],
+        "g string, __w long, bits long",
+    ).write.parquet(bloom)
+    assert main(["compact", "--store", bloom, "--kind", "bloom",
+                 "--group-cols", "g"]) == 0
+    bloom_rows = {
+        (r["g"], r["__w"], r["bits"])
+        for r in spark.read.parquet(bloom).collect()
+    }
+    assert bloom_rows == {("a", 3, 7), ("a", 7, 1)}
+
     # seen: the frontier store collapses to max-ts per hash through the
     # same CLI entry (mixed legacy layout handled by read_seen_store)
     seen = str(tmp_path / "seen")

@@ -481,3 +481,148 @@ def test_windowed_counter_probe_by_partition_pruning(spark, tmp_path):
     plan = last2._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[[^\]]*day[^\]]*2026-08-14", plan)
     assert m, plan
+
+
+def test_bloom_membership_basics(spark):
+    """No false negatives ever; false positives at ~the design rate for
+    a properly sized filter (here: generously sized, so zero on a small
+    probe set)."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        bloom_member,
+        bloom_store,
+    )
+
+    present = [f"url-{i}" for i in range(200)]
+    df = spark.createDataFrame(
+        [("a", u) for u in present], "g string, v string"
+    )
+    store = bloom_store(df, ["g"], "v", k=4, m_bits=16384)
+    items = spark.createDataFrame(
+        [("a", u) for u in present[:50]]
+        + [("a", f"absent-{i}") for i in range(50)],
+        "g string, v string",
+    )
+    got = {
+        r.v: r.maybe_member
+        for r in bloom_member(
+            store, items, ["g"], "v", k=4, m_bits=16384
+        ).collect()
+    }
+    assert all(got[u] for u in present[:50])  # no false negatives
+    fp = sum(1 for i in range(50) if got[f"absent-{i}"])
+    # 200 items in 16384 bits with k=4: theoretical FPR ~ 2e-5; even 1
+    # hit in 50 probes would be ~3 sigma past the design rate
+    assert fp == 0
+    # an unknown GROUP is all-absent (left join finds no words)
+    other = spark.createDataFrame([("zz", "url-0")], "g string, v string")
+    assert bloom_member(
+        store, other, ["g"], "v", k=4, m_bits=16384
+    ).collect()[0].maybe_member is False
+
+
+def test_bloom_append_advance_equivalence(spark, tmp_path):
+    """Append-only like its siblings, PLUS replay-idempotent at the
+    merge itself (OR absorbs duplicate history rows — HLL-class safety,
+    not exact-counter-class)."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        bloom_member,
+        bloom_store,
+        compact_bloom_store,
+    )
+
+    b1 = spark.createDataFrame(
+        [("a", "x"), ("a", "y")], "g string, v string"
+    )
+    b2 = spark.createDataFrame([("a", "z")], "g string, v string")
+    path = str(tmp_path / "bloom_history")
+    for b in (b1, b2, b2):  # b2 twice = a replayed batch
+        bloom_store(b, ["g"], "v", k=3, m_bits=4096).write.mode(
+            "append"
+        ).parquet(path)
+
+    history = spark.read.parquet(path)
+    items = spark.createDataFrame(
+        [("a", v) for v in ("x", "y", "z", "w")], "g string, v string"
+    )
+
+    def probe(store):
+        return {
+            r.v: r.maybe_member
+            for r in bloom_member(
+                store, items, ["g"], "v", k=3, m_bits=4096
+            ).collect()
+        }
+
+    raw = probe(history)
+    assert raw == {"x": True, "y": True, "z": True, "w": False}
+    compacted = compact_bloom_store(history, ["g"])
+    assert compacted.count() <= history.count()
+    assert probe(compacted) == raw
+    # one-shot over the union == merged history (OR associativity)
+    oneshot = bloom_store(
+        b1.unionByName(b2), ["g"], "v", k=3, m_bits=4096
+    )
+    assert probe(oneshot) == raw
+
+
+def test_bloom_params_sizing():
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        bloom_params,
+    )
+
+    k, m = bloom_params(10_000_000, 0.01)
+    assert k == 7 and 95_000_000 < m < 96_500_000
+    k2, m2 = bloom_params(100, 0.001)
+    assert k2 >= 9 and m2 >= 1400
+    import pytest
+
+    with pytest.raises(ValueError):
+        bloom_params(0, 0.01)
+    with pytest.raises(ValueError):
+        bloom_params(100, 1.5)
+
+
+def test_streaming_membership_sink(spark, tmp_path):
+    """The Bloom sink appends each batch's words beside the history and
+    the probe reads it raw — same cross-run incremental contract as the
+    HLL/histogram/CMS sinks."""
+    import json as _json
+
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        bloom_member,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        streaming_membership_sink,
+    )
+
+    src = tmp_path / "bloom_in"
+    src.mkdir()
+    store = str(tmp_path / "bloom_store")
+
+    def write_batch(name, toks):
+        (src / name).write_text(
+            "\n".join(_json.dumps({"g": "a", "tok": t}) for t in toks)
+        )
+
+    def run():
+        stream = spark.readStream.schema("g string, tok string").json(
+            str(src)
+        )
+        streaming_membership_sink(
+            stream, store, str(tmp_path / "ckb"), ["g"], "tok"
+        ).awaitTermination()
+
+    write_batch("b1.json", ["x", "y"])
+    run()
+    write_batch("b2.json", ["z"])
+    run()
+    items = spark.createDataFrame(
+        [("a", v) for v in ("x", "y", "z", "w")], "g string, v string"
+    )
+    got = {
+        r.v: r.maybe_member
+        for r in bloom_member(
+            spark.read.parquet(store), items, ["g"], "v"
+        ).collect()
+    }
+    assert got == {"x": True, "y": True, "z": True, "w": False}

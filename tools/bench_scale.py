@@ -494,6 +494,98 @@ def incremental_remux_case(spark, materialize, replicas: int):
     return row
 
 
+def counter_bloom_case(spark, materialize, replicas: int):
+    """The Bloom membership store's three scale numbers: probing a RAW
+    append history grows with history length (motivating the compaction
+    cadence), probing the COMPACTED history is flat (word rows are
+    m_bits-bounded per group regardless of corpus), and the advance is
+    O(batch).  Mirrors the siblings: base = 1-batch history, scaled =
+    ``replicas``-batch history over distinct urls."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        bloom_member,
+        bloom_store,
+        compact_bloom_store,
+    )
+
+    n = 200_000
+    k, m_bits = 4, 1 << 20
+
+    def mk_batch(b: int):
+        return (
+            spark.range(n)
+            .select(
+                F.lit("g").alias("g"),
+                F.concat(
+                    F.lit(f"http://host{b}.example/p"), F.col("id")
+                ).alias("url"),
+            )
+        )
+
+    def mk_history(batches: int):
+        h = None
+        for b in range(batches):
+            piece = bloom_store(
+                mk_batch(b), ["g"], "url", k=k, m_bits=m_bits
+            )
+            h = piece if h is None else h.unionByName(piece)
+        return h.localCheckpoint(eager=True)
+
+    items = (
+        spark.range(2000)
+        .select(
+            F.lit("g").alias("g"),
+            F.concat(F.lit("http://host0.example/p"), F.col("id")).alias(
+                "url"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    row = {}
+    for label, batches in (("base", 1), ("scaled", replicas)):
+        history = mk_history(batches)
+        best = -1.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(
+                bloom_member(history, items, ["g"], "url", k, m_bits)
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best < 0 else min(best, dt)
+        row[label] = round(best, 3)
+        if label == "scaled":
+            compacted = compact_bloom_store(history, ["g"]).localCheckpoint(
+                eager=True
+            )
+            t0 = time.perf_counter()
+            materialize(
+                bloom_member(compacted, items, ["g"], "url", k, m_bits)
+            )
+            row["scaled_compacted"] = round(time.perf_counter() - t0, 3)
+            time_delta_advance(
+                bloom_store(mk_batch(99), ["g"], "url", k=k, m_bits=m_bits),
+                history,
+                label,
+                row,
+                "bloom",
+            )
+    # base advance: append the same batch beside a 1-batch store
+    time_delta_advance(
+        bloom_store(mk_batch(99), ["g"], "url", k=k, m_bits=m_bits),
+        mk_history(1),
+        "base",
+        row,
+        "bloom",
+    )
+    if row.get("base", -1) > 0 and row.get("scaled", -1) > 0:
+        row["factor"] = round(row["scaled"] / row["base"], 2)
+        if row.get("scaled_compacted", -1) > 0:
+            row["compacted_factor"] = round(
+                row["scaled_compacted"] / row["base"], 2
+            )
+    add_advance_factor(row)
+    return row
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -564,6 +656,9 @@ def main() -> None:
         spark, materialize, replicas
     )
     results["frontier_seen_store"] = frontier_store_case(
+        spark, materialize, replicas
+    )
+    results["counter_bloom_store"] = counter_bloom_case(
         spark, materialize, replicas
     )
 
