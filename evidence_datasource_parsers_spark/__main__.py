@@ -100,7 +100,11 @@ def main(argv: list[str] | None = None) -> int:
     frontier.add_argument("--store", required=True,
                           help="seen-URL store dir (created on first run)")
     frontier.add_argument("--out", required=True,
-                          help="fetch-list output dir")
+                          help="fetch-list output dir (append mode; "
+                          "rounds written before the is_recrawl column "
+                          "existed mix layouts — read such dirs with "
+                          "option('mergeSchema', true) or the column "
+                          "silently drops)")
     frontier.add_argument("--robots",
                           help="parquet (domain, robots_txt) frame")
     frontier.add_argument("--url-col", default="url")

@@ -98,14 +98,13 @@ _COERCING_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "DATE")
 def oracle_type_offenders(rel) -> list:
     """Columns of a DuckDB relation whose type the driver's pandas
     canonicalizer renders differently from Spark's (see
-    ``_COERCING_ORACLE_TYPES``).  DATE is flagged even though TIMESTAMP is
-    not: both engines render TIMESTAMP identically, but a DuckDB DATE turns
-    into a midnight Timestamp while Spark keeps ``datetime.date``."""
+    ``_COERCING_ORACLE_TYPES``).  TIMESTAMP is deliberately NOT in the
+    list: both engines render it identically; DATE is, because DuckDB's
+    pandas path turns it into a midnight Timestamp while Spark keeps
+    ``datetime.date``."""
     out = []
     for col, ty in zip(rel.columns, rel.types):
         ts = str(ty).upper()
-        if ts == "TIMESTAMP":
-            continue
         if any(k in ts for k in _COERCING_ORACLE_TYPES):
             out.append((col, str(ty)))
     return out

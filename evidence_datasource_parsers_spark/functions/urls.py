@@ -638,6 +638,12 @@ def schedule_fetches(
             )
         r_cap = int(float(recrawl_share) * max_urls_per_domain)
         n_cap = max_urls_per_domain - r_cap
+        # NULL flags would form their own (domain, NULL) class partition,
+        # count toward NEITHER class total, and slip past the budget —
+        # normalize to the conservative reading (unknown = new)
+        out = out.withColumn(
+            "is_recrawl", F.coalesce(F.col("is_recrawl"), F.lit(False))
+        )
         # per-class rank + per-domain class counts: each class holds its
         # reserved slots and borrows whatever the other leaves unfilled.
         # Same partition key as the schedule window — one Exchange total.

@@ -70,13 +70,18 @@ def audit_q62_legs(s_pdf, d_pdf, sf_dir: str = "", write: bool = True) -> dict:
     for leg, cols in LEG_COLUMNS.items():
         entry = {}
         for side, pdf in (("spark", s_pdf), ("oracle", d_pdf)):
-            missing = [c for c in cols if c not in pdf.columns]
+            missing = [c for c in ["media_id"] + cols if c not in pdf.columns]
             if missing:
                 entry[f"{side}_hash"] = f"MISSING:{missing}"
                 continue
             sc, sr = canon_pandas(pdf[["media_id"] + cols])
             entry[f"{side}_hash"] = _hash_canon(sc, sr)
-        entry["match"] = entry["spark_hash"] == entry["oracle_hash"]
+        # a leg absent from EITHER side is un-audited, never a match —
+        # two identical MISSING strings must not read as green
+        entry["match"] = (
+            entry["spark_hash"] == entry["oracle_hash"]
+            and not entry["spark_hash"].startswith("MISSING")
+        )
         legs[leg] = entry
     failing = sorted(leg for leg, e in legs.items() if not e["match"])
     audit = {

@@ -67,6 +67,12 @@ def recover_store_dir(store_dir: str) -> bool:
     swaps = sorted(
         d for d in os.listdir(parent) if d.startswith(f"{base}__swap_")
     )
+    # write_batch_summary staging leftovers (crash between the staged
+    # parquet write and its finally-cleanup) are garbage at the top of
+    # ANY batch — single-writer contract — even before the store exists
+    for d in os.listdir(parent):
+        if d.startswith(f"{base}__stage_"):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     restored = False
     if not os.path.isdir(store_dir) and olds:
         # the __old_ suffix is a random uuid, so name order says nothing
@@ -266,19 +272,43 @@ def incremental_dedupe_sink(
         elif mode == "span":
             from evidence_datasource_parsers_spark.operators.span_dedup import (
                 incremental_span_dedupe,
-                write_gram_store_meta,
             )
 
             # The saturation cap is part of the store's identity — FAIL
             # the batch BEFORE probing if the dir's sidecar disagrees
             # (probing a cap-2 store at threshold 3 under-counts and
-            # silently misses duplicate spans).  The sidecar itself is
-            # (re)written after the append so a first-batch crash never
-            # leaves a parquet-less dir.
+            # silently misses duplicate spans).  A sidecar-LESS existing
+            # store is ambiguous: its cap is whatever the round that
+            # built it used, so adopting this run's configuration would
+            # lock in a possibly-wrong identity — refuse it like the
+            # compact CLI does, and let the operator stamp it once via
+            # write_gram_store_meta with the known true cap.  The
+            # sidecar is (re)written after the append so a first-batch
+            # crash never leaves a parquet-less dir.
+            cap = dedupe_opts.get("min_occurrences", 2)
             if os.path.isdir(store_dir):
-                write_gram_store_meta(
-                    store_dir, dedupe_opts.get("min_occurrences", 2)
+                from evidence_datasource_parsers_spark.operators.span_dedup import (  # noqa: E501
+                    read_gram_store_meta,
                 )
+
+                recorded = read_gram_store_meta(store_dir)
+                if recorded is None:
+                    raise ValueError(
+                        f"gram store {store_dir} has no "
+                        "_span_gram_meta.json sidecar: its saturation "
+                        "cap is unknown, and probing it at "
+                        f"min_occurrences={cap} could under-count. "
+                        "Stamp the store once with "
+                        "write_gram_store_meta(store_dir, <true cap>) "
+                        "and re-run."
+                    )
+                if recorded != cap:
+                    raise ValueError(
+                        f"gram store {store_dir} was built with "
+                        f"min_occurrences={recorded}; this sink is "
+                        f"configured with {cap} — the capped counts are "
+                        "not comparable"
+                    )
             res = incremental_span_dedupe(
                 batch_df, store, text_col, id_col, **dedupe_opts
             )

@@ -294,6 +294,29 @@ def test_recrawl_share_cannot_starve_new_urls(spark):
     assert offs == [0.0, 1.0, 2.0, 3.0]
 
 
+def test_recrawl_share_null_flags_count_as_new(spark):
+    """A direct schedule_fetches caller with NULLable is_recrawl must not
+    slip past the per-domain budget (NULL rows would otherwise form
+    their own class partition, counted in neither total)."""
+    from evidence_datasource_parsers_spark.functions.urls import (
+        schedule_fetches,
+    )
+
+    rows = (
+        [(f"http://d.example/n{i}", False) for i in range(2)]
+        + [(f"http://d.example/r{i}", True) for i in range(2)]
+        + [(f"http://d.example/u{i}", None) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "url string, is_recrawl boolean")
+    out = schedule_fetches(
+        df, None, max_urls_per_domain=4, recrawl_share=0.5
+    )
+    kept = out.collect()
+    assert len(kept) == 4  # budget holds
+    # NULL flags read as new: 2 recrawl slots + 2 of the 4 new-class urls
+    assert sum(1 for r in kept if r["url"].startswith("http://d.example/r")) == 2
+
+
 def test_recrawl_share_requires_budget(spark):
     import pytest
 

@@ -58,6 +58,25 @@ def test_frame_perturbation_flips_exactly_one_leg(frames):
     assert audit["failing_legs"] == ["codec_pjpeg_gif_png"]
 
 
+def test_leg_missing_from_both_frames_is_not_a_match(frames):
+    """A kernel deleted from BOTH the plan and the oracle must show its
+    leg as un-audited (match=False), not green via two identical
+    MISSING strings — and a missing join key must not raise."""
+    s_pdf, d_pdf = frames
+    dropped = [c for c in LEG_COLUMNS["jpeg"]]
+    audit = audit_q62_legs(
+        s_pdf.drop(columns=dropped), d_pdf.drop(columns=dropped),
+        write=False,
+    )
+    assert audit["legs"]["jpeg"]["match"] is False
+    assert "jpeg" in audit["failing_legs"]
+    # no media_id anywhere: every leg is un-audited, nothing raises
+    audit2 = audit_q62_legs(
+        s_pdf.drop(columns=["media_id"]), d_pdf, write=False
+    )
+    assert all(not e["match"] for e in audit2["legs"].values())
+
+
 def test_new_unmapped_column_is_flagged(frames):
     s_pdf, d_pdf = frames
     grown = s_pdf.copy()

@@ -680,6 +680,21 @@ def test_incremental_dedupe_sink_span_mode(spark, tmp_path):
     with _pytest.raises(Exception, match="min_occurrences"):
         q3.awaitTermination()
     assert read_gram_store_meta(store) == 2  # sidecar untouched
+    # a LEGACY store (parquet, no sidecar) is ambiguous — the sink must
+    # refuse rather than adopt this run's cap as the store's identity
+    legacy = str(tmp_path / "span_store_legacy")
+    spark.read.parquet(store).write.parquet(legacy)
+    stream4 = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    q4 = incremental_dedupe_sink(
+        stream4, out, legacy, str(tmp_path / "span_ck_legacy"),
+        "text", "doc_id", mode="span", min_tokens=4,
+    )
+    with _pytest.raises(Exception, match="_span_gram_meta"):
+        q4.awaitTermination()
+    assert read_gram_store_meta(legacy) is None  # still unstamped
 
 
 def test_incremental_lsh_sink_provenance_and_cap(spark, tmp_path):

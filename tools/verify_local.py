@@ -124,15 +124,18 @@ def run(sf_dir: str, only: list[str], vanilla: bool = False) -> int:
                 audit_q62_legs,
             )
 
-            leg_audit = audit_q62_legs(s_pdf, d_pdf, sf_dir=sf_dir)
-            print(
-                f"      q62 leg audit: {leg_audit['status']}"
-                + (
-                    f" failing={leg_audit['failing_legs']}"
-                    if leg_audit["failing_legs"]
-                    else ""
+            try:
+                leg_audit = audit_q62_legs(s_pdf, d_pdf, sf_dir=sf_dir)
+                print(
+                    f"      q62 leg audit: {leg_audit['status']}"
+                    + (
+                        f" failing={leg_audit['failing_legs']}"
+                        if leg_audit["failing_legs"]
+                        else ""
+                    )
                 )
-            )
+            except Exception as exc:  # noqa: BLE001 — forensics never
+                print(f"      q62 leg audit errored (gate unaffected): {exc}")
         sc, sr = canon_pandas(s_pdf)
         dc, dr = canon_pandas(d_pdf)
         if sc != dc:
