@@ -111,3 +111,37 @@ def test_seeded_kernel_fault_flips_own_leg(spark, sf_dir, frames, monkeypatch):
     assert audit["failing_legs"] == ["jpeg"]
     for leg, entry in audit["legs"].items():
         assert entry["match"] == (leg != "jpeg")
+
+
+def test_q42_leg_audit_covers_and_localizes(spark, sf_dir):
+    """q42 hosts the whole counter-store family under one value hash —
+    the generic leg audit must cover every column and name the exact
+    sketch leg a fault lands in."""
+    from evidence_datasource_parsers_spark.plans.q62_audit import (
+        Q42_LEG_COLUMNS,
+        audit_q42_legs,
+    )
+
+    q = CATALOG["q42_percentiles"]
+    s_pdf = q.builder(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in forensics.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    d_pdf = con.sql(q.oracle).df()
+    con.close()
+
+    audit = audit_q42_legs(s_pdf, d_pdf, write=False)
+    assert audit["unmapped_columns"] == []
+    assert audit["failing_legs"] == []
+    assert set(audit["legs"]) == set(Q42_LEG_COLUMNS)
+
+    bad = s_pdf.copy()
+    bad.loc[bad.index[0], "cms_status_o_c"] += 1
+    assert audit_q42_legs(bad, d_pdf, write=False)["failing_legs"] == ["cms"]
+    bad2 = s_pdf.copy()
+    bad2.loc[bad2.index[0], "bloom_status_zz"] = not bool(
+        bad2.loc[bad2.index[0], "bloom_status_zz"]
+    )
+    assert audit_q42_legs(bad2, d_pdf, write=False)["failing_legs"] == [
+        "bloom"
+    ]

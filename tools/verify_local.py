@@ -116,18 +116,19 @@ def run(sf_dir: str, only: list[str], vanilla: bool = False) -> int:
             print(f"FAIL  {name}: oracle error: {exc}")
             failures += 1
             continue
-        if name == "q62_multimodal_meta":
-            # Per-leg hash forensics (free: reuses the frames already in
-            # hand) — when q62 goes red the failing KERNEL is named in
-            # Q62_LEGS_AUDIT.json instead of bisecting ~20 decode paths.
-            from evidence_datasource_parsers_spark.plans.q62_audit import (
-                audit_q62_legs,
-            )
+        from evidence_datasource_parsers_spark.plans.q62_audit import (
+            LEG_AUDITS,
+        )
 
+        if name in LEG_AUDITS:
+            # Per-leg hash forensics (free: reuses the frames already in
+            # hand) — when a multi-leg host query (q62's codec kernels,
+            # q42's counter stores) goes red, the failing LEG is named
+            # in {Q}_LEGS_AUDIT.json instead of bisected.
             try:
-                leg_audit = audit_q62_legs(s_pdf, d_pdf, sf_dir=sf_dir)
+                leg_audit = LEG_AUDITS[name](s_pdf, d_pdf, sf_dir=sf_dir)
                 print(
-                    f"      q62 leg audit: {leg_audit['status']}"
+                    f"      {name} leg audit: {leg_audit['status']}"
                     + (
                         f" failing={leg_audit['failing_legs']}"
                         if leg_audit["failing_legs"]
@@ -135,7 +136,7 @@ def run(sf_dir: str, only: list[str], vanilla: bool = False) -> int:
                     )
                 )
             except Exception as exc:  # noqa: BLE001 — forensics never
-                print(f"      q62 leg audit errored (gate unaffected): {exc}")
+                print(f"      leg audit errored (gate unaffected): {exc}")
         sc, sr = canon_pandas(s_pdf)
         dc, dr = canon_pandas(d_pdf)
         if sc != dc:
