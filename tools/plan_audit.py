@@ -210,6 +210,12 @@ def pipeline_plans(spark) -> dict:
         refresh_after=500.0, now_ts=1000.0, lastmod_col="lastmod_ts",
     )
     plans["frontier_freshness_ready"] = frf.ready
+    frb = plan_fetch_batch(
+        cands, seen_ts, None,
+        refresh_after=500.0, now_ts=1000.0, lastmod_col="lastmod_ts",
+        max_urls_per_domain=100, recrawl_share=0.3,
+    )
+    plans["frontier_recrawl_budget_ready"] = frb.ready
 
     for mode in ("exact", "lsh", "simhash"):
         res = refresh_corpus_batch(
@@ -330,6 +336,19 @@ def pipeline_plans(spark) -> dict:
     plans["cms_probe"] = cms_estimate(
         cms_history, frequent_items(urls, ["domain"], "url", k=3),
         ["domain"], "url",
+    )
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        bloom_member,
+        bloom_store,
+        compact_bloom_store,
+    )
+
+    bloom_history = bloom_store(urls, ["domain"], "url").unionByName(
+        bloom_store(urls.limit(3), ["domain"], "url")
+    )
+    plans["bloom_compact"] = compact_bloom_store(bloom_history, ["domain"])
+    plans["bloom_probe"] = bloom_member(
+        bloom_history, urls, ["domain"], "url"
     )
     return plans
 
