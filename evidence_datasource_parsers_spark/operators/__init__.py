@@ -94,9 +94,15 @@ from evidence_datasource_parsers_spark.operators.semdedup import (  # noqa: F401
     semantic_dupe_groups,
 )
 from evidence_datasource_parsers_spark.operators.sketches import (  # noqa: F401
+    bloom_member,
+    bloom_merge_stores,
+    bloom_params,
+    bloom_store,
     cms_estimate,
     cms_merge_stores,
+    cms_params,
     cms_store,
+    compact_bloom_store,
     compact_cms_store,
     compact_histogram_store,
     compact_sketch_store,
