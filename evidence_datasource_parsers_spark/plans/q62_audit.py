@@ -86,7 +86,12 @@ def audit_legs(
     persists ``{ARTIFACT_DIR}/{artifact}``.
     """
     mapped = {c for cols in leg_columns.values() for c in cols} | {key}
-    unmapped = [c for c in s_pdf.columns if c not in mapped]
+    # symmetric coverage: a column present on EITHER side must belong to
+    # a leg — an oracle-only column would otherwise ship un-audited with
+    # the artifact still claiming 'match'
+    unmapped = sorted(
+        (set(s_pdf.columns) | set(d_pdf.columns)) - mapped
+    )
     legs = {}
     for leg, cols in leg_columns.items():
         entry = {}

@@ -1,4 +1,6 @@
-"""Per-leg hash forensics for q62 (plans/q62_audit.py, round-9 verdict #4).
+"""Per-leg hash forensics for the multi-leg gate hosts (plans/q62_audit.py).
+
+Covers q62 (codec kernels) and q42 (counter-store family).
 
 q62's single value hash covers ~8 kernel modules; the leg audit must (a)
 cover every result column, (b) report all-green on the real query, and (c)
@@ -25,9 +27,8 @@ from evidence_datasource_parsers_spark.plans.q62_audit import (
 NAME = "q62_multimodal_meta"
 
 
-@pytest.fixture(scope="module")
-def frames(spark, sf_dir):
-    q = CATALOG[NAME]
+def _build_frames(spark, sf_dir, name):
+    q = CATALOG[name]
     s_pdf = q.builder(spark, sf_dir).toPandas()
     con = duckdb.connect()
     for t in forensics.TABLES:
@@ -35,6 +36,16 @@ def frames(spark, sf_dir):
     d_pdf = con.sql(q.oracle).df()
     con.close()
     return s_pdf, d_pdf
+
+
+@pytest.fixture(scope="module")
+def frames(spark, sf_dir):
+    return _build_frames(spark, sf_dir, NAME)
+
+
+@pytest.fixture(scope="module")
+def q42_frames(spark, sf_dir):
+    return _build_frames(spark, sf_dir, "q42_percentiles")
 
 
 def test_legs_cover_all_columns_and_match(frames, tmp_path, monkeypatch):
@@ -84,6 +95,12 @@ def test_new_unmapped_column_is_flagged(frames):
     audit = audit_q62_legs(grown, d_pdf.assign(new_kernel_stat=0), write=False)
     assert audit["unmapped_columns"] == ["new_kernel_stat"]
     assert audit["status"] == "unmapped-columns"
+    # symmetric: a column present ONLY on the oracle side is flagged too
+    audit2 = audit_q62_legs(
+        s_pdf, d_pdf.assign(oracle_only_stat=0), write=False
+    )
+    assert audit2["unmapped_columns"] == ["oracle_only_stat"]
+    assert audit2["status"] == "unmapped-columns"
 
 
 def test_seeded_kernel_fault_flips_own_leg(spark, sf_dir, frames, monkeypatch):
@@ -113,7 +130,7 @@ def test_seeded_kernel_fault_flips_own_leg(spark, sf_dir, frames, monkeypatch):
         assert entry["match"] == (leg != "jpeg")
 
 
-def test_q42_leg_audit_covers_and_localizes(spark, sf_dir):
+def test_q42_leg_audit_covers_and_localizes(q42_frames):
     """q42 hosts the whole counter-store family under one value hash —
     the generic leg audit must cover every column and name the exact
     sketch leg a fault lands in."""
@@ -122,13 +139,7 @@ def test_q42_leg_audit_covers_and_localizes(spark, sf_dir):
         audit_q42_legs,
     )
 
-    q = CATALOG["q42_percentiles"]
-    s_pdf = q.builder(spark, sf_dir).toPandas()
-    con = duckdb.connect()
-    for t in forensics.TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    d_pdf = con.sql(q.oracle).df()
-    con.close()
+    s_pdf, d_pdf = q42_frames
 
     audit = audit_q42_legs(s_pdf, d_pdf, write=False)
     assert audit["unmapped_columns"] == []

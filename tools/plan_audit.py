@@ -304,8 +304,11 @@ def pipeline_plans(spark) -> dict:
 
     # counter stores: the append-history probe/compaction plans
     from evidence_datasource_parsers_spark.operators.sketches import (
+        bloom_member,
+        bloom_store,
         cms_estimate,
         cms_store,
+        compact_bloom_store,
         compact_cms_store,
         compact_histogram_store,
         compact_sketch_store,
@@ -337,12 +340,6 @@ def pipeline_plans(spark) -> dict:
         cms_history, frequent_items(urls, ["domain"], "url", k=3),
         ["domain"], "url",
     )
-    from evidence_datasource_parsers_spark.operators.sketches import (
-        bloom_member,
-        bloom_store,
-        compact_bloom_store,
-    )
-
     bloom_history = bloom_store(urls, ["domain"], "url").unionByName(
         bloom_store(urls.limit(3), ["domain"], "url")
     )

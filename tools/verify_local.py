@@ -116,16 +116,18 @@ def run(sf_dir: str, only: list[str], vanilla: bool = False) -> int:
             print(f"FAIL  {name}: oracle error: {exc}")
             failures += 1
             continue
-        from evidence_datasource_parsers_spark.plans.q62_audit import (
-            LEG_AUDITS,
-        )
+        # Per-leg hash forensics (free: reuses the frames already in
+        # hand) — when a multi-leg host query (q62's codec kernels,
+        # q42's counter stores) goes red, the failing LEG is named in
+        # {Q}_LEGS_AUDIT.json instead of bisected.  The IMPORT sits
+        # inside the try too: forensics (even a broken forensics module)
+        # must never fail the gate for any query.
+        try:
+            from evidence_datasource_parsers_spark.plans.q62_audit import (
+                LEG_AUDITS,
+            )
 
-        if name in LEG_AUDITS:
-            # Per-leg hash forensics (free: reuses the frames already in
-            # hand) — when a multi-leg host query (q62's codec kernels,
-            # q42's counter stores) goes red, the failing LEG is named
-            # in {Q}_LEGS_AUDIT.json instead of bisected.
-            try:
+            if name in LEG_AUDITS:
                 leg_audit = LEG_AUDITS[name](s_pdf, d_pdf, sf_dir=sf_dir)
                 print(
                     f"      {name} leg audit: {leg_audit['status']}"
@@ -135,8 +137,8 @@ def run(sf_dir: str, only: list[str], vanilla: bool = False) -> int:
                         else ""
                     )
                 )
-            except Exception as exc:  # noqa: BLE001 — forensics never
-                print(f"      leg audit errored (gate unaffected): {exc}")
+        except Exception as exc:  # noqa: BLE001 — forensics never
+            print(f"      leg audit errored (gate unaffected): {exc}")
         sc, sr = canon_pandas(s_pdf)
         dc, dr = canon_pandas(d_pdf)
         if sc != dc:
