@@ -144,12 +144,14 @@ def main(argv: list[str] | None = None) -> int:
     compact.add_argument(
         "--kind", required=True,
         choices=["seen", "gram", "sketch", "histogram", "cms", "bloom",
-                 "fingerprint"],
+                 "bottomk", "fingerprint"],
         help="seen: frontier URL hashes (max last_fetch_ts per hash); "
         "gram: span-dedup counts (capped sum per gram); sketch: HLL "
         "(register-maxima merge per group); histogram: exact bin adds "
         "per group; cms: count-min cell adds per (group, depth, "
         "bucket); bloom: membership word ORs per (group, word); "
+        "bottomk: deterministic uniform sample (k smallest row-id "
+        "hashes per group, --k); "
         "fingerprint: rows are already disjoint — the rewrite "
         "consolidates small append files in a PLAIN parquet dir "
         "(--bucket-col partitions the files by hash for locality; a "
@@ -164,6 +166,9 @@ def main(argv: list[str] | None = None) -> int:
                          "saturate at (must match the operator's; read "
                          "from the store's _span_gram_meta.json sidecar "
                          "when omitted)")
+    compact.add_argument("--k", type=int, default=256,
+                         help="bottomk kind: the sample size (must match "
+                         "the store's)")
     compact.add_argument("--buckets", type=int, default=None,
                          help="fingerprint kind: hash-partition the "
                          "rewrite into this many file sets on "
@@ -316,6 +321,16 @@ def _compact(args) -> int:
                   file=sys.stderr)
             return 2
         out = compact_bloom_store(df, group_cols)
+    elif args.kind == "bottomk":
+        from evidence_datasource_parsers_spark.operators.sketches import (
+            compact_bottomk_store,
+        )
+
+        if not group_cols:
+            print("compact: --kind bottomk needs --group-cols",
+                  file=sys.stderr)
+            return 2
+        out = compact_bottomk_store(df, group_cols, args.k)
     else:  # fingerprint: rows already disjoint — consolidate files
         if args.buckets and not args.bucket_col:
             print(

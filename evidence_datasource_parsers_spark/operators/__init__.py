@@ -98,6 +98,10 @@ from evidence_datasource_parsers_spark.operators.sketches import (  # noqa: F401
     bloom_merge_stores,
     bloom_params,
     bloom_store,
+    bottomk_merge_stores,
+    bottomk_sample_store,
+    compact_bottomk_store,
+    sample_quantiles,
     cms_estimate,
     cms_merge_stores,
     cms_params,

@@ -503,6 +503,116 @@ def frequent_items(
     )
 
 
+def _bottomk(rows: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Keep each group's ``k`` smallest ``(__hk, value)`` rows — the
+    bottom-k reduction shared by build, merge and compaction.  Identical
+    ``(__hk, value)`` rows collapse first: that is what makes the
+    reduction IDEMPOTENT (a replayed batch's rows are exact duplicates
+    and must not occupy two sample slots); a genuine 60-bit hash
+    collision between two same-valued rows costs one slot with
+    probability ~n²/2⁶⁰ — negligible and deterministic.  The value
+    tiebreak then makes the kept value multiset deterministic under
+    collisions between UNequal values."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("__hk", "value")
+    return (
+        rows.dropDuplicates([*group_cols, "__hk", "value"])
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def bottomk_sample_store(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    value_col: str,
+    k: int = 256,
+    salt: str = "bk",
+) -> DataFrame:
+    """One deterministic uniform row-sample of ``value_col`` per group —
+    a batch's summary: ``(group_cols…, __hk, value)`` with at most ``k``
+    rows per group, the rows whose ``portable_hash(id)`` rank smallest.
+
+    The QUANTILE member of the counter-store family for distributions
+    whose range is unknown up front (the fixed-edge histogram store needs
+    edges chosen before the first batch; this one does not): a bottom-k
+    sample by a uniform hash of the row id is a uniform k-sample without
+    replacement, so ``sample_quantiles`` estimates any quantile with the
+    standard O(1/√k) rank error — and unlike a random reservoir it is
+    MERGEABLE AND DETERMINISTIC: bottom-k of a union of per-batch
+    bottom-ks equals bottom-k of the union (an idempotent, commutative,
+    associative reduction — HLL-class replay safety), and the identical
+    arithmetic replays in any engine with the portable hash.
+
+    ``id_col`` must uniquely identify rows ACROSS batches (the store
+    contract every incremental operator shares); duplicate ids would
+    collapse in the sample.  NULL values are ignored (family
+    convention).  ``k``/``salt`` are the sample identity."""
+    v = F.col(value_col)
+    rows = df.where(v.isNotNull()).select(
+        *group_cols,
+        portable_hash(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))
+        ).alias("__hk"),
+        v.alias("value"),
+    )
+    return _bottomk(rows, group_cols, k)
+
+
+def bottomk_merge_stores(
+    stores: list[DataFrame],
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Union N sample stores and re-take the bottom-k: EXACTLY the
+    bottom-k of the union of the underlying corpora (each per-batch store
+    is a superset of its contribution to the global bottom-k)."""
+    if not stores:
+        raise ValueError("need at least one store")
+    unioned = stores[0]
+    for s in stores[1:]:
+        unioned = unioned.unionByName(s)
+    return _bottomk(unioned, group_cols, k)
+
+
+def compact_bottomk_store(
+    store: DataFrame,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Collapse an append-only sample history to one bottom-k row set per
+    group — EXACT (the reduction is idempotent), output is a valid
+    store."""
+    return bottomk_merge_stores([store], group_cols, k)
+
+
+def sample_quantiles(
+    store: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+    k: int = 256,
+    out_cols: list[str] | None = None,
+) -> DataFrame:
+    """Interpolated quantile estimates per group from a bottom-k sample
+    store (raw append HISTORY accepted — the bottom-k re-reduction
+    happens first, so stale rows a later batch displaced never bias the
+    estimate).  Exact-interpolation semantics identical to
+    ``F.percentile`` over the sample, which both Spark and DuckDB
+    (``quantile_cont``) implement bit-for-bit over integer values."""
+    if out_cols is None:
+        out_cols = [f"q{str(p).replace('.', '_')}" for p in probs]
+    if len(out_cols) != len(probs):
+        raise ValueError("out_cols must match probs")
+    sampled = _bottomk(store, group_cols, k)
+    return sampled.groupBy(*group_cols).agg(*[
+        F.percentile("value", F.lit(float(p))).alias(c)
+        for p, c in zip(probs, out_cols)
+    ])
+
+
 def _bloom_bit(value: Column, d: int, m_bits: int, salt: str) -> Column:
     """Hash ``d``'s bit position for ``value`` — the hash index rides in
     the salt, same independence trick as :func:`_cms_bucket`."""

@@ -38,6 +38,38 @@ def _cms_status_sql(depth: int = 4, width: int = 1024) -> str:
     return "CAST(LEAST(" + ", ".join(terms) + ") AS BIGINT)"
 
 
+def _bottomk_median_cte(k: int = 256) -> str:
+    """DuckDB replay of the bottom-k sample store's median leg
+    (operators/sketches.py:bottomk_sample_store/sample_quantiles): rank
+    lineitem rows by the portable hash of their unique id, keep the k
+    smallest per group (DISTINCT first — the reduction collapses
+    identical (hash, value) rows, which is what makes replays
+    idempotent), interpolated median over the sample.  quantile_cont
+    over BIGINT values matches Spark's F.percentile bit-for-bit (the
+    q42 percentile legs already pin that equivalence)."""
+    id_expr = (
+        "CAST(l_orderkey AS VARCHAR) || '-' || "
+        "CAST(l_linenumber AS VARCHAR) || ':bk'"
+    )
+    return f"""bks AS (
+        SELECT DISTINCT l_returnflag,
+               {portable_hash_sql(id_expr)} AS hk,
+               CAST(round(l_quantity * 100) AS BIGINT) AS value
+        FROM lineitem
+    ),
+    bkr AS (
+        SELECT l_returnflag, value,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY hk, value) AS rn
+        FROM bks
+    ),
+    bk AS (
+        SELECT l_returnflag,
+               quantile_cont(value, 0.5) AS bk_median_qty_c
+        FROM bkr WHERE rn <= {k} GROUP BY l_returnflag
+    )"""
+
+
 def _bloom_member_sql(probe: str, k: int = 4, m_bits: int = 1024) -> str:
     """DuckDB replay of the Bloom membership probe for ``probe`` over
     ``l_linestatus`` (operators/sketches.py:bloom_store/bloom_member):
@@ -153,6 +185,9 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q42_percentiles",
     f"""
+    WITH {_bottomk_median_cte()}
+    SELECT m.*, bk.bk_median_qty_c
+    FROM (
     SELECT l_returnflag,
            quantile_cont(CAST(round(l_quantity * 100) AS BIGINT), 0.5)
                AS median_qty_c,
@@ -180,6 +215,7 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
            {_bloom_member_sql("O")} AS bloom_status_o,
            {_bloom_member_sql("ZZ")} AS bloom_status_zz
     FROM lineitem GROUP BY l_returnflag
+    ) m JOIN bk USING (l_returnflag)
     """,
     tags=("percentile", "approx", "sketch"),
 )
@@ -218,15 +254,25 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     ``bloom_member`` ORs per word then ANDs across the k probe bits, and
     DuckDB replays the identical bit arithmetic — a present status must
     probe true, an absent one false (or a replayed false positive — the
-    oracle computes the same bits either way)."""
+    oracle computes the same bits either way).
+
+    ``bk_median_qty_c`` exercises the BOTTOM-K sample store (quantiles
+    with no up-front edges, the fifth member): each parity batch's
+    deterministic bottom-256 rows (smallest row-id hashes) are unioned
+    raw, ``sample_quantiles`` re-reduces and interpolates, and DuckDB
+    replays the identical hash ranking (DISTINCT + row_number +
+    quantile_cont) — the sample, and therefore the estimate, is exact
+    under the value hash."""
     from evidence_datasource_parsers_spark.operators.sketches import (
         bloom_member,
         bloom_store,
+        bottomk_sample_store,
         cms_estimate,
         cms_store,
         hll_estimates,
         incremental_distinct_count,
         incremental_histogram,
+        sample_quantiles,
     )
 
     l = load(spark, sf, "lineitem")
@@ -234,6 +280,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     hstore = None
     chistory = None
     bhistory = None
+    khistory = None
     hedges = [1000.0, 2500.0, 4000.0]  # quantity cents; mirrored in SQL
     for parity in (0, 1):
         batch = l.where(F.col("l_orderkey") % 2 == parity)
@@ -267,6 +314,24 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         bhistory = (
             bpiece if bhistory is None else bhistory.unionByName(bpiece)
         )
+        kpiece = bottomk_sample_store(
+            batch.select(
+                "l_returnflag",
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                ).alias("__id"),
+                cents(F.col("l_quantity")).alias("__qc"),
+            ),
+            ["l_returnflag"],
+            "__id",
+            "__qc",
+            k=256,
+        )
+        khistory = (
+            kpiece if khistory is None else khistory.unionByName(kpiece)
+        )
     merged = hll_estimates(store).select(
         "l_returnflag", F.col("approx_distinct").alias("__mest")
     )
@@ -296,6 +361,10 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
 
     bloom_o = _bloom_leg("O", "bloom_status_o")
     bloom_zz = _bloom_leg("ZZ", "bloom_status_zz")
+    bk_median = sample_quantiles(
+        khistory, ["l_returnflag"], [0.5], k=256,
+        out_cols=["bk_median_qty_c"],
+    )
     qty_c = cents(F.col("l_quantity"))
     price_c = cents(F.col("l_extendedprice"))
     agg = l.groupBy("l_returnflag").agg(
@@ -327,6 +396,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(cms_status), on="l_returnflag")
         .join(F.broadcast(bloom_o), on="l_returnflag")
         .join(F.broadcast(bloom_zz), on="l_returnflag")
+        .join(F.broadcast(bk_median), on="l_returnflag")
         .select(
             agg["*"],
             (
@@ -338,6 +408,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
             "cms_status_o_c",
             "bloom_status_o",
             "bloom_status_zz",
+            "bk_median_qty_c",
         )
     )
 

@@ -65,6 +65,7 @@ Q42_LEG_COLUMNS = {
     "histogram": ["hist_qty_c"],
     "cms": ["cms_status_o_c"],
     "bloom": ["bloom_status_o", "bloom_status_zz"],
+    "bottomk_sample": ["bk_median_qty_c"],
 }
 
 

@@ -483,6 +483,36 @@ def streaming_membership_sink(
     )
 
 
+def streaming_sample_sink(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    group_cols: list[str],
+    id_col: str,
+    value_col: str,
+    k: int = 256,
+    salt: str = "bk",
+):
+    """foreachBatch sink for the BOTTOM-K sample store — the quantile
+    member for distributions with no up-front edges: per micro-batch,
+    append the batch's own bottom-k rows; probe anytime with
+    ``sample_quantiles`` (which re-reduces the raw history first).
+    ``k``/``salt`` are the sample identity; ``id_col`` must be unique
+    across batches.  Doubly replay-safe like the Bloom sink: the
+    per-batch file overwrite AND the reduction's idempotence (identical
+    rows collapse before ranking) each absorb a replay."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        bottomk_sample_store,
+    )
+
+    return _append_summary_sink(
+        stream, store_dir, checkpoint,
+        lambda b: bottomk_sample_store(
+            b, group_cols, id_col, value_col, k, salt
+        ),
+    )
+
+
 def write_batch_summary(
     summary: DataFrame, store_dir: str, token: str, batch_id: int
 ) -> None:

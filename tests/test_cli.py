@@ -320,6 +320,20 @@ def test_compact_cli_all_kinds(spark, tmp_path, capsys):
     }
     assert bloom_rows == {("a", 3, 7), ("a", 7, 1)}
 
+    # bottomk: appended per-batch samples re-reduce to one k-set
+    bk = str(tmp_path / "bk")
+    spark.createDataFrame(
+        [("a", 5, 10.0), ("a", 1, 20.0), ("a", 9, 30.0), ("a", 1, 20.0)],
+        "g string, __hk long, value double",
+    ).write.parquet(bk)
+    assert main(["compact", "--store", bk, "--kind", "bottomk",
+                 "--group-cols", "g", "--k", "2"]) == 0
+    bk_rows = {
+        (r["g"], r["__hk"], r["value"])
+        for r in spark.read.parquet(bk).collect()
+    }
+    assert bk_rows == {("a", 1, 20.0), ("a", 5, 10.0)}
+
     # seen: the frontier store collapses to max-ts per hash through the
     # same CLI entry (mixed legacy layout handled by read_seen_store)
     seen = str(tmp_path / "seen")

@@ -626,3 +626,97 @@ def test_streaming_membership_sink(spark, tmp_path):
         ).collect()
     }
     assert got == {"x": True, "y": True, "z": True, "w": False}
+
+
+def test_bottomk_sample_store_merge_equals_oneshot(spark):
+    """Bottom-k of a union of per-batch bottom-ks IS the bottom-k of the
+    union — the exact mergeable-sample algebra, deterministic across
+    replays (a duplicated batch changes nothing)."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        bottomk_merge_stores,
+        bottomk_sample_store,
+    )
+
+    b1 = spark.createDataFrame(
+        [("a", i, float(i % 50)) for i in range(300)],
+        "g string, id long, v double",
+    )
+    b2 = spark.createDataFrame(
+        [("a", 1000 + i, float(i % 90)) for i in range(300)],
+        "g string, id long, v double",
+    )
+    k = 64
+    merged = bottomk_merge_stores(
+        [
+            bottomk_sample_store(b1, ["g"], "id", "v", k=k),
+            bottomk_sample_store(b2, ["g"], "id", "v", k=k),
+            bottomk_sample_store(b2, ["g"], "id", "v", k=k),  # replay
+        ],
+        ["g"],
+        k=k,
+    )
+    oneshot = bottomk_sample_store(
+        b1.unionByName(b2), ["g"], "id", "v", k=k
+    )
+    m = sorted((r["__hk"], r["value"]) for r in merged.collect())
+    o = sorted((r["__hk"], r["value"]) for r in oneshot.collect())
+    assert len(o) == k
+    assert m == o
+
+
+def test_bottomk_quantiles_track_exact(spark, tmp_path):
+    """Sample quantiles from the append history land within the
+    standard O(1/sqrt(k)) rank error of the exact quantiles, and the
+    compacted store answers identically."""
+    from pyspark.sql import functions as F
+
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        bottomk_sample_store,
+        compact_bottomk_store,
+        sample_quantiles,
+    )
+
+    n, k = 5000, 256
+    df = spark.range(n).select(
+        F.lit("a").alias("g"),
+        F.col("id"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    path = str(tmp_path / "bk_history")
+    for lo, hi in ((0, 2000), (2000, 5000)):
+        batch = df.where((F.col("id") >= lo) & (F.col("id") < hi))
+        bottomk_sample_store(batch, ["g"], "id", "v", k=k).write.mode(
+            "append"
+        ).parquet(path)
+
+    history = spark.read.parquet(path)
+    got = sample_quantiles(
+        history, ["g"], [0.5, 0.9], k=k, out_cols=["p50", "p90"]
+    ).collect()[0]
+    # exact p50/p90 of (id % 1000 over 5000 rows) ≈ 499.5 / 899.x;
+    # rank error ~ 2/sqrt(256) ≈ 12.5% → generous ±80 value tolerance
+    assert abs(got["p50"] - 500) < 80
+    assert abs(got["p90"] - 900) < 80
+    compacted = compact_bottomk_store(history, ["g"], k=k)
+    assert compacted.count() == k
+    got2 = sample_quantiles(
+        compacted, ["g"], [0.5, 0.9], k=k, out_cols=["p50", "p90"]
+    ).collect()[0]
+    assert got2["p50"] == got["p50"] and got2["p90"] == got["p90"]
+
+
+def test_bottomk_null_skip_and_out_cols_contract(spark):
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        bottomk_sample_store,
+        sample_quantiles,
+    )
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, None), ("a", 3, 7.0)],
+        "g string, id long, v double",
+    )
+    store = bottomk_sample_store(df, ["g"], "id", "v", k=8)
+    assert store.count() == 2  # NULL skipped
+    with pytest.raises(ValueError, match="out_cols"):
+        sample_quantiles(store, ["g"], [0.5], out_cols=["a", "b"])

@@ -1017,3 +1017,50 @@ def test_counter_sink_replay_is_idempotent(spark, tmp_path):
         "batch-tok1-0.parquet", "batch-tok1-1.parquet",
         "batch-tok2-0.parquet",
     ]
+
+
+def test_streaming_sample_sink(spark, tmp_path):
+    """The bottom-k sink appends each batch's sample beside the history
+    and sample_quantiles re-reduces it raw — same cross-run incremental
+    contract as the other counter sinks."""
+    import json as _json
+
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        sample_quantiles,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        streaming_sample_sink,
+    )
+
+    src = tmp_path / "bk_in"
+    src.mkdir()
+    store = str(tmp_path / "bk_store")
+
+    def write_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps({"g": "a", "id": i, "v": v}) for i, v in rows
+            )
+        )
+
+    def run():
+        stream = spark.readStream.schema(
+            "g string, id long, v double"
+        ).json(str(src))
+        streaming_sample_sink(
+            stream, store, str(tmp_path / "ckbk"), ["g"], "id", "v", k=64
+        ).awaitTermination()
+
+    write_batch("b1.json", [(i, float(i)) for i in range(100)])
+    run()
+    write_batch("b2.json", [(100 + i, float(100 + i)) for i in range(100)])
+    run()
+    got = sample_quantiles(
+        spark.read.parquet(store), ["g"], [0.5], k=64, out_cols=["p50"]
+    ).collect()[0]
+    # uniform 0..199 → sample median within rank error of 100
+    assert 40 <= got["p50"] <= 160
+    # two appended batch files (one deterministic file per batch)
+    import os
+
+    assert len([f for f in os.listdir(store) if f.endswith(".parquet")]) == 2
