@@ -166,9 +166,10 @@ def main(argv: list[str] | None = None) -> int:
                          "saturate at (must match the operator's; read "
                          "from the store's _span_gram_meta.json sidecar "
                          "when omitted)")
-    compact.add_argument("--k", type=int, default=256,
+    compact.add_argument("--k", type=int, default=None,
                          help="bottomk kind: the sample size (must match "
-                         "the store's)")
+                         "the store's; read from the store's "
+                         "_bottomk_meta.json sidecar when omitted)")
     compact.add_argument("--buckets", type=int, default=None,
                          help="fingerprint kind: hash-partition the "
                          "rewrite into this many file sets on "
@@ -324,13 +325,33 @@ def _compact(args) -> int:
     elif args.kind == "bottomk":
         from evidence_datasource_parsers_spark.operators.sketches import (
             compact_bottomk_store,
+            read_bottomk_store_meta,
         )
 
         if not group_cols:
             print("compact: --kind bottomk needs --group-cols",
                   file=sys.stderr)
             return 2
-        out = compact_bottomk_store(df, group_cols, args.k)
+        # k is store identity (same discipline as the gram cap):
+        # compacting below the build k truncates the sample irreversibly
+        meta_k = read_bottomk_store_meta(args.store)
+        bk = args.k
+        if meta_k is not None and bk is not None and bk != meta_k:
+            print(
+                f"compact: --k {bk} conflicts with the store's recorded "
+                f"k {meta_k} (_bottomk_meta.json); refusing",
+                file=sys.stderr,
+            )
+            return 2
+        bk = meta_k if meta_k is not None else bk
+        if bk is None:
+            print(
+                "compact: --kind bottomk needs --k (store has no "
+                "_bottomk_meta.json sidecar to read it from)",
+                file=sys.stderr,
+            )
+            return 2
+        out = compact_bottomk_store(df, group_cols, bk)
     else:  # fingerprint: rows already disjoint — consolidate files
         if args.buckets and not args.bucket_col:
             print(
@@ -354,6 +375,12 @@ def _compact(args) -> int:
         )
 
         write_gram_store_meta(args.store, cap)
+    elif args.kind == "bottomk":
+        from evidence_datasource_parsers_spark.operators.sketches import (
+            write_bottomk_store_meta,
+        )
+
+        write_bottomk_store_meta(args.store, bk)
     print(f"compact: {args.kind} store {args.store} → {n} rows")
     return 0
 

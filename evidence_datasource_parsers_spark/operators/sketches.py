@@ -40,6 +40,16 @@ from pyspark.sql import functions as F
 from evidence_datasource_parsers_spark.functions.hashing import portable_hash
 
 
+def _union_stores(stores: list[DataFrame]) -> DataFrame:
+    """Shared union fold of the merge functions (one per family member)."""
+    if not stores:
+        raise ValueError("need at least one store")
+    unioned = stores[0]
+    for s in stores[1:]:
+        unioned = unioned.unionByName(s)
+    return unioned
+
+
 def hll_store(
     df: DataFrame,
     group_cols: list[str],
@@ -63,11 +73,7 @@ def hll_merge_stores(
     """Union N stores (e.g. yesterday's store + today's batch) into one:
     groups present in several stores merge their sketches; groups in one
     store pass through.  ONE shuffle on the group key."""
-    if not stores:
-        raise ValueError("need at least one store")
-    unioned = stores[0]
-    for s in stores[1:]:
-        unioned = unioned.unionByName(s)
+    unioned = _union_stores(stores)
     return unioned.groupBy(*group_cols).agg(
         F.hll_union_agg(F.col(sketch_col)).alias(sketch_col)
     )
@@ -201,11 +207,7 @@ def histogram_merge_stores(
     """Union N histogram stores: counts add elementwise per group (exact —
     unlike HLL there is no estimator to drift).  ONE shuffle on the group
     key; the elementwise sum is a zip_with fold over the union."""
-    if not stores:
-        raise ValueError("need at least one store")
-    unioned = stores[0]
-    for s in stores[1:]:
-        unioned = unioned.unionByName(s)
+    unioned = _union_stores(stores)
     exploded = unioned.select(
         *group_cols, F.posexplode(counts_col).alias("__bin", "__c")
     )
@@ -403,11 +405,7 @@ def cms_merge_stores(
 ) -> DataFrame:
     """Union N sketch stores: cell counts add EXACTLY (same guarantee as
     the histogram store).  ONE shuffle on (group, depth, bucket)."""
-    if not stores:
-        raise ValueError("need at least one store")
-    unioned = stores[0]
-    for s in stores[1:]:
-        unioned = unioned.unionByName(s)
+    unioned = _union_stores(stores)
     return unioned.groupBy(*group_cols, "__d", "__bucket").agg(
         F.sum("n").alias("n")
     )
@@ -503,6 +501,44 @@ def frequent_items(
     )
 
 
+#: sidecar recording the sample size a bottom-k store was built under —
+#: the same identity discipline as the span gram store's cap sidecar:
+#: compacting with a smaller k irreversibly truncates the sample, and a
+#: probe with a larger k returns a batch-stratified (non-uniform) union
+#: of per-batch bottom-ks instead of the global bottom-k.
+BOTTOMK_META_FILE = "_bottomk_meta.json"
+
+
+def read_bottomk_store_meta(store_dir: str) -> int | None:
+    """The ``k`` recorded beside a bottom-k store dir, or None."""
+    import json
+    import os
+
+    path = os.path.join(store_dir, BOTTOMK_META_FILE)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as fh:
+        return int(json.load(fh)["k"])
+
+
+def write_bottomk_store_meta(store_dir: str, k: int) -> None:
+    """Persist ``k`` beside the store; raises ``ValueError`` on a
+    conflicting existing sidecar (k is store identity)."""
+    import json
+    import os
+
+    existing = read_bottomk_store_meta(store_dir)
+    if existing is not None and existing != k:
+        raise ValueError(
+            f"bottom-k store {store_dir} was built with k={existing}; "
+            f"refusing to advance/compact it with k={k} — compaction "
+            "below the build k truncates the sample irreversibly"
+        )
+    os.makedirs(store_dir, exist_ok=True)
+    with open(os.path.join(store_dir, BOTTOMK_META_FILE), "w") as fh:
+        json.dump({"k": int(k)}, fh)
+
+
 def _bottomk(rows: DataFrame, group_cols: list[str], k: int) -> DataFrame:
     """Keep each group's ``k`` smallest ``(__hk, value)`` rows — the
     bottom-k reduction shared by build, merge and compaction.  Identical
@@ -515,6 +551,8 @@ def _bottomk(rows: DataFrame, group_cols: list[str], k: int) -> DataFrame:
     collisions between UNequal values."""
     from pyspark.sql import Window
 
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     w = Window.partitionBy(*group_cols).orderBy("__hk", "value")
     return (
         rows.dropDuplicates([*group_cols, "__hk", "value"])
@@ -570,11 +608,7 @@ def bottomk_merge_stores(
     """Union N sample stores and re-take the bottom-k: EXACTLY the
     bottom-k of the union of the underlying corpora (each per-batch store
     is a superset of its contribution to the global bottom-k)."""
-    if not stores:
-        raise ValueError("need at least one store")
-    unioned = stores[0]
-    for s in stores[1:]:
-        unioned = unioned.unionByName(s)
+    unioned = _union_stores(stores)
     return _bottomk(unioned, group_cols, k)
 
 
@@ -601,7 +635,14 @@ def sample_quantiles(
     happens first, so stale rows a later batch displaced never bias the
     estimate).  Exact-interpolation semantics identical to
     ``F.percentile`` over the sample, which both Spark and DuckDB
-    (``quantile_cont``) implement bit-for-bit over integer values."""
+    (``quantile_cont``) implement bit-for-bit over integer values.
+
+    ``k`` MUST NOT exceed the store's BUILD k (the ``_bottomk_meta.json``
+    sidecar beside a persisted store records it): each batch contributed
+    at most its own bottom-``build_k`` rows, so probing with a larger k
+    would return a batch-stratified union — small batches overrepresented
+    — instead of a uniform sample.  Probing with a smaller k is exact
+    (bottom-k of a bottom-K superset, k ≤ K, is the global bottom-k)."""
     if out_cols is None:
         out_cols = [f"q{str(p).replace('.', '_')}" for p in probs]
     if len(out_cols) != len(probs):
@@ -676,11 +717,7 @@ def bloom_merge_stores(
     """Union N Bloom stores: words OR together — one shuffle on
     (group, word), and the OR is idempotent so duplicate history rows
     (at-least-once replays) change nothing."""
-    if not stores:
-        raise ValueError("need at least one store")
-    unioned = stores[0]
-    for s in stores[1:]:
-        unioned = unioned.unionByName(s)
+    unioned = _union_stores(stores)
     return unioned.groupBy(*group_cols, "__w").agg(
         F.bit_or("bits").alias("bits")
     )

@@ -500,16 +500,41 @@ def streaming_sample_sink(
     ``k``/``salt`` are the sample identity; ``id_col`` must be unique
     across batches.  Doubly replay-safe like the Bloom sink: the
     per-batch file overwrite AND the reduction's idempotence (identical
-    rows collapse before ranking) each absorb a replay."""
+    rows collapse before ranking) each absorb a replay.
+
+    The sink records ``k`` in a ``_bottomk_meta.json`` sidecar (stamped
+    after each append) and REFUSES an existing store whose sidecar
+    disagrees or is missing — same identity discipline as the span gram
+    cap: compacting/probing at the wrong k silently biases the sample.
+    A store wedged sidecar-less by a first-batch crash is unstuck once
+    with ``write_bottomk_store_meta(store_dir, k)``."""
     from evidence_datasource_parsers_spark.operators.sketches import (
         bottomk_sample_store,
+        read_bottomk_store_meta,
+        write_bottomk_store_meta,
     )
 
+    def summarize(b: DataFrame) -> DataFrame:
+        if os.path.isdir(store_dir):
+            recorded = read_bottomk_store_meta(store_dir)
+            if recorded is None:
+                raise ValueError(
+                    f"bottom-k store {store_dir} has no "
+                    "_bottomk_meta.json sidecar: its build k is "
+                    f"unknown and probing/advancing at k={k} could "
+                    "bias the sample. Stamp it once with "
+                    "write_bottomk_store_meta(store_dir, <true k>)."
+                )
+            if recorded != k:
+                raise ValueError(
+                    f"bottom-k store {store_dir} was built with "
+                    f"k={recorded}; this sink is configured with {k}"
+                )
+        return bottomk_sample_store(b, group_cols, id_col, value_col, k, salt)
+
     return _append_summary_sink(
-        stream, store_dir, checkpoint,
-        lambda b: bottomk_sample_store(
-            b, group_cols, id_col, value_col, k, salt
-        ),
+        stream, store_dir, checkpoint, summarize,
+        post_append=lambda: write_bottomk_store_meta(store_dir, k),
     )
 
 
@@ -547,7 +572,9 @@ def write_batch_summary(
         shutil.rmtree(staging, ignore_errors=True)
 
 
-def _append_summary_sink(stream, store_dir, checkpoint, summarize):
+def _append_summary_sink(
+    stream, store_dir, checkpoint, summarize, post_append=None
+):
     """Shared shape of the counter-store sinks: summarize the batch into
     its own mergeable rows, append them beside the carried history —
     O(batch) I/O per micro-batch; compaction is an explicit-cadence
@@ -576,6 +603,8 @@ def _append_summary_sink(stream, store_dir, checkpoint, summarize):
     def process(batch_df: DataFrame, batch_id: int) -> None:
         recover_store_dir(store_dir)
         write_batch_summary(summarize(batch_df), store_dir, token, batch_id)
+        if post_append is not None:
+            post_append()
 
     return (
         stream.writeStream.foreachBatch(process)

@@ -333,6 +333,22 @@ def test_compact_cli_all_kinds(spark, tmp_path, capsys):
         for r in spark.read.parquet(bk).collect()
     }
     assert bk_rows == {("a", 1, 20.0), ("a", 5, 10.0)}
+    # k is store identity (sidecar recorded): no flag → read back;
+    # conflicting flag → refused (compacting below k truncates forever)
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        read_bottomk_store_meta,
+    )
+
+    assert read_bottomk_store_meta(bk) == 2
+    assert main(["compact", "--store", bk, "--kind", "bottomk",
+                 "--group-cols", "g"]) == 0
+    assert main(["compact", "--store", bk, "--kind", "bottomk",
+                 "--group-cols", "g", "--k", "5"]) == 2
+    # sidecar-less store with no flag: refuse, never default
+    bk_legacy = str(tmp_path / "bk_legacy")
+    spark.read.parquet(bk).write.parquet(bk_legacy)
+    assert main(["compact", "--store", bk_legacy, "--kind", "bottomk",
+                 "--group-cols", "g"]) == 2
 
     # seen: the frontier store collapses to max-ts per hash through the
     # same CLI entry (mixed legacy layout handled by read_seen_store)

@@ -1064,3 +1064,23 @@ def test_streaming_sample_sink(spark, tmp_path):
     import os
 
     assert len([f for f in os.listdir(store) if f.endswith(".parquet")]) == 2
+    # the sink stamped k as store identity; a differently-configured
+    # later run is refused before touching the store
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        read_bottomk_store_meta,
+    )
+
+    import pytest as _pytest
+
+    assert read_bottomk_store_meta(store) == 64
+    write_batch("b3.json", [(999, 1.0)])
+    stream3 = spark.readStream.schema("g string, id long, v double").json(
+        str(src)
+    )
+    q3 = streaming_sample_sink(
+        stream3, store, str(tmp_path / "ckbk_conflict"),
+        ["g"], "id", "v", k=128,
+    )
+    with _pytest.raises(Exception, match="k="):
+        q3.awaitTermination()
+    assert read_bottomk_store_meta(store) == 64
