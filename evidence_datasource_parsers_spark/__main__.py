@@ -223,6 +223,31 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def _resolve_store_identity(store, flag_value, flag_name, read_fn, sidecar):
+    """Resolve an identity parameter (gram cap, bottom-k k) from the
+    store's sidecar and/or an explicit flag: sidecar wins, a conflicting
+    flag is refused, and a missing-both is refused (never defaulted —
+    compacting under the wrong identity silently corrupts the store).
+    Returns (value, 0) or (None, 2)."""
+    meta = read_fn(store)
+    if meta is not None and flag_value is not None and flag_value != meta:
+        print(
+            f"compact: {flag_name} {flag_value} conflicts with the "
+            f"store's recorded value {meta} ({sidecar}); refusing",
+            file=sys.stderr,
+        )
+        return None, 2
+    value = meta if meta is not None else flag_value
+    if value is None:
+        print(
+            f"compact: this kind needs {flag_name} (store has no "
+            f"{sidecar} sidecar to read it from)",
+            file=sys.stderr,
+        )
+        return None, 2
+    return value, 0
+
+
 def _compact(args) -> int:
     """The explicit-cadence maintenance half of the append-only advance
     discipline: every per-round store advance is an O(batch) append;
@@ -248,6 +273,23 @@ def _compact(args) -> int:
         return 0
 
     recover_store_dir(args.store)
+    import os as _os
+
+    has_data = _os.path.isdir(args.store) and any(
+        f.endswith(".parquet")
+        for _, _, files in _os.walk(args.store)
+        for f in files
+    )
+    if not has_data:
+        # e.g. a sidecar-only dir left by a stamp-first sink whose first
+        # batch was empty — nothing to compact, and spark.read.parquet
+        # would die with an unhelpful schema-inference error
+        print(
+            f"compact: {args.store} has no data files (nothing to "
+            "compact)",
+            file=sys.stderr,
+        )
+        return 2
     df = spark.read.parquet(args.store)
     group_cols = (
         [c.strip() for c in args.group_cols.split(",") if c.strip()]
@@ -263,24 +305,12 @@ def _compact(args) -> int:
         # The cap is store identity: compacting below the cap the counts
         # were saturated at silently truncates them and later probes
         # under-count.  Prefer the sidecar; a flag may only confirm it.
-        meta_cap = read_gram_store_meta(args.store)
-        cap = args.min_occurrences
-        if meta_cap is not None and cap is not None and cap != meta_cap:
-            print(
-                f"compact: --min-occurrences {cap} conflicts with the "
-                f"store's recorded cap {meta_cap} "
-                f"(_span_gram_meta.json); refusing",
-                file=sys.stderr,
-            )
-            return 2
-        cap = meta_cap if meta_cap is not None else cap
-        if cap is None:
-            print(
-                "compact: --kind gram needs --min-occurrences (store has "
-                "no _span_gram_meta.json sidecar to read the cap from)",
-                file=sys.stderr,
-            )
-            return 2
+        cap, rc = _resolve_store_identity(
+            args.store, args.min_occurrences, "--min-occurrences",
+            read_gram_store_meta, "_span_gram_meta.json",
+        )
+        if rc:
+            return rc
         out = compact_gram_store(df, cap)
     elif args.kind == "sketch":
         from evidence_datasource_parsers_spark.operators.sketches import (
@@ -334,23 +364,12 @@ def _compact(args) -> int:
             return 2
         # k is store identity (same discipline as the gram cap):
         # compacting below the build k truncates the sample irreversibly
-        meta_k = read_bottomk_store_meta(args.store)
-        bk = args.k
-        if meta_k is not None and bk is not None and bk != meta_k:
-            print(
-                f"compact: --k {bk} conflicts with the store's recorded "
-                f"k {meta_k} (_bottomk_meta.json); refusing",
-                file=sys.stderr,
-            )
-            return 2
-        bk = meta_k if meta_k is not None else bk
-        if bk is None:
-            print(
-                "compact: --kind bottomk needs --k (store has no "
-                "_bottomk_meta.json sidecar to read it from)",
-                file=sys.stderr,
-            )
-            return 2
+        bk, rc = _resolve_store_identity(
+            args.store, args.k, "--k",
+            read_bottomk_store_meta, "_bottomk_meta.json",
+        )
+        if rc:
+            return rc
         out = compact_bottomk_store(df, group_cols, bk)
     else:  # fingerprint: rows already disjoint — consolidate files
         if args.buckets and not args.bucket_col:

@@ -510,33 +510,26 @@ BOTTOMK_META_FILE = "_bottomk_meta.json"
 
 
 def read_bottomk_store_meta(store_dir: str) -> int | None:
-    """The ``k`` recorded beside a bottom-k store dir, or None."""
-    import json
-    import os
+    """The ``k`` recorded beside a bottom-k store dir, or None (missing
+    or unreadable sidecar — fail-safe refusal downstream)."""
+    from evidence_datasource_parsers_spark.operators.store_meta import (
+        read_store_identity,
+    )
 
-    path = os.path.join(store_dir, BOTTOMK_META_FILE)
-    if not os.path.isfile(path):
-        return None
-    with open(path) as fh:
-        return int(json.load(fh)["k"])
+    return read_store_identity(store_dir, BOTTOMK_META_FILE, "k")
 
 
 def write_bottomk_store_meta(store_dir: str, k: int) -> None:
-    """Persist ``k`` beside the store; raises ``ValueError`` on a
-    conflicting existing sidecar (k is store identity)."""
-    import json
-    import os
+    """Persist ``k`` beside the store (atomic); raises ``ValueError`` on
+    a conflicting existing sidecar (k is store identity)."""
+    from evidence_datasource_parsers_spark.operators.store_meta import (
+        write_store_identity,
+    )
 
-    existing = read_bottomk_store_meta(store_dir)
-    if existing is not None and existing != k:
-        raise ValueError(
-            f"bottom-k store {store_dir} was built with k={existing}; "
-            f"refusing to advance/compact it with k={k} — compaction "
-            "below the build k truncates the sample irreversibly"
-        )
-    os.makedirs(store_dir, exist_ok=True)
-    with open(os.path.join(store_dir, BOTTOMK_META_FILE), "w") as fh:
-        json.dump({"k": int(k)}, fh)
+    write_store_identity(
+        store_dir, BOTTOMK_META_FILE, "k", k,
+        "compaction below the build k truncates the sample irreversibly",
+    )
 
 
 def _bottomk(rows: DataFrame, group_cols: list[str], k: int) -> DataFrame:

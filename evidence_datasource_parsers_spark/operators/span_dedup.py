@@ -418,34 +418,28 @@ GRAM_META_FILE = "_span_gram_meta.json"
 
 def read_gram_store_meta(store_dir: str) -> int | None:
     """The ``min_occurrences`` cap recorded beside a gram store dir, or
-    None for stores written before the sidecar existed."""
-    import json
-    import os
+    None for stores written before the sidecar existed (or whose sidecar
+    is unreadable — fail-safe: consumers refuse and ask for a re-stamp)."""
+    from evidence_datasource_parsers_spark.operators.store_meta import (
+        read_store_identity,
+    )
 
-    path = os.path.join(store_dir, GRAM_META_FILE)
-    if not os.path.isfile(path):
-        return None
-    with open(path) as fh:
-        return int(json.load(fh)["min_occurrences"])
+    return read_store_identity(store_dir, GRAM_META_FILE, "min_occurrences")
 
 
 def write_gram_store_meta(store_dir: str, min_occurrences: int) -> None:
-    """Persist the saturation cap beside the store.  Raises ``ValueError``
-    if the dir already records a DIFFERENT cap — mixing caps corrupts the
-    capped-sum algebra (a store capped at 2 probed at 3 under-counts)."""
-    import json
-    import os
+    """Persist the saturation cap beside the store (atomic).  Raises
+    ``ValueError`` if the dir already records a DIFFERENT cap — mixing
+    caps corrupts the capped-sum algebra (a store capped at 2 probed at
+    3 under-counts)."""
+    from evidence_datasource_parsers_spark.operators.store_meta import (
+        write_store_identity,
+    )
 
-    existing = read_gram_store_meta(store_dir)
-    if existing is not None and existing != min_occurrences:
-        raise ValueError(
-            f"gram store {store_dir} was built with min_occurrences="
-            f"{existing}; refusing to advance/compact it with "
-            f"{min_occurrences} — the capped counts are not comparable"
-        )
-    os.makedirs(store_dir, exist_ok=True)
-    with open(os.path.join(store_dir, GRAM_META_FILE), "w") as fh:
-        json.dump({"min_occurrences": int(min_occurrences)}, fh)
+    write_store_identity(
+        store_dir, GRAM_META_FILE, "min_occurrences", min_occurrences,
+        "the capped counts are not comparable",
+    )
 
 
 def compact_gram_store(

@@ -502,12 +502,13 @@ def streaming_sample_sink(
     per-batch file overwrite AND the reduction's idempotence (identical
     rows collapse before ranking) each absorb a replay.
 
-    The sink records ``k`` in a ``_bottomk_meta.json`` sidecar (stamped
-    after each append) and REFUSES an existing store whose sidecar
-    disagrees or is missing — same identity discipline as the span gram
-    cap: compacting/probing at the wrong k silently biases the sample.
-    A store wedged sidecar-less by a first-batch crash is unstuck once
-    with ``write_bottomk_store_meta(store_dir, k)``."""
+    The sink records ``k`` in a ``_bottomk_meta.json`` sidecar — same
+    identity discipline as the span gram cap: compacting/probing at the
+    wrong k silently biases the sample.  The sidecar is stamped BEFORE
+    the first append (sidecar-only dirs self-heal on replay: the stamp
+    is atomic and re-validates as equal) and an existing store whose
+    sidecar disagrees or is missing is REFUSED; a foreign/legacy dir is
+    unstuck once with ``write_bottomk_store_meta(store_dir, k)``."""
     from evidence_datasource_parsers_spark.operators.sketches import (
         bottomk_sample_store,
         read_bottomk_store_meta,
@@ -530,11 +531,14 @@ def streaming_sample_sink(
                     f"bottom-k store {store_dir} was built with "
                     f"k={recorded}; this sink is configured with {k}"
                 )
+        else:
+            # stamp-first: a crash between the stamp and the first
+            # append leaves a sidecar-only dir the replay accepts
+            write_bottomk_store_meta(store_dir, k)
         return bottomk_sample_store(b, group_cols, id_col, value_col, k, salt)
 
     return _append_summary_sink(
-        stream, store_dir, checkpoint, summarize,
-        post_append=lambda: write_bottomk_store_meta(store_dir, k),
+        stream, store_dir, checkpoint, summarize
     )
 
 
@@ -572,9 +576,7 @@ def write_batch_summary(
         shutil.rmtree(staging, ignore_errors=True)
 
 
-def _append_summary_sink(
-    stream, store_dir, checkpoint, summarize, post_append=None
-):
+def _append_summary_sink(stream, store_dir, checkpoint, summarize):
     """Shared shape of the counter-store sinks: summarize the batch into
     its own mergeable rows, append them beside the carried history —
     O(batch) I/O per micro-batch; compaction is an explicit-cadence
@@ -603,8 +605,6 @@ def _append_summary_sink(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         recover_store_dir(store_dir)
         write_batch_summary(summarize(batch_df), store_dir, token, batch_id)
-        if post_append is not None:
-            post_append()
 
     return (
         stream.writeStream.foreachBatch(process)

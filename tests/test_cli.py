@@ -349,6 +349,16 @@ def test_compact_cli_all_kinds(spark, tmp_path, capsys):
     spark.read.parquet(bk).write.parquet(bk_legacy)
     assert main(["compact", "--store", bk_legacy, "--kind", "bottomk",
                  "--group-cols", "g"]) == 2
+    # a data-less dir (e.g. sidecar-only from a stamp-first sink whose
+    # first batch was empty) is a friendly refusal, not a Spark
+    # schema-inference crash
+    import os as _os
+
+    empty = str(tmp_path / "bk_empty")
+    _os.makedirs(empty)
+    (tmp_path / "bk_empty" / "_bottomk_meta.json").write_text('{"k": 2}')
+    assert main(["compact", "--store", empty, "--kind", "bottomk",
+                 "--group-cols", "g"]) == 2
 
     # seen: the frontier store collapses to max-ts per hash through the
     # same CLI entry (mixed legacy layout handled by read_seen_store)

@@ -1084,3 +1084,19 @@ def test_streaming_sample_sink(spark, tmp_path):
     with _pytest.raises(Exception, match="k="):
         q3.awaitTermination()
     assert read_bottomk_store_meta(store) == 64
+    # stamp-first self-heal: a sidecar-only dir (crash between the stamp
+    # and the first append) is accepted by a matching re-run, not wedged
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        write_bottomk_store_meta,
+    )
+
+    healed = str(tmp_path / "bk_store_healed")
+    write_bottomk_store_meta(healed, 64)  # sidecar-only dir
+    stream4 = spark.readStream.schema("g string, id long, v double").json(
+        str(src)
+    )
+    streaming_sample_sink(
+        stream4, healed, str(tmp_path / "ckbk_heal"), ["g"], "id", "v",
+        k=64,
+    ).awaitTermination()
+    assert spark.read.parquet(healed).count() > 0
