@@ -111,6 +111,7 @@ from evidence_datasource_parsers_spark.operators.sketches import (  # noqa: F401
     compact_histogram_store,
     compact_sketch_store,
     frequent_items,
+    histogram_drift,
     histogram_store_percentiles,
     hll_estimates,
     hll_merge_stores,

@@ -354,6 +354,55 @@ def histogram_store_percentiles(
 # ---------------------------------------------------------------------------
 
 
+def histogram_drift(
+    store_a: DataFrame,
+    store_b: DataFrame,
+    group_cols: list[str],
+    counts_col: str = "counts",
+    out_col: str = "tv_distance",
+) -> DataFrame:
+    """Distribution drift between two histogram stores per group, as the
+    TOTAL-VARIATION distance ``TV = ½·Σᵢ |aᵢ/A − bᵢ/B|`` over the shared
+    fixed bins — the corpus-monitoring read ("did this crawl's doc-length
+    / quality / tokens-per-doc distribution move?") that two snapshots of
+    the mergeable histogram store answer without rescanning either
+    corpus.
+
+    TV is chosen over KL/JS deliberately: it is RATIONAL in the bin
+    counts (divisions, abs, adds — no transcendental), so the same
+    expression evaluates bit-identically on any IEEE engine, in array
+    order — the determinism contract divergence metrics with ``ln`` in
+    them cannot honestly make cross-engine.  Range [0, 1]; 0 = identical
+    distributions, 1 = disjoint support.  Raw append histories accepted
+    (both sides are compacted first); groups present in only one store
+    are omitted (no distribution to compare).  Edges must match across
+    the two stores — they are store identity."""
+    a = compact_histogram_store(store_a, group_cols, counts_col)
+    b = compact_histogram_store(store_b, group_cols, counts_col).select(
+        *group_cols, F.col(counts_col).alias("__cb")
+    )
+    joined = a.join(b, on=list(group_cols))
+    tot_a = F.aggregate(
+        counts_col, F.lit(0).cast("long"), lambda acc, x: acc + x
+    ).cast("double")
+    tot_b = F.aggregate(
+        "__cb", F.lit(0).cast("long"), lambda acc, x: acc + x
+    ).cast("double")
+    tv = F.aggregate(
+        F.zip_with(
+            counts_col, "__cb",
+            lambda x, y: F.abs(
+                x.cast("double") / tot_a - y.cast("double") / tot_b
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    ) / F.lit(2.0)
+    # a side with zero counted values has no distribution — NULL, not NaN
+    tv = F.when((tot_a > 0) & (tot_b > 0), tv)
+    return joined.select(*group_cols, tv.alias(out_col))
+
+
 def _cms_bucket(value: Column, d: int, width: int, salt: str) -> Column:
     """Row ``d``'s bucket for ``value`` — the depth index rides in the
     hashed salt so the depth rows are independent hash functions."""

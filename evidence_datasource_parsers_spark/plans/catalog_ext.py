@@ -38,6 +38,36 @@ def _cms_status_sql(depth: int = 4, width: int = 1024) -> str:
     return "CAST(LEAST(" + ", ".join(terms) + ") AS BIGINT)"
 
 
+def _drift_tv_sql() -> tuple[str, str]:
+    """DuckDB replay of the parity-split histogram-drift leg
+    (operators/sketches.py:histogram_drift): total-variation distance
+    between the parity-0 and parity-1 quantity histograms, encoded as an
+    EXACT integer rational — ``num = Σᵢ|aᵢ·B − bᵢ·A|``, ``den = 2·A·B``
+    — so the gate carries no float at all (TV's rationality is why it
+    was chosen over KL/JS, whose ``ln`` is only ~1-ulp reproducible
+    across engines).  Every SUM is cast BIGINT before multiplying (the
+    HUGEINT lesson)."""
+    qc = "CAST(round(l_quantity * 100) AS BIGINT)"
+    bins = [
+        f"{qc} < 1000",
+        f"{qc} >= 1000 AND {qc} < 2500",
+        f"{qc} >= 2500 AND {qc} < 4000",
+        f"{qc} >= 4000",
+    ]
+
+    def cnt(parity: int, cond: str | None = None) -> str:
+        c = f"l_orderkey % 2 = {parity}"
+        if cond:
+            c += f" AND {cond}"
+        return f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT)"
+
+    a_tot, b_tot = cnt(0), cnt(1)
+    terms = [
+        f"ABS({cnt(0, b)} * {b_tot} - {cnt(1, b)} * {a_tot})" for b in bins
+    ]
+    return "(" + " + ".join(terms) + ")", f"(2 * {a_tot} * {b_tot})"
+
+
 def _bottomk_median_cte(k: int = 256) -> str:
     """DuckDB replay of the bottom-k sample store's median leg
     (operators/sketches.py:bottomk_sample_store/sample_quantiles): rank
@@ -213,7 +243,10 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
            ) AS hist_qty_c,
            {_cms_status_sql()} AS cms_status_o_c,
            {_bloom_member_sql("O")} AS bloom_status_o,
-           {_bloom_member_sql("ZZ")} AS bloom_status_zz
+           {_bloom_member_sql("ZZ")} AS bloom_status_zz,
+           {_drift_tv_sql()[0]} AS drift_tv_num,
+           {_drift_tv_sql()[1]} AS drift_tv_den,
+           TRUE AS drift_within_tol
     FROM lineitem GROUP BY l_returnflag
     ) m JOIN bk USING (l_returnflag)
     """,
@@ -262,16 +295,26 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     raw, ``sample_quantiles`` re-reduces and interpolates, and DuckDB
     replays the identical hash ranking (DISTINCT + row_number +
     quantile_cont) — the sample, and therefore the estimate, is exact
-    under the value hash."""
+    under the value hash.
+
+    ``drift_tv_num``/``drift_tv_den``/``drift_within_tol`` exercise
+    ``histogram_drift`` (corpus drift monitoring): the total-variation
+    distance between the parity-0 and parity-1 quantity histograms,
+    gated as the EXACT integer rational Σ|aᵢ·B − bᵢ·A| / 2AB (TV is
+    rational in the counts — the reason it was chosen over KL/JS, whose
+    ``ln`` is only ~1-ulp reproducible across engines), plus a boolean
+    pinning the double-valued public operator to num/den."""
     from evidence_datasource_parsers_spark.operators.sketches import (
         bloom_member,
         bloom_store,
         bottomk_sample_store,
         cms_estimate,
         cms_store,
+        histogram_drift,
+        histogram_merge_stores,
+        histogram_store,
         hll_estimates,
         incremental_distinct_count,
-        incremental_histogram,
         sample_quantiles,
     )
 
@@ -282,19 +325,25 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     bhistory = None
     khistory = None
     hedges = [1000.0, 2500.0, 4000.0]  # quantity cents; mirrored in SQL
+    hpieces = []
     for parity in (0, 1):
         batch = l.where(F.col("l_orderkey") % 2 == parity)
         store = incremental_distinct_count(
             store, batch, ["l_returnflag"], "l_partkey"
         )
-        hstore = incremental_histogram(
-            hstore,
+        hpiece = histogram_store(
             batch.select(
                 "l_returnflag", cents(F.col("l_quantity")).alias("__qc")
             ),
             ["l_returnflag"],
             "__qc",
             hedges,
+        )
+        hpieces.append(hpiece)
+        hstore = (
+            hpiece
+            if hstore is None
+            else histogram_merge_stores([hstore, hpiece], ["l_returnflag"])
         )
         piece = cms_store(
             batch.select("l_returnflag", "l_linestatus"),
@@ -365,6 +414,46 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         khistory, ["l_returnflag"], [0.5], k=256,
         out_cols=["bk_median_qty_c"],
     )
+    # drift leg: TV distance between the two parity snapshots, emitted
+    # as the EXACT integer rational num/den (TV is rational in the bin
+    # counts — no float crosses the gate), plus a boolean pinning the
+    # double-valued public operator against num/den
+    h0 = hpieces[0].select(
+        "l_returnflag", F.col("counts").alias("__ca")
+    )
+    h1 = hpieces[1].select(
+        "l_returnflag", F.col("counts").alias("__cb")
+    )
+    dj = h0.join(h1, on="l_returnflag")
+    zero = F.lit(0).cast("long")
+    tot_a = F.aggregate("__ca", zero, lambda acc, x: acc + x)
+    tot_b = F.aggregate("__cb", zero, lambda acc, x: acc + x)
+    num = F.aggregate(
+        F.zip_with("__ca", "__cb", lambda x, y: F.abs(x * tot_b - y * tot_a)),
+        zero,
+        lambda acc, d: acc + d,
+    )
+    drift_frac = dj.select(
+        "l_returnflag",
+        num.alias("drift_tv_num"),
+        (F.lit(2).cast("long") * tot_a * tot_b).alias("drift_tv_den"),
+    )
+    op_tv = histogram_drift(
+        hpieces[0], hpieces[1], ["l_returnflag"], out_col="__op_tv"
+    )
+    drift = drift_frac.join(op_tv, on="l_returnflag").select(
+        "l_returnflag",
+        "drift_tv_num",
+        "drift_tv_den",
+        (
+            F.abs(
+                F.col("__op_tv")
+                - F.col("drift_tv_num").cast("double")
+                / F.col("drift_tv_den").cast("double")
+            )
+            < 1e-12
+        ).alias("drift_within_tol"),
+    )
     qty_c = cents(F.col("l_quantity"))
     price_c = cents(F.col("l_extendedprice"))
     agg = l.groupBy("l_returnflag").agg(
@@ -397,6 +486,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(bloom_o), on="l_returnflag")
         .join(F.broadcast(bloom_zz), on="l_returnflag")
         .join(F.broadcast(bk_median), on="l_returnflag")
+        .join(F.broadcast(drift), on="l_returnflag")
         .select(
             agg["*"],
             (
@@ -409,6 +499,9 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
             "bloom_status_o",
             "bloom_status_zz",
             "bk_median_qty_c",
+            "drift_tv_num",
+            "drift_tv_den",
+            "drift_within_tol",
         )
     )
 

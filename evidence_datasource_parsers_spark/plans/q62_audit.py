@@ -66,6 +66,9 @@ Q42_LEG_COLUMNS = {
     "cms": ["cms_status_o_c"],
     "bloom": ["bloom_status_o", "bloom_status_zz"],
     "bottomk_sample": ["bk_median_qty_c"],
+    "histogram_drift": [
+        "drift_tv_num", "drift_tv_den", "drift_within_tol",
+    ],
 }
 
 

@@ -720,3 +720,44 @@ def test_bottomk_null_skip_and_out_cols_contract(spark):
     assert store.count() == 2  # NULL skipped
     with pytest.raises(ValueError, match="out_cols"):
         sample_quantiles(store, ["g"], [0.5], out_cols=["a", "b"])
+
+
+def test_histogram_drift_properties(spark):
+    """TV drift between histogram stores: 0 on identical distributions,
+    1 on disjoint support, symmetric, hand-checkable, NULL when a side
+    counted nothing, and raw append histories accepted."""
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        histogram_drift,
+        histogram_store,
+    )
+
+    edges = [10.0, 20.0]
+
+    def store_of(vals, reps=1):
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in vals], "g string, v double"
+        )
+        s = histogram_store(df, ["g"], "v", edges)
+        for _ in range(reps - 1):
+            s = s.unionByName(histogram_store(df, ["g"], "v", edges))
+        return s
+
+    lo = store_of([5, 5, 15])          # bins (2, 1, 0)
+    hi = store_of([25, 25, 15])        # bins (0, 1, 2)
+    same_scaled = store_of([5, 5, 15], reps=3)  # same distribution, 3x mass
+
+    def tv(a, b):
+        return histogram_drift(a, b, ["g"]).collect()[0]["tv_distance"]
+
+    assert tv(lo, lo) == 0.0
+    assert tv(lo, same_scaled) == 0.0  # mass-invariant (proportions)
+    assert tv(store_of([5, 5]), store_of([25, 25])) == 1.0  # disjoint
+    got = tv(lo, hi)
+    assert abs(got - 2 / 3) < 1e-12  # |2/3-0|+|1/3-1/3|+|0-2/3| over 2
+    assert got == tv(hi, lo)  # symmetric
+    # zero-count side (all NULL values) → NULL, never NaN
+    nulls = spark.createDataFrame(
+        [("a", None)], "g string, v double"
+    )
+    zs = histogram_store(nulls, ["g"], "v", edges)
+    assert histogram_drift(lo, zs, ["g"]).collect()[0]["tv_distance"] is None
