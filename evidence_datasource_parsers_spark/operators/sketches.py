@@ -329,6 +329,63 @@ def histogram_store_percentiles(
     )
 
 
+def histogram_drift(
+    store_a: DataFrame,
+    store_b: DataFrame,
+    group_cols: list[str],
+    counts_col: str = "counts",
+    out_col: str = "tv_distance",
+) -> DataFrame:
+    """Distribution drift between two histogram stores per group, as the
+    TOTAL-VARIATION distance ``TV = \u00bd\u00b7\u03a3\u1d62 |a\u1d62/A \u2212 b\u1d62/B|`` over the shared
+    fixed bins — the corpus-monitoring read ("did this crawl's doc-length
+    / quality / tokens-per-doc distribution move?") that two snapshots of
+    the mergeable histogram store answer without rescanning either
+    corpus.
+
+    TV is chosen over KL/JS deliberately: it is RATIONAL in the bin
+    counts (divisions, abs, adds — no transcendental), so the same
+    expression evaluates bit-identically on any IEEE engine, in array
+    order — the determinism contract divergence metrics with ``ln`` in
+    them cannot honestly make cross-engine.  Range [0, 1]; 0 = identical
+    distributions, 1 = disjoint support.  Raw append histories accepted
+    (both sides are compacted first); groups present in only one store
+    are omitted (no distribution to compare).  Edges must match across
+    the two stores — they are store identity."""
+    a = compact_histogram_store(store_a, group_cols, counts_col)
+    b = compact_histogram_store(store_b, group_cols, counts_col).select(
+        *group_cols, F.col(counts_col).alias("__cb")
+    )
+    zero = F.lit(0).cast("long")
+    joined = (
+        a.join(b, on=list(group_cols))
+        .withColumn(
+            "__ta",
+            F.aggregate(counts_col, zero, lambda acc, x: acc + x)
+            .cast("double"),
+        )
+        .withColumn(
+            "__tb",
+            F.aggregate("__cb", zero, lambda acc, x: acc + x)
+            .cast("double"),
+        )
+    )
+    tv = F.aggregate(
+        F.zip_with(
+            counts_col, "__cb",
+            lambda x, y: F.abs(
+                x.cast("double") / F.col("__ta")
+                - y.cast("double") / F.col("__tb")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    ) / F.lit(2.0)
+    # a side with zero counted values has no distribution — NULL, not NaN
+    tv = F.when((F.col("__ta") > 0) & (F.col("__tb") > 0), tv)
+    return joined.select(*group_cols, tv.alias(out_col))
+
+
 # ---------------------------------------------------------------------------
 # Mergeable count-min sketches — the FREQUENCY analogue, completing the
 # counter-store family: distinct counts (HLL), quantiles (histogram),
@@ -352,55 +409,6 @@ def histogram_store_percentiles(
 # standard split: the sketch answers "how frequent", candidates answer
 # "which items are worth asking about".
 # ---------------------------------------------------------------------------
-
-
-def histogram_drift(
-    store_a: DataFrame,
-    store_b: DataFrame,
-    group_cols: list[str],
-    counts_col: str = "counts",
-    out_col: str = "tv_distance",
-) -> DataFrame:
-    """Distribution drift between two histogram stores per group, as the
-    TOTAL-VARIATION distance ``TV = ½·Σᵢ |aᵢ/A − bᵢ/B|`` over the shared
-    fixed bins — the corpus-monitoring read ("did this crawl's doc-length
-    / quality / tokens-per-doc distribution move?") that two snapshots of
-    the mergeable histogram store answer without rescanning either
-    corpus.
-
-    TV is chosen over KL/JS deliberately: it is RATIONAL in the bin
-    counts (divisions, abs, adds — no transcendental), so the same
-    expression evaluates bit-identically on any IEEE engine, in array
-    order — the determinism contract divergence metrics with ``ln`` in
-    them cannot honestly make cross-engine.  Range [0, 1]; 0 = identical
-    distributions, 1 = disjoint support.  Raw append histories accepted
-    (both sides are compacted first); groups present in only one store
-    are omitted (no distribution to compare).  Edges must match across
-    the two stores — they are store identity."""
-    a = compact_histogram_store(store_a, group_cols, counts_col)
-    b = compact_histogram_store(store_b, group_cols, counts_col).select(
-        *group_cols, F.col(counts_col).alias("__cb")
-    )
-    joined = a.join(b, on=list(group_cols))
-    tot_a = F.aggregate(
-        counts_col, F.lit(0).cast("long"), lambda acc, x: acc + x
-    ).cast("double")
-    tot_b = F.aggregate(
-        "__cb", F.lit(0).cast("long"), lambda acc, x: acc + x
-    ).cast("double")
-    tv = F.aggregate(
-        F.zip_with(
-            counts_col, "__cb",
-            lambda x, y: F.abs(
-                x.cast("double") / tot_a - y.cast("double") / tot_b
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
-    ) / F.lit(2.0)
-    # a side with zero counted values has no distribution — NULL, not NaN
-    tv = F.when((tot_a > 0) & (tot_b > 0), tv)
-    return joined.select(*group_cols, tv.alias(out_col))
 
 
 def _cms_bucket(value: Column, d: int, width: int, salt: str) -> Column:

@@ -68,6 +68,9 @@ def _drift_tv_sql() -> tuple[str, str]:
     return "(" + " + ".join(terms) + ")", f"(2 * {a_tot} * {b_tot})"
 
 
+_DRIFT_TV_NUM_SQL, _DRIFT_TV_DEN_SQL = _drift_tv_sql()
+
+
 def _bottomk_median_cte(k: int = 256) -> str:
     """DuckDB replay of the bottom-k sample store's median leg
     (operators/sketches.py:bottomk_sample_store/sample_quantiles): rank
@@ -244,8 +247,8 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
            {_cms_status_sql()} AS cms_status_o_c,
            {_bloom_member_sql("O")} AS bloom_status_o,
            {_bloom_member_sql("ZZ")} AS bloom_status_zz,
-           {_drift_tv_sql()[0]} AS drift_tv_num,
-           {_drift_tv_sql()[1]} AS drift_tv_den,
+           {_DRIFT_TV_NUM_SQL} AS drift_tv_num,
+           {_DRIFT_TV_DEN_SQL} AS drift_tv_den,
            TRUE AS drift_within_tol
     FROM lineitem GROUP BY l_returnflag
     ) m JOIN bk USING (l_returnflag)
@@ -269,10 +272,11 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     loop, driver-checked as an invariant.
 
     ``hist_qty_c`` exercises the mergeable FIXED-EDGE HISTOGRAM store the
-    same way (parity-split batches folded via incremental_histogram) but
-    with an EXACT oracle: unlike HLL, histogram merges are integer adds,
-    so DuckDB recomputes every bin count and any drift in binning,
-    merging, or bin order breaks the value hash.
+    same way (per-parity ``histogram_store`` pieces folded with
+    ``histogram_merge_stores``) but with an EXACT oracle: unlike HLL,
+    histogram merges are integer adds, so DuckDB recomputes every bin
+    count and any drift in binning, merging, or bin order breaks the
+    value hash.
 
     ``cms_status_o_c`` exercises the COUNT-MIN frequency store the same way
     again, including the APPEND-HISTORY probe path: each parity batch's
@@ -320,7 +324,6 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
 
     l = load(spark, sf, "lineitem")
     store = None
-    hstore = None
     chistory = None
     bhistory = None
     khistory = None
@@ -331,19 +334,16 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         store = incremental_distinct_count(
             store, batch, ["l_returnflag"], "l_partkey"
         )
-        hpiece = histogram_store(
-            batch.select(
-                "l_returnflag", cents(F.col("l_quantity")).alias("__qc")
-            ),
-            ["l_returnflag"],
-            "__qc",
-            hedges,
-        )
-        hpieces.append(hpiece)
-        hstore = (
-            hpiece
-            if hstore is None
-            else histogram_merge_stores([hstore, hpiece], ["l_returnflag"])
+        hpieces.append(
+            histogram_store(
+                batch.select(
+                    "l_returnflag",
+                    cents(F.col("l_quantity")).alias("__qc"),
+                ),
+                ["l_returnflag"],
+                "__qc",
+                hedges,
+            )
         )
         piece = cms_store(
             batch.select("l_returnflag", "l_linestatus"),
@@ -384,6 +384,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     merged = hll_estimates(store).select(
         "l_returnflag", F.col("approx_distinct").alias("__mest")
     )
+    hstore = histogram_merge_stores(hpieces, ["l_returnflag"])
     hist = hstore.select(
         "l_returnflag",
         F.concat_ws(
@@ -416,43 +417,67 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     )
     # drift leg: TV distance between the two parity snapshots, emitted
     # as the EXACT integer rational num/den (TV is rational in the bin
-    # counts — no float crosses the gate), plus a boolean pinning the
-    # double-valued public operator against num/den
+    # counts — no float crosses the gate; the int64 encoding requires
+    # 2·A·B < 2^63, i.e. per-group parity counts < ~2.1e9 — fine at any
+    # gate SF; the public operator below is the double-valued scale
+    # path), plus a boolean pinning that operator against num/den.  A
+    # group present in only ONE parity must still emit a row (num=0,
+    # den=0, vacuously in-tol) — the oracle's GROUP BY sees it, so an
+    # inner join here would turn a drift-leg gap into a whole-query
+    # row-count mismatch.
+    zero = F.lit(0).cast("long")
+    zeros = F.array_repeat(zero, len(hedges) + 1)
     h0 = hpieces[0].select(
         "l_returnflag", F.col("counts").alias("__ca")
     )
     h1 = hpieces[1].select(
         "l_returnflag", F.col("counts").alias("__cb")
     )
-    dj = h0.join(h1, on="l_returnflag")
-    zero = F.lit(0).cast("long")
-    tot_a = F.aggregate("__ca", zero, lambda acc, x: acc + x)
-    tot_b = F.aggregate("__cb", zero, lambda acc, x: acc + x)
+    dj = (
+        h0.join(h1, on="l_returnflag", how="full")
+        .select(
+            "l_returnflag",
+            F.coalesce("__ca", zeros).alias("__ca"),
+            F.coalesce("__cb", zeros).alias("__cb"),
+        )
+        .withColumn(
+            "__ta", F.aggregate("__ca", zero, lambda acc, x: acc + x)
+        )
+        .withColumn(
+            "__tb", F.aggregate("__cb", zero, lambda acc, x: acc + x)
+        )
+    )
     num = F.aggregate(
-        F.zip_with("__ca", "__cb", lambda x, y: F.abs(x * tot_b - y * tot_a)),
+        F.zip_with(
+            "__ca", "__cb",
+            lambda x, y: F.abs(x * F.col("__tb") - y * F.col("__ta")),
+        ),
         zero,
         lambda acc, d: acc + d,
     )
     drift_frac = dj.select(
         "l_returnflag",
         num.alias("drift_tv_num"),
-        (F.lit(2).cast("long") * tot_a * tot_b).alias("drift_tv_den"),
+        (F.lit(2).cast("long") * F.col("__ta") * F.col("__tb")).alias(
+            "drift_tv_den"
+        ),
     )
     op_tv = histogram_drift(
         hpieces[0], hpieces[1], ["l_returnflag"], out_col="__op_tv"
     )
-    drift = drift_frac.join(op_tv, on="l_returnflag").select(
+    drift = drift_frac.join(op_tv, on="l_returnflag", how="left").select(
         "l_returnflag",
         "drift_tv_num",
         "drift_tv_den",
-        (
+        F.when(
+            F.col("drift_tv_den") > 0,
             F.abs(
                 F.col("__op_tv")
                 - F.col("drift_tv_num").cast("double")
                 / F.col("drift_tv_den").cast("double")
             )
-            < 1e-12
-        ).alias("drift_within_tol"),
+            < 1e-12,
+        ).otherwise(F.lit(True)).alias("drift_within_tol"),
     )
     qty_c = cents(F.col("l_quantity"))
     price_c = cents(F.col("l_extendedprice"))
