@@ -134,3 +134,7 @@ from evidence_datasource_parsers_spark.operators.pagerank import (  # noqa: F401
 from evidence_datasource_parsers_spark.operators.packing import (  # noqa: F401
     materialize_packs,
 )
+from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: F401
+    edit_distance_join,
+    edit_distance_self_join,
+)

@@ -35,6 +35,9 @@ from evidence_datasource_parsers_spark.functions.textstats import (
     STOPWORDS_EN,
     bpe_like_token_count,
 )
+from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+    edit_distance_self_join,
+)
 from evidence_datasource_parsers_spark.operators.dedupe import (
     char_shingles,
     exact_dedupe,
@@ -604,28 +607,70 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
     return sig.unionByName(incr).unionByName(wn)
 
 
+# edit-distance leg constants: short "title" key (ASCII-normalized 20-char
+# prefix — levenshtein parity between engines is only guaranteed off unicode
+# freedoms) and k=2, the canonical metadata-canonicalization threshold
+ED_TITLE_LEN = 20
+ED_MAX_DIST = 2
+_ED_TITLE_SQL = (
+    "substr(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), "
+    f"1, {ED_TITLE_LEN})"
+)
+
+
 @register(
     "q36_ngram_jaccard",
     f"""
     WITH n AS (SELECT doc_id, source, {NORM} AS t FROM documents),
-    sh AS (SELECT doc_id, source, {_shingles_sql()} AS s FROM n)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           len(list_filter(a.s, x -> list_contains(b.s, x))) AS n_inter,
-           len(a.s) + len(b.s)
-               - len(list_filter(a.s, x -> list_contains(b.s, x))) AS n_union,
-           len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0
-               / (len(a.s) + len(b.s)
-                  - len(list_filter(a.s, x -> list_contains(b.s, x)))) AS jaccard
-    FROM sh a JOIN sh b
-      ON a.source = b.source AND a.doc_id < b.doc_id
-         AND b.doc_id - a.doc_id <= 20
+    sh AS (SELECT doc_id, source, {_shingles_sql()} AS s FROM n),
+    jac AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.s, x -> list_contains(b.s, x))) AS n_inter,
+             len(a.s) + len(b.s)
+                 - len(list_filter(a.s, x -> list_contains(b.s, x))) AS n_union,
+             len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0
+                 / (len(a.s) + len(b.s)
+                    - len(list_filter(a.s, x -> list_contains(b.s, x)))) AS jaccard,
+             'jaccard' AS src
+      FROM sh a JOIN sh b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+           AND b.doc_id - a.doc_id <= 20
+    ),
+    ttl AS (SELECT doc_id, {_ED_TITLE_SQL} AS s FROM documents),
+    edj AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.s, b.s) AS BIGINT) AS n_inter,
+             CAST(-1 AS BIGINT) AS n_union,
+             CAST(-1.0 AS DOUBLE) AS jaccard,
+             'edjoin' AS src
+      FROM ttl a JOIN ttl b
+        ON a.doc_id < b.doc_id
+           AND abs(len(a.s) - len(b.s)) <= {ED_MAX_DIST}
+      WHERE levenshtein(a.s, b.s) <= {ED_MAX_DIST}
+    )
+    SELECT * FROM jac UNION ALL SELECT * FROM edj
     """,
-    tags=("dedup", "jaccard"),
+    tags=("dedup", "jaccard", "fuzzy"),
 )
 def q36(spark: SparkSession, sf: str) -> DataFrame:
-    """n-gram Jaccard similarity over bounded candidate pairs (same source,
-    nearby ids) — candidate bounding is what makes pairwise similarity viable
-    at scale; swap the bound for LSH buckets (q34) in production."""
+    """String similarity joins, two legs.
+
+    Leg 1 (src='jaccard'): n-gram Jaccard over bounded candidate pairs
+    (same source, nearby ids) — candidate bounding is what makes pairwise
+    similarity viable at scale; swap the bound for LSH buckets (q34) in
+    production.
+
+    Leg 2 (src='edjoin'): edit-distance similarity self-join over the
+    ASCII-normalized 20-char title prefix via
+    :func:`~evidence_datasource_parsers_spark.operators.fuzzy_join.edit_distance_self_join`
+    (PassJoin pigeonhole segment blocking → equi-join on
+    (length, segment, text) → built-in ``levenshtein`` verify; constant
+    per-row fan-out, no all-pairs anywhere).  The oracle replays the
+    SEMANTICS — a naive length-filtered all-pairs ``levenshtein`` — so the
+    gate proves the blocked plan finds exactly the qualifying pairs.
+    Sentinels (n_union=-1, jaccard=-1.0) keep the union schema NULL-free
+    (NULL-vs-NaN canonicalizer freedom — the r4/r5 red-gate signature).
+    """
     d = load(spark, sf, "documents")
     sh = d.select(
         "doc_id",
@@ -635,7 +680,7 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
     union = F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter
-    return (
+    jac = (
         a.join(
             b,
             on=[
@@ -650,8 +695,30 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
             inter.alias("n_inter"),
             union.alias("n_union"),
             (inter * 1.0 / union).alias("jaccard"),
+            F.lit("jaccard").alias("src"),
         )
     )
+    titles = d.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(
+                F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""
+            ),
+            1,
+            ED_TITLE_LEN,
+        ).alias("title"),
+    )
+    edj = edit_distance_self_join(
+        titles, "title", "doc_id", max_dist=ED_MAX_DIST
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("edit_dist").cast("long").alias("n_inter"),
+        F.lit(-1).cast("long").alias("n_union"),
+        F.lit(-1.0).alias("jaccard"),
+        F.lit("edjoin").alias("src"),
+    )
+    return jac.unionByName(edj)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,174 @@
+"""Edit-distance similarity join (operators/fuzzy_join.py).
+
+The ground truth is a pure-python Levenshtein DP; the operator must return
+EXACTLY the qualifying pairs (the segment blocking is an exact method, not a
+heuristic) across adversarial shapes: tiny alphabet (maximal collisions),
+empty strings, equal strings, unicode, and both join variants.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+    edit_distance_join,
+    edit_distance_self_join,
+    probe_substrings,
+    segment_index,
+)
+
+
+def ed(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[n]
+
+
+def brute_pairs(strs: list[str], k: int) -> set[tuple[int, int, int]]:
+    return {
+        (i, j, ed(strs[i], strs[j]))
+        for i in range(len(strs))
+        for j in range(i + 1, len(strs))
+        if ed(strs[i], strs[j]) <= k
+    }
+
+
+@pytest.fixture(scope="module")
+def collision_strings() -> list[str]:
+    # binary alphabet + short lengths = maximal segment collisions and
+    # every boundary case (empty, len < k+1 → empty segments, equal strings)
+    rng = random.Random(20260816)
+    return [
+        "".join(rng.choice("ab") for _ in range(rng.randint(0, 12)))
+        for _ in range(180)
+    ]
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_self_join_exact_vs_bruteforce(spark, collision_strings, k):
+    df = spark.createDataFrame(
+        list(enumerate(collision_strings)), "id long, s string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in edit_distance_self_join(df, "s", "id", k).collect()
+    }
+    assert got == brute_pairs(collision_strings, k)
+
+
+def test_two_table_join_exact_vs_bruteforce(spark, collision_strings):
+    strs = collision_strings
+    left = spark.createDataFrame(
+        list(enumerate(strs[:90])), "id long, s string"
+    )
+    right = spark.createDataFrame(
+        [(90 + i, s) for i, s in enumerate(strs[90:])], "id long, s string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in edit_distance_join(left, right, "s", "id", 2).collect()
+    }
+    want = {
+        (i, 90 + j, ed(strs[i], strs[90 + j]))
+        for i in range(90)
+        for j in range(len(strs) - 90)
+        if ed(strs[i], strs[90 + j]) <= 2
+    }
+    assert got == want
+
+
+def test_unicode_and_realistic_titles(spark):
+    titles = [
+        "the quick brown fox",
+        "the quick brown fux",  # 1 sub
+        "the quick brown foxes",  # 2 ins
+        "a völlig anderer titel",
+        "a völlig anderer titel!",  # 1 ins (punct)
+        "naïve bayes classifier",
+        "naive bayes classifier",  # 1 sub (ï→i)
+        "深層学習モデル",
+        "深層学習もデル",  # 1 sub
+        "totally unrelated string here",
+    ]
+    df = spark.createDataFrame(list(enumerate(titles)), "id long, s string")
+    got = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in edit_distance_self_join(df, "s", "id", 2).collect()
+    }
+    assert got == brute_pairs(titles, 2)
+
+
+def test_pair_emitted_once(spark):
+    # many surviving segments + many (l, i, p) probe hits for the same pair:
+    # the distinct must collapse them to ONE output row
+    df = spark.createDataFrame(
+        [(0, "aaaaaaaaaaaa"), (1, "aaaaaaaaaaab")], "id long, s string"
+    )
+    rows = edit_distance_self_join(df, "s", "id", 2).collect()
+    assert [(r.id_a, r.id_b, r.edit_dist) for r in rows] == [(0, 1, 1)]
+
+
+def test_probe_fanout_is_bounded(spark):
+    # the probe side must emit at most (k+1)*(2k+1)^2 rows per string
+    k = 2
+    df = spark.createDataFrame(
+        [(i, "x" * (5 + i)) for i in range(40)], "id long, s string"
+    )
+    per_id = (
+        probe_substrings(df, "s", "id", k)
+        .groupBy("__pid")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per_id <= (k + 1) * (2 * k + 1) ** 2
+    per_idx = (
+        segment_index(df, "s", "id", k)
+        .groupBy("__fid")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per_idx == k + 1
+
+
+def test_hot_bucket_cap_bounds_and_keeps_rare_pairs(spark):
+    # 50 copies of boilerplate share every bucket; one rare near-pair must
+    # survive a tiny cap because its segments live in their own buckets
+    rows = [(i, "aaaabbbbcccc") for i in range(50)]
+    rows += [(100, "zqwkrtpd"), (101, "zqwkrtpx")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    capped = edit_distance_self_join(df, "s", "id", 1, hot_bucket_cap=3)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got
+    # cap bounds the boilerplate pair count: only the 3 lowest-id
+    # representatives may appear on the index side
+    assert all(a <= 2 for (a, b) in got if b < 100)
+    full = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_self_join(df, "s", "id", 1).collect()
+    }
+    assert got <= full
+
+
+def test_plan_is_equi_join_not_cartesian(spark):
+    df = spark.createDataFrame(
+        [(i, f"title {i}") for i in range(100)], "id long, s string"
+    )
+    plan = (
+        edit_distance_self_join(df, "s", "id", 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
