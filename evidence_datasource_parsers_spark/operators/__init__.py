@@ -138,3 +138,8 @@ from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: F4
     edit_distance_join,
     edit_distance_self_join,
 )
+from evidence_datasource_parsers_spark.operators.layout_audit import (  # noqa: F401
+    layout_metrics,
+    layout_report,
+    row_group_stats,
+)

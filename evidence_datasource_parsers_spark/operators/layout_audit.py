@@ -1,0 +1,229 @@
+"""Parquet layout audit — MEASURE scan-pruning quality from footer stats.
+
+``zorder_by`` (operators/zorder.py), range-partitioned writes, and
+compaction all exist to make parquet min/max pruning effective — but
+nothing in the engine measured whether a given directory's layout actually
+prunes.  This module closes that loop: it reads ONLY the parquet footers
+(kilobytes per file, never data pages) and computes, per column, the two
+numbers a 100 TB capacity plan needs:
+
+* **clustering depth** — for a point predicate landing at a row group's
+  midpoint, how many row groups' [min, max] ranges must be scanned.
+  Depth ≈ 1 is a perfectly clustered column (a filter touches one group);
+  depth ≈ G (the group count) means min/max pruning is useless for that
+  column.  This is the lakehouse "clustering depth" metric (public
+  Delta/Iceberg OPTIMIZE terminology).
+* **width amplification** — Σ per-group range width / global width.
+  1.0 = the groups tile the domain; G = every group spans everything
+  (random layout).  Catches the same pathology as depth but from the
+  producer side, without probes.
+
+Scale shape: the footer read is DISTRIBUTED (a ``mapInPandas`` over the
+file list — at 1M files that is 1M tiny metadata reads spread over the
+cluster, no data IO); the resulting stats frame has one row per
+(row group × column) — METADATA scale, orders of magnitude smaller than
+the table — and the depth probe reuses the bucketed
+:func:`~evidence_datasource_parsers_spark.operators.interval.count_in_interval`
+equi-join (never a nested loop).  Per-column global bounds are one tiny
+aggregate, broadcast back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from evidence_datasource_parsers_spark.operators.interval import (
+    count_in_interval,
+)
+
+STATS_SCHEMA = (
+    "path string, row_group int, column string, n_rows long, "
+    "n_values long, n_nulls long, byte_size long, has_stats boolean, "
+    "vmin double, vmax double, vmin_str string, vmax_str string"
+)
+
+# probe resolution for the depth metric: ranges are normalized to [0, 1]
+# per column, so a fixed bucket width is correct for every column; 1/64
+# keeps interval replication ≤ 65 rows per row group — metadata scale.
+_DEPTH_BUCKET_WIDTH = 1.0 / 64
+
+
+def _stat_value(v) -> tuple[float | None, str | None]:
+    """Footer stat → (numeric, string) rendering; exactly one is non-None."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return None, None
+    if isinstance(v, bool):
+        return float(v), None
+    if isinstance(v, (int, float)):
+        return float(v), None
+    if isinstance(v, decimal.Decimal):
+        return float(v), None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return v.timestamp(), None
+    if isinstance(v, datetime.date):
+        return float(v.toordinal()), None
+    if isinstance(v, bytes):
+        return None, v.decode("utf-8", "replace")
+    return None, str(v)
+
+
+def row_group_stats(spark: SparkSession, path: str) -> DataFrame:
+    """One row per (file, row group, column) of footer statistics.
+
+    Uses Spark's own file index for the listing, then reads each footer
+    with pyarrow ON THE EXECUTORS — the driver never touches a file.
+    ``file:`` URI schemes are stripped (local/shared-FS clusters); object
+    stores resolve through pyarrow's filesystem layer the same way.
+    """
+    files = [
+        f[7:] if f.startswith("file://") else f
+        for f in spark.read.parquet(path).inputFiles()
+    ]
+    paths = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(max(1, min(len(files), 64)))
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        st = c.statistics
+                        has = st is not None and st.has_min_max
+                        vmin, vmin_s = _stat_value(st.min if has else None)
+                        vmax, vmax_s = _stat_value(st.max if has else None)
+                        out.append(
+                            {
+                                "path": p,
+                                "row_group": rg,
+                                "column": c.path_in_schema,
+                                "n_rows": g.num_rows,
+                                "n_values": c.num_values,
+                                "n_nulls": (
+                                    st.null_count
+                                    if st is not None
+                                    and st.has_null_count
+                                    else None
+                                ),
+                                "byte_size": c.total_compressed_size,
+                                "has_stats": bool(has),
+                                "vmin": vmin,
+                                "vmax": vmax,
+                                "vmin_str": vmin_s,
+                                "vmax_str": vmax_s,
+                            }
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "path",
+                    "row_group",
+                    "column",
+                    "n_rows",
+                    "n_values",
+                    "n_nulls",
+                    "byte_size",
+                    "has_stats",
+                    "vmin",
+                    "vmax",
+                    "vmin_str",
+                    "vmax_str",
+                ],
+            )
+
+    return paths.mapInPandas(read_footers, STATS_SCHEMA)
+
+
+def layout_metrics(stats: DataFrame) -> DataFrame:
+    """Per-column clustering metrics from :func:`row_group_stats` rows.
+
+    Output (one row per column that carries NUMERIC min/max stats):
+    ``column, n_groups, n_rows, null_fraction, width_amplification,
+    avg_depth, max_depth``.  String-typed columns are skipped — parquet
+    truncates their stats and midpoint probes aren't meaningful.
+
+    ``width_amplification`` is NULL for a constant column (global width
+    0 — pruning is trivially perfect there); depth still reports G so a
+    degenerate layout can't hide.
+    """
+    num = stats.where(
+        F.col("has_stats")
+        & F.col("vmin").isNotNull()
+        & F.col("vmax").isNotNull()
+    )
+    bounds = num.groupBy("column").agg(
+        F.min("vmin").alias("__gmin"),
+        F.max("vmax").alias("__gmax"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum(F.coalesce(F.col("n_nulls"), F.lit(0))).alias("__nulls"),
+        F.sum(F.col("vmax") - F.col("vmin")).alias("__wsum"),
+    )
+    gw = F.col("__gmax") - F.col("__gmin")
+    # normalized ranges: constant columns collapse to [0, 0] (full overlap
+    # by construction — depth = G, the honest answer)
+    ranged = num.join(F.broadcast(bounds), on="column").select(
+        "column",
+        "path",
+        "row_group",
+        F.when(gw > 0, (F.col("vmin") - F.col("__gmin")) / gw)
+        .otherwise(F.lit(0.0))
+        .alias("nmin"),
+        F.when(gw > 0, (F.col("vmax") - F.col("__gmin")) / gw)
+        .otherwise(F.lit(0.0))
+        .alias("nmax"),
+    )
+    probes = ranged.select(
+        "column",
+        "path",
+        "row_group",
+        ((F.col("nmin") + F.col("nmax")) / 2).alias("mid"),
+    )
+    depth = count_in_interval(
+        probes,
+        ranged.select("column", "nmin", "nmax"),
+        "mid",
+        "nmin",
+        "nmax",
+        on="column",
+        bucket_width=_DEPTH_BUCKET_WIDTH,
+        count_col="depth",
+    )
+    per_col_depth = depth.groupBy("column").agg(
+        F.avg("depth").alias("avg_depth"),
+        F.max("depth").alias("max_depth"),
+    )
+    return (
+        bounds.join(per_col_depth, on="column")
+        .select(
+            "column",
+            "n_groups",
+            "n_rows",
+            (F.col("__nulls") / F.greatest(F.col("n_rows"), F.lit(1))).alias(
+                "null_fraction"
+            ),
+            F.when(gw > 0, F.col("__wsum") / gw).alias(
+                "width_amplification"
+            ),
+            "avg_depth",
+            "max_depth",
+        )
+    )
+
+
+def layout_report(spark: SparkSession, path: str) -> DataFrame:
+    """One-call audit: footer scan → per-column clustering metrics."""
+    return layout_metrics(row_group_stats(spark, path))
