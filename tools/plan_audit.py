@@ -347,6 +347,33 @@ def pipeline_plans(spark) -> dict:
     plans["bloom_probe"] = bloom_member(
         bloom_history, urls, ["domain"], "url"
     )
+
+    # edit-distance similarity join: the blocked candidate join must stay
+    # an equi-join (the whole point vs the O(n^2) naive form)
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        edit_distance_self_join,
+    )
+
+    titles = spark.createDataFrame(
+        [(i, f"title number {i % 4}") for i in range(8)],
+        "id long, s string",
+    )
+    plans["fuzzy_self_join"] = edit_distance_self_join(titles, "s", "id", 2)
+
+    # layout audit: the depth probe must ride the bucketed interval join
+    from evidence_datasource_parsers_spark.operators.layout_audit import (
+        STATS_SCHEMA,
+        layout_metrics,
+    )
+
+    stats = spark.createDataFrame(
+        [
+            ("f1", 0, "x", 4, 4, 0, 100, True, 0.0, 1.0, None, None),
+            ("f2", 0, "x", 4, 4, 0, 100, True, 1.0, 2.0, None, None),
+        ],
+        STATS_SCHEMA,
+    )
+    plans["layout_metrics"] = layout_metrics(stats)
     return plans
 
 
