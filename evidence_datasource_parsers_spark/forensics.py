@@ -30,6 +30,16 @@ import os
 
 ARTIFACT_DIR = os.environ.get("SPARK_GRAFT_FORENSICS_DIR", "/root/repo")
 
+#: the driver's correctness gate runs at this scale; audit ARTIFACTS are
+#: persisted only for gate-scale runs so an sf0.001 smoke/pytest pass can
+#: never overwrite the committed gate evidence (recurring round-8/9 drift).
+GATE_SF = "sf0.01"
+
+
+def is_gate_sf(sf_dir: str) -> bool:
+    return os.path.basename(os.path.normpath(sf_dir or "")) == GATE_SF
+
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -122,9 +132,14 @@ def _env_info() -> dict:
     return info
 
 
-def _write_status(name: str, status: dict) -> None:
-    """Unconditional status artifact + one stdout line (round-5 verdict #2:
-    a silent-on-success audit cannot prove it ran at the driver's gate)."""
+def _write_status(name: str, status: dict, persist: bool = True) -> None:
+    """Status stdout line + (gate-scale only) status artifact.
+
+    The stdout line is unconditional (round-5 verdict #2: a silent-on-
+    success audit cannot prove it ran at the driver's gate).  The JSON
+    artifact persists only when ``persist`` — gate-scale runs — so smoke
+    runs at other scale factors can't overwrite committed gate evidence.
+    """
     import time
 
     status = {"query": name, "ts": time.time(), **status, "env": _env_info()}
@@ -132,13 +147,16 @@ def _write_status(name: str, status: dict) -> None:
         f"{name} self-audit: {status.get('status', '?').upper()}"
         f" hash={status.get('result_hash', '-')} rows={status.get('rows_spark', '-')}"
     )
-    try:
-        with open(
-            os.path.join(ARTIFACT_DIR, f"{name.upper()}_AUDIT.json"), "w"
-        ) as fh:
-            json.dump(status, fh, indent=1, default=str)
-    except Exception:  # noqa: BLE001
-        line += " (artifact write failed)"
+    if persist:
+        try:
+            with open(
+                os.path.join(ARTIFACT_DIR, f"{name.upper()}_AUDIT.json"), "w"
+            ) as fh:
+                json.dump(status, fh, indent=1, default=str)
+        except Exception:  # noqa: BLE001
+            line += " (artifact write failed)"
+    else:
+        line += " (non-gate sf: artifact not persisted)"
     print(line, flush=True)
 
 
@@ -162,17 +180,22 @@ def result_hash(cols, rows) -> str:
 def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
     """Self-audit ``df`` against its DuckDB ``oracle`` SQL.
 
-    ALWAYS writes ``{ARTIFACT_DIR}/{NAME}_AUDIT.json`` (status match /
-    mismatch / error, canonical result hash, row counts, env versions,
-    timestamp) and prints a one-line status to stdout so the driver's
-    captured log tail records that the audit ran — round 5's audit was
-    silent on success and could not prove it executed at the gate.  On
-    divergence additionally writes ``{NAME}_DIFF.json`` with the first 20
-    diverging canonical rows.  Best-effort: audit failures must never turn
-    a green query red, but they are now *recorded*, not swallowed.
+    ALWAYS prints a one-line status to stdout so the driver's captured log
+    tail records that the audit ran — round 5's audit was silent on
+    success and could not prove it executed at the gate.  The
+    ``{ARTIFACT_DIR}/{NAME}_AUDIT.json`` status artifact (match / mismatch
+    / error, canonical result hash, row counts, env versions, timestamp)
+    persists only for GATE-scale runs (``is_gate_sf``): sf0.001 smoke and
+    pytest passes must not overwrite committed sf0.01 gate evidence (the
+    round-8/9 recurring artifact drift).  On divergence additionally
+    writes ``{NAME}_DIFF.json`` with the first 20 diverging canonical rows
+    (at ANY scale — red evidence beats hygiene).  Best-effort: audit
+    failures must never turn a green query red, but they are now
+    *recorded*, not swallowed.
     """
     if os.environ.get("SPARK_GRAFT_NO_FORENSICS"):
         return
+    persist = is_gate_sf(sf_dir)
     diff_path = os.path.join(ARTIFACT_DIR, f"{name.upper()}_DIFF.json")
     try:
         import duckdb
@@ -204,7 +227,7 @@ def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
                 "rows_spark": len(sr),
                 "rows_oracle": len(dr),
                 "sf_dir": sf_dir,
-            })
+            }, persist=persist)
             return
         if sc == dc and sr == dr:
             if os.path.exists(diff_path):
@@ -216,7 +239,7 @@ def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
                 "rows_spark": len(sr),
                 "rows_oracle": len(dr),
                 "sf_dir": sf_dir,
-            })
+            }, persist=persist)
             return
         spark_only = [r for r in sr if r not in set(dr)][:20]
         oracle_only = [r for r in dr if r not in set(sr)][:20]
@@ -240,7 +263,7 @@ def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
             "rows_spark": len(sr),
             "rows_oracle": len(dr),
             "sf_dir": sf_dir,
-        })
+        }, persist=persist)
     except Exception as exc:  # noqa: BLE001 — forensics never fails the query
         import traceback
 
@@ -250,6 +273,6 @@ def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
                 "error": repr(exc),
                 "traceback": traceback.format_exc()[-2000:],
                 "sf_dir": sf_dir,
-            })
+            }, persist=is_gate_sf(sf_dir))
         except Exception:  # noqa: BLE001 — truly last resort
             pass

@@ -127,7 +127,9 @@ def audit_legs(
             else ("match" if not failing else "mismatch")
         ),
     }
-    if write and artifact:
+    # gate-scale only: a verify run at sf0.001 must not overwrite the
+    # committed sf0.01 leg-hash evidence (same rule as forensics._write_status)
+    if write and artifact and forensics.is_gate_sf(sf_dir):
         try:
             path = os.path.join(forensics.ARTIFACT_DIR, artifact)
             with open(path, "w") as fh:

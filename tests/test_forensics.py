@@ -2,9 +2,12 @@
 
 Round 5's audit was silent on success and swallowed every failure, so a red
 driver gate could not be distinguished from "the audit never ran".  The
-contract now: ``audit_against_oracle`` ALWAYS writes ``{NAME}_AUDIT.json``
-(match / mismatch / error) and prints one status line; on mismatch it
-additionally writes the ``{NAME}_DIFF.json`` diverging-row artifact.
+contract now: ``audit_against_oracle`` ALWAYS prints one status line; at the
+GATE scale (sf0.01) it also writes ``{NAME}_AUDIT.json`` (match / mismatch /
+error); on mismatch it additionally writes the ``{NAME}_DIFF.json``
+diverging-row artifact at any scale.  Non-gate scales (sf0.001 smoke,
+pytest) never persist the status artifact — that is how a smoke run used to
+overwrite committed gate evidence (round-8/9 recurring drift).
 """
 
 from __future__ import annotations
@@ -15,6 +18,9 @@ import os
 import pytest
 
 from evidence_datasource_parsers_spark import forensics
+
+
+GATE_SF_DIR = "/root/testdata/sf0.01"
 
 
 @pytest.fixture
@@ -29,10 +35,10 @@ def _read(path):
         return json.load(fh)
 
 
-def test_audit_match_writes_status_artifact(spark, sf_dir, artifact_dir, capsys):
+def test_audit_match_writes_status_artifact(spark, artifact_dir, capsys):
     df = spark.range(3).selectExpr("id AS n")
     forensics.audit_against_oracle(
-        "t_match", df, sf_dir, "SELECT range AS n FROM range(3)"
+        "t_match", df, GATE_SF_DIR, "SELECT range AS n FROM range(3)"
     )
     st = _read(os.path.join(artifact_dir, "T_MATCH_AUDIT.json"))
     assert st["status"] == "match"
@@ -43,10 +49,10 @@ def test_audit_match_writes_status_artifact(spark, sf_dir, artifact_dir, capsys)
     assert "t_match self-audit: MATCH" in capsys.readouterr().out
 
 
-def test_audit_mismatch_writes_both_artifacts(spark, sf_dir, artifact_dir, capsys):
+def test_audit_mismatch_writes_both_artifacts(spark, artifact_dir, capsys):
     df = spark.range(3).selectExpr("id AS n")
     forensics.audit_against_oracle(
-        "t_mis", df, sf_dir, "SELECT range + 100 AS n FROM range(3)"
+        "t_mis", df, GATE_SF_DIR, "SELECT range + 100 AS n FROM range(3)"
     )
     st = _read(os.path.join(artifact_dir, "T_MIS_AUDIT.json"))
     assert st["status"] == "mismatch"
@@ -56,13 +62,42 @@ def test_audit_mismatch_writes_both_artifacts(spark, sf_dir, artifact_dir, capsy
     assert "t_mis self-audit: MISMATCH" in capsys.readouterr().out
 
 
-def test_audit_error_is_recorded_not_swallowed(spark, sf_dir, artifact_dir, capsys):
+def test_audit_error_is_recorded_not_swallowed(spark, artifact_dir, capsys):
     df = spark.range(1).selectExpr("id AS n")
-    forensics.audit_against_oracle("t_err", df, sf_dir, "SELECT definitely syntax error (")
+    forensics.audit_against_oracle(
+        "t_err", df, GATE_SF_DIR, "SELECT definitely syntax error ("
+    )
     st = _read(os.path.join(artifact_dir, "T_ERR_AUDIT.json"))
     assert st["status"] == "error"
     assert "traceback" in st
     assert "t_err self-audit: ERROR" in capsys.readouterr().out
+
+
+def test_non_gate_sf_never_persists_status_artifact(
+    spark, sf_dir, artifact_dir, capsys
+):
+    # sf_dir fixture = sf0.001 — the smoke scale whose runs kept
+    # overwriting the committed sf0.01 artifact (round-8/9 drift)
+    df = spark.range(3).selectExpr("id AS n")
+    forensics.audit_against_oracle(
+        "t_smoke", df, sf_dir, "SELECT range AS n FROM range(3)"
+    )
+    assert not os.path.exists(
+        os.path.join(artifact_dir, "T_SMOKE_AUDIT.json")
+    )
+    out = capsys.readouterr().out
+    assert "t_smoke self-audit: MATCH" in out
+    assert "artifact not persisted" in out
+    # mismatch evidence still lands at any scale
+    forensics.audit_against_oracle(
+        "t_smokemis", df, sf_dir, "SELECT range + 9 AS n FROM range(3)"
+    )
+    assert not os.path.exists(
+        os.path.join(artifact_dir, "T_SMOKEMIS_AUDIT.json")
+    )
+    assert os.path.exists(
+        os.path.join(artifact_dir, "T_SMOKEMIS_DIFF.json")
+    )
 
 
 def test_audit_disabled_by_env(spark, sf_dir, artifact_dir, monkeypatch):

@@ -51,11 +51,15 @@ def q42_frames(spark, sf_dir):
 def test_legs_cover_all_columns_and_match(frames, tmp_path, monkeypatch):
     s_pdf, d_pdf = frames
     monkeypatch.setattr(forensics, "ARTIFACT_DIR", str(tmp_path))
+    # artifact persistence is GATE-scale only: a non-gate sf_dir must not
+    # write (that path overwrote committed gate evidence in rounds 8/9)
     audit = audit_q62_legs(s_pdf, d_pdf, sf_dir="sf-test")
     assert audit["unmapped_columns"] == []
     assert audit["failing_legs"] == []
     assert audit["status"] == "match"
     assert set(audit["legs"]) == set(LEG_COLUMNS)
+    assert not os.path.exists(os.path.join(tmp_path, "Q62_LEGS_AUDIT.json"))
+    audit = audit_q62_legs(s_pdf, d_pdf, sf_dir="/any/where/sf0.01")
     on_disk = json.load(open(os.path.join(tmp_path, "Q62_LEGS_AUDIT.json")))
     assert on_disk["status"] == "match"
     assert on_disk["rows_spark"] == len(s_pdf)
