@@ -1339,7 +1339,14 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
     and pinned-broadcast; supplier GROWS with the dataset, so its hint is
     size-gated (``broadcast_if_small``) — broadcast-hash under the
     threshold, optimizer's choice (SMJ / AQE runtime broadcast) above it.
-    A pinned supplier broadcast would OOM executors at ~100× sf."""
+    A pinned supplier broadcast would OOM executors at ~100× sf.
+
+    Join ORDER is load-bearing: the region predicate reaches customer only
+    through join transitivity, which Catalyst cannot push, so the ASIA
+    nation⋈region slice (≤25 rows) broadcasts into customer FIRST — the
+    customer⋈orders⋈lineitem chain then carries ~1/5 of the rows through
+    both big shuffles instead of filtering at the end.  At 100 TB that is
+    the difference between shuffling one region and shuffling the world."""
     c = load(spark, sf, "customer")
     o = load(spark, sf, "orders")
     l = load(spark, sf, "lineitem")
@@ -1349,15 +1356,18 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
     rev = cents(F.col("l_extendedprice")) * (
         F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
+    n_asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c_asia = c.join(F.broadcast(n_asia), c.c_nationkey == n_asia.n_nationkey)
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
+        c_asia.join(o, c_asia.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .join(
             broadcast_if_small(s),
-            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+            (l.l_suppkey == s.s_suppkey)
+            & (c_asia.c_nationkey == s.s_nationkey),
         )
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.sum(rev).alias("revenue_c4"))
     )
