@@ -135,6 +135,7 @@ from evidence_datasource_parsers_spark.operators.packing import (  # noqa: F401
     materialize_packs,
 )
 from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: F401
+    canonicalize_labels,
     edit_distance_join,
     edit_distance_self_join,
 )

@@ -46,6 +46,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "canonicalize_labels",
     "edit_distance_self_join",
     "edit_distance_join",
     "segment_index",
@@ -209,6 +210,53 @@ def edit_distance_join(
         pairs.withColumn("edit_dist", dist.cast("int"))
         .where(F.col("edit_dist") <= max_dist)
         .select("id_a", "id_b", "edit_dist")
+    )
+
+
+def canonicalize_labels(
+    df: DataFrame,
+    string_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    hot_bucket_cap: int | None = None,
+) -> DataFrame:
+    """Canonical value per fuzzy-equivalence cluster — the one-call
+    metadata cleanup: rows whose *string_col* values are within
+    ``max_dist`` edits (transitively) share a cluster, and every row maps
+    to the cluster's min-id representative value.
+
+    Output: the input columns + ``canonical_id`` (min id in the cluster)
+    + ``canonical`` (that row's string).  Singleton rows map to
+    themselves.  Composition: :func:`edit_distance_self_join` →
+    ``dedupe.duplicate_clusters`` (pointer-doubling connected components)
+    → two hash joins back.  Transitive closure is the point — 'colour',
+    'color', 'colr' all canonicalize together even when the endpoints are
+    3 edits apart; pick ``max_dist`` accordingly.
+    """
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        duplicate_clusters,
+    )
+
+    pairs = edit_distance_self_join(
+        df, string_col, id_col, max_dist, hot_bucket_cap
+    )
+    # (doc_id, cluster_id) — paired rows only
+    clusters = duplicate_clusters(pairs)
+    labeled = df.join(
+        clusters.select(
+            F.col("doc_id").alias(id_col), F.col("cluster_id").alias("__cid")
+        ),
+        on=id_col,
+        how="left",
+    ).withColumn(
+        "canonical_id", F.coalesce(F.col("__cid"), F.col(id_col))
+    )
+    reps = df.select(
+        F.col(id_col).alias("canonical_id"),
+        F.col(string_col).alias("canonical"),
+    )
+    return labeled.drop("__cid").join(reps, on="canonical_id").select(
+        *df.columns, "canonical_id", "canonical"
     )
 
 

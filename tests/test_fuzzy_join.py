@@ -172,3 +172,29 @@ def test_plan_is_equi_join_not_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_canonicalize_labels_transitive(spark):
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        canonicalize_labels,
+    )
+
+    rows = [
+        (10, "colour"),
+        (11, "color"),   # 1 edit from colour
+        (12, "colr"),    # 1 edit from color, 2 from colour
+        (20, "flavour"),
+        (21, "flavor"),
+        (30, "entirely different"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = {
+        r.id: (r.canonical_id, r.canonical)
+        for r in canonicalize_labels(df, "s", "id", max_dist=1).collect()
+    }
+    # transitive closure: colr reaches colour THROUGH color at k=1
+    assert out[10] == out[11] == out[12] == (10, "colour")
+    assert out[20] == out[21] == (20, "flavour")
+    # singleton maps to itself
+    assert out[30] == (30, "entirely different")
+    assert len(out) == len(rows)

@@ -586,6 +586,61 @@ def counter_bloom_case(spark, materialize, replicas: int):
     return row
 
 
+def fuzzy_join_case(spark, materialize, base: str, replicas: int):
+    """Edit-distance self-join at ~Nx the corpus: pair count and candidate
+    fan-out must scale LINEARLY (the pigeonhole blocking's whole claim).
+
+    The generic replication can't be reused here: its per-token ``_r``
+    suffix leaves cross-replica twins within edit distance 2, which makes
+    same-origin titles match across every replica pair — a quadratic pair
+    explosion the REPLICATION manufactures, not the operator.  Instead
+    each replica's titles get a distinct 3-char prefix (``rrr ``: any two
+    replicas differ by 3 substitutions > k=2) and shifted ids — within-
+    replica distances are preserved EXACTLY, cross-replica pairs are
+    impossible, so the true pair count scales xN."""
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        edit_distance_self_join,
+    )
+
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    titles = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""),
+            1,
+            20,
+        ).alias("title"),
+    )
+
+    def mk(n_rep: int):
+        parts = [
+            titles.select(
+                (F.col("doc_id") + F.lit(r * 10**9)).alias("doc_id"),
+                F.concat(F.lit(f"{r % 10}{r % 10}{r % 10} "), F.col("title"))
+                .alias("title"),
+            )
+            for r in range(n_rep)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.localCheckpoint(eager=True)
+
+    row = {}
+    for label, n_rep in (("base", 1), ("scaled", replicas)):
+        frame = mk(n_rep)
+        best = -1.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(edit_distance_self_join(frame, "title", "doc_id", 2))
+            dt = time.perf_counter() - t0
+            best = dt if best < 0 else min(best, dt)
+        row[label] = round(best, 3)
+    if row.get("base", -1) > 0 and row.get("scaled", -1) > 0:
+        row["factor"] = round(row["scaled"] / row["base"], 2)
+    return row
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -660,6 +715,9 @@ def main() -> None:
     )
     results["counter_bloom_store"] = counter_bloom_case(
         spark, materialize, replicas
+    )
+    results["fuzzy_edit_join"] = fuzzy_join_case(
+        spark, materialize, base, replicas
     )
 
     line = json.dumps(
