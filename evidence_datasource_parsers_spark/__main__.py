@@ -177,6 +177,15 @@ def main(argv: list[str] | None = None) -> int:
     compact.add_argument("--bucket-col", default=None,
                          help="fingerprint kind: bucket key column")
 
+    layout = sub.add_parser(
+        "layout-audit",
+        help="per-column clustering metrics of a parquet directory from "
+        "footer stats alone (no data pages): clustering depth, width "
+        "amplification, null fraction — the re-cluster-or-not signal",
+    )
+    layout.add_argument("path", help="parquet directory (or file)")
+    layout.add_argument("--limit", type=int, default=50)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "compact":
@@ -191,6 +200,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cdx(args)
     if args.cmd == "frontier":
         return _frontier(args)
+    if args.cmd == "layout-audit":
+        return _layout_audit(args)
 
     from evidence_datasource_parsers_spark.plans import CATALOG
 
@@ -596,6 +607,21 @@ def _frontier(args) -> int:
         f"seen store → {args.store}"
         + (f" (compacted to {n_compacted} rows)"
            if n_compacted is not None else "")
+    )
+    return 0
+
+
+def _layout_audit(args) -> int:
+    """Parquet footer scan → per-column clustering metrics table."""
+    from evidence_datasource_parsers_spark.operators.layout_audit import (
+        layout_report,
+    )
+    from evidence_datasource_parsers_spark.session import get_spark
+
+    spark = get_spark("layout-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    layout_report(spark, args.path).orderBy("column").show(
+        args.limit, truncate=False
     )
     return 0
 

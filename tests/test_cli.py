@@ -379,3 +379,16 @@ def test_compact_cli_all_kinds(spark, tmp_path, capsys):
     # missing --group-cols is a usage error, not a crash
     assert main(["compact", "--store", sk, "--kind", "sketch"]) == 2
     capsys.readouterr()
+
+
+def test_layout_audit_cli(spark, tmp_path, capsys):
+    from evidence_datasource_parsers_spark.__main__ import main
+
+    p = str(tmp_path / "t")
+    spark.range(1024).selectExpr("id", "id * 2 AS x").repartitionByRange(
+        4, "id"
+    ).write.parquet(p)
+    assert main(["layout-audit", p]) == 0
+    out = capsys.readouterr().out
+    assert "width_amplification" in out
+    assert "x" in out and "id" in out
