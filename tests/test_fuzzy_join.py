@@ -43,6 +43,18 @@ def brute_pairs(strs: list[str], k: int) -> set[tuple[int, int, int]]:
 
 
 @pytest.fixture(scope="module")
+def spark_prop():
+    # hypothesis can't take the function-scoped-looking session fixture as
+    # an argument; resolve the shared session the same way the interval
+    # property tests do
+    from evidence_datasource_parsers_spark.session import get_spark
+
+    s = get_spark("tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+@pytest.fixture(scope="module")
 def collision_strings() -> list[str]:
     # binary alphabet + short lengths = maximal segment collisions and
     # every boundary case (empty, len < k+1 → empty segments, equal strings)
@@ -198,3 +210,30 @@ def test_canonicalize_labels_transitive(spark):
     # singleton maps to itself
     assert out[30] == (30, "entirely different")
     assert len(out) == len(rows)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_strs = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=8),
+    min_size=2,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(strs=_strs, k=st.integers(min_value=1, max_value=3))
+def test_property_self_join_matches_bruteforce(spark_prop, strs, k):
+    df = spark_prop.createDataFrame(
+        list(enumerate(strs)), "id long, s string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.edit_dist)
+        for r in edit_distance_self_join(df, "s", "id", k).collect()
+    }
+    assert got == brute_pairs(strs, k)
