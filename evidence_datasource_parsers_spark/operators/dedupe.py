@@ -590,14 +590,18 @@ def estimated_jaccard(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
     """Jaccard similarity estimated from two MinHash signatures: the
     fraction of matching components (the standard unbiased estimator —
     P[min-hash collision] = J).  NULL components (NULL/empty text) never
-    match, so degenerate signatures estimate 0, not 1."""
-    matches = F.aggregate(
-        F.zip_with(
-            sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    match, so degenerate signatures estimate 0, not 1.
+
+    Unrolled element_at comparisons, NOT zip_with+aggregate: higher-order
+    array lambdas are CodegenFallback (interpreted, per-element boxing)
+    and this expression runs once per CANDIDATE PAIR — the hottest row
+    count in the incremental near-dup join.  16 codegen'd comparisons
+    stay far under the JIT method ceiling (SCALE.md hazard 7)."""
+    matches = F.lit(0)
+    for i in range(num_perm):
+        matches = matches + F.when(
+            F.element_at(sig_a, i + 1) == F.element_at(sig_b, i + 1), 1
+        ).otherwise(0)
     return matches / F.lit(num_perm)
 
 
