@@ -17,12 +17,15 @@ the k edits untouched and appears VERBATIM in ``t``, shifted by at most
 * **index side** — each string emits its ``k+1`` segments keyed by
   ``(length, segment_no, segment_text)``: ``k+1`` rows per string.
 * **probe side** — each string enumerates, for every partner length
-  ``l ∈ [L-k, L+k]`` and segment ``i``, the substrings at positions within
-  ``±k`` of where segment ``i`` of a length-``l`` string would start:
-  at most ``(k+1)·(2k+1)²`` rows per string (75 for k=2) — a CONSTANT
-  fan-out, independent of corpus size.
-* equi-join on the key, distinct pairs, then the exact
-  ``F.levenshtein(a, b) <= k`` predicate verifies (built-in, JVM-side).
+  ``l ∈ [L-k, L+k]`` and segment ``i``, the substrings at positions where
+  segment ``i`` could survive under PassJoin's multi-match-aware shift
+  window (``max(i,|shift|) + |Δ-shift| ≤ k`` — see
+  :func:`probe_substrings`): ≤ 29 rows per string at k=2, a CONSTANT
+  fan-out independent of corpus size and ~2.6× below the naive ±k
+  enumeration.
+* equi-join on the key with the exact ``levenshtein ≤ k`` verify as a
+  join residual (built-in, JVM-side), then a distinct over
+  ``(id, id, dist)`` — strings never ride an exchange.
 
 The join shuffles on ``(length, segment_no, segment_text)`` — bounded keys,
 never all-pairs; Catalyst picks SMJ/SHJ and AQE handles moderate skew.  For
@@ -105,11 +108,21 @@ def probe_substrings(
     """Probe rows ``(id, s, l_partner, i, sub)``.
 
     For each partner length ``l`` within ±k of this string's length and
-    each segment number ``i``, every substring of this string whose start
-    is within ±k of segment ``i``'s start in a length-``l`` string.  Empty
-    position windows (segment longer than this string) produce no rows —
-    ``sequence`` is guarded because Spark's ``sequence(a, b)`` DESCENDS
-    when ``a > b`` instead of returning empty.
+    each segment number ``i``, the substrings of this string at positions
+    where segment ``i`` of a length-``l`` partner could survive.  The
+    shift window is PassJoin's multi-match-aware selection, not the naive
+    ±k: take ``i`` to be the FIRST untouched segment of the partner —
+    then segments ``0..i-1`` each contain ≥1 edit (≥ i edits before, so
+    ``|shift| ≤ edits_before``), and the net length change after it needs
+    ``≥ |Δ - shift|`` more edits (Δ = this length − partner length), so
+
+        max(i, |shift|) + |Δ - shift| ≤ k
+
+    which roughly HALVES probe fan-out vs the naive window (e.g. k=2,
+    Δ=0: segment 2 probes exactly one position instead of five).  Empty
+    position windows produce no rows — ``sequence`` is guarded because
+    Spark's ``sequence(a, b)`` DESCENDS when ``a > b`` instead of
+    returning empty.
     """
     k = max_dist
     tl = F.length(F.col(string_col)).cast("int")
@@ -132,22 +145,34 @@ def probe_substrings(
     pl = F.col("__pl")
     slen = _seg_len(l, i, k)
     sstart = _seg_start(l, i, k)
-    lo = F.greatest(sstart - k, F.lit(0))
-    hi = F.least(sstart + k, pl - slen)
-    positions = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
-        F.array().cast("array<int>")
+    delta = pl - l
+    s = F.col("__s")
+    # explode the full ±k shift range, filter in the SAME narrow stage
+    # (whole-stage codegen, rows die before the join's build/shuffle side —
+    # an array-lambda filter would be CodegenFallback)
+    shifted = base.select(
+        "__pid",
+        "__ps",
+        "__pl",
+        "__l",
+        "__i",
+        F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("__s"),
+    ).where(
+        (F.greatest(i, F.abs(s)) + F.abs(delta - s) <= F.lit(k))
+        & (sstart + s >= 0)
+        & (sstart + s <= pl - slen)
     )
     # distinct column names on the probe side: the candidate join is a
     # self-join for edit_distance_self_join, and alias-based resolution over
     # shared computed columns can mis-resolve (see dedupe.py:281) — so the
     # probe never shares a name with the index.
-    return base.select(
+    return shifted.select(
         "__pid",
         "__ps",
         "__l",
         F.col("__i").alias("__pi"),
+        (sstart + s).alias("__p"),
         slen.alias("__slen"),
-        F.explode(positions).alias("__p"),
     ).select(
         "__pid",
         "__ps",
@@ -191,26 +216,26 @@ def edit_distance_join(
     if hot_bucket_cap is not None:
         index = _cap_index(index, hot_bucket_cap)
     probe = probe_substrings(right, string_col, id_col, max_dist)
+    # the levenshtein verify lives IN the join condition (the optimizer
+    # puts it there anyway as a residual); the distinct then runs over
+    # (id, id, int) survivors only — never over carried strings, whose
+    # wide-row exchange dominated the first implementation
     cand = index.join(
         probe,
         on=[
             F.col("__fl") == F.col("__l"),
             F.col("__i") == F.col("__pi"),
             F.col("__seg") == F.col("__sub"),
+            F.levenshtein(F.col("__fs"), F.col("__ps")) <= max_dist,
         ],
     )
-    pairs = cand.select(
+    return cand.select(
         F.col("__fid").alias("id_a"),
         F.col("__pid").alias("id_b"),
-        F.col("__fs").alias("__sa"),
-        F.col("__ps").alias("__sb"),
+        F.levenshtein(F.col("__fs"), F.col("__ps"))
+        .cast("int")
+        .alias("edit_dist"),
     ).distinct()
-    dist = F.levenshtein(F.col("__sa"), F.col("__sb"))
-    return (
-        pairs.withColumn("edit_dist", dist.cast("int"))
-        .where(F.col("edit_dist") <= max_dist)
-        .select("id_a", "id_b", "edit_dist")
-    )
 
 
 def canonicalize_labels(
@@ -279,6 +304,8 @@ def edit_distance_self_join(
     if hot_bucket_cap is not None:
         index = _cap_index(index, hot_bucket_cap)
     probe = probe_substrings(df, string_col, id_col, max_dist)
+    # same shape as edit_distance_join: verify inside the join, distinct
+    # over (id, id, int) — see the comment there
     cand = index.join(
         probe,
         on=[
@@ -286,17 +313,13 @@ def edit_distance_self_join(
             F.col("__i") == F.col("__pi"),
             F.col("__seg") == F.col("__sub"),
             F.col("__fid") < F.col("__pid"),
+            F.levenshtein(F.col("__fs"), F.col("__ps")) <= max_dist,
         ],
     )
-    pairs = cand.select(
+    return cand.select(
         F.col("__fid").alias("id_a"),
         F.col("__pid").alias("id_b"),
-        F.col("__fs").alias("__sa"),
-        F.col("__ps").alias("__sb"),
+        F.levenshtein(F.col("__fs"), F.col("__ps"))
+        .cast("int")
+        .alias("edit_dist"),
     ).distinct()
-    dist = F.levenshtein(F.col("__sa"), F.col("__sb"))
-    return (
-        pairs.withColumn("edit_dist", dist.cast("int"))
-        .where(F.col("edit_dist") <= max_dist)
-        .select("id_a", "id_b", "edit_dist")
-    )
