@@ -230,7 +230,10 @@ def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
             }, persist=persist)
             return
         if sc == dc and sr == dr:
-            if os.path.exists(diff_path):
+            # stale-DIFF cleanup is gate-scale only, like the status write:
+            # a matching sf0.001 smoke must not delete committed sf0.01
+            # red evidence (review finding, round 10)
+            if persist and os.path.exists(diff_path):
                 os.remove(diff_path)
             _write_status(name, {
                 "status": "match",

@@ -196,6 +196,44 @@ def _cap_index(index: DataFrame, cap: int) -> DataFrame:
     )
 
 
+def _blocked_pairs(
+    indexed: DataFrame,
+    probed: DataFrame,
+    string_col: str,
+    id_col: str,
+    max_dist: int,
+    hot_bucket_cap: int | None,
+    ordered_ids: bool,
+) -> DataFrame:
+    """Shared candidate-join body for both join variants.
+
+    The levenshtein verify lives IN the join condition (the optimizer
+    puts it there anyway as a residual); the distinct then runs over
+    (id, id, int) survivors only — never over carried strings, whose
+    wide-row exchange dominated the first implementation.
+    """
+    index = segment_index(indexed, string_col, id_col, max_dist)
+    if hot_bucket_cap is not None:
+        index = _cap_index(index, hot_bucket_cap)
+    probe = probe_substrings(probed, string_col, id_col, max_dist)
+    cond = [
+        F.col("__fl") == F.col("__l"),
+        F.col("__i") == F.col("__pi"),
+        F.col("__seg") == F.col("__sub"),
+        F.levenshtein(F.col("__fs"), F.col("__ps")) <= max_dist,
+    ]
+    if ordered_ids:
+        cond.insert(3, F.col("__fid") < F.col("__pid"))
+    cand = index.join(probe, on=cond)
+    return cand.select(
+        F.col("__fid").alias("id_a"),
+        F.col("__pid").alias("id_b"),
+        F.levenshtein(F.col("__fs"), F.col("__ps"))
+        .cast("int")
+        .alias("edit_dist"),
+    ).distinct()
+
+
 def edit_distance_join(
     left: DataFrame,
     right: DataFrame,
@@ -212,30 +250,10 @@ def edit_distance_join(
     needs only ONE direction — a surviving segment of the LEFT string
     appears in the RIGHT string — so left is indexed, right is probed.
     """
-    index = segment_index(left, string_col, id_col, max_dist)
-    if hot_bucket_cap is not None:
-        index = _cap_index(index, hot_bucket_cap)
-    probe = probe_substrings(right, string_col, id_col, max_dist)
-    # the levenshtein verify lives IN the join condition (the optimizer
-    # puts it there anyway as a residual); the distinct then runs over
-    # (id, id, int) survivors only — never over carried strings, whose
-    # wide-row exchange dominated the first implementation
-    cand = index.join(
-        probe,
-        on=[
-            F.col("__fl") == F.col("__l"),
-            F.col("__i") == F.col("__pi"),
-            F.col("__seg") == F.col("__sub"),
-            F.levenshtein(F.col("__fs"), F.col("__ps")) <= max_dist,
-        ],
+    return _blocked_pairs(
+        left, right, string_col, id_col, max_dist, hot_bucket_cap,
+        ordered_ids=False,
     )
-    return cand.select(
-        F.col("__fid").alias("id_a"),
-        F.col("__pid").alias("id_b"),
-        F.levenshtein(F.col("__fs"), F.col("__ps"))
-        .cast("int")
-        .alias("edit_dist"),
-    ).distinct()
 
 
 def canonicalize_labels(
@@ -300,26 +318,7 @@ def edit_distance_self_join(
     of the LOWER-id string survives in the higher-id string, so indexing
     lower ids and probing higher ids finds every pair.
     """
-    index = segment_index(df, string_col, id_col, max_dist)
-    if hot_bucket_cap is not None:
-        index = _cap_index(index, hot_bucket_cap)
-    probe = probe_substrings(df, string_col, id_col, max_dist)
-    # same shape as edit_distance_join: verify inside the join, distinct
-    # over (id, id, int) — see the comment there
-    cand = index.join(
-        probe,
-        on=[
-            F.col("__fl") == F.col("__l"),
-            F.col("__i") == F.col("__pi"),
-            F.col("__seg") == F.col("__sub"),
-            F.col("__fid") < F.col("__pid"),
-            F.levenshtein(F.col("__fs"), F.col("__ps")) <= max_dist,
-        ],
+    return _blocked_pairs(
+        df, df, string_col, id_col, max_dist, hot_bucket_cap,
+        ordered_ids=True,
     )
-    return cand.select(
-        F.col("__fid").alias("id_a"),
-        F.col("__pid").alias("id_b"),
-        F.levenshtein(F.col("__fs"), F.col("__ps"))
-        .cast("int")
-        .alias("edit_dist"),
-    ).distinct()

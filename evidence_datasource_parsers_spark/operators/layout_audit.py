@@ -78,13 +78,19 @@ def row_group_stats(spark: SparkSession, path: str) -> DataFrame:
 
     Uses Spark's own file index for the listing, then reads each footer
     with pyarrow ON THE EXECUTORS — the driver never touches a file.
-    ``file:`` URI schemes are stripped (local/shared-FS clusters); object
-    stores resolve through pyarrow's filesystem layer the same way.
+    ``file:`` URIs are stripped to local paths and Hadoop's ``s3a``/``s3n``
+    schemes are rewritten to pyarrow's ``s3`` (pyarrow does not recognize
+    the Hadoop spellings).  Other object-store schemes (abfss, wasbs, gs)
+    need a pyarrow/fsspec filesystem mapping this sandbox cannot exercise —
+    they raise from pyarrow rather than silently misread.
     """
-    files = [
-        f[7:] if f.startswith("file://") else f
-        for f in spark.read.parquet(path).inputFiles()
-    ]
+    files = []
+    for f in spark.read.parquet(path).inputFiles():
+        if f.startswith("file://"):
+            f = f[7:]
+        elif f.startswith(("s3a://", "s3n://")):
+            f = "s3://" + f.split("://", 1)[1]
+        files.append(f)
     paths = spark.createDataFrame(
         [(f,) for f in files], "path string"
     ).repartition(max(1, min(len(files), 64)))
@@ -159,11 +165,16 @@ def layout_metrics(stats: DataFrame) -> DataFrame:
     0 — pruning is trivially perfect there); depth still reports G so a
     degenerate layout can't hide.
     """
+    # ONE footer scan: the stats frame feeds four consumers (bounds agg,
+    # probe side, interval side, final join) — unpersisted, the distributed
+    # metadata read would re-execute per consumer (~4x the GETs at 1M
+    # files; the repo's materialize-once discipline, review finding r10).
+    # Metadata-scale rows, safe to cache.
     num = stats.where(
         F.col("has_stats")
         & F.col("vmin").isNotNull()
         & F.col("vmax").isNotNull()
-    )
+    ).persist()
     bounds = num.groupBy("column").agg(
         F.min("vmin").alias("__gmin"),
         F.max("vmax").alias("__gmax"),

@@ -11,7 +11,7 @@ Registered into the shared CATALOG on import.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from evidence_datasource_parsers_spark.functions.hashing import (
@@ -618,6 +618,18 @@ _ED_TITLE_SQL = (
 )
 
 
+def ed_title_col() -> Column:
+    """The q36 edjoin title key as a Spark Column — the ONE definition the
+    gated leg and tools/bench_scale's fuzzy case both use, so the benchmark
+    can never silently measure a different workload than the oracle-gated
+    query (review finding, round 10)."""
+    return F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""),
+        1,
+        ED_TITLE_LEN,
+    )
+
+
 @register(
     "q36_ngram_jaccard",
     f"""
@@ -698,16 +710,7 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
             F.lit("jaccard").alias("src"),
         )
     )
-    titles = d.select(
-        "doc_id",
-        F.substring(
-            F.regexp_replace(
-                F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""
-            ),
-            1,
-            ED_TITLE_LEN,
-        ).alias("title"),
-    )
+    titles = d.select("doc_id", ed_title_col().alias("title"))
     edj = edit_distance_self_join(
         titles, "title", "doc_id", max_dist=ED_MAX_DIST
     ).select(

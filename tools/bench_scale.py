@@ -601,22 +601,27 @@ def fuzzy_join_case(spark, materialize, base: str, replicas: int):
     from evidence_datasource_parsers_spark.operators.fuzzy_join import (
         edit_distance_self_join,
     )
+    from evidence_datasource_parsers_spark.plans.catalog_text import (
+        ed_title_col,
+    )
 
     docs = spark.read.parquet(f"{base}/documents.parquet")
-    titles = docs.select(
-        "doc_id",
-        F.substring(
-            F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""),
-            1,
-            20,
-        ).alias("title"),
-    )
+    titles = docs.select("doc_id", ed_title_col().alias("title"))
+
+    # one distinct char per replica repeated 3x: any two replica prefixes
+    # differ in all three positions (> k=2), so cross-replica pairs are
+    # impossible; base-36 bounds the case at 36 replicas (r % 10 would
+    # collide at replicas > 10 and manufacture the quadratic explosion
+    # the docstring rules out — review finding, round 10)
+    alphabet = "0123456789abcdefghijklmnopqrstuvwxyz"
+    if replicas > len(alphabet):
+        raise ValueError(f"fuzzy_join_case supports <= {len(alphabet)} replicas")
 
     def mk(n_rep: int):
         parts = [
             titles.select(
                 (F.col("doc_id") + F.lit(r * 10**9)).alias("doc_id"),
-                F.concat(F.lit(f"{r % 10}{r % 10}{r % 10} "), F.col("title"))
+                F.concat(F.lit(alphabet[r] * 3 + " "), F.col("title"))
                 .alias("title"),
             )
             for r in range(n_rep)
