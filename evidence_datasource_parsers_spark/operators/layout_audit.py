@@ -164,6 +164,11 @@ def layout_metrics(stats: DataFrame) -> DataFrame:
     ``width_amplification`` is NULL for a constant column (global width
     0 — pruning is trivially perfect there); depth still reports G so a
     degenerate layout can't hide.
+
+    EAGER: the metrics are computed immediately (localCheckpoint) so the
+    internal stats cache can be released before returning — a lazy return
+    would either leak the cache or re-run the distributed footer scan per
+    consumer.  The result is metadata-scale (one row per column).
     """
     # ONE footer scan: the stats frame feeds four consumers (bounds agg,
     # probe side, interval side, final join) — unpersisted, the distributed
@@ -217,7 +222,7 @@ def layout_metrics(stats: DataFrame) -> DataFrame:
         F.avg("depth").alias("avg_depth"),
         F.max("depth").alias("max_depth"),
     )
-    return (
+    out = (
         bounds.join(per_col_depth, on="column")
         .select(
             "column",
@@ -232,7 +237,10 @@ def layout_metrics(stats: DataFrame) -> DataFrame:
             "avg_depth",
             "max_depth",
         )
+        .localCheckpoint(eager=True)
     )
+    num.unpersist()
+    return out
 
 
 def layout_report(spark: SparkSession, path: str) -> DataFrame:

@@ -51,6 +51,7 @@ KEY_COLS = {
 }
 COPY_ONLY = ["nation", "region"]
 OFFSET = 10**9
+FUZZY_PREFIX_ALPHABET = "0123456789abcdefghijklmnopqrstuvwxyz"
 
 
 def build_scaled(spark, base: str, out: str, replicas: int) -> None:
@@ -612,8 +613,10 @@ def fuzzy_join_case(spark, materialize, base: str, replicas: int):
     # differ in all three positions (> k=2), so cross-replica pairs are
     # impossible; base-36 bounds the case at 36 replicas (r % 10 would
     # collide at replicas > 10 and manufacture the quadratic explosion
-    # the docstring rules out — review finding, round 10)
-    alphabet = "0123456789abcdefghijklmnopqrstuvwxyz"
+    # the docstring rules out — review finding, round 10).  Bound is
+    # validated up front in main() so an oversized run fails BEFORE the
+    # tens-of-minutes build, not after every other case has run.
+    alphabet = FUZZY_PREFIX_ALPHABET
     if replicas > len(alphabet):
         raise ValueError(f"fuzzy_join_case supports <= {len(alphabet)} replicas")
 
@@ -648,6 +651,11 @@ def fuzzy_join_case(spark, materialize, base: str, replicas: int):
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    if replicas > len(FUZZY_PREFIX_ALPHABET):
+        raise SystemExit(
+            f"replicas must be <= {len(FUZZY_PREFIX_ALPHABET)} "
+            "(fuzzy_join_case prefix alphabet) — fail fast, before the build"
+        )
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     out_dir = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR", f"/tmp/spark_graft_scale{replicas}"
