@@ -153,7 +153,7 @@ def row_group_stats(spark: SparkSession, path: str) -> DataFrame:
     return paths.mapInPandas(read_footers, STATS_SCHEMA)
 
 
-def layout_metrics(stats: DataFrame) -> DataFrame:
+def layout_metrics(stats: DataFrame, eager: bool = True) -> DataFrame:
     """Per-column clustering metrics from :func:`row_group_stats` rows.
 
     Output (one row per column that carries NUMERIC min/max stats):
@@ -165,10 +165,13 @@ def layout_metrics(stats: DataFrame) -> DataFrame:
     0 — pruning is trivially perfect there); depth still reports G so a
     degenerate layout can't hide.
 
-    EAGER: the metrics are computed immediately (localCheckpoint) so the
-    internal stats cache can be released before returning — a lazy return
-    would either leak the cache or re-run the distributed footer scan per
-    consumer.  The result is metadata-scale (one row per column).
+    EAGER by default: the metrics are computed immediately
+    (localCheckpoint) so the internal stats cache can be released before
+    returning — a lazy return would either leak the cache or re-run the
+    distributed footer scan per consumer.  The result is metadata-scale
+    (one row per column).  ``eager=False`` returns the lazy plan with the
+    cache left pinned (caller-owned — used by the plan auditor, which
+    must see the interval-join plan, not a checkpoint leaf).
     """
     # ONE footer scan: the stats frame feeds four consumers (bounds agg,
     # probe side, interval side, final join) — unpersisted, the distributed
@@ -237,8 +240,10 @@ def layout_metrics(stats: DataFrame) -> DataFrame:
             "avg_depth",
             "max_depth",
         )
-        .localCheckpoint(eager=True)
     )
+    if not eager:
+        return out
+    out = out.localCheckpoint(eager=True)
     num.unpersist()
     return out
 

@@ -373,7 +373,9 @@ def pipeline_plans(spark) -> dict:
         ],
         STATS_SCHEMA,
     )
-    plans["layout_metrics"] = layout_metrics(stats)
+    # eager=False: the auditor must see the bucketed interval-join PLAN,
+    # not the checkpoint leaf the eager default returns
+    plans["layout_metrics"] = layout_metrics(stats, eager=False)
     return plans
 
 
