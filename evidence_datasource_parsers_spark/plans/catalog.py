@@ -284,18 +284,26 @@ def q04(spark: SparkSession, sf: str) -> DataFrame:
     bench=True,
 )
 def q05(spark: SparkSession, sf: str) -> DataFrame:
-    """Left join + per-key agg; zero-order customers kept with coalesce(0)."""
+    """Left join + per-key agg; zero-order customers kept with coalesce(0).
+
+    Shape: orders PRE-AGGREGATES below the join (Catalyst does not push
+    partial aggregation through joins) — the orders shuffle map-side
+    combines |orders| rows down to |distinct custkey|, and the join then
+    matches one row per key instead of fanning out row-level matches that
+    a post-join aggregate must re-collapse.  At 100 TB the difference is
+    shuffling the fact table's aggregate, not the fact table."""
     c = load(spark, sf, "customer")
     o = load(spark, sf, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum(cents(F.col("o_totalprice"))), F.lit(0))
-            .cast("long")
-            .alias("total_spent_c"),
-        )
+    per_key = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("__n"),
+        F.sum(cents(F.col("o_totalprice"))).alias("__s"),
+    )
+    return c.join(
+        per_key, c.c_custkey == per_key.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("total_spent_c"),
     )
 
 
