@@ -138,6 +138,7 @@ from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: F4
     canonicalize_labels,
     edit_distance_join,
     edit_distance_self_join,
+    incremental_canonicalize,
 )
 from evidence_datasource_parsers_spark.operators.layout_audit import (  # noqa: F401
     layout_metrics,

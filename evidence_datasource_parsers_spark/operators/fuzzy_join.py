@@ -45,10 +45,14 @@ this is a beyond-parity capability for the LLM-pipeline use case.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "IncrementalCanonResult",
+    "incremental_canonicalize",
     "canonicalize_labels",
     "edit_distance_self_join",
     "edit_distance_join",
@@ -322,3 +326,126 @@ def edit_distance_self_join(
         df, df, string_col, id_col, max_dist, hot_bucket_cap,
         ordered_ids=True,
     )
+
+
+class IncrementalCanonResult(NamedTuple):
+    """Result of :func:`incremental_canonicalize`.
+
+    ``mapping`` — every new-batch row with ``canonical_id``/``canonical``
+    (stored representative when one is within ``max_dist``, else a
+    representative elected within the batch).  ``store`` — the carried
+    representative table ∪ this batch's NEW representatives.  ``delta`` —
+    only the new representatives: advance the on-disk store by APPENDING
+    it (the engine-wide append-only store discipline; O(batch) per round,
+    never an O(store) rewrite)."""
+
+    mapping: DataFrame
+    store: DataFrame
+    delta: DataFrame
+
+
+def incremental_canonicalize(
+    new_batch: DataFrame,
+    canon_store: DataFrame | None,
+    string_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    hot_bucket_cap: int | None = None,
+) -> IncrementalCanonResult:
+    """Batch-over-batch metadata canonicalization against a carried
+    representative store — the fuzzy-family member of the engine's
+    incremental dedup pattern (exact / LSH / SimHash / embedding / span
+    all carry stores; canonical labels now do too).
+
+    Store schema: ``(canonical_id, canonical)`` — one row per elected
+    representative string, ids unique across rounds by contract (the
+    same contract every other store has).  ``None`` on the first run.
+
+    Semantics, in priority order:
+
+    1. a new string within ``max_dist`` of ANY stored representative maps
+       to the BEST one (min distance, then min canonical_id — fully
+       deterministic), so re-crawled and near-re-crawled metadata
+       converges on the canon elected in earlier rounds;
+    2. the remainder self-canonicalizes via :func:`canonicalize_labels`
+       (transitive closure within the batch) and its representatives
+       join the store.
+
+    Store-priority is the same deliberate asymmetry the other
+    incremental operators have: a pair of NEW strings that straddles a
+    stored rep's neighborhood can split (one maps to the store, the
+    other elects a new rep) where an at-rest pass over everything would
+    merge them — the cost of never re-scanning history.  Run the at-rest
+    :func:`canonicalize_labels` over the full corpus at compaction
+    cadence if that drift matters.
+    """
+    batch = new_batch.select(
+        F.col(id_col).alias("__bid"), F.col(string_col).alias("__bs")
+    )
+    if canon_store is None:
+        first = canonicalize_labels(
+            new_batch, string_col, id_col, max_dist, hot_bucket_cap
+        )
+        mapping = first.select(
+            *new_batch.columns, "canonical_id", "canonical"
+        )
+        store = (
+            mapping.select("canonical_id", "canonical")
+            .distinct()
+        )
+        return IncrementalCanonResult(mapping, store, store)
+
+    # 1. store match: index the store (bounded reps), probe the batch —
+    # the pigeonhole guarantee needs only a surviving LEFT segment
+    hits = edit_distance_join(
+        canon_store.select(
+            F.col("canonical_id").alias("id"),
+            F.col("canonical").alias("s"),
+        ),
+        batch.select(F.col("__bid").alias("id"), F.col("__bs").alias("s")),
+        "s",
+        "id",
+        max_dist,
+        hot_bucket_cap,
+    )
+    best = (
+        hits.groupBy("id_b")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("edit_dist"), F.col("id_a").alias("cid")
+                ),
+                F.struct(F.col("edit_dist"), F.col("id_a")),
+            ).alias("__m")
+        )
+        .select(
+            F.col("id_b").alias("__bid"),
+            F.col("__m.cid").alias("canonical_id"),
+        )
+    )
+    # the store GROWS with history — its broadcast must be size-gated
+    # (a pinned broadcast is the q60-supplier anti-pattern), and the
+    # representative join keys on canonical_id, an equi-join either way
+    from evidence_datasource_parsers_spark.operators.joins import (
+        broadcast_if_small,
+    )
+
+    matched = (
+        new_batch.join(best, on=F.col(id_col) == F.col("__bid"))
+        .drop("__bid")
+        .join(broadcast_if_small(canon_store), on="canonical_id")
+        .select(*new_batch.columns, "canonical_id", "canonical")
+    )
+    # 2. the remainder elects new representatives within the batch
+    rest = new_batch.join(
+        best.select(F.col("__bid").alias(id_col)),
+        on=id_col,
+        how="left_anti",
+    )
+    fresh = canonicalize_labels(
+        rest, string_col, id_col, max_dist, hot_bucket_cap
+    ).select(*new_batch.columns, "canonical_id", "canonical")
+    mapping = matched.unionByName(fresh)
+    delta = fresh.select("canonical_id", "canonical").distinct()
+    store = canon_store.unionByName(delta)
+    return IncrementalCanonResult(mapping, store, delta)

@@ -239,3 +239,69 @@ def test_property_self_join_matches_bruteforce(spark_prop, strs, k):
         for r in edit_distance_self_join(df, "s", "id", k).collect()
     }
     assert got == brute_pairs(strs, k)
+
+
+def test_incremental_canonicalize_two_rounds(spark):
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        canonicalize_labels,
+        incremental_canonicalize,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "colour"), (2, "color"), (10, "flavour"), (20, "unique one")],
+        "id long, s string",
+    )
+    r1 = incremental_canonicalize(b1, None, "s", "id", max_dist=1)
+    m1 = {r.id: (r.canonical_id, r.canonical) for r in r1.mapping.collect()}
+    # first run == at-rest canonicalization
+    at_rest = {
+        r.id: (r.canonical_id, r.canonical)
+        for r in canonicalize_labels(b1, "s", "id", max_dist=1).collect()
+    }
+    assert m1 == at_rest
+    store1 = {(r.canonical_id, r.canonical) for r in r1.store.collect()}
+    assert (1, "colour") in store1 and (10, "flavour") in store1
+
+    # round 2: near-re-crawls map to STORED canon; new strings elect reps
+    b2 = spark.createDataFrame(
+        [
+            (100, "colouur"),   # 1 edit from stored 'colour'
+            (101, "flavor"),    # 1 edit from stored 'flavour'... at k=1? u-deletion = 1
+            (102, "brand new"),
+            (103, "brand newt"),  # 1 edit from 102 — same NEW cluster
+        ],
+        "id long, s string",
+    )
+    r2 = incremental_canonicalize(b2, r1.store, "s", "id", max_dist=1)
+    m2 = {r.id: (r.canonical_id, r.canonical) for r in r2.mapping.collect()}
+    assert m2[100] == (1, "colour")
+    assert m2[101] == (10, "flavour")
+    assert m2[102] == (102, "brand new")
+    assert m2[103] == (102, "brand new")
+    assert len(m2) == 4
+    # delta holds ONLY the new representative; store = old ∪ delta
+    delta = {(r.canonical_id, r.canonical) for r in r2.delta.collect()}
+    assert delta == {(102, "brand new")}
+    store2 = {(r.canonical_id, r.canonical) for r in r2.store.collect()}
+    assert store2 == store1 | delta
+
+
+def test_incremental_canonicalize_best_match_deterministic(spark):
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        incremental_canonicalize,
+    )
+
+    # two stored reps both within k=2 of the probe; the closer one wins,
+    # and at equal distance the lower canonical_id wins
+    store = spark.createDataFrame(
+        [(5, "abcdefgh"), (3, "abcdefxy")], "canonical_id long, canonical string"
+    )
+    batch = spark.createDataFrame(
+        [(900, "abcdefg"),   # dist 1 to id5, dist 3 to id3 -> id5
+         (901, "abcdefxh")], # dist 1 to id3 AND... dist 1 to id5? abcdefxh vs abcdefgh = 1 sub; vs abcdefxy = 1 sub -> tie -> id3
+        "id long, s string",
+    )
+    r = incremental_canonicalize(batch, store, "s", "id", max_dist=2)
+    m = {x.id: x.canonical_id for x in r.mapping.collect()}
+    assert m[900] == 5
+    assert m[901] == 3
