@@ -360,6 +360,19 @@ def pipeline_plans(spark) -> dict:
     )
     plans["fuzzy_self_join"] = edit_distance_self_join(titles, "s", "id", 2)
 
+    # incremental canonicalization: store-match leg (mapping) and the
+    # append-only delta — both must stay equi-join shapes
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        incremental_canonicalize,
+    )
+
+    canon = spark.createDataFrame(
+        [(0, "title number 0")], "canonical_id long, canonical string"
+    )
+    inc = incremental_canonicalize(titles, canon, "s", "id", 2)
+    plans["fuzzy_incremental_mapping"] = inc.mapping
+    plans["fuzzy_incremental_delta"] = inc.delta
+
     # layout audit: the depth probe must ride the bucketed interval join
     from evidence_datasource_parsers_spark.operators.layout_audit import (
         STATS_SCHEMA,
