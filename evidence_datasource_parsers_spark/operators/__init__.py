@@ -135,10 +135,13 @@ from evidence_datasource_parsers_spark.operators.packing import (  # noqa: F401
     materialize_packs,
 )
 from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: F401
+    canon_segment_rows,
     canonicalize_labels,
+    compact_canon_store,
     edit_distance_join,
     edit_distance_self_join,
     incremental_canonicalize,
+    incremental_canonicalize_indexed,
 )
 from evidence_datasource_parsers_spark.operators.layout_audit import (  # noqa: F401
     layout_metrics,

@@ -51,13 +51,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "CANON_META_FILE",
+    "IncrementalCanonIndexedResult",
     "IncrementalCanonResult",
+    "incremental_canonicalize_indexed",
+    "canon_segment_rows",
+    "canon_store_hits",
+    "compact_canon_store",
     "incremental_canonicalize",
     "canonicalize_labels",
     "edit_distance_self_join",
     "edit_distance_join",
+    "read_canon_store_meta",
     "segment_index",
     "probe_substrings",
+    "write_canon_store_meta",
 ]
 
 
@@ -378,74 +386,257 @@ def incremental_canonicalize(
     merge them — the cost of never re-scanning history.  Run the at-rest
     :func:`canonicalize_labels` over the full corpus at compaction
     cadence if that drift matters.
+
+    Scale note: this flat form re-derives and re-shuffles k+1 segment
+    rows per STORED representative every batch.  For production rounds
+    persist the segment index instead and use
+    :func:`incremental_canonicalize_indexed` — identical mapping
+    semantics, zero store-side Exchange per batch.
     """
-    batch = new_batch.select(
-        F.col(id_col).alias("__bid"), F.col(string_col).alias("__bs")
+    seg = (
+        None
+        if canon_store is None
+        else canon_segment_rows(canon_store, max_dist, hot_bucket_cap)
+    )
+    mapping, new_reps = _canon_mapping(
+        new_batch, seg, string_col, id_col, max_dist, hot_bucket_cap
     )
     if canon_store is None:
-        first = canonicalize_labels(
-            new_batch, string_col, id_col, max_dist, hot_bucket_cap
-        )
-        mapping = first.select(
-            *new_batch.columns, "canonical_id", "canonical"
-        )
-        store = (
-            mapping.select("canonical_id", "canonical")
-            .distinct()
-        )
-        return IncrementalCanonResult(mapping, store, store)
+        return IncrementalCanonResult(mapping, new_reps, new_reps)
+    return IncrementalCanonResult(
+        mapping, canon_store.unionByName(new_reps), new_reps
+    )
 
-    # 1. store match: index the store (bounded reps), probe the batch —
-    # the pigeonhole guarantee needs only a surviving LEFT segment
-    hits = edit_distance_join(
-        canon_store.select(
-            F.col("canonical_id").alias("id"),
-            F.col("canonical").alias("s"),
-        ),
-        batch.select(F.col("__bid").alias("id"), F.col("__bs").alias("s")),
-        "s",
-        "id",
+
+# ---------------------------------------------------------------------------
+# Bucketed canon store — the fuzzy family's at-scale carried state.
+#
+# The flat (canonical_id, canonical) store above re-derives k+1 segment
+# rows per stored representative EVERY batch and shuffles them into the
+# probe join — O(store) work per round, the one store in the engine that
+# paid it.  The persisted form below is the SEGMENT INDEX itself:
+#
+#     (seg_key bigint, canonical_id, canonical)
+#
+# with ``seg_key = xxhash64(length, segment_no, segment_text)``, written
+# once via ``sinks.write_bucketed_store(..., ["seg_key"], n)`` and
+# ADVANCED by appending each batch's delta
+# (``sinks.append_bucketed_store``).  The per-batch probe then shuffles
+# ONLY batch-derived rows (≤29 per string at k=2) into the store's bucket
+# layout — the store side rides no Exchange (plan-asserted in
+# tests/test_plan_shapes.py), the same zero-Exchange contract as the
+# exact/LSH fingerprint stores.  Hash collisions on seg_key only ADD
+# candidates; the exact ``levenshtein <= k`` verify kills them, and the
+# PassJoin pigeonhole guarantees every true match also arrives through a
+# genuine segment key — so the hash join is exact.
+# ---------------------------------------------------------------------------
+
+CANON_META_FILE = "_canon_store_meta.json"
+
+
+def read_canon_store_meta(store_dir: str) -> int | None:
+    """The ``max_dist`` the segment store was built under, or None."""
+    from evidence_datasource_parsers_spark.operators.store_meta import (
+        read_store_identity,
+    )
+
+    return read_store_identity(store_dir, CANON_META_FILE, "max_dist")
+
+
+def write_canon_store_meta(store_dir: str, max_dist: int) -> None:
+    """Record ``max_dist`` beside the store (atomic).  The segment split
+    is k-specific — k+1 segments per representative — so probing a k=2
+    store with k=3 windows silently MISSES matches; mixing is refused."""
+    from evidence_datasource_parsers_spark.operators.store_meta import (
+        write_store_identity,
+    )
+
+    write_store_identity(
+        store_dir, CANON_META_FILE, "max_dist", max_dist,
+        "the segment index is k-specific (k+1 segments per "
+        "representative) and probes at a different k miss matches",
+    )
+
+
+def canon_segment_rows(
+    reps: DataFrame, max_dist: int, hot_bucket_cap: int | None = None
+) -> DataFrame:
+    """Segment-index rows ``(seg_key, canonical_id, canonical)`` for a
+    representative table ``(canonical_id, canonical)`` — k+1 rows per
+    representative, the persisted form of the canon store.
+
+    ``hot_bucket_cap`` keeps that many min-id representatives per
+    ``(length, segment_no, segment_text)`` bucket — applied WITHIN the
+    given frame only, so per-delta appends enforce it per batch and
+    :func:`compact_canon_store` re-applies it globally at compaction
+    cadence (the same cap discipline as ``dedupe._cap_index``)."""
+    idx = segment_index(
+        reps.select("canonical_id", "canonical"),
+        "canonical",
+        "canonical_id",
         max_dist,
-        hot_bucket_cap,
+    )
+    if hot_bucket_cap is not None:
+        idx = _cap_index(idx, hot_bucket_cap)
+    return idx.select(
+        F.xxhash64(F.col("__fl"), F.col("__i"), F.col("__seg")).alias(
+            "seg_key"
+        ),
+        F.col("__fid").alias("canonical_id"),
+        F.col("__fs").alias("canonical"),
+    )
+
+
+def canon_store_hits(
+    segment_store: DataFrame,
+    new_batch: DataFrame,
+    string_col: str,
+    id_col: str,
+    max_dist: int,
+) -> DataFrame:
+    """Verified batch-row → stored-representative candidates
+    ``(__pid, __d, canonical_id, canonical)``: probe substrings of the
+    batch equi-join the store on the single bucketed ``seg_key`` column,
+    with the exact edit-distance verify as the join residual.  A batch
+    string matching the same representative through several segments
+    yields duplicate rows — :func:`incremental_canonicalize_indexed`'s
+    ``min_by`` collapses them without a distinct."""
+    probe = probe_substrings(new_batch, string_col, id_col, max_dist)
+    keyed = probe.select(
+        "__pid",
+        "__ps",
+        F.xxhash64(F.col("__l"), F.col("__pi"), F.col("__sub")).alias(
+            "seg_key"
+        ),
+    )
+    return (
+        keyed.join(segment_store, on="seg_key")
+        .select(
+            "__pid",
+            F.levenshtein(F.col("canonical"), F.col("__ps"))
+            .cast("int")
+            .alias("__d"),
+            "canonical_id",
+            "canonical",
+        )
+        .where(F.col("__d") <= max_dist)
+    )
+
+
+def _canon_mapping(
+    new_batch: DataFrame,
+    segment_store: DataFrame | None,
+    string_col: str,
+    id_col: str,
+    max_dist: int,
+    hot_bucket_cap: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared mapping core for both store forms: returns ``(mapping,
+    new_reps)`` where ``new_reps`` is the flat ``(canonical_id,
+    canonical)`` table of representatives elected IN THIS BATCH."""
+    if segment_store is None:
+        mapping = canonicalize_labels(
+            new_batch, string_col, id_col, max_dist, hot_bucket_cap
+        ).select(*new_batch.columns, "canonical_id", "canonical")
+        return mapping, mapping.select("canonical_id", "canonical").distinct()
+    hits = canon_store_hits(
+        segment_store, new_batch, string_col, id_col, max_dist
     )
     best = (
-        hits.groupBy("id_b")
+        hits.groupBy("__pid")
         .agg(
             F.min_by(
-                F.struct(
-                    F.col("edit_dist"), F.col("id_a").alias("cid")
-                ),
-                F.struct(F.col("edit_dist"), F.col("id_a")),
+                F.struct(F.col("canonical_id"), F.col("canonical")),
+                F.struct(F.col("__d"), F.col("canonical_id")),
             ).alias("__m")
         )
         .select(
-            F.col("id_b").alias("__bid"),
-            F.col("__m.cid").alias("canonical_id"),
+            "__pid",
+            F.col("__m.canonical_id").alias("canonical_id"),
+            F.col("__m.canonical").alias("canonical"),
         )
     )
-    # the store GROWS with history — its broadcast must be size-gated
-    # (a pinned broadcast is the q60-supplier anti-pattern), and the
-    # representative join keys on canonical_id, an equi-join either way
-    from evidence_datasource_parsers_spark.operators.joins import (
-        broadcast_if_small,
-    )
-
     matched = (
-        new_batch.join(best, on=F.col(id_col) == F.col("__bid"))
-        .drop("__bid")
-        .join(broadcast_if_small(canon_store), on="canonical_id")
+        new_batch.join(best, on=F.col(id_col) == F.col("__pid"))
+        .drop("__pid")
         .select(*new_batch.columns, "canonical_id", "canonical")
     )
-    # 2. the remainder elects new representatives within the batch
     rest = new_batch.join(
-        best.select(F.col("__bid").alias(id_col)),
-        on=id_col,
-        how="left_anti",
+        best.select(F.col("__pid").alias(id_col)), on=id_col, how="left_anti"
     )
     fresh = canonicalize_labels(
         rest, string_col, id_col, max_dist, hot_bucket_cap
     ).select(*new_batch.columns, "canonical_id", "canonical")
-    mapping = matched.unionByName(fresh)
-    delta = fresh.select("canonical_id", "canonical").distinct()
-    store = canon_store.unionByName(delta)
-    return IncrementalCanonResult(mapping, store, delta)
+    return (
+        matched.unionByName(fresh),
+        fresh.select("canonical_id", "canonical").distinct(),
+    )
+
+
+class IncrementalCanonIndexedResult(NamedTuple):
+    """Result of :func:`incremental_canonicalize_indexed`.  All store
+    frames are SEGMENT rows ``(seg_key, canonical_id, canonical)``.
+    ``delta`` holds only the new representatives' segments — advance the
+    on-disk store by APPENDING it (O(batch) I/O per round); ``store`` is
+    the in-plan union view for callers that chain rounds in memory."""
+
+    mapping: DataFrame
+    store: DataFrame
+    delta: DataFrame
+
+
+def incremental_canonicalize_indexed(
+    new_batch: DataFrame,
+    segment_store: DataFrame | None,
+    string_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    hot_bucket_cap: int | None = None,
+) -> IncrementalCanonIndexedResult:
+    """:func:`incremental_canonicalize` against the PERSISTED segment
+    index instead of the flat representative table — the at-scale form.
+
+    ``segment_store`` is :func:`canon_segment_rows` output carried from
+    prior rounds (read it with ``sinks.read_bucketed_store`` so the
+    bucket layout survives — a plain parquet read works but re-shuffles
+    the store into the probe join).  Mapping semantics are IDENTICAL to
+    the flat variant (store-priority, then within-batch transitive
+    closure); only the store representation changes.  Per batch, the
+    store side of the candidate join rides zero Exchange; every shuffled
+    row is batch-derived.
+    """
+    mapping, new_reps = _canon_mapping(
+        new_batch, segment_store, string_col, id_col, max_dist,
+        hot_bucket_cap,
+    )
+    delta = canon_segment_rows(new_reps, max_dist, hot_bucket_cap)
+    if segment_store is None:
+        return IncrementalCanonIndexedResult(mapping, delta, delta)
+    return IncrementalCanonIndexedResult(
+        mapping, segment_store.unionByName(delta), delta
+    )
+
+
+def compact_canon_store(
+    df: DataFrame, hot_bucket_cap: int | None = None
+) -> DataFrame:
+    """Compacted segment store: crash-replayed duplicate rows dropped,
+    the hot-bucket cap re-applied GLOBALLY (per-delta appends only
+    enforce it within their own batch).  The cap keys on ``seg_key`` —
+    a hash collision can merge two segment buckets under one cap, which
+    only trades a little more recall away, the cap's existing contract.
+    Rewrite via ``sinks.write_bucketed_store`` on an explicit cadence,
+    never per batch."""
+    from pyspark.sql import Window
+
+    out = df.dropDuplicates(["seg_key", "canonical_id"])
+    if hot_bucket_cap is not None:
+        w = Window.partitionBy("seg_key").orderBy(
+            F.col("canonical_id").asc()
+        )
+        out = (
+            out.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= hot_bucket_cap)
+            .drop("__rk")
+        )
+    return out

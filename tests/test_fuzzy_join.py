@@ -305,3 +305,219 @@ def test_incremental_canonicalize_best_match_deterministic(spark):
     m = {x.id: x.canonical_id for x in r.mapping.collect()}
     assert m[900] == 5
     assert m[901] == 3
+
+
+def test_incremental_canonicalize_indexed_matches_flat(spark, tmp_path):
+    """The bucketed segment-store variant is a pure re-representation:
+    same mapping, same elected representatives, across a first round
+    (no store) and a second round probing the PERSISTED bucketed store."""
+    import uuid
+
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        incremental_canonicalize,
+        incremental_canonicalize_indexed,
+    )
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        append_bucketed_store,
+        read_bucketed_store,
+        write_bucketed_store,
+    )
+
+    k = 1
+    b1 = spark.createDataFrame(
+        [(1, "colour"), (2, "color"), (10, "flavour"), (20, "unique one")],
+        "id long, s string",
+    )
+    b2 = spark.createDataFrame(
+        [(100, "colouur"), (101, "flavor"), (102, "brand new"),
+         (103, "brand newt")],
+        "id long, s string",
+    )
+
+    flat1 = incremental_canonicalize(b1, None, "s", "id", max_dist=k)
+    flat2 = incremental_canonicalize(b2, flat1.store, "s", "id", max_dist=k)
+
+    table = f"canon_{uuid.uuid4().hex[:8]}"
+    try:
+        idx1 = incremental_canonicalize_indexed(b1, None, "s", "id", max_dist=k)
+        assert {r.id: (r.canonical_id, r.canonical)
+                for r in idx1.mapping.collect()} == {
+            r.id: (r.canonical_id, r.canonical)
+            for r in flat1.mapping.collect()
+        }
+        write_bucketed_store(
+            idx1.delta, str(tmp_path / "canon"), table, ["seg_key"], 8
+        )
+        # advance discipline: round 2 probes the on-disk bucketed store
+        # and appends ONLY its delta
+        st1 = read_bucketed_store(spark, table)
+        idx2 = incremental_canonicalize_indexed(
+            b2, st1, "s", "id", max_dist=k
+        )
+        assert {r.id: (r.canonical_id, r.canonical)
+                for r in idx2.mapping.collect()} == {
+            r.id: (r.canonical_id, r.canonical)
+            for r in flat2.mapping.collect()
+        }
+        # delta = (k+1) segment rows per new representative
+        delta_rows = idx2.delta.collect()
+        assert {(r.canonical_id, r.canonical) for r in delta_rows} == {
+            (102, "brand new")
+        }
+        assert len(delta_rows) == k + 1
+        append_bucketed_store(idx2.delta, table, ["seg_key"], 8)
+        # a third batch against the advanced store converges on BOTH
+        # round-1 and round-2 representatives
+        b3 = spark.createDataFrame(
+            [(200, "colour"), (201, "brand neww")], "id long, s string"
+        )
+        idx3 = incremental_canonicalize_indexed(
+            b3, read_bucketed_store(spark, table), "s", "id", max_dist=k
+        )
+        m3 = {r.id: r.canonical_id for r in idx3.mapping.collect()}
+        assert m3 == {200: 1, 201: 102}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_canon_store(spark):
+    """Compaction drops crash-replayed duplicate rows and re-applies the
+    hot-bucket cap globally (min canonical_id survives per bucket)."""
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        canon_segment_rows,
+        compact_canon_store,
+    )
+
+    reps = spark.createDataFrame(
+        [(7, "aaaa"), (3, "aaaa"), (9, "bbbb")],
+        "canonical_id long, canonical string",
+    )
+    seg = canon_segment_rows(reps, max_dist=1)
+    doubled = seg.unionByName(seg)  # a replayed append
+    out = compact_canon_store(doubled, hot_bucket_cap=1)
+    rows = out.collect()
+    # dup rows gone; per seg_key bucket ('aaaa' rows collide exactly)
+    # only canonical_id 3 survives the cap; 'bbbb' untouched
+    assert {r.canonical_id for r in rows} == {3, 9}
+    assert len(rows) == 4  # (k+1)=2 segments × 2 surviving reps
+
+
+def test_canon_store_meta_identity(tmp_path):
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        read_canon_store_meta,
+        write_canon_store_meta,
+    )
+
+    d = str(tmp_path / "canon_store")
+    assert read_canon_store_meta(d) is None
+    write_canon_store_meta(d, 2)
+    assert read_canon_store_meta(d) == 2
+    write_canon_store_meta(d, 2)  # same value re-stamps fine
+    with pytest.raises(ValueError, match="k-specific"):
+        write_canon_store_meta(d, 3)
+
+
+def _min_dist_to(strs: list[str], s: str) -> int:
+    return min((ed(s, t) for t in strs), default=10**9)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(strs=_strs, k=st.integers(min_value=1, max_value=2))
+def test_property_incremental_drift_bound(spark_prop, strs, k):
+    """The store-priority asymmetry is BOUNDED (fuzzy_join.py docstring):
+    an incremental round may split an at-rest cluster only where the
+    cluster touches a stored representative's ≤k neighborhood.  Any
+    at-rest cluster (over store ∪ batch) containing NO row within k of a
+    stored rep must get ONE canonical label from the incremental pass."""
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        canonicalize_labels,
+        incremental_canonicalize,
+    )
+
+    half = max(1, len(strs) // 2)
+    store_strs, batch_strs = strs[:half], strs[half:]
+    if not batch_strs:
+        return
+    # store = representatives elected from the first half (round 1)
+    r1 = incremental_canonicalize(
+        spark_prop.createDataFrame(
+            list(enumerate(store_strs)), "id long, s string"
+        ),
+        None, "s", "id", max_dist=k,
+    )
+    store_reps = [(r.canonical_id, r.canonical) for r in r1.store.collect()]
+    batch = spark_prop.createDataFrame(
+        [(1000 + i, s) for i, s in enumerate(batch_strs)],
+        "id long, s string",
+    )
+    r2 = incremental_canonicalize(batch, r1.store, "s", "id", max_dist=k)
+    inc = {r.id: r.canonical_id for r in r2.mapping.collect()}
+
+    # at-rest ground truth over store reps ∪ batch
+    rep_strs = [s for _, s in store_reps]
+    allrows = [(cid, s) for cid, s in store_reps] + [
+        (1000 + i, s) for i, s in enumerate(batch_strs)
+    ]
+    at_rest = canonicalize_labels(
+        spark_prop.createDataFrame(allrows, "id long, s string"),
+        "s", "id", max_dist=k,
+    )
+    clusters: dict[int, list[int]] = {}
+    for r in at_rest.collect():
+        clusters.setdefault(r.canonical_id, []).append(r.id)
+    for members in clusters.values():
+        batch_members = [m for m in members if m >= 1000]
+        if len(batch_members) < 2:
+            continue
+        touches_store = any(m < 1000 for m in members) or any(
+            _min_dist_to(rep_strs, batch_strs[m - 1000]) <= k
+            for m in batch_members
+        )
+        if not touches_store:
+            labels = {inc[m] for m in batch_members}
+            assert len(labels) == 1, (
+                f"cluster {members} split by the incremental pass "
+                f"({labels}) without touching any stored rep's "
+                f"neighborhood — violates the documented drift bound"
+            )
+    # and store-priority itself: any batch row within k of a stored rep
+    # maps to a STORED canonical id, never elects a new one
+    store_ids = {cid for cid, _ in store_reps}
+    for i, s in enumerate(batch_strs):
+        if _min_dist_to(rep_strs, s) <= k:
+            assert inc[1000 + i] in store_ids
+
+
+def test_incremental_drift_seeded_counterexample(spark):
+    """The exact asymmetry class the bound permits, pinned: store rep
+    'aaaa'; batch 'aaab' (1 edit from the rep) and 'aabb' (2 edits — out
+    of reach at k=1 but 1 edit from 'aaab').  At rest the three form one
+    cluster; incrementally 'aaab' converges on the store while 'aabb'
+    elects a new representative — a SPLIT, and a legal one because the
+    pair straddles the stored rep's neighborhood."""
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        canonicalize_labels,
+        incremental_canonicalize,
+    )
+
+    store = spark.createDataFrame(
+        [(1, "aaaa")], "canonical_id long, canonical string"
+    )
+    batch = spark.createDataFrame(
+        [(100, "aaab"), (101, "aabb")], "id long, s string"
+    )
+    r = incremental_canonicalize(batch, store, "s", "id", max_dist=1)
+    m = {x.id: x.canonical_id for x in r.mapping.collect()}
+    assert m == {100: 1, 101: 101}  # the split
+    at_rest = canonicalize_labels(
+        spark.createDataFrame(
+            [(1, "aaaa"), (100, "aaab"), (101, "aabb")],
+            "id long, s string",
+        ),
+        "s", "id", max_dist=1,
+    )
+    assert {x.canonical_id for x in at_rest.collect()} == {1}  # one cluster

@@ -333,6 +333,56 @@ def test_bucketed_lsh_store_never_shuffles(spark, sf_dir, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_bucketed_canon_store_never_shuffles(spark, tmp_path):
+    """The fuzzy canon segment store bucketed on seg_key: a batch probe's
+    candidate join reads the store in place — the store side has no
+    Exchange, the single Exchange is the batch's ≤29-rows-per-string
+    probe set re-clustering into the store's bucket layout.  This is the
+    zero-Exchange store-side contract the exact/LSH stores already meet
+    (tests above); round 11 extends it to the fuzzy family."""
+    import uuid
+
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        canon_segment_rows,
+        canon_store_hits,
+    )
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucketed_store,
+        write_bucketed_store,
+    )
+
+    table = f"bk_canon_{uuid.uuid4().hex[:8]}"
+    reps = spark.createDataFrame(
+        [(i, f"label number {i:04d}") for i in range(0, 400, 2)],
+        "canonical_id long, canonical string",
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, f"label numbes {i:04d}") for i in range(1, 400, 2)],
+        "id long, s string",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed_store(
+            canon_segment_rows(reps, max_dist=2),
+            str(tmp_path / "canon"), table, ["seg_key"], 8,
+        )
+        st = read_bucketed_store(spark, table)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hits = canon_store_hits(st, batch, "s", "id", max_dist=2)
+        plan = hits._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert _nodes(plan).count("Exchange") == 1, plan
+        assert "SortMergeJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert hits.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_simhash_pigeonhole_join_is_equi_join(spark, sf_dir):
     """The incremental SimHash candidate step joins on (combo, key) — a
     plain equi-join the planner can hash/sort-merge.  No CartesianProduct
