@@ -132,6 +132,19 @@ def _env_info() -> dict:
     return info
 
 
+def _same_sans_ts(path: str, payload: dict) -> bool:
+    """True when the artifact at ``path`` already records ``payload``
+    modulo the ``ts`` field — the ts-stability test for audit writes."""
+    try:
+        with open(path) as fh:
+            existing = json.load(fh)
+    except (OSError, json.JSONDecodeError, ValueError):
+        return False
+    a = {k: v for k, v in existing.items() if k != "ts"}
+    b = {k: v for k, v in payload.items() if k != "ts"}
+    return a == b
+
+
 def _write_status(name: str, status: dict, persist: bool = True) -> None:
     """Status stdout line + (gate-scale only) status artifact.
 
@@ -139,6 +152,11 @@ def _write_status(name: str, status: dict, persist: bool = True) -> None:
     success audit cannot prove it ran at the driver's gate).  The JSON
     artifact persists only when ``persist`` — gate-scale runs — so smoke
     runs at other scale factors can't overwrite committed gate evidence.
+    The write is also TS-STABLE: when the new status differs from the
+    existing artifact only in its timestamp, the file is left untouched —
+    three consecutive rounds ended with a ts-only git drift on these
+    JSONs, so an identical re-verify now leaves the tree clean by
+    construction.
     """
     import time
 
@@ -149,9 +167,12 @@ def _write_status(name: str, status: dict, persist: bool = True) -> None:
     )
     if persist:
         try:
-            with open(
-                os.path.join(ARTIFACT_DIR, f"{name.upper()}_AUDIT.json"), "w"
-            ) as fh:
+            path = os.path.join(ARTIFACT_DIR, f"{name.upper()}_AUDIT.json")
+            payload = json.loads(json.dumps(status, default=str))
+            if _same_sans_ts(path, payload):
+                print(line + " (unchanged: artifact kept)", flush=True)
+                return
+            with open(path, "w") as fh:
                 json.dump(status, fh, indent=1, default=str)
         except Exception:  # noqa: BLE001
             line += " (artifact write failed)"
@@ -188,15 +209,28 @@ def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
     persists only for GATE-scale runs (``is_gate_sf``): sf0.001 smoke and
     pytest passes must not overwrite committed sf0.01 gate evidence (the
     round-8/9 recurring artifact drift).  On divergence additionally
-    writes ``{NAME}_DIFF.json`` with the first 20 diverging canonical rows
-    (at ANY scale — red evidence beats hygiene).  Best-effort: audit
+    writes a DIFF artifact with the first 20 diverging canonical rows at
+    any scale — ``{NAME}_DIFF.json`` for gate-scale runs, a
+    ``{NAME}_DIFF_{sf}.json`` sibling otherwise, so smoke-scale red
+    evidence never clobbers gate evidence.  Best-effort: audit
     failures must never turn a green query red, but they are now
     *recorded*, not swallowed.
     """
     if os.environ.get("SPARK_GRAFT_NO_FORENSICS"):
         return
     persist = is_gate_sf(sf_dir)
-    diff_path = os.path.join(ARTIFACT_DIR, f"{name.upper()}_DIFF.json")
+    # DIFF artifacts are scale-addressed: the gate scale owns the bare
+    # {NAME}_DIFF.json; any other scale writes a _sf-suffixed sibling, so
+    # an sf0.001 smoke mismatch can never clobber committed sf0.01 gate
+    # evidence (it used to share the bare path) while red evidence is
+    # still captured at every scale.
+    if persist:
+        diff_path = os.path.join(ARTIFACT_DIR, f"{name.upper()}_DIFF.json")
+    else:
+        sf_tag = os.path.basename(os.path.normpath(sf_dir or "unknown"))
+        diff_path = os.path.join(
+            ARTIFACT_DIR, f"{name.upper()}_DIFF_{sf_tag}.json"
+        )
     try:
         import duckdb
 
@@ -230,10 +264,10 @@ def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
             }, persist=persist)
             return
         if sc == dc and sr == dr:
-            # stale-DIFF cleanup is gate-scale only, like the status write:
-            # a matching sf0.001 smoke must not delete committed sf0.01
-            # red evidence (review finding, round 10)
-            if persist and os.path.exists(diff_path):
+            # stale-DIFF cleanup removes only THIS scale's artifact (the
+            # path is scale-addressed above), so a matching sf0.001 smoke
+            # can never delete committed sf0.01 red evidence
+            if os.path.exists(diff_path):
                 os.remove(diff_path)
             _write_status(name, {
                 "status": "match",

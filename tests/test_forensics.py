@@ -95,8 +95,59 @@ def test_non_gate_sf_never_persists_status_artifact(
     assert not os.path.exists(
         os.path.join(artifact_dir, "T_SMOKEMIS_AUDIT.json")
     )
-    assert os.path.exists(
+    # ...in a SCALE-SUFFIXED sibling: the bare DIFF name belongs to the
+    # gate scale and must never be clobbered by a smoke mismatch
+    assert not os.path.exists(
         os.path.join(artifact_dir, "T_SMOKEMIS_DIFF.json")
+    )
+    assert os.path.exists(
+        os.path.join(artifact_dir, "T_SMOKEMIS_DIFF_sf0.001.json")
+    )
+
+
+def test_status_artifact_is_ts_stable(spark, artifact_dir):
+    """Re-running an identical audit leaves the artifact byte-identical
+    (ts is NOT refreshed) — three rounds ended with ts-only git drift on
+    the committed gate evidence before this guarantee."""
+    df = spark.range(3).selectExpr("id AS n")
+    path = os.path.join(artifact_dir, "T_TS_AUDIT.json")
+    forensics.audit_against_oracle(
+        "t_ts", df, GATE_SF_DIR, "SELECT range AS n FROM range(3)"
+    )
+    first = open(path).read()
+    forensics.audit_against_oracle(
+        "t_ts", df, GATE_SF_DIR, "SELECT range AS n FROM range(3)"
+    )
+    assert open(path).read() == first
+    # a REAL change (status flips to mismatch) still rewrites
+    forensics.audit_against_oracle(
+        "t_ts", df, GATE_SF_DIR, "SELECT range + 1 AS n FROM range(3)"
+    )
+    assert json.loads(open(path).read())["status"] == "mismatch"
+
+
+def test_smoke_mismatch_never_touches_gate_diff(spark, artifact_dir):
+    """ADVICE r10: a smoke-scale mismatch used to overwrite the committed
+    gate-scale {NAME}_DIFF.json with smoke rows.  Now the gate artifact
+    survives a smoke mismatch AND a smoke match (which cleans only its
+    own scale-suffixed sibling)."""
+    df = spark.range(3).selectExpr("id AS n")
+    gate_diff = os.path.join(artifact_dir, "T_GD_DIFF.json")
+    forensics.audit_against_oracle(
+        "t_gd", df, GATE_SF_DIR, "SELECT range + 7 AS n FROM range(3)"
+    )
+    gate_evidence = open(gate_diff).read()
+    smoke = "/root/testdata/sf0.001"
+    forensics.audit_against_oracle(
+        "t_gd", df, smoke, "SELECT range + 9 AS n FROM range(3)"
+    )
+    assert open(gate_diff).read() == gate_evidence
+    forensics.audit_against_oracle(
+        "t_gd", df, smoke, "SELECT range AS n FROM range(3)"
+    )
+    assert open(gate_diff).read() == gate_evidence
+    assert not os.path.exists(
+        os.path.join(artifact_dir, "T_GD_DIFF_sf0.001.json")
     )
 
 
