@@ -46,6 +46,14 @@ def main(argv: list[str] | None = None) -> int:
     refresh.add_argument("--min-quality", type=float, default=None)
     refresh.add_argument("--shards", type=int, default=64)
     refresh.add_argument("--canonicalize", action="store_true")
+    refresh.add_argument("--canon-col", default=None,
+                         help="fuzzy-canonicalize this short-string "
+                         "metadata column against the carried segment "
+                         "store (adds {col}_canonical_id/_canonical)")
+    refresh.add_argument("--canon-store", default=None,
+                         help="canon segment-store dir (created on "
+                         "first run; required with --canon-col)")
+    refresh.add_argument("--canon-max-dist", type=int, default=2)
 
     media = sub.add_parser(
         "refresh-media",
@@ -144,7 +152,7 @@ def main(argv: list[str] | None = None) -> int:
     compact.add_argument(
         "--kind", required=True,
         choices=["seen", "gram", "sketch", "histogram", "cms", "bloom",
-                 "bottomk", "fingerprint"],
+                 "bottomk", "canon", "fingerprint"],
         help="seen: frontier URL hashes (max last_fetch_ts per hash); "
         "gram: span-dedup counts (capped sum per gram); sketch: HLL "
         "(register-maxima merge per group); histogram: exact bin adds "
@@ -152,6 +160,8 @@ def main(argv: list[str] | None = None) -> int:
         "bucket); bloom: membership word ORs per (group, word); "
         "bottomk: deterministic uniform sample (k smallest row-id "
         "hashes per group, --k); "
+        "canon: fuzzy-canonicalization segment index (replayed-append "
+        "dup drop + global hot-bucket cap re-apply, --hot-bucket-cap); "
         "fingerprint: rows are already disjoint — the rewrite "
         "consolidates small append files in a PLAIN parquet dir "
         "(--bucket-col partitions the files by hash for locality; a "
@@ -170,6 +180,14 @@ def main(argv: list[str] | None = None) -> int:
                          help="bottomk kind: the sample size (must match "
                          "the store's; read from the store's "
                          "_bottomk_meta.json sidecar when omitted)")
+    compact.add_argument("--max-dist", type=int, default=None,
+                         help="canon kind: the edit-distance bound the "
+                         "segment index was built at (must match the "
+                         "store's; read from _canon_store_meta.json "
+                         "when omitted)")
+    compact.add_argument("--hot-bucket-cap", type=int, default=None,
+                         help="canon kind: keep this many min-id "
+                         "representatives per segment bucket on rewrite")
     compact.add_argument("--buckets", type=int, default=None,
                          help="fingerprint kind: hash-partition the "
                          "rewrite into this many file sets on "
@@ -382,6 +400,22 @@ def _compact(args) -> int:
         if rc:
             return rc
         out = compact_bottomk_store(df, group_cols, bk)
+    elif args.kind == "canon":
+        from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+            compact_canon_store,
+            read_canon_store_meta,
+        )
+
+        # max_dist is identity (k-specific segment split); compaction
+        # itself doesn't consume it, but the swap replaces the dir, so
+        # it must be resolvable NOW to re-stamp the sidecar after
+        ck, rc = _resolve_store_identity(
+            args.store, args.max_dist, "--max-dist",
+            read_canon_store_meta, "_canon_store_meta.json",
+        )
+        if rc:
+            return rc
+        out = compact_canon_store(df, args.hot_bucket_cap)
     else:  # fingerprint: rows already disjoint — consolidate files
         if args.buckets and not args.bucket_col:
             print(
@@ -411,6 +445,12 @@ def _compact(args) -> int:
         )
 
         write_bottomk_store_meta(args.store, bk)
+    elif args.kind == "canon":
+        from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+            write_canon_store_meta,
+        )
+
+        write_canon_store_meta(args.store, ck)
     print(f"compact: {args.kind} store {args.store} → {n} rows")
     return 0
 
@@ -432,6 +472,10 @@ def _refresh(args) -> int:
     )
     from evidence_datasource_parsers_spark.session import get_spark
 
+    if args.canon_col and not args.canon_store:
+        print("refresh: --canon-col needs --canon-store", file=sys.stderr)
+        return 2
+
     spark = get_spark("refresh")
     spark.sparkContext.setLogLevel("ERROR")
     batch = spark.read.parquet(args.batch)
@@ -444,6 +488,26 @@ def _refresh(args) -> int:
         if os.path.isdir(args.store)
         else None
     )
+    prev_canon = None
+    if args.canon_col:
+        from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+            read_canon_store_meta,
+        )
+
+        recover_store_dir(args.canon_store)
+        if os.path.isdir(args.canon_store):
+            recorded = read_canon_store_meta(args.canon_store)
+            if recorded != args.canon_max_dist:
+                print(
+                    f"refresh: canon store {args.canon_store} records "
+                    f"max_dist={recorded}, this run asked "
+                    f"{args.canon_max_dist} — the segment indexes are "
+                    "not comparable (stamp or re-run with the store's "
+                    "k)",
+                    file=sys.stderr,
+                )
+                return 2
+            prev_canon = spark.read.parquet(args.canon_store)
     res = refresh_corpus_batch(
         batch,
         prev,
@@ -453,6 +517,9 @@ def _refresh(args) -> int:
         min_quality=args.min_quality,
         num_shards=args.shards,
         canonicalize=args.canonicalize,
+        canon_col=args.canon_col,
+        canon_store=prev_canon,
+        canon_max_dist=args.canon_max_dist,
     )
     try:
         # checkpoint BEFORE the store append: committing a write to
@@ -460,7 +527,24 @@ def _refresh(args) -> int:
         # so a lazy ready would re-evaluate against the advanced store
         # (its own batch now "seen") and emit nothing
         ready = res.ready.localCheckpoint(eager=True)
+        # the canon delta's lineage reads BOTH stores (its rest/fresh legs
+        # ride the dedup output), so it must be materialized before EITHER
+        # append refreshes a path it scans — a lazy delta evaluated after
+        # the fingerprint-store append sees its own batch as "seen" and
+        # silently appends nothing
+        canon_delta = (
+            res.canon_store_delta.localCheckpoint(eager=True)
+            if res.canon_store_delta is not None
+            else None
+        )
         res.store_delta.write.mode("append").parquet(args.store)
+        if canon_delta is not None:
+            from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: E501
+                write_canon_store_meta,
+            )
+
+            canon_delta.write.mode("append").parquet(args.canon_store)
+            write_canon_store_meta(args.canon_store, args.canon_max_dist)
         ready.write.mode("append").parquet(args.out)
         n = ready.count()
         print(f"refresh: {n} fresh docs → {args.out}; store → {args.store}")

@@ -67,6 +67,8 @@ class RefreshResult(NamedTuple):
     drop_audit: DataFrame | None = None
     store_delta: DataFrame | None = None
     span_store_delta: DataFrame | None = None
+    canon_store: DataFrame | None = None
+    canon_store_delta: DataFrame | None = None
 
     def done(self) -> None:
         for p in self.pinned:
@@ -92,6 +94,10 @@ def refresh_corpus_batch(
     span_min_tokens: int | None = None,
     span_store: DataFrame | None = None,
     span_min_occurrences: int = 2,
+    canon_col: str | None = None,
+    canon_store: DataFrame | None = None,
+    canon_max_dist: int = 2,
+    canon_hot_bucket_cap: int | None = None,
     audit_drops: bool = False,
     **dedupe_kwargs,
 ) -> RefreshResult:
@@ -146,6 +152,20 @@ def refresh_corpus_batch(
     ``span_removed_tokens`` audit column is added BEFORE quality/LM
     scoring, so the gates judge the text that would actually ship.  The
     updated gram store returns as ``RefreshResult.span_store``.
+
+    ``canon_col`` enables the METADATA canonicalization stage: after
+    dedup (and span excision), the named short-string column — a source
+    label, venue, author field — is fuzzy-canonicalized against the
+    carried ``canon_store`` segment index
+    (fuzzy_join.incremental_canonicalize_indexed), adding
+    ``{canon_col}_canonical_id`` / ``{canon_col}_canonical`` columns so
+    downstream groupBys stop fragmenting over near-identical spellings.
+    The updated segment store returns as ``RefreshResult.canon_store``
+    with the batch's new representatives alone in
+    ``canon_store_delta`` — append-only advance, same as every other
+    store here.  ``canon_max_dist`` is store identity (the segment
+    split is k-specific); the CLI validates it against the store's
+    ``_canon_store_meta.json`` sidecar.
     """
     if audit_drops and mode != "lsh":
         raise ValueError(
@@ -222,6 +242,28 @@ def refresh_corpus_batch(
         span_store_out = sres.store
         span_delta_out = sres.delta
         pinned = pinned + (sres.pinned,)
+    canon_store_out = None
+    canon_delta_out = None
+    if canon_col is not None:
+        from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+            incremental_canonicalize_indexed,
+        )
+
+        cres = incremental_canonicalize_indexed(
+            fresh,
+            canon_store,
+            canon_col,
+            id_col,
+            max_dist=canon_max_dist,
+            hot_bucket_cap=canon_hot_bucket_cap,
+        )
+        # mapping = every surviving doc + (canonical_id, canonical) —
+        # a label ENRICHMENT, not a drop stage; downstream gates see it
+        fresh = cres.mapping.withColumnRenamed(
+            "canonical_id", f"{canon_col}_canonical_id"
+        ).withColumnRenamed("canonical", f"{canon_col}_canonical")
+        canon_store_out = cres.store
+        canon_delta_out = cres.delta
     if quality_weights is not None:
         from evidence_datasource_parsers_spark.functions.quality import (
             score_with_weight_table,
@@ -259,6 +301,7 @@ def refresh_corpus_batch(
         ready=ready, store=store, pinned=pinned,
         span_store=span_store_out, drop_audit=drop_audit,
         store_delta=delta, span_store_delta=span_delta_out,
+        canon_store=canon_store_out, canon_store_delta=canon_delta_out,
     )
 
 

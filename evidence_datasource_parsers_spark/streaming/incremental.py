@@ -165,6 +165,13 @@ def incremental_dedupe_sink(
         EXCISED (documents are rewritten, not dropped — every batch doc is
         appended with clean_text/n_tokens/n_removed_tokens) against a
         saturating gram-count store (`span_dedup.incremental_span_dedupe`).
+      * ``'canon'`` — fuzzy METADATA canonicalization: every batch doc is
+        appended ENRICHED with canonical_id/canonical (nothing dropped),
+        its ``text_col`` short-string label mapped to the representative
+        carried in the segment-index store
+        (`fuzzy_join.incremental_canonicalize_indexed`); ``max_dist`` is
+        store identity, validated against the ``_canon_store_meta.json``
+        sidecar like the span cap.
 
     ``dedupe_opts`` pass through to the chosen operator (num_perm/bands/k
     for lsh — including the production ``hot_bucket_cap`` guard;
@@ -184,7 +191,7 @@ def incremental_dedupe_sink(
 
     if mode not in (
         "exact", "lsh", "simhash", "embedding", "phash", "audio", "video",
-        "remux", "span",
+        "remux", "span", "canon",
     ):
         raise ValueError(f"unknown dedupe mode {mode!r}")
     if provenance_dir is not None and mode != "lsh":
@@ -269,6 +276,42 @@ def incremental_dedupe_sink(
             )
             fresh, new_store, delta = res.fresh, res.store, res.delta
             fresh = fresh.persist()
+        elif mode == "canon":
+            from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: E501
+                incremental_canonicalize_indexed,
+                read_canon_store_meta,
+            )
+
+            # max_dist is store identity: the segment split is k-specific,
+            # so probing a k=2 store at k=3 silently MISSES matches — the
+            # same refuse-on-mismatch discipline as the span gram cap.
+            k = dedupe_opts.get("max_dist", 2)
+            if os.path.isdir(store_dir):
+                recorded = read_canon_store_meta(store_dir)
+                if recorded is None:
+                    raise ValueError(
+                        f"canon store {store_dir} has no "
+                        "_canon_store_meta.json sidecar: its max_dist is "
+                        f"unknown, and probing it at max_dist={k} could "
+                        "miss matches. Stamp the store once with "
+                        "write_canon_store_meta(store_dir, <true k>) and "
+                        "re-run."
+                    )
+                if recorded != k:
+                    raise ValueError(
+                        f"canon store {store_dir} was built with "
+                        f"max_dist={recorded}; this sink is configured "
+                        f"with {k} — the segment indexes are not "
+                        "comparable"
+                    )
+            res = incremental_canonicalize_indexed(
+                batch_df, store, text_col, id_col, **dedupe_opts
+            )
+            # "fresh" here is the batch ENRICHED (canonical labels added),
+            # not a survivor subset; the store advance discipline is
+            # identical (append the delta's segment rows)
+            fresh, new_store, delta = res.mapping, res.store, res.delta
+            fresh = fresh.persist()
         elif mode == "span":
             from evidence_datasource_parsers_spark.operators.span_dedup import (
                 incremental_span_dedupe,
@@ -344,6 +387,14 @@ def incremental_dedupe_sink(
             # discipline gave.
             fresh_mat = fresh.localCheckpoint(eager=True)
             delta.write.mode("append").parquet(store_dir)
+            if mode == "canon":
+                from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: E501
+                    write_canon_store_meta,
+                )
+
+                write_canon_store_meta(
+                    store_dir, dedupe_opts.get("max_dist", 2)
+                )
             if mode == "span":
                 from evidence_datasource_parsers_spark.operators.span_dedup import (  # noqa: E501
                     write_gram_store_meta,
@@ -355,7 +406,10 @@ def incremental_dedupe_sink(
             fresh_mat.write.mode("append").parquet(out_dir)
         finally:
             fresh.unpersist()
-            if mode != "exact":
+            # exact derives everything from fresh; canon's clustering is
+            # checkpoint-materialized inside duplicate_clusters — neither
+            # carries a pinned handle
+            if mode not in ("exact", "canon"):
                 res.pinned.unpersist()
 
     return (

@@ -392,3 +392,91 @@ def test_layout_audit_cli(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "width_amplification" in out
     assert "x" in out and "id" in out
+
+
+def test_compact_cli_canon_kind(spark, tmp_path, capsys):
+    """`compact --kind canon`: replayed-append dups collapse, the global
+    hot-bucket cap applies, and the max_dist sidecar survives the swap."""
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        canon_segment_rows,
+        read_canon_store_meta,
+        write_canon_store_meta,
+    )
+
+    store = str(tmp_path / "canon")
+    reps = spark.createDataFrame(
+        [(7, "aaaa"), (3, "aaaa"), (9, "bbbb")],
+        "canonical_id long, canonical string",
+    )
+    seg = canon_segment_rows(reps, max_dist=1)
+    seg.write.parquet(store)
+    seg.write.mode("append").parquet(store)  # a crash-replayed append
+    # no sidecar + no flag: refused (identity must be known to re-stamp)
+    assert main(["compact", "--store", store, "--kind", "canon"]) == 2
+    write_canon_store_meta(store, 1)
+    # conflicting flag refused, sidecar wins when omitted
+    assert main(["compact", "--store", store, "--kind", "canon",
+                 "--max-dist", "2"]) == 2
+    assert main(["compact", "--store", store, "--kind", "canon",
+                 "--hot-bucket-cap", "1"]) == 0
+    rows = spark.read.parquet(store).collect()
+    assert {r.canonical_id for r in rows} == {3, 9}
+    assert len(rows) == 4  # dups gone, cap kept min-id rep per bucket
+    assert read_canon_store_meta(store) == 1  # re-stamped after the swap
+
+
+def test_refresh_cli_canon_col(spark, tmp_path, capsys):
+    """`refresh --canon-col`: two rounds — round-2 near-duplicate labels
+    converge on round-1 representatives, the canon segment store advances
+    append-only, and a mismatched --canon-max-dist is refused."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    batch1 = str(tmp_path / "b1")
+    batch2 = str(tmp_path / "b2")
+    store = str(tmp_path / "store")
+    canon_store = str(tmp_path / "canon_store")
+    out = str(tmp_path / "ready")
+    spark.createDataFrame(
+        [(1, "a a a a unique first document", "NeurIPS"),
+         (2, "b b b b second document body", "NeurIPS conf")],
+        "doc_id long, text string, venue string",
+    ).write.parquet(batch1)
+    spark.createDataFrame(
+        [(10, "c c c c third document body", "NeurIPS cnf"),
+         (11, "d d d d fourth document body", "totally other")],
+        "doc_id long, text string, venue string",
+    ).write.parquet(batch2)
+
+    base = ["refresh", "--batch", batch1, "--store", store, "--out", out,
+            "--mode", "exact", "--canon-col", "venue",
+            "--canon-store", canon_store, "--canon-max-dist", "2"]
+    # --canon-col without --canon-store is refused
+    assert main([a for a in base if a not in (
+        "--canon-store", canon_store)]) == 2
+    assert main(base) == 0
+    r1 = spark.read.parquet(out)
+    assert {c for c in r1.columns} >= {
+        "venue_canonical_id", "venue_canonical"
+    }
+    # 'NeurIPS' / 'NeurIPS conf' are >2 edits apart → separate reps
+    m1 = {r.doc_id: r.venue_canonical_id for r in r1.collect()}
+    assert m1 == {1: 1, 2: 2}
+    seg1 = spark.read.parquet(canon_store).count()
+
+    base2 = ["refresh", "--batch", batch2, "--store", store, "--out", out,
+             "--mode", "exact", "--canon-col", "venue",
+             "--canon-store", canon_store, "--canon-max-dist", "2"]
+    assert main(base2) == 0
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    # 'NeurIPS cnf' is 1 edit from stored 'NeurIPS conf' → converges
+    assert rows[10].venue_canonical == "NeurIPS conf"
+    assert rows[10].venue_canonical_id == 2
+    assert rows[11].venue_canonical_id == 11
+    # append-only advance: exactly the new rep's k+1=3 segment rows landed
+    assert spark.read.parquet(canon_store).count() == seg1 + 3
+    # identity guard: a different k is refused before touching anything
+    bad = list(base2)
+    bad[bad.index("2")] = "1"
+    assert main(bad) == 2
+    err = capsys.readouterr().err
+    assert "not comparable" in err

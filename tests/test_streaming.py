@@ -1100,3 +1100,112 @@ def test_streaming_sample_sink(spark, tmp_path):
         k=64,
     ).awaitTermination()
     assert spark.read.parquet(healed).count() > 0
+
+
+def test_incremental_dedupe_sink_canon_mode(spark, tmp_path):
+    """mode='canon': every streamed doc is appended ENRICHED with
+    canonical_id/canonical; batch-2 labels converge on batch-1
+    representatives; a full replay advances the store by NOTHING (all
+    replayed labels map to stored reps, so the delta is empty); a
+    mismatched max_dist is refused via the identity sidecar."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        read_canon_store_meta,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        incremental_dedupe_sink,
+    )
+
+    src = tmp_path / "canon_in"
+    src.mkdir()
+    out = str(tmp_path / "canon_out")
+    store = str(tmp_path / "canon_store")
+
+    def doc(i, label):
+        return _json.dumps({"doc_id": i, "label": label})
+
+    def run(ckpt, **opts):
+        stream = (
+            spark.readStream.schema("doc_id long, label string")
+            .json(str(src))
+        )
+        q = incremental_dedupe_sink(
+            stream, out, store, str(tmp_path / ckpt),
+            "label", "doc_id", mode="canon", **opts,
+        )
+        q.awaitTermination()
+
+    (src / "b1.json").write_text(
+        doc(1, "colour") + "\n" + doc(2, "color")
+    )
+    run("ck_shared", max_dist=1)
+    rows = {r.doc_id: (r.canonical_id, r.canonical)
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {1: (1, "colour"), 2: (1, "colour")}
+    # store carries k+1=2 segment rows for the single elected rep
+    st = spark.read.parquet(store).collect()
+    assert {(r.canonical_id, r.canonical) for r in st} == {(1, "colour")}
+    assert len(st) == 2
+    assert read_canon_store_meta(store) == 1
+
+    # batch 2 (same checkpoint → only the new file): near-re-crawl
+    # converges on the STORED rep; a new label elects a new one
+    (src / "b2.json").write_text(
+        doc(10, "colouur") + "\n" + doc(11, "brand new")
+    )
+    run("ck_shared", max_dist=1)
+    rows = {r.doc_id: (r.canonical_id, r.canonical)
+            for r in spark.read.parquet(out).collect()}
+    assert rows[10] == (1, "colour")
+    assert rows[11] == (11, "brand new")
+    assert set(rows) == {1, 2, 10, 11}
+    st = spark.read.parquet(store).collect()
+    assert {(r.canonical_id, r.canonical) for r in st} == {
+        (1, "colour"), (11, "brand new")
+    }
+    assert len(st) == 4
+
+    # full replay (fresh checkpoint re-reads every file): all four docs
+    # map to stored reps, the delta is empty, the store does NOT grow —
+    # store-advance idempotence under replay
+    run("ck_replay", max_dist=1)
+    st2 = spark.read.parquet(store).collect()
+    assert len(st2) == 4
+    replayed = [
+        (r.doc_id, r.canonical_id)
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert sorted(replayed) == sorted(
+        [(1, 1), (2, 1), (10, 1), (11, 11)] * 2
+    )
+
+    # identity: a run at a different k is refused before touching the store
+    (src / "b3.json").write_text(doc(20, "whatever"))
+    stream_bad = (
+        spark.readStream.schema("doc_id long, label string")
+        .json(str(src))
+    )
+    q_bad = incremental_dedupe_sink(
+        stream_bad, out, store, str(tmp_path / "ck_bad"),
+        "label", "doc_id", mode="canon", max_dist=2,
+    )
+    with _pytest.raises(Exception, match="max_dist"):
+        q_bad.awaitTermination()
+    assert read_canon_store_meta(store) == 1
+    assert spark.read.parquet(store).count() == 4
+    # a legacy sidecar-less store is ambiguous — refused, not adopted
+    legacy = str(tmp_path / "canon_store_legacy")
+    spark.read.parquet(store).write.parquet(legacy)
+    stream_leg = (
+        spark.readStream.schema("doc_id long, label string")
+        .json(str(src))
+    )
+    q_leg = incremental_dedupe_sink(
+        stream_leg, out, legacy, str(tmp_path / "ck_leg"),
+        "label", "doc_id", mode="canon", max_dist=1,
+    )
+    with _pytest.raises(Exception, match="_canon_store_meta"):
+        q_leg.awaitTermination()

@@ -649,6 +649,117 @@ def fuzzy_join_case(spark, materialize, base: str, replicas: int):
     return row
 
 
+def incremental_canon_case(spark, materialize, base: str, replicas: int):
+    """Fuzzy-canon twin of the incremental-refresh case: a FIXED batch of
+    titles mapped against the bucketed canon SEGMENT store
+    (fuzzy_join.canon_segment_rows) at base vs N× representative count.
+
+    Replication reuses fuzzy_join_case's distinct-prefix trick (any two
+    replica prefixes differ in 3 positions > k=2), so the batch's store
+    neighborhood is IDENTICAL at both scales: half the batch is a
+    one-edit rewrite of replica-0 reps (must converge on the store), half
+    carries an uppercase prefix no replica uses (elects new reps
+    in-batch).  The store side of the probe join rides zero Exchange
+    (plan-asserted in tests/test_plan_shapes.py), so the probe factor
+    should track the store scan, far below N; the advance appends k+1
+    segment rows per NEW representative — O(batch), ~flat."""
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        canon_segment_rows,
+        incremental_canonicalize_indexed,
+    )
+    from evidence_datasource_parsers_spark.plans.catalog_text import (
+        ed_title_col,
+    )
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        append_bucketed_store,
+        read_bucketed_store,
+        write_bucketed_store,
+    )
+
+    alphabet = FUZZY_PREFIX_ALPHABET
+    if replicas > len(alphabet):
+        raise ValueError(
+            f"incremental_canon_case supports <= {len(alphabet)} replicas"
+        )
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    titles = docs.select("doc_id", ed_title_col().alias("title"))
+
+    def mk_reps(n_rep: int):
+        parts = [
+            titles.select(
+                (F.col("doc_id") + F.lit(r * 10**9)).alias("canonical_id"),
+                F.concat(
+                    F.lit(alphabet[r] * 3 + " "), F.col("title")
+                ).alias("canonical"),
+            )
+            for r in range(n_rep)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    batch = titles.select(
+        (F.col("doc_id") + F.lit(5 * 10**9)).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(alphabet[0] * 3 + " "), F.col("title"), F.lit("x")
+            ),
+        )
+        .otherwise(F.concat(F.lit("ZZZ "), F.col("title")))
+        .alias("title"),
+    ).localCheckpoint(eager=True)
+
+    row: dict = {}
+    for label, n_rep in (("base", 1), ("scaled", replicas)):
+        table = f"bench_incr_canon_store_{label}"
+        store_path = os.path.join(
+            os.environ.get(
+                "SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale_store"
+            ),
+            f"canon_store_{label}",
+        )
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            write_bucketed_store(
+                canon_segment_rows(mk_reps(n_rep), max_dist=2),
+                store_path, table, ["seg_key"], 32,
+            )
+            best = -1.0
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                res = incremental_canonicalize_indexed(
+                    batch, read_bucketed_store(spark, table),
+                    "title", "doc_id", max_dist=2,
+                )
+                materialize(res.mapping)
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+            row[label] = round(best, 3)
+            # ADVANCE: append the batch's new-rep segment rows into the
+            # bucketed store — O(batch) by design; one-shot (appends
+            # mutate); delta materialized untimed like the other cases
+            res = incremental_canonicalize_indexed(
+                batch, read_bucketed_store(spark, table),
+                "title", "doc_id", max_dist=2,
+            )
+            delta_mat = res.delta.localCheckpoint(eager=True)
+            t0 = time.perf_counter()
+            append_bucketed_store(delta_mat, table, ["seg_key"], 32)
+            row[f"advance_{label}"] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"canon@{label} failed: {exc}", file=sys.stderr)
+            row[label] = -1.0
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if row.get("base", -1) > 0 and row.get("scaled", -1) > 0:
+        row["factor"] = round(row["scaled"] / row["base"], 2)
+    add_advance_factor(row)
+    return row
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     if replicas > len(FUZZY_PREFIX_ALPHABET):
@@ -730,6 +841,9 @@ def main() -> None:
         spark, materialize, replicas
     )
     results["fuzzy_edit_join"] = fuzzy_join_case(
+        spark, materialize, base, replicas
+    )
+    results["incremental_canon_refresh"] = incremental_canon_case(
         spark, materialize, base, replicas
     )
 
