@@ -570,10 +570,14 @@ def incremental_exact_dedupe(
 class IncrementalLshResult(NamedTuple):
     """Result of :func:`incremental_lsh_dedupe`.
 
-    ``pinned`` is the persisted fingerprint frame both outputs derive from;
-    call ``pinned.unpersist()`` after materializing ``fresh`` and ``store``
+    ``pinned`` is the fingerprint frame both outputs derive from; call
+    ``pinned.unpersist()`` after materializing ``fresh`` and ``store``
     (returning the handle instead of hiding the persist is what keeps a
-    long-running incremental pipeline from leaking cache blocks).
+    long-running incremental pipeline from leaking cache blocks).  It is
+    persisted by the operator ONLY on the self-computed path; when the
+    caller supplies ``batch_fingerprints`` (which it should itself have
+    persisted, per the single-scan contract) no second cache copy is
+    made and the unpersist is a harmless no-op.
     ``delta`` is the batch's store contribution alone (fingerprints of the
     retained docs — disjoint from the carried store by construction):
     advance the on-disk store by APPENDING it
@@ -752,9 +756,12 @@ def incremental_lsh_dedupe(
             .select(id_col)
         )
         survivors = new_batch.join(surv_ids, on=id_col, how="left_semi")
-        fp = batch_fingerprints.join(
-            surv_ids, on=id_col, how="left_semi"
-        ).persist()
+        # NOT re-persisted: the caller hands batch_fingerprints precisely
+        # because it already computed (and, per the single-scan contract,
+        # persisted) them — a second cache materialization of the semi-
+        # joined slice cost ~15% of q34's incremental leg for nothing.
+        # pinned is then the derived frame, whose unpersist is a no-op.
+        fp = batch_fingerprints.join(surv_ids, on=id_col, how="left_semi")
     if fingerprint_store is None:
         return IncrementalLshResult(
             fresh=survivors, store=fp, pinned=fp, delta=fp
@@ -809,7 +816,15 @@ def incremental_lsh_dedupe(
             how="left_semi",
         ).select(id_col)
         dropped = dropped.unionByName(exact_hit)
-    fresh = survivors.join(dropped, on=id_col, how="left_anti")
+    if batch_fingerprints is None:
+        fresh = survivors.join(dropped, on=id_col, how="left_anti")
+    else:
+        # the fresh id set is fully determined by fingerprint-derived
+        # frames (surv_ids ∖ dropped), so the new_batch lineage — often a
+        # rebalanced corpus scan — feeds ONE semi-join instead of a
+        # semi-then-anti chain
+        fresh_ids = surv_ids.join(dropped, on=id_col, how="left_anti")
+        fresh = new_batch.join(fresh_ids, on=id_col, how="left_semi")
     delta = fp.join(dropped, on=id_col, how="left_anti")
     new_store = fingerprint_store.unionByName(delta)
     return IncrementalLshResult(
