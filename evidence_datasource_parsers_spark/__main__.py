@@ -431,6 +431,21 @@ def _compact(args) -> int:
             )
 
     n = rewrite_store_dir(args.store, out)
+    # advisory only (verdict r10: the layout report had no consumer):
+    # after the rewrite, say whether the store's new layout prunes and
+    # what would fix it — print, never act; best-effort, a failed audit
+    # must not fail the compaction that already committed
+    try:
+        from evidence_datasource_parsers_spark.operators.layout_audit import (
+            layout_advice,
+            layout_report,
+        )
+
+        adv = layout_advice(layout_report(spark, args.store))
+        print(f"compact: layout {adv['action']} — {adv['reason']}")
+    except Exception as exc:  # noqa: BLE001
+        print(f"compact: layout advice unavailable ({exc})",
+              file=sys.stderr)
     if args.kind == "gram":
         # the swap replaced the dir — re-record the cap sidecar so the
         # NEXT compaction/advance can read it back
@@ -702,11 +717,16 @@ def _layout_audit(args) -> int:
     )
     from evidence_datasource_parsers_spark.session import get_spark
 
+    from evidence_datasource_parsers_spark.operators.layout_audit import (
+        layout_advice,
+    )
+
     spark = get_spark("layout-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    layout_report(spark, args.path).orderBy("column").show(
-        args.limit, truncate=False
-    )
+    rep = layout_report(spark, args.path)
+    rep.orderBy("column").show(args.limit, truncate=False)
+    adv = layout_advice(rep)
+    print(f"layout-audit: {adv['action']} — {adv['reason']}")
     return 0
 
 

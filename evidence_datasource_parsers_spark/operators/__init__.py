@@ -144,7 +144,9 @@ from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: F4
     incremental_canonicalize_indexed,
 )
 from evidence_datasource_parsers_spark.operators.layout_audit import (  # noqa: F401
+    layout_advice,
     layout_metrics,
+    layout_recommendations,
     layout_report,
     row_group_stats,
 )

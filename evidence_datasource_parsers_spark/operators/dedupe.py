@@ -600,7 +600,21 @@ def estimated_jaccard(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
     array lambdas are CodegenFallback (interpreted, per-element boxing)
     and this expression runs once per CANDIDATE PAIR — the hottest row
     count in the incremental near-dup join.  16 codegen'd comparisons
-    stay far under the JIT method ceiling (SCALE.md hazard 7)."""
+    stay far under the JIT method ceiling (SCALE.md hazard 7).  The
+    unroll grows linearly with ``num_perm`` at plan-build time, so the
+    bound is ENFORCED: past ~64 terms the generated method risks
+    Janino's 64KB limit and a silent interpreted fallback — exactly the
+    regression the unroll exists to avoid (ADVICE r10).  Signatures that
+    long are the wrong tool anyway (LSH band granularity, not estimator
+    precision, is what more perms buy)."""
+    if num_perm > 64:
+        raise ValueError(
+            f"estimated_jaccard unrolls {num_perm} codegen'd comparisons; "
+            "past 64 the generated method can exceed Janino's 64KB limit "
+            "and silently fall back to interpreted evaluation — use "
+            "num_perm <= 64 (or a zip_with formulation if you truly need "
+            "longer signatures and accept the interpreted cost)"
+        )
     matches = F.lit(0)
     for i in range(num_perm):
         matches = matches + F.when(

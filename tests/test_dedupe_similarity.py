@@ -1265,3 +1265,19 @@ def test_soft_dedupe_is_idempotent_on_its_own_output(spark):
     assert twice.columns.count("sample_weight") == 1
     w = {r["doc_id"]: r["sample_weight"] for r in twice.collect()}
     assert abs(w[1] - 2 ** -0.5) < 1e-12
+
+
+def test_estimated_jaccard_bounds_num_perm():
+    """The unrolled estimator enforces its codegen-size bound (ADVICE
+    r10): >64 terms risks Janino's 64KB method limit and a silent
+    interpreted fallback."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        estimated_jaccard,
+    )
+
+    estimated_jaccard(F.col("a"), F.col("b"), 64)  # boundary OK
+    with pytest.raises(ValueError, match="64"):
+        estimated_jaccard(F.col("a"), F.col("b"), 65)

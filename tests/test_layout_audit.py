@@ -119,3 +119,90 @@ def test_constant_column_degenerates_honestly(spark, tmp_path):
     }
     assert m["c"]["width_amplification"] is None
     assert m["c"]["avg_depth"] == m["c"]["n_groups"]
+
+
+def test_layout_advice_random_triggers_recluster(spark, grid, tmp_path):
+    """The recommendation half of the loop (round-11): a layout with NO
+    pruning axis is told to re-cluster, naming the candidate columns."""
+    from evidence_datasource_parsers_spark.operators.layout_audit import (
+        layout_advice,
+    )
+
+    p = str(tmp_path / "rnd_adv")
+    grid.repartition(FILES).write.parquet(p)
+    adv = layout_advice(layout_report(spark, p))
+    assert adv["action"] == "recluster"
+    assert set(adv["candidates"]) >= {"x", "y"}
+    assert "zorder" in adv["reason"]
+
+
+def test_layout_advice_sorted_and_zordered_leave(spark, grid, tmp_path):
+    """A deliberately x-sorted store is LEFT alone (its orthogonal column
+    not pruning is the design, not a fault), and so is a z-ordered one
+    (per-dimension depth ~ sqrt(G) is partial/clustered, never the
+    no-axis case)."""
+    from evidence_datasource_parsers_spark.operators.layout_audit import (
+        layout_advice,
+    )
+    from evidence_datasource_parsers_spark.operators.zorder import zorder_by
+
+    p1 = str(tmp_path / "sorted_adv")
+    grid.repartitionByRange(FILES, "x").sortWithinPartitions("x") \
+        .write.parquet(p1)
+    adv = layout_advice(layout_report(spark, p1))
+    assert adv["action"] == "leave"
+    assert "x" in adv["clustered"]
+
+    p2 = str(tmp_path / "z_adv")
+    zorder_by(grid, ["x", "y"], num_partitions=FILES).write.parquet(p2)
+    adv2 = layout_advice(layout_report(spark, p2))
+    assert adv2["action"] == "leave", adv2
+
+
+def test_layout_advice_degenerate_cases(spark, tmp_path):
+    from evidence_datasource_parsers_spark.operators.layout_audit import (
+        layout_advice,
+    )
+
+    # constants only → leave (pruning trivially perfect)
+    p = str(tmp_path / "const_adv")
+    spark.range(256).select(F.lit(7.0).alias("c")).repartition(4) \
+        .write.parquet(p)
+    adv = layout_advice(layout_report(spark, p))
+    assert adv["action"] == "leave"
+    # too few groups → leave (compaction target, not clustering)
+    p2 = str(tmp_path / "few_adv")
+    spark.range(64).selectExpr("CAST(id AS DOUBLE) AS v").coalesce(1) \
+        .write.parquet(p2)
+    adv2 = layout_advice(layout_report(spark, p2))
+    assert adv2["action"] == "leave"
+
+
+def test_compact_cli_prints_layout_advice(spark, tmp_path, capsys):
+    """compact consumes the layout report as an ADVISORY: a hash-bucketed
+    fingerprint rewrite (random in value space) prints the re-cluster
+    recommendation; nothing is rewritten twice."""
+    from evidence_datasource_parsers_spark.__main__ import main
+
+    fp = str(tmp_path / "fp_adv")
+    for i in range(8):
+        spark.createDataFrame(
+            [((i * 7919 + j * 104729) % 100000,) for j in range(512)],
+            "content_hash long",
+        ).write.mode("append").parquet(fp)
+    assert main(["compact", "--store", fp, "--kind", "fingerprint",
+                 "--buckets", "8", "--bucket-col", "content_hash"]) == 0
+    out = capsys.readouterr().out
+    assert "compact: layout recluster" in out
+    assert "content_hash" in out
+
+
+def test_layout_audit_cli_prints_advice(spark, grid, tmp_path, capsys):
+    from evidence_datasource_parsers_spark.__main__ import main
+
+    p = str(tmp_path / "cli_adv")
+    grid.repartitionByRange(FILES, "x").sortWithinPartitions("x") \
+        .write.parquet(p)
+    assert main(["layout-audit", p]) == 0
+    out = capsys.readouterr().out
+    assert "layout-audit: leave — clustered on" in out
