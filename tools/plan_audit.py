@@ -373,6 +373,20 @@ def pipeline_plans(spark) -> dict:
     plans["fuzzy_incremental_mapping"] = inc.mapping
     plans["fuzzy_incremental_delta"] = inc.delta
 
+    # the at-scale store form: probe against the persisted segment index
+    # (in-memory stand-in here — the zero-Exchange bucketed claim is the
+    # plan-shape test's job; the auditor checks no cartesian / no UDF /
+    # no hot-path collect in the candidate join + mapping + delta)
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        canon_segment_rows,
+        incremental_canonicalize_indexed,
+    )
+
+    seg = canon_segment_rows(canon, 2)
+    idx = incremental_canonicalize_indexed(titles, seg, "s", "id", 2)
+    plans["fuzzy_indexed_mapping"] = idx.mapping
+    plans["fuzzy_indexed_delta"] = idx.delta
+
     # layout audit: the depth probe must ride the bucketed interval join
     from evidence_datasource_parsers_spark.operators.layout_audit import (
         STATS_SCHEMA,
