@@ -521,3 +521,32 @@ def test_incremental_drift_seeded_counterexample(spark):
         "s", "id", max_dist=1,
     )
     assert {x.canonical_id for x in at_rest.collect()} == {1}  # one cluster
+
+
+def test_incremental_canonicalize_indexed_null_labels(spark):
+    """NULL strings never probe (no substrings), never match a stored
+    rep, and self-canonicalize in-batch — same contract as the flat
+    variant; their segment rows are NULL-segment but carry the id."""
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        canon_segment_rows,
+        incremental_canonicalize_indexed,
+    )
+
+    store = canon_segment_rows(
+        spark.createDataFrame(
+            [(1, "colour")], "canonical_id long, canonical string"
+        ),
+        max_dist=1,
+    )
+    batch = spark.createDataFrame(
+        [(100, "colours"), (101, None), (102, "x")],
+        "id long, s string",
+    )
+    r = incremental_canonicalize_indexed(batch, store, "s", "id", max_dist=1)
+    m = {x.id: (x.canonical_id, x.canonical) for x in r.mapping.collect()}
+    assert m[100] == (1, "colour")
+    assert m[101] == (101, None)   # NULL maps to itself
+    assert m[102] == (102, "x")
+    assert len(m) == 3
+    delta_ids = {x.canonical_id for x in r.delta.collect()}
+    assert delta_ids == {101, 102}
