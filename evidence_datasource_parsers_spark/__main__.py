@@ -152,7 +152,7 @@ def main(argv: list[str] | None = None) -> int:
     compact.add_argument(
         "--kind", required=True,
         choices=["seen", "gram", "sketch", "histogram", "cms", "bloom",
-                 "bottomk", "canon", "fingerprint"],
+                 "bottomk", "canon", "df", "fingerprint"],
         help="seen: frontier URL hashes (max last_fetch_ts per hash); "
         "gram: span-dedup counts (capped sum per gram); sketch: HLL "
         "(register-maxima merge per group); histogram: exact bin adds "
@@ -162,6 +162,7 @@ def main(argv: list[str] | None = None) -> int:
         "hashes per group, --k); "
         "canon: fuzzy-canonicalization segment index (replayed-append "
         "dup drop + global hot-bucket cap re-apply, --hot-bucket-cap); "
+        "df: document-frequency store (additive sum per (kind, term)); "
         "fingerprint: rows are already disjoint — the rewrite "
         "consolidates small append files in a PLAIN parquet dir "
         "(--bucket-col partitions the files by hash for locality; a "
@@ -400,6 +401,12 @@ def _compact(args) -> int:
         if rc:
             return rc
         out = compact_bottomk_store(df, group_cols, bk)
+    elif args.kind == "df":
+        from evidence_datasource_parsers_spark.operators.df_store import (
+            compact_df_store,
+        )
+
+        out = compact_df_store(df)
     elif args.kind == "canon":
         from evidence_datasource_parsers_spark.operators.fuzzy_join import (
             compact_canon_store,

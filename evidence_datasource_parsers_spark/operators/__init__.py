@@ -134,6 +134,12 @@ from evidence_datasource_parsers_spark.operators.pagerank import (  # noqa: F401
 from evidence_datasource_parsers_spark.operators.packing import (  # noqa: F401
     materialize_packs,
 )
+from evidence_datasource_parsers_spark.operators.df_store import (  # noqa: F401
+    bm25_against_store,
+    compact_df_store,
+    df_store_delta,
+    df_store_stats,
+)
 from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: F401
     canon_segment_rows,
     canonicalize_labels,

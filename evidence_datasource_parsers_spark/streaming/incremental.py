@@ -510,6 +510,34 @@ def streaming_frequency_sink(
     )
 
 
+def streaming_df_sink(
+    stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    text_col: str,
+    id_col: str,
+    delim: str = " ",
+):
+    """foreachBatch sink for the document-frequency store
+    (operators/df_store.py) — per batch, append the batch's own
+    (kind, term, n) additive rows beside the carried history: term df
+    counts and the two meta rows (N, Σdl) all ADD across disjoint
+    batches, so probes through ``compact_df_store``/``bm25_against_store``
+    see the whole ingested corpus's statistics.  Effectively-once via
+    the shared one-file-per-batch replay discipline; collapse with
+    ``compact --kind df`` on an explicit cadence.  The disjoint-batch
+    contract is the dedup sinks' output contract — point this sink at
+    their ``out_dir`` stream, not at a raw crawl."""
+    from evidence_datasource_parsers_spark.operators.df_store import (
+        df_store_delta,
+    )
+
+    return _append_summary_sink(
+        stream, store_dir, checkpoint,
+        lambda b: df_store_delta(b, text_col, id_col, delim),
+    )
+
+
 def streaming_membership_sink(
     stream: DataFrame,
     store_dir: str,

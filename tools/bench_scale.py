@@ -858,6 +858,87 @@ def incremental_embedding_case(spark, materialize, base: str, replicas: int):
     return row
 
 
+def incremental_df_case(spark, materialize, base: str, out_dir: str):
+    """Document-frequency store at base vs N× VOCABULARY: the generic
+    replication suffixes every token per replica, so the scaled corpus's
+    term space is N× the base — exactly the axis the df store grows
+    along.  A FIXED batch (the replica-0 slice, so its term space is
+    constant) is BM25-scored against the bucketed store for that store's
+    own top-3 terms (computed untimed; replica-0 term df profiles are
+    identical across scales by construction).  The probe should stay
+    ~flat: the query-term filter prunes the bucketed scan, the surviving
+    ≤|query| rows broadcast, and the batch-side tokenize/tf cost is
+    scale-invariant.  Advance = appending the batch's additive delta."""
+    from evidence_datasource_parsers_spark.operators.df_store import (
+        bm25_against_store,
+        df_store_delta,
+    )
+    from evidence_datasource_parsers_spark.plans.catalog import load
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucketed_store,
+        write_bucketed_store,
+    )
+
+    row: dict = {}
+    for label, sf_dir in (("base", base), ("scaled", out_dir)):
+        table = f"bench_incr_df_store_{label}"
+        store_path = os.path.join(
+            os.environ.get(
+                "SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale_store"
+            ),
+            f"df_store_{label}",
+        )
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            docs = load(spark, sf_dir, "documents")
+            batch = docs.filter(
+                (F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 10**9)
+            ).localCheckpoint(eager=True)
+            write_bucketed_store(
+                df_store_delta(docs, "text", "doc_id"),
+                store_path, table, ["term"], 32,
+            )
+            st = read_bucketed_store(spark, table)
+            q_terms = [
+                r.term
+                for r in st.where(F.col("kind") == "df")
+                .orderBy(F.col("n").desc(), F.col("term"))
+                .limit(3)
+                .collect()
+            ]
+            best = -1.0
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                materialize(
+                    bm25_against_store(
+                        batch, st, q_terms, "text", "doc_id"
+                    )
+                )
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+            row[label] = round(best, 3)
+            delta_mat = df_store_delta(
+                batch, "text", "doc_id"
+            ).localCheckpoint(eager=True)
+            t0 = time.perf_counter()
+            from evidence_datasource_parsers_spark.sources.sinks import (
+                append_bucketed_store,
+            )
+
+            append_bucketed_store(delta_mat, table, ["term"], 32)
+            row[f"advance_{label}"] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"df@{label} failed: {exc}", file=sys.stderr)
+            row[label] = -1.0
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if row.get("base", -1) > 0 and row.get("scaled", -1) > 0:
+        row["factor"] = round(row["scaled"] / row["base"], 2)
+    add_advance_factor(row)
+    return row
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     if replicas > len(FUZZY_PREFIX_ALPHABET):
@@ -946,6 +1027,9 @@ def main() -> None:
     )
     results["incremental_embedding_refresh"] = incremental_embedding_case(
         spark, materialize, base, replicas
+    )
+    results["incremental_df_refresh"] = incremental_df_case(
+        spark, materialize, base, out_dir
     )
 
     line = json.dumps(

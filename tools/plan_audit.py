@@ -387,6 +387,22 @@ def pipeline_plans(spark) -> dict:
     plans["fuzzy_indexed_mapping"] = idx.mapping
     plans["fuzzy_indexed_delta"] = idx.delta
 
+    # document-frequency store: the BM25 probe must stay a pruned-scan +
+    # broadcast shape (batch-side aggregates own every Exchange)
+    from evidence_datasource_parsers_spark.operators.df_store import (
+        bm25_against_store,
+        df_store_delta,
+    )
+
+    df_docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    df_st = df_store_delta(df_docs, "text", "doc_id")
+    plans["df_store_delta"] = df_st
+    plans["df_store_probe"] = bm25_against_store(
+        df_docs, df_st, ["beta"], "text", "doc_id"
+    )
+
     # layout audit: the depth probe must ride the bucketed interval join
     from evidence_datasource_parsers_spark.operators.layout_audit import (
         STATS_SCHEMA,
