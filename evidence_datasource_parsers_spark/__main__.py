@@ -54,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
                          help="canon segment-store dir (created on "
                          "first run; required with --canon-col)")
     refresh.add_argument("--canon-max-dist", type=int, default=2)
+    refresh.add_argument("--df-store", default=None,
+                         help="document-frequency store dir: append the "
+                         "READY docs' (kind, term, n) additive delta "
+                         "each round (BM25/IDF statistics of everything "
+                         "ingested; created on first run)")
 
     media = sub.add_parser(
         "refresh-media",
@@ -567,6 +572,18 @@ def _refresh(args) -> int:
 
             canon_delta.write.mode("append").parquet(args.canon_store)
             write_canon_store_meta(args.canon_store, args.canon_max_dist)
+        if args.df_store:
+            from evidence_datasource_parsers_spark.operators.df_store import (
+                df_store_delta,
+            )
+
+            # statistics reflect what actually ships: the READY docs
+            # (post-dedup, post-gates) — disjoint across rounds by the
+            # dedup contract, so the additive append is exact.  `ready`
+            # is already checkpointed, so the delta reads no store path.
+            df_store_delta(ready, args.text_col, args.id_col).write.mode(
+                "append"
+            ).parquet(args.df_store)
         ready.write.mode("append").parquet(args.out)
         n = ready.count()
         print(f"refresh: {n} fresh docs → {args.out}; store → {args.store}")

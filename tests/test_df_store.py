@@ -255,3 +255,44 @@ def test_compact_cli_df_kind(spark, tmp_path):
         for r in df_store_delta(_corpus(spark), "text", "doc_id").collect()
     }
     assert rows == one_shot
+
+
+def test_refresh_cli_df_store_two_rounds(spark, tmp_path):
+    """`refresh --df-store`: each round appends the READY docs' additive
+    delta; after two rounds the compacted store equals a one-shot delta
+    over both ready sets (re-crawled docs contribute nothing — they
+    never reach ready)."""
+    from evidence_datasource_parsers_spark.__main__ import main
+
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    store = str(tmp_path / "fp_store")
+    dfs = str(tmp_path / "df_store_cli")
+    out = str(tmp_path / "ready_out")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta")],
+        "doc_id long, text string",
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [(10, "alpha beta gamma"),   # re-crawl of doc 1 — dropped
+         (11, "epsilon zeta")],
+        "doc_id long, text string",
+    ).write.parquet(b2)
+    base = ["refresh", "--store", store, "--out", out, "--mode", "exact",
+            "--df-store", dfs]
+    assert main(base + ["--batch", b1]) == 0
+    assert main(base + ["--batch", b2]) == 0
+    got = {
+        (r.kind, r.term): r.n
+        for r in compact_df_store(spark.read.parquet(dfs)).collect()
+    }
+    ready = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in ready.collect()) == [1, 2, 11]
+    expect = {
+        (r.kind, r.term): r.n
+        for r in df_store_delta(
+            ready.select("doc_id", "text"), "text", "doc_id"
+        ).collect()
+    }
+    assert got == expect
+    assert got[("df", "alpha")] == 2   # doc 10's re-crawl never counted
+    assert got[("meta", "__n_docs")] == 3
