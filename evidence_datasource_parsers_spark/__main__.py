@@ -305,6 +305,18 @@ def _compact(args) -> int:
 
         n = compact_seen_store(spark, args.store)
         print(f"compact: seen store {args.store} → {n} rows")
+        # same advisory the dir-rewrite kinds get below
+        try:
+            from evidence_datasource_parsers_spark.operators.layout_audit import (  # noqa: E501
+                layout_advice,
+                layout_report,
+            )
+
+            adv = layout_advice(layout_report(spark, args.store))
+            print(f"compact: layout {adv['action']} — {adv['reason']}")
+        except Exception as exc:  # noqa: BLE001
+            print(f"compact: layout advice unavailable ({exc})",
+                  file=sys.stderr)
         return 0
 
     recover_store_dir(args.store)
