@@ -296,3 +296,57 @@ def test_refresh_cli_df_store_two_rounds(spark, tmp_path):
     assert got == expect
     assert got[("df", "alpha")] == 2   # doc 10's re-crawl never counted
     assert got[("meta", "__n_docs")] == 3
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@pytest.fixture(scope="module")
+def spark_prop():
+    from evidence_datasource_parsers_spark.session import get_spark
+
+    s = get_spark("tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+_doc_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(alphabet="ab ", min_size=0, max_size=12),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=_doc_texts, split=st.integers(min_value=0, max_value=11))
+def test_property_df_advance_algebra(spark_prop, texts, split):
+    """For ANY disjoint split of a corpus into two batches, appending the
+    two deltas and compacting equals the one-shot delta — including the
+    meta rows, empty/NULL texts, and all-delimiter strings."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    cut = min(split, len(rows))
+    b1 = spark_prop.createDataFrame(rows[:cut] or [(99, None)],
+                                    "doc_id long, text string")
+    b2 = spark_prop.createDataFrame(rows[cut:] or [(98, None)],
+                                    "doc_id long, text string")
+    both = spark_prop.createDataFrame(
+        (rows[:cut] or [(99, None)]) + (rows[cut:] or [(98, None)]),
+        "doc_id long, text string",
+    )
+    inc = compact_df_store(
+        df_store_delta(b1, "text", "doc_id").unionByName(
+            df_store_delta(b2, "text", "doc_id")
+        )
+    )
+    a = {(r.kind, r.term): r.n for r in inc.collect()}
+    b = {(r.kind, r.term): r.n
+         for r in df_store_delta(both, "text", "doc_id").collect()}
+    assert a == b
