@@ -283,6 +283,30 @@ def _resolve_store_identity(store, flag_value, flag_name, read_fn, sidecar):
     return value, 0
 
 
+def _print_layout_advice(spark, store: str) -> None:
+    """Best-effort leave-or-recluster advisory after a store rewrite —
+    print, never act; a failed audit must not fail a committed compaction."""
+    try:
+        from evidence_datasource_parsers_spark.operators.layout_audit import (
+            layout_advice,
+            layout_report,
+            string_stat_columns,
+        )
+        from evidence_datasource_parsers_spark.operators.layout_audit import (
+            row_group_stats,
+        )
+
+        stats = row_group_stats(spark, store)
+        adv = layout_advice(
+            layout_report(spark, store),
+            unmeasured=string_stat_columns(stats),
+        )
+        print(f"compact: layout {adv['action']} — {adv['reason']}")
+    except Exception as exc:  # noqa: BLE001
+        print(f"compact: layout advice unavailable ({exc})",
+              file=sys.stderr)
+
+
 def _compact(args) -> int:
     """The explicit-cadence maintenance half of the append-only advance
     discipline: every per-round store advance is an O(batch) append;
@@ -305,18 +329,7 @@ def _compact(args) -> int:
 
         n = compact_seen_store(spark, args.store)
         print(f"compact: seen store {args.store} → {n} rows")
-        # same advisory the dir-rewrite kinds get below
-        try:
-            from evidence_datasource_parsers_spark.operators.layout_audit import (  # noqa: E501
-                layout_advice,
-                layout_report,
-            )
-
-            adv = layout_advice(layout_report(spark, args.store))
-            print(f"compact: layout {adv['action']} — {adv['reason']}")
-        except Exception as exc:  # noqa: BLE001
-            print(f"compact: layout advice unavailable ({exc})",
-                  file=sys.stderr)
+        _print_layout_advice(spark, args.store)
         return 0
 
     recover_store_dir(args.store)
@@ -457,19 +470,8 @@ def _compact(args) -> int:
     n = rewrite_store_dir(args.store, out)
     # advisory only (verdict r10: the layout report had no consumer):
     # after the rewrite, say whether the store's new layout prunes and
-    # what would fix it — print, never act; best-effort, a failed audit
-    # must not fail the compaction that already committed
-    try:
-        from evidence_datasource_parsers_spark.operators.layout_audit import (
-            layout_advice,
-            layout_report,
-        )
-
-        adv = layout_advice(layout_report(spark, args.store))
-        print(f"compact: layout {adv['action']} — {adv['reason']}")
-    except Exception as exc:  # noqa: BLE001
-        print(f"compact: layout advice unavailable ({exc})",
-              file=sys.stderr)
+    # what would fix it
+    _print_layout_advice(spark, args.store)
     if args.kind == "gram":
         # the swap replaced the dir — re-record the cap sidecar so the
         # NEXT compaction/advance can read it back
@@ -536,6 +538,20 @@ def _refresh(args) -> int:
         recover_store_dir(args.canon_store)
         if os.path.isdir(args.canon_store):
             recorded = read_canon_store_meta(args.canon_store)
+            if recorded is None:
+                # e.g. a first run that crashed between the delta append
+                # and the sidecar stamp: the store's k is UNKNOWN, and no
+                # --canon-max-dist value can satisfy a mismatch check —
+                # give the stamping recovery instructions instead
+                print(
+                    f"refresh: canon store {args.canon_store} has no "
+                    "_canon_store_meta.json sidecar — its max_dist is "
+                    "unknown. Stamp it once with "
+                    "write_canon_store_meta(store_dir, <true k>) and "
+                    "re-run.",
+                    file=sys.stderr,
+                )
+                return 2
             if recorded != args.canon_max_dist:
                 print(
                     f"refresh: canon store {args.canon_store} records "
@@ -546,6 +562,10 @@ def _refresh(args) -> int:
                     file=sys.stderr,
                 )
                 return 2
+            # plain parquet read: fine for the CLI's single-machine
+            # rounds; at corpus scale carry the store as a bucketed
+            # TABLE (write_bucketed_store) and use the library operator
+            # directly — only that path gets the zero-Exchange probe
             prev_canon = spark.read.parquet(args.canon_store)
     res = refresh_corpus_batch(
         batch,
@@ -588,6 +608,12 @@ def _refresh(args) -> int:
             from evidence_datasource_parsers_spark.operators.df_store import (
                 df_store_delta,
             )
+
+            # a compact --kind df crash mid-swap leaves the store as a
+            # lone __old_* sibling; without recovery this append would
+            # silently fork a near-empty store and the next compaction
+            # would sweep the real history as garbage (review finding)
+            recover_store_dir(args.df_store)
 
             # statistics reflect what actually ships: the READY docs
             # (post-dedup, post-gates) — disjoint across rounds by the
@@ -755,13 +781,17 @@ def _layout_audit(args) -> int:
 
     from evidence_datasource_parsers_spark.operators.layout_audit import (
         layout_advice,
+        layout_metrics,
+        row_group_stats,
+        string_stat_columns,
     )
 
     spark = get_spark("layout-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    rep = layout_report(spark, args.path)
+    stats = row_group_stats(spark, args.path)
+    rep = layout_metrics(stats)
     rep.orderBy("column").show(args.limit, truncate=False)
-    adv = layout_advice(rep)
+    adv = layout_advice(rep, unmeasured=string_stat_columns(stats))
     print(f"layout-audit: {adv['action']} — {adv['reason']}")
     return 0
 

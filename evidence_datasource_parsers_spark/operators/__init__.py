@@ -155,4 +155,5 @@ from evidence_datasource_parsers_spark.operators.layout_audit import (  # noqa: 
     layout_recommendations,
     layout_report,
     row_group_stats,
+    string_stat_columns,
 )

@@ -770,12 +770,19 @@ def incremental_lsh_dedupe(
             .select(id_col)
         )
         survivors = new_batch.join(surv_ids, on=id_col, how="left_semi")
-        # NOT re-persisted: the caller hands batch_fingerprints precisely
-        # because it already computed (and, per the single-scan contract,
-        # persisted) them — a second cache materialization of the semi-
-        # joined slice cost ~15% of q34's incremental leg for nothing.
-        # pinned is then the derived frame, whose unpersist is a no-op.
+        # Persist discipline, storage-level-gated: when the caller already
+        # persisted batch_fingerprints (the single-scan contract — q34
+        # does), a second cache materialization of the semi-joined slice
+        # cost ~15% of q34's incremental leg for nothing, so we skip it
+        # and pinned's unpersist degrades to a no-op.  An UNPERSISTED
+        # input would instead re-run the md5-per-shingle pass for every
+        # downstream consumer (candidate join, delta, cap-mode exact
+        # leg), so that case keeps the operator-side persist.
         fp = batch_fingerprints.join(surv_ids, on=id_col, how="left_semi")
+        from pyspark import StorageLevel
+
+        if batch_fingerprints.storageLevel == StorageLevel.NONE:
+            fp = fp.persist()
     if fingerprint_store is None:
         return IncrementalLshResult(
             fresh=survivors, store=fp, pinned=fp, delta=fp

@@ -470,8 +470,16 @@ def canon_segment_rows(
     given frame only, so per-delta appends enforce it per batch and
     :func:`compact_canon_store` re-applies it globally at compaction
     cadence (the same cap discipline as ``dedupe._cap_index``)."""
+    # NULL representatives are dropped: a NULL label can never match
+    # anything (levenshtein against NULL is NULL, and NULL batch strings
+    # emit no probe rows), yet its k+1 segment rows would all collide on
+    # the same NULL-skipping xxhash64 values — an unbounded dead hot
+    # bucket at web scale (review finding, round 11).  NULL-label docs
+    # still self-canonicalize in every round they arrive.
     idx = segment_index(
-        reps.select("canonical_id", "canonical"),
+        reps.select("canonical_id", "canonical").where(
+            F.col("canonical").isNotNull()
+        ),
         "canonical",
         "canonical_id",
         max_dist,

@@ -318,14 +318,37 @@ def layout_recommendations(
     return metrics.withColumn("status", status)
 
 
+def string_stat_columns(stats: DataFrame) -> list[str]:
+    """Column names whose footer stats are STRING-typed — present in the
+    footers but excluded from :func:`layout_metrics` (parquet truncates
+    string min/max, and midpoint probes aren't meaningful there).  Feed
+    this to :func:`layout_advice` as ``unmeasured`` so a string-keyed
+    layout (a store sorted/bucketed on term, url, label) is never told
+    to re-cluster on its irrelevant numeric columns with full
+    confidence.  Driver-side, bounded by the schema."""
+    return sorted(
+        r.column
+        for r in stats.where(
+            F.col("has_stats")
+            & F.col("vmin").isNull()
+            & F.col("vmin_str").isNotNull()
+        )
+        .select("column")
+        .distinct()
+        .collect()
+    )
+
+
 def layout_advice(
     metrics: DataFrame,
     good_frac: float = 0.35,
     bad_frac: float = 0.7,
     min_groups: int = 4,
+    unmeasured: list[str] | None = None,
 ) -> dict:
     """Table-level verdict: ``{'action', 'reason', 'clustered',
-    'candidates'}`` with action ``'leave'`` or ``'recluster'``.
+    'candidates', 'unmeasured'}`` with action ``'leave'`` or
+    ``'recluster'``.
 
     A table is left alone when ANY column is a working pruning axis (a
     deliberately x-sorted store must not be flagged because its
@@ -336,6 +359,12 @@ def layout_advice(
     to feed ``zorder_by`` (≤2 of them — z-order quality degrades fast
     with dimensionality) or a range-partitioned rewrite.
 
+    ``unmeasured`` (from :func:`string_stat_columns`): string columns
+    the depth metric cannot see.  A layout whose REAL pruning axis is a
+    string column — a term- or url-keyed store — would otherwise be
+    flagged for its irrelevant numeric columns; when unmeasured columns
+    exist, the recluster verdict is explicitly hedged on them.
+
     Driver-side by design: the metrics frame is one row per COLUMN —
     bounded by the schema, never by the data (same driver-tier contract
     as ``mixture_fractions``).
@@ -343,6 +372,7 @@ def layout_advice(
     rows = layout_recommendations(
         metrics, good_frac, bad_frac, min_groups
     ).collect()
+    unmeasured = sorted(unmeasured or [])
     clustered = sorted(r.column for r in rows if r.status == "clustered")
     candidates = sorted(r.column for r in rows if r.status == "unclustered")
     if clustered:
@@ -351,17 +381,26 @@ def layout_advice(
             "reason": f"clustered on {clustered}",
             "clustered": clustered,
             "candidates": candidates,
+            "unmeasured": unmeasured,
         }
     if candidates:
+        hedge = (
+            f" (string columns {unmeasured} are unmeasured — parquet "
+            "truncates string stats; if the layout keys on one of "
+            "them, leave it)"
+            if unmeasured
+            else ""
+        )
         return {
             "action": "recluster",
             "reason": (
-                "no column prunes: point probes touch most row groups "
-                f"on {candidates}; zorder_by (≤2 cols) or a "
-                "range-partitioned rewrite would restore pruning"
+                "no measured column prunes: point probes touch most row "
+                f"groups on {candidates}; zorder_by (≤2 cols) or a "
+                f"range-partitioned rewrite would restore pruning{hedge}"
             ),
             "clustered": [],
             "candidates": candidates,
+            "unmeasured": unmeasured,
         }
     return {
         "action": "leave",
@@ -369,4 +408,5 @@ def layout_advice(
         "columns only)",
         "clustered": [],
         "candidates": [],
+        "unmeasured": unmeasured,
     }

@@ -171,7 +171,11 @@ def incremental_dedupe_sink(
         carried in the segment-index store
         (`fuzzy_join.incremental_canonicalize_indexed`); ``max_dist`` is
         store identity, validated against the ``_canon_store_meta.json``
-        sidecar like the span cap.
+        sidecar like the span cap.  The sink reads the dir as plain
+        parquet (same as every mode here), so the store side of the
+        probe join shuffles; the zero-Exchange probe needs the
+        bucketed-table form (``sinks.write_bucketed_store``) — use the
+        library operator directly for corpus-scale rounds.
 
     ``dedupe_opts`` pass through to the chosen operator (num_perm/bands/k
     for lsh — including the production ``hot_bucket_cap`` guard;

@@ -350,3 +350,37 @@ def test_property_df_advance_algebra(spark_prop, texts, split):
     b = {(r.kind, r.term): r.n
          for r in df_store_delta(both, "text", "doc_id").collect()}
     assert a == b
+
+
+def test_refresh_cli_df_store_recovers_interrupted_swap(spark, tmp_path):
+    """A compact --kind df crash mid-swap leaves the store as a lone
+    __old_* sibling; the next refresh must restore it BEFORE appending,
+    or the carried statistics silently fork (round-11 review finding)."""
+    import os
+
+    from evidence_datasource_parsers_spark.__main__ import main
+
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    store = str(tmp_path / "fp_store")
+    dfs = str(tmp_path / "df_store_rec")
+    out = str(tmp_path / "ready_out")
+    spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string"
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [(2, "alpha gamma")], "doc_id long, text string"
+    ).write.parquet(b2)
+    base = ["refresh", "--store", store, "--out", out, "--mode", "exact",
+            "--df-store", dfs]
+    assert main(base + ["--batch", b1]) == 0
+    # simulate the crash window: store renamed away, swap dir lost
+    os.rename(dfs, f"{dfs}__old_deadbeef")
+    assert main(base + ["--batch", b2]) == 0
+    got = {
+        (r.kind, r.term): r.n
+        for r in compact_df_store(spark.read.parquet(dfs)).collect()
+    }
+    # batch-1 history survived the recovery
+    assert got[("df", "alpha")] == 2
+    assert got[("df", "beta")] == 1
+    assert got[("meta", "__n_docs")] == 2

@@ -526,7 +526,10 @@ def test_incremental_drift_seeded_counterexample(spark):
 def test_incremental_canonicalize_indexed_null_labels(spark):
     """NULL strings never probe (no substrings), never match a stored
     rep, and self-canonicalize in-batch — same contract as the flat
-    variant; their segment rows are NULL-segment but carry the id."""
+    variant.  They contribute NO segment rows to the store: a NULL
+    label can never match anything, and every NULL rep's k+1 rows would
+    collide on the same NULL-skipping xxhash64 keys — an unbounded dead
+    hot bucket (round-11 review finding)."""
     from evidence_datasource_parsers_spark.operators.fuzzy_join import (
         canon_segment_rows,
         incremental_canonicalize_indexed,
@@ -549,4 +552,4 @@ def test_incremental_canonicalize_indexed_null_labels(spark):
     assert m[102] == (102, "x")
     assert len(m) == 3
     delta_ids = {x.canonical_id for x in r.delta.collect()}
-    assert delta_ids == {101, 102}
+    assert delta_ids == {102}  # the NULL rep ships no segment rows

@@ -206,3 +206,33 @@ def test_layout_audit_cli_prints_advice(spark, grid, tmp_path, capsys):
     assert main(["layout-audit", p]) == 0
     out = capsys.readouterr().out
     assert "layout-audit: leave — clustered on" in out
+
+
+def test_layout_advice_hedges_on_string_keyed_layouts(spark, tmp_path):
+    """A store whose REAL pruning axis is a string column (term-sorted)
+    must not be confidently told to re-cluster on its irrelevant numeric
+    columns: the depth metric cannot see string stats (parquet truncates
+    them), so the verdict names the unmeasured columns and hedges."""
+    from evidence_datasource_parsers_spark.operators.layout_audit import (
+        layout_advice,
+        layout_metrics,
+        row_group_stats,
+        string_stat_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(f"term{i:05d}", (i * 104729) % 4096) for i in range(4096)],
+        "term string, n long",
+    )
+    p = str(tmp_path / "term_sorted")
+    df.repartitionByRange(8, "term").sortWithinPartitions("term") \
+        .write.parquet(p)
+    stats = row_group_stats(spark, p)
+    unmeasured = string_stat_columns(stats)
+    assert unmeasured == ["term"]
+    adv = layout_advice(layout_metrics(stats), unmeasured=unmeasured)
+    # n is random → no measured pruning axis → recluster fires, but the
+    # verdict must carry the string-column hedge
+    assert adv["action"] == "recluster"
+    assert adv["unmeasured"] == ["term"]
+    assert "unmeasured" in adv["reason"] and "term" in adv["reason"]
