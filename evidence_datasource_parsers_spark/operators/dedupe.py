@@ -676,6 +676,7 @@ def incremental_lsh_dedupe(
     threshold: float = 0.5,
     batch_fingerprints: DataFrame | None = None,
     hot_bucket_cap: int | None = None,
+    persist_fp: bool | None = None,
 ) -> IncrementalLshResult:
     """Batch-over-batch NEAR-dup dedup against a persisted LSH fingerprint
     store (:func:`lsh_fingerprints` rows from every prior run; None on the
@@ -781,7 +782,16 @@ def incremental_lsh_dedupe(
         fp = batch_fingerprints.join(surv_ids, on=id_col, how="left_semi")
         from pyspark import StorageLevel
 
-        if batch_fingerprints.storageLevel == StorageLevel.NONE:
+        # persist_fp=None auto-detects: a frame with no DIRECT persist is
+        # treated as uncached.  A caller feeding a cheap DERIVATIVE of a
+        # persisted frame (q34 passes a filter of its cached
+        # fingerprints) should pass persist_fp=False explicitly — the
+        # storageLevel probe cannot see upstream caches.
+        if (
+            persist_fp
+            if persist_fp is not None
+            else batch_fingerprints.storageLevel == StorageLevel.NONE
+        ):
             fp = fp.persist()
     if fingerprint_store is None:
         return IncrementalLshResult(

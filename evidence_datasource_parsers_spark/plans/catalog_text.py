@@ -438,6 +438,7 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
         mode="word",
         threshold=INCR_EST_THRESHOLD,
         batch_fingerprints=fp.filter(F.col("doc_id") % 2 == 1),
+        persist_fp=False,  # fp is persisted above; the filter rides its cache
     )
     incr = res.fresh.select(
         F.col("doc_id").alias("id_a"),
