@@ -10,6 +10,7 @@ applied to the (small) final evidence sets that need it.
 from __future__ import annotations
 
 import glob
+import json
 import os
 import shutil
 
@@ -186,6 +187,79 @@ def _write_text(spark, path: str, content: str) -> None:
         out.close()
 
 
+#: Sidecar recording a bucketed store's spec beside its files.  The
+#: session catalog here is in-memory (no Hive metastore), so the bucket
+#: METADATA — which is what makes the zero-Exchange store-side scan
+#: possible — dies with the session while the files survive.  The sidecar
+#: is the durable half: :func:`register_bucketed_store` re-attaches the
+#: spec in a fresh session with one ``CREATE TABLE`` (no data I/O).
+#: Underscore-prefixed so parquet listings ignore it, like ``_SUCCESS``.
+BUCKET_SPEC_FILE = "_bucket_spec.json"
+
+
+def write_bucket_spec(
+    store_dir: str, bucket_cols: list[str], n_buckets: int, schema_ddl: str
+) -> None:
+    """Stamp the bucket-spec sidecar beside a bucketed store's files."""
+    with open(os.path.join(store_dir, BUCKET_SPEC_FILE), "w") as f:
+        json.dump(
+            {
+                "bucket_cols": list(bucket_cols),
+                "n_buckets": int(n_buckets),
+                "schema": schema_ddl,
+            },
+            f,
+        )
+
+
+def read_bucket_spec(store_dir: str) -> dict | None:
+    """The spec recorded by :func:`write_bucket_spec`, or None when the
+    directory carries no sidecar (its files were not bucket-written, or
+    predate the sidecar — treat them as plain parquet)."""
+    p = os.path.join(store_dir, BUCKET_SPEC_FILE)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def schema_ddl(df: DataFrame) -> str:
+    """Column-list DDL for ``CREATE TABLE`` — Spark refuses bucketing
+    clauses without an explicit column list
+    ([SPECIFY_BUCKETING_IS_NOT_ALLOWED]), so the spec must carry one."""
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+def register_bucketed_store(spark, table: str, store_dir: str) -> None:
+    """Re-attach an on-disk bucketed store to a FRESH session's catalog.
+
+    ``write_bucketed_store`` records the bucket spec in a sidecar; this
+    replays it as ``CREATE TABLE … CLUSTERED BY … INTO n BUCKETS
+    LOCATION``, after which ``spark.table(table)`` scans report
+    ``Bucketed: true`` again (verified: a re-registered table's store-side
+    join has zero Exchange, identical to the writing session's plan).
+    Raises when the directory has no sidecar — registering plain-parquet
+    files as bucketed would LIE to the planner and silently mis-join.
+    """
+    spec = read_bucket_spec(store_dir)
+    if spec is None:
+        raise ValueError(
+            f"{store_dir} has no {BUCKET_SPEC_FILE} sidecar: its files "
+            "were not written by write_bucketed_store, and declaring a "
+            "bucket layout they don't have would corrupt every join "
+            "planned against it"
+        )
+    cols = ", ".join(f"`{c}`" for c in spec["bucket_cols"])
+    loc = os.path.abspath(store_dir).replace("'", "\\'")
+    spark.sql(
+        f"CREATE TABLE {table} ({spec['schema']}) USING parquet "
+        f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+        f"INTO {spec['n_buckets']} BUCKETS LOCATION '{loc}'"
+    )
+
+
 def write_bucketed_store(
     df: DataFrame,
     out_path: str,
@@ -207,6 +281,11 @@ def write_bucketed_store(
     Pick ``n_buckets`` for the store's TARGET size (store rows ≈ corpus
     docs × bands), not the first batch's: buckets are fixed at write time
     and each bucket must stay executor-memory-sized at full scale.
+
+    A ``_bucket_spec.json`` sidecar is stamped beside the files so a
+    FRESH session (whose in-memory catalog lost the table) can re-attach
+    the bucket metadata with :func:`register_bucketed_store` instead of
+    falling back to a store-shuffling plain read.
     """
     (
         df.write.mode("overwrite")
@@ -215,6 +294,19 @@ def write_bucketed_store(
         .sortBy(*bucket_cols)
         .option("path", out_path)
         .saveAsTable(table)
+    )
+    # sidecar via Hadoop FS so object-store paths work too; the local
+    # read_bucket_spec covers the sandbox and any posix deployment
+    _write_text(
+        df.sparkSession,
+        out_path.rstrip("/") + "/" + BUCKET_SPEC_FILE,
+        json.dumps(
+            {
+                "bucket_cols": list(bucket_cols),
+                "n_buckets": int(n_buckets),
+                "schema": schema_ddl(df),
+            }
+        ),
     )
 
 

@@ -117,6 +117,85 @@ def rewrite_store_dir(store_dir: str, df: DataFrame) -> int:
     return n
 
 
+#: Modes whose per-batch store probe joins on STORED columns directly —
+#: exactly these can ride a bucketed store table with zero store-side
+#: Exchange.  The other modes (simhash/phash/audio/video/remux/embedding)
+#: derive their join keys at probe time by exploding the stored
+#: fingerprint into block-combination keys, so bucketing the stored rows
+#: cannot co-locate the candidate join.
+SINK_BUCKET_COLS: dict[str, list[str]] = {
+    "exact": ["content_hash"],
+    "lsh": ["band", "key"],
+    "span": ["gram_hash"],
+    "canon": ["seg_key"],
+}
+
+
+def _read_sink_store(spark, store_dir: str, store_table: str | None):
+    """The sink's store read, bucketed-table-first.
+
+    * ``store_table`` set and registered in this session's catalog →
+      ``spark.table`` (the scan keeps its bucket metadata: the probe
+      join's store side has no Exchange — the same plan the library
+      operators get from ``read_bucketed_store``);
+    * set but NOT in the catalog (a restarted stream: the in-memory
+      catalog died with the previous session, the files did not) →
+      re-register from the ``_bucket_spec.json`` sidecar and read the
+      table.  A dir WITHOUT the sidecar is refused — its files were
+      appended as plain parquet and declaring a bucket layout they don't
+      have would silently mis-join;
+    * ``store_table`` None → plain parquet read (the pre-round-12 path,
+      correct but O(store) shuffle per batch once the store outgrows
+      AQE's broadcast threshold).
+
+    Returns None when no store exists yet (first batch).
+    """
+    if store_table is None:
+        return (
+            spark.read.parquet(store_dir)
+            if os.path.isdir(store_dir)
+            else None
+        )
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucket_spec,
+        register_bucketed_store,
+    )
+
+    if spark.catalog.tableExists(store_table):
+        loc = next(
+            (
+                r.data_type
+                for r in spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {store_table}"
+                ).collect()
+                if r.col_name == "Location"
+            ),
+            None,
+        )
+        want = "file:" + os.path.abspath(store_dir)
+        if loc is not None and loc.rstrip("/") not in (
+            want, want.rstrip("/"), "file://" + os.path.abspath(store_dir),
+        ):
+            raise ValueError(
+                f"catalog table {store_table} points at {loc}, not "
+                f"{store_dir} — a stale registration from another store "
+                "in this session; drop it or pick a distinct table name"
+            )
+        return spark.table(store_table)
+    if not os.path.isdir(store_dir):
+        return None
+    if read_bucket_spec(store_dir) is None:
+        raise ValueError(
+            f"store_table={store_table!r} was requested but {store_dir} "
+            "has no _bucket_spec.json sidecar: its files were written as "
+            "plain parquet (by an earlier run without store_table?), not "
+            "by the bucketed path. Compact it once into a bucketed table "
+            "(sinks.write_bucketed_store) or drop store_table."
+        )
+    register_bucketed_store(spark, store_table, store_dir)
+    return spark.table(store_table)
+
+
 def incremental_dedupe_sink(
     stream: DataFrame,
     out_dir: str,
@@ -126,6 +205,8 @@ def incremental_dedupe_sink(
     id_col: str,
     mode: str = "exact",
     provenance_dir: str | None = None,
+    store_table: str | None = None,
+    store_buckets: int = 64,
     **dedupe_opts,
 ):
     """foreachBatch sink: drop every document already in the cross-run
@@ -171,11 +252,29 @@ def incremental_dedupe_sink(
         carried in the segment-index store
         (`fuzzy_join.incremental_canonicalize_indexed`); ``max_dist`` is
         store identity, validated against the ``_canon_store_meta.json``
-        sidecar like the span cap.  The sink reads the dir as plain
-        parquet (same as every mode here), so the store side of the
-        probe join shuffles; the zero-Exchange probe needs the
-        bucketed-table form (``sinks.write_bucketed_store``) — use the
-        library operator directly for corpus-scale rounds.
+        sidecar like the span cap.
+
+    ``store_table``: name a session-catalog TABLE for the store and the
+    sink carries it BUCKETED on the mode's probe-join key
+    (:data:`SINK_BUCKET_COLS`) — the per-batch probe then reads the
+    store in place and shuffles only the batch into the store's bucket
+    layout (plan-asserted in tests/test_plan_shapes.py), the same
+    zero-store-side-Exchange plan the library operators get from
+    ``sinks.read_bucketed_store``.  Without it the store is read as
+    plain parquet: correct, but once the store outgrows AQE's broadcast
+    threshold every micro-batch re-shuffles O(store) rows — at corpus
+    scale a long-running stream pays that forever, which is the cost
+    the bucketed layout exists to avoid.  The table's bucket spec also
+    lands in a ``_bucket_spec.json`` sidecar, so a RESTARTED stream (new
+    session, empty in-memory catalog) re-registers the table from the
+    files instead of degrading to the plain read.  Only the modes whose
+    probe joins on stored columns accept it (exact/lsh/span/canon — the
+    fingerprint-exploding modes derive their join keys at probe time,
+    where bucketing the stored rows co-locates nothing).  Size
+    ``store_buckets`` for the store's TARGET size, not the first
+    batch's.  Compaction of a table-backed store goes through
+    ``compact_gram_store``-style rewrites INTO ``write_bucketed_store``,
+    not the tmp+swap used for plain dirs.
 
     ``dedupe_opts`` pass through to the chosen operator (num_perm/bands/k
     for lsh — including the production ``hot_bucket_cap`` guard;
@@ -203,15 +302,18 @@ def incremental_dedupe_sink(
             "provenance_dir requires mode='lsh' (lsh_drop_provenance is "
             f"the only provenance twin), got mode={mode!r}"
         )
+    if store_table is not None and mode not in SINK_BUCKET_COLS:
+        raise ValueError(
+            f"store_table is only supported for modes {sorted(SINK_BUCKET_COLS)}: "
+            f"mode={mode!r} derives its probe-join keys by exploding the "
+            "stored fingerprints at probe time, so a bucketed store "
+            "cannot co-locate its candidate join"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         recover_store_dir(store_dir)
-        store = (
-            spark.read.parquet(store_dir)
-            if os.path.isdir(store_dir)
-            else None
-        )
+        store = _read_sink_store(spark, store_dir, store_table)
         if mode == "exact":
             eres = dd.incremental_exact_dedupe(
                 batch_df, store, text_col, id_col, **dedupe_opts
@@ -390,7 +492,29 @@ def incremental_dedupe_sink(
             # double-ingests it — the same at-most-once the swap
             # discipline gave.
             fresh_mat = fresh.localCheckpoint(eager=True)
-            delta.write.mode("append").parquet(store_dir)
+            if store_table is not None:
+                from evidence_datasource_parsers_spark.sources.sinks import (
+                    append_bucketed_store,
+                    write_bucketed_store,
+                )
+
+                cols = SINK_BUCKET_COLS[mode]
+                # sever the delta's lineage (it reads the table the append
+                # targets) before the insert lists the table's files
+                delta_mat = delta.localCheckpoint(eager=True)
+                if store is None:
+                    # first batch creates the table (and the sidecar the
+                    # restart path re-registers from)
+                    write_bucketed_store(
+                        delta_mat, store_dir, store_table, cols,
+                        store_buckets,
+                    )
+                else:
+                    append_bucketed_store(
+                        delta_mat, store_table, cols, store_buckets
+                    )
+            else:
+                delta.write.mode("append").parquet(store_dir)
             if mode == "canon":
                 from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: E501
                     write_canon_store_meta,

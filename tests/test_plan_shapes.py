@@ -469,3 +469,68 @@ def test_perceptual_pair_ops_never_cartesian(spark):
         for i, n in enumerate(nodes):
             if n == "BroadcastNestedLoopJoin":
                 raise AssertionError(f"{name}: BNLJ in plan")
+
+
+def test_sink_bucketed_store_read_never_shuffles(spark, tmp_path):
+    """Round-12 closure of the r11 perf weak: the STREAMING sink's store
+    read now rides the bucketed table.  After one sink batch with
+    store_table, the frame ``_read_sink_store`` hands the operator must
+    plan a store-side scan with bucket metadata — the batch's anti-join
+    has exactly ONE Exchange (the batch re-clustering into the store's
+    buckets), zero on the store side — including through the sidecar
+    RE-REGISTRATION path a restarted stream takes."""
+    import json as _json
+    import uuid
+
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        content_hash,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        _read_sink_store,
+        incremental_dedupe_sink,
+    )
+
+    table = f"sinkplan_{uuid.uuid4().hex[:8]}"
+    src = tmp_path / "in"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": i, "text": f"document body {i}"})
+            for i in range(64)
+        )
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string").json(str(src))
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        incremental_dedupe_sink(
+            stream, str(tmp_path / "out"), store, str(tmp_path / "ck"),
+            "text", "doc_id", store_table=table, store_buckets=8,
+        ).awaitTermination()
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = spark.range(100).select(
+            F.coalesce(
+                content_hash(F.concat(F.lit("doc "), F.col("id"))),
+                F.lit(-1),
+            ).alias("content_hash")
+        )
+        for leg in ("registered", "re-registered"):
+            if leg == "re-registered":  # restart: in-memory catalog empty
+                spark.sql(f"DROP TABLE {table}")
+            st = _read_sink_store(spark, store, table)
+            plan = (
+                batch.join(st, on="content_hash", how="left_anti")
+                ._jdf.queryExecution()
+                .explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                    .fromString("formatted")
+                )
+            )
+            assert _nodes(plan).count("Exchange") == 1, (leg, plan)
+            assert "Bucketed: true" in plan, (leg, plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

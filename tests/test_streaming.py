@@ -1209,3 +1209,188 @@ def test_incremental_dedupe_sink_canon_mode(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="_canon_store_meta"):
         q_leg.awaitTermination()
+
+
+def test_incremental_dedupe_sink_bucketed_store_table(spark, tmp_path):
+    """store_table: the sink carries the exact-hash store as a BUCKETED
+    catalog table — round-12 closure of the O(store)-shuffle-per-batch
+    weak.  Semantics must be identical to the plain-dir sink (re-ingests
+    dropped across runs), the table must exist with its sidecar, and a
+    RESTARTED stream (simulated by dropping the in-memory catalog entry)
+    must re-register from the sidecar instead of degrading."""
+    import json as _json
+    import uuid
+
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        BUCKET_SPEC_FILE,
+        read_bucket_spec,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        incremental_dedupe_sink,
+    )
+
+    table = f"sink_store_{uuid.uuid4().hex[:8]}"
+    src = tmp_path / "bt_in"
+    src.mkdir()
+    out = str(tmp_path / "bt_out")
+    store = str(tmp_path / "bt_store")
+
+    def doc(i, text):
+        return _json.dumps({"doc_id": i, "text": text})
+
+    (src / "b1.json").write_text(
+        doc(1, "the first document body") + "\n" + doc(2, "another body")
+    )
+
+    runs = [0]
+
+    def run():
+        runs[0] += 1
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        q = incremental_dedupe_sink(
+            stream, out, store, str(tmp_path / f"bt_ck{runs[0]}"),
+            "text", "doc_id", store_table=table, store_buckets=8,
+        )
+        q.awaitTermination()
+
+    try:
+        run()
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(out).collect()
+        ) == [1, 2]
+        # the store is a real bucketed table with its durable sidecar
+        assert spark.catalog.tableExists(table)
+        spec = read_bucket_spec(store)
+        assert spec == {
+            "bucket_cols": ["content_hash"],
+            "n_buckets": 8,
+            "schema": "`content_hash` bigint",
+        }, spec
+        assert (tmp_path / "bt_store" / BUCKET_SPEC_FILE).is_file()
+
+        # restart: a new session's in-memory catalog would be empty — the
+        # sidecar re-registration path must restore the table, and the
+        # cross-run dedup memory with it
+        spark.sql(f"DROP TABLE {table}")
+        (src / "b2.json").write_text(
+            doc(10, "the first document body")  # re-crawl of doc 1
+            + "\n"
+            + doc(11, "a genuinely new document")
+        )
+        run()
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert got == [1, 2, 11]
+        assert spark.catalog.tableExists(table)  # re-registered
+        assert spark.table(table).count() == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_incremental_lsh_sink_bucketed_store_table(spark, tmp_path):
+    """mode='lsh' through the bucketed table path: the non-trivial store
+    schema (band/key/sig array/content_hash/id) survives the bucketed
+    write+append round-trip and near-dup re-crawls are still dropped."""
+    import json as _json
+    import uuid
+
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        incremental_dedupe_sink,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    recrawl = base.replace("afternoon", "evening")
+    novel = (
+        "completely unrelated content about distributed query engines "
+        "partitioning shuffle exchanges and adaptive execution plans"
+    )
+    table = f"sink_lsh_{uuid.uuid4().hex[:8]}"
+    src = tmp_path / "btl_in"
+    src.mkdir()
+    out = str(tmp_path / "btl_out")
+    store = str(tmp_path / "btl_store")
+
+    def doc(i, text):
+        return _json.dumps({"doc_id": i, "text": text})
+
+    (src / "b1.json").write_text(doc(1, base))
+    runs = [0]
+
+    def run():
+        runs[0] += 1
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        q = incremental_dedupe_sink(
+            stream, out, store, str(tmp_path / f"btl_ck{runs[0]}"),
+            "text", "doc_id", mode="lsh", shingle_mode="word", k=3,
+            store_table=table, store_buckets=8,
+        )
+        q.awaitTermination()
+
+    try:
+        run()
+        (src / "b2.json").write_text(doc(10, recrawl) + "\n" + doc(11, novel))
+        run()
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert got == [1, 11]
+        assert {
+            r.doc_id for r in spark.table(table).collect()
+        } == {1, 11}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_sink_store_table_guards(spark, tmp_path):
+    """The three refusal paths: a derived-key mode cannot take
+    store_table; a plain-parquet dir (no sidecar) cannot be declared
+    bucketed; a catalog name already bound to a DIFFERENT directory is a
+    stale registration, not a store."""
+    import uuid
+
+    import pytest
+
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        write_bucketed_store,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        _read_sink_store,
+        incremental_dedupe_sink,
+    )
+
+    never = tmp_path / "never_read"
+    never.mkdir()
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(never))
+    )
+    with pytest.raises(ValueError, match="derives its probe-join keys"):
+        incremental_dedupe_sink(
+            stream, "o", "s", "c", "text", "doc_id",
+            mode="simhash", store_table="nope",
+        )
+
+    # plain-parquet dir: refusing to lie to the planner
+    plain = tmp_path / "plain_store"
+    spark.range(3).selectExpr("id AS content_hash").write.parquet(str(plain))
+    with pytest.raises(ValueError, match="_bucket_spec.json"):
+        _read_sink_store(spark, str(plain), f"t_{uuid.uuid4().hex[:8]}")
+
+    # stale catalog entry pointing elsewhere
+    table = f"stale_{uuid.uuid4().hex[:8]}"
+    other = tmp_path / "other_store"
+    try:
+        write_bucketed_store(
+            spark.range(3).selectExpr("id AS content_hash"),
+            str(other), table, ["content_hash"], 4,
+        )
+        with pytest.raises(ValueError, match="stale registration"):
+            _read_sink_store(spark, str(tmp_path / "elsewhere"), table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
