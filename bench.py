@@ -38,6 +38,17 @@ def main() -> None:
     # engine.
     for name in names:
         materialize(CATALOG[name].builder(spark, "/root/testdata/sf0.001"))
+    # One DISCARDED pass at the bench SF before any timing (VERDICT r11):
+    # the first full-scale run absorbs one-time costs the per-query samples
+    # should not see — input file listing, OS page-cache population, and
+    # remaining JIT tiers — which otherwise land entirely in query #1's
+    # first sample and skew round-over-round comparison on a shared host.
+    for name in names:
+        try:
+            spark.catalog.clearCache()
+            materialize(CATALOG[name].builder(spark, sf_dir))
+        except Exception:
+            pass  # the timed loop reports the failure with its message
 
     # min of N timed runs per query: the host is shared, and a single sample
     # can absorb seconds of neighbor load (observed ~2× per-query swing
@@ -47,8 +58,15 @@ def main() -> None:
     # +64%/+71% round-over-round "regressions" in unchanged code that an
     # in-file spread record would have adjudicated without re-measurement.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     spread: dict[str, float] = {}
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
     for name in names:
         runs: list[float] = []
         try:
@@ -62,12 +80,18 @@ def main() -> None:
                 materialize(CATALOG[name].builder(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
             timings[name] = round(min(runs), 3)
+            # median alongside min (VERDICT r11): min measures the engine
+            # on a quiet host, median is robust to one noisy neighbor
+            # sample — reading BOTH makes round-over-round deltas
+            # adjudicable without re-measurement
+            medians[name] = round(median(runs), 3)
             samples[name] = [round(r, 3) for r in runs]
             # relative spread: (max-min)/min — >0.5 flags a noisy sample set
             spread[name] = round((max(runs) - min(runs)) / min(runs), 3)
         except Exception as exc:  # one broken query must not kill the line
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+            medians[name] = -1.0
             samples[name] = [round(r, 3) for r in runs]
             spread[name] = -1.0
 
@@ -81,6 +105,10 @@ def main() -> None:
                 "value": round(sum(t for t in timings.values() if t >= 0), 3),
                 "unit": "sec",
                 "queries": timings,
+                "medians": medians,
+                "value_median": round(
+                    sum(t for t in medians.values() if t >= 0), 3
+                ),
                 "samples": samples,
                 "spread": spread,
                 "failed": failed,

@@ -289,18 +289,24 @@ def _print_layout_advice(spark, store: str) -> None:
     try:
         from evidence_datasource_parsers_spark.operators.layout_audit import (
             layout_advice,
-            layout_report,
+            layout_metrics,
+            row_group_stats,
             string_stat_columns,
         )
-        from evidence_datasource_parsers_spark.operators.layout_audit import (
-            row_group_stats,
-        )
 
-        stats = row_group_stats(spark, store)
-        adv = layout_advice(
-            layout_report(spark, store),
-            unmeasured=string_stat_columns(stats),
-        )
+        # ONE footer scan feeding both consumers: persist the stats frame
+        # around layout_metrics (numeric depth/width) and
+        # string_stat_columns (the unmeasured hedge) — the old
+        # layout_report + row_group_stats pair re-read every footer
+        # twice after each compaction (ADVICE r11)
+        stats = row_group_stats(spark, store).persist()
+        try:
+            adv = layout_advice(
+                layout_metrics(stats),
+                unmeasured=string_stat_columns(stats),
+            )
+        finally:
+            stats.unpersist()
         print(f"compact: layout {adv['action']} — {adv['reason']}")
     except Exception as exc:  # noqa: BLE001
         print(f"compact: layout advice unavailable ({exc})",
@@ -604,6 +610,7 @@ def _refresh(args) -> int:
 
             canon_delta.write.mode("append").parquet(args.canon_store)
             write_canon_store_meta(args.canon_store, args.canon_max_dist)
+        ready.write.mode("append").parquet(args.out)
         if args.df_store:
             from evidence_datasource_parsers_spark.operators.df_store import (
                 df_store_delta,
@@ -619,10 +626,16 @@ def _refresh(args) -> int:
             # (post-dedup, post-gates) — disjoint across rounds by the
             # dedup contract, so the additive append is exact.  `ready`
             # is already checkpointed, so the delta reads no store path.
+            # AFTER the --out write (ADVICE r11): the fingerprint store
+            # has already advanced, so a crash in this window cannot be
+            # replayed — appending df BEFORE out would permanently
+            # overcount terms for docs that never shipped.  This order
+            # fails soft instead: a crash here UNDER-counts docs that
+            # did ship, recoverable by re-deriving the batch's delta
+            # from --out.
             df_store_delta(ready, args.text_col, args.id_col).write.mode(
                 "append"
             ).parquet(args.df_store)
-        ready.write.mode("append").parquet(args.out)
         n = ready.count()
         print(f"refresh: {n} fresh docs → {args.out}; store → {args.store}")
     finally:

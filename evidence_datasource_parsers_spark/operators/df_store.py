@@ -56,7 +56,11 @@ _SUM_DL = "__sum_dl"
 
 
 def df_store_delta(
-    batch: DataFrame, text_col: str, id_col: str, delim: str = " "
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    delim: str = " ",
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """The batch's additive store contribution.
 
@@ -65,12 +69,28 @@ def df_store_delta(
     Σtf per doc — never a second token pass, the ``term_relevance``
     discipline).  NULL-text docs contribute nothing, including to N —
     identical to the at-rest scorer's convention.
+
+    ``exclude_ids`` enforces the module's disjoint-batch contract when
+    the caller cannot guarantee it upstream: a frame whose FIRST column
+    holds already-ingested document ids (e.g. the ids previously shipped
+    to the corpus ``out`` dir, or a seen-store projection) — batch docs
+    matching it are anti-joined away BEFORE counting, so a re-ingested
+    document cannot silently double-count its terms and inflate N/Σdl
+    (the additive algebra has no natural absorption for replays, unlike
+    HLL register maxima).  Pipelines that feed this from a dedup
+    operator's ``fresh`` output (``corpus_refresh``, the dedup sinks'
+    ``out_dir``) are disjoint by construction and can leave it None.
     """
     # function-local import: functions/tfidf itself imports from the
     # operators package, so a module-level import here is a cycle when
     # operators/__init__ loads this module first
     from evidence_datasource_parsers_spark.functions.tfidf import tokenize
 
+    if exclude_ids is not None:
+        seen = exclude_ids.select(
+            F.col(exclude_ids.columns[0]).alias(id_col)
+        )
+        batch = batch.join(seen, on=id_col, how="left_anti")
     tok = batch.select(
         F.col(id_col).alias("__id"),
         F.explode(tokenize(F.col(text_col), delim)).alias("term"),
@@ -154,6 +174,12 @@ def bm25_against_store(
     coalesce.  Docs sharing no query term are absent (score 0 by
     convention, same as the at-rest scorer).
 
+    A store with NO meta rows (never advanced, or filtered to
+    ``kind='df'``) has no N/avgdl to score with — every bm25 would come
+    out NULL.  That degenerate probe FAILS LOUDLY at execution (an
+    in-plan assert on the one-row stats frame, no extra driver job)
+    instead of returning silently-NULL scores (ADVICE r11).
+
     Plan shape: the ``isin`` lands on the store's bucketed scan (pruned
     read, ≤|query| surviving rows → broadcast back) and on the batch's
     tf aggregate; the corpus scalars ride a broadcast 1-row crossJoin
@@ -176,7 +202,21 @@ def bm25_against_store(
         .groupBy("term")
         .agg(F.sum("n").cast("long").alias("doc_freq"))
     )
-    stats = df_store_stats(store)
+    # in-plan guard: assert_true raises at execution when the store has
+    # no meta rows; expressed as a `when` over the assert's NULL result
+    # so column pruning can never drop it (an unused assert column would
+    # be optimized away)
+    valid = F.col("__n").isNotNull() & (F.col("__n") > 0)
+    err = F.lit(
+        "bm25_against_store: store has no meta rows (kind='meta') — "
+        "advance it with df_store_delta at least once before probing"
+    )
+    stats = df_store_stats(store).select(
+        F.when(F.assert_true(valid, err).isNull(), F.col("__n")).alias(
+            "__n"
+        ),
+        "__sumdl",
+    )
     n, dfq = F.col("__n"), F.col("doc_freq").cast("double")
     idf_bm25 = F.log(
         F.lit(1.0) + (n - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))

@@ -73,34 +73,62 @@ def _stat_value(v) -> tuple[float | None, str | None]:
     return None, str(v)
 
 
-def row_group_stats(spark: SparkSession, path: str) -> DataFrame:
+def _pyarrow_path(f: str) -> str:
+    """URI → a path pyarrow opens: ``file:`` URIs (both the ``file:///x``
+    inputFiles form and binaryFile's ``file:/x`` form) become local paths;
+    Hadoop's ``s3a``/``s3n`` schemes become pyarrow's ``s3``.  Module-level
+    so the executor-side footer reader can pickle it."""
+    if f.startswith("file:"):
+        import re
+
+        return re.sub(r"^/+", "/", f[5:])
+    if f.startswith(("s3a://", "s3n://")):
+        return "s3://" + f.split("://", 1)[1]
+    return f
+
+
+def row_group_stats(
+    spark: SparkSession, path: str, listing: str = "driver"
+) -> DataFrame:
     """One row per (file, row group, column) of footer statistics.
 
-    Uses Spark's own file index for the listing, then reads each footer
-    with pyarrow ON THE EXECUTORS — no DATA page ever reaches the driver.
-    The listing itself IS driver-side (``spark.read.parquet`` schema
-    inference + ``inputFiles()`` → a Python list → ``createDataFrame``),
-    which is fine to ~10^5 files but serializes one row per file through
-    the driver; for genuinely huge file counts build the path frame from
-    a distributed listing instead (e.g. the ``binaryFile`` source with a
-    ``pathGlobFilter``, selecting only ``path``) and call the same
-    ``mapInPandas`` body on it.
+    Footers are read with pyarrow ON THE EXECUTORS — no DATA page ever
+    reaches the driver.  ``listing`` picks how the file list is built:
+
+    * ``'driver'`` (default) — Spark's own file index
+      (``spark.read.parquet`` schema inference + ``inputFiles()`` → a
+      Python list → ``createDataFrame``): fine to ~10^5 files but
+      serializes one row per file through the driver;
+    * ``'distributed'`` — the ``binaryFile`` source with a
+      ``pathGlobFilter='*.parquet'``, projecting ONLY ``path`` (the
+      content column is pruned — plan-verified ``ReadSchema:
+      struct<path:string>``), so a million-file store lists on the
+      cluster and the driver never holds the list.  Same output, same
+      ``mapInPandas`` body.
+
     ``file:`` URIs are stripped to local paths and Hadoop's ``s3a``/``s3n``
     schemes are rewritten to pyarrow's ``s3`` (pyarrow does not recognize
     the Hadoop spellings).  Other object-store schemes (abfss, wasbs, gs)
     need a pyarrow/fsspec filesystem mapping this sandbox cannot exercise —
     they raise from pyarrow rather than silently misread.
     """
-    files = []
-    for f in spark.read.parquet(path).inputFiles():
-        if f.startswith("file://"):
-            f = f[7:]
-        elif f.startswith(("s3a://", "s3n://")):
-            f = "s3://" + f.split("://", 1)[1]
-        files.append(f)
-    paths = spark.createDataFrame(
-        [(f,) for f in files], "path string"
-    ).repartition(max(1, min(len(files), 64)))
+    if listing == "distributed":
+        paths = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .load(path)
+            .select("path")
+        )
+    elif listing == "driver":
+        files = spark.read.parquet(path).inputFiles()
+        paths = spark.createDataFrame(
+            [(f,) for f in files], "path string"
+        ).repartition(max(1, min(len(files), 64)))
+    else:
+        raise ValueError(
+            f"listing must be 'driver' or 'distributed', got {listing!r}"
+        )
 
     def read_footers(batches):
         import pandas as pd
@@ -109,6 +137,7 @@ def row_group_stats(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             out = []
             for p in pdf["path"]:
+                p = _pyarrow_path(p)
                 md = pq.ParquetFile(p).metadata
                 for rg in range(md.num_row_groups):
                     g = md.row_group(rg)
@@ -268,9 +297,13 @@ def layout_metrics(stats: DataFrame, eager: bool = True) -> DataFrame:
     return out
 
 
-def layout_report(spark: SparkSession, path: str) -> DataFrame:
-    """One-call audit: footer scan → per-column clustering metrics."""
-    return layout_metrics(row_group_stats(spark, path))
+def layout_report(
+    spark: SparkSession, path: str, listing: str = "driver"
+) -> DataFrame:
+    """One-call audit: footer scan → per-column clustering metrics.
+    ``listing='distributed'`` for stores whose file count outgrows the
+    driver (see :func:`row_group_stats`)."""
+    return layout_metrics(row_group_stats(spark, path, listing=listing))
 
 
 # ---------------------------------------------------------------------------

@@ -384,3 +384,44 @@ def test_refresh_cli_df_store_recovers_interrupted_swap(spark, tmp_path):
     assert got[("df", "alpha")] == 2
     assert got[("df", "beta")] == 1
     assert got[("meta", "__n_docs")] == 2
+
+
+def test_exclude_ids_enforces_disjointness(spark):
+    """The optional id-membership guard (ADVICE r12): re-ingesting an
+    already-shipped doc with exclude_ids set contributes NOTHING — term
+    counts, N, and Σdl all stay put — where the unguarded delta would
+    silently double-count."""
+    c = _corpus(spark)
+    base = df_store_delta(c, "text", "doc_id")
+    shipped = c.select("doc_id")
+    # replay the whole corpus plus one genuinely new doc
+    replay = _corpus(
+        spark,
+        DOCS + [(7, "a genuinely new document body")],
+    )
+    guarded = df_store_delta(
+        replay, "text", "doc_id", exclude_ids=shipped
+    )
+    merged = {
+        (r.kind, r.term): r.n
+        for r in compact_df_store(base.unionByName(guarded)).collect()
+    }
+    assert merged[("df", "the")] == 3        # not inflated by the replay
+    assert merged[("meta", "__n_docs")] == 5  # 4 + only the new doc
+    assert merged[("df", "genuinely")] == 1   # the new doc DID land
+
+
+def test_bm25_probe_refuses_meta_less_store(spark):
+    """A store with no meta rows (never advanced / filtered to kind='df')
+    cannot silently return all-NULL scores — the in-plan assert fires at
+    execution (ADVICE r12)."""
+    from pyspark.errors import SparkRuntimeException
+
+    store = df_store_delta(_corpus(spark), "text", "doc_id").where(
+        F.col("kind") == "df"
+    )
+    scored = bm25_against_store(
+        _corpus(spark), store, ["fox"], "text", "doc_id"
+    )
+    with pytest.raises(SparkRuntimeException, match="no meta rows"):
+        scored.collect()

@@ -236,3 +236,32 @@ def test_layout_advice_hedges_on_string_keyed_layouts(spark, tmp_path):
     assert adv["action"] == "recluster"
     assert adv["unmeasured"] == ["term"]
     assert "unmeasured" in adv["reason"] and "term" in adv["reason"]
+
+
+def test_distributed_listing_matches_driver_listing(spark, grid, tmp_path):
+    """listing='distributed' (binaryFile path frame — the million-file
+    path where the driver must not hold the list) yields EXACTLY the
+    driver listing's stats rows, and its scan reads only the path column
+    (the binary content is pruned)."""
+    p = str(tmp_path / "dl")
+    grid.repartition(FILES).write.parquet(p)
+
+    def key(r):
+        d = r.asDict()
+        d["path"] = d["path"].rsplit("/", 1)[-1]  # normalize dir spelling
+        return tuple(sorted(d.items()))
+
+    drv = sorted(key(r) for r in row_group_stats(spark, p).collect())
+    dist_df = row_group_stats(spark, p, listing="distributed")
+    dist = sorted(key(r) for r in dist_df.collect())
+    assert drv == dist and len(drv) > 0
+
+    plan = dist_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "ReadSchema: struct<path:string>" in plan, plan
+
+    with pytest.raises(ValueError, match="driver.*distributed"):
+        row_group_stats(spark, p, listing="nope")
