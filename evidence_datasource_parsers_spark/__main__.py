@@ -59,6 +59,22 @@ def main(argv: list[str] | None = None) -> int:
                          "READY docs' (kind, term, n) additive delta "
                          "each round (BM25/IDF statistics of everything "
                          "ingested; created on first run)")
+    refresh.add_argument("--store-table", default=None,
+                         help="carry the fingerprint store as a BUCKETED "
+                         "catalog table under this name (exact: "
+                         "content_hash, lsh: band+key): the per-round "
+                         "probe reads the store in place instead of "
+                         "re-shuffling it — the corpus-scale path; "
+                         "re-registered from _bucket_spec.json in fresh "
+                         "sessions; not available for simhash (derived "
+                         "probe keys)")
+    refresh.add_argument("--canon-table", default=None,
+                         help="carry the canon segment store as a "
+                         "bucketed table (seg_key); needs --canon-store")
+    refresh.add_argument("--store-buckets", type=int, default=64,
+                         help="bucket count when --store-table/"
+                         "--canon-table CREATE their store (size for the "
+                         "store's TARGET scale; fixed at creation)")
 
     media = sub.add_parser(
         "refresh-media",
@@ -171,8 +187,8 @@ def main(argv: list[str] | None = None) -> int:
         "fingerprint: rows are already disjoint — the rewrite "
         "consolidates small append files in a PLAIN parquet dir "
         "(--bucket-col partitions the files by hash for locality; a "
-        "metastore-bucketed saveAsTable store compacts via "
-        "write_bucketed_store instead, not this command)",
+        "bucketed TABLE store instead passes --table, which keeps the "
+        "sidecar-recorded bucket identity)",
     )
     compact.add_argument("--group-cols", default=None,
                          help="comma-separated group columns "
@@ -200,6 +216,14 @@ def main(argv: list[str] | None = None) -> int:
                          "--bucket-col (requires --bucket-col)")
     compact.add_argument("--bucket-col", default=None,
                          help="fingerprint kind: bucket key column")
+    compact.add_argument("--table", default=None,
+                         help="the store is a bucketed catalog TABLE "
+                         "(the streaming sink's store_table form): the "
+                         "rewrite keeps the dir's _bucket_spec.json "
+                         "bucket identity via write_bucketed_store and "
+                         "re-registers this table name at the new "
+                         "files — the compacted store keeps its "
+                         "zero-store-side-Exchange probe plan")
 
     layout = sub.add_parser(
         "layout-audit",
@@ -209,6 +233,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     layout.add_argument("path", help="parquet directory (or file)")
     layout.add_argument("--limit", type=int, default=50)
+    layout.add_argument("--distributed-listing", action="store_true",
+                        help="list files via the binaryFile source "
+                        "(path column only) instead of the driver-side "
+                        "inputFiles() list — for stores whose file "
+                        "count outgrows the driver (~10^5+)")
 
     args = parser.parse_args(argv)
 
@@ -327,6 +356,31 @@ def _compact(args) -> int:
 
     spark = get_spark("compact")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.table and args.kind == "seen":
+        print(
+            "compact: --table is not supported for --kind seen (the "
+            "frontier seen store has its own compactor)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.table and (args.bucket_col or args.buckets):
+        # flags beside --table are only meaningful as a BOOTSTRAP spec
+        # for a plain dir; on a sidecar-carrying store the sidecar IS
+        # the identity and conflicting flags are refused
+        from evidence_datasource_parsers_spark.sources.sinks import (
+            read_bucket_spec,
+        )
+
+        if read_bucket_spec(args.store) is not None:
+            print(
+                "compact: --table with --bucket-col/--buckets conflicts "
+                "with the store's recorded _bucket_spec.json — the "
+                "sidecar is the bucket identity; omit the flags (or "
+                "re-create the store if it must change)",
+                file=sys.stderr,
+            )
+            return 2
 
     if args.kind == "seen":
         from evidence_datasource_parsers_spark.pipelines.crawl_frontier import (  # noqa: E501
@@ -468,12 +522,30 @@ def _compact(args) -> int:
             )
             return 2
         out = df
-        if args.bucket_col:
+        if args.bucket_col and not args.table:
+            # plain-dir locality rewrite; under --table the bucketed
+            # writer owns the layout (rewrite_bucketed_store pre-shuffles
+            # into the bucket scheme itself)
             out = out.repartition(
                 args.buckets or 64, args.bucket_col
             )
 
-    n = rewrite_store_dir(args.store, out)
+    if args.table:
+        from evidence_datasource_parsers_spark.streaming.incremental import (
+            rewrite_bucketed_store,
+        )
+
+        boot_cols = (
+            [c.strip() for c in args.bucket_col.split(",") if c.strip()]
+            if args.bucket_col
+            else None
+        )
+        n = rewrite_bucketed_store(
+            spark, args.table, args.store, out,
+            bucket_cols=boot_cols, n_buckets=args.buckets,
+        )
+    else:
+        n = rewrite_store_dir(args.store, out)
     # advisory only (verdict r10: the layout report had no consumer):
     # after the rewrite, say whether the store's new layout prunes and
     # what would fix it
@@ -522,6 +594,21 @@ def _refresh(args) -> int:
     if args.canon_col and not args.canon_store:
         print("refresh: --canon-col needs --canon-store", file=sys.stderr)
         return 2
+    if args.store_table and args.mode == "simhash":
+        print(
+            "refresh: --store-table is not available for --mode simhash "
+            "(its probe keys are exploded from stored fingerprints, so "
+            "a bucketed store co-locates nothing)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.canon_table and not args.canon_store:
+        print("refresh: --canon-table needs --canon-store", file=sys.stderr)
+        return 2
+
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        read_store,
+    )
 
     spark = get_spark("refresh")
     spark.sparkContext.setLogLevel("ERROR")
@@ -530,11 +617,9 @@ def _refresh(args) -> int:
     # __old_* dir — restore it before reading
     if recover_store_dir(args.store):
         print(f"refresh: recovered {args.store} from interrupted swap")
-    prev = (
-        spark.read.parquet(args.store)
-        if os.path.isdir(args.store)
-        else None
-    )
+    # bucketed-table-first when --store-table is set (the probe join then
+    # reads the store in place); plain parquet otherwise
+    prev = read_store(spark, args.store, args.store_table)
     prev_canon = None
     if args.canon_col:
         from evidence_datasource_parsers_spark.operators.fuzzy_join import (
@@ -568,11 +653,11 @@ def _refresh(args) -> int:
                     file=sys.stderr,
                 )
                 return 2
-            # plain parquet read: fine for the CLI's single-machine
-            # rounds; at corpus scale carry the store as a bucketed
-            # TABLE (write_bucketed_store) and use the library operator
-            # directly — only that path gets the zero-Exchange probe
-            prev_canon = spark.read.parquet(args.canon_store)
+            # bucketed-table-first under --canon-table (zero-Exchange
+            # store side in the segment probe); plain parquet otherwise
+            prev_canon = read_store(
+                spark, args.canon_store, args.canon_table
+            )
     res = refresh_corpus_batch(
         batch,
         prev,
@@ -602,13 +687,47 @@ def _refresh(args) -> int:
             if res.canon_store_delta is not None
             else None
         )
-        res.store_delta.write.mode("append").parquet(args.store)
+        def advance(delta, store_dir, table, prev_frame, bucket_cols):
+            """Append one store's delta: bucketed table when a table name
+            was given (created on the first round, appended after —
+            O(batch) either way), plain parquet otherwise."""
+            if table is None:
+                delta.write.mode("append").parquet(store_dir)
+                return
+            from evidence_datasource_parsers_spark.sources.sinks import (
+                append_bucketed_store,
+                write_bucketed_store,
+            )
+
+            # sever the delta's lineage from the table it appends into
+            delta = delta.localCheckpoint(eager=True)
+            if prev_frame is None:
+                write_bucketed_store(
+                    delta, store_dir, table, bucket_cols,
+                    args.store_buckets,
+                )
+            else:
+                append_bucketed_store(
+                    delta, table, bucket_cols, args.store_buckets
+                )
+
+        from evidence_datasource_parsers_spark.streaming.incremental import (
+            SINK_BUCKET_COLS,
+        )
+
+        advance(
+            res.store_delta, args.store, args.store_table, prev,
+            SINK_BUCKET_COLS.get(args.mode, ["content_hash"]),
+        )
         if canon_delta is not None:
             from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: E501
                 write_canon_store_meta,
             )
 
-            canon_delta.write.mode("append").parquet(args.canon_store)
+            advance(
+                canon_delta, args.canon_store, args.canon_table,
+                prev_canon, SINK_BUCKET_COLS["canon"],
+            )
             write_canon_store_meta(args.canon_store, args.canon_max_dist)
         ready.write.mode("append").parquet(args.out)
         if args.df_store:
@@ -788,23 +907,27 @@ def _frontier(args) -> int:
 def _layout_audit(args) -> int:
     """Parquet footer scan → per-column clustering metrics table."""
     from evidence_datasource_parsers_spark.operators.layout_audit import (
-        layout_report,
-    )
-    from evidence_datasource_parsers_spark.session import get_spark
-
-    from evidence_datasource_parsers_spark.operators.layout_audit import (
         layout_advice,
         layout_metrics,
         row_group_stats,
         string_stat_columns,
     )
+    from evidence_datasource_parsers_spark.session import get_spark
 
     spark = get_spark("layout-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    stats = row_group_stats(spark, args.path)
-    rep = layout_metrics(stats)
-    rep.orderBy("column").show(args.limit, truncate=False)
-    adv = layout_advice(rep, unmeasured=string_stat_columns(stats))
+    # one footer scan for both consumers (same fix as the compact
+    # advisory, ADVICE r11)
+    stats = row_group_stats(
+        spark, args.path,
+        listing="distributed" if args.distributed_listing else "driver",
+    ).persist()
+    try:
+        rep = layout_metrics(stats)
+        rep.orderBy("column").show(args.limit, truncate=False)
+        adv = layout_advice(rep, unmeasured=string_stat_columns(stats))
+    finally:
+        stats.unpersist()
     print(f"layout-audit: {adv['action']} — {adv['reason']}")
     return 0
 

@@ -334,6 +334,12 @@ def append_bucketed_store(
         .sortBy(*bucket_cols)
         .saveAsTable(table)
     )
+    # the session may hold a cached relation (file listing) for the table
+    # from a pre-append read — the insert does not reliably invalidate it,
+    # and a stale listing silently MISSES the appended delta on the next
+    # probe (observed: table count short by exactly one batch).  Metadata
+    # refresh, O(files).
+    df.sparkSession.catalog.refreshTable(table)
 
 
 def read_bucketed_store(spark, table: str) -> DataFrame:

@@ -117,6 +117,97 @@ def rewrite_store_dir(store_dir: str, df: DataFrame) -> int:
     return n
 
 
+def rewrite_bucketed_store(
+    spark,
+    table: str,
+    store_dir: str,
+    df: DataFrame,
+    bucket_cols: list[str] | None = None,
+    n_buckets: int | None = None,
+) -> int:
+    """:func:`rewrite_store_dir` for a BUCKETED TABLE store (the
+    ``store_table`` form of :func:`incremental_dedupe_sink`) — the
+    compaction half of the table store's lifecycle, collapsing the
+    one-file-set-per-bucket-per-append history back to one.
+
+    Same swap discipline, plus catalog bookkeeping: the collapsed frame
+    is eagerly checkpointed (severing its lineage from the files the
+    swap deletes), written bucketed to a tmp sibling under the dir's
+    recorded ``_bucket_spec.json`` spec — compaction must NOT change the
+    store's bucket identity, or the next append would mis-bucket — then
+    the dirs swap and ``table`` is re-registered at the new files.  A
+    crash in the window leaves either the old dir (recoverable by
+    :func:`recover_store_dir`, like every swap) or the new one; the
+    catalog entry is rebuilt from the sidecar either way, so nothing
+    durable is lost with the in-memory catalog.  Returns the rewritten
+    row count.
+
+    ``bucket_cols``/``n_buckets`` BOOTSTRAP a plain-parquet store (no
+    sidecar — e.g. one built by earlier rounds without a table, or by
+    the one-file-per-batch counter sinks) into a bucketed table at this
+    compaction boundary — the migration path :func:`read_store`'s
+    refusal message points at.  On a store that already HAS a sidecar
+    they must match it or be omitted: the spec is the store's identity,
+    and silently re-bucketing under a different spec would strand every
+    co-located consumer.
+    """
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucket_spec,
+        register_bucketed_store,
+        write_bucketed_store,
+    )
+
+    spec = read_bucket_spec(store_dir)
+    if spec is None:
+        if not bucket_cols:
+            raise ValueError(
+                f"{store_dir} has no _bucket_spec.json sidecar — pass "
+                "bucket_cols (+ n_buckets) to bootstrap it into a "
+                "bucketed table, or compact it with rewrite_store_dir"
+            )
+        spec = {
+            "bucket_cols": list(bucket_cols),
+            "n_buckets": int(n_buckets or 64),
+        }
+    elif (bucket_cols and list(bucket_cols) != spec["bucket_cols"]) or (
+        n_buckets and int(n_buckets) != spec["n_buckets"]
+    ):
+        raise ValueError(
+            f"store records bucket spec {spec['bucket_cols']} × "
+            f"{spec['n_buckets']} but the caller asked "
+            f"{bucket_cols} × {n_buckets} — the recorded spec is the "
+            "store's identity; omit the overrides or re-create the store"
+        )
+    missing = [c for c in spec["bucket_cols"] if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"compacted frame lost bucket column(s) {missing} — the "
+            f"store's bucket identity is {spec['bucket_cols']} and a "
+            "rewrite without them would break every later append/probe"
+        )
+    out = df.localCheckpoint(eager=True)
+    n = out.count()
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{store_dir}__swap_{token}"
+    tmp_table = f"{table}__swap_{token}"
+    # pre-shuffle into the bucket layout so each write task owns exactly
+    # one bucket — without this the bucketed write emits one file per
+    # (task × bucket) and the "compaction" barely reduces file counts.
+    # repartition's Murmur3 HashPartitioning is the same function bucket
+    # assignment uses, so task n holds exactly bucket n's rows.
+    write_bucketed_store(
+        out.repartition(spec["n_buckets"], *spec["bucket_cols"]),
+        tmp, tmp_table, spec["bucket_cols"], spec["n_buckets"],
+    )
+    # both registrations are metadata-only for external tables: dropping
+    # them leaves the files for the dir swap to move
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    swap_store_dir(store_dir, tmp)
+    register_bucketed_store(spark, table, store_dir)
+    return n
+
+
 #: Modes whose per-batch store probe joins on STORED columns directly —
 #: exactly these can ride a bucketed store table with zero store-side
 #: Exchange.  The other modes (simhash/phash/audio/video/remux/embedding)
@@ -131,8 +222,9 @@ SINK_BUCKET_COLS: dict[str, list[str]] = {
 }
 
 
-def _read_sink_store(spark, store_dir: str, store_table: str | None):
-    """The sink's store read, bucketed-table-first.
+def read_store(spark, store_dir: str, store_table: str | None = None):
+    """Bucketed-table-first store read — shared by the streaming sink and
+    the ``refresh`` CLI.
 
     * ``store_table`` set and registered in this session's catalog →
       ``spark.table`` (the scan keeps its bucket metadata: the probe
@@ -189,8 +281,10 @@ def _read_sink_store(spark, store_dir: str, store_table: str | None):
             f"store_table={store_table!r} was requested but {store_dir} "
             "has no _bucket_spec.json sidecar: its files were written as "
             "plain parquet (by an earlier run without store_table?), not "
-            "by the bucketed path. Compact it once into a bucketed table "
-            "(sinks.write_bucketed_store) or drop store_table."
+            "by the bucketed path. Bootstrap it once at a compaction "
+            "boundary (`compact --table <name> --bucket-col <key> "
+            "--buckets <n>`, or rewrite_bucketed_store with bucket_cols) "
+            "or drop store_table."
         )
     register_bucketed_store(spark, store_table, store_dir)
     return spark.table(store_table)
@@ -310,10 +404,12 @@ def incremental_dedupe_sink(
             "cannot co-locate its candidate join"
         )
 
+    owner_spark = stream.sparkSession  # the session that starts the query
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         recover_store_dir(store_dir)
-        store = _read_sink_store(spark, store_dir, store_table)
+        store = read_store(spark, store_dir, store_table)
         if mode == "exact":
             eres = dd.incremental_exact_dedupe(
                 batch_df, store, text_col, id_col, **dedupe_opts
@@ -513,6 +609,15 @@ def incremental_dedupe_sink(
                     append_bucketed_store(
                         delta_mat, store_table, cols, store_buckets
                     )
+                # foreachBatch runs in a CLONED session: the table write
+                # registers/refreshes through the clone's catalog, while
+                # the session that STARTED the stream keeps its own
+                # relation cache — left alone, a pre-stream spark.table()
+                # there would keep serving the pre-advance file listing.
+                # Table existence is shared (external catalog); only the
+                # per-session cache needs the nudge.
+                if owner_spark is not spark:
+                    owner_spark.catalog.refreshTable(store_table)
             else:
                 delta.write.mode("append").parquet(store_dir)
             if mode == "canon":

@@ -480,3 +480,169 @@ def test_refresh_cli_canon_col(spark, tmp_path, capsys):
     assert main(bad) == 2
     err = capsys.readouterr().err
     assert "not comparable" in err
+
+
+def test_compact_cli_table_store(spark, tmp_path, capsys):
+    """compact --table: the bucketed TABLE store's explicit-cadence
+    collapse — file sets consolidate under the sidecar's bucket identity,
+    the table re-registers at the new files, and the flag conflicts are
+    refused."""
+    import glob
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        append_bucketed_store,
+        read_bucket_spec,
+        write_bucketed_store,
+    )
+
+    table = f"cli_tbl_{uuid.uuid4().hex[:8]}"
+    store = str(tmp_path / "tbl_store")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("content_hash")
+    )
+    try:
+        write_bucketed_store(mk(0, 100), store, table, ["content_hash"], 4)
+        append_bucketed_store(mk(100, 200), table, ["content_hash"], 4)
+        files_before = len(glob.glob(f"{store}/*.parquet"))
+        assert files_before > 4
+
+        assert main(["compact", "--store", store, "--kind", "fingerprint",
+                     "--table", table]) == 0
+        out = capsys.readouterr().out
+        assert "200 rows" in out
+        assert len(glob.glob(f"{store}/*.parquet")) <= 4
+        spec = read_bucket_spec(store)
+        assert spec["bucket_cols"] == ["content_hash"]
+        assert spec["n_buckets"] == 4
+        assert spark.table(table).count() == 200
+
+        # conflicts are refused before any work
+        assert main(["compact", "--store", store, "--kind", "seen",
+                     "--table", table]) == 2
+        assert main(["compact", "--store", store, "--kind", "fingerprint",
+                     "--table", table, "--bucket-col", "content_hash"]) == 2
+        err = capsys.readouterr().err
+        assert "--kind seen" in err and "--bucket-col" in err
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_refresh_cli_store_table_two_rounds(spark, tmp_path):
+    """refresh --store-table (+ --canon-table): the batch CLI rides the
+    same bucketed-table store lifecycle as the streaming sink — round 1
+    creates both tables, round 2's probes read them in place, re-crawls
+    are dropped, and the sidecars let a fresh session resume."""
+    import uuid
+
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucket_spec,
+    )
+
+    t_fp = f"rcli_fp_{uuid.uuid4().hex[:8]}"
+    t_cn = f"rcli_cn_{uuid.uuid4().hex[:8]}"
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    store = str(tmp_path / "fp_store")
+    cstore = str(tmp_path / "cn_store")
+    out = str(tmp_path / "ready_out")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma", "acme inc"),
+         (2, "alpha delta", "acme inc.")],
+        "doc_id long, text string, publisher string",
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [(10, "alpha beta gamma", "acme inc"),   # re-crawl — dropped
+         (11, "epsilon zeta", "akme inc")],      # near-miss label
+        "doc_id long, text string, publisher string",
+    ).write.parquet(b2)
+    base = ["refresh", "--store", store, "--out", out, "--mode", "exact",
+            "--store-table", t_fp, "--store-buckets", "4",
+            "--canon-col", "publisher", "--canon-store", cstore,
+            "--canon-table", t_cn, "--canon-max-dist", "1"]
+    try:
+        assert main(base + ["--batch", b1]) == 0
+        assert spark.catalog.tableExists(t_fp)
+        assert spark.catalog.tableExists(t_cn)
+        assert read_bucket_spec(store)["bucket_cols"] == ["content_hash"]
+        assert read_bucket_spec(cstore)["bucket_cols"] == ["seg_key"]
+
+        # fresh-session resume: drop the in-memory registrations
+        spark.sql(f"DROP TABLE {t_fp}")
+        spark.sql(f"DROP TABLE {t_cn}")
+        assert main(base + ["--batch", b2]) == 0
+        ready = spark.read.parquet(out)
+        assert sorted(r.doc_id for r in ready.collect()) == [1, 2, 11]
+        # doc 11's near-miss label canonicalized to round 1's stored rep
+        canon = {
+            r.doc_id: r.publisher_canonical
+            for r in ready.collect()
+        }
+        assert canon[11] == "acme inc"
+        assert spark.table(t_fp).count() == 3   # three distinct contents
+        # guards
+        assert main(base + ["--batch", b2, "--mode", "simhash"]) == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_fp}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cn}")
+
+
+def test_compact_cli_bootstraps_plain_dir_into_table(spark, tmp_path, capsys):
+    """compact --table --bucket-col: the migration path a plain-parquet
+    store (built by rounds that predate store_table) takes into the
+    bucketed-table lifecycle — bootstrap once at a compaction boundary,
+    then the sidecar is the identity and conflicting flags are refused."""
+    import uuid
+
+    from evidence_datasource_parsers_spark.operators.df_store import (
+        df_store_delta,
+    )
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucket_spec,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        read_store,
+    )
+
+    table = f"boot_{uuid.uuid4().hex[:8]}"
+    store = str(tmp_path / "plain_df_store")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id long, text string"
+    )
+    # two plain appends — the pre-table world
+    df_store_delta(docs, "text", "doc_id").write.mode("append").parquet(store)
+    df_store_delta(
+        spark.createDataFrame([(3, "beta delta")], "doc_id long, text string"),
+        "text", "doc_id",
+    ).write.mode("append").parquet(store)
+
+    try:
+        # without the bootstrap spec the table read refuses honestly
+        import pytest
+
+        with pytest.raises(ValueError, match="Bootstrap it once"):
+            read_store(spark, store, table)
+
+        assert main(["compact", "--store", store, "--kind", "df",
+                     "--table", table, "--bucket-col", "term",
+                     "--buckets", "4"]) == 0
+        capsys.readouterr()
+        spec = read_bucket_spec(store)
+        assert spec["bucket_cols"] == ["term"]
+        assert spec["n_buckets"] == 4
+        assert spark.catalog.tableExists(table)
+        # the additive collapse happened too: one row per (kind, term)
+        rows = {(r.kind, r.term): r.n for r in spark.table(table).collect()}
+        assert rows[("df", "alpha")] == 2
+        assert rows[("meta", "__n_docs")] == 3
+
+        # identity is now recorded: conflicting flags refuse
+        assert main(["compact", "--store", store, "--kind", "df",
+                     "--table", table, "--bucket-col", "other"]) == 2
+        assert "_bucket_spec.json" in capsys.readouterr().err
+        # and a flag-less re-compaction under the sidecar succeeds
+        assert main(["compact", "--store", store, "--kind", "df",
+                     "--table", table]) == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -474,7 +474,7 @@ def test_perceptual_pair_ops_never_cartesian(spark):
 def test_sink_bucketed_store_read_never_shuffles(spark, tmp_path):
     """Round-12 closure of the r11 perf weak: the STREAMING sink's store
     read now rides the bucketed table.  After one sink batch with
-    store_table, the frame ``_read_sink_store`` hands the operator must
+    store_table, the frame ``read_store`` hands the operator must
     plan a store-side scan with bucket metadata — the batch's anti-join
     has exactly ONE Exchange (the batch re-clustering into the store's
     buckets), zero on the store side — including through the sidecar
@@ -486,7 +486,7 @@ def test_sink_bucketed_store_read_never_shuffles(spark, tmp_path):
         content_hash,
     )
     from evidence_datasource_parsers_spark.streaming.incremental import (
-        _read_sink_store,
+        read_store,
         incremental_dedupe_sink,
     )
 
@@ -520,7 +520,7 @@ def test_sink_bucketed_store_read_never_shuffles(spark, tmp_path):
         for leg in ("registered", "re-registered"):
             if leg == "re-registered":  # restart: in-memory catalog empty
                 spark.sql(f"DROP TABLE {table}")
-            st = _read_sink_store(spark, store, table)
+            st = read_store(spark, store, table)
             plan = (
                 batch.join(st, on="content_hash", how="left_anti")
                 ._jdf.queryExecution()

@@ -1360,7 +1360,7 @@ def test_sink_store_table_guards(spark, tmp_path):
         write_bucketed_store,
     )
     from evidence_datasource_parsers_spark.streaming.incremental import (
-        _read_sink_store,
+        read_store,
         incremental_dedupe_sink,
     )
 
@@ -1380,7 +1380,7 @@ def test_sink_store_table_guards(spark, tmp_path):
     plain = tmp_path / "plain_store"
     spark.range(3).selectExpr("id AS content_hash").write.parquet(str(plain))
     with pytest.raises(ValueError, match="_bucket_spec.json"):
-        _read_sink_store(spark, str(plain), f"t_{uuid.uuid4().hex[:8]}")
+        read_store(spark, str(plain), f"t_{uuid.uuid4().hex[:8]}")
 
     # stale catalog entry pointing elsewhere
     table = f"stale_{uuid.uuid4().hex[:8]}"
@@ -1391,6 +1391,112 @@ def test_sink_store_table_guards(spark, tmp_path):
             str(other), table, ["content_hash"], 4,
         )
         with pytest.raises(ValueError, match="stale registration"):
-            _read_sink_store(spark, str(tmp_path / "elsewhere"), table)
+            read_store(spark, str(tmp_path / "elsewhere"), table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_rewrite_bucketed_store_compaction_lifecycle(spark, tmp_path):
+    """The table store's full lifecycle: sink batches append one file set
+    per bucket per batch; rewrite_bucketed_store collapses the history
+    UNDER THE SAME bucket identity, re-registers the table, and the next
+    sink batch still dedupes against it with the bucketed plan."""
+    import json as _json
+    import uuid
+
+    import pytest
+
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucket_spec,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        read_store,
+        incremental_dedupe_sink,
+        rewrite_bucketed_store,
+    )
+
+    table = f"lifec_{uuid.uuid4().hex[:8]}"
+    src = tmp_path / "lc_in"
+    src.mkdir()
+    out = str(tmp_path / "lc_out")
+    store = str(tmp_path / "lc_store")
+
+    def doc(i, text):
+        return _json.dumps({"doc_id": i, "text": text})
+
+    runs = [0]
+
+    def run():
+        runs[0] += 1
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        incremental_dedupe_sink(
+            stream, out, store, str(tmp_path / f"lc_ck{runs[0]}"),
+            "text", "doc_id", store_table=table, store_buckets=4,
+        ).awaitTermination()
+
+    try:
+        (src / "b1.json").write_text(
+            "\n".join(doc(i, f"body number {i}") for i in range(20))
+        )
+        run()
+        (src / "b2.json").write_text(
+            "\n".join(doc(i, f"body number {i}") for i in range(20, 40))
+        )
+        run()
+        import glob as _glob
+
+        files_before = len(_glob.glob(f"{store}/*.parquet"))
+        # two appends x 4 buckets: the history holds one file set per
+        # bucket per batch; compaction collapses it to one per bucket
+        assert files_before > 4
+        # exact-store compaction is file consolidation (rows disjoint)
+        n = rewrite_bucketed_store(
+            spark, table, store, spark.table(table)
+        )
+        assert n == 40
+        files_after = len(_glob.glob(f"{store}/*.parquet"))
+        assert files_after <= 4 < files_before
+        # identity preserved through the swap
+        spec = read_bucket_spec(store)
+        assert spec["bucket_cols"] == ["content_hash"]
+        assert spec["n_buckets"] == 4
+        # the compacted store still serves the zero-Exchange probe (a
+        # bare scan reports Bucketed:false by design — autoBucketedScan
+        # only engages the layout when a join exploits it)
+        st = read_store(spark, store, table)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            probe = spark.range(10).selectExpr(
+                "id AS content_hash"
+            ).join(st, "content_hash", "left_anti")
+            plan = probe._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+            assert "Bucketed: true" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # ...and the cross-run dedup memory survived compaction
+        (src / "b3.json").write_text(
+            doc(100, "body number 7")  # re-crawl of doc 7's content
+            + "\n" + doc(101, "a genuinely new body")
+        )
+        run()
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert got == list(range(40)) + [101]
+        assert spark.table(table).count() == 41
+
+        # a frame that lost the bucket column is refused
+        with pytest.raises(ValueError, match="bucket column"):
+            rewrite_bucketed_store(
+                spark, table, store,
+                spark.table(table).selectExpr(
+                    "content_hash AS other"
+                ),
+            )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
