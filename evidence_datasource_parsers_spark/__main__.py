@@ -75,6 +75,23 @@ def main(argv: list[str] | None = None) -> int:
                          help="bucket count when --store-table/"
                          "--canon-table CREATE their store (size for the "
                          "store's TARGET scale; fixed at creation)")
+    refresh.add_argument("--eval-set", default=None,
+                         help="parquet of evaluation documents: drop "
+                         "every batch doc sharing an n-gram with any "
+                         "eval doc (benchmark decontamination) — gated "
+                         "AFTER dedup, so contaminated docs are still "
+                         "seen by the store and re-crawls die cheap")
+    refresh.add_argument("--eval-text-col", default=None,
+                         help="eval set's text column when it differs "
+                         "from --text-col")
+    refresh.add_argument("--decontam-n", type=int, default=8,
+                         help="contamination n-gram length (8 strict, "
+                         "13 = GPT-3 convention)")
+    refresh.add_argument("--decontam-min-overlap", type=float, default=None,
+                         help="switch to the overlap-fraction rule: "
+                         "contaminated only when >= this fraction of "
+                         "some eval doc's distinct grams appear "
+                         "(kills boilerplate false positives)")
 
     media = sub.add_parser(
         "refresh-media",
@@ -239,6 +256,26 @@ def main(argv: list[str] | None = None) -> int:
                         "inputFiles() list — for stores whose file "
                         "count outgrows the driver (~10^5+)")
 
+    skew = sub.add_parser(
+        "skew-audit",
+        help="measure a would-be shuffle's key skew BEFORE paying for "
+        "it: top heavy-hitter keys with share and load factor, plus a "
+        "leave-or-salt verdict (the measurement half of salted_join)",
+    )
+    skew.add_argument("path", help="parquet directory (or file)")
+    skew.add_argument("--keys", required=True,
+                      help="comma-separated shuffle key columns")
+    skew.add_argument("--partitions", type=int, default=None,
+                      help="target shuffle width (default: the "
+                      "session's spark.sql.shuffle.partitions)")
+    skew.add_argument("--top", type=int, default=20)
+    skew.add_argument("--sample", type=float, default=None,
+                      help="Bernoulli sample fraction for quick passes "
+                      "(shares/load factors are scale-free)")
+    skew.add_argument("--max-load-factor", type=float, default=4.0,
+                      help="quanta one key may pin on a single reducer "
+                      "before the verdict flips to 'salt'")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "compact":
@@ -255,6 +292,8 @@ def main(argv: list[str] | None = None) -> int:
         return _frontier(args)
     if args.cmd == "layout-audit":
         return _layout_audit(args)
+    if args.cmd == "skew-audit":
+        return _skew_audit(args)
 
     from evidence_datasource_parsers_spark.plans import CATALOG
 
@@ -670,6 +709,12 @@ def _refresh(args) -> int:
         canon_col=args.canon_col,
         canon_store=prev_canon,
         canon_max_dist=args.canon_max_dist,
+        eval_set=(
+            spark.read.parquet(args.eval_set) if args.eval_set else None
+        ),
+        eval_text_col=args.eval_text_col,
+        decontam_n=args.decontam_n,
+        decontam_min_overlap=args.decontam_min_overlap,
     )
     try:
         # checkpoint BEFORE the store append: committing a write to
@@ -901,6 +946,42 @@ def _frontier(args) -> int:
         + (f" (compacted to {n_compacted} rows)"
            if n_compacted is not None else "")
     )
+    return 0
+
+
+def _skew_audit(args) -> int:
+    """Heavy-hitter table + leave-or-salt verdict for a planned shuffle."""
+    from evidence_datasource_parsers_spark.operators.skew import (
+        key_skew_report,
+        skew_advice,
+    )
+    from evidence_datasource_parsers_spark.session import get_spark
+
+    keys = [c.strip() for c in args.keys.split(",") if c.strip()]
+    if not keys:
+        print("skew-audit: --keys needs at least one column",
+              file=sys.stderr)
+        return 2
+    spark = get_spark("skew-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.path)
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        print(f"skew-audit: {args.path} has no column(s) {missing}",
+              file=sys.stderr)
+        return 2
+    # two driver-bounded consumers (show + advice collect) of one
+    # top-N frame: persist so the per-key aggregate runs once
+    rep = key_skew_report(
+        df, keys, n_partitions=args.partitions, top=args.top,
+        sample_fraction=args.sample,
+    ).persist()
+    try:
+        rep.show(args.top, truncate=False)
+        adv = skew_advice(rep, max_load_factor=args.max_load_factor)
+    finally:
+        rep.unpersist()
+    print(f"skew-audit: {adv['action']} — {adv['reason']}")
     return 0
 
 

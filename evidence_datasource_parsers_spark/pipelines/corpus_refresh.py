@@ -98,6 +98,10 @@ def refresh_corpus_batch(
     canon_store: DataFrame | None = None,
     canon_max_dist: int = 2,
     canon_hot_bucket_cap: int | None = None,
+    eval_set: DataFrame | None = None,
+    eval_text_col: str | None = None,
+    decontam_n: int = 8,
+    decontam_min_overlap: float | None = None,
     audit_drops: bool = False,
     **dedupe_kwargs,
 ) -> RefreshResult:
@@ -121,6 +125,13 @@ def refresh_corpus_batch(
     AFTER dedup — so, like quality rejects, they are SEEN by the store
     and tomorrow's re-crawl dies at the cheap dedup stage.  ``ready``
     carries the ``perplexity`` column for audit.
+
+    ``eval_set`` adds the benchmark-decontamination gate
+    (operators/decontaminate.py): docs sharing a length-``decontam_n``
+    token n-gram with any eval document (or ≥ ``decontam_min_overlap``
+    of some eval doc's grams, when set) are dropped AFTER dedup — seen
+    by the store, never shipped, never sharded.  ``eval_text_col`` names
+    the eval frame's text column when it differs from ``text_col``.
 
     ``quality_weights``: a TRAINED ``(bucket, weight)`` table
     (functions/quality.train_quality_classifier over a seed label set)
@@ -292,6 +303,23 @@ def refresh_corpus_batch(
         )
         scored = scored.join(ppl, on=id_col).where(
             F.col("perplexity") <= max_perplexity
+        )
+    if eval_set is not None:
+        from evidence_datasource_parsers_spark.operators.decontaminate import (  # noqa: E501
+            decontaminate,
+        )
+
+        # eval-set contamination gate, SAME placement convention as the
+        # quality/perplexity gates: after dedup, so a contaminated doc is
+        # still SEEN by the fingerprint store and tomorrow's re-crawl of
+        # it dies at the cheap dedup stage instead of re-running the
+        # n-gram overlap; before splits, so no contaminated doc ever
+        # receives a shard.  Scale shape is decontaminate()'s: eval grams
+        # broadcast (benchmark-suite-sized), the corpus gram stream is
+        # scanned, never shuffled.
+        scored = decontaminate(
+            scored, eval_set, text_col, id_col, eval_text_col,
+            n=decontam_n, min_eval_overlap=decontam_min_overlap,
         )
     split = split_assign(
         scored, id_col, splits or {"train": 0.9, "val": 0.05, "test": 0.05}

@@ -646,3 +646,28 @@ def test_compact_cli_bootstraps_plain_dir_into_table(spark, tmp_path, capsys):
                      "--table", table]) == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_refresh_cli_eval_set_decontamination(spark, tmp_path):
+    """refresh --eval-set: benchmark decontamination as an operation —
+    the leaked doc never ships, but its fingerprint enters the store."""
+    b1 = str(tmp_path / "dc_b1")
+    ev = str(tmp_path / "dc_eval")
+    store = str(tmp_path / "dc_store")
+    out = str(tmp_path / "dc_out")
+    eval_q = "what is the capital of france paris is the capital"
+    spark.createDataFrame(
+        [(1, f"exam dump: {eval_q} plus padding"),
+         (2, "clean document about shipping containers and ports")],
+        "doc_id long, text string",
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [(900, eval_q)], "doc_id long, text string"
+    ).write.parquet(ev)
+    assert main(["refresh", "--batch", b1, "--store", store, "--out", out,
+                 "--mode", "exact", "--eval-set", ev,
+                 "--decontam-n", "8"]) == 0
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out).collect()
+    ) == [2]
+    assert spark.read.parquet(store).count() == 2  # doc 1 SEEN, not shipped

@@ -429,3 +429,49 @@ def test_video_refresh_remux_tier(spark):
     r3 = refresh_video_batch(b1, None)
     assert r3.stream_store is None
     r3.done()
+
+
+def test_eval_set_decontamination_gate(spark):
+    """eval_set: a batch doc reproducing an eval item's n-gram is dropped
+    from ready but still SEEN by the fingerprint store (same convention
+    as the quality gate) — the next round's re-crawl of it dies at the
+    cheap dedup stage, not at a second n-gram overlap pass."""
+    eval_q = "what is the capital of france paris is the capital"
+    # doc 1 reproduces only the eval item's first 8 tokens — exactly ONE
+    # of its three distinct 8-grams (the partial-leak shape)
+    leak = "what is the capital of france paris is"
+    b1 = _docs(spark, [
+        (1, f"some exam dump page: {leak} and more padding text here"),
+        (2, "completely unrelated content about shipping containers"),
+    ])
+    eval_set = _docs(spark, [(900, eval_q)])
+    r1 = refresh_corpus_batch(
+        b1, None, mode="exact", eval_set=eval_set, decontam_n=8,
+    )
+    assert {r.doc_id for r in r1.ready.select("doc_id").collect()} == {2}
+    store = r1.store.localCheckpoint(eager=True)
+    assert store.count() == 2  # contaminated doc 1 is SEEN
+    r1.done()
+
+    # round 2: exact re-crawl of the contaminated page → dedup drop
+    # (store unchanged), while a clean doc ships
+    b2 = _docs(spark, [
+        (11, f"some exam dump page: {leak} and more padding text here"),
+        (12, "a genuinely new clean document about query engines"),
+    ])
+    r2 = refresh_corpus_batch(
+        b2, store, mode="exact", eval_set=eval_set, decontam_n=8,
+    )
+    assert {r.doc_id for r in r2.ready.select("doc_id").collect()} == {12}
+    assert r2.store.count() == 3
+    r2.done()
+
+    # overlap-fraction rule: an 8-gram of boilerplate alone is NOT enough
+    # when the threshold requires most of the eval item
+    r3 = refresh_corpus_batch(
+        b1, None, mode="exact", eval_set=eval_set, decontam_n=8,
+        decontam_min_overlap=0.99,
+    )
+    ids = {r.doc_id for r in r3.ready.select("doc_id").collect()}
+    assert ids == {1, 2}  # 1 of 3 eval grams shared — under the threshold
+    r3.done()
