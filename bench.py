@@ -57,16 +57,12 @@ def main() -> None:
     # the relative spread is recorded — round 5's min-of-3 produced phantom
     # +64%/+71% round-over-round "regressions" in unchanged code that an
     # in-file spread record would have adjudicated without re-measurement.
+    from statistics import median
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     spread: dict[str, float] = {}
-
-    def median(xs: list[float]) -> float:
-        s = sorted(xs)
-        m = len(s) // 2
-        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
-
     for name in names:
         runs: list[float] = []
         try:

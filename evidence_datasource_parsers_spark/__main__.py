@@ -403,10 +403,24 @@ def _compact(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.kind == "seen":
+        from evidence_datasource_parsers_spark.pipelines.crawl_frontier import (  # noqa: E501
+            compact_seen_store,
+        )
+
+        n = compact_seen_store(spark, args.store)
+        print(f"compact: seen store {args.store} → {n} rows")
+        _print_layout_advice(spark, args.store)
+        return 0
+
+    recover_store_dir(args.store)
     if args.table and (args.bucket_col or args.buckets):
         # flags beside --table are only meaningful as a BOOTSTRAP spec
         # for a plain dir; on a sidecar-carrying store the sidecar IS
-        # the identity and conflicting flags are refused
+        # the identity and conflicting flags are refused.  Checked AFTER
+        # recover_store_dir: a store left as a lone __old_* dir by a
+        # crashed compaction would otherwise read as sidecar-less and
+        # slip past the guard (review finding r12).
         from evidence_datasource_parsers_spark.sources.sinks import (
             read_bucket_spec,
         )
@@ -420,18 +434,6 @@ def _compact(args) -> int:
                 file=sys.stderr,
             )
             return 2
-
-    if args.kind == "seen":
-        from evidence_datasource_parsers_spark.pipelines.crawl_frontier import (  # noqa: E501
-            compact_seen_store,
-        )
-
-        n = compact_seen_store(spark, args.store)
-        print(f"compact: seen store {args.store} → {n} rows")
-        _print_layout_advice(spark, args.store)
-        return 0
-
-    recover_store_dir(args.store)
     import os as _os
 
     has_data = _os.path.isdir(args.store) and any(
@@ -579,10 +581,17 @@ def _compact(args) -> int:
             if args.bucket_col
             else None
         )
-        n = rewrite_bucketed_store(
-            spark, args.table, args.store, out,
-            bucket_cols=boot_cols, n_buckets=args.buckets,
-        )
+        try:
+            n = rewrite_bucketed_store(
+                spark, args.table, args.store, out,
+                bucket_cols=boot_cols, n_buckets=args.buckets,
+            )
+        except ValueError as exc:
+            # misuse (sidecar-less dir without a bootstrap spec, spec
+            # mismatch, stale table binding) keeps the CLI contract:
+            # message to stderr, exit 2 — never a raw traceback
+            print(f"compact: {exc}", file=sys.stderr)
+            return 2
     else:
         n = rewrite_store_dir(args.store, out)
     # advisory only (verdict r10: the layout report had no consumer):
@@ -737,6 +746,15 @@ def _refresh(args) -> int:
             was given (created on the first round, appended after —
             O(batch) either way), plain parquet otherwise."""
             if table is None:
+                from evidence_datasource_parsers_spark.streaming.incremental import (  # noqa: E501
+                    _refuse_plain_append,
+                )
+
+                # one flag-less round must not poison a bucketed table
+                # store's file layout with plain part files
+                _refuse_plain_append(
+                    store_dir, "--store-table/--canon-table"
+                )
                 delta.write.mode("append").parquet(store_dir)
                 return
             from evidence_datasource_parsers_spark.sources.sinks import (

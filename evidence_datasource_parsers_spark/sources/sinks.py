@@ -197,23 +197,8 @@ def _write_text(spark, path: str, content: str) -> None:
 BUCKET_SPEC_FILE = "_bucket_spec.json"
 
 
-def write_bucket_spec(
-    store_dir: str, bucket_cols: list[str], n_buckets: int, schema_ddl: str
-) -> None:
-    """Stamp the bucket-spec sidecar beside a bucketed store's files."""
-    with open(os.path.join(store_dir, BUCKET_SPEC_FILE), "w") as f:
-        json.dump(
-            {
-                "bucket_cols": list(bucket_cols),
-                "n_buckets": int(n_buckets),
-                "schema": schema_ddl,
-            },
-            f,
-        )
-
-
 def read_bucket_spec(store_dir: str) -> dict | None:
-    """The spec recorded by :func:`write_bucket_spec`, or None when the
+    """The spec stamped by :func:`write_bucketed_store`, or None when the
     directory carries no sidecar (its files were not bucket-written, or
     predate the sidecar — treat them as plain parquet)."""
     p = os.path.join(store_dir, BUCKET_SPEC_FILE)

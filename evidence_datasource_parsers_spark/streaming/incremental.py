@@ -185,6 +185,12 @@ def rewrite_bucketed_store(
             f"store's bucket identity is {spec['bucket_cols']} and a "
             "rewrite without them would break every later append/probe"
         )
+    # refuse a name already bound to a DIFFERENT directory BEFORE any
+    # work — the unchecked drop-and-rebind below would silently repoint
+    # every consumer of that name at this store's rows (review finding
+    # r12), and failing after the tmp write would waste the whole pass
+    if spark.catalog.tableExists(table):
+        _validate_table_binding(spark, table, store_dir)
     out = df.localCheckpoint(eager=True)
     n = out.count()
     token = uuid.uuid4().hex[:8]
@@ -200,7 +206,8 @@ def rewrite_bucketed_store(
         tmp, tmp_table, spec["bucket_cols"], spec["n_buckets"],
     )
     # both registrations are metadata-only for external tables: dropping
-    # them leaves the files for the dir swap to move
+    # them leaves the files for the dir swap to move (the name-binding
+    # guard already ran at the top)
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     swap_store_dir(store_dir, tmp)
@@ -220,6 +227,73 @@ SINK_BUCKET_COLS: dict[str, list[str]] = {
     "span": ["gram_hash"],
     "canon": ["seg_key"],
 }
+
+
+#: (table name lowercased, realpath) pairs whose catalog binding this
+#: process already validated — the check is a DESCRIBE + driver collect,
+#: which must not re-run on every micro-batch of a long stream.  Safe to
+#: memoize under the stores' single-writer contract: a binding, once
+#: valid, only changes through rewrite_bucketed_store, which re-registers
+#: the same (table, dir) pair.
+_VALIDATED_BINDINGS: set[tuple[str, str]] = set()
+
+
+def _validate_table_binding(spark, store_table: str, store_dir: str) -> None:
+    """Refuse a catalog name that does not denote THIS store's files:
+    a temp view shadowing the name (``spark.table`` resolves the view
+    first — its arbitrary rows would silently become the dedup store),
+    or a table registered at a different location (a stale registration
+    from another store in this session)."""
+    key = (store_table.lower(), os.path.abspath(store_dir))
+    if key in _VALIDATED_BINDINGS:
+        return
+    tbl = spark.catalog.getTable(store_table)
+    if (tbl.tableType or "").upper() in ("TEMPORARY", "TEMP", "VIEW"):
+        raise ValueError(
+            f"{store_table!r} names a {tbl.tableType} view in this "
+            "session, not the bucketed store table — spark.table() would "
+            "resolve the view and silently dedupe against its rows; drop "
+            "the view or pick a distinct store_table name"
+        )
+    loc = next(
+        (
+            r.data_type
+            for r in spark.sql(
+                f"DESCRIBE TABLE EXTENDED {store_table}"
+            ).collect()
+            if r.col_name == "Location"
+        ),
+        None,
+    )
+    want = "file:" + os.path.abspath(store_dir)
+    if loc is None or loc.rstrip("/") not in (
+        want, want.rstrip("/"), "file://" + os.path.abspath(store_dir),
+    ):
+        raise ValueError(
+            f"catalog table {store_table} points at {loc}, not "
+            f"{store_dir} — a stale registration from another store "
+            "in this session; drop it or pick a distinct table name"
+        )
+    _VALIDATED_BINDINGS.add(key)
+
+
+def _refuse_plain_append(store_dir: str, surface: str) -> None:
+    """A plain ``parquet`` append into a dir carrying ``_bucket_spec.json``
+    drops non-bucket-named part files between the bucketed ones: the
+    append SUCCEEDS silently and the next bucketed-table scan dies with
+    Spark's opaque 'Invalid bucket file' — so the engine refuses here,
+    at the append, with the real story."""
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucket_spec,
+    )
+
+    if os.path.isdir(store_dir) and read_bucket_spec(store_dir) is not None:
+        raise ValueError(
+            f"{store_dir} is a bucketed TABLE store (it carries "
+            f"_bucket_spec.json): appending plain parquet would poison "
+            f"its bucket layout. Pass {surface}, or compact it back to "
+            "a plain dir first."
+        )
 
 
 def read_store(spark, store_dir: str, store_table: str | None = None):
@@ -254,25 +328,7 @@ def read_store(spark, store_dir: str, store_table: str | None = None):
     )
 
     if spark.catalog.tableExists(store_table):
-        loc = next(
-            (
-                r.data_type
-                for r in spark.sql(
-                    f"DESCRIBE TABLE EXTENDED {store_table}"
-                ).collect()
-                if r.col_name == "Location"
-            ),
-            None,
-        )
-        want = "file:" + os.path.abspath(store_dir)
-        if loc is not None and loc.rstrip("/") not in (
-            want, want.rstrip("/"), "file://" + os.path.abspath(store_dir),
-        ):
-            raise ValueError(
-                f"catalog table {store_table} points at {loc}, not "
-                f"{store_dir} — a stale registration from another store "
-                "in this session; drop it or pick a distinct table name"
-            )
+        _validate_table_binding(spark, store_table, store_dir)
         return spark.table(store_table)
     if not os.path.isdir(store_dir):
         return None
@@ -366,9 +422,11 @@ def incremental_dedupe_sink(
     fingerprint-exploding modes derive their join keys at probe time,
     where bucketing the stored rows co-locates nothing).  Size
     ``store_buckets`` for the store's TARGET size, not the first
-    batch's.  Compaction of a table-backed store goes through
-    ``compact_gram_store``-style rewrites INTO ``write_bucketed_store``,
-    not the tmp+swap used for plain dirs.
+    batch's.  Compact a table-backed store with
+    :func:`rewrite_bucketed_store` (CLI: ``compact --table``) — the same
+    tmp+swap discipline as plain dirs plus the catalog re-registration;
+    never call ``write_bucketed_store`` directly at the live store path
+    (an overwrite onto the dir the input's lineage still reads).
 
     ``dedupe_opts`` pass through to the chosen operator (num_perm/bands/k
     for lsh — including the production ``hot_bucket_cap`` guard;
@@ -619,6 +677,9 @@ def incremental_dedupe_sink(
                 if owner_spark is not spark:
                     owner_spark.catalog.refreshTable(store_table)
             else:
+                # a restarted stream whose config dropped store_table must
+                # not poison a bucketed dir with plain part files
+                _refuse_plain_append(store_dir, "store_table=<name>")
                 delta.write.mode("append").parquet(store_dir)
             if mode == "canon":
                 from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: E501

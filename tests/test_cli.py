@@ -671,3 +671,14 @@ def test_refresh_cli_eval_set_decontamination(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(out).collect()
     ) == [2]
     assert spark.read.parquet(store).count() == 2  # doc 1 SEEN, not shipped
+
+
+def test_compact_cli_table_misuse_exits_2(spark, tmp_path, capsys):
+    """Bootstrap misuse keeps the CLI contract (stderr + exit 2, no raw
+    traceback): --table on a sidecar-less dir without a bootstrap spec."""
+    store = str(tmp_path / "plain_fp")
+    spark.range(5).selectExpr("id AS content_hash").write.parquet(store)
+    assert main(["compact", "--store", store, "--kind", "fingerprint",
+                 "--table", "nope_tbl"]) == 2
+    err = capsys.readouterr().err
+    assert "_bucket_spec.json" in err and "bootstrap" in err

@@ -1500,3 +1500,66 @@ def test_rewrite_bucketed_store_compaction_lifecycle(spark, tmp_path):
             )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_sink_refuses_temp_view_and_plain_append_poisoning(spark, tmp_path):
+    """Review-finding guards: (1) a temp view shadowing store_table is
+    refused — spark.table() would resolve the view and silently dedupe
+    against its rows; (2) a flag-less run against a bucketed table dir
+    refuses the plain parquet append that would poison the bucket
+    layout (Spark's own failure is a later, opaque 'Invalid bucket
+    file')."""
+    import json as _json
+    import uuid
+
+    import pytest
+
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        incremental_dedupe_sink,
+        read_store,
+    )
+
+    view = f"shadow_{uuid.uuid4().hex[:8]}"
+    spark.range(3).selectExpr(
+        "id AS content_hash"
+    ).createOrReplaceTempView(view)
+    try:
+        with pytest.raises(ValueError, match="view"):
+            read_store(spark, str(tmp_path / "whatever"), view)
+    finally:
+        spark.catalog.dropTempView(view)
+
+    table = f"poison_{uuid.uuid4().hex[:8]}"
+    src = tmp_path / "pz_in"
+    src.mkdir()
+    out = str(tmp_path / "pz_out")
+    store = str(tmp_path / "pz_store")
+    (src / "b1.json").write_text(
+        _json.dumps({"doc_id": 1, "text": "first body"})
+    )
+
+    def run(k, **kw):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        q = incremental_dedupe_sink(
+            stream, out, store, str(tmp_path / f"pz_ck{k}"),
+            "text", "doc_id", **kw,
+        )
+        q.awaitTermination()
+
+    try:
+        run(1, store_table=table, store_buckets=4)
+        (src / "b2.json").write_text(
+            _json.dumps({"doc_id": 2, "text": "second body"})
+        )
+        # restarted stream whose config LOST store_table: refused before
+        # any plain part file lands between the bucketed ones
+        with pytest.raises(Exception, match="poison its bucket layout"):
+            run(2)
+        # the store is intact and the correctly-configured stream resumes
+        run(3, store_table=table, store_buckets=4)
+        assert spark.table(table).count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
