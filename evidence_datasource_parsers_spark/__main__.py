@@ -645,8 +645,10 @@ def _refresh(args) -> int:
     if args.store_table and args.mode == "simhash":
         print(
             "refresh: --store-table is not available for --mode simhash "
-            "(its probe keys are exploded from stored fingerprints, so "
-            "a bucketed store co-locates nothing)",
+            "here (the refresh pipeline carries the classic 16-byte "
+            "fingerprint store; the KEY-INDEX form that makes a bucketed "
+            "table worthwhile rides the streaming sink or the "
+            "incremental_simhash_dedupe_indexed operator directly)",
             file=sys.stderr,
         )
         return 2

@@ -1079,6 +1079,177 @@ def incremental_simhash_dedupe(
     )
 
 
+#: sidecar recording the combo-split identity of a simhash KEY-INDEX
+#: store (below).  (nbits, max_hamming, n_blocks) determine which block
+#: subsets the stored keys pack, so probing a store built under a
+#: different split silently MISSES near-dups — the same
+#: refuse-on-mismatch discipline as the span gram cap and the canon k.
+SIMHASH_INDEX_META_FILE = "_simhash_index_meta.json"
+
+
+def write_simhash_index_meta(
+    store_dir: str, nbits: int, max_hamming: int, n_blocks: int
+) -> None:
+    """Stamp the combo-split identity beside a simhash key-index store."""
+    import json
+    import os
+
+    os.makedirs(store_dir, exist_ok=True)
+    with open(os.path.join(store_dir, SIMHASH_INDEX_META_FILE), "w") as f:
+        json.dump(
+            {
+                "nbits": int(nbits),
+                "max_hamming": int(max_hamming),
+                "n_blocks": int(n_blocks),
+            },
+            f,
+        )
+
+
+def read_simhash_index_meta(store_dir: str) -> dict | None:
+    """The identity recorded by :func:`write_simhash_index_meta`, or None."""
+    import json
+    import os
+
+    path = os.path.join(store_dir, SIMHASH_INDEX_META_FILE)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def simhash_key_index(
+    fp: DataFrame, id_col: str, nbits: int, max_hamming: int, n_blocks: int
+) -> DataFrame:
+    """Explode :func:`simhash_fingerprints` rows into the persisted
+    KEY-INDEX form ``(combo int, key long, simhash long, id)`` — one row
+    per (doc, block-combination), C(n_blocks, n_blocks - max_hamming)
+    rows per document.  The one-shot builder for migrating a classic
+    fingerprint store into :func:`incremental_simhash_dedupe_indexed`'s
+    layout (write it with ``sinks.write_bucketed_store(...,
+    ["combo", "key"], n)`` and stamp :func:`write_simhash_index_meta`)."""
+    return fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            simhash_combo_keys(
+                F.col("simhash"), nbits, max_hamming, n_blocks
+            )
+        ).alias("__k"),
+    ).select("__k.combo", "__k.key", "simhash", id_col)
+
+
+def incremental_simhash_dedupe_indexed(
+    new_batch: DataFrame,
+    key_store: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    *,
+    nbits: int = 32,
+    max_hamming: int = 3,
+    n_blocks: int = 6,
+    batch_fingerprints: DataFrame | None = None,
+) -> IncrementalSimhashResult:
+    """:func:`incremental_simhash_dedupe` against a PRE-EXPLODED key-index
+    store — the hamming modality joining the bucketed-store lifecycle the
+    canon segment index pioneered (round 11) and the streaming sink's
+    ``store_table`` rides (round 12).
+
+    The classic operator re-derives the store side's block-combination
+    keys from the 16-byte fingerprints EVERY batch: O(store ×
+    C(n_blocks, d)) rows generated per probe — at 10⁹ stored docs and
+    the default 6-choose-3 split that is 2·10¹⁰ exploded rows of pure
+    re-computation per micro-batch, dwarfing the join itself.  Here the
+    explosion is paid ONCE, at store-advance time: the persisted state is
+    ``(combo, key, simhash, id)`` — C(n_blocks, n_blocks - d) rows per
+    document (20× the classic store's row count, still ~0.3% of a
+    multi-KB corpus) — and the per-batch probe is a direct equi-join on
+    STORED columns, so the store carried as a bucketed table on
+    ``(combo, key)`` is read in place with zero store-side Exchange
+    (plan-asserted in tests/test_plan_shapes.py).
+
+    Drop rule, within-batch collapse, and return contract are IDENTICAL
+    to the classic operator (equivalence-tested batch-for-batch):
+    dropped iff min hamming to the store <= max_hamming, exact dups
+    being hamming-0 combo mates.  ``delta`` is the batch's exploded
+    index rows — append it to advance (O(batch · combos) I/O);
+    (nbits, max_hamming, n_blocks) are store identity, recorded in the
+    ``_simhash_index_meta.json`` sidecar by the consumers (the sink
+    validates-or-stamps it like the canon k).
+    """
+    if batch_fingerprints is None:
+        hashed = new_batch.withColumn(
+            "__ch", F.coalesce(content_hash(F.col(text_col)), F.lit(-1))
+        )
+        row_struct = F.struct(*[F.col(c) for c in hashed.columns])
+        survivors = (
+            hashed.groupBy("__ch")
+            .agg(F.min_by(row_struct, F.col(id_col)).alias("__row"))
+            .select("__row.*")
+            .drop("__ch")
+        )
+        fp = simhash_fingerprints(survivors, text_col, id_col, nbits).persist()
+    else:
+        surv_ids = (
+            batch_fingerprints.groupBy("content_hash")
+            .agg(F.min(F.col(id_col)).alias(id_col))
+            .select(id_col)
+        )
+        survivors = new_batch.join(surv_ids, on=id_col, how="left_semi")
+        fp = batch_fingerprints.join(
+            surv_ids, on=id_col, how="left_semi"
+        ).persist()
+
+    def explode_index(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.explode(
+                simhash_combo_keys(
+                    F.col("simhash"), nbits, max_hamming, n_blocks
+                )
+            ).alias("__k"),
+        ).select(
+            "__k.combo", "__k.key", "simhash", id_col
+        )
+
+    if key_store is None:
+        delta = explode_index(fp)
+        return IncrementalSimhashResult(
+            fresh=survivors, store=delta, pinned=fp, delta=delta
+        )
+    batch_keys = fp.select(
+        F.col(id_col),
+        F.col("simhash").alias("__nsim"),
+        F.explode(
+            simhash_combo_keys(
+                F.col("simhash"), nbits, max_hamming, n_blocks
+            )
+        ).alias("__k"),
+    ).select(id_col, "__nsim", "__k.combo", "__k.key")
+    # the probe joins STORED columns — no per-batch store-side explode,
+    # and a (combo, key)-bucketed table is read in place
+    store_side = key_store.select(
+        "combo", "key", F.col("simhash").alias("__ssim")
+    )
+    dropped = (
+        batch_keys.join(store_side, on=["combo", "key"])
+        .filter(
+            hamming_distance(F.col("__nsim"), F.col("__ssim"))
+            <= F.lit(max_hamming)
+        )
+        .select(id_col)
+    )
+    fresh = survivors.join(dropped, on=id_col, how="left_anti")
+    delta = explode_index(fp.join(dropped, on=id_col, how="left_anti"))
+    new_store = key_store.select(
+        "combo", "key", "simhash", id_col
+    ).unionByName(delta)
+    return IncrementalSimhashResult(
+        fresh=fresh, store=new_store, pinned=fp, delta=delta
+    )
+
+
 def hamming_near_dup_pairs(
     fp: DataFrame,
     id_col: str,

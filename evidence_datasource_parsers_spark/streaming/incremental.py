@@ -217,13 +217,16 @@ def rewrite_bucketed_store(
 
 #: Modes whose per-batch store probe joins on STORED columns directly —
 #: exactly these can ride a bucketed store table with zero store-side
-#: Exchange.  The other modes (simhash/phash/audio/video/remux/embedding)
-#: derive their join keys at probe time by exploding the stored
-#: fingerprint into block-combination keys, so bucketing the stored rows
-#: cannot co-locate the candidate join.
+#: Exchange.  ``simhash`` qualifies through its KEY-INDEX store form
+#: (`incremental_simhash_dedupe_indexed`: the block-combination keys are
+#: persisted, not re-derived per batch).  The remaining modes
+#: (phash/audio/video/remux/embedding) still derive their join keys at
+#: probe time by exploding the stored fingerprint, so bucketing their
+#: stored rows cannot co-locate the candidate join.
 SINK_BUCKET_COLS: dict[str, list[str]] = {
     "exact": ["content_hash"],
     "lsh": ["band", "key"],
+    "simhash": ["combo", "key"],
     "span": ["gram_hash"],
     "canon": ["seg_key"],
 }
@@ -491,9 +494,42 @@ def incremental_dedupe_sink(
                     "stream_batch_id", F.lit(batch_id).cast("long")
                 ).write.mode("append").parquet(provenance_dir)
         elif mode == "simhash":
-            res = dd.incremental_simhash_dedupe(
-                batch_df, store, text_col, id_col, **dedupe_opts
-            )
+            if store_table is not None:
+                # key-INDEX store (pre-exploded (combo, key) rows): the
+                # combo split is store identity — a store probed under a
+                # different (nbits, max_hamming, n_blocks) silently
+                # misses near-dups, so mismatches refuse like the span
+                # cap / canon k
+                ident = {
+                    "nbits": dedupe_opts.get("nbits", 32),
+                    "max_hamming": dedupe_opts.get("max_hamming", 3),
+                    "n_blocks": dedupe_opts.get("n_blocks", 6),
+                }
+                if os.path.isdir(store_dir):
+                    recorded = dd.read_simhash_index_meta(store_dir)
+                    if recorded is None:
+                        raise ValueError(
+                            f"simhash index store {store_dir} has no "
+                            "_simhash_index_meta.json sidecar: its combo "
+                            "split is unknown and probing it under "
+                            f"{ident} could miss near-dups. Stamp it "
+                            "once with write_simhash_index_meta and "
+                            "re-run."
+                        )
+                    if recorded != ident:
+                        raise ValueError(
+                            f"simhash index store {store_dir} was built "
+                            f"with {recorded}; this sink is configured "
+                            f"with {ident} — the packed keys are not "
+                            "comparable"
+                        )
+                res = dd.incremental_simhash_dedupe_indexed(
+                    batch_df, store, text_col, id_col, **dedupe_opts
+                )
+            else:
+                res = dd.incremental_simhash_dedupe(
+                    batch_df, store, text_col, id_col, **dedupe_opts
+                )
             fresh, new_store, delta = res.fresh, res.store, res.delta
             fresh = fresh.persist()
         elif mode == "phash":
@@ -688,6 +724,13 @@ def incremental_dedupe_sink(
 
                 write_canon_store_meta(
                     store_dir, dedupe_opts.get("max_dist", 2)
+                )
+            if mode == "simhash" and store_table is not None:
+                dd.write_simhash_index_meta(
+                    store_dir,
+                    dedupe_opts.get("nbits", 32),
+                    dedupe_opts.get("max_hamming", 3),
+                    dedupe_opts.get("n_blocks", 6),
                 )
             if mode == "span":
                 from evidence_datasource_parsers_spark.operators.span_dedup import (  # noqa: E501

@@ -1281,3 +1281,60 @@ def test_estimated_jaccard_bounds_num_perm():
     estimated_jaccard(F.col("a"), F.col("b"), 64)  # boundary OK
     with pytest.raises(ValueError, match="64"):
         estimated_jaccard(F.col("a"), F.col("b"), 65)
+
+
+def test_indexed_simhash_equals_classic(spark):
+    """The KEY-INDEX store form must be batch-for-batch indistinguishable
+    from the classic operator: same fresh ids, same retained documents,
+    with the store holding C(6,3)=20 pre-exploded rows per doc instead of
+    re-deriving them per probe."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        incremental_simhash_dedupe,
+        incremental_simhash_dedupe_indexed,
+        simhash_key_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun "
+        "and distant birds sing quietly across the shaded garden path"
+    )
+    batches = [
+        [(1, base), (2, "some other original document body entirely"),
+         (3, None), (4, base)],                 # NULL text + exact twin
+        [(10, base.replace("afternoon", "evening")),   # near re-crawl
+         (11, "completely unrelated content about distributed query "
+              "engines partitioning shuffle exchanges and plans"),
+         (12, base)],                                   # exact re-crawl
+        [(20, base.replace("afternoon", "evening")),    # replay of 10
+         (21, "yet another genuinely novel body of text about nothing")],
+    ]
+    classic_store = None
+    indexed_store = None
+    for rows in batches:
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        rc = incremental_simhash_dedupe(b, classic_store, "text", "doc_id")
+        ri = incremental_simhash_dedupe_indexed(
+            b, indexed_store, "text", "doc_id"
+        )
+        assert (
+            {r.doc_id for r in rc.fresh.collect()}
+            == {r.doc_id for r in ri.fresh.collect()}
+        ), rows
+        classic_store = rc.store.localCheckpoint(eager=True)
+        indexed_store = ri.store.localCheckpoint(eager=True)
+        rc.pinned.unpersist()
+        ri.pinned.unpersist()
+    # index cardinality: exactly C(6,3)=20 rows per retained doc, and the
+    # retained doc set matches the classic store's
+    assert indexed_store.count() == classic_store.count() * 20
+    assert (
+        {r.doc_id for r in indexed_store.select("doc_id").distinct().collect()}
+        == {r.doc_id for r in classic_store.select("doc_id").collect()}
+    )
+    # the one-shot migration builder reproduces the carried index exactly
+    migrated = simhash_key_index(
+        classic_store, "doc_id", nbits=32, max_hamming=3, n_blocks=6
+    )
+    assert migrated.exceptAll(indexed_store).count() == 0
+    assert indexed_store.exceptAll(migrated).count() == 0

@@ -534,3 +534,66 @@ def test_sink_bucketed_store_read_never_shuffles(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_simhash_key_index_store_never_shuffles(spark, sf_dir, tmp_path):
+    """The simhash KEY-INDEX store bucketed on (combo, key): a batch
+    probe's candidate join reads the store in place — no store-side
+    Exchange AND no store-side Generate (the classic form's per-batch
+    O(store × combos) explode is gone from the plan); the batch side
+    owns the one Exchange, re-clustering its exploded keys into the
+    store's buckets."""
+    import uuid
+
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        simhash_fingerprints,
+        simhash_key_index,
+    )
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucketed_store,
+        write_bucketed_store,
+    )
+
+    table = f"bk_shidx_{uuid.uuid4().hex[:8]}"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        store_fp = simhash_fingerprints(
+            docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
+        )
+        write_bucketed_store(
+            simhash_key_index(store_fp, "doc_id", 32, 3, 6),
+            str(tmp_path / "shidx"), table, ["combo", "key"], 8,
+        )
+        st = read_bucketed_store(spark, table)
+        from evidence_datasource_parsers_spark.operators.dedupe import (
+            simhash_combo_keys,
+        )
+
+        batch_keys = simhash_fingerprints(
+            docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id"
+        ).select(
+            "doc_id",
+            F.col("simhash").alias("__nsim"),
+            F.explode(
+                simhash_combo_keys(F.col("simhash"), 32, 3, 6)
+            ).alias("__k"),
+        ).select("doc_id", "__nsim", "__k.combo", "__k.key")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cand = batch_keys.join(
+            st.select("combo", "key", F.col("simhash").alias("__ssim")),
+            on=["combo", "key"],
+        )
+        plan = cand._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        nodes = _nodes(plan)
+        assert nodes.count("Exchange") == 1, plan     # batch side only
+        assert nodes.count("Generate") == 1, plan     # batch explode only
+        assert "SortMergeJoin" in plan
+        assert cand.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

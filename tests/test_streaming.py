@@ -1373,7 +1373,7 @@ def test_sink_store_table_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="derives its probe-join keys"):
         incremental_dedupe_sink(
             stream, "o", "s", "c", "text", "doc_id",
-            mode="simhash", store_table="nope",
+            mode="phash", store_table="nope",
         )
 
     # plain-parquet dir: refusing to lie to the planner
@@ -1561,5 +1561,76 @@ def test_sink_refuses_temp_view_and_plain_append_poisoning(spark, tmp_path):
         # the store is intact and the correctly-configured stream resumes
         run(3, store_table=table, store_buckets=4)
         assert spark.table(table).count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_incremental_simhash_sink_bucketed_store_table(spark, tmp_path):
+    """mode='simhash' + store_table rides the KEY-INDEX store: near-dup
+    re-crawls streamed in later runs are dropped against the carried
+    (combo, key) table, the combo-split identity sidecar refuses a
+    mismatched probe, and the cross-session resume path works."""
+    import json as _json
+    import uuid
+
+    import pytest
+
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucket_spec,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        incremental_dedupe_sink,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun "
+        "and distant birds sing quietly across the shaded garden path"
+    )
+    table = f"sh_idx_{uuid.uuid4().hex[:8]}"
+    src = tmp_path / "sh_in"
+    src.mkdir()
+    out = str(tmp_path / "sh_out")
+    store = str(tmp_path / "sh_store")
+
+    def doc(i, text):
+        return _json.dumps({"doc_id": i, "text": text})
+
+    runs = [0]
+
+    def run(**kw):
+        runs[0] += 1
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        q = incremental_dedupe_sink(
+            stream, out, store, str(tmp_path / f"sh_ck{runs[0]}"),
+            "text", "doc_id", mode="simhash", store_table=table,
+            store_buckets=8, **kw,
+        )
+        q.awaitTermination()
+
+    try:
+        (src / "b1.json").write_text(doc(1, base))
+        run()
+        assert read_bucket_spec(store)["bucket_cols"] == ["combo", "key"]
+        # restart: catalog lost, sidecars survive
+        spark.sql(f"DROP TABLE {table}")
+        (src / "b2.json").write_text(
+            doc(10, base.replace("afternoon", "evening"))  # near re-crawl
+            + "\n"
+            + doc(11, "completely unrelated content about distributed "
+                      "query engines partitioning shuffle exchanges")
+        )
+        run()
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert got == [1, 11]  # 10 dropped against the carried index
+        assert spark.table(table).count() == 2 * 20  # 20 combos per doc
+
+        # combo-split identity: probing at a different split refuses
+        (src / "b3.json").write_text(doc(30, "whatever new text body"))
+        with pytest.raises(Exception, match="not comparable"):
+            run(n_blocks=5)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
