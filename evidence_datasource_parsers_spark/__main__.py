@@ -62,12 +62,12 @@ def main(argv: list[str] | None = None) -> int:
     refresh.add_argument("--store-table", default=None,
                          help="carry the fingerprint store as a BUCKETED "
                          "catalog table under this name (exact: "
-                         "content_hash, lsh: band+key): the per-round "
+                         "content_hash, lsh: band+key, simhash: the "
+                         "combo+key KEY-INDEX form): the per-round "
                          "probe reads the store in place instead of "
                          "re-shuffling it — the corpus-scale path; "
                          "re-registered from _bucket_spec.json in fresh "
-                         "sessions; not available for simhash (derived "
-                         "probe keys)")
+                         "sessions")
     refresh.add_argument("--canon-table", default=None,
                          help="carry the canon segment store as a "
                          "bucketed table (seg_key); needs --canon-store")
@@ -642,16 +642,7 @@ def _refresh(args) -> int:
     if args.canon_col and not args.canon_store:
         print("refresh: --canon-col needs --canon-store", file=sys.stderr)
         return 2
-    if args.store_table and args.mode == "simhash":
-        print(
-            "refresh: --store-table is not available for --mode simhash "
-            "here (the refresh pipeline carries the classic 16-byte "
-            "fingerprint store; the KEY-INDEX form that makes a bucketed "
-            "table worthwhile rides the streaming sink or the "
-            "incremental_simhash_dedupe_indexed operator directly)",
-            file=sys.stderr,
-        )
-        return 2
+    simhash_index = bool(args.store_table) and args.mode == "simhash"
     if args.canon_table and not args.canon_store:
         print("refresh: --canon-table needs --canon-store", file=sys.stderr)
         return 2
@@ -667,6 +658,33 @@ def _refresh(args) -> int:
     # __old_* dir — restore it before reading
     if recover_store_dir(args.store):
         print(f"refresh: recovered {args.store} from interrupted swap")
+    if simhash_index and os.path.isdir(args.store):
+        # the KEY-INDEX store's combo split is its identity (same
+        # refuse-on-mismatch discipline as the sink); the CLI runs the
+        # operator defaults, so the sidecar must record exactly those
+        from evidence_datasource_parsers_spark.operators.dedupe import (
+            read_simhash_index_meta,
+        )
+
+        ident = {"nbits": 32, "max_hamming": 3, "n_blocks": 6}
+        recorded = read_simhash_index_meta(args.store)
+        if recorded is None:
+            print(
+                f"refresh: simhash index store {args.store} has no "
+                "_simhash_index_meta.json sidecar — its combo split is "
+                "unknown; stamp it once with write_simhash_index_meta "
+                "and re-run",
+                file=sys.stderr,
+            )
+            return 2
+        if recorded != ident:
+            print(
+                f"refresh: simhash index store {args.store} records "
+                f"{recorded}, this CLI probes at {ident} — the packed "
+                "keys are not comparable",
+                file=sys.stderr,
+            )
+            return 2
     # bucketed-table-first when --store-table is set (the probe join then
     # reads the store in place); plain parquet otherwise
     prev = read_store(spark, args.store, args.store_table)
@@ -714,6 +732,7 @@ def _refresh(args) -> int:
         args.text_col,
         args.id_col,
         mode=args.mode,
+        simhash_index=simhash_index,
         min_quality=args.min_quality,
         num_shards=args.shards,
         canonicalize=args.canonicalize,
@@ -784,6 +803,12 @@ def _refresh(args) -> int:
             res.store_delta, args.store, args.store_table, prev,
             SINK_BUCKET_COLS.get(args.mode, ["content_hash"]),
         )
+        if simhash_index:
+            from evidence_datasource_parsers_spark.operators.dedupe import (
+                write_simhash_index_meta,
+            )
+
+            write_simhash_index_meta(args.store, 32, 3, 6)
         if canon_delta is not None:
             from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: E501
                 write_canon_store_meta,

@@ -37,6 +37,7 @@ from evidence_datasource_parsers_spark.operators.dedupe import (
     incremental_exact_dedupe,
     incremental_lsh_dedupe,
     incremental_simhash_dedupe,
+    incremental_simhash_dedupe_indexed,
 )
 from evidence_datasource_parsers_spark.operators.sampling import (
     split_assign,
@@ -82,6 +83,7 @@ def refresh_corpus_batch(
     id_col: str = "doc_id",
     *,
     mode: str = "lsh",
+    simhash_index: bool = False,
     min_quality: float | None = None,
     splits: dict | None = None,
     num_shards: int = 64,
@@ -110,6 +112,14 @@ def refresh_corpus_batch(
     a store is only meaningful to the mode that wrote it).
     ``dedupe_kwargs`` pass through to the chosen incremental operator
     (num_perm/bands/k/threshold/…).
+
+    ``simhash_index=True`` (``mode='simhash'`` only) probes/advances the
+    pre-exploded KEY-INDEX store form
+    (`incremental_simhash_dedupe_indexed`: ``(combo, key, simhash, id)``
+    rows, bucketable on ``(combo, key)``) instead of the classic 16-byte
+    fingerprint store — the two store forms are NOT interchangeable;
+    pick one per store for its lifetime (migrate with
+    `simhash_key_index`).  The CLI sets this with --store-table.
 
     ``canonicalize=True`` fingerprints the Unicode-canonical text
     (textnorm.dedup_key: NFKC + casefold + whitespace collapse) instead of
@@ -205,9 +215,12 @@ def refresh_corpus_batch(
             res.fresh, res.store, res.delta, (res.pinned,)
         )
     elif mode == "simhash":
-        res = incremental_simhash_dedupe(
-            batch, prev_store, fp_col, id_col, **dedupe_kwargs
+        op = (
+            incremental_simhash_dedupe_indexed
+            if simhash_index
+            else incremental_simhash_dedupe
         )
+        res = op(batch, prev_store, fp_col, id_col, **dedupe_kwargs)
         fresh, store, delta, pinned = (
             res.fresh, res.store, res.delta, (res.pinned,)
         )

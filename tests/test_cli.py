@@ -682,3 +682,54 @@ def test_compact_cli_table_misuse_exits_2(spark, tmp_path, capsys):
                  "--table", "nope_tbl"]) == 2
     err = capsys.readouterr().err
     assert "_bucket_spec.json" in err and "bootstrap" in err
+
+
+def test_refresh_cli_simhash_index_table_two_rounds(spark, tmp_path):
+    """refresh --mode simhash --store-table: the batch CLI rides the
+    KEY-INDEX store — near-dup re-crawls die against the carried
+    (combo, key) table across a catalog-losing restart, and the combo
+    split sidecar gates resumption."""
+    import uuid
+
+    base_txt = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun "
+        "and distant birds sing quietly across the shaded garden path"
+    )
+    table = f"rcli_sh_{uuid.uuid4().hex[:8]}"
+    b1, b2 = str(tmp_path / "sh_b1"), str(tmp_path / "sh_b2")
+    store = str(tmp_path / "sh_fp_store")
+    out = str(tmp_path / "sh_ready")
+    spark.createDataFrame(
+        [(1, base_txt)], "doc_id long, text string"
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [(10, base_txt.replace("afternoon", "evening")),  # near re-crawl
+         (11, "completely unrelated content about distributed query "
+              "engines partitioning shuffle exchanges and plans")],
+        "doc_id long, text string",
+    ).write.parquet(b2)
+    args = ["refresh", "--store", store, "--out", out, "--mode", "simhash",
+            "--store-table", table, "--store-buckets", "8"]
+    try:
+        assert main(args + ["--batch", b1]) == 0
+        from evidence_datasource_parsers_spark.operators.dedupe import (
+            read_simhash_index_meta,
+        )
+        from evidence_datasource_parsers_spark.sources.sinks import (
+            read_bucket_spec,
+        )
+
+        assert read_bucket_spec(store)["bucket_cols"] == ["combo", "key"]
+        assert read_simhash_index_meta(store) == {
+            "nbits": 32, "max_hamming": 3, "n_blocks": 6,
+        }
+        spark.sql(f"DROP TABLE {table}")  # fresh-session resume
+        assert main(args + ["--batch", b2]) == 0
+        got = sorted(
+            r.doc_id for r in spark.read.parquet(out).collect()
+        )
+        assert got == [1, 11]  # 10 dropped against the carried index
+        assert spark.table(table).count() == 2 * 20
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
