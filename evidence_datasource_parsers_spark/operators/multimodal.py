@@ -1241,6 +1241,115 @@ def _incremental_fingerprint_dedupe(
     )
 
 
+def _incremental_fingerprint_dedupe_indexed(
+    new_batch: DataFrame,
+    key_store: DataFrame | None,
+    fp_all: DataFrame,
+    id_col: str,
+    fp_col: str,
+    *,
+    max_hamming: int,
+    n_blocks: int,
+    nbits: int = 63,
+) -> IncrementalPhashResult:
+    """:func:`_incremental_fingerprint_dedupe` against a PRE-EXPLODED
+    key-index store ``(combo, key, <fp_col>, id)`` — the perceptual twin
+    of ``dedupe.incremental_simhash_dedupe_indexed``.  The classic core
+    re-derives the store side's block-combination keys every batch
+    (O(store × combos) Generate per probe); here the explosion is paid
+    once at advance time and the probe joins stored columns, so a store
+    carried as a ``(combo, key)``-bucketed table is read in place.
+    Within-batch collapse, NULL-fingerprint pass-through, and the drop
+    rule are identical to the classic core (equivalence-tested); the
+    combo split (nbits/max_hamming/n_blocks) is store identity,
+    recorded by consumers in the shared ``_simhash_index_meta.json``
+    hamming-index sidecar (``dedupe.write_simhash_index_meta``)."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        hamming_distance,
+        simhash_combo_keys,
+    )
+
+    fp_ok = fp_all.where(F.col(fp_col).isNotNull())
+    surv_ids = (
+        fp_ok.groupBy(fp_col).agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col)
+    )
+    null_ids = fp_all.where(F.col(fp_col).isNull()).select(id_col)
+    fp = fp_ok.join(surv_ids, on=id_col, how="left_semi").persist()
+    keep_ids = surv_ids.unionByName(null_ids)
+    survivors = new_batch.join(keep_ids, on=id_col, how="left_semi")
+
+    def explode_index(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col),
+            F.col(fp_col),
+            F.explode(
+                simhash_combo_keys(
+                    F.col(fp_col), nbits, max_hamming, n_blocks
+                )
+            ).alias("__k"),
+        ).select("__k.combo", "__k.key", fp_col, id_col)
+
+    if key_store is None:
+        delta = explode_index(fp)
+        return IncrementalPhashResult(
+            fresh=survivors, store=delta, pinned=fp, delta=delta
+        )
+    batch_keys = fp.select(
+        F.col(id_col),
+        F.col(fp_col).alias("__np"),
+        F.explode(
+            simhash_combo_keys(F.col(fp_col), nbits, max_hamming, n_blocks)
+        ).alias("__k"),
+    ).select(id_col, "__np", "__k.combo", "__k.key")
+    store_side = key_store.select(
+        "combo", "key", F.col(fp_col).alias("__sp")
+    )
+    dropped = (
+        batch_keys.join(store_side, on=["combo", "key"])
+        .filter(
+            hamming_distance(F.col("__np"), F.col("__sp"))
+            <= F.lit(max_hamming)
+        )
+        .select(id_col)
+    )
+    fresh = survivors.join(dropped, on=id_col, how="left_anti")
+    delta = explode_index(fp.join(dropped, on=id_col, how="left_anti"))
+    new_store = key_store.select(
+        "combo", "key", fp_col, id_col
+    ).unionByName(delta)
+    return IncrementalPhashResult(
+        fresh=fresh, store=new_store, pinned=fp, delta=delta
+    )
+
+
+def incremental_phash_dedupe_indexed(
+    new_batch: DataFrame,
+    key_store: DataFrame | None,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    *,
+    max_hamming: int = 6,
+    n_blocks: int = 9,
+    batch_phashes: DataFrame | None = None,
+    decode_hook: DecodeHook = None,
+) -> IncrementalPhashResult:
+    """:func:`incremental_phash_dedupe` against the pre-exploded
+    ``(combo, key, phash, id)`` key-index store — semantics identical,
+    probe reads a ``(combo, key)``-bucketed table in place."""
+    fp_all = (
+        batch_phashes
+        if batch_phashes is not None
+        else image_phash_frame(
+            new_batch, binary_col, id_col, decode_hook=decode_hook
+        )
+    )
+    return _incremental_fingerprint_dedupe_indexed(
+        new_batch, key_store, fp_all, id_col, "phash",
+        max_hamming=max_hamming, n_blocks=n_blocks,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Audio fingerprinting — the FIFTH modality of the fingerprint-store family
 # (exact → lexical → semantic → perceptual-image → perceptual-audio)
@@ -1381,6 +1490,33 @@ def incremental_audio_dedupe(
     )
     return _incremental_fingerprint_dedupe(
         new_batch, afp_store, fp_all, id_col, "afp",
+        max_hamming=max_hamming, n_blocks=n_blocks,
+    )
+
+
+def incremental_audio_dedupe_indexed(
+    new_batch: DataFrame,
+    key_store: DataFrame | None,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    *,
+    max_hamming: int = 8,
+    n_blocks: int = 10,
+    batch_fingerprints: DataFrame | None = None,
+    decode_hook: DecodeHook = None,
+) -> IncrementalPhashResult:
+    """:func:`incremental_audio_dedupe` against the pre-exploded
+    ``(combo, key, afp, id)`` key-index store — semantics identical,
+    probe reads a ``(combo, key)``-bucketed table in place."""
+    fp_all = (
+        batch_fingerprints
+        if batch_fingerprints is not None
+        else audio_fingerprint_frame(
+            new_batch, binary_col, id_col, decode_hook=decode_hook
+        )
+    )
+    return _incremental_fingerprint_dedupe_indexed(
+        new_batch, key_store, fp_all, id_col, "afp",
         max_hamming=max_hamming, n_blocks=n_blocks,
     )
 
@@ -2016,6 +2152,32 @@ def incremental_remux_dedupe(
     # this tier wants, verified by bit_count(xor) == 0
     return _incremental_fingerprint_dedupe(
         new_batch, stream_store,
+        fp_all.select(id_col, "stream_hash"),
+        id_col, "stream_hash", max_hamming=0, n_blocks=1,
+    )
+
+
+def incremental_remux_dedupe_indexed(
+    new_batch: DataFrame,
+    key_store: DataFrame | None,
+    binary_col: str = "blob",
+    id_col: str = "media_id",
+    *,
+    batch_stream_hashes: DataFrame | None = None,
+) -> IncrementalPhashResult:
+    """:func:`incremental_remux_dedupe` against the key-index store.
+    At max_hamming=0 / n_blocks=1 the "index" is one (combo=0,
+    key=full-hash) row per clip — the same cardinality as the classic
+    store — so the gain here is purely the direct equi-join on stored
+    columns (zero store-side Generate/Exchange under a bucketed table),
+    and the uniform store format across the hamming family."""
+    fp_all = (
+        batch_stream_hashes
+        if batch_stream_hashes is not None
+        else video_stream_hash_frame(new_batch, binary_col, id_col)
+    )
+    return _incremental_fingerprint_dedupe_indexed(
+        new_batch, key_store,
         fp_all.select(id_col, "stream_hash"),
         id_col, "stream_hash", max_hamming=0, n_blocks=1,
     )

@@ -215,18 +215,50 @@ def rewrite_bucketed_store(
     return n
 
 
+def _check_hamming_index_meta(store_dir: str, ident: dict) -> None:
+    """Validate a hamming key-index store's combo-split sidecar against
+    the sink's configuration — a store probed under a different
+    (nbits, max_hamming, n_blocks) silently MISSES near-dups, so
+    missing/mismatched sidecars refuse, like the span cap / canon k."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        read_simhash_index_meta,
+    )
+
+    if not os.path.isdir(store_dir):
+        return
+    recorded = read_simhash_index_meta(store_dir)
+    if recorded is None:
+        raise ValueError(
+            f"hamming index store {store_dir} has no "
+            "_simhash_index_meta.json sidecar: its combo split is "
+            f"unknown and probing it under {ident} could miss "
+            "near-dups. Stamp it once with write_simhash_index_meta "
+            "and re-run."
+        )
+    if recorded != ident:
+        raise ValueError(
+            f"hamming index store {store_dir} was built with "
+            f"{recorded}; this sink is configured with {ident} — the "
+            "packed keys are not comparable"
+        )
+
+
 #: Modes whose per-batch store probe joins on STORED columns directly —
 #: exactly these can ride a bucketed store table with zero store-side
-#: Exchange.  ``simhash`` qualifies through its KEY-INDEX store form
-#: (`incremental_simhash_dedupe_indexed`: the block-combination keys are
-#: persisted, not re-derived per batch).  The remaining modes
-#: (phash/audio/video/remux/embedding) still derive their join keys at
-#: probe time by exploding the stored fingerprint, so bucketing their
-#: stored rows cannot co-locate the candidate join.
+#: Exchange.  The hamming family (simhash/phash/audio/remux) qualifies
+#: through its KEY-INDEX store form (`incremental_simhash_dedupe_indexed`
+#: / `multimodal._incremental_fingerprint_dedupe_indexed`: the
+#: block-combination keys are persisted, not re-derived per batch).
+#: ``video`` stays out (its overlap rule needs a store-wide per-clip
+#: frame-count aggregate regardless of layout) and so does
+#: ``embedding`` (hyperplane bucket keys are derived from the vectors).
 SINK_BUCKET_COLS: dict[str, list[str]] = {
     "exact": ["content_hash"],
     "lsh": ["band", "key"],
     "simhash": ["combo", "key"],
+    "phash": ["combo", "key"],
+    "audio": ["combo", "key"],
+    "remux": ["combo", "key"],
     "span": ["gram_hash"],
     "canon": ["seg_key"],
 }
@@ -495,34 +527,12 @@ def incremental_dedupe_sink(
                 ).write.mode("append").parquet(provenance_dir)
         elif mode == "simhash":
             if store_table is not None:
-                # key-INDEX store (pre-exploded (combo, key) rows): the
-                # combo split is store identity — a store probed under a
-                # different (nbits, max_hamming, n_blocks) silently
-                # misses near-dups, so mismatches refuse like the span
-                # cap / canon k
-                ident = {
+                # key-INDEX store (pre-exploded (combo, key) rows)
+                _check_hamming_index_meta(store_dir, {
                     "nbits": dedupe_opts.get("nbits", 32),
                     "max_hamming": dedupe_opts.get("max_hamming", 3),
                     "n_blocks": dedupe_opts.get("n_blocks", 6),
-                }
-                if os.path.isdir(store_dir):
-                    recorded = dd.read_simhash_index_meta(store_dir)
-                    if recorded is None:
-                        raise ValueError(
-                            f"simhash index store {store_dir} has no "
-                            "_simhash_index_meta.json sidecar: its combo "
-                            "split is unknown and probing it under "
-                            f"{ident} could miss near-dups. Stamp it "
-                            "once with write_simhash_index_meta and "
-                            "re-run."
-                        )
-                    if recorded != ident:
-                        raise ValueError(
-                            f"simhash index store {store_dir} was built "
-                            f"with {recorded}; this sink is configured "
-                            f"with {ident} — the packed keys are not "
-                            "comparable"
-                        )
+                })
                 res = dd.incremental_simhash_dedupe_indexed(
                     batch_df, store, text_col, id_col, **dedupe_opts
                 )
@@ -533,23 +543,45 @@ def incremental_dedupe_sink(
             fresh, new_store, delta = res.fresh, res.store, res.delta
             fresh = fresh.persist()
         elif mode == "phash":
-            from evidence_datasource_parsers_spark.operators.multimodal import (
+            from evidence_datasource_parsers_spark.operators.multimodal import (  # noqa: E501
                 incremental_phash_dedupe,
+                incremental_phash_dedupe_indexed,
             )
 
-            res = incremental_phash_dedupe(
-                batch_df, store, text_col, id_col, **dedupe_opts
-            )
+            if store_table is not None:
+                _check_hamming_index_meta(store_dir, {
+                    "nbits": 63,
+                    "max_hamming": dedupe_opts.get("max_hamming", 6),
+                    "n_blocks": dedupe_opts.get("n_blocks", 9),
+                })
+                res = incremental_phash_dedupe_indexed(
+                    batch_df, store, text_col, id_col, **dedupe_opts
+                )
+            else:
+                res = incremental_phash_dedupe(
+                    batch_df, store, text_col, id_col, **dedupe_opts
+                )
             fresh, new_store, delta = res.fresh, res.store, res.delta
             fresh = fresh.persist()
         elif mode == "audio":
-            from evidence_datasource_parsers_spark.operators.multimodal import (
+            from evidence_datasource_parsers_spark.operators.multimodal import (  # noqa: E501
                 incremental_audio_dedupe,
+                incremental_audio_dedupe_indexed,
             )
 
-            res = incremental_audio_dedupe(
-                batch_df, store, text_col, id_col, **dedupe_opts
-            )
+            if store_table is not None:
+                _check_hamming_index_meta(store_dir, {
+                    "nbits": 63,
+                    "max_hamming": dedupe_opts.get("max_hamming", 8),
+                    "n_blocks": dedupe_opts.get("n_blocks", 10),
+                })
+                res = incremental_audio_dedupe_indexed(
+                    batch_df, store, text_col, id_col, **dedupe_opts
+                )
+            else:
+                res = incremental_audio_dedupe(
+                    batch_df, store, text_col, id_col, **dedupe_opts
+                )
             fresh, new_store, delta = res.fresh, res.store, res.delta
             fresh = fresh.persist()
         elif mode == "video":
@@ -563,13 +595,22 @@ def incremental_dedupe_sink(
             fresh, new_store, delta = res.fresh, res.store, res.delta
             fresh = fresh.persist()
         elif mode == "remux":
-            from evidence_datasource_parsers_spark.operators.multimodal import (
+            from evidence_datasource_parsers_spark.operators.multimodal import (  # noqa: E501
                 incremental_remux_dedupe,
+                incremental_remux_dedupe_indexed,
             )
 
-            res = incremental_remux_dedupe(
-                batch_df, store, text_col, id_col, **dedupe_opts
-            )
+            if store_table is not None:
+                _check_hamming_index_meta(store_dir, {
+                    "nbits": 63, "max_hamming": 0, "n_blocks": 1,
+                })
+                res = incremental_remux_dedupe_indexed(
+                    batch_df, store, text_col, id_col, **dedupe_opts
+                )
+            else:
+                res = incremental_remux_dedupe(
+                    batch_df, store, text_col, id_col, **dedupe_opts
+                )
             fresh, new_store, delta = res.fresh, res.store, res.delta
             fresh = fresh.persist()
         elif mode == "canon":
@@ -725,12 +766,23 @@ def incremental_dedupe_sink(
                 write_canon_store_meta(
                     store_dir, dedupe_opts.get("max_dist", 2)
                 )
-            if mode == "simhash" and store_table is not None:
+            if store_table is not None and mode in (
+                "simhash", "phash", "audio", "remux"
+            ):
+                defaults = {
+                    "simhash": (32, 3, 6),
+                    "phash": (63, 6, 9),
+                    "audio": (63, 8, 10),
+                    "remux": (63, 0, 1),
+                }[mode]
                 dd.write_simhash_index_meta(
                     store_dir,
-                    dedupe_opts.get("nbits", 32),
-                    dedupe_opts.get("max_hamming", 3),
-                    dedupe_opts.get("n_blocks", 6),
+                    dedupe_opts.get("nbits", defaults[0])
+                    if mode == "simhash" else defaults[0],
+                    dedupe_opts.get("max_hamming", defaults[1])
+                    if mode != "remux" else 0,
+                    dedupe_opts.get("n_blocks", defaults[2])
+                    if mode != "remux" else 1,
                 )
             if mode == "span":
                 from evidence_datasource_parsers_spark.operators.span_dedup import (  # noqa: E501

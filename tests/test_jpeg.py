@@ -371,3 +371,168 @@ def test_image_phash_frame_string_ids(spark):
     fp = {r["media_id"]: r["phash"] for r in image_phash_frame(df).collect()}
     assert fp["http://a/x.jpg"] is not None
     assert fp["http://a/y.jpg"] is None
+
+
+def test_indexed_perceptual_dedupe_equals_classic(spark):
+    """The hamming key-index store form must be batch-for-batch
+    indistinguishable from the classic perceptual core — synthetic
+    fingerprint frames (via batch_phashes) cover NULL hashes, exact
+    twins, near-dups, and out-of-range pairs without any decoding."""
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        incremental_phash_dedupe,
+        incremental_phash_dedupe_indexed,
+    )
+
+    base = 0x5A5A5A5A5A5A5A5
+    batches = [
+        [(1, base), (2, base ^ 0xFFFF0000), (3, None), (4, base)],
+        [(10, base ^ 0b101),          # hamming 2 of stored 1 → drop
+         (11, base ^ 0x3F3F3F3F),     # far → keep
+         (12, None)],                  # undecodable → keep, unstored
+        [(20, base ^ 0b101),          # replay of 10's hash → drop
+         (21, (base ^ 0x3F3F3F3F) ^ (1 << 20))],  # hamming 1 of 11 → drop
+    ]
+    classic_store = None
+    indexed_store = None
+    for rows in batches:
+        fp = spark.createDataFrame(rows, "media_id long, phash long")
+        batch = fp.select("media_id")
+        rc = incremental_phash_dedupe(
+            batch, classic_store, id_col="media_id", batch_phashes=fp
+        )
+        ri = incremental_phash_dedupe_indexed(
+            batch, indexed_store, id_col="media_id", batch_phashes=fp
+        )
+        assert (
+            {r.media_id for r in rc.fresh.collect()}
+            == {r.media_id for r in ri.fresh.collect()}
+        ), rows
+        classic_store = rc.store.localCheckpoint(eager=True)
+        indexed_store = ri.store.localCheckpoint(eager=True)
+        rc.pinned.unpersist()
+        ri.pinned.unpersist()
+    # C(9, 3) = 84 combos per stored hash at the phash defaults (d=6 →
+    # keep 3 of 9 blocks)
+    from math import comb
+
+    assert indexed_store.count() == classic_store.count() * comb(9, 3)
+    assert (
+        {r.media_id for r in indexed_store.select("media_id").distinct().collect()}
+        == {r.media_id for r in classic_store.select("media_id").collect()}
+    )
+
+
+def test_indexed_remux_dedupe_equals_classic(spark):
+    """remux (max_hamming=0, n_blocks=1): the index is one row per clip —
+    same drop decisions, same cardinality, uniform store format."""
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        incremental_remux_dedupe,
+        incremental_remux_dedupe_indexed,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, 111), (2, 222), (3, None)], "media_id long, stream_hash long"
+    )
+    b2 = spark.createDataFrame(
+        [(10, 111), (11, 333)], "media_id long, stream_hash long"
+    )
+    rc1 = incremental_remux_dedupe(
+        b1.select("media_id"), None, id_col="media_id",
+        batch_stream_hashes=b1,
+    )
+    ri1 = incremental_remux_dedupe_indexed(
+        b1.select("media_id"), None, id_col="media_id",
+        batch_stream_hashes=b1,
+    )
+    cs = rc1.store.localCheckpoint(eager=True)
+    is_ = ri1.store.localCheckpoint(eager=True)
+    rc1.pinned.unpersist(); ri1.pinned.unpersist()
+    assert is_.count() == cs.count() == 2  # one index row per clip
+    rc2 = incremental_remux_dedupe(
+        b2.select("media_id"), cs, id_col="media_id",
+        batch_stream_hashes=b2,
+    )
+    ri2 = incremental_remux_dedupe_indexed(
+        b2.select("media_id"), is_, id_col="media_id",
+        batch_stream_hashes=b2,
+    )
+    assert (
+        {r.media_id for r in rc2.fresh.collect()}
+        == {r.media_id for r in ri2.fresh.collect()}
+        == {11}
+    )
+    rc2.pinned.unpersist(); ri2.pinned.unpersist()
+
+
+def test_phash_sink_bucketed_store_table(spark, tmp_path):
+    """mode='phash' + store_table: the streaming sink carries the image
+    near-dup store as a (combo, key)-bucketed key-index table — a
+    re-encoded copy streamed in a later run drops against it across a
+    catalog-losing restart, and the combo-split sidecar refuses a
+    mismatched probe."""
+    import uuid
+
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucket_spec,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        incremental_dedupe_sink,
+    )
+
+    photo, other = _photo(), _other_photo()
+    table = f"ph_idx_{uuid.uuid4().hex[:8]}"
+    src = tmp_path / "ph_in"
+    src.mkdir()
+    out = str(tmp_path / "ph_out")
+    store = str(tmp_path / "ph_store")
+    runs = [0]
+
+    def land(rows, name):
+        spark.createDataFrame(
+            rows, "media_id long, blob binary"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage_{name}")
+        )
+        import glob as _glob
+        import shutil as _shutil
+
+        part = _glob.glob(str(tmp_path / f"stage_{name}" / "part-*.parquet"))
+        _shutil.move(part[0], str(src / f"{name}.parquet"))
+
+    def run(**kw):
+        runs[0] += 1
+        stream = (
+            spark.readStream.schema("media_id long, blob binary")
+            .parquet(str(src))
+        )
+        incremental_dedupe_sink(
+            stream, out, store, str(tmp_path / f"ph_ck{runs[0]}"),
+            "blob", "media_id", mode="phash", store_table=table,
+            store_buckets=8, **kw,
+        ).awaitTermination()
+
+    try:
+        land([(1, encode_jpeg(photo, quality=95))], "b1")
+        run()
+        assert read_bucket_spec(store)["bucket_cols"] == ["combo", "key"]
+        spark.sql(f"DROP TABLE {table}")  # fresh-session resume
+        land([(10, encode_jpeg(photo, quality=60)),   # re-encode → drop
+              (11, encode_jpeg(other, quality=95))],  # new → keep
+             "b2")
+        run()
+        got = sorted(
+            r.media_id for r in spark.read.parquet(out).collect()
+        )
+        assert got == [1, 11]
+        from math import comb
+
+        assert spark.table(table).count() == 2 * comb(9, 3)
+
+        # combo-split identity refuses a mismatched probe
+        land([(30, encode_jpeg(other, quality=50))], "b3")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="not comparable"):
+            run(n_blocks=8)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

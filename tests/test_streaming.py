@@ -1373,7 +1373,7 @@ def test_sink_store_table_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="derives its probe-join keys"):
         incremental_dedupe_sink(
             stream, "o", "s", "c", "text", "doc_id",
-            mode="phash", store_table="nope",
+            mode="video", store_table="nope",
         )
 
     # plain-parquet dir: refusing to lie to the planner
