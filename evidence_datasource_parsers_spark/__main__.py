@@ -661,19 +661,29 @@ def _refresh(args) -> int:
     if simhash_index and os.path.isdir(args.store):
         # the KEY-INDEX store's combo split is its identity (same
         # refuse-on-mismatch discipline as the sink); the CLI runs the
-        # operator defaults, so the sidecar must record exactly those
+        # operator defaults, so the sidecar must record exactly those —
+        # one shared identity table with the sink (review finding r12)
         from evidence_datasource_parsers_spark.operators.dedupe import (
             read_simhash_index_meta,
         )
+        from evidence_datasource_parsers_spark.streaming.incremental import (
+            HAMMING_INDEX_IDENTITY,
+        )
 
-        ident = {"nbits": 32, "max_hamming": 3, "n_blocks": 6}
+        ident = HAMMING_INDEX_IDENTITY["simhash"]
         recorded = read_simhash_index_meta(args.store)
         if recorded is None:
             print(
                 f"refresh: simhash index store {args.store} has no "
                 "_simhash_index_meta.json sidecar — its combo split is "
-                "unknown; stamp it once with write_simhash_index_meta "
-                "and re-run",
+                "unknown. A fresh KEY-INDEX store just needs the stamp "
+                "(write_simhash_index_meta with the true split); a "
+                "CLASSIC fingerprint store from pre-table rounds must "
+                "be MIGRATED first: explode it with simhash_key_index, "
+                "write with sinks.write_bucketed_store(['combo', "
+                "'key'], n), then stamp — classic rows have no "
+                "combo/key columns and cannot be probed by the index "
+                "path.",
                 file=sys.stderr,
             )
             return 2
@@ -807,8 +817,15 @@ def _refresh(args) -> int:
             from evidence_datasource_parsers_spark.operators.dedupe import (
                 write_simhash_index_meta,
             )
+            from evidence_datasource_parsers_spark.streaming.incremental import (  # noqa: E501
+                HAMMING_INDEX_IDENTITY,
+            )
 
-            write_simhash_index_meta(args.store, 32, 3, 6)
+            ident = HAMMING_INDEX_IDENTITY["simhash"]
+            write_simhash_index_meta(
+                args.store, ident["nbits"], ident["max_hamming"],
+                ident["n_blocks"],
+            )
         if canon_delta is not None:
             from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: E501
                 write_canon_store_meta,

@@ -974,6 +974,44 @@ def simhash_fingerprints(
     )
 
 
+def _simhash_batch_survivors(
+    new_batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    nbits: int,
+    batch_fingerprints: DataFrame | None,
+):
+    """Shared within-batch preamble of the classic AND key-index simhash
+    operators — ONE implementation so the equivalence the indexed twin
+    promises can never drift: exact dups collapse to the min-id
+    representative, and the retained docs' fingerprints are persisted.
+    Returns ``(survivors, fp)`` with ``fp`` pinned (caller contract:
+    ``pinned.unpersist()`` after materialization)."""
+    if batch_fingerprints is None:
+        hashed = new_batch.withColumn(
+            "__ch", F.coalesce(content_hash(F.col(text_col)), F.lit(-1))
+        )
+        row_struct = F.struct(*[F.col(c) for c in hashed.columns])
+        survivors = (
+            hashed.groupBy("__ch")
+            .agg(F.min_by(row_struct, F.col(id_col)).alias("__row"))
+            .select("__row.*")
+            .drop("__ch")
+        )
+        fp = simhash_fingerprints(survivors, text_col, id_col, nbits).persist()
+    else:
+        surv_ids = (
+            batch_fingerprints.groupBy("content_hash")
+            .agg(F.min(F.col(id_col)).alias(id_col))
+            .select(id_col)
+        )
+        survivors = new_batch.join(surv_ids, on=id_col, how="left_semi")
+        fp = batch_fingerprints.join(
+            surv_ids, on=id_col, how="left_semi"
+        ).persist()
+    return survivors, fp
+
+
 def incremental_simhash_dedupe(
     new_batch: DataFrame,
     fingerprint_store: DataFrame | None,
@@ -1019,28 +1057,9 @@ def incremental_simhash_dedupe(
     rows for ``new_batch`` (single-scan reuse; same contract as
     ``incremental_lsh_dedupe``'s parameter — ``nbits`` must match).
     """
-    if batch_fingerprints is None:
-        hashed = new_batch.withColumn(
-            "__ch", F.coalesce(content_hash(F.col(text_col)), F.lit(-1))
-        )
-        row_struct = F.struct(*[F.col(c) for c in hashed.columns])
-        survivors = (
-            hashed.groupBy("__ch")
-            .agg(F.min_by(row_struct, F.col(id_col)).alias("__row"))
-            .select("__row.*")
-            .drop("__ch")
-        )
-        fp = simhash_fingerprints(survivors, text_col, id_col, nbits).persist()
-    else:
-        surv_ids = (
-            batch_fingerprints.groupBy("content_hash")
-            .agg(F.min(F.col(id_col)).alias(id_col))
-            .select(id_col)
-        )
-        survivors = new_batch.join(surv_ids, on=id_col, how="left_semi")
-        fp = batch_fingerprints.join(
-            surv_ids, on=id_col, how="left_semi"
-        ).persist()
+    survivors, fp = _simhash_batch_survivors(
+        new_batch, text_col, id_col, nbits, batch_fingerprints
+    )
     if fingerprint_store is None:
         return IncrementalSimhashResult(
             fresh=survivors, store=fp, pinned=fp, delta=fp
@@ -1177,44 +1196,11 @@ def incremental_simhash_dedupe_indexed(
     ``_simhash_index_meta.json`` sidecar by the consumers (the sink
     validates-or-stamps it like the canon k).
     """
-    if batch_fingerprints is None:
-        hashed = new_batch.withColumn(
-            "__ch", F.coalesce(content_hash(F.col(text_col)), F.lit(-1))
-        )
-        row_struct = F.struct(*[F.col(c) for c in hashed.columns])
-        survivors = (
-            hashed.groupBy("__ch")
-            .agg(F.min_by(row_struct, F.col(id_col)).alias("__row"))
-            .select("__row.*")
-            .drop("__ch")
-        )
-        fp = simhash_fingerprints(survivors, text_col, id_col, nbits).persist()
-    else:
-        surv_ids = (
-            batch_fingerprints.groupBy("content_hash")
-            .agg(F.min(F.col(id_col)).alias(id_col))
-            .select(id_col)
-        )
-        survivors = new_batch.join(surv_ids, on=id_col, how="left_semi")
-        fp = batch_fingerprints.join(
-            surv_ids, on=id_col, how="left_semi"
-        ).persist()
-
-    def explode_index(frame: DataFrame) -> DataFrame:
-        return frame.select(
-            F.col(id_col),
-            F.col("simhash"),
-            F.explode(
-                simhash_combo_keys(
-                    F.col("simhash"), nbits, max_hamming, n_blocks
-                )
-            ).alias("__k"),
-        ).select(
-            "__k.combo", "__k.key", "simhash", id_col
-        )
-
+    survivors, fp = _simhash_batch_survivors(
+        new_batch, text_col, id_col, nbits, batch_fingerprints
+    )
     if key_store is None:
-        delta = explode_index(fp)
+        delta = simhash_key_index(fp, id_col, nbits, max_hamming, n_blocks)
         return IncrementalSimhashResult(
             fresh=survivors, store=delta, pinned=fp, delta=delta
         )
@@ -1241,7 +1227,11 @@ def incremental_simhash_dedupe_indexed(
         .select(id_col)
     )
     fresh = survivors.join(dropped, on=id_col, how="left_anti")
-    delta = explode_index(fp.join(dropped, on=id_col, how="left_anti"))
+    # the batch's exploded rows already exist in batch_keys — derive the
+    # delta from them instead of paying a second Generate over fp
+    delta = batch_keys.join(dropped, on=id_col, how="left_anti").select(
+        "combo", "key", F.col("__nsim").alias("simhash"), id_col
+    )
     new_store = key_store.select(
         "combo", "key", "simhash", id_col
     ).unionByName(delta)

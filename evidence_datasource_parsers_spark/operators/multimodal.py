@@ -1179,6 +1179,25 @@ def incremental_phash_dedupe(
     )
 
 
+def _fp_batch_survivors(new_batch, fp_all, id_col, fp_col):
+    """Shared within-batch preamble of the classic AND key-index
+    perceptual cores — one implementation so the indexed twin's
+    equivalence can never drift: exact-hash twins collapse to the min
+    id, NULL-fingerprint rows pass through unstored, retained
+    fingerprints persist.  Returns ``(survivors, fp)`` with ``fp``
+    pinned (caller unpersists via the result's ``pinned``)."""
+    fp_ok = fp_all.where(F.col(fp_col).isNotNull())
+    surv_ids = (
+        fp_ok.groupBy(fp_col).agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col)
+    )
+    null_ids = fp_all.where(F.col(fp_col).isNull()).select(id_col)
+    fp = fp_ok.join(surv_ids, on=id_col, how="left_semi").persist()
+    keep_ids = surv_ids.unionByName(null_ids)
+    survivors = new_batch.join(keep_ids, on=id_col, how="left_semi")
+    return survivors, fp
+
+
 def _incremental_fingerprint_dedupe(
     new_batch: DataFrame,
     store: DataFrame | None,
@@ -1200,15 +1219,7 @@ def _incremental_fingerprint_dedupe(
         simhash_combo_keys,
     )
 
-    fp_ok = fp_all.where(F.col(fp_col).isNotNull())
-    surv_ids = (
-        fp_ok.groupBy(fp_col).agg(F.min(F.col(id_col)).alias(id_col))
-        .select(id_col)
-    )
-    null_ids = fp_all.where(F.col(fp_col).isNull()).select(id_col)
-    fp = fp_ok.join(surv_ids, on=id_col, how="left_semi").persist()
-    keep_ids = surv_ids.unionByName(null_ids)
-    survivors = new_batch.join(keep_ids, on=id_col, how="left_semi")
+    survivors, fp = _fp_batch_survivors(new_batch, fp_all, id_col, fp_col)
     if store is None:
         return IncrementalPhashResult(
             fresh=survivors, store=fp, pinned=fp, delta=fp
@@ -1269,15 +1280,7 @@ def _incremental_fingerprint_dedupe_indexed(
         simhash_combo_keys,
     )
 
-    fp_ok = fp_all.where(F.col(fp_col).isNotNull())
-    surv_ids = (
-        fp_ok.groupBy(fp_col).agg(F.min(F.col(id_col)).alias(id_col))
-        .select(id_col)
-    )
-    null_ids = fp_all.where(F.col(fp_col).isNull()).select(id_col)
-    fp = fp_ok.join(surv_ids, on=id_col, how="left_semi").persist()
-    keep_ids = surv_ids.unionByName(null_ids)
-    survivors = new_batch.join(keep_ids, on=id_col, how="left_semi")
+    survivors, fp = _fp_batch_survivors(new_batch, fp_all, id_col, fp_col)
 
     def explode_index(frame: DataFrame) -> DataFrame:
         return frame.select(
@@ -1314,7 +1317,11 @@ def _incremental_fingerprint_dedupe_indexed(
         .select(id_col)
     )
     fresh = survivors.join(dropped, on=id_col, how="left_anti")
-    delta = explode_index(fp.join(dropped, on=id_col, how="left_anti"))
+    # the batch's exploded rows already exist in batch_keys — derive the
+    # delta from them instead of paying a second Generate over fp
+    delta = batch_keys.join(dropped, on=id_col, how="left_anti").select(
+        "combo", "key", F.col("__np").alias(fp_col), id_col
+    )
     new_store = key_store.select(
         "combo", "key", fp_col, id_col
     ).unionByName(delta)

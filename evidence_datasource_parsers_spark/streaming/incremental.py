@@ -215,6 +215,34 @@ def rewrite_bucketed_store(
     return n
 
 
+#: The ONE place the hamming key-index modes' default combo splits live
+#: (a test asserts these match the operator signatures' defaults, so the
+#: validate-and-stamp gate can never silently desync from the probe).
+#: ``remux``'s split is fixed by construction (full hash, one combo).
+HAMMING_INDEX_IDENTITY: dict[str, dict] = {
+    "simhash": {"nbits": 32, "max_hamming": 3, "n_blocks": 6},
+    "phash": {"nbits": 63, "max_hamming": 6, "n_blocks": 9},
+    "audio": {"nbits": 63, "max_hamming": 8, "n_blocks": 10},
+    "remux": {"nbits": 63, "max_hamming": 0, "n_blocks": 1},
+}
+
+
+def _index_identity(mode: str, dedupe_opts: dict) -> dict:
+    """The combo split THIS sink configuration will probe with: the
+    mode's defaults overridden by the caller's dedupe_opts (simhash
+    exposes all three knobs; phash/audio expose the hamming ones;
+    remux is fixed)."""
+    ident = dict(HAMMING_INDEX_IDENTITY[mode])
+    if mode == "simhash":
+        ident["nbits"] = dedupe_opts.get("nbits", ident["nbits"])
+    if mode != "remux":
+        ident["max_hamming"] = dedupe_opts.get(
+            "max_hamming", ident["max_hamming"]
+        )
+        ident["n_blocks"] = dedupe_opts.get("n_blocks", ident["n_blocks"])
+    return ident
+
+
 def _check_hamming_index_meta(store_dir: str, ident: dict) -> None:
     """Validate a hamming key-index store's combo-split sidecar against
     the sink's configuration — a store probed under a different
@@ -232,8 +260,14 @@ def _check_hamming_index_meta(store_dir: str, ident: dict) -> None:
             f"hamming index store {store_dir} has no "
             "_simhash_index_meta.json sidecar: its combo split is "
             f"unknown and probing it under {ident} could miss "
-            "near-dups. Stamp it once with write_simhash_index_meta "
-            "and re-run."
+            "near-dups. A fresh KEY-INDEX store just needs the stamp "
+            "(write_simhash_index_meta with the true split); a CLASSIC "
+            "fingerprint store from earlier rounds must be MIGRATED "
+            "first — explode it with simhash_key_index (or the "
+            "multimodal fingerprint frame + the same builder), write it "
+            "with sinks.write_bucketed_store(['combo', 'key'], n), then "
+            "stamp — classic rows have no combo/key columns and cannot "
+            "be probed by the index path."
         )
     if recorded != ident:
         raise ValueError(
@@ -406,27 +440,30 @@ def incremental_dedupe_sink(
       * ``'lsh'``    — MinHash-LSH fingerprints: a re-crawl with a few
         changed words is still dropped (`incremental_lsh_dedupe`);
       * ``'simhash'`` — hamming-distance fingerprints
-        (`incremental_simhash_dedupe`);
+        (`incremental_simhash_dedupe`; with ``store_table`` the
+        key-index form `incremental_simhash_dedupe_indexed`);
       * ``'embedding'`` — semantic re-embeds dropped against an INT8
         vector store (`quantize.incremental_embedding_dedupe_quantized`);
         ``text_col`` names the vector column.
       * ``'phash'`` — perceptual IMAGE near-dup: re-encoded/resized
         copies of stored photos dropped against an (id, phash) store
-        (`multimodal.incremental_phash_dedupe`); ``text_col`` names the
-        binary blob column.
+        (`multimodal.incremental_phash_dedupe`; with ``store_table``
+        the key-index form); ``text_col`` names the binary blob column.
       * ``'audio'`` — perceptual AUDIO near-dup: re-rendered/resampled
         copies of stored recordings dropped against an (id, afp)
-        spectral-fingerprint store (`multimodal.incremental_audio_dedupe`);
-        ``text_col`` names the binary blob column.
+        spectral-fingerprint store (`multimodal.incremental_audio_dedupe`;
+        with ``store_table`` the key-index form); ``text_col`` names the
+        binary blob column.
       * ``'video'`` — clip-level near-dup: re-encoded/re-muxed copies of
         stored clips dropped against an (id, frame_idx, phash)
         sampled-frame store (`multimodal.incremental_video_dedupe`);
         ``text_col`` names the binary blob column.
       * ``'remux'`` — exact elementary-stream dedup: the same encoded
         video repackaged in a new container dropped against an
-        (id, stream_hash) store (`multimodal.incremental_remux_dedupe`);
-        no codec needed, so this tier is fully real for MP4/H.264;
-        ``text_col`` names the binary blob column.
+        (id, stream_hash) store (`multimodal.incremental_remux_dedupe`;
+        with ``store_table`` the key-index form); no codec needed, so
+        this tier is fully real for MP4/H.264; ``text_col`` names the
+        binary blob column.
       * ``'span'`` — exact substring dedup: duplicated token spans are
         EXCISED (documents are rewritten, not dropped — every batch doc is
         appended with clean_text/n_tokens/n_removed_tokens) against a
@@ -453,9 +490,22 @@ def incremental_dedupe_sink(
     lands in a ``_bucket_spec.json`` sidecar, so a RESTARTED stream (new
     session, empty in-memory catalog) re-registers the table from the
     files instead of degrading to the plain read.  Only the modes whose
-    probe joins on stored columns accept it (exact/lsh/span/canon — the
-    fingerprint-exploding modes derive their join keys at probe time,
-    where bucketing the stored rows co-locates nothing).  Size
+    probe can join on stored columns accept it: exact/lsh/span/canon
+    directly, and the hamming family (simhash/phash/audio/remux) through
+    their KEY-INDEX store forms — the ``*_indexed`` operators persist
+    the block-combination keys, so the probe equi-joins stored
+    ``(combo, key)`` columns AND skips the classic forms' per-batch
+    O(store × combos) re-explode; their combo split is store identity,
+    validated against (and stamped into) the shared
+    ``_simhash_index_meta.json`` sidecar.  NOTE the two store FORMS are
+    not interchangeable: a classic store carried without ``store_table``
+    must be migrated once (``simhash_key_index`` /
+    ``multimodal`` fingerprint frames → ``sinks.write_bucketed_store``
+    on ``(combo, key)`` → ``write_simhash_index_meta``) before this
+    flag can probe it.  ``video`` refuses the flag (its overlap rule
+    needs a store-wide per-clip frame-count aggregate regardless of
+    layout), as does ``embedding`` (hyperplane bucket keys are derived
+    from the vectors at probe time).  Size
     ``store_buckets`` for the store's TARGET size, not the first
     batch's.  Compact a table-backed store with
     :func:`rewrite_bucketed_store` (CLI: ``compact --table``) — the same
@@ -528,11 +578,9 @@ def incremental_dedupe_sink(
         elif mode == "simhash":
             if store_table is not None:
                 # key-INDEX store (pre-exploded (combo, key) rows)
-                _check_hamming_index_meta(store_dir, {
-                    "nbits": dedupe_opts.get("nbits", 32),
-                    "max_hamming": dedupe_opts.get("max_hamming", 3),
-                    "n_blocks": dedupe_opts.get("n_blocks", 6),
-                })
+                _check_hamming_index_meta(
+                    store_dir, _index_identity("simhash", dedupe_opts)
+                )
                 res = dd.incremental_simhash_dedupe_indexed(
                     batch_df, store, text_col, id_col, **dedupe_opts
                 )
@@ -549,11 +597,9 @@ def incremental_dedupe_sink(
             )
 
             if store_table is not None:
-                _check_hamming_index_meta(store_dir, {
-                    "nbits": 63,
-                    "max_hamming": dedupe_opts.get("max_hamming", 6),
-                    "n_blocks": dedupe_opts.get("n_blocks", 9),
-                })
+                _check_hamming_index_meta(
+                    store_dir, _index_identity("phash", dedupe_opts)
+                )
                 res = incremental_phash_dedupe_indexed(
                     batch_df, store, text_col, id_col, **dedupe_opts
                 )
@@ -570,11 +616,9 @@ def incremental_dedupe_sink(
             )
 
             if store_table is not None:
-                _check_hamming_index_meta(store_dir, {
-                    "nbits": 63,
-                    "max_hamming": dedupe_opts.get("max_hamming", 8),
-                    "n_blocks": dedupe_opts.get("n_blocks", 10),
-                })
+                _check_hamming_index_meta(
+                    store_dir, _index_identity("audio", dedupe_opts)
+                )
                 res = incremental_audio_dedupe_indexed(
                     batch_df, store, text_col, id_col, **dedupe_opts
                 )
@@ -601,9 +645,9 @@ def incremental_dedupe_sink(
             )
 
             if store_table is not None:
-                _check_hamming_index_meta(store_dir, {
-                    "nbits": 63, "max_hamming": 0, "n_blocks": 1,
-                })
+                _check_hamming_index_meta(
+                    store_dir, _index_identity("remux", dedupe_opts)
+                )
                 res = incremental_remux_dedupe_indexed(
                     batch_df, store, text_col, id_col, **dedupe_opts
                 )
@@ -766,23 +810,14 @@ def incremental_dedupe_sink(
                 write_canon_store_meta(
                     store_dir, dedupe_opts.get("max_dist", 2)
                 )
-            if store_table is not None and mode in (
-                "simhash", "phash", "audio", "remux"
-            ):
-                defaults = {
-                    "simhash": (32, 3, 6),
-                    "phash": (63, 6, 9),
-                    "audio": (63, 8, 10),
-                    "remux": (63, 0, 1),
-                }[mode]
+            if store_table is not None and mode in HAMMING_INDEX_IDENTITY:
+                # the CHECKED identity is the STAMPED identity — one
+                # resolver, so the gate can never certify a split the
+                # probe didn't use (review finding r12)
+                ident = _index_identity(mode, dedupe_opts)
                 dd.write_simhash_index_meta(
-                    store_dir,
-                    dedupe_opts.get("nbits", defaults[0])
-                    if mode == "simhash" else defaults[0],
-                    dedupe_opts.get("max_hamming", defaults[1])
-                    if mode != "remux" else 0,
-                    dedupe_opts.get("n_blocks", defaults[2])
-                    if mode != "remux" else 1,
+                    store_dir, ident["nbits"], ident["max_hamming"],
+                    ident["n_blocks"],
                 )
             if mode == "span":
                 from evidence_datasource_parsers_spark.operators.span_dedup import (  # noqa: E501

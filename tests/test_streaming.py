@@ -1634,3 +1634,48 @@ def test_incremental_simhash_sink_bucketed_store_table(spark, tmp_path):
             run(n_blocks=5)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_hamming_index_identity_matches_operator_defaults():
+    """HAMMING_INDEX_IDENTITY is the ONE place the combo-split defaults
+    live for the validate-and-stamp gate; if an operator signature's
+    default drifts from it, the sidecar would certify a split the probe
+    didn't use — the exact silent near-dup miss the sidecar exists to
+    prevent (review finding r12).  No Spark session needed."""
+    import inspect
+
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        incremental_simhash_dedupe_indexed,
+    )
+    from evidence_datasource_parsers_spark.operators.multimodal import (
+        incremental_audio_dedupe_indexed,
+        incremental_phash_dedupe_indexed,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        HAMMING_INDEX_IDENTITY,
+    )
+
+    def defaults(fn, *names):
+        ps = inspect.signature(fn).parameters
+        return {n: ps[n].default for n in names}
+
+    assert HAMMING_INDEX_IDENTITY["simhash"] == defaults(
+        incremental_simhash_dedupe_indexed,
+        "nbits", "max_hamming", "n_blocks",
+    )
+    assert HAMMING_INDEX_IDENTITY["phash"] == {
+        "nbits": 63,  # fixed inside the perceptual core
+        **defaults(
+            incremental_phash_dedupe_indexed, "max_hamming", "n_blocks"
+        ),
+    }
+    assert HAMMING_INDEX_IDENTITY["audio"] == {
+        "nbits": 63,
+        **defaults(
+            incremental_audio_dedupe_indexed, "max_hamming", "n_blocks"
+        ),
+    }
+    # remux is fixed by construction (full hash, one combo)
+    assert HAMMING_INDEX_IDENTITY["remux"] == {
+        "nbits": 63, "max_hamming": 0, "n_blocks": 1,
+    }
