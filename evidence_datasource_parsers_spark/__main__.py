@@ -696,8 +696,15 @@ def _refresh(args) -> int:
             )
             return 2
     # bucketed-table-first when --store-table is set (the probe join then
-    # reads the store in place); plain parquet otherwise
-    prev = read_store(spark, args.store, args.store_table)
+    # reads the store in place); plain parquet otherwise.  read_store's
+    # refusals (sidecar-less dir under --store-table, stale/shadowed
+    # binding) follow the CLI contract — message to stderr, exit 2 — like
+    # _compact's, never a raw traceback
+    try:
+        prev = read_store(spark, args.store, args.store_table)
+    except ValueError as exc:
+        print(f"refresh: {exc}", file=sys.stderr)
+        return 2
     prev_canon = None
     if args.canon_col:
         from evidence_datasource_parsers_spark.operators.fuzzy_join import (
@@ -733,9 +740,13 @@ def _refresh(args) -> int:
                 return 2
             # bucketed-table-first under --canon-table (zero-Exchange
             # store side in the segment probe); plain parquet otherwise
-            prev_canon = read_store(
-                spark, args.canon_store, args.canon_table
-            )
+            try:
+                prev_canon = read_store(
+                    spark, args.canon_store, args.canon_table
+                )
+            except ValueError as exc:
+                print(f"refresh: {exc}", file=sys.stderr)
+                return 2
     res = refresh_corpus_batch(
         batch,
         prev,
@@ -772,10 +783,14 @@ def _refresh(args) -> int:
             if res.canon_store_delta is not None
             else None
         )
-        def advance(delta, store_dir, table, prev_frame, bucket_cols):
+        def advance(delta, store_dir, table, prev_frame, bucket_cols,
+                    stamp=None):
             """Append one store's delta: bucketed table when a table name
-            was given (created on the first round, appended after —
-            O(batch) either way), plain parquet otherwise."""
+            was given (created ATOMICALLY on the first round — files,
+            bucket spec, and identity sidecars appear in one rename, so
+            a crash can't leave a store whose identity is unrecorded —
+            appended after; O(batch) either way), plain parquet
+            otherwise."""
             if table is None:
                 from evidence_datasource_parsers_spark.streaming.incremental import (  # noqa: E501
                     _refuse_plain_append,
@@ -790,15 +805,17 @@ def _refresh(args) -> int:
                 return
             from evidence_datasource_parsers_spark.sources.sinks import (
                 append_bucketed_store,
-                write_bucketed_store,
+            )
+            from evidence_datasource_parsers_spark.streaming.incremental import (  # noqa: E501
+                create_bucketed_store_atomic,
             )
 
             # sever the delta's lineage from the table it appends into
             delta = delta.localCheckpoint(eager=True)
             if prev_frame is None:
-                write_bucketed_store(
-                    delta, store_dir, table, bucket_cols,
-                    args.store_buckets,
+                create_bucketed_store_atomic(
+                    spark, delta, store_dir, table, bucket_cols,
+                    args.store_buckets, stamp=stamp,
                 )
             else:
                 append_bucketed_store(
@@ -809,11 +826,7 @@ def _refresh(args) -> int:
             SINK_BUCKET_COLS,
         )
 
-        advance(
-            res.store_delta, args.store, args.store_table, prev,
-            SINK_BUCKET_COLS.get(args.mode, ["content_hash"]),
-        )
-        if simhash_index:
+        def stamp_fp_store(d):
             from evidence_datasource_parsers_spark.operators.dedupe import (
                 write_simhash_index_meta,
             )
@@ -823,9 +836,18 @@ def _refresh(args) -> int:
 
             ident = HAMMING_INDEX_IDENTITY["simhash"]
             write_simhash_index_meta(
-                args.store, ident["nbits"], ident["max_hamming"],
-                ident["n_blocks"],
+                d, ident["nbits"], ident["max_hamming"], ident["n_blocks"]
             )
+
+        advance(
+            res.store_delta, args.store, args.store_table, prev,
+            SINK_BUCKET_COLS.get(args.mode, ["content_hash"]),
+            stamp=stamp_fp_store if simhash_index else None,
+        )
+        if simhash_index:
+            # idempotent re-stamp (equal values): covers later rounds'
+            # appends; the first-round create already stamped atomically
+            stamp_fp_store(args.store)
         if canon_delta is not None:
             from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: E501
                 write_canon_store_meta,
@@ -834,6 +856,9 @@ def _refresh(args) -> int:
             advance(
                 canon_delta, args.canon_store, args.canon_table,
                 prev_canon, SINK_BUCKET_COLS["canon"],
+                stamp=lambda d: write_canon_store_meta(
+                    d, args.canon_max_dist
+                ),
             )
             write_canon_store_meta(args.canon_store, args.canon_max_dist)
         ready.write.mode("append").parquet(args.out)
@@ -864,6 +889,12 @@ def _refresh(args) -> int:
             ).parquet(args.df_store)
         n = ready.count()
         print(f"refresh: {n} fresh docs → {args.out}; store → {args.store}")
+    except ValueError as exc:
+        # operational refusals from the store layer (flag-less round
+        # against a bucketed table store, bucket-spec mismatch) follow
+        # the CLI contract like _compact: message to stderr, exit 2
+        print(f"refresh: {exc}", file=sys.stderr)
+        return 2
     finally:
         res.done()
     return 0

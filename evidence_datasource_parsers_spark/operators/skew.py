@@ -34,8 +34,16 @@ def salted_join(
     used — pass a real unique column for even spreading).
     """
     src = F.col(salt_source) if salt_source else F.col(on)
+    # A NULL salt source must still land in a real salt bucket: hash(NULL)
+    # is NULL, NULL % n is NULL, and a NULL __salt matches NO dim replica —
+    # the row would be dropped (inner) or NULL-extended (left) even though
+    # its join key has a dim match. coalesce to bucket 0.
     salted_fact = fact.withColumn(
-        "__salt", (portable_hash(src.cast("string")) % n_salts).cast("int")
+        "__salt",
+        F.coalesce(
+            (portable_hash(src.cast("string")) % n_salts).cast("int"),
+            F.lit(0),
+        ),
     )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1))

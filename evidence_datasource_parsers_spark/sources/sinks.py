@@ -236,6 +236,13 @@ def register_bucketed_store(spark, table: str, store_dir: str) -> None:
             "bucket layout they don't have would corrupt every join "
             "planned against it"
         )
+    # a re-register (possibly at a different dir after a drop) must not
+    # ride a stale validated-binding memo from the previous binding
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        invalidate_table_binding,
+    )
+
+    invalidate_table_binding(table)
     cols = ", ".join(f"`{c}`" for c in spec["bucket_cols"])
     loc = os.path.abspath(store_dir).replace("'", "\\'")
     spark.sql(

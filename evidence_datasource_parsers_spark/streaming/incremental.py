@@ -74,6 +74,15 @@ def recover_store_dir(store_dir: str) -> bool:
         if d.startswith(f"{base}__stage_"):
             shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     restored = False
+    if not os.path.isdir(store_dir) and not olds and swaps:
+        # no committed store and nothing to restore: any __swap_* sibling
+        # is an UNCOMMITTED first write (the atomic first-batch create
+        # crashed before its rename, or swap_store_dir's fresh-store
+        # branch did) — the checkpoint never committed, the batch will
+        # replay, so the leftover is garbage
+        for d in swaps:
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        swaps = []
     if not os.path.isdir(store_dir) and olds:
         # the __old_ suffix is a random uuid, so name order says nothing
         # about age — pick the most recently renamed (mtime) candidate so
@@ -103,16 +112,45 @@ def swap_store_dir(store_dir: str, tmp: str) -> None:
         os.rename(tmp, store_dir)
 
 
+def copy_store_sidecars(src_dir: str, dst_dir: str) -> list[str]:
+    """Carry a store's identity sidecars (``_*.json`` — bucket spec,
+    span cap, canon k, hamming combo split, bottom-k …) from ``src_dir``
+    into a freshly written ``dst_dir`` before a swap promotes it.
+
+    A compaction rewrites the PARQUET files but must not lose the
+    sidecars that make the store probeable: dropping
+    ``_simhash_index_meta.json`` in the swap strands a key-index store
+    behind the (misleading) 'classic store must be MIGRATED' refusal
+    until someone hand-stamps it (ADVICE r12).  Files already present in
+    ``dst_dir`` (e.g. the fresh ``_bucket_spec.json`` a bucketed rewrite
+    just stamped) are left alone.  Returns the copied names.
+    """
+    if not os.path.isdir(src_dir):
+        return []
+    copied = []
+    for name in sorted(os.listdir(src_dir)):
+        if not (name.startswith("_") and name.endswith(".json")):
+            continue
+        dst = os.path.join(dst_dir, name)
+        if os.path.exists(dst):
+            continue
+        shutil.copy2(os.path.join(src_dir, name), dst)
+        copied.append(name)
+    return copied
+
+
 def rewrite_store_dir(store_dir: str, df: DataFrame) -> int:
     """The full swap-safe rewrite sequence every compaction shares:
     eagerly checkpoint ``df`` (severing its lineage from the files the
-    swap deletes), write to a tmp sibling, swap into place.  Returns the
-    rewritten row count.  Callers run :func:`recover_store_dir` BEFORE
-    reading the store they derive ``df`` from."""
+    swap deletes), write to a tmp sibling, carry the identity sidecars
+    over, swap into place.  Returns the rewritten row count.  Callers
+    run :func:`recover_store_dir` BEFORE reading the store they derive
+    ``df`` from."""
     out = df.localCheckpoint(eager=True)
     n = out.count()
     tmp = f"{store_dir}__swap_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(tmp)
+    copy_store_sidecars(store_dir, tmp)
     swap_store_dir(store_dir, tmp)
     return n
 
@@ -205,14 +243,64 @@ def rewrite_bucketed_store(
         out.repartition(spec["n_buckets"], *spec["bucket_cols"]),
         tmp, tmp_table, spec["bucket_cols"], spec["n_buckets"],
     )
+    # the identity sidecars beyond the bucket spec (hamming combo split,
+    # canon k, span cap …) live ONLY in the old dir the swap deletes —
+    # carry them into tmp or the compacted store refuses its next probe
+    copy_store_sidecars(store_dir, tmp)
     # both registrations are metadata-only for external tables: dropping
     # them leaves the files for the dir swap to move (the name-binding
     # guard already ran at the top)
     spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    invalidate_table_binding(table)
     swap_store_dir(store_dir, tmp)
     register_bucketed_store(spark, table, store_dir)
     return n
+
+
+def create_bucketed_store_atomic(
+    spark,
+    delta: DataFrame,
+    store_dir: str,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    stamp=None,
+) -> None:
+    """First-batch creation of a bucketed TABLE store with all-or-nothing
+    visibility: the bucketed files are written into a ``__swap_*`` tmp
+    sibling, ``stamp(tmp)`` lands the mode's identity sidecars THERE
+    (hamming combo split, canon k, span cap — ``_bucket_spec.json`` is
+    already stamped by the write itself), and ONE rename makes the store
+    appear fully formed.
+
+    The point is the crash window ADVICE r12 flagged: stamping the
+    hamming sidecar AFTER a direct ``write_bucketed_store`` at the live
+    path leaves, on a crash between the two, a store that
+    ``_check_hamming_index_meta`` refuses with the wrong diagnosis
+    ('classic store must be MIGRATED').  Here a crash before the rename
+    leaves NO store at all — :func:`recover_store_dir` sweeps the
+    orphaned tmp and the replayed batch recreates it; a crash after the
+    rename leaves the complete store, sidecars included.  The catalog
+    re-registration after the rename is metadata-only and idempotent on
+    replay.
+    """
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        register_bucketed_store,
+        write_bucketed_store,
+    )
+
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{store_dir}__swap_{token}"
+    tmp_table = f"{table}__swap_{token}"
+    write_bucketed_store(delta, tmp, tmp_table, bucket_cols, n_buckets)
+    if stamp is not None:
+        stamp(tmp)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    invalidate_table_binding(table)
+    os.rename(tmp, store_dir)
+    register_bucketed_store(spark, table, store_dir)
 
 
 #: The ONE place the hamming key-index modes' default combo splits live
@@ -302,9 +390,22 @@ SINK_BUCKET_COLS: dict[str, list[str]] = {
 #: process already validated — the check is a DESCRIBE + driver collect,
 #: which must not re-run on every micro-batch of a long stream.  Safe to
 #: memoize under the stores' single-writer contract: a binding, once
-#: valid, only changes through rewrite_bucketed_store, which re-registers
-#: the same (table, dir) pair.
+#: valid, only changes through the library's own drop/re-register paths
+#: (rewrite_bucketed_store, register_bucketed_store), which call
+#: :func:`invalidate_table_binding` so the memo can never outlive the
+#: binding it certified.
 _VALIDATED_BINDINGS: set[tuple[str, str]] = set()
+
+
+def invalidate_table_binding(table: str) -> None:
+    """Forget every memoized validation for ``table`` — called by the
+    library paths that drop or re-register a store table (a re-register
+    at a DIFFERENT directory would otherwise ride the stale memo and let
+    ``read_store`` silently probe the wrong files)."""
+    t = table.lower()
+    stale = [k for k in _VALIDATED_BINDINGS if k[0] == t]
+    for k in stale:
+        _VALIDATED_BINDINGS.discard(k)
 
 
 def _validate_table_binding(spark, store_table: str, store_dir: str) -> None:
@@ -313,7 +414,7 @@ def _validate_table_binding(spark, store_table: str, store_dir: str) -> None:
     first — its arbitrary rows would silently become the dedup store),
     or a table registered at a different location (a stale registration
     from another store in this session)."""
-    key = (store_table.lower(), os.path.abspath(store_dir))
+    key = (store_table.lower(), os.path.realpath(store_dir))
     if key in _VALIDATED_BINDINGS:
         return
     tbl = spark.catalog.getTable(store_table)
@@ -752,6 +853,36 @@ def incremental_dedupe_sink(
             )
             fresh, new_store, delta = res.fresh, res.store, res.delta
             fresh = fresh.persist()
+        def stamp_identity(d: str) -> None:
+            """Land the mode's identity sidecars in dir ``d`` — stamped
+            into the atomic create's tmp dir BEFORE the store becomes
+            visible (a crash can then never leave a store whose identity
+            is unrecorded — ADVICE r12), and re-stamped (idempotent,
+            equal values) after every later append."""
+            if mode == "canon":
+                from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: E501
+                    write_canon_store_meta,
+                )
+
+                write_canon_store_meta(d, dedupe_opts.get("max_dist", 2))
+            if store_table is not None and mode in HAMMING_INDEX_IDENTITY:
+                # the CHECKED identity is the STAMPED identity — one
+                # resolver, so the gate can never certify a split the
+                # probe didn't use (review finding r12)
+                ident = _index_identity(mode, dedupe_opts)
+                dd.write_simhash_index_meta(
+                    d, ident["nbits"], ident["max_hamming"],
+                    ident["n_blocks"],
+                )
+            if mode == "span":
+                from evidence_datasource_parsers_spark.operators.span_dedup import (  # noqa: E501
+                    write_gram_store_meta,
+                )
+
+                write_gram_store_meta(
+                    d, dedupe_opts.get("min_occurrences", 2)
+                )
+
         try:
             # Every store advances APPEND-ONLY: the delta (the batch's
             # contribution — disjoint rows for the hash families, capped
@@ -770,7 +901,6 @@ def incremental_dedupe_sink(
             if store_table is not None:
                 from evidence_datasource_parsers_spark.sources.sinks import (
                     append_bucketed_store,
-                    write_bucketed_store,
                 )
 
                 cols = SINK_BUCKET_COLS[mode]
@@ -778,11 +908,13 @@ def incremental_dedupe_sink(
                 # targets) before the insert lists the table's files
                 delta_mat = delta.localCheckpoint(eager=True)
                 if store is None:
-                    # first batch creates the table (and the sidecar the
-                    # restart path re-registers from)
-                    write_bucketed_store(
-                        delta_mat, store_dir, store_table, cols,
-                        store_buckets,
+                    # first batch creates the table atomically: bucketed
+                    # files + _bucket_spec.json + identity sidecars all
+                    # appear in ONE rename, so no crash can leave a store
+                    # whose combo split / k / cap is unrecorded
+                    create_bucketed_store_atomic(
+                        spark, delta_mat, store_dir, store_table, cols,
+                        store_buckets, stamp=stamp_identity,
                     )
                 else:
                     append_bucketed_store(
@@ -802,31 +934,11 @@ def incremental_dedupe_sink(
                 # not poison a bucketed dir with plain part files
                 _refuse_plain_append(store_dir, "store_table=<name>")
                 delta.write.mode("append").parquet(store_dir)
-            if mode == "canon":
-                from evidence_datasource_parsers_spark.operators.fuzzy_join import (  # noqa: E501
-                    write_canon_store_meta,
-                )
-
-                write_canon_store_meta(
-                    store_dir, dedupe_opts.get("max_dist", 2)
-                )
-            if store_table is not None and mode in HAMMING_INDEX_IDENTITY:
-                # the CHECKED identity is the STAMPED identity — one
-                # resolver, so the gate can never certify a split the
-                # probe didn't use (review finding r12)
-                ident = _index_identity(mode, dedupe_opts)
-                dd.write_simhash_index_meta(
-                    store_dir, ident["nbits"], ident["max_hamming"],
-                    ident["n_blocks"],
-                )
-            if mode == "span":
-                from evidence_datasource_parsers_spark.operators.span_dedup import (  # noqa: E501
-                    write_gram_store_meta,
-                )
-
-                write_gram_store_meta(
-                    store_dir, dedupe_opts.get("min_occurrences", 2)
-                )
+            # idempotent re-stamp (equal values) — covers the plain-dir
+            # path and keeps later appends self-healing if a sidecar was
+            # hand-deleted; the table-create path already stamped inside
+            # the atomic rename
+            stamp_identity(store_dir)
             fresh_mat.write.mode("append").parquet(out_dir)
         finally:
             fresh.unpersist()

@@ -733,3 +733,46 @@ def test_refresh_cli_simhash_index_table_two_rounds(spark, tmp_path):
         assert spark.table(table).count() == 2 * 20
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_refresh_cli_store_errors_exit_2(spark, tmp_path, capsys):
+    """refresh keeps the message+exit-2 CLI contract _compact follows for
+    the same store-layer refusals (ADVICE r13): --store-table against a
+    sidecar-less plain dir, and a flag-less round against a bucketed
+    TABLE store, both print `refresh: ...` to stderr — never a raw
+    traceback."""
+    import uuid
+
+    batch = str(tmp_path / "re2_batch")
+    out = str(tmp_path / "re2_out")
+    spark.createDataFrame(
+        [(1, "some body of text")], "doc_id long, text string"
+    ).write.parquet(batch)
+
+    # case 1: --store-table over a dir whose files are plain parquet
+    plain = str(tmp_path / "re2_plain")
+    spark.range(3).selectExpr(
+        "id AS content_hash"
+    ).write.parquet(plain)
+    assert main(["refresh", "--batch", batch, "--store", plain,
+                 "--out", out, "--mode", "exact",
+                 "--store-table", f"re2_{uuid.uuid4().hex[:8]}"]) == 2
+    err = capsys.readouterr().err
+    assert err.startswith("refresh:") and "_bucket_spec.json" in err
+
+    # case 2: flag-less round against a bucketed TABLE store
+    table = f"re2b_{uuid.uuid4().hex[:8]}"
+    bstore = str(tmp_path / "re2_bucketed")
+    try:
+        assert main(["refresh", "--batch", batch, "--store", bstore,
+                     "--out", out, "--mode", "exact",
+                     "--store-table", table,
+                     "--store-buckets", "4"]) == 0
+        capsys.readouterr()
+        assert main(["refresh", "--batch", batch, "--store", bstore,
+                     "--out", out, "--mode", "exact"]) == 2
+        err = capsys.readouterr().err
+        assert err.startswith("refresh:")
+        assert "bucketed TABLE store" in err
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

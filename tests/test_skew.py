@@ -92,6 +92,28 @@ def test_salting_follows_the_advice(spark):
     )
 
 
+def test_salted_join_null_salt_source_still_matches(spark):
+    """A row whose salt_source is NULL must still join: hash(NULL)%n is
+    NULL, and a NULL __salt would match no dim replica — dropped under
+    inner, NULL-extended under left, silently.  The coalesce-to-0 fix
+    pins such rows to salt bucket 0."""
+    fact = spark.createDataFrame(
+        [("HOT", "u1"), ("HOT", None), ("c1", None)],
+        "k string, uid string",
+    )
+    dim = spark.createDataFrame(
+        [("HOT", "hot-dim"), ("c1", "dim1")], "k string, v string"
+    )
+    inner = salted_join(fact, dim, on="k", n_salts=4, salt_source="uid")
+    assert inner.count() == 3  # NULL-uid rows keep their dim match
+    left = salted_join(
+        fact, dim, on="k", n_salts=4, salt_source="uid", how="left"
+    )
+    rows = {(r["k"], r["uid"]): r["v"] for r in left.collect()}
+    assert rows[("HOT", None)] == "hot-dim"
+    assert rows[("c1", None)] == "dim1"
+
+
 def test_report_shuffles_combined_rows_not_input(spark):
     """Plan shape: the report's only wide stage is the per-key aggregate
     (partial_count before the Exchange — map-side combine), and the

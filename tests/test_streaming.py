@@ -1679,3 +1679,180 @@ def test_hamming_index_identity_matches_operator_defaults():
     assert HAMMING_INDEX_IDENTITY["remux"] == {
         "nbits": 63, "max_hamming": 0, "n_blocks": 1,
     }
+
+
+def test_compact_preserves_key_index_sidecar(spark, tmp_path):
+    """`compact --table` on a hamming KEY-INDEX store must carry the
+    `_simhash_index_meta.json` identity sidecar through the dir swap:
+    write_bucketed_store recreates only `_bucket_spec.json`, so without
+    the sidecar copy the next batch/refresh refuses with the misleading
+    'classic store must be MIGRATED' message and the store is stranded
+    (ADVICE r13 medium)."""
+    import json as _json
+    import uuid
+
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        read_simhash_index_meta,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        incremental_dedupe_sink,
+        rewrite_bucketed_store,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun "
+        "and distant birds sing quietly across the shaded garden path"
+    )
+    table = f"kidx_cp_{uuid.uuid4().hex[:8]}"
+    src = tmp_path / "kc_in"
+    src.mkdir()
+    out = str(tmp_path / "kc_out")
+    store = str(tmp_path / "kc_store")
+
+    def doc(i, text):
+        return _json.dumps({"doc_id": i, "text": text})
+
+    runs = [0]
+
+    def run():
+        runs[0] += 1
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        incremental_dedupe_sink(
+            stream, out, store, str(tmp_path / f"kc_ck{runs[0]}"),
+            "text", "doc_id", mode="simhash", store_table=table,
+            store_buckets=4,
+        ).awaitTermination()
+
+    try:
+        (src / "b1.json").write_text(doc(1, base))
+        run()
+        ident = read_simhash_index_meta(store)
+        assert ident == {"nbits": 32, "max_hamming": 3, "n_blocks": 6}
+        n = rewrite_bucketed_store(spark, table, store, spark.table(table))
+        assert n == 20  # 20 combos for the one stored doc
+        # the swap must NOT have dropped the combo-split identity
+        assert read_simhash_index_meta(store) == ident
+        # ...and the compacted store still serves the near-dup probe
+        (src / "b2.json").write_text(
+            doc(10, base.replace("afternoon", "evening"))
+            + "\n"
+            + doc(11, "completely unrelated content about distributed "
+                      "query engines partitioning shuffle exchanges")
+        )
+        run()
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert got == [1, 11]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_first_batch_table_create_is_atomic(spark, tmp_path):
+    """The table store's FIRST batch is all-or-nothing: the identity
+    sidecars are stamped inside the `__swap_*` tmp dir before the one
+    rename that makes the store visible, so no crash can leave a store
+    whose combo split is unrecorded (ADVICE r13 low).  An orphaned tmp
+    from a crashed first batch is swept by recover_store_dir."""
+    import json as _json
+    import os
+    import uuid
+
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        read_simhash_index_meta,
+    )
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucket_spec,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        incremental_dedupe_sink,
+        recover_store_dir,
+    )
+
+    table = f"atom_{uuid.uuid4().hex[:8]}"
+    src = tmp_path / "at_in"
+    src.mkdir()
+    out = str(tmp_path / "at_out")
+    store = str(tmp_path / "at_store")
+
+    # a first batch that crashed before its rename leaves only a tmp
+    # sibling — recover_store_dir treats it as uncommitted garbage
+    orphan = f"{store}__swap_deadbeef"
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("x")
+    assert recover_store_dir(store) is False
+    assert not os.path.isdir(orphan)
+    assert not os.path.isdir(store)
+
+    (src / "b1.json").write_text(
+        _json.dumps({"doc_id": 1, "text": "first ever body"})
+    )
+    try:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        incremental_dedupe_sink(
+            stream, out, store, str(tmp_path / "at_ck"),
+            "text", "doc_id", mode="simhash", store_table=table,
+            store_buckets=4,
+        ).awaitTermination()
+        # the store appeared complete: bucket spec AND combo-split
+        # sidecar both present, no leftover tmp siblings
+        assert read_bucket_spec(store)["bucket_cols"] == ["combo", "key"]
+        assert read_simhash_index_meta(store) is not None
+        parent = os.path.dirname(store)
+        assert not [
+            d for d in os.listdir(parent)
+            if d.startswith(os.path.basename(store) + "__")
+        ]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_binding_memo_invalidated_on_reregister(spark, tmp_path):
+    """The validated-binding memo must not outlive the binding it
+    certified: after the library drops + re-registers a table at a
+    DIFFERENT directory, read_store against the OLD directory must
+    refuse (a stale memo would let it silently probe the new dir's
+    files — ADVICE r13 low)."""
+    import uuid
+
+    import pytest
+
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        register_bucketed_store,
+        write_bucketed_store,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        read_store,
+    )
+
+    table = f"memo_{uuid.uuid4().hex[:8]}"
+    dir_a = str(tmp_path / "memo_a")
+    dir_b = str(tmp_path / "memo_b")
+    try:
+        write_bucketed_store(
+            spark.range(5).selectExpr("id AS content_hash"),
+            dir_a, table, ["content_hash"], 2,
+        )
+        # validate (and memoize) the (table, dir_a) binding
+        assert read_store(spark, dir_a, table).count() == 5
+        # library-controlled re-register at a DIFFERENT directory
+        write_bucketed_store(
+            spark.range(7).selectExpr("id AS content_hash"),
+            dir_b, f"{table}_b", ["content_hash"], 2,
+        )
+        spark.sql(f"DROP TABLE {table}")
+        register_bucketed_store(spark, table, dir_b)
+        # the old binding is gone — a stale memo would return dir_b's
+        # rows for a dir_a read; the guard must refuse instead
+        with pytest.raises(ValueError, match="points at"):
+            read_store(spark, dir_a, table)
+        assert read_store(spark, dir_b, table).count() == 7
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_b")
