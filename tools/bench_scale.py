@@ -93,23 +93,87 @@ def build_scaled(spark, base: str, out: str, replicas: int) -> None:
 
 
 
+#: bench.py's sampling discipline, ported here (VERDICT r12 item 1): the
+#: one-timed-sample rows this harness used to record produced a phantom —
+#: the embedding store's 20× advance factor jumped 1.05→6.25 between
+#: rounds on untouched code, indistinguishable from a real regression
+#: without samples/medians in the artifact itself.
+SAMPLES = 3
+
+
+def record_samples(row: dict, key: str, runs: list[float]) -> None:
+    """Median + raw samples + relative spread for one measurement —
+    the same three fields bench.py records, so a cross-round factor
+    change can be adjudicated from the artifact alone."""
+    from statistics import median
+
+    row[key] = round(median(runs), 3)
+    row[f"{key}_samples"] = [round(r, 3) for r in runs]
+    row[f"{key}_spread"] = round((max(runs) - min(runs)) / min(runs), 3)
+
+
+def probe_median(spark, run, row: dict, label: str) -> None:
+    """Discarded warm-up + median-of-N for a store PROBE (repeatable:
+    probes never mutate).  clearCache before each sample keeps the SQL
+    cache from turning later samples into cache reads."""
+    run()  # discarded warm-up (codegen, shuffle-service, JIT)
+    runs = []
+    for _ in range(SAMPLES):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        run()
+        runs.append(time.perf_counter() - t0)
+    record_samples(row, label, runs)
+
+
+def advance_median(do_append, row: dict, label: str) -> None:
+    """Discarded warm-up + median-of-N for a store ADVANCE.  Appends
+    mutate the store, but every append costs O(batch) write + O(files)
+    metadata regardless of what the rows contain, so re-appending the
+    SAME materialized delta is a faithful re-sample of the advance cost
+    — the store dir is discarded after the case, so content duplication
+    is irrelevant."""
+    do_append()  # discarded warm-up
+    runs = []
+    for _ in range(SAMPLES):
+        t0 = time.perf_counter()
+        do_append()
+        runs.append(time.perf_counter() - t0)
+    record_samples(row, f"advance_{label}", runs)
+
+
+def free_case_state(spark) -> None:
+    """Drop every persisted RDD block between cases.  Each case
+    localCheckpoints its own stores/batches and nothing crosses case
+    boundaries, so after a case returns the blocks are garbage — left
+    alone they accumulate executor memory across the ~11 cases and push
+    the LATER cases into spill (observed in the first median-based run:
+    monotone 4s → 39s → 46s probe samples in a case that runs a stable
+    3s in isolation).  Must run ONLY at case boundaries: unpersisting a
+    localCheckpointed frame a case still holds severs its lineage."""
+    spark.catalog.clearCache()
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist(False)
+
+
 def time_delta_advance(delta, seed_store, label, row, prefix):
     """Time a store ADVANCE under the append-only discipline: seed a dir
     with the carried store (untimed), MATERIALIZE the delta (untimed —
     its lineage re-runs the store probe, which the base/scaled numbers
     already measure; the advance claim is about the append I/O, and the
     real sinks checkpoint fresh/delta before appending anyway), then
-    time appending it.  One-shot (appends mutate); the cost must track
-    the batch, not the store, so advance_factor ≈ 1.0 is the pass
-    condition."""
+    time appending it — warm-up + median-of-N via
+    :func:`advance_median`.  The cost must track the batch, not the
+    store, so advance_factor ≈ 1.0 is the pass condition."""
     adir = tempfile.mkdtemp(prefix=f"{prefix}_adv_{label}_")
     try:
         store_dir = os.path.join(adir, "store")
         seed_store.write.mode("overwrite").parquet(store_dir)
         delta_mat = delta.localCheckpoint(eager=True)
-        t0 = time.perf_counter()
-        delta_mat.write.mode("append").parquet(store_dir)
-        row[f"advance_{label}"] = round(time.perf_counter() - t0, 3)
+        advance_median(
+            lambda: delta_mat.write.mode("append").parquet(store_dir),
+            row, label,
+        )
     except Exception as exc:  # noqa: BLE001
         print(f"{prefix}_advance@{label} failed: {exc}", file=sys.stderr)
         row[f"advance_{label}"] = -1.0
@@ -167,28 +231,29 @@ def incremental_refresh_case(spark, base: str, out_dir: str, materialize):
                 ),
                 store_path, table, ["band", "key"], 32,
             )
-            best = -1.0
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
+            def one_probe():
                 res = incremental_lsh_dedupe(
                     batch, read_bucketed_store(spark, table),
                     "text", "doc_id", mode="word",
                 )
                 materialize(res.fresh)
                 res.pinned.unpersist()
-                dt = time.perf_counter() - t0
-                best = dt if best < 0 else min(best, dt)
-            row[label] = round(best, 3)
+
+            probe_median(spark, one_probe, row, label)
             # ADVANCE: append the batch's delta into the bucketed store —
-            # O(batch) by design; one-shot timing (appends mutate)
+            # O(batch) by design; median-of-N re-appends of the same
+            # materialized delta (see advance_median)
             res = incremental_lsh_dedupe(
                 batch, read_bucketed_store(spark, table),
                 "text", "doc_id", mode="word",
             )
-            t0 = time.perf_counter()
-            append_bucketed_store(res.delta, table, ["band", "key"], 32)
-            row[f"advance_{label}"] = round(time.perf_counter() - t0, 3)
+            delta_mat = res.delta.localCheckpoint(eager=True)
+            advance_median(
+                lambda: append_bucketed_store(
+                    delta_mat, table, ["band", "key"], 32
+                ),
+                row, label,
+            )
             res.pinned.unpersist()
         except Exception as exc:  # noqa: BLE001
             print(f"incremental@{label} failed: {exc}", file=sys.stderr)
@@ -280,27 +345,27 @@ def incremental_simhash_index_case(spark, base, out_dir, materialize):
                 simhash_key_index(store_fp, "doc_id", 32, 3, 6),
                 idx_path, table, ["combo", "key"], 32,
             )
-            best = -1.0
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
+            def one_probe():
                 res = incremental_simhash_dedupe_indexed(
                     batch, read_bucketed_store(spark, table),
                     "text", "doc_id", batch_fingerprints=bfp,
                 )
                 materialize(res.fresh)
                 res.pinned.unpersist()
-                dt = time.perf_counter() - t0
-                best = dt if best < 0 else min(best, dt)
-            row[label] = round(best, 3)
+
+            probe_median(spark, one_probe, row, label)
             # ADVANCE: append the exploded delta — O(batch · combos)
             res = incremental_simhash_dedupe_indexed(
                 batch, read_bucketed_store(spark, table),
                 "text", "doc_id", batch_fingerprints=bfp,
             )
-            t0 = time.perf_counter()
-            append_bucketed_store(res.delta, table, ["combo", "key"], 32)
-            row[f"advance_{label}"] = round(time.perf_counter() - t0, 3)
+            delta_mat = res.delta.localCheckpoint(eager=True)
+            advance_median(
+                lambda: append_bucketed_store(
+                    delta_mat, table, ["combo", "key"], 32
+                ),
+                row, label,
+            )
             res.pinned.unpersist()
         except Exception as exc:  # noqa: BLE001
             print(f"simhash_index@{label} failed: {exc}", file=sys.stderr)
@@ -352,18 +417,14 @@ def incremental_span_case(spark, base, out_dir, materialize):
                 seed.store, store_path, table, ["gram_hash"], 32
             )
             seed.pinned.unpersist()
-            best = -1.0
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
+            def one_probe():
                 res = incremental_span_dedupe(
                     batch, read_bucketed_store(spark, table)
                 )
                 materialize(res.cleaned)
                 res.pinned.unpersist()
-                dt = time.perf_counter() - t0
-                best = dt if best < 0 else min(best, dt)
-            row[label] = round(best, 3)
+
+            probe_median(spark, one_probe, row, label)
             # ADVANCE: the gram store is append-only too (capped
             # per-batch counts; probes take the capped sum per gram)
             res = incremental_span_dedupe(
@@ -426,18 +487,15 @@ def incremental_phash_case(spark, materialize, replicas: int):
     for label, n in (("base", base_n), ("scaled", base_n * replicas)):
         try:
             store = mk_store(n).localCheckpoint(eager=True)  # build untimed
-            best = -1.0
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
+
+            def one_probe():
                 res = incremental_phash_dedupe(
                     batch, store, batch_phashes=batch_fp
                 )
                 materialize(res.fresh)
                 res.pinned.unpersist()
-                dt = time.perf_counter() - t0
-                best = dt if best < 0 else min(best, dt)
-            row[label] = round(best, 3)
+
+            probe_median(spark, one_probe, row, label)
             res = incremental_phash_dedupe(
                 batch, store, batch_phashes=batch_fp
             )
@@ -502,33 +560,28 @@ def frontier_store_case(spark, materialize, replicas: int):
     for label, n in (("base", base_n), ("scaled", base_n * replicas)):
         try:
             store = mk_store(n).localCheckpoint(eager=True)  # untimed
-            best = -1.0
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                res = plan_fetch_batch(
+            res_box = {}
+
+            def one_probe():
+                res_box["res"] = plan_fetch_batch(
                     batch, store, None, max_urls_per_domain=100
                 )
-                materialize(res.ready)
-                dt = time.perf_counter() - t0
-                best = dt if best < 0 else min(best, dt)
-            row[label] = round(best, 3)
+                materialize(res_box["res"].ready)
+
+            probe_median(spark, one_probe, row, label)
             # the ADVANCE (the round-8 verdict's unmeasured path): store
             # dir holds the n-row store on disk (untimed); the timed step
             # appends ONLY the batch's rows — cost must track the batch,
-            # not the store
+            # not the store.  Median-of-N re-appends of the same ready
+            # frame (advance cost is content-independent O(batch)).
             adir = tempfile.mkdtemp(prefix=f"frontier_adv_{label}_")
             try:
                 store_dir = os.path.join(adir, "seen")
                 store.write.mode("overwrite").parquet(store_dir)
-                ready = res.ready.localCheckpoint(eager=True)
-                # ONE-SHOT, like time_delta_advance: appends mutate the
-                # store, so a second sample would append into a dir
-                # already holding the first append — not comparable
-                t0 = time.perf_counter()
-                advance_seen_store(ready, store_dir)
-                row[f"advance_{label}"] = round(
-                    time.perf_counter() - t0, 3
+                ready = res_box["res"].ready.localCheckpoint(eager=True)
+                advance_median(
+                    lambda: advance_seen_store(ready, store_dir),
+                    row, label,
                 )
             finally:
                 shutil.rmtree(adir, ignore_errors=True)
@@ -581,18 +634,15 @@ def incremental_remux_case(spark, materialize, replicas: int):
     for label, n in (("base", base_n), ("scaled", base_n * replicas)):
         try:
             store = mk_store(n).localCheckpoint(eager=True)  # build untimed
-            best = -1.0
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
+
+            def one_probe():
                 res = incremental_remux_dedupe(
                     batch, store, batch_stream_hashes=batch_fp
                 )
                 materialize(res.fresh)
                 res.pinned.unpersist()
-                dt = time.perf_counter() - t0
-                best = dt if best < 0 else min(best, dt)
-            row[label] = round(best, 3)
+
+            probe_median(spark, one_probe, row, label)
             res = incremental_remux_dedupe(
                 batch, store, batch_stream_hashes=batch_fp
             )
@@ -656,24 +706,24 @@ def counter_bloom_case(spark, materialize, replicas: int):
     row = {}
     for label, batches in (("base", 1), ("scaled", replicas)):
         history = mk_history(batches)
-        best = -1.0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            materialize(
+        probe_median(
+            spark,
+            lambda: materialize(
                 bloom_member(history, items, ["g"], "url", k, m_bits)
-            )
-            dt = time.perf_counter() - t0
-            best = dt if best < 0 else min(best, dt)
-        row[label] = round(best, 3)
+            ),
+            row, label,
+        )
         if label == "scaled":
             compacted = compact_bloom_store(history, ["g"]).localCheckpoint(
                 eager=True
             )
-            t0 = time.perf_counter()
-            materialize(
-                bloom_member(compacted, items, ["g"], "url", k, m_bits)
+            probe_median(
+                spark,
+                lambda: materialize(
+                    bloom_member(compacted, items, ["g"], "url", k, m_bits)
+                ),
+                row, "scaled_compacted",
             )
-            row["scaled_compacted"] = round(time.perf_counter() - t0, 3)
             time_delta_advance(
                 bloom_store(mk_batch(99), ["g"], "url", k=k, m_bits=m_bits),
                 history,
@@ -749,13 +799,13 @@ def fuzzy_join_case(spark, materialize, base: str, replicas: int):
     row = {}
     for label, n_rep in (("base", 1), ("scaled", replicas)):
         frame = mk(n_rep)
-        best = -1.0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            materialize(edit_distance_self_join(frame, "title", "doc_id", 2))
-            dt = time.perf_counter() - t0
-            best = dt if best < 0 else min(best, dt)
-        row[label] = round(best, 3)
+        probe_median(
+            spark,
+            lambda: materialize(
+                edit_distance_self_join(frame, "title", "doc_id", 2)
+            ),
+            row, label,
+        )
     if row.get("base", -1) > 0 and row.get("scaled", -1) > 0:
         row["factor"] = round(row["scaled"] / row["base"], 2)
     return row
@@ -838,29 +888,28 @@ def incremental_canon_case(spark, materialize, base: str, replicas: int):
                 canon_segment_rows(mk_reps(n_rep), max_dist=2),
                 store_path, table, ["seg_key"], 32,
             )
-            best = -1.0
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
+            def one_probe():
                 res = incremental_canonicalize_indexed(
                     batch, read_bucketed_store(spark, table),
                     "title", "doc_id", max_dist=2,
                 )
                 materialize(res.mapping)
-                dt = time.perf_counter() - t0
-                best = dt if best < 0 else min(best, dt)
-            row[label] = round(best, 3)
+
+            probe_median(spark, one_probe, row, label)
             # ADVANCE: append the batch's new-rep segment rows into the
-            # bucketed store — O(batch) by design; one-shot (appends
-            # mutate); delta materialized untimed like the other cases
+            # bucketed store — O(batch) by design; median-of-N re-appends
+            # of the same materialized delta
             res = incremental_canonicalize_indexed(
                 batch, read_bucketed_store(spark, table),
                 "title", "doc_id", max_dist=2,
             )
             delta_mat = res.delta.localCheckpoint(eager=True)
-            t0 = time.perf_counter()
-            append_bucketed_store(delta_mat, table, ["seg_key"], 32)
-            row[f"advance_{label}"] = round(time.perf_counter() - t0, 3)
+            advance_median(
+                lambda: append_bucketed_store(
+                    delta_mat, table, ["seg_key"], 32
+                ),
+                row, label,
+            )
         except Exception as exc:  # noqa: BLE001
             print(f"canon@{label} failed: {exc}", file=sys.stderr)
             row[label] = -1.0
@@ -940,10 +989,7 @@ def incremental_embedding_case(spark, materialize, base: str, replicas: int):
                 store_f, "vec_id", "embedding", DIM, N_PLANES, N_TABLES,
                 "embedding",
             ).localCheckpoint(eager=True)
-            best = -1.0
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
+            def one_probe():
                 res = incremental_embedding_dedupe_quantized(
                     batch, q_store, "embedding", "vec_id",
                     dim=DIM, n_planes=N_PLANES, n_tables=N_TABLES,
@@ -951,9 +997,8 @@ def incremental_embedding_case(spark, materialize, base: str, replicas: int):
                 )
                 materialize(res.fresh)
                 res.pinned.unpersist()
-                dt = time.perf_counter() - t0
-                best = dt if best < 0 else min(best, dt)
-            row[label] = round(best, 3)
+
+            probe_median(spark, one_probe, row, label)
             res = incremental_embedding_dedupe_quantized(
                 batch, q_store, "embedding", "vec_id",
                 dim=DIM, n_planes=N_PLANES, n_tables=N_TABLES,
@@ -1018,28 +1063,28 @@ def incremental_df_case(spark, materialize, base: str, out_dir: str):
                 .limit(3)
                 .collect()
             ]
-            best = -1.0
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                materialize(
+            probe_median(
+                spark,
+                lambda: materialize(
                     bm25_against_store(
                         batch, st, q_terms, "text", "doc_id"
                     )
-                )
-                dt = time.perf_counter() - t0
-                best = dt if best < 0 else min(best, dt)
-            row[label] = round(best, 3)
+                ),
+                row, label,
+            )
             delta_mat = df_store_delta(
                 batch, "text", "doc_id"
             ).localCheckpoint(eager=True)
-            t0 = time.perf_counter()
             from evidence_datasource_parsers_spark.sources.sinks import (
                 append_bucketed_store,
             )
 
-            append_bucketed_store(delta_mat, table, ["term"], 32)
-            row[f"advance_{label}"] = round(time.perf_counter() - t0, 3)
+            advance_median(
+                lambda: append_bucketed_store(
+                    delta_mat, table, ["term"], 32
+                ),
+                row, label,
+            )
         except Exception as exc:  # noqa: BLE001
             print(f"df@{label} failed: {exc}", file=sys.stderr)
             row[label] = -1.0
@@ -1098,54 +1143,54 @@ def main() -> None:
     for name in names:
         row = {}
         for label, sf_dir in (("base", base), ("scaled", out_dir)):
-            best = -1.0
             try:
-                for _ in range(2):
-                    spark.catalog.clearCache()
-                    t0 = time.perf_counter()
-                    materialize(CATALOG[name].builder(spark, sf_dir))
-                    dt = time.perf_counter() - t0
-                    best = dt if best < 0 else min(best, dt)
+                probe_median(
+                    spark,
+                    lambda: materialize(CATALOG[name].builder(spark, sf_dir)),
+                    row, label,
+                )
             except Exception as exc:
                 print(f"{name}@{label} failed: {exc}", file=sys.stderr)
-            row[label] = round(best, 3)
+                row[label] = -1.0
         if row["base"] > 0 and row["scaled"] > 0:
             row["factor"] = round(row["scaled"] / row["base"], 2)
         results[name] = row
+        # queries that checkpoint internally (q34's cluster rounds) leak
+        # blocks per sample — free them before the next query measures
+        free_case_state(spark)
 
-    results["incremental_lsh_refresh"] = incremental_refresh_case(
-        spark, base, out_dir, materialize
-    )
-    results["incremental_phash_refresh"] = incremental_phash_case(
-        spark, materialize, replicas
-    )
-    results["incremental_simhash_index"] = incremental_simhash_index_case(
-        spark, base, out_dir, materialize
-    )
-    results["incremental_span_refresh"] = incremental_span_case(
-        spark, base, out_dir, materialize
-    )
-    results["incremental_remux_refresh"] = incremental_remux_case(
-        spark, materialize, replicas
-    )
-    results["frontier_seen_store"] = frontier_store_case(
-        spark, materialize, replicas
-    )
-    results["counter_bloom_store"] = counter_bloom_case(
-        spark, materialize, replicas
-    )
-    results["fuzzy_edit_join"] = fuzzy_join_case(
-        spark, materialize, base, replicas
-    )
-    results["incremental_canon_refresh"] = incremental_canon_case(
-        spark, materialize, base, replicas
-    )
-    results["incremental_embedding_refresh"] = incremental_embedding_case(
-        spark, materialize, base, replicas
-    )
-    results["incremental_df_refresh"] = incremental_df_case(
-        spark, materialize, base, out_dir
-    )
+    free_case_state(spark)  # catalog queries' persisted frames are done
+    cases = [
+        ("incremental_lsh_refresh",
+         lambda: incremental_refresh_case(spark, base, out_dir, materialize)),
+        ("incremental_phash_refresh",
+         lambda: incremental_phash_case(spark, materialize, replicas)),
+        ("incremental_simhash_index",
+         lambda: incremental_simhash_index_case(
+             spark, base, out_dir, materialize)),
+        ("incremental_span_refresh",
+         lambda: incremental_span_case(spark, base, out_dir, materialize)),
+        ("incremental_remux_refresh",
+         lambda: incremental_remux_case(spark, materialize, replicas)),
+        ("frontier_seen_store",
+         lambda: frontier_store_case(spark, materialize, replicas)),
+        ("counter_bloom_store",
+         lambda: counter_bloom_case(spark, materialize, replicas)),
+        ("fuzzy_edit_join",
+         lambda: fuzzy_join_case(spark, materialize, base, replicas)),
+        ("incremental_canon_refresh",
+         lambda: incremental_canon_case(spark, materialize, base, replicas)),
+        ("incremental_embedding_refresh",
+         lambda: incremental_embedding_case(
+             spark, materialize, base, replicas)),
+        ("incremental_df_refresh",
+         lambda: incremental_df_case(spark, materialize, base, out_dir)),
+    ]
+    for cname, fn in cases:
+        results[cname] = fn()
+        # free each case's checkpointed stores BEFORE the next case — the
+        # accumulated blocks are what degraded the late cases' samples
+        free_case_state(spark)
 
     line = json.dumps(
         {
