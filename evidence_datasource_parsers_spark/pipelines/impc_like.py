@@ -117,17 +117,32 @@ def impc_evidence(
         "targetInModelMgiId",
         F.col("disease_term").alias("diseaseFromSource"),
         F.col("disease_id").alias("diseaseFromSourceId"),
+        # model identifier minus the composition/background suffix —
+        # parity with the reference's _cleanup_model_identifier + stable
+        # column list (IMPC.py:441,466-470), and the tiebreaker that
+        # makes the top-1 window a TOTAL order (score ties between two
+        # models of the same identity were previously broken by plan
+        # nondeterminism — an oracle gate can't ride that)
+        F.split(F.col("model_id"), "#").getItem(0).alias(
+            "biologicalModelId"
+        ),
         "biologicalModelAllelicComposition",
         F.col("disease_model_avg_norm").alias("resourceScore"),
         "diseaseModelAssociatedModelPhenotypes",
         "diseaseModelAssociatedHumanPhenotypes",
         *(["literature"] if literature is not None else []),
     )
-    # top-1 per evidence identity by score (IMPC.py:456-462)
+    # top-1 per evidence identity by score (IMPC.py:456-462); the extra
+    # ascending keys pin a deterministic winner among equal scores
     return top_n_per_group(
         evidence,
         UNIQUE_FIELDS,
-        [F.col("resourceScore").desc(), F.col("diseaseFromSourceId").asc()],
+        [
+            F.col("resourceScore").desc(),
+            F.col("diseaseFromSourceId").asc(),
+            F.col("biologicalModelId").asc(),
+            F.col("targetInModelMgiId").asc(),
+        ],
         n=1,
     )
 

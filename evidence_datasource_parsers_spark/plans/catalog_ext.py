@@ -1156,18 +1156,130 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
                                  ELSE -1 END,
                          'value': trim(x)}) AS s
         FROM packed
+    ), prio AS (
+        SELECT 'priority' AS src, o_custkey AS grp,
+               list_max(s)['value'] AS payload,
+               CAST(NULL AS BIGINT) AS score_c
+        FROM scored
+    ),
+    -- impc-shape leg: the reference's most join-dense evidence plan
+    -- replayed over orders/part-derived frames
+    dm AS (
+        SELECT (o_orderkey % 300) AS m, (o_orderkey % 7) AS c,
+               (o_orderkey % 100) AS k, (o_custkey % 40) AS d,
+               o_totalprice AS score
+        FROM orders WHERE NOT (o_totalprice < 150000.0)
+    ),
+    ks AS (SELECT DISTINCT (p_partkey % 100) AS k FROM part),
+    gmap AS (
+        SELECT k, (k % 60) AS h FROM ks
+        UNION ALL SELECT k, (k % 60) + 100 FROM ks WHERE k % 2 = 0
+    ),
+    allm AS (SELECT DISTINCT (o_orderkey % 300) AS m FROM orders),
+    mrows AS (
+        SELECT DISTINCT m, pid, pterm FROM (
+            SELECT m, 'MP:' || CAST(m % 5 AS VARCHAR) AS pid,
+                   'alpha ' || CAST(m % 5 AS VARCHAR) AS pterm FROM allm
+            UNION ALL
+            SELECT m, 'MP:' || CAST(m % 11 AS VARCHAR),
+                   'beta ' || CAST(m % 11 AS VARCHAR) FROM allm
+            UNION ALL
+            SELECT m, 'MP:' || CAST(m % 3 AS VARCHAR),
+                   'gamma ' || CAST(m % 3 AS VARCHAR) FROM allm
+        )
+    ),
+    mpa AS (
+        SELECT m, string_agg(pid || '~' || pterm, ','
+                             ORDER BY pid, pterm) AS mp_str
+        FROM mrows GROUP BY m
+    ),
+    alld AS (SELECT DISTINCT (o_custkey % 40) AS d FROM orders),
+    drows AS (
+        SELECT DISTINCT d, pid, pterm FROM (
+            SELECT d, 'HP:' || CAST(d % 6 AS VARCHAR) AS pid,
+                   'delta ' || CAST(d % 6 AS VARCHAR) AS pterm FROM alld
+            UNION ALL
+            SELECT d, 'HP:' || CAST(d % 13 AS VARCHAR),
+                   'eps ' || CAST(d % 13 AS VARCHAR) FROM alld
+        )
+    ),
+    dpa AS (
+        SELECT d, string_agg(pid || '~' || pterm, ','
+                             ORDER BY pid, pterm) AS hp_str
+        FROM drows GROUP BY d
+    ),
+    lrows AS (
+        SELECT DISTINCT k, ref FROM (
+            SELECT k, 'P' || CAST(k % 30 AS VARCHAR) AS ref FROM ks
+            UNION ALL
+            SELECT k, 'P' || CAST((k % 30) + 50 AS VARCHAR)
+            FROM ks WHERE k % 3 = 0
+        )
+    ),
+    lita AS (
+        SELECT k, string_agg(ref, ';' ORDER BY ref) AS lit_str
+        FROM lrows GROUP BY k
+    ),
+    ev AS (
+        SELECT dm.m, dm.c, dm.k, dm.d, dm.score,
+               'ENSG:' || CAST(gmap.h AS VARCHAR) AS target,
+               'g' || CAST(dm.k AS VARCHAR) AS target_in_model,
+               mpa.mp_str, dpa.hp_str, lita.lit_str
+        FROM dm
+        JOIN gmap ON dm.k = gmap.k
+        LEFT JOIN mpa ON dm.m = mpa.m
+        LEFT JOIN dpa ON dm.d = dpa.d
+        LEFT JOIN lita ON dm.k = lita.k
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY target, d, c
+            ORDER BY score DESC,
+                     'D' || CAST(d AS VARCHAR) ASC,
+                     'M' || CAST(m AS VARCHAR) ASC,
+                     'MGI:' || CAST(k AS VARCHAR) ASC
+        ) AS rn FROM ev
+    ),
+    impc AS (
+        SELECT 'impc' AS src, CAST(NULL AS BIGINT) AS grp,
+               concat_ws('|', target,
+                         'disease-' || CAST(d AS VARCHAR),
+                         'c' || CAST(c AS VARCHAR),
+                         'M' || CAST(m AS VARCHAR),
+                         'MGI:' || CAST(k AS VARCHAR),
+                         target_in_model, mp_str, hp_str,
+                         lit_str) AS payload,
+               CAST(round(score * 100) AS BIGINT) AS score_c
+        FROM ranked WHERE rn = 1
     )
-    SELECT o_custkey, list_max(s)['value'] AS top_priority FROM scored
+    SELECT * FROM prio UNION ALL SELECT * FROM impc
     """,
-    tags=("D3", "priority"),
+    tags=("D3", "priority", "impc", "multi-join", "sentinel"),
 )
 def q52(spark: SparkSession, sf: str) -> DataFrame:
-    """Priority-ranked pick from a delimited list (D3,
+    """Two legs, one generic (src, grp, payload, score_c) schema.
+
+    ``src='priority'``: priority-ranked pick from a delimited list (D3,
     Gene2Phenotype.py:153-191) — rank map + array_max structs, no UDF.
     '4-NOT SPECIFIED' is deliberately unranked (default_rank) to exercise
-    the unknown-item path."""
+    the unknown-item path.
+
+    ``src='impc'``: the IMPC-shape SENTINEL (VERDICT r12 item 2) — the
+    reference's most join-dense plan (IMPC.py:371-470: gene-ID bridge,
+    phenotype explode → collect_set struct aggs, multi-key left joins,
+    score-filtered base, window top-1 over the evidence identity) run
+    through ``pipelines/impc_like.impc_evidence`` on frames derived
+    in-plan from ``orders``/``part`` — 8 joins, 4+ aggregations, 1
+    window in ONE oracle-gated plan, the composition most likely to
+    catch a regression the per-operator queries can't.  Struct arrays
+    are stringified (id~term, sorted) so the value hash crosses engines;
+    every left-join input covers its keys by construction, so no NULL
+    ordering is exercised (concat_ws NULL-skipping never fires)."""
     from evidence_datasource_parsers_spark.functions.priority import (
         highest_priority,
+    )
+    from evidence_datasource_parsers_spark.pipelines.impc_like import (
+        impc_evidence,
     )
 
     o = load(spark, sf, "orders")
@@ -1177,10 +1289,124 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     ranking = {"1-URGENT": 5, "2-HIGH": 4, "3-MEDIUM": 3, "5-LOW": 1}
-    return packed.select(
-        "o_custkey",
-        highest_priority("priorities", ranking).alias("top_priority"),
+    prio = packed.select(
+        F.lit("priority").alias("src"),
+        F.col("o_custkey").alias("grp"),
+        highest_priority("priorities", ranking).alias("payload"),
+        F.lit(None).cast("long").alias("score_c"),
     )
+
+    def s(col):
+        return col.cast("string")
+
+    m, c = F.col("o_orderkey") % 300, F.col("o_orderkey") % 7
+    k, d = F.col("o_orderkey") % 100, F.col("o_custkey") % 40
+    dm = o.select(
+        F.concat(F.lit("M"), s(m), F.lit("#c"), s(c), F.lit("#e")).alias(
+            "model_id"
+        ),
+        F.concat(F.lit("MGI:"), s(k)).alias("marker_id"),
+        F.concat(F.lit("D"), s(d)).alias("disease_id"),
+        F.concat(F.lit("disease-"), s(d)).alias("disease_term"),
+        F.col("o_totalprice").alias("disease_model_avg_norm"),
+    ).filter(
+        # reference parity: negated less-than keeps NULL scores
+        ~(F.col("disease_model_avg_norm") < F.lit(150000.0))
+    )
+    kcol = (F.col("p_partkey") % 100).alias("k")
+    ks = load(spark, sf, "part").select(kcol).distinct()
+    mouse_genes = ks.select(
+        F.concat(F.lit("MGI:"), s(F.col("k"))).alias("targetInModelMgiId"),
+        F.concat(F.lit("g"), s(F.col("k"))).alias("targetInModel"),
+    )
+    # non-1:1 gene mapping (even k maps to TWO hgnc ids) — the join
+    # fan-out the reference calls out (IMPC.py:430-434)
+    gene_map = ks.select(
+        F.concat(F.lit("MGI:"), s(F.col("k"))).alias("gene_id"),
+        F.concat(F.lit("H"), s(F.col("k") % 60)).alias("hgnc_gene_id"),
+    ).unionByName(
+        ks.filter(F.col("k") % 2 == 0).select(
+            F.concat(F.lit("MGI:"), s(F.col("k"))).alias("gene_id"),
+            F.concat(F.lit("H"), s((F.col("k") % 60) + 100)).alias(
+                "hgnc_gene_id"
+            ),
+        )
+    )
+    human_genes = gene_map.select("hgnc_gene_id").distinct().select(
+        "hgnc_gene_id",
+        F.concat(
+            F.lit("ENSG:"),
+            F.regexp_replace(F.col("hgnc_gene_id"), "^H", ""),
+        ).alias("targetFromSourceId"),
+    )
+    models = o.select(m.alias("m"), c.alias("c")).distinct()
+    mm = F.col("m")
+    model_phenotypes = models.select(
+        F.concat(
+            F.lit("M"), s(mm), F.lit("#c"), s(F.col("c")), F.lit("#e")
+        ).alias("model_id"),
+        F.concat(
+            F.lit("MP:"), s(mm % 5), F.lit(" alpha "), s(mm % 5),
+            F.lit(",MP:"), s(mm % 11), F.lit(" beta "), s(mm % 11),
+            F.lit(",MP:"), s(mm % 3), F.lit(" gamma "), s(mm % 3),
+        ).alias("model_phenotypes"),
+    )
+    dis = o.select(d.alias("d")).distinct()
+    dd = F.col("d")
+    disease_phenotypes = dis.select(
+        F.concat(F.lit("D"), s(dd)).alias("disease_id"),
+        F.concat(
+            F.lit("HP:"), s(dd % 6), F.lit(" delta "), s(dd % 6),
+            F.lit(",HP:"), s(dd % 13), F.lit(" eps "), s(dd % 13),
+        ).alias("disease_phenotypes"),
+    )
+    lit = ks.select(
+        F.concat(F.lit("MGI:"), s(F.col("k"))).alias("targetInModelMgiId"),
+        F.concat(F.lit("P"), s(F.col("k") % 30)).alias("literature"),
+    ).unionByName(
+        ks.filter(F.col("k") % 3 == 0).select(
+            F.concat(F.lit("MGI:"), s(F.col("k"))).alias(
+                "targetInModelMgiId"
+            ),
+            F.concat(F.lit("P"), s((F.col("k") % 30) + 50)).alias(
+                "literature"
+            ),
+        )
+    )
+    ev = impc_evidence(
+        dm, mouse_genes, gene_map, human_genes, model_phenotypes,
+        disease_phenotypes, literature=lit,
+    )
+
+    def pheno_str(col: str):
+        return F.concat_ws(
+            ",",
+            F.transform(
+                F.col(col),
+                lambda x: F.concat(
+                    x["phenotype_id"], F.lit("~"), x["phenotype_term"]
+                ),
+            ),
+        )
+
+    impc = ev.select(
+        F.lit("impc").alias("src"),
+        F.lit(None).cast("long").alias("grp"),
+        F.concat_ws(
+            "|",
+            F.col("targetFromSourceId"),
+            F.col("diseaseFromSource"),
+            F.col("biologicalModelAllelicComposition"),
+            F.col("biologicalModelId"),
+            F.col("targetInModelMgiId"),
+            F.col("targetInModel"),
+            pheno_str("diseaseModelAssociatedModelPhenotypes"),
+            pheno_str("diseaseModelAssociatedHumanPhenotypes"),
+            F.concat_ws(";", F.col("literature")),
+        ).alias("payload"),
+        cents(F.col("resourceScore")).alias("score_c"),
+    )
+    return prio.unionByName(impc)
 
 
 @register(
