@@ -179,6 +179,17 @@ def main(argv: list[str] | None = None) -> int:
                           help="compact the seen store after the round "
                           "(one row per hash; the only O(store) step — "
                           "run on a cadence, not every round)")
+    frontier.add_argument("--store-table", default=None,
+                          help="carry the seen store as a bucketed "
+                          "catalog TABLE on url_hash (the dedup sinks' "
+                          "store_table form): the round's anti-join "
+                          "reads the crawl history in place — zero "
+                          "store-side shuffle — instead of re-shuffling "
+                          "O(history) per round; migrate a plain dir "
+                          "once with `compact --kind seen --table`")
+    frontier.add_argument("--store-buckets", type=int, default=64,
+                          help="bucket count when --store-table creates "
+                          "the table (size for the TARGET history)")
 
     compact = sub.add_parser(
         "compact",
@@ -241,6 +252,18 @@ def main(argv: list[str] | None = None) -> int:
                          "re-registers this table name at the new "
                          "files — the compacted store keeps its "
                          "zero-store-side-Exchange probe plan")
+    compact.add_argument("--apply-layout", action="store_true",
+                         help="ACT on the post-compaction layout "
+                         "advisory: when the measured verdict is "
+                         "'recluster', rewrite the store z-ordered on "
+                         "the candidate columns (refused for bucketed "
+                         "table stores, and when the verdict hedges on "
+                         "unmeasured string columns unless "
+                         "--layout-cols picks the axes explicitly)")
+    compact.add_argument("--layout-cols", default=None,
+                         help="comma list of z-order axes for "
+                         "--apply-layout, overriding the advisory's "
+                         "candidates (and its string-column hedge)")
 
     layout = sub.add_parser(
         "layout-audit",
@@ -381,6 +404,97 @@ def _print_layout_advice(spark, store: str) -> None:
               file=sys.stderr)
 
 
+def _layout_advice_of(spark, store: str) -> dict:
+    """The single-footer-scan advice frame both the print-only advisory
+    and ``--apply-layout`` consume."""
+    from evidence_datasource_parsers_spark.operators.layout_audit import (
+        layout_advice,
+        layout_metrics,
+        row_group_stats,
+        string_stat_columns,
+    )
+
+    stats = row_group_stats(spark, store).persist()
+    try:
+        return layout_advice(
+            layout_metrics(stats),
+            unmeasured=string_stat_columns(stats),
+        )
+    finally:
+        stats.unpersist()
+
+
+def _apply_layout(spark, store: str, layout_cols: str | None) -> int:
+    """The ACTING half of the layout advisory (VERDICT r12 item 6):
+    when the measured verdict is ``recluster``, rewrite the store
+    z-ordered on the candidate columns via ``operators/zorder.py`` —
+    same swap discipline as every compaction (sidecars carried).
+
+    Refusals keep the measure-don't-guess contract: a ``recluster``
+    verdict hedged on unmeasured string columns is NOT acted on (the
+    store may be deliberately keyed on one of them — parquet truncates
+    string stats, so the audit cannot see it); pass ``--layout-cols``
+    to choose axes explicitly and override the hedge.  A bucketed TABLE
+    store is always refused — its ``_bucket_spec.json`` identity IS its
+    layout and a z-order rewrite would poison every co-located probe.
+    """
+    from evidence_datasource_parsers_spark.operators.zorder import zorder_by
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucket_spec,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        rewrite_store_dir,
+    )
+
+    if read_bucket_spec(store) is not None:
+        print(
+            "compact: --apply-layout refused: the store is a bucketed "
+            "TABLE store (_bucket_spec.json) — its bucket layout is its "
+            "identity; a z-order rewrite would break every co-located "
+            "probe",
+            file=sys.stderr,
+        )
+        return 2
+    cols = (
+        [c.strip() for c in layout_cols.split(",") if c.strip()]
+        if layout_cols
+        else None
+    )
+    adv = _layout_advice_of(spark, store)
+    if not cols:
+        if adv["action"] != "recluster":
+            print(
+                f"compact: layout {adv['action']} — {adv['reason']}; "
+                "nothing to apply"
+            )
+            return 0
+        if adv["unmeasured"]:
+            print(
+                "compact: --apply-layout refused: the recluster verdict "
+                f"is hedged on unmeasured string columns "
+                f"{adv['unmeasured']} (parquet truncates string stats — "
+                "the layout may key on one of them). Pass --layout-cols "
+                "to choose the z-order axes explicitly.",
+                file=sys.stderr,
+            )
+            return 2
+        cols = adv["candidates"][:2]
+    df = spark.read.parquet(store)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        print(
+            f"compact: --layout-cols {missing} not in the store's "
+            f"columns {sorted(df.columns)}",
+            file=sys.stderr,
+        )
+        return 2
+    n = rewrite_store_dir(store, zorder_by(df, cols))
+    print(f"compact: layout reclustered on {cols} → {n} rows")
+    after = _layout_advice_of(spark, store)
+    print(f"compact: layout now {after['action']} — {after['reason']}")
+    return 0
+
+
 def _compact(args) -> int:
     """The explicit-cadence maintenance half of the append-only advance
     discipline: every per-round store advance is an O(batch) append;
@@ -396,10 +510,14 @@ def _compact(args) -> int:
     spark = get_spark("compact")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if args.table and args.kind == "seen":
+    if args.apply_layout and args.table:
+        # refuse BEFORE the compaction runs — a z-order rewrite would
+        # destroy the bucketed table's co-location either way, and
+        # failing after the collapse would waste the whole pass
         print(
-            "compact: --table is not supported for --kind seen (the "
-            "frontier seen store has its own compactor)",
+            "compact: --apply-layout refused: the store is a bucketed "
+            "TABLE store — its bucket layout is its identity; a z-order "
+            "rewrite would break every co-located probe",
             file=sys.stderr,
         )
         return 2
@@ -408,8 +526,27 @@ def _compact(args) -> int:
             compact_seen_store,
         )
 
-        n = compact_seen_store(spark, args.store)
+        if args.table and args.bucket_col not in (None, "url_hash"):
+            print(
+                "compact: the seen store's bucket identity is fixed to "
+                "url_hash (its probe key); omit --bucket-col",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            # --table compacts INTO the bucketed-table form — also the
+            # migration boundary for a plain dir (bootstraps the
+            # _bucket_spec.json on url_hash and registers the table)
+            n = compact_seen_store(
+                spark, args.store, store_table=args.table,
+                store_buckets=args.buckets or 64,
+            )
+        except ValueError as exc:
+            print(f"compact: {exc}", file=sys.stderr)
+            return 2
         print(f"compact: seen store {args.store} → {n} rows")
+        if args.apply_layout:
+            return _apply_layout(spark, args.store, args.layout_cols)
         _print_layout_advice(spark, args.store)
         return 0
 
@@ -594,10 +731,12 @@ def _compact(args) -> int:
             return 2
     else:
         n = rewrite_store_dir(args.store, out)
-    # advisory only (verdict r10: the layout report had no consumer):
-    # after the rewrite, say whether the store's new layout prunes and
-    # what would fix it
-    _print_layout_advice(spark, args.store)
+    # advisory (verdict r10: the layout report had no consumer): after
+    # the rewrite, say whether the store's new layout prunes and what
+    # would fix it; under --apply-layout the acting path below runs its
+    # own before/after audit, so skip the duplicate footer scan here
+    if not args.apply_layout:
+        _print_layout_advice(spark, args.store)
     if args.kind == "gram":
         # the swap replaced the dir — re-record the cap sidecar so the
         # NEXT compaction/advance can read it back
@@ -619,6 +758,8 @@ def _compact(args) -> int:
 
         write_canon_store_meta(args.store, ck)
     print(f"compact: {args.kind} store {args.store} → {n} rows")
+    if args.apply_layout:
+        return _apply_layout(spark, args.store, args.layout_cols)
     return 0
 
 
@@ -805,6 +946,7 @@ def _refresh(args) -> int:
                 return
             from evidence_datasource_parsers_spark.sources.sinks import (
                 append_bucketed_store,
+                store_bucket_identity,
             )
             from evidence_datasource_parsers_spark.streaming.incremental import (  # noqa: E501
                 create_bucketed_store_atomic,
@@ -818,9 +960,12 @@ def _refresh(args) -> int:
                     args.store_buckets, stamp=stamp,
                 )
             else:
-                append_bucketed_store(
-                    delta, table, bucket_cols, args.store_buckets
+                # append under the store's RECORDED bucket identity, not
+                # this run's --store-buckets
+                acols, abuckets = store_bucket_identity(
+                    store_dir, bucket_cols, args.store_buckets
                 )
+                append_bucketed_store(delta, table, acols, abuckets)
 
         from evidence_datasource_parsers_spark.streaming.incremental import (
             SINK_BUCKET_COLS,
@@ -998,11 +1143,25 @@ def _frontier(args) -> int:
     robots = spark.read.parquet(args.robots) if args.robots else None
     if recover_store_dir(args.store):
         print(f"frontier: recovered {args.store} from interrupted swap")
-    seen = (
-        read_seen_store(spark, args.store)  # mergeSchema: mixed layouts
-        if os.path.isdir(args.store)
-        else None
-    )
+    if args.store_table:
+        # bucketed-table-first (the dedup sinks' store_table form): the
+        # round's anti-join reads the crawl history in place instead of
+        # re-shuffling O(history); same CLI error contract as refresh
+        from evidence_datasource_parsers_spark.streaming.incremental import (  # noqa: E501
+            read_store,
+        )
+
+        try:
+            seen = read_store(spark, args.store, args.store_table)
+        except ValueError as exc:
+            print(f"frontier: {exc}", file=sys.stderr)
+            return 2
+    else:
+        seen = (
+            read_seen_store(spark, args.store)  # mergeSchema: mixed layouts
+            if os.path.isdir(args.store)
+            else None
+        )
     # ALWAYS record a fetch timestamp (override with --now): a round run
     # without a clock mints bare-hash rows that no later-enabled
     # --refresh-after can ever expire — the legacy never-expires
@@ -1029,9 +1188,22 @@ def _frontier(args) -> int:
     ready.drop("url_hash").write.mode("append").parquet(args.out)
     # advance from the MATERIALIZED fetch list — writing res.store would
     # re-run the whole dedup/gate/schedule plan AND rewrite the store
-    advance_seen_store(ready, args.store, now_ts=now_ts)
+    try:
+        advance_seen_store(
+            ready, args.store, now_ts=now_ts,
+            store_table=args.store_table,
+            store_buckets=args.store_buckets,
+        )
+    except ValueError as exc:
+        print(f"frontier: {exc}", file=sys.stderr)
+        return 2
     n_compacted = (
-        compact_seen_store(spark, args.store) if args.compact else None
+        compact_seen_store(
+            spark, args.store, store_table=args.store_table,
+            store_buckets=args.store_buckets,
+        )
+        if args.compact
+        else None
     )
     print(
         f"frontier: {ready.count()} urls scheduled → {args.out}; "

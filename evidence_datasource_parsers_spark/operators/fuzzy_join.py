@@ -501,6 +501,7 @@ def canon_store_hits(
     string_col: str,
     id_col: str,
     max_dist: int,
+    prune_lengths: bool = True,
 ) -> DataFrame:
     """Verified batch-row → stored-representative candidates
     ``(__pid, __d, canonical_id, canonical)``: probe substrings of the
@@ -508,17 +509,40 @@ def canon_store_hits(
     with the exact edit-distance verify as the join residual.  A batch
     string matching the same representative through several segments
     yields duplicate rows — :func:`incremental_canonicalize_indexed`'s
-    ``min_by`` collapses them without a distinct."""
+    ``min_by`` collapses them without a distinct.
+
+    ``prune_lengths`` (r11 item 5 — the canon probe base-cost shave):
+    every probe string explodes into rows for ALL 2k+1 partner lengths,
+    but rows targeting a length NO stored representative has can never
+    join — a broadcast semi-join against the store's distinct-length
+    set (≤ a few hundred rows for any label corpus) kills them BEFORE
+    the probe side shuffles into the store's bucket layout.  The length
+    set is derived from the store frame in the same plan, so it can
+    never go stale; its aggregate shuffles one combined row per
+    distinct length, never store rows.  A cheap ``±k`` length residual
+    also runs before the levenshtein verify, so seg-key hash collisions
+    between incompatible lengths die without paying the O(len²) edit
+    distance."""
     probe = probe_substrings(new_batch, string_col, id_col, max_dist)
     keyed = probe.select(
         "__pid",
         "__ps",
+        "__l",
         F.xxhash64(F.col("__l"), F.col("__pi"), F.col("__sub")).alias(
             "seg_key"
         ),
     )
+    if prune_lengths:
+        lengths = segment_store.select(
+            F.length("canonical").cast("int").alias("__l")
+        ).distinct()
+        keyed = keyed.join(F.broadcast(lengths), on="__l", how="left_semi")
+    keyed = keyed.drop("__l")
     return (
         keyed.join(segment_store, on="seg_key")
+        .where(
+            F.abs(F.length("canonical") - F.length("__ps")) <= max_dist
+        )
         .select(
             "__pid",
             F.levenshtein(F.col("canonical"), F.col("__ps"))

@@ -57,6 +57,7 @@ the only Arrow kernel is the domains-sized robots-directive parse.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -315,16 +316,79 @@ def _batch_store_rows(ready: DataFrame, now_ts: float | None) -> DataFrame:
     return ready.select(*cols)
 
 
+#: Bucket key of the TABLE-backed seen store (the probe's anti-join and
+#: the freshness aggregate both key on it).
+SEEN_BUCKET_COLS = ["url_hash"]
+
+
 def advance_seen_store(
-    ready: DataFrame, store_dir: str, now_ts: float | None = None
+    ready: DataFrame,
+    store_dir: str,
+    now_ts: float | None = None,
+    store_table: str | None = None,
+    store_buckets: int = 64,
 ) -> None:
     """Advance the on-disk seen store by APPENDING only this batch's
     rows — O(batch) I/O regardless of store size; the carried store is
     never read, shuffled, or rewritten.  Call with the MATERIALIZED
-    ready frame (see :class:`FrontierResult`).  Mixed layouts are fine:
-    parquet appends beside legacy bare-hash files, and probes treat
-    missing ``last_fetch_ts`` as never-expiring."""
-    _batch_store_rows(ready, now_ts).write.mode("append").parquet(store_dir)
+    ready frame (see :class:`FrontierResult`).
+
+    ``store_table``: carry the store as a bucketed catalog TABLE on
+    ``url_hash`` (the same ``store_table`` form as the dedup sinks) —
+    the next round's anti-join then reads the corpus-scale crawl
+    history in place, zero store-side Exchange (plan-asserted), instead
+    of re-shuffling O(history) per round; the first advance creates the
+    table atomically (files + ``_bucket_spec.json`` in one rename).
+    The table form always carries ``last_fetch_ts`` (null when no clock
+    was given — the legacy never-expires semantics) so the table schema
+    is append-stable.
+
+    Plain-dir form: mixed layouts are fine — parquet appends beside
+    legacy bare-hash files, and probes treat missing ``last_fetch_ts``
+    as never-expiring."""
+    rows = _batch_store_rows(ready, now_ts)
+    if store_table is None:
+        from evidence_datasource_parsers_spark.streaming.incremental import (
+            _refuse_plain_append,
+        )
+
+        # a flag-less round must not poison a bucketed table store's
+        # file layout with plain part files
+        _refuse_plain_append(store_dir, "store_table=<name>")
+        rows.write.mode("append").parquet(store_dir)
+        return
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        append_bucketed_store,
+        read_bucket_spec,
+        store_bucket_identity,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        create_bucketed_store_atomic,
+    )
+
+    if TS_COL not in rows.columns:
+        # fixed table schema: a clock-less round appends null ts (never
+        # expiring) rather than forking a second schema
+        rows = rows.withColumn(TS_COL, F.lit(None).cast("double"))
+    spark = ready.sparkSession
+    delta = rows.localCheckpoint(eager=True)
+    if os.path.isdir(store_dir) and read_bucket_spec(store_dir) is not None:
+        cols, n = store_bucket_identity(
+            store_dir, SEEN_BUCKET_COLS, store_buckets
+        )
+        append_bucketed_store(delta, store_table, cols, n)
+    elif os.path.isdir(store_dir):
+        raise ValueError(
+            f"store_table={store_table!r} was requested but {store_dir} "
+            "holds plain-parquet seen files. Bootstrap it once at a "
+            "compaction boundary (`compact --kind seen --table <name>`) "
+            "or drop store_table."
+        )
+    else:
+        create_bucketed_store_atomic(
+            spark, delta, store_dir, store_table, SEEN_BUCKET_COLS,
+            store_buckets,
+        )
 
 
 def read_seen_store(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -340,15 +404,29 @@ def read_seen_store(spark: SparkSession, store_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(store_dir)
 
 
-def compact_seen_store(spark: SparkSession, store_dir: str) -> int:
+def compact_seen_store(
+    spark: SparkSession,
+    store_dir: str,
+    store_table: str | None = None,
+    store_buckets: int = 64,
+) -> int:
     """Collapse an append-only seen store to one row per hash (max
     ``last_fetch_ts``), swap-safe.  This is the ONLY O(store) frontier
     maintenance and it runs on an explicit cadence the operator picks
     (every N rounds / when file counts grow), not inside the round —
     the split the verdict asked for: per-round cost tracks the batch,
-    compaction cost is scheduled.  Returns the compacted row count."""
+    compaction cost is scheduled.  Returns the compacted row count.
+
+    ``store_table``: compact INTO the bucketed-table form (the same
+    lifecycle as ``compact --table`` on the dedup stores) — this is
+    also the MIGRATION boundary for a plain-dir store: the rewrite
+    bootstraps ``_bucket_spec.json`` on ``url_hash`` and registers the
+    table, after which frontier rounds with ``--store-table`` probe the
+    history in place.  The table schema always carries ``last_fetch_ts``
+    (legacy bare-hash rows surface as null = never expiring)."""
     from evidence_datasource_parsers_spark.streaming.incremental import (
         recover_store_dir,
+        rewrite_bucketed_store,
         rewrite_store_dir,
     )
 
@@ -360,6 +438,30 @@ def compact_seen_store(spark: SparkSession, store_dir: str) -> int:
         out = df.groupBy("url_hash").agg(F.max(TS_COL).alias(TS_COL))
     else:
         out = df.distinct()
+    if store_table is not None:
+        from evidence_datasource_parsers_spark.sources.sinks import (
+            read_bucket_spec,
+        )
+
+        if TS_COL not in out.columns:
+            out = out.withColumn(TS_COL, F.lit(None).cast("double"))
+        # an already-table-backed store keeps its recorded identity (the
+        # sidecar drives); the bootstrap spec applies only to a plain dir
+        spec = read_bucket_spec(store_dir)
+        if spec is not None and spec["bucket_cols"] != SEEN_BUCKET_COLS:
+            raise ValueError(
+                f"{store_dir} is a bucketed table store keyed on "
+                f"{spec['bucket_cols']}, not a seen store "
+                f"({SEEN_BUCKET_COLS}) — compacting it under "
+                "--kind seen would silently distinct away its rows; "
+                "use the store's own compact kind"
+            )
+        boot = spec is None
+        return rewrite_bucketed_store(
+            spark, store_table, store_dir, out,
+            bucket_cols=SEEN_BUCKET_COLS if boot else None,
+            n_buckets=store_buckets if boot else None,
+        )
     return rewrite_store_dir(store_dir, out)
 
 

@@ -302,6 +302,22 @@ def write_bucketed_store(
     )
 
 
+def store_bucket_identity(
+    store_dir: str, default_cols: list[str], default_buckets: int
+) -> tuple[list[str], int]:
+    """The (bucket_cols, n_buckets) an APPEND must use: the store's
+    recorded ``_bucket_spec.json`` when present — the spec is the
+    store's identity, and appending under the caller's configuration
+    instead (e.g. a CLI default of 64 against a store created with 8)
+    dies in Spark's opaque 'Specified bucketing does not match' —
+    falling back to the caller's values only when no sidecar exists
+    yet."""
+    spec = read_bucket_spec(store_dir)
+    if spec is None:
+        return list(default_cols), int(default_buckets)
+    return list(spec["bucket_cols"]), int(spec["n_buckets"])
+
+
 def append_bucketed_store(
     df: DataFrame,
     table: str,

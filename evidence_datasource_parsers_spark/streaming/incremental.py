@@ -917,8 +917,19 @@ def incremental_dedupe_sink(
                         store_buckets, stamp=stamp_identity,
                     )
                 else:
+                    from evidence_datasource_parsers_spark.sources.sinks import (  # noqa: E501
+                        store_bucket_identity,
+                    )
+
+                    # the recorded spec is the store's identity — append
+                    # under IT, not this sink's configuration (a
+                    # store_buckets drift would die in Spark's opaque
+                    # bucketing-mismatch error)
+                    acols, abuckets = store_bucket_identity(
+                        store_dir, cols, store_buckets
+                    )
                     append_bucketed_store(
-                        delta_mat, store_table, cols, store_buckets
+                        delta_mat, store_table, acols, abuckets
                     )
                 # foreachBatch runs in a CLONED session: the table write
                 # registers/refreshes through the clone's catalog, while
@@ -963,6 +974,8 @@ def streaming_distinct_count_sink(
     group_cols: list[str],
     value_col: str,
     lgk: int = 12,
+    store_table: str | None = None,
+    store_buckets: int = 32,
 ):
     """foreachBatch sink maintaining the mergeable HLL sketch store
     (operators/sketches.py) across micro-batches AND runs: per batch,
@@ -980,15 +993,27 @@ def streaming_distinct_count_sink(
     Collapse the history with ``compact_sketch_store`` on an explicit
     cadence.  :func:`recover_store_dir` still runs first so a store left
     mid-swap by an older-version crash (or by a compaction) recovers.
+
+    ``store_table``: carry the store as a bucketed catalog TABLE on
+    ``group_cols`` — ``sketch_store_estimates``' per-group merge then
+    reads the history in place (the groupBy rides the bucket layout,
+    zero store-side Exchange).  Safe for HLL because register maxima
+    absorb a replayed batch's redundant sketch on their own (the
+    additive counter kinds must keep the file-overwrite form).
     """
     from evidence_datasource_parsers_spark.operators.sketches import (
         hll_store,
     )
 
-    return _append_summary_sink(
-        stream, store_dir, checkpoint,
-        lambda b: hll_store(b, group_cols, value_col, lgk),
-    )
+    def summarize(b):
+        return hll_store(b, group_cols, value_col, lgk)
+
+    if store_table is not None:
+        return _append_summary_sink_table(
+            stream, store_dir, checkpoint, summarize, store_table,
+            list(group_cols), store_buckets,
+        )
+    return _append_summary_sink(stream, store_dir, checkpoint, summarize)
 
 
 def streaming_histogram_sink(
@@ -1083,6 +1108,8 @@ def streaming_membership_sink(
     k: int = 4,
     m_bits: int = 65536,
     salt: str = "bloom",
+    store_table: str | None = None,
+    store_buckets: int = 32,
 ):
     """foreachBatch sink for the BLOOM membership store — the fourth
     counter-store streaming surface: per micro-batch, append the batch's
@@ -1090,15 +1117,27 @@ def streaming_membership_sink(
     ORs the raw history directly).  ``k``/``m_bits``/``salt`` are the
     filter identity.  Doubly replay-safe: the per-batch file overwrite
     (``write_batch_summary``) AND the OR-merge's idempotence each absorb
-    a replay on their own."""
+    a replay on their own.
+
+    ``store_table``: carry the store as a bucketed catalog TABLE on
+    ``(group_cols…, __w)`` — ``bloom_member``'s (group, word) probe join
+    then reads the corpus-scale history in place, zero store-side
+    Exchange.  Safe for Bloom precisely because the OR-merge alone
+    absorbs replays (the additive counter kinds must keep the
+    file-overwrite form)."""
     from evidence_datasource_parsers_spark.operators.sketches import (
         bloom_store,
     )
 
-    return _append_summary_sink(
-        stream, store_dir, checkpoint,
-        lambda b: bloom_store(b, group_cols, value_col, k, m_bits, salt),
-    )
+    def summarize(b):
+        return bloom_store(b, group_cols, value_col, k, m_bits, salt)
+
+    if store_table is not None:
+        return _append_summary_sink_table(
+            stream, store_dir, checkpoint, summarize, store_table,
+            [*group_cols, "__w"], store_buckets,
+        )
+    return _append_summary_sink(stream, store_dir, checkpoint, summarize)
 
 
 def streaming_sample_sink(
@@ -1192,6 +1231,54 @@ def write_batch_summary(
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def _append_summary_sink_table(
+    stream, store_dir, checkpoint, summarize, store_table, bucket_cols,
+    store_buckets,
+):
+    """Bucketed-TABLE twin of :func:`_append_summary_sink` for the
+    counter kinds whose merge is IDEMPOTENT (HLL register maxima, Bloom
+    word ORs): a replayed batch's duplicate rows are absorbed by the
+    merge itself, so the table append needs no per-batch file-overwrite
+    trick — the probe side then reads the carried history in place
+    (zero store-side Exchange, plan-asserted), the same ``store_table``
+    lifecycle as the dedup sinks: atomic first-batch create,
+    ``_bucket_spec.json`` restart re-registration, ``compact --table``.
+    The ADDITIVE kinds (histogram/CMS/df) must NOT ride this — a replay
+    would double-count — which is why only the idempotent sinks expose
+    ``store_table``."""
+    owner_spark = stream.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        recover_store_dir(store_dir)
+        store = read_store(spark, store_dir, store_table)
+        delta = summarize(batch_df).localCheckpoint(eager=True)
+        if store is None:
+            create_bucketed_store_atomic(
+                spark, delta, store_dir, store_table, bucket_cols,
+                store_buckets,
+            )
+        else:
+            from evidence_datasource_parsers_spark.sources.sinks import (
+                append_bucketed_store,
+                store_bucket_identity,
+            )
+
+            acols, abuckets = store_bucket_identity(
+                store_dir, bucket_cols, store_buckets
+            )
+            append_bucketed_store(delta, store_table, acols, abuckets)
+        if owner_spark is not spark:
+            owner_spark.catalog.refreshTable(store_table)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def _append_summary_sink(stream, store_dir, checkpoint, summarize):

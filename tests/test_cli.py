@@ -519,13 +519,16 @@ def test_compact_cli_table_store(spark, tmp_path, capsys):
         assert spec["n_buckets"] == 4
         assert spark.table(table).count() == 200
 
-        # conflicts are refused before any work
+        # conflicts are refused before damage: --kind seen against a
+        # content_hash-keyed table store is a bucket-identity mismatch
+        # (it would distinct away the fingerprint rows), and bootstrap
+        # flags beside a sidecar-carrying store conflict with identity
         assert main(["compact", "--store", store, "--kind", "seen",
                      "--table", table]) == 2
         assert main(["compact", "--store", store, "--kind", "fingerprint",
                      "--table", table, "--bucket-col", "content_hash"]) == 2
         err = capsys.readouterr().err
-        assert "--kind seen" in err and "--bucket-col" in err
+        assert "not a seen store" in err and "--bucket-col" in err
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
@@ -774,5 +777,101 @@ def test_refresh_cli_store_errors_exit_2(spark, tmp_path, capsys):
         err = capsys.readouterr().err
         assert err.startswith("refresh:")
         assert "bucketed TABLE store" in err
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_frontier_cli_store_table_lifecycle(spark, tmp_path):
+    """Table-backed seen store (VERDICT r12 item 5): round 1 creates the
+    bucketed table atomically; a catalog-losing restart re-registers
+    from the sidecar; re-discoveries die against the carried history;
+    `compact --kind seen --table` collapses it keeping the bucket
+    identity; and a flag-less round against the bucketed dir refuses
+    instead of poisoning the layout."""
+    import uuid
+
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucket_spec,
+    )
+
+    table = f"seen_cli_{uuid.uuid4().hex[:8]}"
+    store = str(tmp_path / "seen_tbl")
+    out = str(tmp_path / "fetch_tbl")
+    c1, c2 = str(tmp_path / "cand1"), str(tmp_path / "cand2")
+    spark.createDataFrame(
+        [("http://site.example/a",), ("http://site.example/b",)],
+        "url string",
+    ).write.parquet(c1)
+    spark.createDataFrame(
+        [("http://site.example/b",), ("http://site.example/c",)],
+        "url string",
+    ).write.parquet(c2)
+    try:
+        assert main(["frontier", "--candidates", c1, "--store", store,
+                     "--out", out, "--store-table", table]) == 0
+        assert read_bucket_spec(store)["bucket_cols"] == ["url_hash"]
+        assert spark.table(table).count() == 2
+        # restart: in-memory catalog lost, sidecar re-registers
+        spark.sql(f"DROP TABLE {table}")
+        assert main(["frontier", "--candidates", c2, "--store", store,
+                     "--out", out, "--store-table", table]) == 0
+        urls = sorted(r["url"] for r in spark.read.parquet(out).collect())
+        assert urls == ["http://site.example/a", "http://site.example/b",
+                        "http://site.example/c"]
+        assert spark.table(table).count() == 3
+        # compaction keeps the bucket identity (appends collapsed)
+        assert main(["compact", "--store", store, "--kind", "seen",
+                     "--table", table]) == 0
+        assert read_bucket_spec(store)["bucket_cols"] == ["url_hash"]
+        assert spark.table(table).count() == 3
+        # a flag-less round must not poison the bucketed layout
+        assert main(["frontier", "--candidates", c1, "--store", store,
+                     "--out", out]) == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_cli_seen_table_migrates_plain_store(spark, tmp_path):
+    """`compact --kind seen --table` is the migration boundary for a
+    pre-table plain seen store: the rewrite bootstraps the bucket spec
+    on url_hash, after which --store-table rounds probe it in place."""
+    import uuid
+
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucket_spec,
+    )
+
+    table = f"seen_mig_{uuid.uuid4().hex[:8]}"
+    store = str(tmp_path / "seen_plain")
+    out = str(tmp_path / "fetch_mig")
+    c1, c2 = str(tmp_path / "mcand1"), str(tmp_path / "mcand2")
+    spark.createDataFrame(
+        [("http://m.example/a",), ("http://m.example/b",)], "url string"
+    ).write.parquet(c1)
+    spark.createDataFrame(
+        [("http://m.example/b",), ("http://m.example/c",)], "url string"
+    ).write.parquet(c2)
+    try:
+        # round 1: plain-dir store (no table flags)
+        assert main(["frontier", "--candidates", c1, "--store", store,
+                     "--out", out]) == 0
+        assert read_bucket_spec(store) is None
+        # a --store-table round against the plain dir refuses w/ recipe
+        assert main(["frontier", "--candidates", c2, "--store", store,
+                     "--out", out, "--store-table", table]) == 2
+        # migrate at the compaction boundary
+        assert main(["compact", "--store", store, "--kind", "seen",
+                     "--table", table, "--buckets", "8"]) == 0
+        spec = read_bucket_spec(store)
+        assert spec == {
+            "bucket_cols": ["url_hash"], "n_buckets": 8,
+            "schema": spec["schema"],
+        }
+        # table-backed rounds now work
+        assert main(["frontier", "--candidates", c2, "--store", store,
+                     "--out", out, "--store-table", table]) == 0
+        urls = sorted(r["url"] for r in spark.read.parquet(out).collect())
+        assert urls == ["http://m.example/a", "http://m.example/b",
+                        "http://m.example/c"]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")

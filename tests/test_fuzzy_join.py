@@ -553,3 +553,42 @@ def test_incremental_canonicalize_indexed_null_labels(spark):
     assert len(m) == 3
     delta_ids = {x.canonical_id for x in r.delta.collect()}
     assert delta_ids == {102}  # the NULL rep ships no segment rows
+
+
+def test_canon_store_hits_length_prune_equivalent(spark):
+    """The length-prune shave (r11 item 5) is a pure optimization: hits
+    with and without pruning are identical, including batch strings
+    whose whole ±k length window is absent from the store (pruned to
+    zero probe rows) and near-miss lengths at the window edge."""
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        canon_segment_rows,
+        canon_store_hits,
+    )
+
+    reps = spark.createDataFrame(
+        [(1, "acme incorporated"),      # len 17
+         (2, "beta labs"),              # len 9
+         (3, "x" * 30)],                # len 30
+        "canonical_id long, canonical string",
+    )
+    store = canon_segment_rows(reps, max_dist=2)
+    batch = spark.createDataFrame(
+        [(10, "acme incorporatedx"),    # 1 edit, len 18
+         (11, "beta labz"),             # 1 edit, len 9
+         (12, "completely-other"),      # len 16 — within ±2 of 17
+         (13, "zz"),                    # len 2 — NO store length in ±2
+         (14, "y" * 24)],               # len 24 — NO store length in ±2
+        "id long, s string",
+    )
+
+    def rows(prune):
+        return sorted(
+            (r["__pid"], r["canonical_id"], r["__d"])
+            for r in canon_store_hits(
+                store, batch, "s", "id", 2, prune_lengths=prune
+            ).collect()
+        )
+
+    pruned, unpruned = rows(True), rows(False)
+    assert pruned == unpruned
+    assert {p[0] for p in pruned} == {10, 11}  # 12-14 genuinely no-match

@@ -265,3 +265,90 @@ def test_distributed_listing_matches_driver_listing(spark, grid, tmp_path):
 
     with pytest.raises(ValueError, match="driver.*distributed"):
         row_group_stats(spark, p, listing="nope")
+
+
+def test_compact_cli_apply_layout_reclusters(spark, tmp_path, capsys):
+    """--apply-layout acts on the advisory (VERDICT r12 item 6): a
+    mis-sorted numeric store is rewritten z-ordered on the candidate
+    columns and the post-rewrite audit flips to 'leave' (a pruning axis
+    now exists)."""
+    from evidence_datasource_parsers_spark.__main__ import main
+
+    def bitrev(v: int, bits: int = 12) -> int:
+        return int(format(v, f"0{bits}b")[::-1], 2)
+
+    df = spark.createDataFrame(
+        [(i, float(i), float(bitrev(i))) for i in range(N)],
+        "id long, x double, y double",
+    )
+    p = str(tmp_path / "apply_rnd")
+    df.repartition(FILES).write.parquet(p)
+    assert main(["compact", "--store", p, "--kind", "fingerprint",
+                 "--apply-layout"]) == 0
+    out = capsys.readouterr().out
+    assert "compact: layout reclustered on" in out
+    assert "compact: layout now leave" in out
+    # the rewrite measurably restored pruning on the chosen axes
+    from evidence_datasource_parsers_spark.operators.layout_audit import (
+        layout_advice,
+        layout_report,
+    )
+
+    adv = layout_advice(layout_report(spark, p))
+    assert adv["action"] == "leave" and adv["clustered"]
+
+
+def test_compact_cli_apply_layout_hedged_refusal(spark, tmp_path, capsys):
+    """A recluster verdict hedged on unmeasured string columns is NOT
+    acted on (the store may key on one of them); --layout-cols overrides
+    the hedge with an explicit axis choice."""
+    from evidence_datasource_parsers_spark.__main__ import main
+
+    df = spark.createDataFrame(
+        [(f"term{i:05d}", (i * 104729) % 4096) for i in range(4096)],
+        "term string, n long",
+    )
+    p = str(tmp_path / "apply_hedge")
+    df.repartitionByRange(8, "term").sortWithinPartitions("term") \
+        .write.parquet(p)
+    assert main(["compact", "--store", p, "--kind", "fingerprint",
+                 "--apply-layout"]) == 2
+    err = capsys.readouterr().err
+    assert "hedged on unmeasured string columns" in err and "term" in err
+
+    # explicit axis choice overrides the hedge
+    assert main(["compact", "--store", p, "--kind", "fingerprint",
+                 "--apply-layout", "--layout-cols", "n"]) == 0
+    out = capsys.readouterr().out
+    assert "reclustered on ['n']" in out
+
+    # unknown column keeps the CLI contract
+    assert main(["compact", "--store", p, "--kind", "fingerprint",
+                 "--apply-layout", "--layout-cols", "nope"]) == 2
+
+
+def test_compact_cli_apply_layout_refuses_bucketed_store(
+    spark, tmp_path, capsys
+):
+    """A bucketed TABLE store's layout IS its identity: --apply-layout
+    must refuse rather than z-order away the bucket co-location."""
+    import uuid
+
+    from evidence_datasource_parsers_spark.__main__ import main
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        write_bucketed_store,
+    )
+
+    table = f"apply_bkt_{uuid.uuid4().hex[:8]}"
+    p = str(tmp_path / "apply_bkt")
+    try:
+        write_bucketed_store(
+            spark.range(512).selectExpr("id AS content_hash"),
+            p, table, ["content_hash"], 4,
+        )
+        assert main(["compact", "--store", p, "--kind", "fingerprint",
+                     "--table", table, "--apply-layout"]) == 2
+        err = capsys.readouterr().err
+        assert "bucket layout is its identity" in err
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -374,7 +374,14 @@ def test_bucketed_canon_store_never_shuffles(spark, tmp_path):
                 "formatted"
             )
         )
-        assert _nodes(plan).count("Exchange") == 1, plan
+        # TWO Exchanges, neither carrying store rows: the batch's probe
+        # set re-clustering into the store's bucket layout, plus the
+        # length-prune's distinct aggregate (one combined row per
+        # DISTINCT LENGTH — bounded by the label length range, never by
+        # the store).  The store's own scan still feeds the candidate
+        # join with zero Exchange (Bucketed: true below).
+        assert _nodes(plan).count("Exchange") == 2, plan
+        assert "Bucketed: true" in plan, plan
         assert "SortMergeJoin" in plan
         assert "CartesianProduct" not in plan
         assert hits.count() > 0
@@ -596,4 +603,165 @@ def test_simhash_key_index_store_never_shuffles(spark, sf_dir, tmp_path):
         assert cand.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_seen_store_table_read_never_shuffles(spark, tmp_path):
+    """Table-backed frontier seen store (VERDICT r12 item 5): the
+    round's candidate anti-join reads the crawl history in place.
+    Comparative assert — the table-read plan has exactly ONE fewer
+    Exchange than the identical plain-read plan (the store side's) —
+    plus bucket metadata on the scan, through the fresh-session
+    re-registration path too."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from evidence_datasource_parsers_spark.functions.hashing import (
+        portable_hash,
+    )
+    from evidence_datasource_parsers_spark.pipelines.crawl_frontier import (
+        plan_fetch_batch,
+    )
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        write_bucketed_store,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        read_store,
+    )
+
+    table = f"seenplan_{uuid.uuid4().hex[:8]}"
+    store = str(tmp_path / "seen_store")
+    plain = str(tmp_path / "seen_plain")
+    rows = spark.range(500).select(
+        portable_hash(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+        F.lit(1.0).alias("last_fetch_ts"),
+    )
+    rows.write.parquet(plain)
+    batch = spark.range(200).select(
+        F.concat(
+            F.lit("http://d"), (F.col("id") % 7).cast("string"),
+            F.lit(".example/p"), F.col("id").cast("string"),
+        ).alias("url")
+    )
+
+    def exchanges(seen):
+        res = plan_fetch_batch(batch, seen, None, max_urls_per_domain=50)
+        plan = res.ready._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        return _nodes(plan).count("Exchange"), plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed_store(rows, store, table, ["url_hash"], 8)
+        n_plain, _ = exchanges(spark.read.parquet(plain))
+        for leg in ("registered", "re-registered"):
+            if leg == "re-registered":
+                spark.sql(f"DROP TABLE {table}")
+            n_table, plan = exchanges(read_store(spark, store, table))
+            assert n_table == n_plain - 1, (leg, plan)
+            assert "Bucketed: true" in plan, (leg, plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bloom_store_table_probe_never_shuffles_store(spark, tmp_path):
+    """Table-backed Bloom counter store (VERDICT r12 item 5): the
+    (group, word) membership probe reads the carried history in place —
+    one fewer Exchange than the plain read, bucket metadata on the
+    scan."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        bloom_member,
+        bloom_store,
+    )
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        write_bucketed_store,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        read_store,
+    )
+
+    table = f"bloomplan_{uuid.uuid4().hex[:8]}"
+    store = str(tmp_path / "bloom_store")
+    plain = str(tmp_path / "bloom_plain")
+    # groups must be DATA-DRIVEN: a literal group constant-folds the g
+    # join key on the store side, and the planner then disables the
+    # bucketed scan as useless ('disabled by query planner')
+    src = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("http://h.example/p"), F.col("id")).alias("url"),
+    )
+    history = bloom_store(src, ["g"], "url", k=4, m_bits=1 << 16)
+    history.write.parquet(plain)
+    items = spark.range(50).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("http://h.example/p"), F.col("id")).alias("url"),
+    )
+
+    def exchanges(st):
+        probe = bloom_member(st, items, ["g"], "url", 4, 1 << 16)
+        plan = probe._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        return _nodes(plan).count("Exchange"), plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed_store(history, store, table, ["g", "__w"], 8)
+        n_plain, _ = exchanges(spark.read.parquet(plain))
+        n_table, plan = exchanges(read_store(spark, store, table))
+        assert n_table == n_plain - 1, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_hll_store_table_estimate_never_shuffles(spark, tmp_path):
+    """Table-backed HLL counter store: the per-group register-maxima
+    merge rides the bucket layout — ZERO Exchange in the whole estimate
+    plan (the groupBy keys are the bucket keys)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        hll_store,
+        sketch_store_estimates,
+    )
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        write_bucketed_store,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        read_store,
+    )
+
+    table = f"hllplan_{uuid.uuid4().hex[:8]}"
+    store = str(tmp_path / "hll_store")
+    src = spark.range(2000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").alias("v"),
+    )
+    history = hll_store(src, ["g"], "v")
+    try:
+        write_bucketed_store(history, store, table, ["g"], 4)
+        est = sketch_store_estimates(read_store(spark, store, table), ["g"])
+        plan = est._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        assert _nodes(plan).count("Exchange") == 0, plan
+        assert "Bucketed: true" in plan, plan
+        assert est.count() == 4
+    finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")

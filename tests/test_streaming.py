@@ -1856,3 +1856,135 @@ def test_binding_memo_invalidated_on_reregister(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_b")
+
+
+def test_streaming_membership_sink_store_table(spark, tmp_path):
+    """Table-backed Bloom counter sink (VERDICT r12 item 5): batches
+    append into a bucketed (group, word) table; the probe reads the
+    carried table; a catalog-losing restart re-registers from the
+    sidecar; replays are absorbed by the OR-merge alone."""
+    import json as _json
+    import uuid
+
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        bloom_member,
+    )
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        read_bucket_spec,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        read_store,
+        streaming_membership_sink,
+    )
+
+    table = f"bloom_sink_{uuid.uuid4().hex[:8]}"
+    src = tmp_path / "bl_in"
+    src.mkdir()
+    store = str(tmp_path / "bl_store")
+    runs = [0]
+
+    def run():
+        runs[0] += 1
+        stream = (
+            spark.readStream.schema("g string, url string")
+            .json(str(src))
+        )
+        streaming_membership_sink(
+            stream, store, str(tmp_path / f"bl_ck{runs[0]}"),
+            ["g"], "url", k=4, m_bits=1 << 16,
+            store_table=table, store_buckets=4,
+        ).awaitTermination()
+
+    def member(url):
+        items = spark.createDataFrame([("g0", url)], "g string, url string")
+        return bloom_member(
+            read_store(spark, store, table), items, ["g"], "url",
+            4, 1 << 16,
+        ).collect()[0]["maybe_member"]
+
+    try:
+        (src / "b1.json").write_text(
+            "\n".join(
+                _json.dumps({"g": "g0", "url": f"u{i}"}) for i in range(200)
+            )
+        )
+        run()
+        assert read_bucket_spec(store)["bucket_cols"] == ["g", "__w"]
+        assert member("u5") is True
+        # restart: catalog lost; replay of b1 (fresh checkpoint) + new
+        # batch — the OR-merge absorbs the replayed words
+        spark.sql(f"DROP TABLE {table}")
+        (src / "b2.json").write_text(
+            _json.dumps({"g": "g0", "url": "brand-new-url"})
+        )
+        run()
+        assert member("u5") is True
+        assert member("brand-new-url") is True
+        assert member("never-ingested-url-zzz") is False
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_distinct_count_sink_store_table(spark, tmp_path):
+    """Table-backed HLL counter sink: same lifecycle, estimates track
+    the union across runs without replay inflation."""
+    import json as _json
+    import uuid
+
+    import pytest
+
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        sketch_store_estimates,
+    )
+    from evidence_datasource_parsers_spark.streaming.incremental import (
+        read_store,
+        streaming_distinct_count_sink,
+    )
+
+    table = f"hll_sink_{uuid.uuid4().hex[:8]}"
+    src = tmp_path / "hl_in"
+    src.mkdir()
+    store = str(tmp_path / "hl_store")
+    runs = [0]
+
+    def run():
+        runs[0] += 1
+        stream = (
+            spark.readStream.schema("domain string, url string")
+            .json(str(src))
+        )
+        streaming_distinct_count_sink(
+            stream, store, str(tmp_path / f"hl_ck{runs[0]}"),
+            ["domain"], "url", store_table=table, store_buckets=4,
+        ).awaitTermination()
+
+    def probe():
+        return {
+            r.domain: r.approx_distinct
+            for r in sketch_store_estimates(
+                read_store(spark, store, table), ["domain"]
+            ).collect()
+        }
+
+    try:
+        (src / "b1.json").write_text(
+            "\n".join(
+                _json.dumps({"domain": "a", "url": f"u{i}"})
+                for i in range(100)
+            )
+        )
+        run()
+        assert probe()["a"] == pytest.approx(100, rel=0.05)
+        spark.sql(f"DROP TABLE {table}")  # restart
+        (src / "b2.json").write_text(
+            "\n".join(
+                _json.dumps({"domain": "a", "url": f"u{i}"})
+                for i in range(100, 150)
+            )
+        )
+        run()
+        est = probe()
+        assert est["a"] == pytest.approx(150, rel=0.05)
+        assert est["a"] < 220  # replay did NOT double-count
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
