@@ -551,6 +551,25 @@ def _compact(args) -> int:
         return 0
 
     recover_store_dir(args.store)
+    if not args.table:
+        from evidence_datasource_parsers_spark.sources.sinks import (
+            read_bucket_spec,
+        )
+
+        if read_bucket_spec(args.store) is not None:
+            # a flag-less compaction would swap PLAIN files under a dir
+            # whose catalog registrations (and restart re-registrations)
+            # still claim the bucket layout — every later probe would
+            # silently mis-join
+            print(
+                f"compact: {args.store} is a bucketed TABLE store "
+                "(_bucket_spec.json): compacting it without --table "
+                "would rewrite it as plain parquet while its catalog "
+                "name still claims the bucket layout. Pass --table "
+                "<name> to keep the identity.",
+                file=sys.stderr,
+            )
+            return 2
     if args.table and (args.bucket_col or args.buckets):
         # flags beside --table are only meaningful as a BOOTSTRAP spec
         # for a plain dir; on a sidecar-carrying store the sidecar IS
@@ -1197,14 +1216,18 @@ def _frontier(args) -> int:
     except ValueError as exc:
         print(f"frontier: {exc}", file=sys.stderr)
         return 2
-    n_compacted = (
-        compact_seen_store(
-            spark, args.store, store_table=args.store_table,
-            store_buckets=args.store_buckets,
+    try:
+        n_compacted = (
+            compact_seen_store(
+                spark, args.store, store_table=args.store_table,
+                store_buckets=args.store_buckets,
+            )
+            if args.compact
+            else None
         )
-        if args.compact
-        else None
-    )
+    except ValueError as exc:
+        print(f"frontier: {exc}", file=sys.stderr)
+        return 2
     print(
         f"frontier: {ready.count()} urls scheduled → {args.out}; "
         f"seen store → {args.store}"

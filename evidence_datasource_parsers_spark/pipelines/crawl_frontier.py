@@ -431,6 +431,19 @@ def compact_seen_store(
     )
 
     recover_store_dir(store_dir)
+    if store_table is None:
+        from evidence_datasource_parsers_spark.sources.sinks import (
+            read_bucket_spec as _rbs,
+        )
+
+        if _rbs(store_dir) is not None:
+            raise ValueError(
+                f"{store_dir} is a bucketed TABLE store "
+                "(_bucket_spec.json): compacting it without store_table "
+                "would rewrite it as plain parquet while its catalog "
+                "name still claims the bucket layout. Pass store_table "
+                "(CLI: --table) to keep the identity."
+            )
     df = read_seen_store(spark, store_dir)
     if TS_COL in df.columns:
         # max over (null, ts) is ts: one timestamped fetch upgrades a

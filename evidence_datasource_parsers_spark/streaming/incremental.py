@@ -112,7 +112,9 @@ def swap_store_dir(store_dir: str, tmp: str) -> None:
         os.rename(tmp, store_dir)
 
 
-def copy_store_sidecars(src_dir: str, dst_dir: str) -> list[str]:
+def copy_store_sidecars(
+    src_dir: str, dst_dir: str, exclude: tuple[str, ...] = ()
+) -> list[str]:
     """Carry a store's identity sidecars (``_*.json`` — bucket spec,
     span cap, canon k, hamming combo split, bottom-k …) from ``src_dir``
     into a freshly written ``dst_dir`` before a swap promotes it.
@@ -130,6 +132,8 @@ def copy_store_sidecars(src_dir: str, dst_dir: str) -> list[str]:
     copied = []
     for name in sorted(os.listdir(src_dir)):
         if not (name.startswith("_") and name.endswith(".json")):
+            continue
+        if name in exclude:
             continue
         dst = os.path.join(dst_dir, name)
         if os.path.exists(dst):
@@ -150,7 +154,10 @@ def rewrite_store_dir(store_dir: str, df: DataFrame) -> int:
     n = out.count()
     tmp = f"{store_dir}__swap_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(tmp)
-    copy_store_sidecars(store_dir, tmp)
+    # NOT _bucket_spec.json: this rewrite emits PLAIN files, and carrying
+    # the spec over would make the new dir LIE about a bucket layout the
+    # files no longer have (every later registration would mis-join)
+    copy_store_sidecars(store_dir, tmp, exclude=("_bucket_spec.json",))
     swap_store_dir(store_dir, tmp)
     return n
 

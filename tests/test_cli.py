@@ -875,3 +875,34 @@ def test_compact_cli_seen_table_migrates_plain_store(spark, tmp_path):
                         "http://m.example/c"]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_cli_refuses_flagless_on_bucketed_store(
+    spark, tmp_path, capsys
+):
+    """A flag-less compaction of a bucketed TABLE store would swap plain
+    files under a catalog name that still claims the bucket layout —
+    every later probe would silently mis-join; the CLI refuses for both
+    the generic kinds and the seen kind."""
+    import uuid
+
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        write_bucketed_store,
+    )
+
+    table = f"flagless_{uuid.uuid4().hex[:8]}"
+    p = str(tmp_path / "flagless_store")
+    try:
+        write_bucketed_store(
+            spark.range(64).selectExpr("id AS content_hash"),
+            p, table, ["content_hash"], 4,
+        )
+        assert main(["compact", "--store", p,
+                     "--kind", "fingerprint"]) == 2
+        err = capsys.readouterr().err
+        assert "without --table" in err
+        assert main(["compact", "--store", p, "--kind", "seen"]) == 2
+        err = capsys.readouterr().err
+        assert "store_table" in err or "--table" in err
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
