@@ -153,7 +153,13 @@ def free_case_state(spark) -> None:
     localCheckpointed frame a case still holds severs its lineage."""
     spark.catalog.clearCache()
     for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-        jrdd.unpersist(False)
+        # BLOCKING: non-blocking removal races the next case's samples —
+        # the background block drops perturb exactly the measurements
+        # the cleanup exists to protect
+        jrdd.unpersist(True)
+    # settle the JVM between measured regions: a heap full of dead
+    # case state otherwise pays its GC inside someone else's sample
+    spark.sparkContext._jvm.System.gc()
 
 
 def time_delta_advance(delta, seed_store, label, row, prefix):
