@@ -95,8 +95,23 @@ def rebalance(spark: SparkSession, df: DataFrame) -> DataFrame:
     — negligible next to the per-row compute it fans out across the cluster.
     Apply ONLY where that compute dominates: for cheap scan→agg pipelines
     the extra full-row shuffle is a measured net loss (q01: 0.45s→0.96s),
-    while doc-text stat/shingle pipelines gain 1.5–2.3× (q29, q34)."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    while doc-text stat/shingle pipelines gain 1.5–2.3× (q29, q34).
+
+    Scale-adaptive (r13): the repartition exists to fix UNDER-partitioned
+    input, so it is applied only when the scan plans fewer partitions than
+    half the cluster's parallelism.  A 100 TB input arrives in ~10^5
+    splits — there the old unconditional form would have added a full-row
+    shuffle of the corpus for nothing, exactly the local-mode-tuned
+    constant the optimization guide warns about.  ``df.rdd`` here builds
+    the RDD plan driver-side (no job); callers pass plain file scans."""
+    target = spark.sparkContext.defaultParallelism
+    try:
+        scan_parts = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — unplannable frame: keep old behavior
+        scan_parts = 0
+    if scan_parts >= max(2, target // 2):
+        return df
+    return df.repartition(target)
 
 
 def cents(c: Column) -> Column:

@@ -1515,7 +1515,20 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q59(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): segment/date filters pushed to the
-    scans, two joins, exact-cents revenue, total-order top-10."""
+    scans, two joins, exact-cents revenue, total-order top-10.
+
+    Join shape (r13): LINEITEM — the fact, the one table that must never be
+    the broadcast build side — streams on the left; the filtered
+    customer⋈orders chain is the size-gated broadcast build.  Catalyst's
+    own estimate for a join output is a row-size product (useless here), so
+    the gate uses ORDERS post-filter as the proxy: c_custkey is unique in
+    customer, so |c⋈o| ≤ |orders| rows and ~2× its bytes — a sound upper
+    bound.  Under the threshold (local SFs) lineitem is probed in place
+    with ZERO fact-side exchange before the aggregate; over it (cluster
+    SFs) the hint is withheld and the optimizer plans the shuffle join.
+    Before the flip the optimizer broadcast the FILTERED LINEITEM itself
+    (the biggest frame in the query) — measured 0.951s → 0.628s median at
+    sf0.1."""
     c = load(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf, "orders").where(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -1526,9 +1539,9 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     rev = cents(F.col("l_extendedprice")) * (
         F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
+    co = broadcast_if_small(c.join(o, c.c_custkey == o.o_custkey), proxy=o)
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
+        l.join(co, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey")
         .agg(
             F.sum(rev).alias("revenue_c4"),
@@ -1572,7 +1585,15 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
     nation⋈region slice (≤25 rows) broadcasts into customer FIRST — the
     customer⋈orders⋈lineitem chain then carries ~1/5 of the rows through
     both big shuffles instead of filtering at the end.  At 100 TB that is
-    the difference between shuffling one region and shuffling the world."""
+    the difference between shuffling one region and shuffling the world.
+
+    Join shape (r13, same flip as q59): lineitem streams on the left and
+    the ASIA customer⋈orders chain is the size-gated broadcast build,
+    proxy-gated on ORDERS (c_custkey unique ⇒ |c⋈o| ≤ |orders|).  The
+    optimizer previously broadcast the FULL LINEITEM as a build side —
+    the one frame that must stream.  Measured 1.050s → 0.756s median at
+    sf0.1; over the threshold the hint is withheld and the chain plans
+    as shuffle joins."""
     c = load(spark, sf, "customer")
     o = load(spark, sf, "orders")
     l = load(spark, sf, "lineitem")
@@ -1586,9 +1607,11 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
         "n_nationkey", "n_name"
     )
     c_asia = c.join(F.broadcast(n_asia), c.c_nationkey == n_asia.n_nationkey)
+    co = broadcast_if_small(
+        c_asia.join(o, c_asia.c_custkey == o.o_custkey), proxy=o
+    )
     return (
-        c_asia.join(o, c_asia.c_custkey == o.o_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
+        l.join(co, l.l_orderkey == o.o_orderkey)
         .join(
             broadcast_if_small(s),
             (l.l_suppkey == s.s_suppkey)

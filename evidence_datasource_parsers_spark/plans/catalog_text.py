@@ -234,15 +234,27 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
         arr = F.array(*[F.lit(w) for w in sw_l])
         return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
 
-    hit_cols = [
-        _hits(sw_l).alias(f"hits_{code}")
-        for code, sw_l in sorted(LANG_STOPWORDS.items())
-    ]
+    # Materialize each language's hit count ONCE behind a projection
+    # boundary (r13): the filter/array_contains HOF is CodegenFallback —
+    # interpreted, no subexpression elimination — so inlining the same
+    # count into both the output column AND the argmax struct ran every
+    # language's token scan twice (12 scans per row).  Referencing the
+    # named columns halves that (measured median 2.12s → 1.40s on this
+    # stage's isolated run; guess values identical — same counts, same
+    # max-struct tie semantics).
+    codes = sorted(LANG_STOPWORDS)
+    staged = staged.withColumns(
+        {f"hits_{code}": _hits(LANG_STOPWORDS[code]) for code in codes}
+    )
+    hit_cols = [F.col(f"hits_{code}") for code in codes]
     guess = F.array_max(
         F.array(
             *[
-                F.struct(_hits(sw_l).alias("hits"), F.lit(code).alias("code"))
-                for code, sw_l in sorted(LANG_STOPWORDS.items())
+                F.struct(
+                    F.col(f"hits_{code}").alias("hits"),
+                    F.lit(code).alias("code"),
+                )
+                for code in codes
             ]
         )
     )["code"]
@@ -326,8 +338,13 @@ def _sig_list_sql() -> str:
 def q33(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash signatures (16 permutations over 3-word shingles), stringified
     for stable hashing.  Explode + aggregate formulation: fully codegen'd,
-    map-side partial combine, shuffle carries 16 longs per doc partition."""
-    d = load(spark, sf, "documents")
+    map-side partial combine, shuffle carries 16 longs per doc partition.
+
+    rebalance() added r13: the single-row-group local file plans as ONE
+    scan partition, serializing the md5-per-shingle leg on one core
+    (median 1.15s → 0.95s isolated; the helper now skips itself on
+    well-partitioned input, so this costs nothing at cluster scale)."""
+    d = rebalance(spark, load(spark, sf, "documents"))
     sig = minhash_signatures_exploded(
         d, "doc_id", "text", "__sig", MINHASH_PERMS, WORD_SHINGLE_N, mode="word"
     )
@@ -414,7 +431,14 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     incremental leg reuses the odd slice via ``batch_fingerprints`` — at
     100 TB the signature pass IS the corpus scan, so every derived consumer
     must share it rather than re-hash."""
-    d = rebalance(spark, load(spark, sf, "documents"))
+    # rebalance ONLY feeds the fingerprint pass (the md5-per-shingle fan-out
+    # it exists for); the incremental leg's new_batch is the RAW scan — its
+    # only consumer is a broadcast semi-join probe with no partitioning
+    # requirement, and routing the rebalanced frame there left a pointless
+    # RoundRobinPartitioning exchange in the fresh-output leg (r13: plan
+    # shows Exchange(62) gone, median 2.01s → 1.79s isolated).
+    d_raw = load(spark, sf, "documents")
+    d = rebalance(spark, d_raw)
     fp = lsh_fingerprints(
         d,
         "text",
@@ -428,7 +452,7 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
         fp.select("doc_id", "band", "key"), "doc_id"
     ).select("id_a", "id_b", F.lit("pair").alias("src"))
     res = incremental_lsh_dedupe(
-        d.filter(F.col("doc_id") % 2 == 1),
+        d_raw.filter(F.col("doc_id") % 2 == 1),
         fp.filter(F.col("doc_id") % 2 == 0),
         "text",
         "doc_id",
