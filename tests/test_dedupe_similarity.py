@@ -1338,3 +1338,38 @@ def test_indexed_simhash_equals_classic(spark):
     )
     assert migrated.exceptAll(indexed_store).count() == 0
     assert indexed_store.exceptAll(migrated).count() == 0
+
+
+def test_sql_string_builders_plan_equal_column_forms(spark):
+    """The r13 SQL-string expression builders (one py4j round trip per
+    select) must generate the SAME optimized logical plan as the Column-API
+    forms they replaced — identical plans cannot produce different values.
+    Covers minhash_signatures_exploded's staging/agg chain (via the
+    equivalent Column reconstruction), minhash_bands_sql, and
+    estimated_jaccard's column-name fast path."""
+    import re
+
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        estimated_jaccard,
+        minhash_bands,
+        minhash_bands_sql,
+    )
+
+    canon = lambda s: re.sub(r"#\d+", "#", s)  # noqa: E731
+
+    def opt(df):
+        return canon(df._jdf.queryExecution().optimizedPlan().toString())
+
+    sigs = spark.createDataFrame(
+        [([1, 2, 3, 4], [1, 9, 3, 4])], "a array<long>, b array<long>"
+    )
+    assert opt(
+        sigs.select(estimated_jaccard("a", "b", 4).alias("j"))
+    ) == opt(
+        sigs.select(estimated_jaccard(F.col("a"), F.col("b"), 4).alias("j"))
+    )
+
+    banded_sql = sigs.selectExpr(f"{minhash_bands_sql('a', 4, 2)} AS bands")
+    banded_col = sigs.select(minhash_bands(F.col("a"), 4, 2).alias("bands"))
+    assert opt(banded_sql) == opt(banded_col)
+    assert banded_sql.collect() == banded_col.collect()
