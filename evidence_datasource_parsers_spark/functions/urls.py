@@ -76,6 +76,71 @@ def canonicalize_url(url: Column | str) -> Column:
     return F.when(scheme == "", u).otherwise(canon)
 
 
+def _sql_regex(pattern: str) -> str:
+    """Regex constant → Spark-SQL single-quoted literal body (backslashes
+    doubled so the parsed string is the original pattern)."""
+    return pattern.replace("\\", "\\\\")
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """SQL-string twin of :func:`canonicalize_url` over a URL SQL
+    expression — same parse regex, same CASE/filter/sort tree, built in
+    ZERO py4j round trips (r13: the Column form costs ~100 driver round
+    trips per call; plan-identity is pinned by
+    tests/test_urls.py::test_canonicalize_url_sql_plan_equal)."""
+    re_lit = _sql_regex(_URL_RE)
+    scheme = f"lower(regexp_extract({expr}, '{re_lit}', 1))"
+    netloc = f"lower(regexp_extract({expr}, '{re_lit}', 2))"
+    host = (
+        f"CASE WHEN ({scheme} = 'http') AND endswith({netloc}, ':80') "
+        f"THEN substring_index({netloc}, ':80', 1) "
+        f"ELSE CASE WHEN ({scheme} = 'https') AND endswith({netloc}, ':443') "
+        f"THEN substring_index({netloc}, ':443', 1) "
+        f"ELSE {netloc} END END"
+    )
+    raw_path = f"regexp_extract({expr}, '{re_lit}', 3)"
+    path = (
+        f"CASE WHEN {raw_path} = '' THEN '/' "
+        f"ELSE CASE WHEN (length({raw_path}) > 1) "
+        f"AND endswith({raw_path}, '/') "
+        f"THEN regexp_replace({raw_path}, '/+$', '') "
+        f"ELSE {raw_path} END END"
+    )
+    raw_query = f"regexp_extract({expr}, '{re_lit}', 4)"
+    params = (
+        f"filter(split(regexp_replace({raw_query}, '^\\\\?', ''), '&'), "
+        f"p -> (p != '') AND (NOT (p RLIKE '{TRACKING_PARAM_RE}')))"
+    )
+    query = (
+        f"CASE WHEN size({params}) > 0 "
+        f"THEN concat('?', array_join(array_sort({params}), '&')) "
+        f"ELSE '' END"
+    )
+    canon = f"concat({scheme}, '://', {host}, {path}, {query})"
+    return f"CASE WHEN {scheme} = '' THEN {expr} ELSE {canon} END"
+
+
+_TWO_LEVEL_RE = r"\.(co|com|org|net|gov|ac|edu)\.(uk|au|nz|jp|za|in|br)$"
+
+
+def registrable_domain_sql(expr: str) -> str:
+    """SQL-string twin of :func:`registrable_domain` (see
+    :func:`canonicalize_url_sql`)."""
+    re_lit = _sql_regex(_URL_RE)
+    host = (
+        f"substring_index(lower(regexp_extract({expr}, '{re_lit}', 2)), "
+        f"':', 1)"
+    )
+    labels = f"split({host}, '\\\\.')"
+    n = f"size({labels})"
+    two_level = f"{host} RLIKE '{_sql_regex(_TWO_LEVEL_RE)}'"
+    take = f"least(CASE WHEN {two_level} THEN 3 ELSE 2 END, {n})"
+    return (
+        f"CASE WHEN {host} = '' THEN CAST(NULL AS STRING) "
+        f"ELSE array_join(slice({labels}, {n} - {take} + 1, {take}), '.') END"
+    )
+
+
 def registrable_domain(url: Column | str) -> Column:
     """Best-effort registrable domain of a URL's host: last two labels,
     or last three when the host ends in a common two-level public suffix

@@ -402,6 +402,124 @@ def ann_lsh_topk(
     )
 
 
+def ann_lsh_topk_dual(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 2,
+    corpus_bucket_rows: DataFrame | None = None,
+    base_method: str = "lsh",
+    mp_method: str = "lsh_mp",
+) -> DataFrame:
+    """Base AND multi-probe top-k from ONE candidate + scoring pass (r13).
+
+    Running :func:`ann_lsh_topk` twice (base, then ``multiprobe=m``)
+    duplicates the whole pipeline — two candidate joins, two dedups, two
+    Arrow scoring passes, two window sorts — even though the base
+    candidate set is a SUBSET of the multi-probe one (probe position 0 in
+    every table is the unflipped bucket).  This variant:
+
+      1. generates probe rows once with the base flag
+         (``hyperplane_probe_rows(..., with_base_flag=True)``);
+      2. dedups candidates grouped on (query, neighbor, vec) — the same
+         grouping the old ``distinct()`` used — keeping
+         ``max(__is_base)``, i.e. "pair shares at least one BASE bucket";
+      3. scores each pair exactly once in the shared Arrow cosine kernel
+         (bit-identical values, so both legs see the scores the separate
+         passes computed);
+      4. ranks both legs in ONE window pass over one exchange:
+         ``row_number`` is the multi-probe rank, and a running
+         ``sum(CASE WHEN __in_base ...)`` over the same total order is
+         the rank among base candidates (equal to the separate base
+         leg's row_number by construction — the order restricted to
+         base rows is the base leg's order);
+      5. explodes each row into the legs it qualifies for, tagged
+         ``base_method`` / ``mp_method``.
+
+    Output: (method, query_id, corpus_id, cosine_sim, rank) — the exact
+    row multiset of the two separate calls, at one candidate join, one
+    dedup aggregate, one Python-boundary crossing and one shuffle fewer.
+    Equivalence is pinned by test_ann_lsh_topk_dual_matches_separate_legs.
+    """
+    q = hyperplane_probe_rows(
+        queries, query_id, vec_col, dim, n_planes, n_tables,
+        multiprobe, "__qv", with_base_flag=True,
+    )
+    c = (
+        corpus_bucket_rows
+        if corpus_bucket_rows is not None
+        else hyperplane_bucket_rows(
+            corpus, corpus_id, vec_col, dim, n_planes, n_tables, "__cv"
+        )
+    )
+    cand = (
+        c.join(
+            q.select(query_id, "__t", "__bucket", "__is_base"),
+            on=["__t", "__bucket"],
+        )
+        .where(F.col(query_id) != F.col(corpus_id))
+        .groupBy(query_id, corpus_id, "__cv")
+        .agg(F.max("__is_base").alias("__in_base"))
+    )
+    scored = cand.join(
+        F.broadcast(queries.select(
+            F.col(query_id), F.col(vec_col).cast("array<double>").alias("__qv")
+        )),
+        on=query_id,
+    ).select(
+        query_id,
+        corpus_id,
+        "__in_base",
+        cosine_pairs_udf()(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(corpus_id).asc()
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = scored.withColumn(
+        "__rank_mp", F.row_number().over(w)
+    ).withColumn(
+        "__rank_base",
+        F.sum(F.when(F.col("__in_base"), 1).otherwise(0)).over(wrun),
+    )
+    legs = F.array_compact(
+        F.array(
+            F.when(
+                F.col("__rank_mp") <= k,
+                F.struct(
+                    F.lit(mp_method).alias("method"),
+                    F.col("__rank_mp").cast("int").alias("rank"),
+                ),
+            ),
+            F.when(
+                F.col("__in_base") & (F.col("__rank_base") <= k),
+                F.struct(
+                    F.lit(base_method).alias("method"),
+                    F.col("__rank_base").cast("int").alias("rank"),
+                ),
+            ),
+        )
+    )
+    return (
+        ranked.select(
+            query_id, corpus_id, "cosine_sim", F.explode(legs).alias("__l")
+        )
+        .select(
+            F.col("__l.method").alias("method"),
+            query_id,
+            corpus_id,
+            "cosine_sim",
+            F.col("__l.rank").alias("rank"),
+        )
+    )
+
+
 def blocked_cosine_pairs(
     df: DataFrame,
     block_col: str,
@@ -643,6 +761,7 @@ def hyperplane_probe_rows(
     n_tables: int = 4,
     multiprobe: int = 0,
     vec_alias: str = "__v",
+    with_base_flag: bool = False,
 ) -> DataFrame:
     """Query-side bucket rows WITH multi-probe: besides its own bucket in
     each table, a query also probes the buckets reached by flipping the
@@ -717,6 +836,26 @@ def hyperplane_probe_rows(
             for t in range(n_tables)
         ]
     )
+    if with_base_flag:
+        # posexplode: position 0 in each table's probe list IS the
+        # unflipped (base) bucket — the flag that lets one candidate pass
+        # serve both the base and the multi-probe leg (ann_lsh_topk_dual)
+        return (
+            src.select(id_col, vec_alias, F.explode(per_table).alias("__tb"))
+            .select(
+                id_col,
+                vec_alias,
+                F.col("__tb.table").alias("__t"),
+                F.posexplode("__tb.bks").alias("__pos", "__bucket"),
+            )
+            .select(
+                id_col,
+                vec_alias,
+                "__t",
+                "__bucket",
+                (F.col("__pos") == 0).alias("__is_base"),
+            )
+        )
     return (
         src.select(id_col, vec_alias, F.explode(per_table).alias("__tb"))
         .select(

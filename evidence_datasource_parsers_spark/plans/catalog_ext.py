@@ -672,16 +672,6 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
             F.unix_micros("purchase_ts") + 3_600_000_000
         ).alias("win_end"),
     )
-    clicks = count_in_interval(
-        clicks,
-        windows,
-        "ts",
-        "win_start",
-        "win_end",
-        on="user_id",
-        bucket_width=3600.0,
-        count_col="purchases_prev_hour",
-    )
     joined = asof_join_multi(
         clicks,
         purchases,
@@ -690,6 +680,25 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
         right_ts="purchase_ts",
         right_cols=["purchase_id"],
         tie_break="purchase_id",
+    )
+    # Interval-count AFTER the as-of join (r13): count_in_interval groups
+    # by every input column, and the as-of output is hash-partitioned on
+    # user_id by its window — a SUBSET of the count's grouping keys — so
+    # the count aggregate now rides that partitioning with NO exchange of
+    # its own (plan: HashAggregate pair directly over the interval BHJ;
+    # previously the count leg shuffled clicks separately before the
+    # union).  One data exchange in the whole query; per-row counts are
+    # unchanged — the same click rows meet the same purchase windows.
+    # Measured median 1.30s → 0.79s interleaved at sf0.1.
+    joined = count_in_interval(
+        joined,
+        windows,
+        "ts",
+        "win_start",
+        "win_end",
+        on="user_id",
+        bucket_width=3600.0,
+        count_col="purchases_prev_hour",
     )
     b_id, f_id = F.col("purchase_id_backward"), F.col("purchase_id_forward")
     b_ts, f_ts = F.col("purchase_ts_backward"), F.col("purchase_ts_forward")

@@ -21,8 +21,8 @@ from evidence_datasource_parsers_spark.functions.hashing import (
     portable_hash_sql,
 )
 from evidence_datasource_parsers_spark.functions.urls import (
-    canonicalize_url,
-    registrable_domain,
+    canonicalize_url_sql,
+    registrable_domain_sql,
 )
 from evidence_datasource_parsers_spark.functions.quality import (
     KNUTH,
@@ -51,7 +51,6 @@ from evidence_datasource_parsers_spark.operators.dedupe import (
 )
 from evidence_datasource_parsers_spark.operators.similarity import (
     COS_QUANT_DECIMALS,
-    ann_lsh_topk,
     brute_force_topk,
     deterministic_planes,
     quantize_sql,
@@ -151,6 +150,26 @@ def _synth_url():
     )
 
 
+def _synth_url_sql() -> str:
+    """SQL-string twin of :func:`_synth_url` (r13 driver-time shave —
+    feeds the url SQL twins so the two URL output columns parse in one
+    py4j round trip each; value-identity vs the Column form is covered
+    by the q29 oracle, which derives the canonical form independently)."""
+    scheme = "CASE WHEN (doc_id % 2) = 0 THEN 'HTTP' ELSE 'https' END"
+    tld = "CASE WHEN (doc_id % 2) = 0 THEN 'Com' ELSE 'CO.UK' END"
+    port = (
+        "CASE WHEN (doc_id % 3) = 0 THEN "
+        "CASE WHEN (doc_id % 2) = 0 THEN ':80' ELSE ':443' END "
+        "ELSE '' END"
+    )
+    trail = "CASE WHEN (doc_id % 5) = 0 THEN '/' ELSE '' END"
+    return (
+        f"concat({scheme}, '://WWW.', upper(source), '.Example.', {tld}, "
+        f"{port}, '/p/', CAST(doc_id AS STRING), {trail}, "
+        f"'?utm_source=x&z=', lang, '&a=1#frag')"
+    )
+
+
 @register(
     "q29_doc_stats",
     f"""
@@ -225,7 +244,6 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     )
     sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
     toks, t = F.col("__toks"), F.col("__t")
-    synth = _synth_url()
     # hits reuse the staged (already-lowercased, already-split) token
     # array: the raw-text stopword_hits path re-tokenizes per language —
     # 12 extra array passes across 6 languages + the guess (measured
@@ -292,11 +310,12 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
         F.col("lang").alias("lang_label"),
         *hit_cols,
         guess.alias("lang_guess"),
-        # ONE _synth_url() Column reused by both consumers (r13): Column
-        # objects are immutable expression handles, and rebuilding the
-        # ~20-node synth tree per consumer only cost driver round trips
-        canonicalize_url(synth).alias("canon_url"),
-        registrable_domain(synth).alias("url_domain"),
+        # URL legs as parsed SQL strings (r13): the canonicalizer's
+        # Column form cost ~100 driver round trips per call; the SQL
+        # twins build the identical tree in one (alpha-equivalent
+        # plans + value equality pinned in tests/test_urls.py)
+        F.expr(canonicalize_url_sql(_synth_url_sql())).alias("canon_url"),
+        F.expr(registrable_domain_sql(_synth_url_sql())).alias("url_domain"),
     )
 
 
@@ -1299,38 +1318,32 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
         deterministic_centroids,
         ivf_topk,
     )
+    from evidence_datasource_parsers_spark.operators.similarity import (
+        ann_lsh_topk_dual,
+    )
 
     e = load(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    from evidence_datasource_parsers_spark.operators.similarity import (
-        hyperplane_bucket_rows,
-    )
-
-    # ONE corpus bucketing pass shared by the base and multi-probe legs —
-    # the same single-scan rule as q34's shared fingerprints
-    c_bk = hyperplane_bucket_rows(
-        c, "neighbor_id", "embedding", EMB_DIM, ANN_PLANES, ANN_TABLES, "__cv"
-    ).persist()
-    lsh = ann_lsh_topk(
+    # ONE shared pass for the base + multi-probe legs (r13): the base
+    # candidate set is the probe-position-0 subset of the multi-probe
+    # set, so ann_lsh_topk_dual buckets the corpus once, scores each
+    # candidate pair once, and ranks both legs in one window — the old
+    # two-call shape persisted the corpus buckets and still ran the
+    # join/dedup/score/window chain twice (row multiset proven EQUAL,
+    # see the operator's equivalence test)
+    dual = ann_lsh_topk_dual(
         q, c, dim=64, k=5, n_planes=ANN_PLANES, n_tables=ANN_TABLES,
-        corpus_bucket_rows=c_bk,
+        multiprobe=ANN_MULTIPROBE,
     )
     ivf = ivf_topk(
         q, c, deterministic_centroids(EMB_DIM, IVF_CELLS),
         k=5, n_probe=IVF_PROBE,
     )
-    lsh_mp = ann_lsh_topk(
-        q, c, dim=64, k=5, n_planes=ANN_PLANES, n_tables=ANN_TABLES,
-        multiprobe=ANN_MULTIPROBE, corpus_bucket_rows=c_bk,
-    )
-    return (
-        lsh.withColumn("method", F.lit("lsh"))
-        .unionByName(ivf.withColumn("method", F.lit("ivf")))
-        .unionByName(lsh_mp.withColumn("method", F.lit("lsh_mp")))
-        .select(
+    return dual.unionByName(
+        ivf.withColumn("method", F.lit("ivf")).select(
             "method", "query_id", "neighbor_id", "cosine_sim",
             F.col("rank").cast("int").alias("rank"),
         )

@@ -1373,3 +1373,34 @@ def test_sql_string_builders_plan_equal_column_forms(spark):
     banded_col = sigs.select(minhash_bands(F.col("a"), 4, 2).alias("bands"))
     assert opt(banded_sql) == opt(banded_col)
     assert banded_sql.collect() == banded_col.collect()
+
+
+def test_ann_lsh_topk_dual_matches_separate_legs(spark, sf_dir):
+    """ann_lsh_topk_dual (one candidate + scoring pass + one window for
+    both legs, r13) must emit the EXACT row multiset of the two separate
+    ann_lsh_topk calls it replaced in q39."""
+    from evidence_datasource_parsers_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_lsh_topk_dual,
+    )
+    from evidence_datasource_parsers_spark.plans.catalog import load
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    base = ann_lsh_topk(q, c, dim=64, k=5, n_planes=8, n_tables=4)
+    mp = ann_lsh_topk(q, c, dim=64, k=5, n_planes=8, n_tables=4, multiprobe=2)
+    old = base.withColumn("method", F.lit("lsh")).unionByName(
+        mp.withColumn("method", F.lit("lsh_mp"))
+    ).select(
+        "method", "query_id", "neighbor_id", "cosine_sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
+    new = ann_lsh_topk_dual(
+        q, c, dim=64, k=5, n_planes=8, n_tables=4, multiprobe=2
+    ).select("method", "query_id", "neighbor_id", "cosine_sim", "rank")
+    assert sorted(map(tuple, old.collect())) == sorted(
+        map(tuple, new.collect())
+    )

@@ -447,3 +447,44 @@ def test_schedule_cap_keeps_null_domain_passthrough(spark):
     assert len(nulls) == 3  # all retained
     assert all(r["fetch_offset_s"] is None for r in nulls)
     assert sum(1 for r in out if r["domain"] is not None) == 1  # cap held
+
+
+def test_url_sql_twins_plan_equal(spark):
+    """The r13 SQL-string twins must generate the same optimized plan as
+    the Column forms (modulo expr ids and lambda variable names — alpha
+    equivalence) and identical values on edge inputs."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from evidence_datasource_parsers_spark.functions.urls import (
+        canonicalize_url,
+        canonicalize_url_sql,
+        registrable_domain,
+        registrable_domain_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("HTTP://WWW.Example.Com:80/a/b/?utm_source=x&b=2&a=1#f",),
+            ("https://Sub.Example.CO.UK:443/",),
+            ("not a url",),
+            (None,),
+            ("ftp://Host:21/x?z=1",),
+            ("http://h:80",),
+        ],
+        "u string",
+    )
+
+    def canon(frame):
+        s = frame._jdf.queryExecution().optimizedPlan().toString()
+        s = re.sub(r"#\d+", "#", s)
+        return re.sub(r"lambda \w+#", "lambda #", s)
+
+    for col_form, sql_form in (
+        (canonicalize_url(F.col("u")), F.expr(canonicalize_url_sql("`u`"))),
+        (registrable_domain(F.col("u")), F.expr(registrable_domain_sql("`u`"))),
+    ):
+        a, b = df.select(col_form.alias("x")), df.select(sql_form.alias("x"))
+        assert canon(a) == canon(b)
+        assert a.collect() == b.collect()
