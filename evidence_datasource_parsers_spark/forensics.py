@@ -198,6 +198,11 @@ def result_hash(cols, rows) -> str:
     return _hash_canon(*canon_rows(cols, rows))
 
 
+#: (name, abspath(sf_dir)) pairs audited since process start — audit
+#: STATUS memo only; no query results are retained.
+_AUDITED_THIS_PROCESS: set[tuple[str, str]] = set()
+
+
 def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
     """Self-audit ``df`` against its DuckDB ``oracle`` SQL.
 
@@ -218,6 +223,40 @@ def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
     """
     if os.environ.get("SPARK_GRAFT_NO_FORENSICS"):
         return
+    # One audit per IDENTICAL (query plan, oracle, sf) per PROCESS (r13):
+    # the audit executes the full query plus its DuckDB oracle (~seconds
+    # at gate scale), and a builder invoked twice in one run — warm-up
+    # then timed, or a registration pass then an execution pass — was
+    # paying it twice for identical evidence.  The key hashes the
+    # expr-id-canonicalized optimized plan WITH the oracle text, so a
+    # changed query or a changed oracle always re-audits (the ts-stable /
+    # smoke-vs-gate artifact contracts below depend on that).  The skip
+    # is announced so a captured log tail still proves the audit ran.
+    audit_key = None
+    try:
+        import hashlib
+        import re as _re
+
+        plan_canon = _re.sub(
+            r"#\d+", "#", df._jdf.queryExecution().optimizedPlan().toString()
+        )
+        audit_key = (
+            name,
+            os.path.abspath(sf_dir or ""),
+            hashlib.sha256(
+                (plan_canon + "\x00" + (oracle or "")).encode()
+            ).hexdigest(),
+        )
+    except Exception:  # noqa: BLE001 — unplannable frame: just re-audit
+        pass
+    if audit_key is not None and audit_key in _AUDITED_THIS_PROCESS:
+        print(
+            f"{name} self-audit: SKIPPED (identical audit already ran "
+            f"in this process at {sf_dir})"
+        )
+        return
+    if audit_key is not None:
+        _AUDITED_THIS_PROCESS.add(audit_key)
     persist = is_gate_sf(sf_dir)
     # DIFF artifacts are scale-addressed: the gate scale owns the bare
     # {NAME}_DIFF.json; any other scale writes a _sf-suffixed sibling, so

@@ -947,6 +947,52 @@ def _simhash_blocks(nbits: int, n_blocks: int) -> list[tuple[int, int]]:
     return out
 
 
+def _simhash_bits_sql(h: str, nbits: int) -> str:
+    """SQL-string twin of :func:`_simhash_bits` over a column NAME — the
+    identical majority-vote tree parsed in one py4j round trip (r13; the
+    Column form cost ~0.9s of driver time per call at nbits=32).  Operand
+    orders mirror the Column builder exactly (``ones * 2`` — Python's
+    ``2 * col`` dispatches through ``__rmul__`` which emits
+    ``Multiply(col, 2)``) so the optimized plans are identical."""
+    terms = ["CAST(0 AS BIGINT)"]
+    for j in range(nbits):
+        ones = f"size(filter({h}, h -> (shiftright(h, {j}) & 1) = 1))"
+        terms.append(
+            f"CAST(CASE WHEN ({ones} * 2) > size({h}) "
+            f"THEN {1 << j} ELSE 0 END AS BIGINT)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_combo_keys_sql(
+    sim: str, nbits: int, max_hamming: int, n_blocks: int
+) -> str:
+    """SQL-string twin of :func:`simhash_combo_keys` over a column NAME
+    (same tree, one parse — r13 driver-time shave)."""
+    from itertools import combinations
+
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"n_blocks ({n_blocks}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole guarantee"
+        )
+    blocks = _simhash_blocks(nbits, n_blocks)
+    keep = n_blocks - max_hamming
+    entries = []
+    for ci, combo in enumerate(combinations(range(n_blocks), keep)):
+        key = "CAST(0 AS BIGINT)"
+        shift = 0
+        for b in combo:
+            off, w = blocks[b]
+            block_val = f"(shiftright({sim}, {off}) & {(1 << w) - 1})"
+            key = f"({key} + shiftleft(CAST({block_val} AS BIGINT), {shift}))"
+            shift += w
+        entries.append(
+            f"struct(CAST({ci} AS INT) AS combo, {key} AS key)"
+        )
+    return f"array({', '.join(entries)})"
+
+
 def simhash_combo_keys(
     sim: Column, nbits: int, max_hamming: int, n_blocks: int
 ) -> Column:
@@ -1011,22 +1057,21 @@ def simhash_fingerprints(
     once, then the nbits majority-vote legs read the materialized column —
     never nbits copies of the tokenize+hash pipeline.
     """
-    staged = df.select(
-        F.col(id_col),
-        F.coalesce(content_hash(F.col(text_col)), F.lit(-1)).alias(
-            "content_hash"
-        ),
-        F.transform(
-            F.array_distinct(F.split(normalized_text(F.col(text_col)), " ")),
-            lambda t: portable_hash(t),
-        ).alias("__th"),
+    # SQL-string construction (r13): one parsed select per stage instead
+    # of ~1000 py4j round trips for the nbits majority-vote legs — the
+    # tree is identical (see _simhash_bits_sql) and q35's whole plan is
+    # asserted equal to the Column build in the round's plan diff.
+    t = _NORM_SQL.format(c=f"`{text_col}`")
+    staged = df.selectExpr(
+        f"`{id_col}`",
+        f"coalesce({_PH_SQL.format(c=t)}, -1) AS content_hash",
+        f"transform(array_distinct(split({t}, ' ')), "
+        f"t -> {_PH_SQL.format(c='t')}) AS __th",
     )
-    return staged.select(
-        id_col,
+    return staged.selectExpr(
+        f"`{id_col}`",
         "content_hash",
-        F.coalesce(_simhash_bits(F.col("__th"), nbits), F.lit(0)).alias(
-            "simhash"
-        ),
+        f"coalesce({_simhash_bits_sql('__th', nbits)}, 0) AS simhash",
     )
 
 
@@ -1125,17 +1170,15 @@ def incremental_simhash_dedupe(
     # so an exact dup is a combo-key mate at hamming 0 — strictly inside
     # the hamming <= max_hamming rule (including degenerate text, which
     # fingerprints to simhash 0 on both sides).
-    combos = lambda c: F.explode(  # noqa: E731
-        simhash_combo_keys(c, nbits, max_hamming, n_blocks)
-    )
-    batch_keys = fp.select(
-        F.col(id_col),
-        F.col("simhash").alias("__nsim"),
-        combos(F.col("simhash")).alias("__k"),
+    combo_sql = simhash_combo_keys_sql("simhash", nbits, max_hamming, n_blocks)
+    batch_keys = fp.selectExpr(
+        f"`{id_col}`",
+        "simhash AS __nsim",
+        f"explode({combo_sql}) AS __k",
     ).select(id_col, "__nsim", "__k.combo", "__k.key")
-    store_keys = fingerprint_store.select(
-        F.col("simhash").alias("__ssim"),
-        combos(F.col("simhash")).alias("__k"),
+    store_keys = fingerprint_store.selectExpr(
+        "simhash AS __ssim",
+        f"explode({combo_sql}) AS __k",
     ).select("__ssim", "__k.combo", "__k.key")
     # duplicate ids on the anti-join's right are harmless — no distinct
     dropped = (
@@ -1203,14 +1246,11 @@ def simhash_key_index(
     fingerprint store into :func:`incremental_simhash_dedupe_indexed`'s
     layout (write it with ``sinks.write_bucketed_store(...,
     ["combo", "key"], n)`` and stamp :func:`write_simhash_index_meta`)."""
-    return fp.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(
-            simhash_combo_keys(
-                F.col("simhash"), nbits, max_hamming, n_blocks
-            )
-        ).alias("__k"),
+    return fp.selectExpr(
+        f"`{id_col}`",
+        "simhash",
+        f"explode({simhash_combo_keys_sql('simhash', nbits, max_hamming, n_blocks)})"
+        " AS __k",
     ).select("__k.combo", "__k.key", "simhash", id_col)
 
 
@@ -1260,14 +1300,11 @@ def incremental_simhash_dedupe_indexed(
         return IncrementalSimhashResult(
             fresh=survivors, store=delta, pinned=fp, delta=delta
         )
-    batch_keys = fp.select(
-        F.col(id_col),
-        F.col("simhash").alias("__nsim"),
-        F.explode(
-            simhash_combo_keys(
-                F.col("simhash"), nbits, max_hamming, n_blocks
-            )
-        ).alias("__k"),
+    batch_keys = fp.selectExpr(
+        f"`{id_col}`",
+        "simhash AS __nsim",
+        f"explode({simhash_combo_keys_sql('simhash', nbits, max_hamming, n_blocks)})"
+        " AS __k",
     ).select(id_col, "__nsim", "__k.combo", "__k.key")
     # the probe joins STORED columns — no per-batch store-side explode,
     # and a (combo, key)-bucketed table is read in place
@@ -1318,12 +1355,11 @@ def hamming_near_dup_pairs(
     BEFORE verification (hamming is cheap, but the dedup keeps the pair
     frame honest for downstream clustering).
     """
-    keys = fp.select(
-        F.col(id_col),
-        F.col(fp_col).alias("__fp"),
-        F.explode(
-            simhash_combo_keys(F.col(fp_col), nbits, max_hamming, n_blocks)
-        ).alias("__ck"),
+    keys = fp.selectExpr(
+        f"`{id_col}`",
+        f"`{fp_col}` AS __fp",
+        f"explode({simhash_combo_keys_sql(fp_col, nbits, max_hamming, n_blocks)})"
+        " AS __ck",
     ).select(
         id_col, "__fp", F.col("__ck.combo").alias("__combo"),
         F.col("__ck.key").alias("__key"),

@@ -166,3 +166,25 @@ def test_result_hash_stable_under_column_and_row_order(spark):
     assert a == b
     c = forensics.result_hash(["a", "b"], [(3, 4), (1, 99)])
     assert a != c
+
+
+def test_audit_runs_once_per_process_per_sf(spark, artifact_dir, capsys):
+    """r13: a second audit of the same (name, sf) in one process skips the
+    query+oracle re-execution but still announces itself in the log."""
+    df = spark.range(3).selectExpr("id AS n")
+    forensics.audit_against_oracle(
+        "t_memo", df, GATE_SF_DIR, "SELECT range AS n FROM range(3)"
+    )
+    first = capsys.readouterr().out
+    assert "t_memo self-audit: MATCH" in first
+    forensics.audit_against_oracle(
+        "t_memo", df, GATE_SF_DIR, "SELECT range AS n FROM range(3)"
+    )
+    second = capsys.readouterr().out
+    assert "t_memo self-audit: SKIPPED" in second
+    # a DIFFERENT sf is a different key and audits for real
+    forensics.audit_against_oracle(
+        "t_memo", df, "/root/testdata/sf0.001",
+        "SELECT range AS n FROM range(3)",
+    )
+    assert "t_memo self-audit: MATCH" in capsys.readouterr().out
