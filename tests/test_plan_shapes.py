@@ -129,16 +129,20 @@ def test_q39_ann_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     nodes = _nodes(plan)
-    # Arrow-stage budget across the THREE legs: the corpus bucketing runs
-    # ONCE (persisted, shared by base-LSH and multi-probe — the plan shows
-    # InMemoryTableScan for its reuse), base LSH adds q-bucketing + scoring
-    # (2), IVF adds q-assign + c-assign + scoring (3), multi-probe adds
-    # probe-expanded q-bucketing + scoring (2).  1+2+3+2 = 8; a 9th would
-    # mean Catalyst cloned a kernel (e.g. into a pushed join-key filter,
-    # the bug asNondeterministic guards against) or the corpus bucketing
-    # stopped being shared.
-    assert nodes.count("ArrowEvalPython") == 8
-    assert "InMemoryTableScan" in nodes
+    # Arrow-stage budget across the THREE legs (r13 fused shape): the corpus
+    # bucketing runs ONCE (persisted — the plan shows InMemoryTableScan for
+    # its reuse), the base-LSH and multi-probe legs are FUSED into one pass
+    # (ann_lsh_topk_dual: probe-expanded q-bucketing + ONE scoring pass = 2;
+    # pre-r13 they were separate at 2+2), and IVF adds q-assign + c-assign +
+    # scoring (3).  1+2+3 = 6; a 7th would mean Catalyst cloned a kernel
+    # (e.g. into a pushed join-key filter, the bug asNondeterministic guards
+    # against), the corpus bucketing stopped being shared, or the dual-leg
+    # fusion regressed to separate passes.
+    assert nodes.count("ArrowEvalPython") == 6
+    # the pre-r13 corpus-bucket persist existed FOR the second consumer;
+    # with the legs fused there is exactly one, and a reappearing persist
+    # would be dead weight (memory pinned for no reuse)
+    assert "InMemoryTableScan" not in nodes
 
 
 def test_q34_no_cartesian(spark, sf_dir):
