@@ -460,10 +460,16 @@ def duplicate_clusters(
         .distinct()
         .persist()
     )
+    # label_0 = min(id, min neighbor) — exactly what round 1 computes from
+    # the identity start (the jump term is the identity then), folded into
+    # the node-enumeration aggregate that was a distinct anyway: same
+    # exchange on src, one fewer full 3-join round for every input (r13).
+    # min(self, neighbor) is always an id inside the component, so the
+    # only-decrease invariant and the fixpoint are untouched.
     labels = (
-        e.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("__nb"))
+        .select("id", F.least(F.col("id"), F.col("__nb")).alias("label"))
         .localCheckpoint(eager=True)
     )
     try:
@@ -480,11 +486,15 @@ def duplicate_clusters(
             jump = labels.select(
                 F.col("id").alias("jid"), F.col("label").alias("jump_label")
             )
-            new_labels = (
+            # the old label rides along as __old so convergence is a
+            # filter-count over THIS round's checkpointed frame — the
+            # per-round new⋈old join the check used to pay is gone (r13)
+            stepped = (
                 labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
                 .join(jump, labels.label == jump.jid, "left")
                 .select(
                     "id",
+                    F.col("label").alias("__old"),
                     F.least(
                         F.col("label"),
                         F.coalesce(F.col("nbr_label"), F.col("label")),
@@ -493,13 +503,8 @@ def duplicate_clusters(
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
+            changed = stepped.where(F.col("label") != F.col("__old")).count()
+            labels = stepped.select("id", "label")
             if changed == 0:
                 converged = True
                 break

@@ -587,6 +587,20 @@ def _canon_mapping(
             F.col("__m.canonical_id").alias("canonical_id"),
             F.col("__m.canonical").alias("canonical"),
         )
+        # ONE evaluation of the probe⋈store⋈levenshtein subtree (r13):
+        # best feeds the matched join, the rest anti-join, AND — through
+        # rest — every frame canonicalize_labels derives (blocked pairs
+        # both sides, the cluster joins), and Catalyst reuses none of it
+        # (0 ReusedExchange; levenshtein appeared 4× in the mapping plan
+        # alone, plus the eager CC build's evaluations).  best is at most
+        # one row per batch row — far smaller than any recomputation.
+        # localCheckpoint, not persist: this path is already eager (the
+        # fresh leg's duplicate_clusters runs jobs at build time, forcing
+        # best through rest), the lineage cut keeps every consumer on the
+        # materialized blocks, and — unlike a cacheManager entry nobody
+        # ever unpersists — the blocks are freed when the result frames
+        # are garbage-collected, so per-batch sink calls don't accrete.
+        .localCheckpoint(eager=True)
     )
     matched = (
         new_batch.join(best, on=F.col(id_col) == F.col("__pid"))

@@ -592,3 +592,40 @@ def test_canon_store_hits_length_prune_equivalent(spark):
     pruned, unpruned = rows(True), rows(False)
     assert pruned == unpruned
     assert {p[0] for p in pruned} == {10, 11}  # 12-14 genuinely no-match
+
+
+def test_canon_mapping_probes_store_once(spark):
+    """r13: the probe⋈store⋈levenshtein subtree must be evaluated ONCE —
+    ``best`` is eagerly localCheckpoint'ed, so the mapping plan reads the
+    materialized blocks everywhere instead of re-deriving the verify join
+    per consumer (the uncheckpointed form carried 4 levenshtein sites and
+    0 reuse)."""
+    from evidence_datasource_parsers_spark.operators.fuzzy_join import (
+        canon_segment_rows,
+        incremental_canonicalize_indexed,
+    )
+
+    reps = spark.createDataFrame(
+        [(1, "acme incorporated"), (2, "beta labs")],
+        "canonical_id long, canonical string",
+    )
+    store = canon_segment_rows(reps, max_dist=2)
+    batch = spark.createDataFrame(
+        [(10, "acme incorporatedx"), (11, "zzz unrelated title")],
+        "id long, s string",
+    )
+    res = incremental_canonicalize_indexed(batch, store, "s", "id", 2)
+    plan = res.mapping._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the store probe's verify join never re-appears in the mapping plan:
+    # best's lineage is cut, so zero levenshtein sites survive anywhere
+    # (the in-batch self-join ran eagerly inside duplicate_clusters)
+    assert plan.count("levenshtein") == 0
+    # and the mapping still maps: 10 → stored rep 1, 11 → itself
+    got = {
+        (r["id"], r["canonical_id"]) for r in res.mapping.collect()
+    }
+    assert got == {(10, 1), (11, 11)}
