@@ -198,9 +198,13 @@ def result_hash(cols, rows) -> str:
     return _hash_canon(*canon_rows(cols, rows))
 
 
-#: (name, abspath(sf_dir)) pairs audited since process start — audit
-#: STATUS memo only; no query results are retained.
-_AUDITED_THIS_PROCESS: set[tuple[str, str]] = set()
+#: (name, abspath(sf_dir), sha256(canonicalized plan + oracle SQL)) keys
+#: of audits COMPLETED (match or mismatch recorded) since process start —
+#: a changed plan or oracle re-audits under a fresh hash, and an ERRORed
+#: audit is deliberately NOT memoized so a transient failure (import
+#: error, OOM) re-audits on the next invocation instead of being skipped
+#: forever.  No query results are retained.
+_AUDITED_THIS_PROCESS: set[tuple[str, str, str]] = set()
 
 
 def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
@@ -255,8 +259,10 @@ def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
             f"in this process at {sf_dir})"
         )
         return
-    if audit_key is not None:
-        _AUDITED_THIS_PROCESS.add(audit_key)
+    # the memo is added only on a COMPLETED audit (the match / mismatch
+    # returns below), never up-front: memoizing before running would turn
+    # one transient ERROR into a permanent skip whose log line claims the
+    # audit ran
     persist = is_gate_sf(sf_dir)
     # DIFF artifacts are scale-addressed: the gate scale owns the bare
     # {NAME}_DIFF.json; any other scale writes a _sf-suffixed sibling, so
@@ -301,6 +307,8 @@ def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
                 "rows_oracle": len(dr),
                 "sf_dir": sf_dir,
             }, persist=persist)
+            if audit_key is not None:
+                _AUDITED_THIS_PROCESS.add(audit_key)
             return
         if sc == dc and sr == dr:
             # stale-DIFF cleanup removes only THIS scale's artifact (the
@@ -316,6 +324,8 @@ def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
                 "rows_oracle": len(dr),
                 "sf_dir": sf_dir,
             }, persist=persist)
+            if audit_key is not None:
+                _AUDITED_THIS_PROCESS.add(audit_key)
             return
         spark_only = [r for r in sr if r not in set(dr)][:20]
         oracle_only = [r for r in dr if r not in set(sr)][:20]
@@ -340,6 +350,8 @@ def audit_against_oracle(name: str, df, sf_dir: str, oracle: str) -> None:
             "rows_oracle": len(dr),
             "sf_dir": sf_dir,
         }, persist=persist)
+        if audit_key is not None:
+            _AUDITED_THIS_PROCESS.add(audit_key)
     except Exception as exc:  # noqa: BLE001 — forensics never fails the query
         import traceback
 

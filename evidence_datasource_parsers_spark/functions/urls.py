@@ -109,7 +109,8 @@ def canonicalize_url_sql(expr: str) -> str:
     raw_query = f"regexp_extract({expr}, '{re_lit}', 4)"
     params = (
         f"filter(split(regexp_replace({raw_query}, '^\\\\?', ''), '&'), "
-        f"p -> (p != '') AND (NOT (p RLIKE '{TRACKING_PARAM_RE}')))"
+        f"p -> (p != '') AND "
+        f"(NOT (p RLIKE '{_sql_regex(TRACKING_PARAM_RE)}')))"
     )
     query = (
         f"CASE WHEN size({params}) > 0 "
@@ -152,9 +153,7 @@ def registrable_domain(url: Column | str) -> Column:
     host = F.substring_index(host, ":", 1)  # strip port
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    two_level = host.rlike(
-        r"\.(co|com|org|net|gov|ac|edu)\.(uk|au|nz|jp|za|in|br)$"
-    )
+    two_level = host.rlike(_TWO_LEVEL_RE)
     take = F.when(two_level, F.lit(3)).otherwise(F.lit(2))
     take = F.least(take, n)
     return F.when(

@@ -28,7 +28,7 @@ from evidence_datasource_parsers_spark.functions.hashing import (
     P_BASE,
     P_PERM,
     minhash_perm,
-    perm_coefficients,
+    minhash_perm_sql,
     portable_hash,
 )
 
@@ -221,8 +221,9 @@ def minhash_signatures_exploded(
     )
     aggs = []
     for i in range(num_perm):
-        a, b = perm_coefficients(i)
-        aggs.append(F.expr(f"min(({a} * __b + {b}) % {P_PERM}) AS __m{i}"))
+        aggs.append(
+            F.expr(f"min({minhash_perm_sql('__b', i)}) AS __m{i}")
+        )
     if content_hash_col:
         aggs.append(F.expr("min(__ch) AS __ch"))
     agg = based.groupBy(id_col).agg(*aggs)

@@ -86,9 +86,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """
     import os
 
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        # one stat per load: a regenerated input (rewritten file, or a
+        # dir whose part files changed) gets a fresh key instead of a
+        # silently stale schema — the invalidation a metastore would do
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1  # missing path: let spark.read raise its own error
     key = (
         os.path.abspath(sf_dir),
         table,
+        mtime,
         spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
     )
     schema = _SCHEMA_CACHE.get(key)

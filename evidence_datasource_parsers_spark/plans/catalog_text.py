@@ -261,7 +261,12 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     # driver-time shave; the parsed filter/array_contains tree is the
     # same one the Column API produced).
     def _hits(sw_l):
-        arr = ", ".join(f"'{w}'" for w in sw_l)
+        # escape quotes/backslashes: LANG_STOPWORDS is documented as
+        # swappable, and a word like "l'" must survive the SQL literal
+        arr = ", ".join(
+            "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for w in sw_l
+        )
         return F.expr(
             f"size(filter(__toks, x -> array_contains(array({arr}), x)))"
         )

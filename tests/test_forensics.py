@@ -188,3 +188,25 @@ def test_audit_runs_once_per_process_per_sf(spark, artifact_dir, capsys):
         "SELECT range AS n FROM range(3)",
     )
     assert "t_memo self-audit: MATCH" in capsys.readouterr().out
+
+
+def test_audit_error_is_not_memoized(spark, artifact_dir, capsys):
+    """r13 review fix: an audit that ERRORs must NOT enter the
+    once-per-process memo — a transient failure (bad oracle SQL here)
+    would otherwise be SKIPPED forever while the log claims the audit
+    ran.  The retry re-executes; a subsequent success memoizes."""
+    df = spark.range(2).selectExpr("id AS n")
+    bad = "SELECT nonexistent_col FROM range(2)"
+    forensics.audit_against_oracle("t_err_memo", df, GATE_SF_DIR, bad)
+    assert "t_err_memo self-audit: ERROR" in capsys.readouterr().out
+    # same (plan, oracle, sf) again: must RE-AUDIT, not skip
+    forensics.audit_against_oracle("t_err_memo", df, GATE_SF_DIR, bad)
+    out = capsys.readouterr().out
+    assert "SKIPPED" not in out
+    assert "t_err_memo self-audit: ERROR" in out
+    # a completed audit memoizes as before
+    good = "SELECT range AS n FROM range(2)"
+    forensics.audit_against_oracle("t_err_memo", df, GATE_SF_DIR, good)
+    assert "t_err_memo self-audit: MATCH" in capsys.readouterr().out
+    forensics.audit_against_oracle("t_err_memo", df, GATE_SF_DIR, good)
+    assert "SKIPPED" in capsys.readouterr().out

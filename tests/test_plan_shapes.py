@@ -130,10 +130,10 @@ def test_q39_ann_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     nodes = _nodes(plan)
     # Arrow-stage budget across the THREE legs (r13 fused shape): the corpus
-    # bucketing runs ONCE (persisted — the plan shows InMemoryTableScan for
-    # its reuse), the base-LSH and multi-probe legs are FUSED into one pass
-    # (ann_lsh_topk_dual: probe-expanded q-bucketing + ONE scoring pass = 2;
-    # pre-r13 they were separate at 2+2), and IVF adds q-assign + c-assign +
+    # bucketing runs ONCE (1), the base-LSH and multi-probe legs are FUSED
+    # into one pass (ann_lsh_topk_dual: probe-expanded q-bucketing + ONE
+    # scoring pass = 2; pre-r13 they were separate at 2+2), and IVF adds
+    # q-assign + c-assign +
     # scoring (3).  1+2+3 = 6; a 7th would mean Catalyst cloned a kernel
     # (e.g. into a pushed join-key filter, the bug asNondeterministic guards
     # against), the corpus bucketing stopped being shared, or the dual-leg
