@@ -37,7 +37,47 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from evidence_datasource_parsers_spark.functions.hashing import portable_hash
+from evidence_datasource_parsers_spark.functions.hashing import (
+    HEX_CHARS,
+    portable_hash,
+)
+
+# Spark-SQL string twins (r13, guide §1.3 driver path): the Column-API
+# loops below (depth/k/bin fan-outs) cost one py4j round trip per
+# expression node — the q42 builder alone measured ~8.3k round trips ≈
+# 4s of pure driver time per build, dispersed across this family.  Each
+# hot select now parses from ONE SQL string; optimized plans are
+# asserted identical to the Column forms in
+# tests/test_sketches.py::test_sketch_sql_twins_plan_equal_column_forms,
+# so executor-side work is unchanged by construction.  The Column
+# helpers (_cms_bucket/_bloom_bit) stay: they are the reference forms
+# the twin test reconstructs.
+_PH_SQL = (
+    "CAST(conv(substring(md5({c}), 1, %d), 16, 10) AS BIGINT)" % HEX_CHARS
+)
+
+
+def _qid(name: str) -> str:
+    """Backtick-quote an identifier for Spark SQL."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _slit(s: str) -> str:
+    """Single-quoted Spark SQL string literal (backslash escaping —
+    the r13 lesson: interpolating un-escaped literals is a silent
+    divergence trap under salt/label changes)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _dlit(x: float) -> str:
+    """Double literal — bare decimals parse as DECIMAL in Spark SQL,
+    which would NOT match the Column forms' ``F.lit(float(...))``."""
+    x = float(x)
+    if math.isinf(x):
+        return f"CAST('{'' if x > 0 else '-'}Infinity' AS DOUBLE)"
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    return repr(x) + "D"
 
 
 def _union_stores(stores: list[DataFrame]) -> DataFrame:
@@ -180,22 +220,22 @@ def histogram_store(
     is a native array scan (no UDF, no second shuffle)."""
     if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
         raise ValueError("edges must be strictly increasing")
-    v = F.col(value_col).cast("double")
-    e = F.array(*[F.lit(float(x)) for x in edges])
+    v = f"CAST({_qid(value_col)} AS DOUBLE)"
+    earr = "array(" + ", ".join(_dlit(x) for x in edges) + ")"
     # filter() drops elements whose lambda evaluates to NULL, so a NULL v
     # would silently land in bin 0 — guard it to a NULL bin (not counted)
-    bin_ = F.when(v.isNotNull(), F.size(F.filter(e, lambda x: x <= v)))
+    bin_sql = (
+        f"CASE WHEN {v} IS NOT NULL "
+        f"THEN size(filter({earr}, x -> x <= {v})) END"
+    )
     n_bins = len(edges) + 1
-    binned = df.withColumn("__bin", bin_)
+    binned = df.withColumn("__bin", F.expr(bin_sql))
+    counts_sql = "array(" + ", ".join(
+        f"CAST(sum(CASE WHEN __bin = {i} THEN 1 ELSE 0 END) AS BIGINT)"
+        for i in range(n_bins)
+    ) + ")"
     return binned.groupBy(*group_cols).agg(
-        F.array(
-            *[
-                F.sum(
-                    F.when(F.col("__bin") == i, F.lit(1)).otherwise(F.lit(0))
-                ).cast("long")
-                for i in range(n_bins)
-            ]
-        ).alias(counts_col)
+        F.expr(counts_sql).alias(counts_col)
     )
 
 
@@ -220,9 +260,11 @@ def histogram_merge_stores(
                 F.collect_list(F.struct("__bin", "__c"))
             ).alias("__bc")
         )
-        .select(
-            *group_cols,
-            F.transform(F.col("__bc"), lambda s: s["__c"]).alias(counts_col),
+        .selectExpr(
+            *[_qid(g) for g in group_cols],
+            # lambda vars are named x/y to match the Column API's fixed
+            # naming (plan-identity with the pre-r13 form)
+            f"transform(__bc, x -> x.__c) AS {_qid(counts_col)}",
         )
     )
 
@@ -356,34 +398,26 @@ def histogram_drift(
     b = compact_histogram_store(store_b, group_cols, counts_col).select(
         *group_cols, F.col(counts_col).alias("__cb")
     )
-    zero = F.lit(0).cast("long")
-    joined = (
-        a.join(b, on=list(group_cols))
-        .withColumn(
-            "__ta",
-            F.aggregate(counts_col, zero, lambda acc, x: acc + x)
-            .cast("double"),
-        )
-        .withColumn(
-            "__tb",
-            F.aggregate("__cb", zero, lambda acc, x: acc + x)
-            .cast("double"),
-        )
+    cq = _qid(counts_col)
+    total = (
+        "CAST(aggregate({c}, CAST(0 AS BIGINT), (x, y) -> x + y)"
+        " AS DOUBLE)"
     )
-    tv = F.aggregate(
-        F.zip_with(
-            counts_col, "__cb",
-            lambda x, y: F.abs(
-                x.cast("double") / F.col("__ta")
-                - y.cast("double") / F.col("__tb")
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
-    ) / F.lit(2.0)
+    joined = a.join(b, on=list(group_cols)).selectExpr(
+        "*",
+        total.format(c=cq) + " AS __ta",
+        total.format(c="__cb") + " AS __tb",
+    )
+    tv = (
+        f"aggregate(zip_with({cq}, __cb, (x, y) -> "
+        "abs(CAST(x AS DOUBLE) / __ta - CAST(y AS DOUBLE) / __tb)), "
+        "0.0D, (x, y) -> x + y) / 2.0D"
+    )
     # a side with zero counted values has no distribution — NULL, not NaN
-    tv = F.when((F.col("__ta") > 0) & (F.col("__tb") > 0), tv)
-    return joined.select(*group_cols, tv.alias(out_col))
+    return joined.selectExpr(
+        *[_qid(g) for g in group_cols],
+        f"CASE WHEN __ta > 0 AND __tb > 0 THEN {tv} END AS {_qid(out_col)}",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -422,6 +456,26 @@ def _cms_bucket(value: Column, d: int, width: int, salt: str) -> Column:
     ).cast("long")
 
 
+def _cms_bucket_sql(expr: str, d: int, width: int, salt: str) -> str:
+    """SQL-string twin of :func:`_cms_bucket` (``expr`` = quoted SQL)."""
+    h = _PH_SQL.format(
+        c=f"concat(CAST({expr} AS STRING), {_slit(f':cms{d}:{salt}')})"
+    )
+    return f"CAST({h} % {width} AS BIGINT)"
+
+
+def _cms_cell_structs_sql(
+    expr: str, depth: int, width: int, salt: str
+) -> str:
+    """The explode payload shared by build and probe: one
+    ``struct(__d, __bucket)`` per depth row, as ONE parseable string."""
+    return ", ".join(
+        f"struct(CAST({d} AS BIGINT) AS __d, "
+        f"{_cms_bucket_sql(expr, d, width, salt)} AS __bucket)"
+        for d in range(depth)
+    )
+
+
 def cms_store(
     df: DataFrame,
     group_cols: list[str],
@@ -437,18 +491,10 @@ def cms_store(
     aggregation; the hash parameters (``depth``, ``width``, ``salt``)
     are part of the sketch identity and must match across every store
     that will ever merge."""
-    v = F.col(value_col)
-    cells = df.where(v.isNotNull()).select(
-        *group_cols,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(d).cast("long").alias("__d"),
-                    _cms_bucket(v, d, width, salt).alias("__bucket"),
-                )
-                for d in range(depth)
-            ])
-        ).alias("__cell"),
+    structs = _cms_cell_structs_sql(_qid(value_col), depth, width, salt)
+    cells = df.where(F.col(value_col).isNotNull()).selectExpr(
+        *[_qid(g) for g in group_cols],
+        f"explode(array({structs})) AS __cell",
     )
     return cells.groupBy(
         *group_cols, F.col("__cell.__d").alias("__d"),
@@ -501,23 +547,16 @@ def cms_estimate(
     it matches before the per-depth sum — inflating exactly the repeat
     candidates the read exists to rank."""
     items = items.dropDuplicates([*group_cols, value_col])
-    probes = items.select(
-        *group_cols,
-        F.col(value_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(d).cast("long").alias("__d"),
-                    _cms_bucket(F.col(value_col), d, width, salt)
-                    .alias("__bucket"),
-                )
-                for d in range(depth)
-            ])
-        ).alias("__cell"),
-    ).select(
-        *group_cols, value_col,
-        F.col("__cell.__d").alias("__d"),
-        F.col("__cell.__bucket").alias("__bucket"),
+    gq = [_qid(g) for g in group_cols]
+    structs = _cms_cell_structs_sql(_qid(value_col), depth, width, salt)
+    probes = items.selectExpr(
+        *gq,
+        _qid(value_col),
+        f"explode(array({structs})) AS __cell",
+    ).selectExpr(
+        *gq, _qid(value_col),
+        "__cell.__d AS __d",
+        "__cell.__bucket AS __bucket",
     )
     joined = probes.join(
         store, on=[*group_cols, "__d", "__bucket"], how="left"
@@ -639,13 +678,13 @@ def bottomk_sample_store(
     contract every incremental operator shares); duplicate ids would
     collapse in the sample.  NULL values are ignored (family
     convention).  ``k``/``salt`` are the sample identity."""
-    v = F.col(value_col)
-    rows = df.where(v.isNotNull()).select(
-        *group_cols,
-        portable_hash(
-            F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))
-        ).alias("__hk"),
-        v.alias("value"),
+    hk = _PH_SQL.format(
+        c=f"concat(CAST({_qid(id_col)} AS STRING), {_slit(':' + salt)})"
+    )
+    rows = df.where(F.col(value_col).isNotNull()).selectExpr(
+        *[_qid(g) for g in group_cols],
+        f"{hk} AS __hk",
+        f"{_qid(value_col)} AS value",
     )
     return _bottomk(rows, group_cols, k)
 
@@ -715,6 +754,30 @@ def _bloom_bit(value: Column, d: int, m_bits: int, salt: str) -> Column:
     ).cast("long")
 
 
+def _bloom_bit_sql(expr: str, d: int, m_bits: int, salt: str) -> str:
+    """SQL-string twin of :func:`_bloom_bit` (``expr`` = quoted SQL)."""
+    h = _PH_SQL.format(
+        c=f"concat(CAST({expr} AS STRING), {_slit(f':bf{d}:{salt}')})"
+    )
+    return f"CAST({h} % {m_bits} AS BIGINT)"
+
+
+def _bloom_bits_sql(expr: str, k: int, m_bits: int, salt: str) -> str:
+    """The k hash bit positions as one parseable ``array(...)`` body."""
+    return ", ".join(
+        _bloom_bit_sql(expr, d, m_bits, salt) for d in range(k)
+    )
+
+
+#: __bit → (word index, mask) — the shared word/mask projection of the
+#: Bloom build and probe sides (Column twins: ``(__bit/64).cast("long")``
+#: and the shiftleft expr the store always used).
+_BLOOM_WORD_SQL = "CAST(__bit / 64 AS BIGINT) AS __w"
+_BLOOM_MASK_SQL = (
+    "shiftleft(CAST(1 AS BIGINT), CAST(__bit % 64 AS INT)) AS __mask"
+)
+
+
 def bloom_store(
     df: DataFrame,
     group_cols: list[str],
@@ -738,23 +801,14 @@ def bloom_store(
     over ``k`` rows + one map-side-combined aggregation; the store is at
     most ``#groups · m_bits/64`` rows and usually far fewer (only touched
     words materialize)."""
-    v = F.col(value_col)
-    bits = df.where(v.isNotNull()).select(
-        *group_cols,
-        F.explode(
-            F.array(*[
-                _bloom_bit(v, d, m_bits, salt) for d in range(k)
-            ])
-        ).alias("__bit"),
+    gq = [_qid(g) for g in group_cols]
+    bits = df.where(F.col(value_col).isNotNull()).selectExpr(
+        *gq,
+        f"explode(array({_bloom_bits_sql(_qid(value_col), k, m_bits, salt)}))"
+        " AS __bit",
     )
     return (
-        bits.select(
-            *group_cols,
-            (F.col("__bit") / 64).cast("long").alias("__w"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(__bit % 64 AS INT))"
-            ).alias("__mask"),
-        )
+        bits.selectExpr(*gq, _BLOOM_WORD_SQL, _BLOOM_MASK_SQL)
         .groupBy(*group_cols, "__w")
         .agg(F.bit_or("__mask").alias("bits"))
     )
@@ -801,21 +855,14 @@ def bloom_member(
     — broadcast while the store is small, word-keyed at scale — and
     never shuffles more than the probe side."""
     items = items.dropDuplicates([*group_cols, value_col])
-    probes = items.select(
-        *group_cols,
-        F.col(value_col),
-        F.explode(
-            F.array(*[
-                _bloom_bit(F.col(value_col), d, m_bits, salt)
-                for d in range(k)
-            ])
-        ).alias("__bit"),
-    ).select(
-        *group_cols, value_col, "__bit",
-        (F.col("__bit") / 64).cast("long").alias("__w"),
-        F.expr(
-            "shiftleft(CAST(1 AS BIGINT), CAST(__bit % 64 AS INT))"
-        ).alias("__mask"),
+    gq = [_qid(g) for g in group_cols]
+    probes = items.selectExpr(
+        *gq,
+        _qid(value_col),
+        f"explode(array({_bloom_bits_sql(_qid(value_col), k, m_bits, salt)}))"
+        " AS __bit",
+    ).selectExpr(
+        *gq, _qid(value_col), "__bit", _BLOOM_WORD_SQL, _BLOOM_MASK_SQL
     )
     joined = probes.join(store, on=[*group_cols, "__w"], how="left")
     # per (item, bit): OR the history's rows for that word (absent word

@@ -385,11 +385,16 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         "l_returnflag", F.col("approx_distinct").alias("__mest")
     )
     hstore = histogram_merge_stores(hpieces, ["l_returnflag"])
-    hist = hstore.select(
+    # SQL-string forms below (r13): this builder measured ~10.4k py4j
+    # round trips ≈ 2.7s of driver time per build — the catalog's worst;
+    # each hot expression now parses JVM-side in one trip.  Lambda vars
+    # are named x/y to mirror the Column API's fixed naming; the drift
+    # legs are exact integer/boolean arithmetic, value-pinned by the
+    # oracle and Q42_LEGS_AUDIT.
+    hist = hstore.selectExpr(
         "l_returnflag",
-        F.concat_ws(
-            ",", F.transform(F.col("counts"), lambda c: c.cast("string"))
-        ).alias("hist_qty_c"),
+        "concat_ws(',', transform(counts, x -> CAST(x AS STRING)))"
+        " AS hist_qty_c",
     )
     items = l.select("l_returnflag").distinct().withColumn(
         "__st", F.lit("O")
@@ -425,8 +430,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     # den=0, vacuously in-tol) — the oracle's GROUP BY sees it, so an
     # inner join here would turn a drift-leg gap into a whole-query
     # row-count mismatch.
-    zero = F.lit(0).cast("long")
-    zeros = F.array_repeat(zero, len(hedges) + 1)
+    zeros = f"array_repeat(CAST(0 AS BIGINT), {len(hedges) + 1})"
     h0 = hpieces[0].select(
         "l_returnflag", F.col("counts").alias("__ca")
     )
@@ -435,49 +439,34 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     )
     dj = (
         h0.join(h1, on="l_returnflag", how="full")
-        .select(
+        .selectExpr(
             "l_returnflag",
-            F.coalesce("__ca", zeros).alias("__ca"),
-            F.coalesce("__cb", zeros).alias("__cb"),
+            f"coalesce(__ca, {zeros}) AS __ca",
+            f"coalesce(__cb, {zeros}) AS __cb",
         )
-        .withColumn(
-            "__ta", F.aggregate("__ca", zero, lambda acc, x: acc + x)
-        )
-        .withColumn(
-            "__tb", F.aggregate("__cb", zero, lambda acc, x: acc + x)
+        .selectExpr(
+            "*",
+            "aggregate(__ca, CAST(0 AS BIGINT), (x, y) -> x + y) AS __ta",
+            "aggregate(__cb, CAST(0 AS BIGINT), (x, y) -> x + y) AS __tb",
         )
     )
-    num = F.aggregate(
-        F.zip_with(
-            "__ca", "__cb",
-            lambda x, y: F.abs(x * F.col("__tb") - y * F.col("__ta")),
-        ),
-        zero,
-        lambda acc, d: acc + d,
-    )
-    drift_frac = dj.select(
+    drift_frac = dj.selectExpr(
         "l_returnflag",
-        num.alias("drift_tv_num"),
-        (F.lit(2).cast("long") * F.col("__ta") * F.col("__tb")).alias(
-            "drift_tv_den"
-        ),
+        "aggregate(zip_with(__ca, __cb, (x, y) -> abs(x * __tb - y * __ta)),"
+        " CAST(0 AS BIGINT), (x, y) -> x + y) AS drift_tv_num",
+        "CAST(2 AS BIGINT) * __ta * __tb AS drift_tv_den",
     )
     op_tv = histogram_drift(
         hpieces[0], hpieces[1], ["l_returnflag"], out_col="__op_tv"
     )
-    drift = drift_frac.join(op_tv, on="l_returnflag", how="left").select(
+    drift = drift_frac.join(op_tv, on="l_returnflag", how="left").selectExpr(
         "l_returnflag",
         "drift_tv_num",
         "drift_tv_den",
-        F.when(
-            F.col("drift_tv_den") > 0,
-            F.abs(
-                F.col("__op_tv")
-                - F.col("drift_tv_num").cast("double")
-                / F.col("drift_tv_den").cast("double")
-            )
-            < 1e-12,
-        ).otherwise(F.lit(True)).alias("drift_within_tol"),
+        "CASE WHEN drift_tv_den > 0 THEN"
+        " abs(__op_tv - CAST(drift_tv_num AS DOUBLE)"
+        " / CAST(drift_tv_den AS DOUBLE)) < 1E-12"
+        " ELSE true END AS drift_within_tol",
     )
     qty_c = cents(F.col("l_quantity"))
     price_c = cents(F.col("l_extendedprice"))

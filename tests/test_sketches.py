@@ -761,3 +761,277 @@ def test_histogram_drift_properties(spark):
     )
     zs = histogram_store(nulls, ["g"], "v", edges)
     assert histogram_drift(lo, zs, ["g"]).collect()[0]["tv_distance"] is None
+
+
+def test_sketch_sql_twins_plan_equal_column_forms(spark):
+    """The r13 SQL-string builders in the sketch family (cms/bloom/
+    histogram/bottom-k — one py4j round trip per hot select instead of
+    one per expression node) must generate the SAME optimized logical
+    plan as the Column-API forms they replaced — identical plans cannot
+    produce different values, so the oracle-replayed bucket arithmetic
+    is unchanged by construction.  Each reconstruction below is the
+    pre-r13 Column code, verbatim."""
+    import re
+
+    from pyspark.sql import Window
+
+    from evidence_datasource_parsers_spark.functions.hashing import (
+        portable_hash,
+    )
+    from evidence_datasource_parsers_spark.operators.sketches import (
+        _bloom_bit,
+        _bottomk,
+        _cms_bucket,
+        bloom_member,
+        bloom_store,
+        bottomk_sample_store,
+        cms_estimate,
+        cms_store,
+        histogram_drift,
+        histogram_merge_stores,
+        histogram_store,
+    )
+
+    def canon(s):
+        # expr ids, then the Column API's lambda-variable freshness
+        # suffix (``lambda x_1`` vs SQL's ``lambda x`` — alpha-equivalent)
+        s = re.sub(r"#\d+", "#", s)
+        return re.sub(r"lambda ([A-Za-z]\w*?)_\d+#", r"lambda \1#", s)
+
+    def opt(df):
+        return canon(df._jdf.queryExecution().optimizedPlan().toString())
+
+    def same(new, old):
+        assert opt(new) == opt(old)
+        assert sorted(map(tuple, new.collect())) == sorted(
+            map(tuple, old.collect())
+        )
+
+    df = spark.createDataFrame(
+        [("a", "x", 1, 10.0), ("a", "y", 2, 25.0), ("b", "x", 3, None),
+         ("b", None, 4, 40.0), ("a", "x", 5, 55.5)],
+        "g string, v string, id int, q double",
+    )
+    depth, width, k, m_bits = 4, 1024, 4, 1024
+    edges = [10.0, 25.0, 40.0]
+
+    # --- CMS build: explode(array(struct(__d, __bucket)…)) ---
+    def cms_store_cols(d):
+        v = F.col("v")
+        cells = d.where(v.isNotNull()).select(
+            "g",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).cast("long").alias("__d"),
+                        _cms_bucket(v, i, width, "cms").alias("__bucket"),
+                    )
+                    for i in range(depth)
+                ])
+            ).alias("__cell"),
+        )
+        return cells.groupBy(
+            "g", F.col("__cell.__d").alias("__d"),
+            F.col("__cell.__bucket").alias("__bucket"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    same(cms_store(df, ["g"], "v"), cms_store_cols(df))
+
+    # --- CMS probe ---
+    store = cms_store(df, ["g"], "v")
+    items = df.select("g", "v").where(F.col("v").isNotNull()).distinct()
+
+    def cms_estimate_cols(st, it):
+        it = it.dropDuplicates(["g", "v"])
+        probes = it.select(
+            "g",
+            F.col("v"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).cast("long").alias("__d"),
+                        _cms_bucket(F.col("v"), i, width, "cms")
+                        .alias("__bucket"),
+                    )
+                    for i in range(depth)
+                ])
+            ).alias("__cell"),
+        ).select(
+            "g", "v",
+            F.col("__cell.__d").alias("__d"),
+            F.col("__cell.__bucket").alias("__bucket"),
+        )
+        joined = probes.join(st, on=["g", "__d", "__bucket"], how="left")
+        per_depth = joined.groupBy("g", "v", "__d").agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("__cn")
+        )
+        return per_depth.groupBy("g", "v").agg(
+            F.min("__cn").alias("est_count")
+        )
+
+    same(
+        cms_estimate(store, items, ["g"], "v"),
+        cms_estimate_cols(store, items),
+    )
+
+    # --- Bloom build ---
+    def bloom_store_cols(d):
+        v = F.col("v")
+        bits = d.where(v.isNotNull()).select(
+            "g",
+            F.explode(
+                F.array(*[
+                    _bloom_bit(v, i, m_bits, "bloom") for i in range(k)
+                ])
+            ).alias("__bit"),
+        )
+        return (
+            bits.select(
+                "g",
+                (F.col("__bit") / 64).cast("long").alias("__w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(__bit % 64 AS INT))"
+                ).alias("__mask"),
+            )
+            .groupBy("g", "__w")
+            .agg(F.bit_or("__mask").alias("bits"))
+        )
+
+    same(bloom_store(df, ["g"], "v", k=k, m_bits=m_bits), bloom_store_cols(df))
+
+    # --- Bloom probe ---
+    bstore = bloom_store(df, ["g"], "v", k=k, m_bits=m_bits)
+
+    def bloom_member_cols(st, it):
+        it = it.dropDuplicates(["g", "v"])
+        probes = it.select(
+            "g",
+            F.col("v"),
+            F.explode(
+                F.array(*[
+                    _bloom_bit(F.col("v"), i, m_bits, "bloom")
+                    for i in range(k)
+                ])
+            ).alias("__bit"),
+        ).select(
+            "g", "v", "__bit",
+            (F.col("__bit") / 64).cast("long").alias("__w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__bit % 64 AS INT))"
+            ).alias("__mask"),
+        )
+        joined = probes.join(st, on=["g", "__w"], how="left")
+        per_bit = joined.groupBy("g", "v", "__bit").agg(
+            (
+                F.bit_or(F.coalesce(F.col("bits"), F.lit(0)))
+                .bitwiseAND(F.first("__mask"))
+                != 0
+            ).alias("__hit")
+        )
+        return per_bit.groupBy("g", "v").agg(
+            F.bool_and("__hit").alias("maybe_member")
+        )
+
+    same(
+        bloom_member(bstore, items, ["g"], "v", k=k, m_bits=m_bits),
+        bloom_member_cols(bstore, items),
+    )
+
+    # --- Histogram build ---
+    def histogram_store_cols(d):
+        v = F.col("q").cast("double")
+        e = F.array(*[F.lit(float(x)) for x in edges])
+        bin_ = F.when(v.isNotNull(), F.size(F.filter(e, lambda x: x <= v)))
+        n_bins = len(edges) + 1
+        binned = d.withColumn("__bin", bin_)
+        return binned.groupBy("g").agg(
+            F.array(
+                *[
+                    F.sum(
+                        F.when(F.col("__bin") == i, F.lit(1))
+                        .otherwise(F.lit(0))
+                    ).cast("long")
+                    for i in range(n_bins)
+                ]
+            ).alias("counts")
+        )
+
+    same(histogram_store(df, ["g"], "q", edges), histogram_store_cols(df))
+
+    # --- Histogram merge (transform tail) + drift ---
+    h0 = histogram_store(df.where("id % 2 = 0"), ["g"], "q", edges)
+    h1 = histogram_store(df.where("id % 2 = 1"), ["g"], "q", edges)
+
+    def histogram_merge_cols(stores):
+        unioned = stores[0]
+        for s in stores[1:]:
+            unioned = unioned.unionByName(s)
+        exploded = unioned.select(
+            "g", F.posexplode("counts").alias("__bin", "__c")
+        )
+        return (
+            exploded.groupBy("g", "__bin")
+            .agg(F.sum("__c").alias("__c"))
+            .groupBy("g")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__bin", "__c"))
+                ).alias("__bc")
+            )
+            .select(
+                "g",
+                F.transform(F.col("__bc"), lambda s: s["__c"])
+                .alias("counts"),
+            )
+        )
+
+    same(histogram_merge_stores([h0, h1], ["g"]), histogram_merge_cols([h0, h1]))
+
+    def histogram_drift_cols(sa, sb):
+        a = histogram_merge_cols([sa])
+        b = histogram_merge_cols([sb]).select(
+            "g", F.col("counts").alias("__cb")
+        )
+        zero = F.lit(0).cast("long")
+        joined = (
+            a.join(b, on=["g"])
+            .withColumn(
+                "__ta",
+                F.aggregate("counts", zero, lambda acc, x: acc + x)
+                .cast("double"),
+            )
+            .withColumn(
+                "__tb",
+                F.aggregate("__cb", zero, lambda acc, x: acc + x)
+                .cast("double"),
+            )
+        )
+        tv = F.aggregate(
+            F.zip_with(
+                "counts", "__cb",
+                lambda x, y: F.abs(
+                    x.cast("double") / F.col("__ta")
+                    - y.cast("double") / F.col("__tb")
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ) / F.lit(2.0)
+        tv = F.when((F.col("__ta") > 0) & (F.col("__tb") > 0), tv)
+        return joined.select("g", tv.alias("tv_distance"))
+
+    same(histogram_drift(h0, h1, ["g"]), histogram_drift_cols(h0, h1))
+
+    # --- Bottom-k build ---
+    def bottomk_cols(d):
+        v = F.col("q")
+        rows = d.where(v.isNotNull()).select(
+            "g",
+            portable_hash(
+                F.concat(F.col("id").cast("string"), F.lit(":bk"))
+            ).alias("__hk"),
+            v.alias("value"),
+        )
+        return _bottomk(rows, ["g"], 2)
+
+    same(bottomk_sample_store(df, ["g"], "id", "q", k=2), bottomk_cols(df))
