@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from evidence_datasource_parsers_spark.functions.sqlstr import qid
+
 
 def _num(c: Column, dtype: str) -> Column:
     """Time axis as an exactly-comparable number (epoch micros for
@@ -70,55 +72,64 @@ def asof_join_multi(
             raise ValueError(f"unknown direction {d!r}")
     rdt, ldt = dict(right.dtypes), dict(left.dtypes)
     lcols = list(left.columns)
-    l_tag = left.select(
-        *lcols,
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        *[F.lit(None).cast(rdt[c]).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast(rdt[right_ts]).alias("__r_ts"),
+    # SQL-string construction (r13, guide §1.3): the tag projections and
+    # the per-(direction × column) window expressions dominated this
+    # builder's py4j round trips — q46's build was ~0.5s of pure driver
+    # time, over half its measured bench cost.  Each select now parses
+    # from one string; plan identity with the Column forms is pinned in
+    # tests/test_asof.py::test_asof_sql_twin_plan_equal_column_form.
+    lq = [qid(c) for c in lcols]
+    l_tag = left.selectExpr(
+        *lq,
+        f"{qid(left_ts)} AS __ts",
+        "1 AS __side",
+        *[
+            f"CAST(NULL AS {rdt[c]}) AS {qid(f'__r_{c}')}"
+            for c in right_cols
+        ],
+        f"CAST(NULL AS {rdt[right_ts]}) AS __r_ts",
     )
-    r_tag = right.select(
-        F.col(on),
-        *[F.lit(None).cast(ldt[c]).alias(c) for c in lcols if c != on],
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(right_ts).alias("__r_ts"),
+    r_tag = right.selectExpr(
+        qid(on),
+        *[f"CAST(NULL AS {ldt[c]}) AS {qid(c)}" for c in lcols if c != on],
+        f"{qid(right_ts)} AS __ts",
+        "0 AS __side",
+        *[f"{qid(c)} AS {qid(f'__r_{c}')}" for c in right_cols],
+        f"{qid(right_ts)} AS __r_ts",
     )
     unioned = l_tag.unionByName(r_tag)
 
-    def window(direction: str):
+    def window_sql(direction: str) -> str:
+        # explicit NULLS ordering mirrors the Column API's asc()/
+        # desc()/…_nulls_first defaults exactly
         if direction == "backward":
-            order = [F.col("__ts").asc(), F.col("__side").asc()]
+            order = ["__ts ASC NULLS FIRST", "__side ASC NULLS FIRST"]
             if tie_break is not None:
                 # last() wins → greatest tie_break is scanned last
-                order.append(F.col(f"__r_{tie_break}").asc_nulls_first())
+                order.append(f"{qid(f'__r_{tie_break}')} ASC NULLS FIRST")
         else:
-            order = [F.col("__ts").desc(), F.col("__side").asc()]
+            order = ["__ts DESC NULLS LAST", "__side ASC NULLS FIRST"]
             if tie_break is not None:
                 # smallest tie_break scanned last → earliest wins
-                order.append(F.col(f"__r_{tie_break}").desc_nulls_first())
+                order.append(f"{qid(f'__r_{tie_break}')} DESC NULLS FIRST")
         return (
-            Window.partitionBy(on)
-            .orderBy(*order)
-            .rowsBetween(Window.unboundedPreceding, 0)
+            f"OVER (PARTITION BY {qid(on)} ORDER BY {', '.join(order)} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         )
 
     carried_cols = []
     out_cols = []
     for d in directions:
-        w = window(d)
+        w = window_sql(d)
         for c in right_cols:
             carried_cols.append(
-                F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__{d}_{c}")
+                f"last({qid(f'__r_{c}')}, true) {w} AS {qid(f'__{d}_{c}')}"
             )
-            out_cols.append(F.col(f"__{d}_{c}").alias(f"{c}_{d}"))
-        carried_cols.append(
-            F.last("__r_ts", ignorenulls=True).over(w).alias(f"__{d}__ts")
-        )
-        out_cols.append(F.col(f"__{d}__ts").alias(f"{right_ts}_{d}"))
-    carried = unioned.select(*lcols, "__side", *carried_cols)
-    out = carried.where(F.col("__side") == 1).select(*lcols, *out_cols)
+            out_cols.append(f"{qid(f'__{d}_{c}')} AS {qid(f'{c}_{d}')}")
+        carried_cols.append(f"last(__r_ts, true) {w} AS {qid(f'__{d}__ts')}")
+        out_cols.append(f"{qid(f'__{d}__ts')} AS {qid(f'{right_ts}_{d}')}")
+    carried = unioned.selectExpr(*lq, "__side", *carried_cols)
+    out = carried.where(F.col("__side") == 1).selectExpr(*lq, *out_cols)
     if tolerance is not None:
         temporal = ldt[left_ts].startswith("timestamp") or ldt[left_ts] == "date"
         tol = float(tolerance) * (1_000_000 if temporal else 1)

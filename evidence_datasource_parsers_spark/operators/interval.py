@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from evidence_datasource_parsers_spark.functions.sqlstr import dlit, qid, slit
+
 MICROS = 1_000_000
 
 
@@ -41,6 +43,13 @@ def _axis(c: Column, dtype: str) -> Column:
     if dtype.startswith("timestamp") or dtype == "date":
         return F.unix_micros(c.cast("timestamp"))
     return c.cast("double")
+
+
+def _axis_sql(col: str, dtype: str) -> str:
+    """SQL-string twin of :func:`_axis` (``col`` = raw column name)."""
+    if dtype.startswith("timestamp") or dtype == "date":
+        return f"unix_micros(CAST({qid(col)} AS TIMESTAMP))"
+    return f"CAST({qid(col)} AS DOUBLE)"
 
 
 def _is_temporal(dtype: str) -> bool:
@@ -88,37 +97,34 @@ def interval_join(
     pdt, idt = dict(points.dtypes), dict(intervals.dtypes)
     width = float(bucket_width) * (MICROS if _is_temporal(pdt[point_ts]) else 1)
 
-    p = points.withColumn(
-        "__pt", _axis(F.col(point_ts), pdt[point_ts])
-    ).withColumn("__pb", F.floor(F.col("__pt") / width))
+    # SQL-string construction (r13, guide §1.3 — one parse per select
+    # instead of one py4j round trip per expression node; plan identity
+    # with the Column forms pinned in tests/test_interval_join.py::
+    # test_interval_sql_twin_plan_equal_column_form)
+    w = dlit(width)
+    p = points.selectExpr(
+        "*", f"{_axis_sql(point_ts, pdt[point_ts])} AS __pt"
+    ).selectExpr("*", f"FLOOR(__pt / {w}) AS __pb")
 
-    s_num = _axis(F.col(start_ts), idt[start_ts])
-    e_num = _axis(F.col(end_ts), idt[end_ts])
-    span = F.floor(e_num / width) - F.floor(s_num / width) + 1
+    s_sql = _axis_sql(start_ts, idt[start_ts])
+    e_sql = _axis_sql(end_ts, idt[end_ts])
+    span = f"((FLOOR({e_sql} / {w}) - FLOOR({s_sql} / {w})) + 1)"
+    err_msg = slit(
+        "interval spans %d buckets > max_span_buckets=%d"
+        " — raise bucket_width"
+    )
     i = (
-        intervals.withColumn("__s", s_num)
-        .withColumn("__e", e_num)
-        .where(F.col("__e") >= F.col("__s"))  # inverted intervals never match
-        .withColumn(
-            "__ib",
-            F.explode(
-                F.when(
-                    span <= F.lit(max_span_buckets),
-                    F.sequence(
-                        F.floor(F.col("__s") / width),
-                        F.floor(F.col("__e") / width),
-                    ),
-                ).otherwise(
-                    F.raise_error(
-                        F.format_string(
-                            "interval spans %d buckets > max_span_buckets=%d"
-                            " — raise bucket_width",
-                            span.cast("int"),
-                            F.lit(max_span_buckets),
-                        )
-                    )
-                )
-            ),
+        intervals.selectExpr("*", f"{s_sql} AS __s")
+        .selectExpr("*", f"{e_sql} AS __e")
+        .where("__e >= __s")  # inverted intervals never match
+        .selectExpr(
+            "*",
+            "explode("
+            f"CASE WHEN {span} <= {max_span_buckets} "
+            f"THEN sequence(FLOOR(__s / {w}), FLOOR(__e / {w})) "
+            f"ELSE raise_error(format_string({err_msg}, "
+            f"CAST({span} AS INT), {max_span_buckets})) END"
+            ") AS __ib",
         )
     )
     if on:
@@ -242,10 +248,10 @@ def count_in_interval(
     survives with an exact long count.  Point columns must be groupable
     (no map type) and row-unique if per-row counts are to be meaningful.
     """
-    probe = intervals.select(
-        *([on] if on else []),
-        F.col(start_ts).alias("__is"),
-        F.col(end_ts).alias("__ie"),
+    probe = intervals.selectExpr(
+        *([qid(on)] if on else []),
+        f"{qid(start_ts)} AS __is",
+        f"{qid(end_ts)} AS __ie",
     )
     joined = interval_join(
         points,

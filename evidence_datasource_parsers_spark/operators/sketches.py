@@ -56,28 +56,11 @@ _PH_SQL = (
     "CAST(conv(substring(md5({c}), 1, %d), 16, 10) AS BIGINT)" % HEX_CHARS
 )
 
-
-def _qid(name: str) -> str:
-    """Backtick-quote an identifier for Spark SQL."""
-    return "`" + name.replace("`", "``") + "`"
-
-
-def _slit(s: str) -> str:
-    """Single-quoted Spark SQL string literal (backslash escaping —
-    the r13 lesson: interpolating un-escaped literals is a silent
-    divergence trap under salt/label changes)."""
-    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
-
-def _dlit(x: float) -> str:
-    """Double literal — bare decimals parse as DECIMAL in Spark SQL,
-    which would NOT match the Column forms' ``F.lit(float(...))``."""
-    x = float(x)
-    if math.isinf(x):
-        return f"CAST('{'' if x > 0 else '-'}Infinity' AS DOUBLE)"
-    if math.isnan(x):
-        return "CAST('NaN' AS DOUBLE)"
-    return repr(x) + "D"
+from evidence_datasource_parsers_spark.functions.sqlstr import (  # noqa: E402
+    dlit as _dlit,
+    qid as _qid,
+    slit as _slit,
+)
 
 
 def _union_stores(stores: list[DataFrame]) -> DataFrame:

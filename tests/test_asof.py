@@ -293,3 +293,112 @@ def test_tolerance_masks_far_matches(spark):
 
     with pytest.raises(ValueError, match="tolerance"):
         asof_join_multi(left, right, "k", "ts", "rts", ["rid"], tolerance=-1)
+
+
+def test_asof_sql_twin_plan_equal_column_form(spark):
+    """The r13 SQL-string construction of asof_join_multi (tag
+    projections + window expressions parse from one string each) must
+    generate the SAME optimized logical plan as the Column-API form it
+    replaced — identical plans cannot produce different values.  The
+    reconstruction below is the pre-r13 Column code, verbatim."""
+    import re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from evidence_datasource_parsers_spark.operators.asof import (
+        asof_join_multi,
+    )
+
+    def canon(s):
+        return re.sub(r"#\d+", "#", s)
+
+    def opt(df):
+        return canon(df._jdf.queryExecution().optimizedPlan().toString())
+
+    clicks = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 200), (5, "u1", 150)],
+        "event_id long, user_id string, ts long",
+    )
+    purchases = spark.createDataFrame(
+        [(101, "u1", 90), (102, "u1", 150), (103, "u1", 150)],
+        "purchase_id long, user_id string, purchase_ts long",
+    )
+
+    def asof_multi_cols(
+        left, right, on, left_ts, right_ts, right_cols,
+        tie_break=None, directions=("backward", "forward"),
+    ):
+        rdt, ldt = dict(right.dtypes), dict(left.dtypes)
+        lcols = list(left.columns)
+        l_tag = left.select(
+            *lcols,
+            F.col(left_ts).alias("__ts"),
+            F.lit(1).alias("__side"),
+            *[
+                F.lit(None).cast(rdt[c]).alias(f"__r_{c}")
+                for c in right_cols
+            ],
+            F.lit(None).cast(rdt[right_ts]).alias("__r_ts"),
+        )
+        r_tag = right.select(
+            F.col(on),
+            *[F.lit(None).cast(ldt[c]).alias(c) for c in lcols if c != on],
+            F.col(right_ts).alias("__ts"),
+            F.lit(0).alias("__side"),
+            *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+            F.col(right_ts).alias("__r_ts"),
+        )
+        unioned = l_tag.unionByName(r_tag)
+
+        def window(direction):
+            if direction == "backward":
+                order = [F.col("__ts").asc(), F.col("__side").asc()]
+                if tie_break is not None:
+                    order.append(
+                        F.col(f"__r_{tie_break}").asc_nulls_first()
+                    )
+            else:
+                order = [F.col("__ts").desc(), F.col("__side").asc()]
+                if tie_break is not None:
+                    order.append(
+                        F.col(f"__r_{tie_break}").desc_nulls_first()
+                    )
+            return (
+                Window.partitionBy(on)
+                .orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+
+        carried_cols = []
+        out_cols = []
+        for d in directions:
+            w = window(d)
+            for c in right_cols:
+                carried_cols.append(
+                    F.last(f"__r_{c}", ignorenulls=True)
+                    .over(w)
+                    .alias(f"__{d}_{c}")
+                )
+                out_cols.append(F.col(f"__{d}_{c}").alias(f"{c}_{d}"))
+            carried_cols.append(
+                F.last("__r_ts", ignorenulls=True).over(w).alias(f"__{d}__ts")
+            )
+            out_cols.append(F.col(f"__{d}__ts").alias(f"{right_ts}_{d}"))
+        carried = unioned.select(*lcols, "__side", *carried_cols)
+        return carried.where(F.col("__side") == 1).select(*lcols, *out_cols)
+
+    for tb in ("purchase_id", None):
+        new = asof_join_multi(
+            clicks, purchases, on="user_id", left_ts="ts",
+            right_ts="purchase_ts", right_cols=["purchase_id"],
+            tie_break=tb,
+        )
+        old = asof_multi_cols(
+            clicks, purchases, "user_id", "ts", "purchase_ts",
+            ["purchase_id"], tie_break=tb,
+        )
+        assert opt(new) == opt(old)
+        assert sorted(map(tuple, new.collect())) == sorted(
+            map(tuple, old.collect())
+        )

@@ -179,3 +179,131 @@ def test_overlap_join_no_key(spark):
     got = interval_overlap_join(a, b, "alo", "ahi", "blo", "bhi",
                                 bucket_width=3.0)
     assert sorted((r.aid, r.bid) for r in got.collect()) == [(1, 11), (2, 11)]
+
+
+def test_interval_sql_twin_plan_equal_column_form(spark):
+    """The r13 SQL-string construction of interval_join /
+    count_in_interval (axis/bucket/explode expressions parse from one
+    string each) must generate the SAME optimized logical plan as the
+    Column-API form it replaced.  The reconstruction below is the
+    pre-r13 Column code, verbatim."""
+    import re
+
+    from evidence_datasource_parsers_spark.operators.interval import (
+        MICROS,
+        _axis,
+        _is_temporal,
+        count_in_interval,
+        interval_join,
+    )
+
+    def canon(s):
+        return re.sub(r"#\d+", "#", s)
+
+    def opt(df):
+        return canon(df._jdf.queryExecution().optimizedPlan().toString())
+
+    points = spark.createDataFrame(
+        [(1, "u1", 100.0), (2, "u1", 250.0), (3, "u2", 50.0)],
+        "pid long, user_id string, t double",
+    )
+    intervals = spark.createDataFrame(
+        [(11, "u1", 90.0, 180.0), (12, "u1", 240.0, 260.0)],
+        "iid long, user_id string, s double, e double",
+    )
+
+    def interval_join_cols(
+        pts, ivs, point_ts, start_ts, end_ts, on,
+        *, bucket_width, how="inner", max_span_buckets=4096,
+    ):
+        from pyspark.sql import functions as F
+
+        pdt, idt = dict(pts.dtypes), dict(ivs.dtypes)
+        width = float(bucket_width) * (
+            MICROS if _is_temporal(pdt[point_ts]) else 1
+        )
+        p = pts.withColumn(
+            "__pt", _axis(F.col(point_ts), pdt[point_ts])
+        ).withColumn("__pb", F.floor(F.col("__pt") / width))
+        s_num = _axis(F.col(start_ts), idt[start_ts])
+        e_num = _axis(F.col(end_ts), idt[end_ts])
+        span = F.floor(e_num / width) - F.floor(s_num / width) + 1
+        i = (
+            ivs.withColumn("__s", s_num)
+            .withColumn("__e", e_num)
+            .where(F.col("__e") >= F.col("__s"))
+            .withColumn(
+                "__ib",
+                F.explode(
+                    F.when(
+                        span <= F.lit(max_span_buckets),
+                        F.sequence(
+                            F.floor(F.col("__s") / width),
+                            F.floor(F.col("__e") / width),
+                        ),
+                    ).otherwise(
+                        F.raise_error(
+                            F.format_string(
+                                "interval spans %d buckets >"
+                                " max_span_buckets=%d — raise bucket_width",
+                                span.cast("int"),
+                                F.lit(max_span_buckets),
+                            )
+                        )
+                    )
+                ),
+            )
+        )
+        if on:
+            i = i.withColumnRenamed(on, "__ion")
+        P, I = p.alias("P"), i.alias("I")
+        cond = (F.col("P.__pb") == F.col("I.__ib")) & (
+            F.col("P.__pt").between(F.col("I.__s"), F.col("I.__e"))
+        )
+        if on:
+            cond = cond & (F.col(f"P.{on}") == F.col("I.__ion"))
+        joined = P.join(I, on=cond, how=how)
+        return joined.select(
+            *[P[c] for c in pts.columns],
+            *[I[c] for c in ivs.columns if c != on],
+        )
+
+    probe = intervals.select(
+        "user_id", F.col("s").alias("__is"), F.col("e").alias("__ie")
+    )
+    new = interval_join(
+        points, probe, "t", "__is", "__ie", "user_id", bucket_width=100.0
+    )
+    old = interval_join_cols(
+        points, probe, "t", "__is", "__ie", "user_id", bucket_width=100.0
+    )
+    assert opt(new) == opt(old)
+    assert sorted(map(tuple, new.collect())) == sorted(
+        map(tuple, old.collect())
+    )
+
+    # count_in_interval = probe projection + left interval_join + count
+    def count_cols(pts, ivs, point_ts, start_ts, end_ts, on, *, bucket_width):
+        pr = ivs.select(
+            *([on] if on else []),
+            F.col(start_ts).alias("__is"),
+            F.col(end_ts).alias("__ie"),
+        )
+        joined = interval_join_cols(
+            pts, pr, point_ts, "__is", "__ie", on,
+            bucket_width=bucket_width, how="left",
+        )
+        return joined.groupBy(*pts.columns).agg(
+            F.count(F.col("__is")).alias("n_in_interval")
+        )
+
+    newc = count_in_interval(
+        points, intervals, "t", "s", "e", "user_id", bucket_width=100.0
+    )
+    oldc = count_cols(
+        points, intervals, "t", "s", "e", "user_id", bucket_width=100.0
+    )
+    assert opt(newc) == opt(oldc)
+    assert sorted(map(tuple, newc.collect())) == sorted(
+        map(tuple, oldc.collect())
+    )
