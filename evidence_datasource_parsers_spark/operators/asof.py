@@ -24,7 +24,7 @@ time-bucket key.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from evidence_datasource_parsers_spark.functions.sqlstr import qid
