@@ -19,6 +19,8 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from evidence_datasource_parsers_spark.functions.sqlstr import qid, slit
+
 
 def balanced_sum(terms: list):
     """Pairwise (balanced-tree) summation: depth log2(n) instead of n.
@@ -310,20 +312,16 @@ def hyperplane_bucket_rows(
         )
         .withColumn("__bks", bucket_udf(F.col(vec_alias)))
     )
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                F.col(f"__bks.bk{t}").alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
+    # one SQL parse instead of one py4j trip per struct node (r13)
+    buckets = ", ".join(
+        f"struct({t} AS table, __bks.bk{t} AS bucket)"
+        for t in range(n_tables)
     )
-    return src.select(
-        id_col, vec_alias, F.explode(buckets).alias("__b")
-    ).select(
-        id_col, vec_alias, F.col("__b.table").alias("__t"),
-        F.col("__b.bucket").alias("__bucket"),
+    return src.selectExpr(
+        qid(id_col), qid(vec_alias), f"explode(array({buckets})) AS __b"
+    ).selectExpr(
+        qid(id_col), qid(vec_alias), "__b.table AS __t",
+        "__b.bucket AS __bucket",
     )
 
 
@@ -478,44 +476,42 @@ def ann_lsh_topk_dual(
         "__in_base",
         cosine_pairs_udf()(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("cosine_sim").desc(), F.col(corpus_id).asc()
+    # SQL-string construction from here down (r13, guide §1.3 — the
+    # scoring select above keeps the Column form because the Arrow
+    # cosine UDF call cannot ride a SQL string).  Explicit NULLS
+    # ordering mirrors the Column API's desc()/asc() defaults; plan
+    # identity with the Column form is asserted against a committed
+    # optimized-plan snapshot (optimization round 1) and guarded by
+    # test_q39_ann_plan_shape + the dual-vs-separate multiset test.
+    over = (
+        f"OVER (PARTITION BY {qid(query_id)} ORDER BY "
+        f"cosine_sim DESC NULLS LAST, {qid(corpus_id)} ASC NULLS FIRST"
     )
-    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    ranked = scored.withColumn(
-        "__rank_mp", F.row_number().over(w)
-    ).withColumn(
-        "__rank_base",
-        F.sum(F.when(F.col("__in_base"), 1).otherwise(0)).over(wrun),
+    ranked = scored.selectExpr(
+        "*",
+        f"row_number() {over}) AS __rank_mp",
+        f"sum(CASE WHEN __in_base THEN 1 ELSE 0 END) {over} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __rank_base",
     )
-    legs = F.array_compact(
-        F.array(
-            F.when(
-                F.col("__rank_mp") <= k,
-                F.struct(
-                    F.lit(mp_method).alias("method"),
-                    F.col("__rank_mp").cast("int").alias("rank"),
-                ),
-            ),
-            F.when(
-                F.col("__in_base") & (F.col("__rank_base") <= k),
-                F.struct(
-                    F.lit(base_method).alias("method"),
-                    F.col("__rank_base").cast("int").alias("rank"),
-                ),
-            ),
-        )
+    legs = (
+        "array_compact(array("
+        f"CASE WHEN __rank_mp <= {k} THEN struct("
+        f"{slit(mp_method)} AS method, CAST(__rank_mp AS INT) AS rank) END, "
+        f"CASE WHEN __in_base AND __rank_base <= {k} THEN struct("
+        f"{slit(base_method)} AS method, CAST(__rank_base AS INT) AS rank)"
+        " END))"
     )
     return (
-        ranked.select(
-            query_id, corpus_id, "cosine_sim", F.explode(legs).alias("__l")
+        ranked.selectExpr(
+            qid(query_id), qid(corpus_id), "cosine_sim",
+            f"explode({legs}) AS __l",
         )
-        .select(
-            F.col("__l.method").alias("method"),
-            query_id,
-            corpus_id,
+        .selectExpr(
+            "__l.method AS method",
+            qid(query_id),
+            qid(corpus_id),
             "cosine_sim",
-            F.col("__l.rank").alias("rank"),
+            "__l.rank AS rank",
         )
     )
 
@@ -828,40 +824,28 @@ def hyperplane_probe_rows(
         )
         .withColumn("__bks", bucket_udf(F.col(vec_alias)))
     )
-    per_table = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"), F.col(f"__bks.bk{t}").alias("bks")
-            )
-            for t in range(n_tables)
-        ]
-    )
+    # one SQL parse instead of one py4j trip per struct node (r13)
+    per_table = "array(" + ", ".join(
+        f"struct({t} AS table, __bks.bk{t} AS bks)" for t in range(n_tables)
+    ) + ")"
+    iq, vq = qid(id_col), qid(vec_alias)
     if with_base_flag:
         # posexplode: position 0 in each table's probe list IS the
         # unflipped (base) bucket — the flag that lets one candidate pass
         # serve both the base and the multi-probe leg (ann_lsh_topk_dual)
         return (
-            src.select(id_col, vec_alias, F.explode(per_table).alias("__tb"))
-            .select(
-                id_col,
-                vec_alias,
-                F.col("__tb.table").alias("__t"),
-                F.posexplode("__tb.bks").alias("__pos", "__bucket"),
+            src.selectExpr(iq, vq, f"explode({per_table}) AS __tb")
+            .selectExpr(
+                iq,
+                vq,
+                "__tb.table AS __t",
+                "posexplode(__tb.bks) AS (__pos, __bucket)",
             )
-            .select(
-                id_col,
-                vec_alias,
-                "__t",
-                "__bucket",
-                (F.col("__pos") == 0).alias("__is_base"),
-            )
+            .selectExpr(iq, vq, "__t", "__bucket", "(__pos = 0) AS __is_base")
         )
     return (
-        src.select(id_col, vec_alias, F.explode(per_table).alias("__tb"))
-        .select(
-            id_col,
-            vec_alias,
-            F.col("__tb.table").alias("__t"),
-            F.explode("__tb.bks").alias("__bucket"),
+        src.selectExpr(iq, vq, f"explode({per_table}) AS __tb")
+        .selectExpr(
+            iq, vq, "__tb.table AS __t", "explode(__tb.bks) AS __bucket"
         )
     )
