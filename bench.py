@@ -94,6 +94,22 @@ def main() -> None:
     # failed queries (-1.0 sentinel) must not subtract from the headline
     # total — the metric stays monotone in real work done
     failed = sorted(n for n, t in timings.items() if t < 0)
+    # The headline stdout line must stay SHORT: the round-over-round
+    # comparator stores only a 2000-char tail of stdout, and the r11-mandated
+    # samples/spread arrays pushed the r12 line past that boundary — r13's
+    # comparison came back empty because the stored r12 line was truncated
+    # mid-JSON.  The per-sample detail (still required for adjudicating noisy
+    # deltas) goes to stderr and to a BENCH_SAMPLES.json sidecar instead.
+    detail = {"samples": samples, "spread": spread}
+    print("bench samples: " + json.dumps(detail), file=sys.stderr)
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"
+        )
+        with open(sidecar, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as exc:  # a read-only checkout must not kill the line
+        print(f"bench: sidecar write failed: {exc}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -105,8 +121,6 @@ def main() -> None:
                 "value_median": round(
                     sum(t for t in medians.values() if t >= 0), 3
                 ),
-                "samples": samples,
-                "spread": spread,
                 "failed": failed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
