@@ -25,9 +25,32 @@ def qid(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+def reject_reserved_columns(cols, reserved, op: str) -> None:
+    """Refuse input columns that collide with an operator's internal
+    working names.  The r13 ``selectExpr("*", ...)`` rewrites APPEND
+    internal columns instead of replacing same-named ones (withColumn
+    semantics), so a pre-existing ``__ts``/``__pt``/… would surface later
+    as an ambiguous-reference AnalysisException; fail up front with a
+    message that names the offenders instead.  Only ACTUAL collisions are
+    rejected — ``__``-prefixed inputs that don't match an internal name
+    pass through untouched (catalog builders legitimately carry them)."""
+    bad = sorted(set(cols) & set(reserved))
+    if bad:
+        raise ValueError(
+            f"{op}: these input column names collide with the operator's "
+            f"internal working columns; rename them: {bad}"
+        )
+
+
 def slit(s: str) -> str:
-    """Single-quoted Spark SQL string literal (backslash escaping)."""
-    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    """Single-quoted Spark SQL string literal.
+
+    Quotes are escaped by doubling (``''``), which parses identically
+    under BOTH parser modes; backslashes are doubled, which is correct
+    only while ``spark.sql.parser.escapedStringLiterals`` stays at its
+    default ``false`` (the session factory pins it, and literals that
+    carry no backslash are mode-independent either way)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def dlit(x: float) -> str:

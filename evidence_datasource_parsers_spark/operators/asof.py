@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from evidence_datasource_parsers_spark.functions.sqlstr import qid
+from evidence_datasource_parsers_spark.functions.sqlstr import (
+    qid,
+    reject_reserved_columns,
+)
 
 
 def _num(c: Column, dtype: str) -> Column:
@@ -70,6 +73,14 @@ def asof_join_multi(
     for d in directions:
         if d not in ("backward", "forward"):
             raise ValueError(f"unknown direction {d!r}")
+    internal = {"__ts", "__side", "__r_ts"}
+    internal.update(f"__r_{c}" for c in right_cols)
+    for d in directions:
+        internal.update(f"__{d}_{c}" for c in right_cols)
+        internal.add(f"__{d}__ts")
+    reject_reserved_columns(
+        list(left.columns) + list(right.columns), internal, "asof_join"
+    )
     rdt, ldt = dict(right.dtypes), dict(left.dtypes)
     lcols = list(left.columns)
     # SQL-string construction (r13, guide §1.3): the tag projections and

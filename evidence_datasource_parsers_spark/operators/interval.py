@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from evidence_datasource_parsers_spark.functions.sqlstr import dlit, qid, slit
+from evidence_datasource_parsers_spark.functions.sqlstr import (
+    dlit,
+    qid,
+    reject_reserved_columns,
+    slit,
+)
 
 MICROS = 1_000_000
 
@@ -90,6 +95,11 @@ def interval_join(
         raise ValueError(f"how must be inner|left, got {how!r}")
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    reject_reserved_columns(
+        list(points.columns) + list(intervals.columns),
+        ("__pt", "__pb", "__s", "__e", "__ib"),
+        "interval_join",
+    )
     overlap = (set(points.columns) & set(intervals.columns)) - {on}
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")

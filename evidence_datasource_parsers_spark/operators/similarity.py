@@ -479,10 +479,14 @@ def ann_lsh_topk_dual(
     # SQL-string construction from here down (r13, guide §1.3 — the
     # scoring select above keeps the Column form because the Arrow
     # cosine UDF call cannot ride a SQL string).  Explicit NULLS
-    # ordering mirrors the Column API's desc()/asc() defaults; plan
-    # identity with the Column form is asserted against a committed
-    # optimized-plan snapshot (optimization round 1) and guarded by
-    # test_q39_ann_plan_shape + the dual-vs-separate multiset test.
+    # ordering mirrors the Column API's desc()/asc() defaults.  Unlike
+    # the asof/interval/sketch twins this rewrite is VALUE-verified,
+    # not plan-identical: expressing both ranks over one OVER clause
+    # lets Catalyst fuse the two Window nodes into one (an intentional
+    # improvement the Column form did not get).  Output equality with
+    # the separate legs is pinned by
+    # test_ann_lsh_topk_dual_matches_separate_legs and the plan shape
+    # by test_q39_ann_plan_shape.
     over = (
         f"OVER (PARTITION BY {qid(query_id)} ORDER BY "
         f"cosine_sim DESC NULLS LAST, {qid(corpus_id)} ASC NULLS FIRST"

@@ -73,4 +73,19 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # The SQL-string twin builders (functions/sqlstr.py) backslash-escape
+    # string literals, which parses correctly only under the DEFAULT parser
+    # mode; refuse a session where a deployment-level legacy override would
+    # silently diverge the twins from their F.lit Column forms.  (Checked,
+    # not set: setting the conf trips a Spark 4 deprecation warning.)
+    if (
+        spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        == "true"
+    ):
+        raise RuntimeError(
+            "spark.sql.parser.escapedStringLiterals=true is unsupported: "
+            "the engine's SQL-string builders rely on default-mode "
+            "backslash escaping"
+        )
+    return spark

@@ -402,3 +402,12 @@ def test_asof_sql_twin_plan_equal_column_form(spark):
         assert sorted(map(tuple, new.collect())) == sorted(
             map(tuple, old.collect())
         )
+
+
+def test_asof_rejects_reserved_columns(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 1.0, 0)], "k int, t double, __ts int")
+    right = spark.createDataFrame([(1, 1.0, 2.0)], "k int, t double, v double")
+    with pytest.raises(ValueError, match="__ts"):
+        asof_join(left, right, "k", "t", "t", ["v"])

@@ -307,3 +307,16 @@ def test_interval_sql_twin_plan_equal_column_form(spark):
     assert sorted(map(tuple, newc.collect())) == sorted(
         map(tuple, oldc.collect())
     )
+
+
+def test_interval_rejects_reserved_columns(spark):
+    import pytest
+
+    from evidence_datasource_parsers_spark.operators.interval import (
+        interval_join,
+    )
+
+    pts = spark.createDataFrame([(1, 1.0, 0)], "k int, ts double, __pt int")
+    iv = spark.createDataFrame([(1, 0.0, 2.0)], "k int, s double, e double")
+    with pytest.raises(ValueError, match="__pt"):
+        interval_join(pts, iv, "ts", "s", "e", on="k", bucket_width=1.0)
