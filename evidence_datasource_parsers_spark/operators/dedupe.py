@@ -321,28 +321,35 @@ def lsh_candidate_pairs_from_buckets(
     between at-rest pair mining and the incremental store instead of
     hashing the corpus once per consumer (the single-scan rule that
     matters at 100 TB, where the signature pass IS the corpus scan).
+
+    Formulation (r14, guide §2.4): grouping the bucket rows once and
+    expanding each bucket's sorted id set locally replaces the (band, key)
+    self-join — under the at-scale SMJ regime that was TWO full shuffles
+    plus two sorts of the bucket rows (0 ReuseExchange: the renamed sides
+    never canonicalize equal) for the SAME pair multiset.  Now the bucket
+    rows cross the network ONCE (hash on (band, key), map-side partial
+    collect) and the quadratic pair expansion runs inside the task, row
+    by row via the two chained explodes — no n² array is materialized.
+    Memory trade, stated honestly: one bucket's distinct id set must fit
+    in its task (8 bytes/id; SMJ buffered the same key group spillably),
+    but a bucket big enough to hurt produces an unusable quadratic pair
+    count under EITHER formulation — that failure mode is governed by
+    ``hot_bucket_cap`` on the incremental path, not by join strategy.
     """
-    # Self-join with RENAMED right side: alias-based self-joins over computed
-    # columns can mis-resolve both condition sides to the same attributes
-    # (degenerating into a cartesian product); distinct names are unambiguous.
-    left = buckets.select(
-        F.col(id_col).alias("id_a"), "band", "key"
-    )
-    right = buckets.select(
-        F.col(id_col).alias("id_b"),
-        F.col("band").alias("band_r"),
-        F.col("key").alias("key_r"),
-    )
+    # collect_set mirrors the join semantics under duplicate bucket rows
+    # (a duplicate (id, band, key) must not pair an id with itself);
+    # sort_array makes position order = id order, so (i < j) ⇔ (id_a < id_b).
     pairs = (
-        left.join(
-            right,
-            on=[
-                F.col("band") == F.col("band_r"),
-                F.col("key") == F.col("key_r"),
-                F.col("id_a") < F.col("id_b"),
-            ],
+        buckets.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("__ids"))
+        .where(F.size("__ids") >= 2)
+        .select(F.posexplode("__ids").alias("__i", "id_a"), F.col("__ids"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("__ids"), F.col("__i") + F.lit(2), F.size("__ids"))
+            ).alias("id_b"),
         )
-        .select("id_a", "id_b")
         .distinct()
     )
     return pairs
