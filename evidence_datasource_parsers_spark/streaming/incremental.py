@@ -241,14 +241,11 @@ def rewrite_bucketed_store(
     token = uuid.uuid4().hex[:8]
     tmp = f"{store_dir}__swap_{token}"
     tmp_table = f"{table}__swap_{token}"
-    # pre-shuffle into the bucket layout so each write task owns exactly
-    # one bucket — without this the bucketed write emits one file per
-    # (task × bucket) and the "compaction" barely reduces file counts.
-    # repartition's Murmur3 HashPartitioning is the same function bucket
-    # assignment uses, so task n holds exactly bucket n's rows.
+    # write_bucketed_store pre-shuffles onto the bucket layout itself
+    # (r14) so each write task owns exactly one bucket — the explicit
+    # repartition that used to live here is now the sink's contract.
     write_bucketed_store(
-        out.repartition(spec["n_buckets"], *spec["bucket_cols"]),
-        tmp, tmp_table, spec["bucket_cols"], spec["n_buckets"],
+        out, tmp, tmp_table, spec["bucket_cols"], spec["n_buckets"],
     )
     # the identity sidecars beyond the bucket spec (hamming combo split,
     # canon k, span cap …) live ONLY in the old dir the swap deletes —

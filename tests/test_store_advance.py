@@ -241,3 +241,42 @@ def test_span_delta_append_advance_equivalence(spark, tmp_path):
     assert raw == cmp_
     r_raw.pinned.unpersist()
     r_cmp.pinned.unpersist()
+
+
+def test_bucketed_writes_emit_one_file_per_bucket(spark, tmp_path):
+    """r14 small-files fix (guide §6): a bucketed write emits one file per
+    (task, bucket), so without the sink-side repartition a P-partition
+    frame lands as up to P×n_buckets files per write — 2048 for a default
+    local session.  Both the initial write and each append must emit at
+    most n_buckets part files."""
+    import os
+
+    from evidence_datasource_parsers_spark.sources.sinks import (
+        append_bucketed_store,
+        write_bucketed_store,
+    )
+
+    sd = str(tmp_path / "store")
+    table = "t_onefile_per_bucket"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    base = spark.range(0, 1000).repartition(8).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_bucketed_store(base, sd, table, ["k"], 4)
+
+    def parts():
+        return sum(
+            len([x for x in files if x.startswith("part-")])
+            for _, _, files in os.walk(sd)
+        )
+
+    assert parts() <= 4
+    delta = spark.range(1000, 2000).repartition(8).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    n0 = parts()
+    append_bucketed_store(delta, table, ["k"], 4)
+    assert parts() - n0 <= 4
+    # rows all present after the layout-shaping repartition
+    assert spark.table(table).count() == 2000
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
