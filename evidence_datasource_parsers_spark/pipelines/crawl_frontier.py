@@ -320,13 +320,25 @@ def _batch_store_rows(ready: DataFrame, now_ts: float | None) -> DataFrame:
 #: the freshness aggregate both key on it).
 SEEN_BUCKET_COLS = ["url_hash"]
 
+#: Default bucket count for NEW table-backed seen stores (existing stores
+#: keep their recorded ``_bucket_spec.json`` identity).  Seen rows are
+#: key-only (~16 bytes), so the append constant is dominated by per-bucket
+#: file creation: measured on a 2M-row store, a 20k-row append costs
+#: ~1.3-2.0s at 64 buckets vs ~0.4-0.5s at 16, with probe medians also
+#: better at 16 (fewer file opens).  Size buckets for the TARGET store:
+#: at ~16 bytes/row a bucket holds ~16M rows per 256 MB, so override via
+#: $SPARK_GRAFT_SEEN_BUCKETS (or the store_buckets argument) to roughly
+#: store_target_bytes / 256 MB on a production crawl — the env default is
+#: a small-crawl constant, not a cluster setting.
+DEFAULT_SEEN_BUCKETS = int(os.environ.get("SPARK_GRAFT_SEEN_BUCKETS", "16"))
+
 
 def advance_seen_store(
     ready: DataFrame,
     store_dir: str,
     now_ts: float | None = None,
     store_table: str | None = None,
-    store_buckets: int = 64,
+    store_buckets: int | None = None,
 ) -> None:
     """Advance the on-disk seen store by APPENDING only this batch's
     rows — O(batch) I/O regardless of store size; the carried store is
@@ -370,8 +382,16 @@ def advance_seen_store(
         # fixed table schema: a clock-less round appends null ts (never
         # expiring) rather than forking a second schema
         rows = rows.withColumn(TS_COL, F.lit(None).cast("double"))
+    if store_buckets is None:
+        store_buckets = DEFAULT_SEEN_BUCKETS
     spark = ready.sparkSession
-    delta = rows.localCheckpoint(eager=True)
+    # No extra checkpoint here (r14): ``ready`` is contractually the
+    # MATERIALIZED frame (docstring above), ``_batch_store_rows`` is a
+    # deterministic narrow projection of it, and the append/create below
+    # is the single consumer — the old eager localCheckpoint re-wrote the
+    # whole delta to local blocks only to read it straight back, ~0.2-0.4s
+    # of the per-round advance constant for nothing.
+    delta = rows
     if os.path.isdir(store_dir) and read_bucket_spec(store_dir) is not None:
         cols, n = store_bucket_identity(
             store_dir, SEEN_BUCKET_COLS, store_buckets
@@ -408,7 +428,7 @@ def compact_seen_store(
     spark: SparkSession,
     store_dir: str,
     store_table: str | None = None,
-    store_buckets: int = 64,
+    store_buckets: int | None = None,
 ) -> int:
     """Collapse an append-only seen store to one row per hash (max
     ``last_fetch_ts``), swap-safe.  This is the ONLY O(store) frontier
@@ -473,7 +493,8 @@ def compact_seen_store(
         return rewrite_bucketed_store(
             spark, store_table, store_dir, out,
             bucket_cols=SEEN_BUCKET_COLS if boot else None,
-            n_buckets=store_buckets if boot else None,
+            n_buckets=(store_buckets or DEFAULT_SEEN_BUCKETS)
+            if boot else None,
         )
     return rewrite_store_dir(store_dir, out)
 

@@ -619,6 +619,7 @@ def frontier_table_case(spark, materialize, replicas: int):
         canonicalize_url,
     )
     from evidence_datasource_parsers_spark.pipelines.crawl_frontier import (
+        DEFAULT_SEEN_BUCKETS,
         SEEN_BUCKET_COLS,
         TS_COL,
         advance_seen_store,
@@ -662,7 +663,8 @@ def frontier_table_case(spark, materialize, replicas: int):
         try:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
             write_bucketed_store(  # untimed store build
-                mk_store(n), store_dir, table, SEEN_BUCKET_COLS, 64,
+                mk_store(n), store_dir, table, SEEN_BUCKET_COLS,
+                DEFAULT_SEEN_BUCKETS,
             )
             res_box = {}
 
