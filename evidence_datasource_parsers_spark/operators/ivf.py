@@ -127,16 +127,27 @@ def ivf_topk(
     query_id: str = "query_id",
     corpus_id: str = "neighbor_id",
     vec_col: str = "embedding",
+    corpus_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: score queries only against their n_probe nearest cells.
 
     One shuffle (the cell_id join); the probe side is broadcast — it carries
-    |queries| × n_probe rows regardless of corpus size."""
-    assign = _cells_udf(centroids, 1)
+    |queries| × n_probe rows regardless of corpus size.
+
+    ``corpus_assigned``: precomputed ``(corpus_id, __cv, __cell)`` rows —
+    e.g. a slice of ``similarity.corpus_index_rows`` or a persisted
+    :func:`assign_cells` index — sharing one corpus assignment pass
+    between consumers instead of re-running the cell kernel per search.
+    The assignment MUST come from the same centroids."""
     probe = _cells_udf(centroids, n_probe)
-    c = corpus.select(
-        F.col(corpus_id), F.col(vec_col).cast("array<double>").alias("__cv")
-    ).withColumn("__cell", F.element_at(assign(F.col("__cv")), 1))
+    if corpus_assigned is not None:
+        c = corpus_assigned
+    else:
+        assign = _cells_udf(centroids, 1)
+        c = corpus.select(
+            F.col(corpus_id),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        ).withColumn("__cell", F.element_at(assign(F.col("__cv")), 1))
     q = queries.select(
         F.col(query_id), F.col(vec_col).cast("array<double>").alias("__qv")
     ).withColumn("__cell", F.explode(probe(F.col("__qv"))))

@@ -325,6 +325,107 @@ def hyperplane_bucket_rows(
     )
 
 
+def corpus_index_rows(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    centroids: list[list[float]],
+    vec_alias: str = "__cv",
+) -> DataFrame:
+    """Fused per-vector index row: LSH table buckets AND IVF cell from ONE
+    Arrow pass — ``(id, vec_alias, bk0..bk{T-1}, __cell)``, one row per
+    corpus vector (r14, guide §4.1/§2.1).
+
+    A query that searches by BOTH index structures (q39's lsh/lsh_mp + ivf
+    legs) otherwise scans the corpus twice and pays two Python boundary
+    crossings for kernels that share the expensive part — materializing the
+    (n, dim) batch matrix.  The fused kernel computes the hyperplane
+    projections and the centroid distances off the same matrix, replaying
+    each oracle's IEEE arithmetic EXACTLY as the separate kernels do
+    (identical products, identical balanced-tree folds, identical stable
+    argsort tie-break), so buckets and cells are bit-identical to
+    :func:`hyperplane_bucket_rows` / ``ivf._cells_udf``.
+
+    Persist (or localCheckpoint) the result when feeding multiple legs —
+    the two consumers otherwise each re-run the fused kernel, which is
+    worse than the separate passes.  At 100 TB this frame IS the ANN index
+    (the assigned/bucketed corpus the maintenance operators append to).
+
+    Rows with a NULL vector are excluded, as in the separate kernels.
+    """
+    all_planes = deterministic_planes(dim, n_planes * n_tables)
+    planes_const = [[float(v) for v in p] for p in all_planes]
+    cents_const = [[float(v) for v in c] for c in centroids]
+    n_t, n_p = n_tables, n_planes
+    schema = ", ".join(
+        [f"bk{t} int" for t in range(n_tables)] + ["cell int"]
+    )
+
+    def kernel(s):
+        import numpy as np
+        import pandas as pd
+
+        P = np.asarray(planes_const, dtype=np.float64)  # (T*J, dim)
+        C = np.asarray(cents_const, dtype=np.float64)  # (n_cells, dim)
+        if len(s) == 0:
+            out = {f"bk{t}": pd.array([], dtype="int32") for t in range(n_t)}
+            out["cell"] = pd.array([], dtype="int32")
+            return pd.DataFrame(out)
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in s])
+        # LSH signs — identical fold to hyperplane_bucket_rows
+        signs = pairwise_fold(V[:, None, :] * P[None, :, :]) > 0  # (n, T*J)
+        out = {}
+        for t in range(n_t):
+            bk = np.zeros(len(V), dtype=np.int32)
+            for j in range(n_p):
+                bk |= signs[:, t * n_p + j].astype(np.int32) << j
+            out[f"bk{t}"] = bk
+        # IVF nearest cell — identical fold + stable tie-break to
+        # ivf._cells_udf(centroids, 1)
+        d = V[:, None, :] - C[None, :, :]
+        negdist = -pairwise_fold(d * d)  # (n, n_cells)
+        order = np.argsort(negdist, axis=1, kind="stable")
+        out["cell"] = order[:, -1].astype(np.int32)
+        return pd.DataFrame(out)
+
+    idx_udf = F.pandas_udf(kernel, schema)
+    return (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias(vec_alias),
+        )
+        .withColumn("__idx", idx_udf(F.col(vec_alias)))
+        .selectExpr(
+            qid(id_col),
+            qid(vec_alias),
+            *[f"__idx.bk{t} AS {qid(f'__bk{t}')}" for t in range(n_tables)],
+            "__idx.cell AS __cell",
+        )
+    )
+
+
+def index_rows_to_bucket_rows(
+    index_rows: DataFrame, id_col: str, n_tables: int, vec_alias: str = "__cv"
+) -> DataFrame:
+    """Explode :func:`corpus_index_rows` output into the
+    ``(id, vec_alias, __t, __bucket)`` shape :func:`hyperplane_bucket_rows`
+    emits (JVM-side explode — no extra Python crossing)."""
+    buckets = ", ".join(
+        f"struct({t} AS table, {qid(f'__bk{t}')} AS bucket)"
+        for t in range(n_tables)
+    )
+    return index_rows.selectExpr(
+        qid(id_col), qid(vec_alias), f"explode(array({buckets})) AS __b"
+    ).selectExpr(
+        qid(id_col), qid(vec_alias), "__b.table AS __t",
+        "__b.bucket AS __bucket",
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1325,6 +1325,8 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
     )
     from evidence_datasource_parsers_spark.operators.similarity import (
         ann_lsh_topk_dual,
+        corpus_index_rows,
+        index_rows_to_bucket_rows,
     )
 
     e = load(spark, sf, "embeddings")
@@ -1338,14 +1340,28 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
     # candidate pair once, and ranks both legs in one window — the old
     # two-call shape persisted the corpus buckets and still ran the
     # join/dedup/score/window chain twice (row multiset proven EQUAL,
-    # see the operator's equivalence test)
+    # see the operator's equivalence test).
+    # ONE shared corpus pass for BOTH index structures (r14): the LSH
+    # table buckets and the IVF cell come from one fused Arrow kernel
+    # over one embeddings scan (corpus_index_rows, persisted — the q34
+    # fingerprint pattern), instead of two corpus scans + two Python
+    # crossings computing folds off the same batch matrix.  Buckets and
+    # cells are bit-identical to the separate kernels by construction.
+    cents = deterministic_centroids(EMB_DIM, IVF_CELLS)
+    idx = corpus_index_rows(
+        c, "neighbor_id", "embedding", EMB_DIM,
+        ANN_PLANES, ANN_TABLES, cents,
+    ).persist()
     dual = ann_lsh_topk_dual(
         q, c, dim=64, k=5, n_planes=ANN_PLANES, n_tables=ANN_TABLES,
         multiprobe=ANN_MULTIPROBE,
+        corpus_bucket_rows=index_rows_to_bucket_rows(
+            idx, "neighbor_id", ANN_TABLES
+        ),
     )
     ivf = ivf_topk(
-        q, c, deterministic_centroids(EMB_DIM, IVF_CELLS),
-        k=5, n_probe=IVF_PROBE,
+        q, c, cents, k=5, n_probe=IVF_PROBE,
+        corpus_assigned=idx.select("neighbor_id", "__cv", "__cell"),
     )
     return dual.unionByName(
         ivf.withColumn("method", F.lit("ivf")).select(

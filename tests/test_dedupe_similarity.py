@@ -1404,3 +1404,79 @@ def test_ann_lsh_topk_dual_matches_separate_legs(spark, sf_dir):
     assert sorted(map(tuple, old.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_lsh_candidate_pairs_plan_is_join_free(spark):
+    """r14 grouped-expansion shape: pair mining shuffles the bucket rows
+    ONCE (group on (band, key)) — no self-join, no sort.  A reappearing
+    join node would mean the two-full-shuffle SMJ regression returned."""
+    from evidence_datasource_parsers_spark.operators.dedupe import (
+        lsh_candidate_pairs_from_buckets,
+    )
+
+    b = spark.createDataFrame(
+        [(1, 0, "k"), (2, 0, "k")], "doc_id long, band int, key string"
+    )
+    plan = (
+        lsh_candidate_pairs_from_buckets(b, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 2  # group on (band,key) + distinct
+
+
+def test_corpus_index_rows_matches_separate_kernels(spark):
+    """r14 fused corpus kernel: LSH buckets and IVF cell from one Arrow
+    pass must be bit-identical to hyperplane_bucket_rows and the IVF
+    assignment kernel (same folds, same stable tie-break)."""
+    from evidence_datasource_parsers_spark.operators.ivf import (
+        assign_cells,
+        deterministic_centroids,
+    )
+    from evidence_datasource_parsers_spark.operators.similarity import (
+        corpus_index_rows,
+        hyperplane_bucket_rows,
+        index_rows_to_bucket_rows,
+    )
+
+    dim, n_planes, n_tables, n_cells = 16, 4, 3, 8
+    vecs = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.when(
+            F.col("id") % 17 == 0, F.lit(None).cast("array<double>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.sin(F.col("id") * i).cast("double"),
+            )
+        ).alias("embedding"),
+    )
+    cents = deterministic_centroids(dim, n_cells)
+    idx = corpus_index_rows(
+        vecs, "vec_id", "embedding", dim, n_planes, n_tables, cents
+    )
+    got_buckets = sorted(
+        (r["vec_id"], r["__t"], r["__bucket"])
+        for r in index_rows_to_bucket_rows(idx, "vec_id", n_tables).collect()
+    )
+    want_buckets = sorted(
+        (r["vec_id"], r["__t"], r["__bucket"])
+        for r in hyperplane_bucket_rows(
+            vecs, "vec_id", "embedding", dim, n_planes, n_tables
+        ).collect()
+    )
+    assert got_buckets == want_buckets and got_buckets
+    got_cells = sorted(
+        (r["vec_id"], r["__cell"])
+        for r in idx.select("vec_id", "__cell").collect()
+    )
+    want_cells = sorted(
+        (r.vec_id, r.cell)
+        for r in assign_cells(
+            vecs.where(F.col("embedding").isNotNull()),
+            cents, "vec_id", "embedding",
+        ).collect()
+    )
+    assert got_cells == want_cells and got_cells

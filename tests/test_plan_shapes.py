@@ -129,20 +129,35 @@ def test_q39_ann_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     nodes = _nodes(plan)
-    # Arrow-stage budget across the THREE legs (r13 fused shape): the corpus
-    # bucketing runs ONCE (1), the base-LSH and multi-probe legs are FUSED
-    # into one pass (ann_lsh_topk_dual: probe-expanded q-bucketing + ONE
-    # scoring pass = 2; pre-r13 they were separate at 2+2), and IVF adds
-    # q-assign + c-assign +
-    # scoring (3).  1+2+3 = 6; a 7th would mean Catalyst cloned a kernel
-    # (e.g. into a pushed join-key filter, the bug asNondeterministic guards
-    # against), the corpus bucketing stopped being shared, or the dual-leg
-    # fusion regressed to separate passes.
-    assert nodes.count("ArrowEvalPython") == 6
-    # the pre-r13 corpus-bucket persist existed FOR the second consumer;
-    # with the legs fused there is exactly one, and a reappearing persist
-    # would be dead weight (memory pinned for no reuse)
-    assert "InMemoryTableScan" not in nodes
+    # Arrow-stage budget across the THREE legs (r14 fused-index shape): ONE
+    # fused corpus kernel computes LSH buckets AND the IVF cell off one
+    # embeddings scan (corpus_index_rows, persisted — distinct stage 1),
+    # the base-LSH and multi-probe legs stay fused (r13: probe-expanded
+    # q-bucketing + ONE scoring pass = 2), and IVF adds q-probe + scoring
+    # (2).  1+2+2 = 5 distinct kernels; a 6th would mean Catalyst cloned a
+    # kernel (e.g. into a pushed join-key filter), the fused index stopped
+    # being shared, or a leg fusion regressed.  The formatted plan prints
+    # the cached fused kernel once per InMemoryTableScan reference (2
+    # consumers), so count DISTINCT node ids.
+    import re
+
+    arrow_ids = {
+        m.group(1)
+        for m in re.finditer(r"\((\d+)\) ArrowEvalPython", plan)
+    }
+    assert len(arrow_ids) == 5, sorted(arrow_ids)
+    # exactly ONE persist — the fused corpus index feeding both legs; a
+    # second DISTINCT cache would be dead weight (memory pinned for no
+    # reuse).  The formatted plan re-enumerates the shared InMemoryRelation
+    # per reference, so distinct caches are told apart by their argument
+    # signature (output attributes + storage level), not by node id.
+    imr_args = {
+        re.sub(r"#\d+L?", "", m.group(1))  # each reference re-ids the attrs
+        for m in re.finditer(
+            r"\(\d+\) InMemoryRelation\nArguments: (\[[^\]]*\])", plan
+        )
+    }
+    assert len(imr_args) == 1, sorted(imr_args)
 
 
 def test_q34_no_cartesian(spark, sf_dir):
